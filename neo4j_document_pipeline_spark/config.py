@@ -1,0 +1,67 @@
+"""Pipeline configuration — mirrors the reference's knobs (SURVEY.md §2.11).
+
+Reference defaults, with citations into /root/reference/:
+- chunk size 2500 tokens (config/embedConfig.yaml:9), overlap 0 (ingestMD.py:34)
+- top_k=10, hops=1 clamped to [1,3] (main.py:47-48,337)
+- alpha_vec=0.6 / beta_kw=0.4 (main.py:51-52,271), renormalized to sum 1
+  (graphutil.py:437-439)
+- k_vec = k_kw = max(12, top_k) (main.py:270-271)
+- MMR lambda = 0.7 (graphutil.py:454)
+- fulltext limit floor 16 (graphutil.py:329)
+- anchors <=3 / keywords <=8 (graphutil.py:313-314)
+- normal-path source text clamp 1000 chars (ingestMD.py:494)
+- embedding dim 3072 in the reference (main.py:181); we default to a
+  smaller deterministic featurizer dim for test speed (the algorithms are
+  dimension-agnostic).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_LABELS = [
+    "Stakeholder", "Goal", "Challenge", "Outcome", "Policy", "Strategy",
+    "Pillar", "Sector", "Time_Period", "Infrastructure", "Technology",
+    "Initiative", "Objective", "Target", "Opportunity", "Vision", "Region",
+    "Enabler", "Entity",
+]  # graphutil.py:159-163
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- ingest / write path ---
+    chunk_size_tokens: int = 2500          # embedConfig.yaml:9
+    chunk_overlap_tokens: int = 0          # ingestMD.py:34
+    src_txt_clamp: int = 1000              # ingestMD.py:494
+    embedding_dim: int = 64                # featurizer dim (reference: 3072)
+    featurizer_seed: int = 42
+    fixed_clock_millis: int = 1764288000000  # 2025-11-28T00:00:00Z; injected
+    # so fixtures are reproducible (reference stamps wall-clock timestamp(),
+    # ingestMD.py:347,517 — tests must not).
+
+    # --- query / read path ---
+    top_k: int = 10                        # main.py:47
+    hops: int = 1                          # main.py:48 (clamped 1..3 at use)
+    alpha_vec: float = 0.6                 # main.py:51
+    beta_kw: float = 0.4                   # main.py:52
+    mmr_lambda: float = 0.7                # graphutil.py:454
+    fts_limit_floor: int = 16              # graphutil.py:329
+    max_anchor_terms: int = 3              # graphutil.py:313
+    max_keywords: int = 8                  # graphutil.py:314
+
+    # --- scale knobs ---
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8                  # skew salting factor for head keys
+    broadcast_threshold_rows: int = 100_000
+    lsh_bands: int = 16
+    lsh_rows_per_band: int = 4             # minhash sig len = bands*rows
+    link_cosine_threshold: float = 0.85
+
+    labels: tuple = field(default=tuple(DEFAULT_LABELS))
+
+    @property
+    def minhash_sig_len(self) -> int:
+        return self.lsh_bands * self.lsh_rows_per_band
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,145 @@
+"""Core text-normalization functions.
+
+Each function exists in TWO forms:
+
+1. ``py_*`` — plain-Python reference implementation (semantics match the
+   reference pipeline; used inside Arrow-batched pandas UDFs and to freeze
+   golden fixtures). Byte-identical with the reference behavior:
+   - canonicalize: /root/reference/ingestMD.py:61-66
+   - safe_label:   /root/reference/ingestMD.py:57-59
+   - sha256_hex:   /root/reference/ingestMD.py:68-69
+   - norm_space:   /root/reference/ingestMD.py:161-162
+   - normalize_name_for_key: /root/reference/graphutil.py:636-651
+
+2. ``col_*`` — Spark ``Column`` expression (JVM-side, whole-stage codegen,
+   no Python in the hot path). Used wherever byte-identity is provable via
+   tests; the pandas-UDF path exists as the certainty fallback.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Plain-Python reference implementations
+# ---------------------------------------------------------------------------
+
+_SAFE_RE = re.compile(r"[^A-Za-z0-9_]")
+_TRAIL_WS_RE = re.compile(r"[ \t]+$", flags=re.MULTILINE)
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+_MULTI_SP_RE = re.compile(r"[ \t]{2,}")
+_WS_RUN_RE = re.compile(r"\s+")
+_NAME_KEY_RE = re.compile(r"[^a-z0-9 ]+")
+
+NUM_WORDS = {
+    "one": "1", "two": "2", "three": "3", "four": "4", "five": "5",
+    "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
+}  # graphutil.py:635-638
+
+
+def py_canonicalize(text: str | None) -> str:
+    """CRLF->LF; collapse >=3 newlines to 2; strip trailing ws per line;
+    collapse >=2 spaces/tabs to one space; strip ends.
+    Byte-identical invariant vs ingestMD.py:61-66."""
+    t = (text or "").replace("\r\n", "\n").replace("\r", "\n")
+    t = _MULTI_NL_RE.sub("\n\n", t)
+    t = _TRAIL_WS_RE.sub("", t)
+    t = _MULTI_SP_RE.sub(" ", t)
+    return t.strip()
+
+
+def py_safe_label(x: str | None, fallback: str = "Entity") -> str:
+    """Strip, spaces->_, non-word->_, truncate to 64 (ingestMD.py:57-59)."""
+    x = (x or fallback).strip().replace(" ", "_")
+    return _SAFE_RE.sub("_", x)[:64]
+
+
+def py_sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def py_norm_space(s: str | None) -> str:
+    return _WS_RUN_RE.sub(" ", (s or "").strip())
+
+
+def py_normalize_name_for_key(name: str | None) -> str:
+    """lowercase; strip punctuation; number-words one..ten -> digits;
+    collapse spaces (graphutil.py:640-651)."""
+    s = (name or "").lower()
+    s = _NAME_KEY_RE.sub(" ", s)
+    return " ".join(NUM_WORDS.get(tok, tok) for tok in s.split())
+
+
+def py_entity_id(label: str, name: str) -> str:
+    """Deterministic surrogate for the Neo4j (label, name) MERGE key
+    (ingestMD.py:505,509)."""
+    return py_sha256_hex(f"{label}:{name}")
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions (JVM-side fast path)
+# ---------------------------------------------------------------------------
+
+def col_canonicalize(c: Column) -> Column:
+    """Column-expression equivalent of py_canonicalize (tested byte-equal)."""
+    t = F.coalesce(c, F.lit(""))
+    t = F.regexp_replace(t, r"\r\n", "\n")
+    t = F.regexp_replace(t, r"\r", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    t = F.regexp_replace(t, r"(?m)[ \t]+$", "")
+    t = F.regexp_replace(t, r"[ \t]{2,}", " ")
+    # python str.strip() removes all leading/trailing whitespace (incl \n)
+    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    return t
+
+
+def col_safe_label(c: Column, fallback: str = "Entity") -> Column:
+    x = F.coalesce(F.nullif(c, F.lit("")), F.lit(fallback))
+    # python .strip() removes all whitespace kinds, not just spaces
+    x = F.regexp_replace(x, r"^\s+|\s+$", "")
+    x = F.regexp_replace(x, " ", "_")
+    x = F.regexp_replace(x, r"[^A-Za-z0-9_]", "_")
+    return F.substring(x, 1, 64)
+
+
+def col_norm_space(c: Column) -> Column:
+    return F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), r"\s+", " ")
+
+
+def col_normalize_name_for_key(c: Column) -> Column:
+    s = F.lower(F.coalesce(c, F.lit("")))
+    s = F.regexp_replace(s, r"[^a-z0-9 ]+", " ")
+    toks = F.split(F.trim(F.regexp_replace(s, r" +", " ")), " ")
+    mapped = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(v) for kv in NUM_WORDS.items() for v in kv]), t
+            ),
+            t,
+        ),
+    )
+    out = F.array_join(mapped, " ")
+    # empty input -> split produces [""] -> join gives ""
+    return F.when(F.trim(s) == "", F.lit("")).otherwise(out)
+
+
+def col_entity_id(label: Column, name: Column) -> Column:
+    return F.sha2(F.concat_ws(":", label, name), 256)
+
+
+# ---------------------------------------------------------------------------
+# pandas helpers (for use inside mapInPandas stages)
+# ---------------------------------------------------------------------------
+
+def pd_canonicalize(s: pd.Series) -> pd.Series:
+    return s.map(py_canonicalize)
+
+
+def pd_sha256(s: pd.Series) -> pd.Series:
+    return s.map(py_sha256_hex)
