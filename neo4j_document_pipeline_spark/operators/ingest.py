@@ -1,0 +1,162 @@
+"""Write-path stages: pages -> documents -> chunks -> triples_raw.
+
+Spark-first re-expression of the reference ingest procedure
+(/root/reference/ingestMD.py:730-779):
+
+- canonicalize + doc_id: Arrow-batched pandas UDF running the EXACT Python
+  regex chain (byte-identical invariant) + JVM-side sha2;
+- chunking: ``mapInPandas`` flatMap (one input doc -> N chunk rows), the
+  UDTF shape of chunk_markdown (ingestMD.py:83-118);
+- triple extraction: ``dropDuplicates('chunk_id')`` BEFORE extraction
+  reproduces the reference's per-run extraction cache
+  (ingestMD.py:745-752) as a set-oriented dedup — each unique chunk is
+  extracted once, then results join back to every (doc, chunk) occurrence;
+- all heavy stages keep columns pruned (text only where needed) and avoid
+  driver-side loops entirely.
+
+Scale notes (100 TB design): every stage is embarrassingly parallel per
+row; the only shuffles are the chunk_id dedup (hash partition on a sha256
+key — uniform by construction, no skew) and the join-back (same key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from neo4j_document_pipeline_spark.functions.chunking import chunk_text
+from neo4j_document_pipeline_spark.functions.extraction import (
+    extract_chunk_triples,
+    flatten_triples,
+)
+from neo4j_document_pipeline_spark.functions.text import py_canonicalize
+from neo4j_document_pipeline_spark.functions.tokenizer import count_tokens
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, url string, title string, path string, text string, "
+    "n_chunks int, created_at timestamp, updated_at timestamp"
+)
+CHUNKS_SCHEMA = (
+    "doc_id string, chunk_idx int, chunk_id string, text string, n_tokens int"
+)
+TRIPLES_SCHEMA = (
+    "chunk_id string, subject string, predicate string, object string, "
+    "subject_type string, object_type string, rel_type string, "
+    "object_kind string, start string, end string, pillar string, "
+    "term string, count int, src_txt string"
+)
+
+
+def _canonicalize_udf():
+    # built lazily: pandas_udf needs an active SparkSession to parse the type
+    @F.pandas_udf("string")
+    def canon(s: pd.Series) -> pd.Series:
+        return s.map(py_canonicalize)
+    return canon
+
+
+def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Canonical text + content-hash doc_id (ingestMD.py:736-737).
+
+    Title = url basename stem (the reference uses the file stem,
+    ingestMD.py:732); duplicates by doc_id keep the lexicographically first
+    url (deterministic; the reference's MERGE is idempotent on doc_id).
+    """
+    docs = (
+        pages
+        .select("url", "text")
+        .withColumn("text", _canonicalize_udf()(F.col("text")))
+        .withColumn("doc_id", F.sha2(F.col("text"), 256))
+        .withColumn("path", F.col("url"))
+        .withColumn(
+            "title",
+            F.regexp_replace(
+                F.element_at(F.split(F.col("url"), "/"), -1),
+                r"\.(md|markdown|mdx|html?)$", "",
+            ),
+        )
+    )
+    # one row per doc_id: first url wins, deterministically
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("url")
+    clock = F.timestamp_millis(F.lit(cfg.fixed_clock_millis))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("n_chunks", F.lit(None).cast("int"))
+        .withColumn("created_at", clock)
+        .withColumn("updated_at", clock)
+        .select("doc_id", "url", "title", "path", "text",
+                "n_chunks", "created_at", "updated_at")
+    )
+
+
+def documents_to_chunks(documents: DataFrame,
+                        cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Token-budget paragraph packing, one row per chunk (ingestMD.py:83-118)."""
+    max_tokens = cfg.chunk_size_tokens
+    overlap = cfg.chunk_overlap_tokens
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neo4j_document_pipeline_spark.functions.text import py_sha256_hex
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for idx, chunk in enumerate(chunk_text(text, max_tokens, overlap)):
+                    out.append((doc_id, idx, py_sha256_hex(chunk), chunk,
+                                count_tokens(chunk)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "chunk_id", "text", "n_tokens"]
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(chunker, schema=CHUNKS_SCHEMA)
+
+
+def chunks_to_triples(chunks: DataFrame,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Extract triples once per UNIQUE chunk, then join back to all
+    (doc_id, chunk_id) occurrences — the reference's extraction-cache
+    semantics (ingestMD.py:745-752) done set-wise.
+
+    Returns the ``triples_raw`` table:
+        doc_id, chunk_id, subject, predicate, object, subject_type,
+        object_type, rel_type, object_kind, start, end, pillar, term,
+        count, src_txt
+    """
+    clamp = cfg.src_txt_clamp
+    uniq = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["chunk_id", "subject", "predicate", "object", "subject_type",
+                "object_type", "rel_type", "object_kind", "start", "end",
+                "pillar", "term", "count", "src_txt"]
+        for pdf in batches:
+            out = []
+            for chunk_id, text in zip(pdf["chunk_id"], pdf["text"]):
+                triples = extract_chunk_triples(text)
+                for r in flatten_triples(triples, src_txt=text, src_clamp=clamp):
+                    out.append((
+                        chunk_id, r["subject"], r["predicate"], r["object"],
+                        r["subject_type"], r["object_type"], r["rel_type"],
+                        r["object_kind"], r["start"], r["end"], r["pillar"],
+                        r["term"], r["count"], r["src_txt"],
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    per_chunk = uniq.mapInPandas(extract, schema=TRIPLES_SCHEMA)
+    # join back: every (doc, chunk) pair gets the (cached) extraction result
+    occurrences = chunks.select("doc_id", "chunk_id", "chunk_idx")
+    return occurrences.join(per_chunk, "chunk_id", "inner")
+
+
+def run_ingest_stages(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Convenience: pages -> (documents, chunks, triples_raw) DataFrames."""
+    documents = pages_to_documents(pages, cfg)
+    chunks = documents_to_chunks(documents, cfg)
+    triples = chunks_to_triples(chunks, cfg)
+    return documents, chunks, triples

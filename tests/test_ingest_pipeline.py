@@ -1,0 +1,155 @@
+"""End-to-end ingest DAG tests on the synthetic pages table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.functions.chunking import chunk_text
+from neo4j_document_pipeline_spark.functions.extraction import (
+    extract_chunk_triples,
+    flatten_triples,
+)
+from neo4j_document_pipeline_spark.functions.text import py_canonicalize, py_sha256_hex
+from neo4j_document_pipeline_spark.operators.graph import build_graph
+from neo4j_document_pipeline_spark.operators.ingest import (
+    chunks_to_triples,
+    documents_to_chunks,
+    pages_to_documents,
+)
+from neo4j_document_pipeline_spark.sources.pages import make_text, synth_pages
+
+N_PAGES = 60
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def documents(pages):
+    return pages_to_documents(pages).cache()
+
+
+@pytest.fixture(scope="module")
+def chunks(documents):
+    return documents_to_chunks(documents).cache()
+
+
+@pytest.fixture(scope="module")
+def triples(chunks):
+    return chunks_to_triples(chunks).cache()
+
+
+def test_pages_deterministic(spark, pages):
+    a = sorted(pages.select("url", "text").collect())
+    b = sorted(synth_pages(spark, N_PAGES, partitions=3).select("url", "text").collect())
+    assert a == b
+
+
+def test_pages_include_fixture_docs_byte_exact(pages):
+    row = pages.filter(F.col("url").contains("fixtures")).orderBy("url").first()
+    with open("/root/reference/Test Files/house_of_wisdom_baghdad.markdown",
+              encoding="utf-8") as f:
+        assert row["text"] == f.read()
+
+
+def test_documents_byte_identical_canonical_text(pages, documents):
+    """The north-rule invariant: per-url canonical text must equal the
+    plain-Python reference canonicalizer output, byte for byte."""
+    raw = {r["url"]: r["text"] for r in pages.collect()}
+    out = {r["url"]: r["text"] for r in documents.collect()}
+    for url, text in out.items():
+        assert text == py_canonicalize(raw[url]), url
+
+
+def test_documents_doc_id_is_content_hash(documents):
+    for r in documents.select("doc_id", "text").collect():
+        assert r["doc_id"] == py_sha256_hex(r["text"])
+
+
+def test_duplicate_content_collapses(pages, documents):
+    # fam-5 rows duplicate fam-0 content under a different url
+    assert documents.count() < pages.count()
+    assert documents.groupBy("doc_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_chunks_match_reference_chunker(documents, chunks):
+    docs = {r["doc_id"]: r["text"] for r in documents.collect()}
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["text"], r["chunk_id"]))
+    for doc_id, text in docs.items():
+        expected = chunk_text(text, 2500, 0)
+        rows = sorted(got.get(doc_id, []))
+        assert [t for _, t, _ in rows] == expected, doc_id
+        for _, t, cid in rows:
+            assert cid == py_sha256_hex(t)
+
+
+def test_triples_match_plain_python_reference(documents, chunks, triples):
+    """The P/R gate skeleton: Spark triples == plain-Python pipeline run."""
+    expected = set()
+    for r in documents.collect():
+        for chunk in chunk_text(r["text"], 2500, 0):
+            for t in flatten_triples(extract_chunk_triples(chunk), src_txt=chunk):
+                expected.add((r["doc_id"], t["subject"], t["rel_type"],
+                              str(t["object"]), t["object_kind"]))
+    got = {
+        (r["doc_id"], r["subject"], r["rel_type"], str(r["object"]), r["object_kind"])
+        for r in triples.collect()
+    }
+    assert got == expected
+    assert len(got) > 20
+
+
+def test_triples_have_table_and_timeline_and_distribution_kinds(triples):
+    kinds = {r["object_kind"] for r in triples.select("object_kind").distinct().collect()}
+    assert kinds == {"scalar", "timeline", "distribution"}
+
+
+def test_graph_build(triples):
+    nodes, edges, mentions, emb = build_graph(triples)
+    nodes_c = nodes.cache()
+    edges_c = edges.cache()
+
+    assert nodes_c.filter(F.col("entity_id").isNull()).count() == 0
+    assert nodes_c.groupBy("entity_id").count().agg(F.max("count")).first()[0] == 1
+
+    # every edge endpoint resolves to a node
+    ids = {r["entity_id"] for r in nodes_c.select("entity_id").collect()}
+    for r in edges_c.select("src_id", "dst_id").collect():
+        assert r["src_id"] in ids and r["dst_id"] in ids
+
+    # Time_Period nodes carry start/end
+    tp = nodes_c.filter(F.col("label") == "Time_Period").collect()
+    assert tp and all(r["start"] and r["end"] for r in tp)
+
+    # distribution edges carry term+count and the fixed rel type
+    dist = edges_c.filter(F.col("term").isNotNull()).collect()
+    assert dist and all(r["rel_type"] == "HAS_INITIATIVE_COUNT" for r in dist)
+    assert all(r["count"] is not None for r in dist)
+
+    # sources contain at least one doc_id; embeddings are l2-normalized
+    e = edges_c.first()
+    assert e["sources"] and len(e["embedding"]) == 64
+    n = nodes_c.first()
+    norm = sum(x * x for x in n["embedding"])
+    assert abs(norm - 1.0) < 1e-3
+
+    # mentions: unique pairs, both directions covered by one table
+    assert mentions.count() == mentions.dropDuplicates(["doc_id", "entity_id"]).count()
+
+
+def test_edge_sources_accumulate_across_docs(spark):
+    """Same triple from two docs -> one edge with both doc_ids (S4)."""
+    text = make_text(0)  # fam-0 SVO doc
+    pages = spark.createDataFrame(
+        [("u1", text + "\n\nExtra unique line one."),
+         ("u2", text + "\n\nAnother unique ending.")],
+        "url string, text string",
+    )
+    docs = pages_to_documents(pages)
+    triples = chunks_to_triples(documents_to_chunks(docs))
+    _, edges, _, _ = build_graph(triples)
+    multi = edges.filter(F.size("sources") >= 2).count()
+    assert multi > 0
