@@ -1,0 +1,212 @@
+"""GraphStore — Parquet table layer with MERGE semantics + stage manifests.
+
+The reference persists to Neo4j with idempotent Cypher MERGE
+(/root/reference/ingestMD.py:327-646). Iceberg jars are not available in
+this environment, so we emulate Iceberg-style row-level MERGE and snapshot
+checkpoints on plain Parquet (SURVEY.md §7.0 fallback):
+
+- each table lives at ``<root>/<name>``; writes go to a new versioned
+  subdirectory ``v=<k>`` followed by an atomic manifest update — readers
+  always see a complete snapshot (the manifest points at the last fully
+  written version);
+- MERGE INTO is union + key-window dedup + rewrite (idempotent);
+- every stage commit records a JSON manifest with row counts (collected
+  via ``df.observe`` style aggregates), the input fingerprint, and the
+  stage name -> resuming a killed run skips stages whose manifest matches
+  the current input fingerprint (north-rule resumability).
+
+On a real cluster this class is swapped for Iceberg
+(``MERGE INTO``/snapshots); the call sites are written against the same
+verbs (merge_nodes/merge_edges/...) so only this module changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class GraphStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- snapshot plumbing ----------
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifest.json")
+
+    def manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def exists(self, name: str) -> bool:
+        m = self.manifest(name)
+        return m is not None and os.path.isdir(
+            os.path.join(self._tdir(name), m["version"])
+        )
+
+    def read(self, name: str) -> DataFrame:
+        m = self.manifest(name)
+        if not m:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        return self.spark.read.parquet(os.path.join(self._tdir(name), m["version"]))
+
+    def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",
+              stage: str = "", extra_metrics: dict | None = None,
+              partition_by: list[str] | None = None) -> dict:
+        """Write a new snapshot version and commit it atomically via the
+        manifest. Returns the manifest dict (with row count metric)."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(tdir, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        rows = self.spark.read.parquet(path).count()
+        prev = self.manifest(name)
+        man = {
+            "table": name,
+            "version": version,
+            "stage": stage or name,
+            "rows": rows,
+            "input_fingerprint": input_fingerprint,
+            "committed_at_unix": int(time.time()),
+            "parent_version": prev["version"] if prev else None,
+            "metrics": extra_metrics or {},
+        }
+        tmp = self._manifest_path(name) + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))  # atomic commit point
+        if prev and prev["version"] != version:
+            shutil.rmtree(os.path.join(tdir, prev["version"]), ignore_errors=True)
+        return man
+
+    def is_current(self, name: str, input_fingerprint: str) -> bool:
+        """True when the table's committed snapshot was built from the same
+        input — the stage can be skipped on resume."""
+        m = self.manifest(name)
+        return bool(
+            m and m.get("input_fingerprint") == input_fingerprint
+            and os.path.isdir(os.path.join(self._tdir(name), m["version"]))
+        )
+
+    # ---------- MERGE INTO emulations ----------
+
+    def _merged(self, name: str, updates: DataFrame, merge_fn) -> DataFrame:
+        if self.exists(name):
+            return merge_fn(self.read(name), updates)
+        return merge_fn(None, updates)
+
+    def merge_nodes(self, updates: DataFrame) -> DataFrame:
+        """MERGE by entity_id: last write wins for embedding (reference
+        overwrites node embedding on match, ingestMD.py:507,511); coalesce
+        keeps start/end."""
+        def fn(existing, new):
+            new = new.withColumn("_src", F.lit(1))
+            if existing is None:
+                allr = new
+            else:
+                allr = existing.withColumn("_src", F.lit(0)).unionByName(new)
+            w = Window.partitionBy("entity_id").orderBy(F.col("_src").desc())
+            return (
+                allr.withColumn(
+                    "start", F.first("start", ignorenulls=True).over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+                .withColumn(
+                    "end", F.first("end", ignorenulls=True).over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+        return self._merged("nodes", updates, fn)
+
+    def merge_edges(self, updates: DataFrame) -> DataFrame:
+        """MERGE by (src_id, rel_type, term, dst_id): sources append-if-
+        absent (array_union), source_text_full/count/embedding last-write-
+        wins, created_at preserved, updated_at bumped
+        (ingestMD.py:513-547)."""
+        def fn(existing, new):
+            new = new.withColumn("_src", F.lit(1))
+            if existing is None:
+                allr = new
+            else:
+                allr = existing.withColumn("_src", F.lit(0)).unionByName(new)
+            g = allr.withColumn("term_k", F.coalesce(F.col("term"), F.lit("")))
+            return (
+                g.groupBy("src_id", "rel_type", "term_k", "dst_id")
+                .agg(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources")))).alias("sources"),
+                    F.max_by("source_text_full", "_src").alias("source_text_full"),
+                    F.max_by("count", "_src").alias("count"),
+                    F.max_by("embedding", "_src").alias("embedding"),
+                    F.max_by("term", "_src").alias("term"),
+                    F.min("created_at").alias("created_at"),
+                    F.max("updated_at").alias("updated_at"),
+                )
+                .drop("term_k")
+                .select("src_id", "dst_id", "rel_type", "term", "count",
+                        "embedding", "sources", "source_text_full",
+                        "created_at", "updated_at")
+            )
+        return self._merged("edges", updates, fn)
+
+    def merge_documents(self, updates: DataFrame) -> DataFrame:
+        """MERGE by doc_id with coalesce-style title/path (first write
+        sticks, ingestMD.py:528-536)."""
+        def fn(existing, new):
+            new = new.withColumn("_src", F.lit(1))
+            if existing is None:
+                allr = new
+            else:
+                allr = existing.withColumn("_src", F.lit(0)).unionByName(new)
+            w = Window.partitionBy("doc_id").orderBy(F.col("_src").asc())
+            return (
+                allr.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+        return self._merged("documents", updates, fn)
+
+    def merge_mentions(self, updates: DataFrame) -> DataFrame:
+        def fn(existing, new):
+            if existing is None:
+                return new.dropDuplicates(["doc_id", "entity_id"])
+            return existing.unionByName(new).dropDuplicates(["doc_id", "entity_id"])
+        return self._merged("mentions", updates, fn)
+
+    def merge_embeddings(self, updates: DataFrame) -> DataFrame:
+        def fn(existing, new):
+            if existing is None:
+                return new.dropDuplicates(["key"])
+            return existing.unionByName(new).dropDuplicates(["key"])
+        return self._merged("embeddings_cache", updates, fn)
+
+    # ---------- admin (main.py:118-155, clean.py) ----------
+
+    def truncate(self, name: str):
+        """DETACH DELETE analogue — O(metadata), no batched deletes needed
+        (clean.py:15-72's 100k-row batching exists only because of Neo4j
+        transaction memory; a snapshot store just drops the pointer)."""
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    def drop_all(self):
+        for name in list(os.listdir(self.root)):
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

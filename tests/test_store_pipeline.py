@@ -1,0 +1,130 @@
+"""GraphStore merge semantics + staged pipeline resume tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.plans.pipeline import graph_stats, run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import synth_pages
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(str(tmp_path / "graph"), spark)
+
+
+def test_write_read_roundtrip_and_versioning(spark, store):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    m1 = store.write("t", df)
+    assert m1["rows"] == 2
+    m2 = store.write("t", df.filter("id=1"))
+    assert m2["parent_version"] == m1["version"]
+    assert store.read("t").count() == 1
+    # old version cleaned up
+    assert not os.path.isdir(os.path.join(store._tdir("t"), m1["version"]))
+
+
+def test_merge_nodes_last_write_wins(spark, store):
+    a = spark.createDataFrame(
+        [("e1", "Entity", "X", [1.0], None, None)],
+        "entity_id string, label string, name string, embedding array<float>, start string, end string",
+    )
+    store.write("nodes", store.merge_nodes(a))
+    b = spark.createDataFrame(
+        [("e1", "Entity", "X", [2.0], "2020", None),
+         ("e2", "Goal", "Y", [3.0], None, None)],
+        a.schema,
+    )
+    merged = store.merge_nodes(b)
+    rows = {r["entity_id"]: r for r in merged.collect()}
+    assert len(rows) == 2
+    assert rows["e1"]["embedding"] == [2.0]   # new write wins
+    assert rows["e1"]["start"] == "2020"      # coalesced prop
+
+
+def test_merge_edges_source_accumulation(spark, store):
+    schema = (
+        "src_id string, dst_id string, rel_type string, term string, count int, "
+        "embedding array<float>, sources array<string>, source_text_full string, "
+        "created_at timestamp, updated_at timestamp"
+    )
+    a = spark.createDataFrame(
+        [("s", "d", "R", None, None, [1.0], ["doc1"], "t1", None, None)], schema)
+    store.write("edges", store.merge_edges(a))
+    b = spark.createDataFrame(
+        [("s", "d", "R", None, None, [2.0], ["doc2", "doc1"], "t2", None, None),
+         ("s", "d", "R", "term1", 5, [2.0], ["doc3"], "t3", None, None)], schema)
+    merged = store.merge_edges(b).collect()
+    assert len(merged) == 2  # term in identity key
+    plain = next(r for r in merged if r["term"] is None)
+    assert plain["sources"] == ["doc1", "doc2"]       # append-if-absent
+    assert plain["source_text_full"] == "t2"          # last write wins
+    termed = next(r for r in merged if r["term"] == "term1")
+    assert termed["count"] == 5
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    pages = synth_pages(spark, 40).cache()
+    root = str(tmp_path / "kg")
+    m1 = run_pipeline(spark, pages, root)
+    assert all(not m.get("skipped") for m in m1.values())
+    store = GraphStore(root, spark)
+    stats = graph_stats(store)
+    assert stats["total_nodes"] > 20
+    assert stats["total_relationships"] > 10
+
+    # re-run with identical input -> every stage skipped, tables unchanged
+    nodes_before = sorted(r["entity_id"] for r in store.read("nodes").collect())
+    m2 = run_pipeline(spark, pages, root)
+    assert all(m.get("skipped") for m in m2.values())
+    nodes_after = sorted(r["entity_id"] for r in store.read("nodes").collect())
+    assert nodes_before == nodes_after
+
+
+def test_pipeline_resume_after_partial_kill(spark, tmp_path):
+    """Kill-after-stage-k simulation: delete manifests of later stages and
+    re-run; final tables must equal a clean full run (idempotence)."""
+    pages = synth_pages(spark, 30).cache()
+    root = str(tmp_path / "kg2")
+    run_pipeline(spark, pages, root)
+    store = GraphStore(root, spark)
+    full_nodes = sorted(map(str, store.read("nodes").collect()))
+    full_edges = sorted(map(str, store.read("edges").drop("created_at", "updated_at").collect()))
+
+    # simulate a crash mid-run: stages after 'chunks' lost
+    for name in ["triples_raw", "embeddings_cache", "nodes", "edges",
+                 "mentions", "documents_final"]:
+        store.truncate(name)
+    m = run_pipeline(spark, pages, root)
+    assert m["documents"].get("skipped")
+    assert m["chunks"].get("skipped")
+    assert not m["triples_raw"].get("skipped")
+    assert sorted(map(str, store.read("nodes").collect())) == full_nodes
+    assert sorted(map(str, store.read("edges").drop("created_at", "updated_at").collect())) == full_edges
+
+
+def test_input_change_invalidates(spark, tmp_path):
+    root = str(tmp_path / "kg3")
+    run_pipeline(spark, synth_pages(spark, 20), root)
+    m = run_pipeline(spark, synth_pages(spark, 25), root)
+    assert not m["documents"].get("skipped")
+
+
+def test_manifest_contents(spark, tmp_path):
+    root = str(tmp_path / "kg4")
+    run_pipeline(spark, synth_pages(spark, 20), root)
+    with open(os.path.join(root, "triples_raw", "_manifest.json")) as f:
+        man = json.load(f)
+    assert man["rows"] > 0
+    assert man["input_fingerprint"]
+    assert man["stage"] == "triples_raw"
+
+
+def test_truncate(spark, store):
+    df = spark.createDataFrame([(1,)], "id long")
+    store.write("x", df)
+    store.truncate("x")
+    assert not store.exists("x")
