@@ -1,0 +1,498 @@
+"""Read path — the /graphrag flagship query re-expressed Spark-first.
+
+Pipeline (reference: main.py:233-400 + graphutil.py):
+
+1. embed question (deterministic featurizer; reference: remote model,
+   graphutil.py:133-153)
+2. hybrid candidates = per-label vector top-k (graphutil.py:364-391)
+   blended with keyword/BM25-lite scoring (graphutil.py:306-359) via
+   min-max normalization + renormalized weighted sum (graphutil.py:401-447)
+3. MMR diversification, lambda=0.7 (graphutil.py:452-497) — driver-side
+   exact algorithm over <= k_vec+k_kw rows (sequential-greedy by design)
+4. cross-document round-robin (graphutil.py:512-542) — driver-side exact
+5. seed dedupe: one per document, insertion order (main.py:316-333)
+6. 1-3 hop BFS neighborhood (graphutil.py:547-632) — iterative frontier
+   join, node-global uniqueness; edge included when an endpoint is within
+   hops-1 of a seed (the BFS traversal set)
+7. drop SOURCE/MENTIONS edges (graphutil.py:715), dedup by normalized
+   (start, type, end) key (graphutil.py:653-674), resolve doc titles
+   (graphutil.py:676-696), emit fact lines (graphutil.py:698-767)
+
+Scale notes: vector scoring is a JVM-side zip_with/aggregate expression
+over the bucketed nodes table (no Python). The keyword channel is an
+inverted-index join with the (tiny) term set broadcast. BFS joins
+broadcast the frontier against hash-partitioned edges. Driver-side steps
+(MMR, round-robin, formatting) touch only O(top_k * fanout) rows by
+construction — the same rows the reference moves to its API process.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from neo4j_document_pipeline_spark.functions.featurizer import cosine, embed_text
+from neo4j_document_pipeline_spark.functions.text import (
+    col_normalize_name_for_key,
+    py_normalize_name_for_key,
+)
+
+# ---------------------------------------------------------------------------
+# Question analysis (deterministic fallbacks of graphutil.py:219-304)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = re.compile(r'"([^"]+)"|“([^”]+)”|‘([^’]+)’|\'([^\']+)\'')
+_WORD_RE = re.compile(r"[A-Za-z][A-Za-z\-]+")
+
+
+def extract_keywords(question: str, max_terms: int = 8) -> list[str]:
+    """Deterministic path of _extract_keywords (graphutil.py:241):
+    the reference's LLM fallback is ``question.split()[:max_terms]``."""
+    return question.split()[:max_terms]
+
+
+def anchor_terms(question: str, max_terms: int = 3) -> list[str]:
+    """Quoted phrases > TitleCase bigrams > longest keyword
+    (graphutil.py:243-287)."""
+    anchors: list[str] = []
+    for g in _ANCHOR_RE.findall(question):
+        val = next((x for x in g if x), "").strip()
+        if val and val.lower() not in ("and", "or", "the"):
+            anchors.append(val)
+    if len(anchors) < max_terms:
+        words = _WORD_RE.findall(question)
+        for w1, w2 in zip(words, words[1:]):
+            if w1[0].isupper() and w2[0].isupper():
+                pair = f"{w1} {w2}"
+                if pair not in anchors:
+                    anchors.append(pair)
+                    if len(anchors) >= max_terms:
+                        break
+    if not anchors:
+        kws = sorted(extract_keywords(question, 5), key=len, reverse=True)
+        if kws:
+            anchors.append(kws[0])
+    seen, out = set(), []
+    for a in anchors:
+        if a not in seen:
+            out.append(a)
+            seen.add(a)
+    return out[:max_terms]
+
+
+# ---------------------------------------------------------------------------
+# Channels
+# ---------------------------------------------------------------------------
+
+def cosine_score_col(qvec: list[float]) -> F.Column:
+    """JVM-side cosine(embedding, qvec): zip_with product + aggregate sum.
+    Featurizer vectors are l2-normalized, but we divide by norms anyway to
+    reproduce _cosine semantics incl. the zero-norm guard
+    (graphutil.py:173-183)."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = float(sum(x * x for x in qvec)) ** 0.5
+    return F.when((na == 0) | (F.lit(nb) == 0), F.lit(0.0)).otherwise(
+        dot / (na * F.lit(nb))
+    )
+
+
+def vector_channel(nodes: DataFrame, qvec: list[float],
+                   labels: list[str] | None, k_vec: int) -> DataFrame:
+    """Per-label top-k by cosine, dedupe-max across labels, global top k_vec
+    (graphutil.py:364-391). Brute-force scan — the ANN-index replacement —
+    stays JVM-side; per-label ranking is one window over the label
+    partitioning the nodes table already has."""
+    df = nodes.filter(F.col("embedding").isNotNull())
+    if labels:
+        df = df.filter(F.col("label").isin(labels))
+    scored = df.withColumn("score", cosine_score_col(qvec))
+    per_label = Window.partitionBy("label").orderBy(F.col("score").desc(), "entity_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(per_label))
+        .filter(F.col("_r") <= k_vec)
+        .groupBy("entity_id")
+        .agg(F.max("score").alias("vec"))
+        .orderBy(F.col("vec").desc(), "entity_id")
+        .limit(k_vec)
+    )
+
+
+def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
+                    labels: list[str] | None = None,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """BM25-lite replacement of the Lucene fulltext index
+    (graphutil.py:306-359): tokenize node names into an inverted index,
+    IDF-weight matched terms (single tokens) and contained phrases
+    (multi-word anchors), sum per node. Terms are a tiny broadcast side."""
+    spark = nodes.sparkSession
+    anchors = anchor_terms(question, cfg.max_anchor_terms)
+    kws = extract_keywords(question, cfg.max_keywords)
+    terms: list[str] = []
+    seen = set()
+    for t in anchors + kws:
+        t = (t or "").strip()
+        if t and t.lower() not in seen:
+            terms.append(t)
+            seen.add(t.lower())
+    if not terms:
+        return spark.createDataFrame([], "entity_id string, kw double")
+
+    df = nodes
+    if labels:
+        df = df.filter(F.col("label").isin(labels))
+    df = df.select("entity_id", "name")
+    n_docs = F.lit(None)  # filled below via count
+
+    single = [t.lower() for t in terms if " " not in t]
+    phrases = [t.lower() for t in terms if " " in t]
+
+    toks = df.select(
+        "entity_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " ")), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    total = df.count()
+    parts = []
+    if single:
+        terms_df = F.broadcast(
+            spark.createDataFrame([(t,) for t in single], "tok string"))
+        df_counts = toks.groupBy("tok").agg(F.countDistinct("entity_id").alias("df"))
+        matched = (
+            toks.join(terms_df, "tok")
+            .join(F.broadcast(df_counts.join(terms_df, "tok")), "tok")
+            .withColumn(
+                "idf",
+                F.log((F.lit(float(total)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            )
+            .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
+        )
+        parts.append(matched)
+    if phrases:
+        lname = F.lower(F.col("name"))
+        cond = None
+        score = F.lit(0.0)
+        for p in phrases:
+            hit = lname.contains(p)
+            score = score + F.when(hit, F.lit(2.0)).otherwise(F.lit(0.0))
+            cond = hit if cond is None else (cond | hit)
+        parts.append(
+            df.filter(cond).select("entity_id", score.alias("kw_part"))
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    return (
+        scored.groupBy("entity_id").agg(F.sum("kw_part").alias("kw"))
+        .orderBy(F.col("kw").desc(), "entity_id")
+        .limit(max(k_kw, DEFAULT_CONFIG.fts_limit_floor))
+    )
+
+
+def _minmax(df: DataFrame, col: str) -> DataFrame:
+    """Min-max normalize over the whole frame with the reference's
+    degenerate-span rule: all 0.5 when span < 1e-12 (graphutil.py:186-193)."""
+    w = Window.partitionBy()
+    lo, hi = F.min(col).over(w), F.max(col).over(w)
+    return df.withColumn(
+        f"{col}_n",
+        F.when(hi - lo < F.lit(1e-12), F.lit(0.5)).otherwise((F.col(col) - lo) / (hi - lo)),
+    )
+
+
+def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
+                      labels: list[str] | None = None,
+                      k_vec: int = 12, k_kw: int = 12,
+                      alpha_vec: float = 0.6, beta_kw: float = 0.4,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Full-outer channel merge, per-channel max, min-max norm, blended
+    score with weights renormalized to sum 1 (graphutil.py:401-447)."""
+    vec = vector_channel(nodes, qvec, labels, k_vec)
+    kw = keyword_channel(nodes, question, k_kw, labels, cfg)
+    raw = (
+        vec.join(kw, "entity_id", "full_outer")
+        .withColumn("vec", F.coalesce("vec", F.lit(0.0)))
+        .withColumn("kw", F.coalesce("kw", F.lit(0.0)))
+    )
+    raw = _minmax(raw, "vec")
+    raw = _minmax(raw, "kw")
+    w_sum = max(1e-12, alpha_vec + beta_kw)
+    w_vec, w_kw = alpha_vec / w_sum, beta_kw / w_sum
+    return (
+        raw.withColumn("score", F.lit(w_vec) * F.col("vec_n") + F.lit(w_kw) * F.col("kw_n"))
+        .join(nodes.select("entity_id", "label", "name", "embedding"), "entity_id")
+        .orderBy(F.col("score").desc(), "entity_id")
+        .select("entity_id", "label", "name", "embedding", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side exact algorithms (small-k by construction)
+# ---------------------------------------------------------------------------
+
+def mmr_select(cands: list[dict], k: int, lambda_mult: float = 0.7) -> list[dict]:
+    """Maximal Marginal Relevance, exact reference algorithm
+    (graphutil.py:452-497): greedy argmax of
+    lambda*relevance - (1-lambda)*max_sim_to_selected."""
+    if not cands:
+        return []
+    embs = [c.get("embedding") for c in cands]
+    selected = []
+    rest = list(range(len(cands)))
+    best0 = max(rest, key=lambda i: cands[i]["score"])
+    selected.append(best0)
+    rest.remove(best0)
+
+    def max_sim(j):
+        if embs[j] is None:
+            return 0.0
+        sims = [cosine(embs[j], embs[i]) if embs[i] is not None else 0.0
+                for i in selected]
+        return max(sims) if sims else 0.0
+
+    while len(selected) < min(k, len(cands)) and rest:
+        best_j, best_val = None, -1e9
+        for j in rest:
+            val = lambda_mult * cands[j]["score"] - (1 - lambda_mult) * max_sim(j)
+            if val > best_val:
+                best_val, best_j = val, j
+        selected.append(best_j)
+        rest.remove(best_j)
+    return [cands[i] for i in selected]
+
+
+def diversify_by_document(cands: list[dict], k: int) -> list[dict]:
+    """Round-robin across documents, best-first inside each bucket,
+    buckets ordered by their best score (graphutil.py:512-542).
+    Each candidate dict needs a 'doc_title' (None -> '__NO_DOC__')."""
+    if not cands:
+        return []
+    buckets: dict[str, list[dict]] = {}
+    for c in cands:
+        buckets.setdefault(c.get("doc_title") or "__NO_DOC__", []).append(c)
+    for b in buckets.values():
+        b.sort(key=lambda c: -c["score"])
+    order = sorted(buckets, key=lambda t: -buckets[t][0]["score"])
+    picked: list[dict] = []
+    ptrs = dict.fromkeys(buckets, 0)
+    while len(picked) < min(k, len(cands)):
+        progressed = False
+        for key in order:
+            i = ptrs[key]
+            if i < len(buckets[key]):
+                picked.append(buckets[key][i])
+                ptrs[key] += 1
+                progressed = True
+                if len(picked) >= k:
+                    break
+        if not progressed:
+            break
+    return picked
+
+
+def dedupe_seeds_one_per_doc(cands: list[dict]) -> list[dict]:
+    """Keep the first candidate per source document, insertion order
+    (main.py:316-333)."""
+    seen, out = set(), []
+    for c in cands:
+        key = c.get("doc_title") or f"__self_{c['entity_id']}"
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Traversal + formatting (distributed)
+# ---------------------------------------------------------------------------
+
+def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
+                       max_hops: int = 1) -> DataFrame:
+    """Undirected BFS, node-global uniqueness (graphutil.py:547-632,
+    clamp at main.py:337). Returns the traversed edge set.
+
+    Iterative frontier joins with the (small) frontier broadcast; per hop
+    one shuffle-free probe of the edges table. Lineage stays short (<=3
+    iterations, north-rule clamp)."""
+    spark = edges.sparkSession
+    hops = max(1, min(3, max_hops))
+    if not seed_ids:
+        return edges.limit(0)
+    frontier = spark.createDataFrame([(s,) for s in seed_ids], "id string")
+    visited = frontier
+    touched = None
+    und = edges.select("src_id", "dst_id", "rel_type", "term",
+                       "source_text_full", "sources")
+    for _ in range(hops):
+        hit = und.join(F.broadcast(frontier),
+                       (und.src_id == frontier.id) | (und.dst_id == frontier.id)) \
+                 .drop("id")
+        touched = hit if touched is None else touched.unionByName(hit)
+        nbrs = (
+            hit.select(F.col("src_id").alias("id"))
+            .union(hit.select(F.col("dst_id").alias("id")))
+            .distinct()
+        )
+        frontier = nbrs.join(visited, "id", "left_anti")
+        visited = visited.union(frontier).distinct()
+        frontier = frontier.localCheckpoint(eager=False)
+    return touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
+
+
+def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
+                   documents: DataFrame, include_source: bool = False,
+                   snippet_chars: int | None = None) -> DataFrame:
+    """Resolve endpoints, drop noisy edges, dedup by normalized key, and
+    format '- Label("name") -[TYPE]-> Label("name") [snippet...]' lines
+    (graphutil.py:698-767)."""
+    rels = rels.filter(~F.col("rel_type").isin("SOURCE", "MENTIONS"))
+
+    s = nodes.select(F.col("entity_id").alias("src_id"),
+                     F.col("label").alias("s_label"),
+                     F.col("name").alias("s_name"))
+    t = nodes.select(F.col("entity_id").alias("dst_id"),
+                     F.col("label").alias("t_label"),
+                     F.col("name").alias("t_name"))
+    df = rels.join(s, "src_id").join(t, "dst_id")
+
+    # normalized-key dedup, keep-first deterministically (graphutil.py:653-674)
+    df = df.withColumn("s_key", col_normalize_name_for_key(F.col("s_name"))) \
+           .withColumn("t_key", col_normalize_name_for_key(F.col("t_name"))) \
+           .withColumn("r_key", F.lower(F.col("rel_type")))
+    w = Window.partitionBy("s_key", "r_key", "t_key").orderBy("s_name", "t_name", "src_id", "dst_id")
+    df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    if include_source:
+        titles = (
+            mentions.join(documents.select("doc_id", "title"), "doc_id")
+            .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
+        )
+        df = (
+            df.join(titles.withColumnRenamed("entity_id", "src_id")
+                    .withColumnRenamed("doc_title", "s_title"), "src_id", "left")
+            .join(titles.withColumnRenamed("entity_id", "dst_id")
+                  .withColumnRenamed("doc_title", "t_title"), "dst_id", "left")
+        )
+    else:
+        df = df.withColumn("s_title", F.lit(None).cast("string")) \
+               .withColumn("t_title", F.lit(None).cast("string"))
+
+    snip = F.trim(F.regexp_replace(F.coalesce("source_text_full", F.lit("")), r"\n", " "))
+    if isinstance(snippet_chars, int) and snippet_chars > 0:
+        snip = F.when(F.length(snip) > snippet_chars,
+                      F.concat(F.rtrim(F.substring(snip, 1, snippet_chars)), F.lit("..."))
+                      ).otherwise(snip)
+    snip_str = F.when(snip != "", F.concat(F.lit(' [snippet: "'), snip, F.lit('"]'))).otherwise(F.lit(""))
+    src_str = F.lit("")
+    if include_source:
+        src_str = (
+            F.when(F.col("s_title").isNotNull() & F.col("t_title").isNotNull()
+                   & (F.col("s_title") != F.col("t_title")),
+                   F.concat(F.lit(' [source: "'), F.col("s_title"),
+                            F.lit('" | "'), F.col("t_title"), F.lit('"]')))
+            .when(F.coalesce("s_title", "t_title").isNotNull(),
+                  F.concat(F.lit(' [source: "'),
+                           F.coalesce("s_title", "t_title"), F.lit('"]')))
+            .otherwise(F.lit(""))
+        )
+    line = F.concat(
+        F.lit("- "), F.col("s_label"), F.lit('("'), F.col("s_name"), F.lit('")'),
+        F.lit(" -["), F.col("rel_type"), F.lit("]-> "),
+        F.col("t_label"), F.lit('("'), F.col("t_name"), F.lit('")'),
+        snip_str, src_str,
+    )
+    return df.select(
+        "src_id", "dst_id", "rel_type",
+        "s_label", "s_name", "t_label", "t_name",
+        line.alias("fact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GraphRagResult:
+    answer: str
+    facts: list[str] = field(default_factory=list)
+    seeds: list[dict] = field(default_factory=list)
+    timings: dict = field(default_factory=dict)
+
+
+def graphrag(spark: SparkSession, store, question: str,
+             top_k: int = 10, hops: int = 1,
+             labels: list[str] | None = None,
+             alpha_vec: float = 0.6, beta_kw: float = 0.4,
+             use_mmr: bool = True, use_cross_doc: bool = True,
+             include_source: bool = False,
+             cfg: PipelineConfig = DEFAULT_CONFIG) -> GraphRagResult:
+    """End-to-end /graphrag (main.py:229-400). The answer IS the formatted
+    facts block — no LLM generation step (main.py:370-371)."""
+    import time as _time
+    timings = {}
+    t0 = _time.perf_counter()
+
+    nodes = store.read("nodes")
+    edges = store.read("edges")
+    mentions = store.read("mentions")
+    documents = store.read("documents_final")
+
+    qvec = embed_text(question, dim=cfg.embedding_dim, seed=cfg.featurizer_seed).tolist()
+    timings["embed"] = _time.perf_counter() - t0
+
+    k = max(12, top_k)  # main.py:270-271
+    t1 = _time.perf_counter()
+    cands_df = hybrid_candidates(nodes, question, qvec, labels,
+                                 k_vec=k, k_kw=k,
+                                 alpha_vec=alpha_vec, beta_kw=beta_kw, cfg=cfg)
+    # attach doc titles for diversification / seed-dedup (J1)
+    titles = (
+        mentions.join(documents.select("doc_id", "title"), "doc_id")
+        .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
+    )
+    cands = [r.asDict() for r in
+             cands_df.join(titles, "entity_id", "left")
+             .orderBy(F.col("score").desc(), "entity_id").collect()]
+    timings["retrieval"] = _time.perf_counter() - t1
+
+    if not cands:
+        return GraphRagResult(
+            answer="I couldn't find relevant data in the knowledge base.",
+            timings=timings)  # main.py:277-296 early return
+
+    if use_mmr and len(cands) > top_k:
+        cands = mmr_select(cands, top_k, cfg.mmr_lambda)
+    else:
+        cands = cands[:top_k]
+    if use_cross_doc:
+        cands = diversify_by_document(cands, top_k)
+    seeds = dedupe_seeds_one_per_doc(cands)
+
+    t2 = _time.perf_counter()
+    rels = traverse_neighbors(edges, [s["entity_id"] for s in seeds], hops)
+    facts_df = assemble_facts(rels, nodes, mentions, documents,
+                              include_source=include_source)
+    fact_lines = [r["fact"] for r in
+                  facts_df.orderBy("s_name", "rel_type", "t_name").collect()]
+    timings["expand_format"] = _time.perf_counter() - t2
+
+    if not fact_lines:
+        answer = "Graph Facts: (no results)"
+    else:
+        answer = "\n".join(["Graph Facts:"] + fact_lines)
+    return GraphRagResult(answer=answer, facts=fact_lines,
+                          seeds=[{k: s[k] for k in ("entity_id", "label", "name", "score", "doc_title")}
+                                 for s in seeds],
+                          timings=timings)

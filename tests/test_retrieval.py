@@ -1,0 +1,176 @@
+"""Read-path tests: channels, blend, MMR, diversify, traversal, graphrag."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.functions.featurizer import cosine, embed_text
+from neo4j_document_pipeline_spark.operators.retrieval import (
+    anchor_terms,
+    assemble_facts,
+    dedupe_seeds_one_per_doc,
+    diversify_by_document,
+    graphrag,
+    hybrid_candidates,
+    mmr_select,
+    traverse_neighbors,
+    vector_channel,
+)
+from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import synth_pages
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg") / "store")
+    run_pipeline(spark, synth_pages(spark, 60), root)
+    return GraphStore(root, spark)
+
+
+def test_anchor_terms():
+    assert anchor_terms('What is the "Route Location" plan?') == ["Route Location"]
+    # 'of' is lowercase -> no TitleCase bigram; falls back to longest keyword
+    assert anchor_terms("Where is House of Wisdom located?") == ["Wisdom"]
+    assert anchor_terms("Explain the Digital Policy goals") == ["Digital Policy"]
+    assert anchor_terms("what did someone do") == ["someone"]  # longest kw
+
+
+def test_vector_channel_matches_numpy(spark, kg):
+    nodes = kg.read("nodes")
+    q = embed_text("algebra", dim=64).tolist()
+    got = {r["entity_id"]: r["vec"] for r in vector_channel(nodes, q, None, 12).collect()}
+    assert got
+    rows = nodes.select("entity_id", "embedding").collect()
+    for eid, score in got.items():
+        emb = next(r["embedding"] for r in rows if r["entity_id"] == eid)
+        assert abs(score - cosine(emb, q)) < 1e-5
+
+
+def test_hybrid_blend_bounds(spark, kg):
+    q = "Who developed algebra?"
+    qvec = embed_text(q, dim=64).tolist()
+    out = hybrid_candidates(kg.read("nodes"), q, qvec).collect()
+    assert out
+    for r in out:
+        assert -1e-9 <= r["score"] <= 1 + 1e-9
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_reference_parity():
+    """MMR vs a literal transcription of the reference algorithm."""
+    import random
+    rng = random.Random(7)
+    cands = []
+    for i in range(15):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        cands.append({"entity_id": str(i), "score": rng.random(), "embedding": v})
+
+    def ref_mmr(candidates, k, lam=0.7):
+        embs = [c["embedding"] for c in candidates]
+        sel, rest = [], list(range(len(candidates)))
+        b0 = max(rest, key=lambda i: candidates[i]["score"])
+        sel.append(b0); rest.remove(b0)
+        def msim(j):
+            sims = [cosine(embs[j], embs[i]) for i in sel]
+            return max(sims) if sims else 0.0
+        while len(sel) < min(k, len(candidates)):
+            bj, bv = None, -1e9
+            for j in rest:
+                v = lam * candidates[j]["score"] - (1 - lam) * msim(j)
+                if v > bv:
+                    bv, bj = v, j
+            sel.append(bj); rest.remove(bj)
+        return [candidates[i]["entity_id"] for i in sel]
+
+    got = [c["entity_id"] for c in mmr_select(cands, 6)]
+    assert got == ref_mmr(cands, 6)
+
+
+def test_diversify_round_robin_exact():
+    cands = [
+        {"entity_id": "a1", "score": 0.9, "doc_title": "A"},
+        {"entity_id": "a2", "score": 0.8, "doc_title": "A"},
+        {"entity_id": "b1", "score": 0.7, "doc_title": "B"},
+        {"entity_id": "a3", "score": 0.6, "doc_title": "A"},
+        {"entity_id": "c1", "score": 0.5, "doc_title": None},
+    ]
+    picked = [c["entity_id"] for c in diversify_by_document(cands, 5)]
+    # round robin: best bucket A first, then B, then NO_DOC, then A again
+    assert picked == ["a1", "b1", "c1", "a2", "a3"]
+
+
+def test_seed_dedupe_insertion_order():
+    cands = [
+        {"entity_id": "x", "score": 0.9, "doc_title": "D1"},
+        {"entity_id": "y", "score": 0.8, "doc_title": "D1"},
+        {"entity_id": "z", "score": 0.7, "doc_title": "D2"},
+    ]
+    assert [c["entity_id"] for c in dedupe_seeds_one_per_doc(cands)] == ["x", "z"]
+
+
+def test_traversal_hops(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "R1"), ("b", "c", "R2"), ("c", "d", "R3"), ("x", "y", "R4")],
+        "src_id string, dst_id string, rel_type string",
+    ).withColumn("term", F.lit(None).cast("string")) \
+     .withColumn("source_text_full", F.lit("")) \
+     .withColumn("sources", F.array().cast("array<string>"))
+
+    got1 = {(r["src_id"], r["dst_id"]) for r in traverse_neighbors(edges, ["a"], 1).collect()}
+    assert got1 == {("a", "b")}
+    got2 = {(r["src_id"], r["dst_id"]) for r in traverse_neighbors(edges, ["a"], 2).collect()}
+    assert got2 == {("a", "b"), ("b", "c")}
+    # clamp at 3 (main.py:337)
+    got9 = {(r["src_id"], r["dst_id"]) for r in traverse_neighbors(edges, ["a"], 9).collect()}
+    assert got9 == {("a", "b"), ("b", "c"), ("c", "d")}
+    # disconnected component untouched
+    assert not any(s == "x" for s, _ in got9)
+
+
+def test_assemble_facts_dedup_and_filtering(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "Entity", "Phase Two"), ("n2", "Entity", "phase-2"),
+         ("n3", "Goal", "Growth")],
+        "entity_id string, label string, name string",
+    )
+    edges = spark.createDataFrame(
+        [("n1", "n3", "SUPPORTS", None, "ctx one", ["d"]),
+         ("n2", "n3", "SUPPORTS", None, "ctx two", ["d"]),   # dup after norm
+         ("n1", "n3", "MENTIONS", None, "", ["d"])],         # noisy, dropped
+        "src_id string, dst_id string, rel_type string, term string, "
+        "source_text_full string, sources array<string>",
+    )
+    empty_m = spark.createDataFrame([], "doc_id string, entity_id string")
+    empty_d = spark.createDataFrame([], "doc_id string, title string")
+    out = assemble_facts(edges, nodes, empty_m, empty_d).collect()
+    assert len(out) == 1  # normalized (phase 2, supports, growth) deduped
+    assert 'Entity("Phase Two") -[SUPPORTS]-> Goal("Growth")' in out[0]["fact"]
+    assert '[snippet: "ctx one"]' in out[0]["fact"]
+
+
+def test_graphrag_end_to_end(spark, kg):
+    res = graphrag(spark, kg, "Who developed algebra and optics?", top_k=8, hops=1)
+    assert res.answer.startswith("Graph Facts:")
+    assert res.facts
+    assert res.seeds
+    assert any("developed" in f for f in res.facts)
+
+
+def test_graphrag_no_data(spark, kg, tmp_path):
+    # empty store -> early return (main.py:277-296)
+    empty_root = str(tmp_path / "empty")
+    store = GraphStore(empty_root, spark)
+    nodes = kg.read("nodes").limit(0)
+    store.write("nodes", nodes)
+    store.write("edges", kg.read("edges").limit(0))
+    store.write("mentions", kg.read("mentions").limit(0))
+    store.write("documents_final", kg.read("documents_final").limit(0))
+    res = graphrag(spark, store, "anything at all")
+    assert "couldn't find" in res.answer or "(no results)" in res.answer
+
+
+def test_graphrag_hops_expand_more(spark, kg):
+    r1 = graphrag(spark, kg, "Broadband Initiative", top_k=5, hops=1)
+    r3 = graphrag(spark, kg, "Broadband Initiative", top_k=5, hops=3)
+    assert len(r3.facts) >= len(r1.facts)
