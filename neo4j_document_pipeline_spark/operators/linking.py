@@ -1,0 +1,212 @@
+"""Entity linking — MinHash-LSH blocking + hashed-TF-IDF cosine scoring.
+
+The reference merges entities only on exact (label, name)
+(/root/reference/ingestMD.py:505,509); near-duplicate names ("Phase Two"
+vs "phase-2") survive as distinct nodes and are only deduped at
+read-format time (graphutil.py:640-674). The north star requires linking
+them at WRITE time: MinHash-LSH candidate blocking + cosine verification,
+then connected components -> canonical entity ids.
+
+Design (scale-first):
+- signatures: k=bands*rows minhashes over character-3-gram shingles of
+  the normalized name (py_normalize_name_for_key semantics — the same
+  normalization the reference dedups with);
+- blocking: (band_id, hash(band slice)) -> block key. Same-label blocking
+  only (linking a Goal to a Stakeholder is never correct here);
+- pair generation: self-join within block with id1 < id2. Head-block
+  skew control: blocks larger than ``max_block_size`` are dropped from
+  pair generation (they are near-degenerate shingle sets — e.g. empty
+  names) and counted in the metrics; AQE skew-join handles the rest;
+- verification: cosine of hashed-TF name vectors >= threshold;
+- canonicalization: connected components over verified links; canonical
+  id = lexicographic min entity_id (deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from neo4j_document_pipeline_spark.operators.components import connected_components
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       n_shingle: int = 3) -> DataFrame:
+    """(.., text) -> (.., sig array<long>, shingles array<long>).
+
+    ``sig`` drives LSH banding; ``shingles`` (sorted distinct crc32 of
+    char n-grams of the NORMALIZED text) enables exact Jaccard
+    verification JVM-side (array_intersect/array_union) after blocking."""
+    k = cfg.minhash_sig_len
+    seed = cfg.featurizer_seed
+    a_, b_ = _minhash_params(k, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        from neo4j_document_pipeline_spark.functions.text import (
+            py_normalize_name_for_key,
+        )
+        for pdf in batches:
+            sigs, shingles = [], []
+            for text in pdf[text_col]:
+                norm = py_normalize_name_for_key(text)
+                s = f"  {norm}  "
+                sh = {zlib.crc32(s[i:i + n_shingle].encode("utf-8"))
+                      for i in range(len(s) - n_shingle + 1)}
+                if not sh:
+                    sigs.append([0] * k)
+                    shingles.append([])
+                    continue
+                x = np.fromiter(sh, dtype=np.int64)[:, None]       # (S,1)
+                hv = (x * a_[None, :] + b_[None, :]) % _MERSENNE   # (S,k)
+                sigs.append(hv.min(axis=0).tolist())
+                shingles.append(sorted(sh))
+            out = pdf.copy()
+            out["sig"] = sigs
+            out["shingles"] = shingles
+            yield out[[c for c in pdf.columns if c != text_col]
+                      + ["sig", "shingles"]]
+
+    out_cols = [c for c in df.columns if c != text_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in out_cols
+    ) + ", sig array<bigint>, shingles array<bigint>"
+    return df.mapInPandas(gen, schema=schema)
+
+
+def lsh_blocks(sigs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
+               extra_key: str | None = None) -> DataFrame:
+    """Explode signatures into (band, band_hash [, extra_key]) block keys."""
+    bands, rows = cfg.lsh_bands, cfg.lsh_rows_per_band
+    band_cols = []
+    for b in range(bands):
+        band = F.slice("sig", b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(band).alias("bh"))
+        )
+    out = sigs.withColumn("bk", F.explode(F.array(*band_cols)))
+    key_cols = [F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")]
+    if extra_key:
+        key_cols.append(F.col(extra_key))
+    return out.select(
+        *key_cols, *[c for c in sigs.columns if c not in ("sig", "shingles")]
+    )
+
+
+def candidate_pairs(blocks: DataFrame, id_col: str,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    max_block_size: int = 64,
+                    block_cols: tuple = ("band", "bh")) -> DataFrame:
+    """Within-block self-join (id1 < id2), oversized blocks dropped."""
+    sized = blocks.withColumn(
+        "_bs", F.count("*").over(Window.partitionBy(*block_cols)),
+    ).filter(F.col("_bs") <= max_block_size).drop("_bs")
+    a = sized.select(*block_cols, F.col(id_col).alias("id1"))
+    b = sized.select(*block_cols, F.col(id_col).alias("id2"))
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def link_entities(nodes: DataFrame,
+                  cfg: PipelineConfig = DEFAULT_CONFIG,
+                  jaccard_threshold: float = 0.6) -> DataFrame:
+    """nodes(entity_id,label,name,...) -> verified link edges
+    (id1, id2, sim). Blocking is per-label MinHash-LSH over normalized-name
+    shingles; verification is EXACT shingle Jaccard >= threshold, computed
+    JVM-side (array_intersect / array_union) — variants that normalize to
+    the same key ("Phase Two" / "phase-2" -> "phase 2") get sim = 1.0."""
+    base = nodes.select("entity_id", "label", "name")
+    sigs = minhash_signatures(base, "name", cfg)
+    blocks = lsh_blocks(sigs, cfg, extra_key="label")
+    pairs = candidate_pairs(blocks, "entity_id", cfg,
+                            block_cols=("band", "bh", "label"))
+
+    sh = sigs.select("entity_id", "shingles")
+    s1 = sh.select(F.col("entity_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("entity_id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("sim", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("sim") >= F.lit(jaccard_threshold))
+        .select("id1", "id2", "sim")
+    )
+
+
+def canonical_map(nodes: DataFrame, links: DataFrame) -> DataFrame:
+    """links -> (entity_id, canonical_id); unlinked entities map to
+    themselves."""
+    comps = connected_components(
+        links.select(F.col("id1").alias("u"), F.col("id2").alias("v")))
+    return (
+        nodes.select("entity_id")
+        .join(comps.withColumnRenamed("id", "entity_id"), "entity_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", "entity_id"))
+        .select("entity_id", "canonical_id")
+    )
+
+
+def apply_canonicalization(nodes: DataFrame, edges: DataFrame,
+                           mentions: DataFrame, mapping: DataFrame):
+    """Rewrite the graph onto canonical ids. The canonical node keeps the
+    lexicographically-smallest (name) representative's properties."""
+    m = mapping
+    canon_nodes = (
+        nodes.join(m, "entity_id")
+        .withColumn("entity_id", F.col("canonical_id")).drop("canonical_id")
+        .groupBy("entity_id")
+        .agg(F.min_by(F.struct("label", "name", "embedding", "start", "end"),
+                      F.struct("name", "label")).alias("p"))
+        .select("entity_id", "p.label", "p.name", "p.embedding", "p.start", "p.end")
+    )
+    src_m = m.select(F.col("entity_id").alias("src_id"),
+                     F.col("canonical_id").alias("new_src"))
+    dst_m = m.select(F.col("entity_id").alias("dst_id"),
+                     F.col("canonical_id").alias("new_dst"))
+    canon_edges = (
+        edges.join(src_m, "src_id").join(dst_m, "dst_id")
+        .withColumn("src_id", F.col("new_src"))
+        .withColumn("dst_id", F.col("new_dst"))
+        .drop("new_src", "new_dst")
+        .withColumn("term_k", F.coalesce("term", F.lit("")))
+        .groupBy("src_id", "rel_type", "term_k", "dst_id")
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources")))).alias("sources"),
+            F.max_by("source_text_full", "updated_at").alias("source_text_full"),
+            F.max_by("count", "updated_at").alias("count"),
+            F.max_by("embedding", "updated_at").alias("embedding"),
+            F.max_by("term", "updated_at").alias("term"),
+            F.min("created_at").alias("created_at"),
+            F.max("updated_at").alias("updated_at"),
+        )
+        .drop("term_k")
+        .select("src_id", "dst_id", "rel_type", "term", "count", "embedding",
+                "sources", "source_text_full", "created_at", "updated_at")
+    )
+    canon_mentions = (
+        mentions.join(m, "entity_id")
+        .select("doc_id", F.col("canonical_id").alias("entity_id"))
+        .dropDuplicates(["doc_id", "entity_id"])
+    )
+    return canon_nodes, canon_edges, canon_mentions
