@@ -1,0 +1,107 @@
+"""Text-analysis column functions — language ID, quality scoring, token
+counting, fingerprinting. Pure ``Column`` expressions (JVM-side,
+whole-stage codegen); each has a direct ANSI-SQL oracle equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists (n-gram heuristic language ID)
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "for", "that", "with", "are",
+    "was", "this", "from", "has", "have", "its", "their", "which",
+]
+MS_STOPWORDS = [
+    "yang", "dan", "di", "untuk", "dengan", "ini", "itu", "pada", "adalah",
+    "dari", "ke", "dalam", "tidak", "akan", "juga", "telah",
+]
+
+
+def col_tokens(c: Column) -> Column:
+    """Whitespace+punct tokenization to lowercase word array."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(c, r"[^A-Za-z0-9']+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def col_token_count(c: Column) -> Column:
+    return F.size(col_tokens(c))
+
+
+def col_bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish budget estimate: words + digit-groups + punctuation runs
+    (mirrors the fallback tokenizer's classes, tokenizer.py)."""
+    words = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+(?:'[a-z]+)?"), 0))
+    nums = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]{1,3}"), 0))
+    puncts = F.size(F.regexp_extract_all(c, F.lit(r"[^\sA-Za-z0-9]"), 0))
+    return words + nums + puncts
+
+
+def col_stopword_hits(c: Column, stopwords: list[str]) -> Column:
+    return F.size(F.array_intersect(
+        F.array_distinct(col_tokens(c)),
+        F.array(*[F.lit(w) for w in stopwords]),
+    ))
+
+
+def col_lang_id(c: Column) -> Column:
+    """en/ms/unknown by distinct-stopword hits."""
+    en = col_stopword_hits(c, EN_STOPWORDS)
+    ms = col_stopword_hits(c, MS_STOPWORDS)
+    return (
+        F.when((en >= ms) & (en > 0), F.lit("en"))
+        .when(ms > en, F.lit("ms"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def col_punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def col_upper_ratio(c: Column) -> Column:
+    n = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    u = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return F.when(n > 0, u / n).otherwise(F.lit(0.0))
+
+
+def col_mean_word_len(c: Column) -> Column:
+    toks = col_tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def col_quality_score(c: Column) -> Column:
+    """[0,1] heuristic quality: length band + stopword presence + sane
+    punctuation + sane word length. Deterministic, SQL-expressible."""
+    n_tok = col_token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    sw = col_stopword_hits(c, EN_STOPWORDS) + col_stopword_hits(c, MS_STOPWORDS)
+    sw_ok = F.when(sw >= 2, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct = col_punct_ratio(c)
+    punct_ok = F.when(punct <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    mwl = col_mean_word_len(c)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + sw_ok + punct_ok + mwl_ok
+
+
+def col_fingerprint(c: Column) -> Column:
+    """Normalized-content fingerprint: sha256 of the sorted distinct token
+    array — robust to reordering/whitespace; SQL-expressible."""
+    return F.sha2(F.array_join(F.array_sort(F.array_distinct(col_tokens(c))), " "), 256)
+
+
+def col_rolling_fingerprints(c: Column, k: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style selection: the ``keep`` smallest crc32 values over
+    the k-gram windows of the normalized text (order-insensitive digest
+    for near-dup screening)."""
+    norm = F.array_join(col_tokens(c), " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.crc32(F.substring(norm, i, k).cast("binary")))
+    return F.slice(F.array_sort(grams), 1, keep)

@@ -1,0 +1,259 @@
+"""Corpus deduplication operators — training-data pipeline first-class ops.
+
+Exact (hash groupBy), MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All operate on a generic (id, text) frame such
+as the ``documents`` table.
+
+Scale design:
+- exact dedup: one hash aggregation on sha256(text) — uniform keys;
+- MinHash: signatures in one Arrow-batched pass; LSH banding explodes to
+  bands × rows block keys; pair generation only within blocks (quadratic
+  ONLY in block size, capped); verification = exact shingle Jaccard with
+  JVM array ops;
+- SimHash: 64-bit signature; candidate pairs via 4x16-bit band equality
+  (catches all pairs within Hamming distance 3); verify with bit_count;
+- embedding near-dup: random-hyperplane sign buckets -> within-bucket
+  cosine (exact re-rank).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from neo4j_document_pipeline_spark.operators.linking import (
+    _MERSENNE,
+    _minhash_params,
+    candidate_pairs,
+    lsh_blocks,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by content hash; return groups with >1 member:
+    (content_hash, n_dups, keep_id = min id, dup_ids sorted)."""
+    h = df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"),
+             F.min("id").alias("keep_id"),
+             F.array_sort(F.collect_list("id")).alias("dup_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (deterministic)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (documents: word shingles)
+# ---------------------------------------------------------------------------
+
+def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                           cfg: PipelineConfig = DEFAULT_CONFIG,
+                           shingle_words: int = 3) -> DataFrame:
+    """(id, text) -> (id, sig, shingles) over word n-gram shingles."""
+    k = cfg.minhash_sig_len
+    a_, b_ = _minhash_params(k, cfg.featurizer_seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        import zlib
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            sigs, shingles = [], []
+            for text in pdf[text_col]:
+                toks = tok_re.findall((text or "").lower())
+                grams = {
+                    zlib.crc32(" ".join(toks[i:i + shingle_words]).encode())
+                    for i in range(max(1, len(toks) - shingle_words + 1))
+                } if toks else set()
+                if not grams:
+                    sigs.append([0] * k)
+                    shingles.append([])
+                    continue
+                x = np.fromiter(grams, dtype=np.int64)[:, None]
+                hv = (x * a_[None, :] + b_[None, :]) % _MERSENNE
+                sigs.append(hv.min(axis=0).tolist())
+                shingles.append(sorted(grams))
+            out = pd.DataFrame({
+                "id": pdf[id_col], "sig": sigs, "shingles": shingles,
+            })
+            yield out
+
+    id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"id {id_type}, sig array<bigint>, shingles array<bigint>"
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG,
+                            jaccard_threshold: float = 0.8,
+                            shingle_words: int = 3) -> DataFrame:
+    """Near-duplicate pairs (id1, id2, jaccard) with exact verification."""
+    sigs = doc_minhash_signatures(df, id_col, text_col, cfg, shingle_words)
+    blocks = lsh_blocks(sigs, cfg)
+    pairs = candidate_pairs(blocks, "id", cfg, block_cols=("band", "bh"))
+    sh = sigs.select("id", "shingles")
+    s1 = sh.select(F.col("id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        shingle_words: int = 3) -> DataFrame:
+    """Exact all-candidate n-gram Jaccard (no threshold) — the verification
+    kernel exposed standalone; candidates still come from LSH blocking so
+    the operator scales."""
+    return minhash_near_duplicates(df, id_col, text_col, cfg,
+                                   jaccard_threshold=0.0,
+                                   shingle_words=shingle_words)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       seed: int = 42) -> DataFrame:
+    """64-bit SimHash over token crc64-ish hashes (weighted by tf)."""
+
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        # avalanche finalizer — crc32 alone is GF(2)-linear, which makes
+        # similar tokens produce correlated bit patterns
+        x = np.uint64(x)
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(31)
+        return x
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        import zlib
+        tok_re = re.compile(r"[a-z0-9]+")
+        old = np.seterr(over="ignore")
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = tok_re.findall((text or "").lower())
+                if toks:
+                    raw = np.fromiter(
+                        (zlib.crc32(f"{seed}:{t}".encode()) for t in toks),
+                        dtype=np.uint64, count=len(toks))
+                    h = _splitmix64(raw)                         # (T,)
+                    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc = np.where(bits == 1, 1, -1).sum(axis=0)  # (64,)
+                else:
+                    acc = np.full(64, -1)
+                sig = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                out.append(np.uint64(sig).astype(np.int64))
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+        np.seterr(**old)
+
+    id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"id {id_type}, simhash bigint")
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming. Candidates: split the
+    64-bit signature into 4 x 16-bit bands; any pair within distance 3
+    agrees on >= 1 band (pigeonhole). Verify via bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col, seed)
+    bands = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = bands.select("band", "bh", F.col("id").alias("id1"), F.col("simhash").alias("s1"))
+    b = bands.select("band", "bh", F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2",
+                F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95,
+                              n_planes: int = 12, seed: int = 42,
+                              dim: int | None = None) -> DataFrame:
+    """Cosine >= threshold pairs via random-hyperplane buckets + exact
+    rerank. High-cosine pairs agree on all hyperplane signs w.h.p.; we use
+    two independent banded sign-groups to boost recall."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id1 long, id2 long, cos double")
+    d = dim or len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, d))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sign_bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"),
+                       F.array(*[F.lit(float(x)) for x in planes[p]]),
+                       lambda a, b2: a * b2),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    # two bands of n_planes/2 bits each
+    half = n_planes // 2
+    b1 = sum(sign_bits[i] * F.lit(2 ** i) for i in range(half))
+    b2 = sum(sign_bits[half + i] * F.lit(2 ** i) for i in range(n_planes - half))
+    base = base.withColumn("bk1", b1).withColumn("bk2", b2)
+    cands = None
+    for bcol in ["bk1", "bk2"]:
+        a = base.select(F.col(bcol).alias("b"), F.col("id").alias("id1"), F.col("v").alias("v1"))
+        c = base.select(F.col(bcol).alias("b"), F.col("id").alias("id2"), F.col("v").alias("v2"))
+        p = a.join(c, "b").filter(F.col("id1") < F.col("id2")).drop("b")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id1", "id2"])
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda a, b3: a * b3),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate("v1", F.lit(0.0), lambda acc, x: acc + x * x))
+    n2 = F.sqrt(F.aggregate("v2", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        cands.withColumn(
+            "cos",
+            F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(dot / (n1 * n2)))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )

@@ -1,0 +1,190 @@
+"""Dedup, similarity, textstats, multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.functions.featurizer import cosine
+from neo4j_document_pipeline_spark.functions.textstats import (
+    col_fingerprint,
+    col_lang_id,
+    col_quality_score,
+    col_token_count,
+)
+from neo4j_document_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from neo4j_document_pipeline_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    sample_frames,
+    synth_media,
+)
+from neo4j_document_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    pairwise_topk_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "id long, text string",
+    )
+    groups = exact_duplicate_groups(df, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 1
+    kept = dedup_exact(df, "id", "text")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_near_duplicates(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight") * 3
+    near = base.replace("green", "blue")
+    far = "completely different content about spark shuffle partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "id long, text string")
+    pairs = {(r["id1"], r["id2"]): r["jaccard"]
+             for r in minhash_near_duplicates(df, "id", "text", jaccard_threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    base = " ".join(f"word{i}" for i in range(300))
+    near = base.replace("word299", "changed")  # 1/300 tokens differ
+    far = "orange apple banana " * 30
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string")
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in simhash_near_duplicates(df, "id", "text", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(0)
+    v = rng.normal(size=16)
+    v = v / np.linalg.norm(v)
+    near = v + rng.normal(scale=0.01, size=16)
+    near = near / np.linalg.norm(near)
+    far = rng.normal(size=16)
+    far = far / np.linalg.norm(far)
+    df = spark.createDataFrame(
+        [(1, v.tolist()), (2, near.tolist()), (3, far.tolist())],
+        "id long, vec array<float>",
+    )
+    pairs = {(r["id1"], r["id2"]) for r in
+             embedding_near_duplicates(df, "id", "vec", threshold=0.98).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    q = embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = brute_force_topk(embs, "vec_id", "embedding", list(q), k=10).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["score"] - 1.0) < 1e-6
+    rows = embs.select("vec_id", "embedding").collect()
+    scores = sorted(
+        ((cosine(r["embedding"], q), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]))
+    expect = [vid for _, vid in scores[:10]]
+    assert [r["vec_id"] for r in got] == expect
+
+
+def test_lsh_topk_recall(spark, embs):
+    q = list(embs.filter(F.col("vec_id") == 7).first()["embedding"])
+    exact = [r["vec_id"] for r in brute_force_topk(embs, "vec_id", "embedding", q, 5).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_bucketed_topk(embs, "vec_id", "embedding", q, 5,
+                                n_planes=8, multiprobe=2).collect()]
+    # top-1 (the query vector itself) must survive bucketing; on random
+    # near-orthogonal vectors tail recall is inherently low — that's the
+    # LSH recall/cost trade-off, tuned via n_planes/multiprobe
+    assert approx and approx[0] == exact[0]
+    assert len(set(approx) & set(exact)) >= 1
+
+
+def test_pairwise_topk_join(spark, embs):
+    left = embs.limit(4)
+    out = pairwise_topk_join(left, embs, "vec_id", "vec_id",
+                             "embedding", "embedding", k=3).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["lid"], []).append(r)
+    for lid, rows in by_left.items():
+        assert len(rows) == 3
+        assert rows[0]["rid"] == lid  # self is the most similar
+
+
+def test_textstats_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "The house of wisdom was a great center of learning and science."),
+         (2, "yang dan di untuk dengan ini pada adalah dari dalam."),
+         (3, "@@@ ### $$$ %%%")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        col_token_count(F.col("text")).alias("n_tok"),
+        col_lang_id(F.col("text")).alias("lang"),
+        col_quality_score(F.col("text")).alias("q"),
+        col_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "ms"
+    assert rows[3]["lang"] == "unknown"
+    assert rows[1]["q"] > rows[3]["q"]
+    assert rows[1]["n_tok"] == 12
+    assert len(rows[1]["fp"]) == 64
+    # fingerprint is order/whitespace-insensitive
+    df2 = spark.createDataFrame(
+        [(1, "science and learning:   of great center was THE house wisdom a of.")],
+        "id long, text string")
+    fp2 = df2.select(col_fingerprint(F.col("text")).alias("fp")).first()["fp"]
+    assert fp2 == rows[1]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30).cache()
+    meta = attach_media_metadata(media)
+    assert meta.filter(F.col("n_bytes") > 0).count() == 30
+    feats = extract_media_features(media, dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        norm = sum(x * x for x in r["feature"])
+        assert abs(norm - 1.0) < 1e-3
+    # deterministic across runs
+    feats2 = extract_media_features(media, dim=16).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    # video frame sampling plan
+    frames = sample_frames(media, every_ms=5000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+
+
+def test_media_decode_stub_raises(spark):
+    media = synth_media(spark, 3)
+    with pytest.raises(Exception):
+        extract_media_features(media, deterministic_fake=False).collect()
