@@ -1,0 +1,133 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Runs the engine's flagship workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+- kg_ingest_synth: full KG write path (canonicalize -> chunk -> rule
+  extraction -> graph materialize) over the deterministic synthetic pages
+  corpus — the north-rule docs/sec workload;
+- kg_ingest_docs: canonicalize+chunk+extract over the driver documents
+  table (tokenizer-bound path);
+- pricing_summary / hybrid_blend / sessionize_events: relational operator
+  suite over lineitem/orders/events;
+- minhash_dedup: MinHash-LSH near-dup over documents;
+- cosine_topk: brute-force ANN baseline over embeddings;
+- graphrag: one end-to-end read-path query against the just-built KG.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic corpus size scales with the sf of the bench dir
+_SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+try:
+    SF_NUM = float(_SF)
+except ValueError:
+    SF_NUM = 0.1
+N_SYNTH = max(500, int(50_000 * SF_NUM))
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kg-pipeline-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        chunks_to_triples,
+        documents_to_chunks,
+        pages_to_documents,
+    )
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    store_root = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        # 1. KG write path over the synthetic corpus (docs/sec headline)
+        pages = synth_pages(spark, N_SYNTH)
+        timed("kg_ingest_synth",
+              lambda: run_pipeline(spark, pages, store_root, resume=False))
+        extras["kg_ingest_docs_per_sec"] = round(
+            N_SYNTH / timings["kg_ingest_synth"], 2)
+
+        # 2. canonicalize+chunk+extract over the driver documents table
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        dpages = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text")
+        n_docs = docs.count()
+        timed("kg_ingest_docs", lambda: chunks_to_triples(
+            documents_to_chunks(pages_to_documents(dpages))).count())
+        extras["driver_docs_per_sec"] = round(n_docs / timings["kg_ingest_docs"], 2)
+
+        # 3. relational suite
+        qs = entrymod.queries()
+        for name in ["pricing_summary", "hybrid_blend", "sessionize_events",
+                     "round_robin_events", "minmax_order_price"]:
+            timed(name, lambda name=name: qs[name](spark, SF_DIR).collect())
+
+        # 4. dedup + similarity
+        timed("minhash_dedup", lambda: minhash_near_duplicates(
+            docs.select("doc_id", "text"), "doc_id", "text",
+            jaccard_threshold=0.8).count())
+        timed("cosine_topk", lambda: qs["cosine_topk"](spark, SF_DIR).collect())
+
+        # 5. read path
+        store = GraphStore(store_root, spark)
+        timed("graphrag", lambda: graphrag(
+            spark, store, "Who developed algebra and optics?", top_k=10, hops=2))
+    finally:
+        shutil.rmtree(store_root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_NUM,
+        "cpus": CPUS,
+        "n_synth_pages": N_SYNTH,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest — the Celery-queue replacement.
+
+The reference queues one Celery task per uploaded file
+(/root/reference/tasks.py:11-29, celery_app.py:4-11). The Spark-native
+analogue is a streaming read over the ``pages`` table directory with
+``foreachBatch`` driving the SAME batch stage functions — checkpointing
+replaces Celery job state (SURVEY.md §2.9), so a crashed stream resumes
+from its last committed epoch exactly like a re-queued task.
+
+Also provides the windowed event aggregation used as the streaming
+correctness probe (watermark + tumbling window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from neo4j_document_pipeline_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, pages_dir: str,
+                 max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
+                        checkpoint_dir: str,
+                        cfg: PipelineConfig = DEFAULT_CONFIG):
+    """readStream(pages) -> foreachBatch(full ingest DAG with MERGE
+    semantics). Each micro-batch is one 'Celery task batch'; the GraphStore
+    MERGE keeps re-delivery idempotent (at-least-once -> effectively-once)."""
+    from neo4j_document_pipeline_spark.operators.graph import (
+        build_edges, build_embeddings_cache, build_mentions, build_nodes)
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        chunks_to_triples, documents_to_chunks, pages_to_documents)
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    store = GraphStore(store_root, spark)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        documents = pages_to_documents(batch_df, cfg).localCheckpoint()
+        chunks = documents_to_chunks(documents, cfg).localCheckpoint()
+        triples = chunks_to_triples(chunks, cfg).localCheckpoint()
+        emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
+        store.write("embeddings_cache", emb, stage=f"stream-epoch-{epoch_id}")
+        emb = store.read("embeddings_cache")
+        store.write("nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
+                    stage=f"stream-epoch-{epoch_id}")
+        store.write("edges", store.merge_edges(build_edges(triples, emb, cfg)),
+                    stage=f"stream-epoch-{epoch_id}")
+        store.write("mentions", store.merge_mentions(build_mentions(triples)),
+                    stage=f"stream-epoch-{epoch_id}")
+        n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
+        docs_final = (documents.join(n_chunks, "doc_id", "left")
+                      .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
+                      .drop("_n"))
+        store.write("documents_final", store.merge_documents(docs_final),
+                    stage=f"stream-epoch-{epoch_id}")
+
+    return (
+        stream_pages(spark, pages_dir)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts with late-data watermark — works on both a
+    static frame and a stream (same plan)."""
+    # watermarks need TIMESTAMP (LTZ); parquet may carry TIMESTAMP_NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "v")
+    )

@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet dir,
+compare row count + column names + order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (datetime.datetime,)):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (datetime.date,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok, bad, rows_only = [], [], []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            bad.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(srows)))
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            bad.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            continue
+        if sorted(scols) != sorted(dcols):
+            bad.append((name, f"SCHEMA: spark={sorted(scols)} duck={sorted(dcols)}"))
+            continue
+        if len(srows) != len(drows):
+            bad.append((name, f"ROWCOUNT: spark={len(srows)} duck={len(drows)}"))
+            continue
+        sset = rowset(scols, [[r[c] for c in scols] for r in srows])
+        dset = rowset(dcols, drows)
+        if sset != dset:
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            bad.append((name, f"VALUES: first diffs {diff}"))
+            continue
+        ok.append((name, len(srows)))
+
+    print(f"\n=== ORACLE CHECK @ {SF} ===")
+    for name, n in ok:
+        print(f"  OK        {name} ({n} rows)")
+    for name, n in rows_only:
+        print(f"  ROWS-ONLY {name} ({n} rows)")
+    for name, msg in bad:
+        print(f"  FAIL      {name}: {msg[:300]}")
+    print(f"\n{len(ok)} ok, {len(rows_only)} rows-only, {len(bad)} fail")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Structured-Streaming ingest + windowed aggregation tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import synth_pages
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+from neo4j_document_pipeline_spark.streaming.ingest import (
+    start_ingest_stream,
+    windowed_event_counts,
+)
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    """foreachBatch streaming ingest over the pages dir must converge to
+    the same graph as a one-shot batch run (MERGE idempotence)."""
+    pages = synth_pages(spark, 40).cache()
+    pages_dir = str(tmp_path / "pages")
+    # write as several files so the stream sees multiple micro-batches
+    pages.repartition(5).write.parquet(pages_dir)
+
+    batch_root = str(tmp_path / "batch_store")
+    run_pipeline(spark, spark.read.parquet(pages_dir), batch_root)
+
+    stream_root = str(tmp_path / "stream_store")
+    q = start_ingest_stream(spark, pages_dir, stream_root,
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    b = GraphStore(batch_root, spark)
+    s = GraphStore(stream_root, spark)
+    b_nodes = sorted(r["entity_id"] for r in b.read("nodes").collect())
+    s_nodes = sorted(r["entity_id"] for r in s.read("nodes").collect())
+    assert b_nodes == s_nodes
+    b_edges = sorted(map(str, b.read("edges")
+                         .select("src_id", "dst_id", "rel_type", "term", "sources")
+                         .collect()))
+    s_edges = sorted(map(str, s.read("edges")
+                         .select("src_id", "dst_id", "rel_type", "term", "sources")
+                         .collect()))
+    assert b_edges == s_edges
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = {(str(r["win_start"]), r["event_type"]): (r["n"], round(r["v"], 6))
+             for r in windowed_event_counts(events).collect()}
+
+    events_dir = str(tmp_path / "events")
+    events.write.parquet(events_dir)
+    stream = (spark.readStream.schema(events.schema).parquet(events_dir))
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("winout")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(str(r["win_start"]), r["event_type"]): (r["n"], round(r["v"], 6))
+           for r in spark.sql("select * from winout").collect()}
+    assert got == batch
