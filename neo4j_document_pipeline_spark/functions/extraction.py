@@ -314,7 +314,8 @@ def _clean_name(s: Any) -> str | None:
 
 
 def flatten_triples(triples: list[dict[str, Any]], src_txt: str = "",
-                    src_clamp: int = 1000) -> list[dict[str, Any]]:
+                    src_clamp: int = 1000,
+                    clamp_all: bool = False) -> list[dict[str, Any]]:
     """Dispatch each triple into normal / timeline / distribution rows with
     the exact bucket semantics of store_in_neo4j (ingestMD.py:354-495):
 
@@ -328,8 +329,15 @@ def flatten_triples(triples: list[dict[str, Any]], src_txt: str = "",
     - normal: object stringified via _clean_name; src_txt clamped to 1000
       chars on the normal path but stored FULL on special paths
       (reference quirk, ingestMD.py:419,462,494)
+
+    ``clamp_all=True`` (the distributed pipeline's setting) clamps src_txt
+    on the special paths too — a DOCUMENTED DEVIATION from the reference
+    quirk: carrying full chunk text per special triple row multiplies
+    shuffle volume by the text size at scale; the full text stays
+    recoverable via chunk_id -> chunks.text.
     """
     rows: list[dict[str, Any]] = []
+    special_txt = (src_txt or "")[:src_clamp] if clamp_all else (src_txt or "")
     for t in triples:
         s, o, p = t.get("subject"), t.get("object"), t.get("predicate")
         if not (s and p):
@@ -345,7 +353,7 @@ def flatten_triples(triples: list[dict[str, Any]], src_txt: str = "",
                 "object": None, "object_type": obj_type,
                 "object_kind": "scalar", "start": None, "end": None,
                 "pillar": None, "term": None, "count": None,
-                "src_txt": src_txt or "",
+                "src_txt": special_txt,
             }
 
         if _is_timeline_obj(o):

@@ -157,19 +157,25 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
             .otherwise(F.lit(None).cast("string")),
         )
     )
-    # deterministic last-write-wins rank for src_txt / count
-    order = Window.partitionBy("src_id", "rel_type", "term_key", "dst_id").orderBy(
-        F.col("doc_id").asc(), F.col("chunk_idx").asc()
-    )
+    # Deterministic last-write-wins via argmax struct: max(struct(order
+    # cols, payload)) is MAP-SIDE COMBINABLE (partial aggregation), unlike
+    # a window row_number — the shuffle carries at most one payload per
+    # (edge key, map partition) instead of every triple occurrence. At
+    # celebrity-entity skew this is the difference between a bounded and
+    # an O(occurrences x text_size) shuffle.
     clock = F.timestamp_millis(F.lit(cfg.fixed_clock_millis))
+    last = F.max(F.struct(
+        F.col("doc_id"), F.col("chunk_idx"),
+        F.col("src_txt"), F.col("count"), F.col("rel_text"),
+    )).alias("_last")
     edges = (
-        t.withColumn("_rn", F.row_number().over(order))
-        .groupBy("src_id", "rel_type", "term_key", "dst_id")
-        .agg(
-            F.array_sort(F.collect_set("doc_id")).alias("sources"),
-            F.max_by("src_txt", "_rn").alias("source_text_full"),
-            F.max_by("count", "_rn").alias("count"),
-            F.max_by("rel_text", "_rn").alias("rel_text"),
+        t.groupBy("src_id", "rel_type", "term_key", "dst_id")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("sources"), last)
+        .select(
+            "src_id", "rel_type", "term_key", "dst_id", "sources",
+            F.col("_last.src_txt").alias("source_text_full"),
+            F.col("_last.count").alias("count"),
+            F.col("_last.rel_text").alias("rel_text"),
         )
         .withColumnRenamed("term_key", "term")
         .withColumn("created_at", clock)

@@ -80,14 +80,19 @@ def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -
             ),
         )
     )
-    # one row per doc_id: first url wins, deterministically
-    from pyspark.sql import Window
-    w = Window.partitionBy("doc_id").orderBy("url")
+    # one row per doc_id: first url wins, deterministically. argmin-struct
+    # instead of a window: min(struct(url, payload)) has map-side partial
+    # aggregation, so the shuffle moves one text per (doc_id, partition),
+    # not one per duplicate page.
     clock = F.timestamp_millis(F.lit(cfg.fixed_clock_millis))
+    first = F.min(F.struct("url", "title", "path", "text")).alias("_f")
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.groupBy("doc_id").agg(first)
+        .select(
+            "doc_id", F.col("_f.url").alias("url"),
+            F.col("_f.title").alias("title"), F.col("_f.path").alias("path"),
+            F.col("_f.text").alias("text"),
+        )
         .withColumn("n_chunks", F.lit(None).cast("int"))
         .withColumn("created_at", clock)
         .withColumn("updated_at", clock)
@@ -139,7 +144,10 @@ def chunks_to_triples(chunks: DataFrame,
             out = []
             for chunk_id, text in zip(pdf["chunk_id"], pdf["text"]):
                 triples = extract_chunk_triples(text)
-                for r in flatten_triples(triples, src_txt=text, src_clamp=clamp):
+                # clamp_all: full text is recoverable via chunk_id; carrying
+                # it per-triple multiplies shuffle volume (see extraction.py)
+                for r in flatten_triples(triples, src_txt=text,
+                                         src_clamp=clamp, clamp_all=True):
                     out.append((
                         chunk_id, r["subject"], r["predicate"], r["object"],
                         r["subject_type"], r["object_type"], r["rel_type"],

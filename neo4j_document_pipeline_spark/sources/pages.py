@@ -61,8 +61,19 @@ def _zipf_domain(i: int, n_hosts: int = 100, s: float = 1.2) -> str:
     return f"site{r:03d}.example.org"
 
 
-def make_text(i: int) -> str:
-    """Pure function index -> document text."""
+def make_text(i: int, paras: int = 1) -> str:
+    """Pure function index -> document text.
+
+    ``paras > 1`` concatenates that many DISTINCT sections (parameterized
+    by a different sub-index each) to emulate realistic Common-Crawl page
+    sizes (~2-50 KB) for throughput/scaling runs; tests use paras=1."""
+    if paras > 1:
+        return "\n\n".join(
+            _make_section(i * 1_000_003 + j) for j in range(paras))
+    return _make_section(i)
+
+
+def _make_section(i: int) -> str:
     fam = i % 7
     s1 = _SCHOLARS[i % len(_SCHOLARS)]
     s2 = _SCHOLARS[(i // 7) % len(_SCHOLARS)]
@@ -108,7 +119,7 @@ def make_text(i: int) -> str:
             f"{s1}  developed\t {w1}.\r\r\n\nDouble  spaced   text here.\t\t\r\n"
         )
     if fam == 5:
-        return make_text(i - 5)  # duplicate of an earlier fam-0 doc
+        return _make_section(i - 5)  # duplicate of an earlier fam-0 doc
     # fam == 6: near-duplicate entity names for linking/CC tests
     variant = ["Phase Two Programme", "phase 2 programme", "Phase-2 Programme",
                "PHASE TWO PROGRAMME"][i % 4]
@@ -125,7 +136,7 @@ def _html_wrap(text: str) -> bytes:
 
 
 def synth_pages(spark: SparkSession, n: int, seed: int = 42,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None, paras: int = 1) -> DataFrame:
     """Distributed deterministic pages generator."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
@@ -149,7 +160,7 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42,
                     text = fixture_texts[i]
                     url = f"https://fixtures.example.org/doc{i:06d}"
                 else:
-                    text = make_text(i)
+                    text = make_text(i, paras)
                     url = f"https://{_zipf_domain(i)}/doc{i:06d}"
                 rows.append({
                     "url": url,
