@@ -1,0 +1,92 @@
+"""Admin surface + query-side fixture set (FIXTURES.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.operators.admin import (
+    drop_all,
+    graph_schema,
+    graph_search,
+    graph_stats,
+    healthz,
+    list_documents,
+)
+from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import synth_pages
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kgq") / "store")
+    run_pipeline(spark, synth_pages(spark, 80), root)
+    return GraphStore(root, spark)
+
+
+def test_graph_stats(kg):
+    s = graph_stats(kg)
+    assert s["total_nodes"] > 30
+    assert s["total_relationships"] > 20
+    assert "Stakeholder" in s["nodes_by_label"]
+    assert len(s["most_connected"]) == 10
+    assert s["most_connected"][0]["degree"] >= s["most_connected"][-1]["degree"]
+
+
+def test_graph_schema(kg):
+    s = graph_schema(kg)
+    pats = {(p["from"], p["rel"], p["to"]) for p in s["patterns"]}
+    assert ("Stakeholder", "developed", "Entity") in pats
+    assert any(p["rel"] == "HAS_INITIATIVE_COUNT" and p["to"] == "Pillar"
+               for p in s["patterns"])
+
+
+def test_graph_search(kg):
+    rows = graph_search(kg, "al-").collect()
+    assert rows and all("al-" in r["name"].lower() for r in rows)
+    lab = graph_search(kg, "pillar", label="Pillar").collect()
+    assert all(r["label"] == "Pillar" for r in lab)
+
+
+def test_list_documents(kg):
+    docs = list_documents(kg, limit=10).collect()
+    assert docs and all(r["n_entities"] >= 0 for r in docs)
+
+
+def test_healthz(kg):
+    assert healthz(kg)["status"] == "ok"
+
+
+def test_drop_all(spark, tmp_path):
+    root = str(tmp_path / "drop")
+    run_pipeline(spark, synth_pages(spark, 15), root)
+    store = GraphStore(root, spark)
+    assert store.exists("nodes")
+    drop_all(store)
+    assert not store.exists("nodes")
+
+
+# ---- query-side fixture set: questions -> expected fact substrings ----
+
+QUERY_FIXTURES = [
+    ("Who developed algebra?", ["developed"], dict(top_k=8, hops=1)),
+    ("What does the Digital Ministry support?", ["Digital Ministry"], dict(top_k=8, hops=1)),
+    ("Broadband Initiative timeline", ["Broadband Initiative"], dict(top_k=8, hops=2)),
+    ("initiative counts for the Digital Pillar", ["HAS_INITIATIVE_COUNT"], dict(top_k=10, hops=1)),
+    ("Energy Council oversight", ["Energy Council"], dict(top_k=6, hops=1, use_mmr=False)),
+    ("Solar Programme schedule", ["Solar"], dict(top_k=6, hops=1, use_cross_doc=False)),
+]
+
+
+@pytest.mark.parametrize("question,expected_substrings,kw", QUERY_FIXTURES)
+def test_query_fixtures(spark, kg, question, expected_substrings, kw):
+    res = graphrag(spark, kg, question, **kw)
+    assert res.answer.startswith("Graph Facts:"), res.answer
+    for sub in expected_substrings:
+        assert any(sub in f for f in res.facts), (
+            f"{question!r}: {sub!r} not in facts:\n" + "\n".join(res.facts[:15]))
+
+
+def test_noisy_edges_never_in_facts(spark, kg):
+    res = graphrag(spark, kg, "Al-Farabi", top_k=10, hops=3)
+    assert not any("MENTIONS" in f or "-[SOURCE]->" in f for f in res.facts)
