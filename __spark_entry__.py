@@ -410,14 +410,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = embedding_near_dups
 
     def connected_components_demo(spark, sf):
+        # oracle-checked: recursive-CTE transitive closure in DuckDB over
+        # the same deterministic edge subset (l_orderkey < 60)
         from neo4j_document_pipeline_spark.operators.components import (
             connected_components)
-        li = _t(spark, sf, "lineitem").limit(2000)
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 60)
         edges = li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("u"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("v"))
-        return connected_components(edges)
+            F.concat(F.lit("o"), F.lpad(F.col("l_orderkey").cast("string"), 9, "0")).alias("u"),
+            F.concat(F.lit("p"), F.lpad(F.col("l_partkey").cast("string"), 9, "0")).alias("v"))
+        return connected_components(edges).withColumnRenamed("id", "node")
     q["connected_components_demo"] = connected_components_demo
+
+    # ---- A5: unique-text union across channels ----
+    def unique_texts_union(spark, sf):
+        p = _t(spark, sf, "part").select(F.col("p_name").alias("txt"))
+        s = _t(spark, sf, "supplier").select(F.col("s_name").alias("txt"))
+        e = _t(spark, sf, "events").select(F.col("event_type").alias("txt"))
+        return p.union(s).union(e).distinct()
+    q["unique_texts_union"] = unique_texts_union
+
+    # ---- A9: sources-list accumulation (sorted set per group) ----
+    def sources_accumulation(spark, sf):
+        e = _t(spark, sf, "events")
+        return (e.groupBy("event_type")
+                .agg(F.array_sort(F.collect_set(F.col("user_id") % 10)).alias("buckets")))
+    q["sources_accumulation"] = sources_accumulation
+
+    # ---- exact-dedup keep-min rows (U3 complement) ----
+    def dedup_exact_keep(spark, sf):
+        from neo4j_document_pipeline_spark.operators.dedup import dedup_exact
+        return dedup_exact(_t(spark, sf, "documents"), "doc_id", "text") \
+            .select("doc_id", "n_chars")
+    q["dedup_exact_keep"] = dedup_exact_keep
+
+    # ---- P2-shaped kind dispatch over events (when/otherwise routing) ----
+    def event_kind_dispatch(spark, sf):
+        e = _t(spark, sf, "events")
+        kind = (F.when(F.col("value") >= 100, "high")
+                .when(F.col("value") >= 10, "mid")
+                .otherwise("low"))
+        return (e.withColumn("kind", kind)
+                .groupBy("event_type", "kind").agg(F.count("*").alias("n")))
+    q["event_kind_dispatch"] = event_kind_dispatch
 
     return q
 
@@ -557,4 +591,32 @@ def oracle_sql() -> dict[str, str]:
         "regex_part_search":
             "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%ge%' "
             "ORDER BY p_partkey LIMIT 50",
+        "connected_components_demo":
+            "WITH RECURSIVE base AS ("
+            "  SELECT DISTINCT 'o' || lpad(l_orderkey::varchar, 9, '0') AS u, "
+            "         'p' || lpad(l_partkey::varchar, 9, '0') AS v "
+            "  FROM lineitem WHERE l_orderkey < 60), "
+            "edges2 AS (SELECT u, v FROM base UNION SELECT v, u FROM base), "
+            "reach AS ("
+            "  SELECT u AS node, v AS r FROM edges2 "
+            "  UNION "
+            "  SELECT reach.node, e.v FROM reach JOIN edges2 e ON reach.r = e.u "
+            "  WHERE e.v <> reach.node) "
+            "SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node",
+        "unique_texts_union":
+            "SELECT txt FROM (SELECT p_name AS txt FROM part "
+            "UNION ALL SELECT s_name FROM supplier "
+            "UNION ALL SELECT event_type FROM events) GROUP BY txt",
+        "sources_accumulation":
+            "SELECT event_type, list_sort(list_distinct(list(user_id % 10))) AS buckets "
+            "FROM events GROUP BY event_type",
+        "dedup_exact_keep":
+            "SELECT doc_id, n_chars FROM ("
+            "  SELECT doc_id, n_chars, row_number() OVER "
+            "  (PARTITION BY sha256(text) ORDER BY doc_id) AS rk FROM documents) "
+            "WHERE rk = 1",
+        "event_kind_dispatch":
+            "SELECT event_type, CASE WHEN value >= 100 THEN 'high' "
+            "WHEN value >= 10 THEN 'mid' ELSE 'low' END AS kind, count(*) AS n "
+            "FROM events GROUP BY 1, 2",
     }

@@ -143,8 +143,17 @@ def build_nodes(triples: DataFrame, embeddings: DataFrame,
 
 
 def build_edges(triples: DataFrame, embeddings: DataFrame,
-                cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Aggregate triples into merged edges with source accumulation."""
+                cfg: PipelineConfig = DEFAULT_CONFIG,
+                chunks: DataFrame | None = None) -> DataFrame:
+    """Aggregate triples into merged edges with source accumulation.
+
+    ``chunks`` (chunk_id, text) supplies ``source_text_full`` for the
+    last-written chunk per edge (rel.source_text_full semantics,
+    ingestMD.py:543-547): the argmax carries only the winning chunk_id, so
+    chunk TEXT is joined for #edges rows — never shuffled per triple.
+    Clamped to cfg.src_txt_clamp (documented deviation: the reference
+    stores the full chunk on timeline/distribution paths, ingestMD.py:
+    419,462; full text stays recoverable via chunk_id)."""
     t = (
         _with_node_names(triples)
         .withColumn("src_id", F.sha2(F.concat_ws(":", "subject_type", "subject"), 256))
@@ -165,15 +174,15 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
     # an O(occurrences x text_size) shuffle.
     clock = F.timestamp_millis(F.lit(cfg.fixed_clock_millis))
     last = F.max(F.struct(
-        F.col("doc_id"), F.col("chunk_idx"),
-        F.col("src_txt"), F.col("count"), F.col("rel_text"),
+        F.col("doc_id"), F.col("chunk_idx"), F.col("chunk_id"),
+        F.col("count"), F.col("rel_text"),
     )).alias("_last")
     edges = (
         t.groupBy("src_id", "rel_type", "term_key", "dst_id")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("sources"), last)
         .select(
             "src_id", "rel_type", "term_key", "dst_id", "sources",
-            F.col("_last.src_txt").alias("source_text_full"),
+            F.col("_last.chunk_id").alias("_chunk_id"),
             F.col("_last.count").alias("count"),
             F.col("_last.rel_text").alias("rel_text"),
         )
@@ -181,6 +190,18 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
         .withColumn("created_at", clock)
         .withColumn("updated_at", clock)
     )
+    if chunks is not None:
+        txt = (
+            chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+            .select(F.col("chunk_id").alias("_chunk_id"),
+                    F.substring("text", 1, cfg.src_txt_clamp)
+                    .alias("source_text_full"))
+        )
+        edges = edges.join(txt, "_chunk_id", "left")
+    else:
+        edges = edges.withColumn("source_text_full",
+                                 F.lit(None).cast("string"))
+    edges = edges.drop("_chunk_id")
     rel_emb = embeddings.withColumnRenamed("key", "rel_text")
     return (
         edges.join(rel_emb, "rel_text", "left")
@@ -204,10 +225,11 @@ def build_mentions(triples: DataFrame) -> DataFrame:
     return subs.union(objs).dropDuplicates(["doc_id", "entity_id"])
 
 
-def build_graph(triples: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG):
+def build_graph(triples: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
+                chunks: DataFrame | None = None):
     """triples_raw -> (nodes, edges, mentions, embeddings_cache)."""
     embeddings = build_embeddings_cache(triples, cfg)
     nodes = build_nodes(triples, embeddings, cfg)
-    edges = build_edges(triples, embeddings, cfg)
+    edges = build_edges(triples, embeddings, cfg, chunks=chunks)
     mentions = build_mentions(triples)
     return nodes, edges, mentions, embeddings

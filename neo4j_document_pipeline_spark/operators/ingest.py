@@ -43,11 +43,15 @@ DOCUMENTS_SCHEMA = (
 CHUNKS_SCHEMA = (
     "doc_id string, chunk_idx int, chunk_id string, text string, n_tokens int"
 )
+# NOTE: no src_txt column — carrying chunk text per triple row multiplies
+# shuffle volume by text size x triples-per-chunk at scale. The winning
+# chunk's text is joined back (by chunk_id) only for the final edges
+# (build_edges(..., chunks=...)), reproducing rel.source_text_full.
 TRIPLES_SCHEMA = (
     "chunk_id string, subject string, predicate string, object string, "
     "subject_type string, object_type string, rel_type string, "
     "object_kind string, start string, end string, pillar string, "
-    "term string, count int, src_txt string"
+    "term string, count int"
 )
 
 
@@ -57,6 +61,23 @@ def _canonicalize_udf():
     def canon(s: pd.Series) -> pd.Series:
         return s.map(py_canonicalize)
     return canon
+
+
+def pages_to_canonical(pages: DataFrame,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Canonicalize + content-hash WITHOUT the doc-dedup shuffle.
+
+    The chunker only needs (doc_id, text); duplicate pages share a doc_id
+    and produce identical chunks, which the chunk_id dedup (extraction
+    cache) and the edge/mention merges already collapse — so the
+    duplicate-page groupBy can run OFF the extraction critical path (it is
+    only needed to materialize the documents TABLE)."""
+    return (
+        pages
+        .select("url", "text")
+        .withColumn("text", _canonicalize_udf()(F.col("text")))
+        .withColumn("doc_id", F.sha2(F.col("text"), 256))
+    )
 
 
 def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -119,7 +140,13 @@ def documents_to_chunks(documents: DataFrame,
                 out, columns=["doc_id", "chunk_idx", "chunk_id", "text", "n_tokens"]
             )
 
-    return documents.select("doc_id", "text").mapInPandas(chunker, schema=CHUNKS_SCHEMA)
+    # Explicitly re-spread before the Python stage: AQE sizes partitions by
+    # JVM bytes, which underestimates Python-side cost per row by orders of
+    # magnitude — a coalesced 16-partition input would starve a 32-core
+    # executor pool on the chunker.
+    par = documents.sparkSession.sparkContext.defaultParallelism * 2
+    src = documents.select("doc_id", "text").repartition(par)
+    return src.mapInPandas(chunker, schema=CHUNKS_SCHEMA)
 
 
 def chunks_to_triples(chunks: DataFrame,
@@ -133,26 +160,27 @@ def chunks_to_triples(chunks: DataFrame,
         object_type, rel_type, object_kind, start, end, pillar, term,
         count, src_txt
     """
-    clamp = cfg.src_txt_clamp
-    uniq = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    par = chunks.sparkSession.sparkContext.defaultParallelism * 2
+    # dedup then re-spread: extraction cost per row dwarfs JVM bytes, so
+    # never let the dedup shuffle's partitioning throttle the Python stage
+    uniq = (chunks.select("chunk_id", "text")
+            .repartition(par, "chunk_id")
+            .dropDuplicates(["chunk_id"]))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["chunk_id", "subject", "predicate", "object", "subject_type",
                 "object_type", "rel_type", "object_kind", "start", "end",
-                "pillar", "term", "count", "src_txt"]
+                "pillar", "term", "count"]
         for pdf in batches:
             out = []
             for chunk_id, text in zip(pdf["chunk_id"], pdf["text"]):
                 triples = extract_chunk_triples(text)
-                # clamp_all: full text is recoverable via chunk_id; carrying
-                # it per-triple multiplies shuffle volume (see extraction.py)
-                for r in flatten_triples(triples, src_txt=text,
-                                         src_clamp=clamp, clamp_all=True):
+                for r in flatten_triples(triples):
                     out.append((
                         chunk_id, r["subject"], r["predicate"], r["object"],
                         r["subject_type"], r["object_type"], r["rel_type"],
                         r["object_kind"], r["start"], r["end"], r["pillar"],
-                        r["term"], r["count"], r["src_txt"],
+                        r["term"], r["count"],
                     ))
             yield pd.DataFrame(out, columns=cols)
 

@@ -60,18 +60,47 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                                       stage=name, **write_kw)
         return store.read(name)
 
-    documents = stage("documents", lambda: pages_to_documents(pages, cfg), fp)
+    from pyspark.sql import Observation
+
+    def observed(df, obs_name, *metrics):
+        """A11: per-stage metric counters via df.observe — collected at the
+        stage's write action and committed into the same manifest."""
+        obs = Observation(obs_name)
+        return df.observe(obs, *metrics), obs
+
+    docs_df, docs_obs = observed(
+        pages_to_documents(pages, cfg), "documents_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.length("text")).alias("total_text_bytes"),
+        F.approx_count_distinct(F.col("doc_id")).alias("approx_distinct_docs"),
+    )
+    documents = stage("documents", lambda: docs_df, fp)
+    if not manifests["documents"].get("skipped"):
+        manifests["documents"]["metrics"].update(docs_obs.get)
+        store.update_metrics("documents", docs_obs.get)
+
     chunks = stage("chunks", lambda: documents_to_chunks(documents, cfg), fp)
+    trip_df, trip_obs = observed(
+        chunks_to_triples(chunks, cfg), "triples_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("chunk_id").alias("approx_distinct_chunks"),
+        F.sum(F.when(F.col("object_kind") == "timeline", 1).otherwise(0)).alias("timeline_rows"),
+        F.sum(F.when(F.col("object_kind") == "distribution", 1).otherwise(0)).alias("distribution_rows"),
+    )
     triples = stage(
-        "triples_raw", lambda: chunks_to_triples(chunks, cfg), fp,
+        "triples_raw", lambda: trip_df, fp,
         partition_by=["object_kind"],
     )
+    if not manifests["triples_raw"].get("skipped"):
+        manifests["triples_raw"]["metrics"].update(trip_obs.get)
+        store.update_metrics("triples_raw", trip_obs.get)
     embeddings = stage(
         "embeddings_cache",
         lambda: store.merge_embeddings(build_embeddings_cache(triples, cfg)), fp,
     )
     stage("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)), fp)
-    stage("edges", lambda: store.merge_edges(build_edges(triples, embeddings, cfg)), fp)
+    stage("edges", lambda: store.merge_edges(
+        build_edges(triples, embeddings, cfg, chunks=chunks)), fp)
     stage("mentions", lambda: store.merge_mentions(build_mentions(triples)), fp)
     # documents table: attach n_chunks now that chunks exist
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))

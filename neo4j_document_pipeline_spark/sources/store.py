@@ -98,6 +98,18 @@ class GraphStore:
             shutil.rmtree(os.path.join(tdir, prev["version"]), ignore_errors=True)
         return man
 
+    def update_metrics(self, name: str, metrics: dict):
+        """Attach post-action metrics (df.observe results) to a committed
+        stage manifest."""
+        m = self.manifest(name)
+        if not m:
+            return
+        m["metrics"].update(metrics)
+        tmp = self._manifest_path(name) + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))
+
     def is_current(self, name: str, input_fingerprint: str) -> bool:
         """True when the table's committed snapshot was built from the same
         input — the stage can be skipped on resume."""

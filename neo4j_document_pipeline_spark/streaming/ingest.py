@@ -54,7 +54,9 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
         emb = store.read("embeddings_cache")
         store.write("nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
                     stage=f"stream-epoch-{epoch_id}")
-        store.write("edges", store.merge_edges(build_edges(triples, emb, cfg)),
+        store.write("edges",
+                    store.merge_edges(build_edges(triples, emb, cfg,
+                                                  chunks=chunks)),
                     stage=f"stream-epoch-{epoch_id}")
         store.write("mentions", store.merge_mentions(build_mentions(triples)),
                     stage=f"stream-epoch-{epoch_id}")

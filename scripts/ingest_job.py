@@ -79,16 +79,28 @@ def main():
             from neo4j_document_pipeline_spark.operators.graph import (
                 build_edges, build_embeddings_cache, build_mentions,
                 build_nodes)
+            from concurrent.futures import ThreadPoolExecutor
+
             documents = pages_to_documents(pages)
+            chunks = documents_to_chunks(documents).persist()
             # materialize triples once — nodes/edges/mentions branch off it
-            triples = chunks_to_triples(documents_to_chunks(documents)) \
-                .localCheckpoint()
-            emb = build_embeddings_cache(triples).localCheckpoint()
-            return {
-                "nodes": build_nodes(triples, emb).count(),
-                "edges": build_edges(triples, emb).count(),
-                "mentions": build_mentions(triples).count(),
-            }
+            triples = chunks_to_triples(chunks).persist()
+            emb = build_embeddings_cache(triples).persist()
+            emb.count()  # barrier: emb is shared by the branches below
+            # submit the three independent output branches CONCURRENTLY —
+            # their stages interleave in the scheduler, hiding per-stage
+            # barrier latency (the non-scaling tail of the job)
+            with ThreadPoolExecutor(3) as ex:
+                fn = ex.submit(lambda: build_nodes(triples, emb).count())
+                fe = ex.submit(lambda: build_edges(triples, emb,
+                                                   chunks=chunks).count())
+                fm = ex.submit(lambda: build_mentions(triples).count())
+                out = {"nodes": fn.result(), "edges": fe.result(),
+                       "mentions": fm.result()}
+            chunks.unpersist()
+            triples.unpersist()
+            emb.unpersist()
+            return out
         root = args.store or tempfile.mkdtemp(prefix="kg_scaling_")
         try:
             manifests = run_pipeline(spark, pages, root, resume=False)

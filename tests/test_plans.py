@@ -1,0 +1,83 @@
+"""Physical-plan assertions — the 100TB design checks.
+
+Verifies (via explain output) that:
+- parquet scans get column pruning + predicate pushdown;
+- small/query-side joins go broadcast;
+- the edge aggregation uses (Object)HashAggregate with partial
+  aggregation, never a sort-based window over text payloads;
+- top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # ReadSchema restricted to needed columns only
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_topk_is_take_ordered(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.orderBy(F.col("l_extendedprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_traversal_broadcasts_frontier(spark):
+    from neo4j_document_pipeline_spark.operators.retrieval import traverse_neighbors
+    edges = spark.createDataFrame(
+        [("a", "b", "R")], "src_id string, dst_id string, rel_type string") \
+        .withColumn("term", F.lit(None).cast("string")) \
+        .withColumn("source_text_full", F.lit("")) \
+        .withColumn("sources", F.array().cast("array<string>"))
+    out = traverse_neighbors(edges, ["a"], 1)
+    assert "BroadcastNestedLoopJoin" in plan_of(out) or "BroadcastHashJoin" in plan_of(out)
+
+
+def test_edge_agg_is_hash_based_with_partial(spark):
+    from neo4j_document_pipeline_spark.operators.graph import (
+        build_edges, build_embeddings_cache)
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        chunks_to_triples, documents_to_chunks, pages_to_documents)
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, 30)
+    chunks = documents_to_chunks(pages_to_documents(pages))
+    triples = chunks_to_triples(chunks)
+    emb = build_embeddings_cache(triples)
+    p = plan_of(build_edges(triples, emb, chunks=chunks))
+    # the edge merge aggregation: ObjectHashAggregate (collect_set +
+    # argmax-struct), with a partial mode before the exchange
+    assert "ObjectHashAggregate" in p
+    assert "Window" not in p
+
+
+def test_cosine_scoring_is_whole_stage_codegen(spark):
+    from neo4j_document_pipeline_spark.operators.similarity import brute_force_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    p = plan_of(brute_force_topk(e, "vec_id", "embedding", q, 5))
+    # scoring is pure JVM expression work (higher-order functions don't
+    # whole-stage-codegen, but they are Catalyst expressions, not UDFs) and
+    # the top-k compiles to TakeOrderedAndProject — no global sort
+    assert "TakeOrderedAndProject" in p
+    # no python evaluation nodes in the scoring path
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "pythonUDF" not in p
