@@ -128,7 +128,8 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
 
 def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
                     labels: list[str] | None = None,
-                    cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    n_nodes: int | None = None) -> DataFrame:
     """BM25-lite replacement of the Lucene fulltext index
     (graphutil.py:306-359): tokenize node names into an inverted index,
     IDF-weight matched terms (single tokens) and contained phrases
@@ -150,7 +151,6 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     if labels:
         df = df.filter(F.col("label").isin(labels))
     df = df.select("entity_id", "name")
-    n_docs = F.lit(None)  # filled below via count
 
     single = [t.lower() for t in terms if " " not in t]
     phrases = [t.lower() for t in terms if " " in t]
@@ -162,7 +162,9 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
         ).alias("tok"),
     ).filter(F.col("tok") != "")
 
-    total = df.count()
+    # IDF denominator: the caller passes the corpus size (one manifest
+    # lookup) instead of paying a count() job per query
+    total = n_nodes if n_nodes is not None else df.count()
     parts = []
     if single:
         terms_df = F.broadcast(
@@ -214,11 +216,12 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
                       labels: list[str] | None = None,
                       k_vec: int = 12, k_kw: int = 12,
                       alpha_vec: float = 0.6, beta_kw: float = 0.4,
-                      cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      n_nodes: int | None = None) -> DataFrame:
     """Full-outer channel merge, per-channel max, min-max norm, blended
     score with weights renormalized to sum 1 (graphutil.py:401-447)."""
     vec = vector_channel(nodes, qvec, labels, k_vec)
-    kw = keyword_channel(nodes, question, k_kw, labels, cfg)
+    kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes)
     raw = (
         vec.join(kw, "entity_id", "full_outer")
         .withColumn("vec", F.coalesce("vec", F.lit(0.0)))
@@ -452,19 +455,28 @@ def graphrag(spark: SparkSession, store, question: str,
     qvec = embed_text(question, dim=cfg.embedding_dim, seed=cfg.featurizer_seed).tolist()
     timings["embed"] = _time.perf_counter() - t0
 
+    # corpus size for IDF comes from the committed manifest — no count() job
+    man = store.manifest("nodes") or {}
+    n_nodes = man.get("rows")
+
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
     cands_df = hybrid_candidates(nodes, question, qvec, labels,
                                  k_vec=k, k_kw=k,
-                                 alpha_vec=alpha_vec, beta_kw=beta_kw, cfg=cfg)
-    # attach doc titles for diversification / seed-dedup (J1)
+                                 alpha_vec=alpha_vec, beta_kw=beta_kw, cfg=cfg,
+                                 n_nodes=n_nodes).cache()
+    # attach doc titles for diversification / seed-dedup (J1) — scoped to
+    # the <=2k candidate ids (broadcast), never an all-mentions aggregate
+    cand_ids = cands_df.select("entity_id")
     titles = (
-        mentions.join(documents.select("doc_id", "title"), "doc_id")
+        mentions.join(F.broadcast(cand_ids), "entity_id", "left_semi")
+        .join(documents.select("doc_id", "title"), "doc_id")
         .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
     )
     cands = [r.asDict() for r in
              cands_df.join(titles, "entity_id", "left")
              .orderBy(F.col("score").desc(), "entity_id").collect()]
+    cands_df.unpersist()
     timings["retrieval"] = _time.perf_counter() - t1
 
     if not cands:
