@@ -98,25 +98,28 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         "embeddings_cache",
         lambda: store.merge_embeddings(build_embeddings_cache(triples, cfg)), fp,
     )
-    stage("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)), fp)
-    stage("edges", lambda: store.merge_edges(
-        build_edges(triples, embeddings, cfg, chunks=chunks)), fp)
-    stage("mentions", lambda: store.merge_mentions(build_mentions(triples)), fp)
-    # documents table: attach n_chunks now that chunks exist
+    # the four output tables only depend on (triples, embeddings, chunks):
+    # build them CONCURRENTLY — the Spark scheduler interleaves their
+    # stages, hiding the per-stage barrier latency of a sequential chain
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (
         documents.join(n_chunks, "doc_id", "left")
         .withColumn("n_chunks", F.coalesce(F.col("_n"), F.lit(0)).cast("int"))
         .drop("_n")
     )
-    if not (resume and store.is_current("documents_final", fp)):
-        manifests["documents_final"] = store.write(
-            "documents_final", store.merge_documents(docs_final),
-            input_fingerprint=fp, stage="documents_final",
-        )
-    else:
-        manifests["documents_final"] = {**store.manifest("documents_final"),
-                                        "skipped": True}
+    from concurrent.futures import ThreadPoolExecutor
+    tail = [
+        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg))),
+        ("edges", lambda: store.merge_edges(
+            build_edges(triples, embeddings, cfg, chunks=chunks))),
+        ("mentions", lambda: store.merge_mentions(build_mentions(triples))),
+        ("documents_final", lambda: store.merge_documents(docs_final)),
+    ]
+    with ThreadPoolExecutor(4) as ex:
+        futs = {name: ex.submit(stage, name, build, fp)
+                for name, build in tail}
+        for name, fut in futs.items():
+            fut.result()
     return manifests
 
 
