@@ -43,8 +43,14 @@ def fingerprint(df: DataFrame, cols: list[str]) -> str:
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
-                 resume: bool = True) -> dict:
+                 resume: bool = True,
+                 canonicalize_entities: bool = False) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
+
+    ``canonicalize_entities=True`` appends the north-star entity-resolution
+    stages: MinHash-LSH linking + connected components -> canonical
+    nodes/edges/mentions tables (suffix ``_canonical``) plus the
+    ``entity_map`` table.
 
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
@@ -120,6 +126,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                 for name, build in tail}
         for name, fut in futs.items():
             fut.result()
+
+    if canonicalize_entities:
+        from neo4j_document_pipeline_spark.operators.linking import (
+            apply_canonicalization, canonical_map, link_entities)
+        nodes = store.read("nodes")
+        edges = store.read("edges")
+        mentions = store.read("mentions")
+        links = link_entities(nodes, cfg)
+        mapping = stage("entity_map",
+                        lambda: canonical_map(nodes, links), fp)
+        cn, ce, cm = apply_canonicalization(nodes, edges, mentions, mapping)
+        stage("nodes_canonical", lambda: cn, fp)
+        stage("edges_canonical", lambda: ce, fp)
+        stage("mentions_canonical", lambda: cm, fp)
     return manifests
 
 

@@ -77,6 +77,40 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
     )
 
 
+def stateful_user_counters(events: DataFrame,
+                           timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user cumulative (n_events, total_value) carried across
+    micro-batches — the pattern for arbitrary keyed state the built-in
+    windowed aggregations can't express (SURVEY §2.9 Spark mapping).
+
+    Works on a stream grouped by user_id; on a static frame use the batch
+    groupBy equivalent instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [v],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window counts with late-data watermark — works on both a

@@ -1,0 +1,54 @@
+"""Canonicalization pipeline stage + stateful streaming operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import synth_pages
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+from neo4j_document_pipeline_spark.streaming.ingest import stateful_user_counters
+
+
+def test_pipeline_with_canonicalization(spark, tmp_path):
+    root = str(tmp_path / "kgc")
+    m = run_pipeline(spark, synth_pages(spark, 80), root,
+                     canonicalize_entities=True)
+    assert "entity_map" in m and "nodes_canonical" in m
+    store = GraphStore(root, spark)
+    n_raw = store.read("nodes").count()
+    n_canon = store.read("nodes_canonical").count()
+    assert 0 < n_canon <= n_raw
+    # fam-6 near-duplicate names must have merged
+    mapping = store.read("entity_map")
+    merged = mapping.filter(F.col("entity_id") != F.col("canonical_id")).count()
+    assert merged > 0
+    # canonical edges resolve against canonical nodes
+    ids = {r["entity_id"] for r in store.read("nodes_canonical").collect()}
+    for r in store.read("edges_canonical").select("src_id", "dst_id").collect():
+        assert r["src_id"] in ids and r["dst_id"] in ids
+
+
+def test_stateful_user_counters_stream(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v")).collect()
+    }
+    d = str(tmp_path / "ev")
+    events.write.parquet(d)
+    stream = spark.readStream.schema(events.schema).parquet(d)
+    q = (stateful_user_counters(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("statecnt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # last emitted row per user carries the cumulative totals
+    got_rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by user_id order by n_events desc) rk from statecnt) "
+        "where rk = 1").collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+           for r in got_rows}
+    assert got == expected
