@@ -24,13 +24,29 @@ from neo4j_document_pipeline_spark.functions.tokenizer import decode, encode
 
 def split_by_tokens(text: str, size: int, overlap: int) -> list[str]:
     """Slice text into token windows (ingestMD.py:74-81 semantics)."""
+    return [c for c, _ in split_by_tokens_with_counts(text, size, overlap)]
+
+
+def split_by_tokens_with_counts(text: str, size: int,
+                                overlap: int) -> list[tuple[str, int]]:
     ids = encode(text)
     step = max(1, size - overlap)
-    return [decode(ids[start:start + size]) for start in range(0, len(ids), step)]
+    return [
+        (decode(ids[start:start + size]), min(size, len(ids) - start))
+        for start in range(0, len(ids), step)
+    ]
 
 
 def chunk_text(text: str, max_tokens: int = 2500, overlap_tokens: int = 0) -> list[str]:
     """Pack paragraphs into token-bounded chunks (ingestMD.py:83-118)."""
+    return [c for c, _ in chunk_text_with_counts(text, max_tokens, overlap_tokens)]
+
+
+def chunk_text_with_counts(text: str, max_tokens: int = 2500,
+                           overlap_tokens: int = 0) -> list[tuple[str, int]]:
+    """Same semantics as chunk_text, returning (chunk, n_tokens) with each
+    chunk tokenized exactly once (the distributed chunker needs the count
+    anyway — avoids a second full tokenization pass per chunk)."""
     paras = [p.strip() for p in text.split("\n\n") if p.strip()]
     chunks: list[str] = []
     buf: list[str] = []
@@ -54,10 +70,11 @@ def chunk_text(text: str, max_tokens: int = 2500, overlap_tokens: int = 0) -> li
     if buf:
         chunks.append("\n\n".join(buf))
 
-    out: list[str] = []
+    out: list[tuple[str, int]] = []
     for c in chunks:
-        if len(encode(c)) <= max_tokens:
-            out.append(c)
+        n = len(encode(c))
+        if n <= max_tokens:
+            out.append((c, n))
         else:
-            out.extend(split_by_tokens(c, max_tokens, overlap_tokens))
+            out.extend(split_by_tokens_with_counts(c, max_tokens, overlap_tokens))
     return out

@@ -242,22 +242,28 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
         })
 
     for sent in _iter_sentences(text):
-        for m in _TL_FROM_RE.finditer(sent):
-            add(py_norm_space(_strip_article(m.group("subj"))), m.group("verb"),
-                {"start": m.group("start"), "end": m.group("end")},
-                _np_type(m.group("subj"), None), "Time_Period")
-        for m in _TL_PAREN_RE.finditer(sent):
-            add(py_norm_space(_strip_article(m.group("subj"))), "has timeline",
-                {"start": m.group("start"), "end": m.group("end")},
-                _np_type(m.group("subj"), None), "Time_Period")
-        for m in _DIST_RE.finditer(sent):
-            term_map: dict[str, Any] = {}
-            for item in _DIST_ITEM_RE.finditer(m.group("body")):
-                term_map[py_norm_space(item.group(1))] = item.group(2)
-            if term_map:
-                add(py_norm_space(_strip_article(m.group("subj"))), "has initiative count",
-                    {py_norm_space(m.group("pillar")): term_map},
-                    _np_type(m.group("subj"), None), "Pillar")
+        # cheap guards: the timeline regexes require a 3-4 digit run and
+        # the distribution regex the literal "initiative counts" — skip
+        # those passes when they can't match (hot path, identical results)
+        has_digit = any(c.isdigit() for c in sent)
+        if has_digit:
+            for m in _TL_FROM_RE.finditer(sent):
+                add(py_norm_space(_strip_article(m.group("subj"))), m.group("verb"),
+                    {"start": m.group("start"), "end": m.group("end")},
+                    _np_type(m.group("subj"), None), "Time_Period")
+            for m in _TL_PAREN_RE.finditer(sent):
+                add(py_norm_space(_strip_article(m.group("subj"))), "has timeline",
+                    {"start": m.group("start"), "end": m.group("end")},
+                    _np_type(m.group("subj"), None), "Time_Period")
+        if "initiative counts" in sent:
+            for m in _DIST_RE.finditer(sent):
+                term_map: dict[str, Any] = {}
+                for item in _DIST_ITEM_RE.finditer(m.group("body")):
+                    term_map[py_norm_space(item.group(1))] = item.group(2)
+                if term_map:
+                    add(py_norm_space(_strip_article(m.group("subj"))), "has initiative count",
+                        {py_norm_space(m.group("pillar")): term_map},
+                        _np_type(m.group("subj"), None), "Pillar")
         for m in _SVO_RE.finditer(sent):
             verb = m.group("verb")
             pred, s_hint, o_hint = _VERBS[verb]

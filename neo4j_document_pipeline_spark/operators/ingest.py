@@ -28,13 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
-from neo4j_document_pipeline_spark.functions.chunking import chunk_text
 from neo4j_document_pipeline_spark.functions.extraction import (
     extract_chunk_triples,
     flatten_triples,
 )
 from neo4j_document_pipeline_spark.functions.text import py_canonicalize
-from neo4j_document_pipeline_spark.functions.tokenizer import count_tokens
 
 DOCUMENTS_SCHEMA = (
     "doc_id string, url string, title string, path string, text string, "
@@ -129,13 +127,16 @@ def documents_to_chunks(documents: DataFrame,
     overlap = cfg.chunk_overlap_tokens
 
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neo4j_document_pipeline_spark.functions.chunking import (
+            chunk_text_with_counts,
+        )
         from neo4j_document_pipeline_spark.functions.text import py_sha256_hex
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for idx, chunk in enumerate(chunk_text(text, max_tokens, overlap)):
-                    out.append((doc_id, idx, py_sha256_hex(chunk), chunk,
-                                count_tokens(chunk)))
+                for idx, (chunk, n_tok) in enumerate(
+                        chunk_text_with_counts(text, max_tokens, overlap)):
+                    out.append((doc_id, idx, py_sha256_hex(chunk), chunk, n_tok))
             yield pd.DataFrame(
                 out, columns=["doc_id", "chunk_idx", "chunk_id", "text", "n_tokens"]
             )
