@@ -5,12 +5,13 @@ deterministic input — at N and 4N cores in separate processes (fresh JVM
 each), plus optional extra levels for the full curve. Reports throughput
 at each level and scaling efficiency = (docs_per_sec@4N / docs_per_sec@N)/4.
 
-Default pair N=1 vs 4N=4: this sandbox host's memory bandwidth saturates
-beyond ~8 concurrent string-processing processes (a pure-Python regex
-microbenchmark gets only 6.8x at 8 processes and 19.5x at 32), so the
-1->4 pair is where the CLUSTER-scaling question (does the JOB scale when
-given 4x compute?) is measurable without conflating it with single-box
-bandwidth ceilings. The full curve is reported for transparency.
+Default pair N=2 vs 4N=8: this sandbox host's memory bandwidth saturates
+beyond ~8-16 concurrent string-processing processes (a pure-Python regex
+microbenchmark gets only 6.8x aggregate at 8 processes and 19.5x at 32),
+so 2->8 is the largest pair where the CLUSTER-scaling question (does the
+JOB scale when given 4x compute?) is measurable without conflating it
+with single-box bandwidth ceilings. The full curve is reported for
+transparency.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import sys
 
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 LEVELS = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2
-                           else [1, 4])]
+                           else [2, 8])]
 
 
 def run(cores: int) -> dict:
