@@ -335,22 +335,31 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
     frontier = spark.createDataFrame([(s,) for s in seed_ids], "id string")
     visited = frontier
     touched = None
+    # one slim scan of the edges table, reused by every hop
     und = edges.select("src_id", "dst_id", "rel_type", "term",
-                       "source_text_full", "sources")
-    for _ in range(hops):
-        hit = und.join(F.broadcast(frontier),
-                       (und.src_id == frontier.id) | (und.dst_id == frontier.id)) \
-                 .drop("id")
-        touched = hit if touched is None else touched.unionByName(hit)
-        nbrs = (
-            hit.select(F.col("src_id").alias("id"))
-            .union(hit.select(F.col("dst_id").alias("id")))
-            .distinct()
-        )
-        frontier = nbrs.join(visited, "id", "left_anti")
-        visited = visited.union(frontier).distinct()
-        frontier = frontier.localCheckpoint(eager=False)
-    return touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
+                       "source_text_full", "sources").persist()
+    try:
+        for h in range(hops):
+            hit = (
+                und.join(F.broadcast(frontier),
+                         (und.src_id == frontier.id) | (und.dst_id == frontier.id))
+                .drop("id")
+                .localCheckpoint()  # eager: small result, truncates lineage
+            )
+            touched = hit if touched is None else touched.unionByName(hit)
+            if h == hops - 1:
+                break  # last hop: no need to grow the frontier
+            nbrs = (
+                hit.select(F.col("src_id").alias("id"))
+                .union(hit.select(F.col("dst_id").alias("id")))
+                .distinct()
+            )
+            frontier = nbrs.join(visited, "id", "left_anti").localCheckpoint()
+            visited = visited.union(frontier).distinct()
+        return touched.dropDuplicates(
+            ["src_id", "dst_id", "rel_type", "term"]).localCheckpoint()
+    finally:
+        und.unpersist()
 
 
 def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
