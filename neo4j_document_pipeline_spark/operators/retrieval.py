@@ -321,7 +321,7 @@ def dedupe_seeds_one_per_doc(cands: list[dict]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
-                       max_hops: int = 1) -> DataFrame:
+                       max_hops: int = 1, checkpoint: bool = True) -> DataFrame:
     """Undirected BFS, node-global uniqueness (graphutil.py:547-632,
     clamp at main.py:337). Returns the traversed edge set.
 
@@ -340,12 +340,13 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                        "source_text_full", "sources").persist()
     try:
         for h in range(hops):
-            hit = (
-                und.join(F.broadcast(frontier),
-                         (und.src_id == frontier.id) | (und.dst_id == frontier.id))
-                .drop("id")
-                .localCheckpoint()  # eager: small result, truncates lineage
-            )
+            hit = und.join(
+                F.broadcast(frontier),
+                (und.src_id == frontier.id) | (und.dst_id == frontier.id),
+            ).drop("id")
+            if checkpoint:
+                # eager: small result, truncates lineage across hops
+                hit = hit.localCheckpoint()
             touched = hit if touched is None else touched.unionByName(hit)
             if h == hops - 1:
                 break  # last hop: no need to grow the frontier
@@ -354,10 +355,12 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                 .union(hit.select(F.col("dst_id").alias("id")))
                 .distinct()
             )
-            frontier = nbrs.join(visited, "id", "left_anti").localCheckpoint()
+            frontier = nbrs.join(visited, "id", "left_anti")
+            if checkpoint:
+                frontier = frontier.localCheckpoint()
             visited = visited.union(frontier).distinct()
-        return touched.dropDuplicates(
-            ["src_id", "dst_id", "rel_type", "term"]).localCheckpoint()
+        out = touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
+        return out.localCheckpoint() if checkpoint else out
     finally:
         und.unpersist()
 

@@ -48,7 +48,7 @@ def test_traversal_broadcasts_frontier(spark):
         .withColumn("term", F.lit(None).cast("string")) \
         .withColumn("source_text_full", F.lit("")) \
         .withColumn("sources", F.array().cast("array<string>"))
-    out = traverse_neighbors(edges, ["a"], 1)
+    out = traverse_neighbors(edges, ["a"], 1, checkpoint=False)
     assert "BroadcastNestedLoopJoin" in plan_of(out) or "BroadcastHashJoin" in plan_of(out)
 
 
