@@ -1,0 +1,96 @@
+"""CLI — the library-function replacements of the reference's HTTP
+endpoints (/root/reference/main.py), runnable via spark-submit --py-files
+or plain python:
+
+    python -m neo4j_document_pipeline_spark ingest --pages <parquet|synth:N> --store <dir>
+    python -m neo4j_document_pipeline_spark query  --store <dir> "question..." [--hops 2]
+    python -m neo4j_document_pipeline_spark stats  --store <dir>        # /graph/stats
+    python -m neo4j_document_pipeline_spark schema --store <dir>        # /graph/schema
+    python -m neo4j_document_pipeline_spark search --store <dir> VALUE  # /graph/search
+    python -m neo4j_document_pipeline_spark docs   --store <dir>        # /documents
+    python -m neo4j_document_pipeline_spark drop   --store <dir>        # /drop-all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
+    ap.add_argument("command", choices=[
+        "ingest", "query", "stats", "schema", "search", "docs", "drop"])
+    ap.add_argument("args", nargs="*")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--pages", default=None,
+                    help="parquet dir of pages, or synth:N")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--hops", type=int, default=1)
+    ap.add_argument("--alpha-vec", type=float, default=0.6)
+    ap.add_argument("--beta-kw", type=float, default=0.4)
+    ap.add_argument("--no-mmr", action="store_true")
+    ap.add_argument("--no-cross-doc", action="store_true")
+    ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--label", default=None)
+    ap.add_argument("--limit", type=int, default=25)
+    ns, unknown = ap.parse_known_args(argv)
+    # argparse won't interleave optionals with a greedy positional list;
+    # treat leftover non-flag tokens (the question / search value) as args
+    ns.args = list(ns.args) + [t for t in unknown if not t.startswith("-")]
+
+    from neo4j_document_pipeline_spark.session import build_session
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    spark = build_session(ns.master)
+    store = GraphStore(ns.store, spark)
+
+    if ns.command == "ingest":
+        from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+        from neo4j_document_pipeline_spark.sources.pages import (
+            read_pages, synth_pages)
+        if not ns.pages:
+            sys.exit("--pages required for ingest")
+        if ns.pages.startswith("synth:"):
+            pages = synth_pages(spark, int(ns.pages.split(":", 1)[1]))
+        else:
+            pages = read_pages(spark, ns.pages)
+        manifests = run_pipeline(spark, pages, ns.store,
+                                 canonicalize_entities=ns.canonicalize)
+        print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
+                          for k, m in manifests.items()}, indent=1))
+    elif ns.command == "query":
+        from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+        question = " ".join(ns.args)
+        res = graphrag(spark, store, question, top_k=ns.top_k, hops=ns.hops,
+                       alpha_vec=ns.alpha_vec, beta_kw=ns.beta_kw,
+                       use_mmr=not ns.no_mmr,
+                       use_cross_doc=not ns.no_cross_doc)
+        print(res.answer)
+        print(json.dumps({"seeds": res.seeds,
+                          "timings": {k: round(v, 3) for k, v in res.timings.items()}},
+                         indent=1, default=str))
+    elif ns.command == "stats":
+        from neo4j_document_pipeline_spark.operators.admin import graph_stats
+        print(json.dumps(graph_stats(store), indent=1))
+    elif ns.command == "schema":
+        from neo4j_document_pipeline_spark.operators.admin import graph_schema
+        print(json.dumps(graph_schema(store), indent=1))
+    elif ns.command == "search":
+        from neo4j_document_pipeline_spark.operators.admin import graph_search
+        for r in graph_search(store, " ".join(ns.args), label=ns.label,
+                              limit=ns.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "docs":
+        from neo4j_document_pipeline_spark.operators.admin import list_documents
+        for r in list_documents(store, limit=ns.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "drop":
+        from neo4j_document_pipeline_spark.operators.admin import drop_all
+        print(json.dumps(drop_all(store)))
+
+
+if __name__ == "__main__":
+    main()
