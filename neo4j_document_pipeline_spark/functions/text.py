@@ -93,22 +93,26 @@ def col_canonicalize(c: Column) -> Column:
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     t = F.regexp_replace(t, r"(?m)[ \t]+$", "")
     t = F.regexp_replace(t, r"[ \t]{2,}", " ")
-    # python str.strip() removes all leading/trailing whitespace (incl \n)
-    t = F.regexp_replace(t, r"^\s+|\s+$", "")
+    # python str.strip() removes all leading/trailing UNICODE whitespace
+    # (incl \n, NBSP); (?U) switches Java \s to the Unicode definition
+    t = F.regexp_replace(t, r"(?U)^\s+|\s+$", "")
     return t
 
 
 def col_safe_label(c: Column, fallback: str = "Entity") -> Column:
     x = F.coalesce(F.nullif(c, F.lit("")), F.lit(fallback))
-    # python .strip() removes all whitespace kinds, not just spaces
-    x = F.regexp_replace(x, r"^\s+|\s+$", "")
+    # python .strip() removes all (unicode) whitespace kinds, not just spaces
+    x = F.regexp_replace(x, r"(?U)^\s+|\s+$", "")
     x = F.regexp_replace(x, " ", "_")
     x = F.regexp_replace(x, r"[^A-Za-z0-9_]", "_")
     return F.substring(x, 1, 64)
 
 
 def col_norm_space(c: Column) -> Column:
-    return F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), r"\s+", " ")
+    # python: re.sub(r"\s+", " ", s.strip()) — strip first (unicode), then
+    # collapse; python \s is unicode-aware on str, hence (?U)
+    stripped = F.regexp_replace(F.coalesce(c, F.lit("")), r"(?U)^\s+|\s+$", "")
+    return F.regexp_replace(stripped, r"(?U)\s+", " ")
 
 
 def col_normalize_name_for_key(c: Column) -> Column:
