@@ -173,17 +173,19 @@ def chunks_to_triples(chunks: DataFrame,
                 "object_type", "rel_type", "object_kind", "start", "end",
                 "pillar", "term", "count"]
         for pdf in batches:
-            out = []
+            # columnar accumulation — avoids per-row tuple churn in the
+            # hottest Python loop of the pipeline
+            data = {c: [] for c in cols}
             for chunk_id, text in zip(pdf["chunk_id"], pdf["text"]):
-                triples = extract_chunk_triples(text)
-                for r in flatten_triples(triples):
-                    out.append((
-                        chunk_id, r["subject"], r["predicate"], r["object"],
-                        r["subject_type"], r["object_type"], r["rel_type"],
-                        r["object_kind"], r["start"], r["end"], r["pillar"],
-                        r["term"], r["count"],
-                    ))
-            yield pd.DataFrame(out, columns=cols)
+                rows = flatten_triples(extract_chunk_triples(text))
+                if not rows:
+                    continue
+                data["chunk_id"].extend([chunk_id] * len(rows))
+                for c in cols[1:]:
+                    col_list = data[c]
+                    for r in rows:
+                        col_list.append(r[c])
+            yield pd.DataFrame(data, columns=cols)
 
     per_chunk = uniq.mapInPandas(extract, schema=TRIPLES_SCHEMA)
     # join back: every (doc, chunk) pair gets the (cached) extraction result
