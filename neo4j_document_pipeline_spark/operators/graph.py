@@ -81,7 +81,11 @@ def build_embeddings_cache(triples: DataFrame,
 
 
 def _with_node_names(triples: DataFrame) -> DataFrame:
-    """Add object-node (label, name) columns per object_kind dispatch."""
+    """Add object-node (label, name) columns per object_kind dispatch.
+    No-op when chunks_to_triples already materialized them (the normal
+    path) — kept for callers feeding hand-built triple frames."""
+    if "obj_label" in triples.columns:
+        return triples
     return (
         triples
         .withColumn(
@@ -95,6 +99,16 @@ def _with_node_names(triples: DataFrame) -> DataFrame:
             F.when(F.col("object_kind") == "distribution", F.col("pillar"))
             .otherwise(F.col("object")),
         )
+    )
+
+
+def _with_ids(t: DataFrame) -> DataFrame:
+    """Attach src_id/dst_id if not already materialized upstream."""
+    if "src_id" in t.columns:
+        return t
+    return (
+        t.withColumn("src_id", F.sha2(F.concat_ws(":", "subject_type", "subject"), 256))
+        .withColumn("dst_id", F.sha2(F.concat_ws(":", "obj_label", "obj_name"), 256))
     )
 
 
@@ -155,9 +169,7 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
     stores the full chunk on timeline/distribution paths, ingestMD.py:
     419,462; full text stays recoverable via chunk_id)."""
     t = (
-        _with_node_names(triples)
-        .withColumn("src_id", F.sha2(F.concat_ws(":", "subject_type", "subject"), 256))
-        .withColumn("dst_id", F.sha2(F.concat_ws(":", "obj_label", "obj_name"), 256))
+        _with_ids(_with_node_names(triples))
         .withColumn("rel_text", _rel_text_col())
         # distribution edges carry term in the identity key; others term=null
         .withColumn(
@@ -213,15 +225,9 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
 def build_mentions(triples: DataFrame) -> DataFrame:
     """(doc_id, entity_id) provenance pairs — covers both MENTIONS and the
     mutual inverse SOURCE edges (ingestMD.py:538-541)."""
-    t = _with_node_names(triples)
-    subs = t.select(
-        "doc_id",
-        F.sha2(F.concat_ws(":", "subject_type", "subject"), 256).alias("entity_id"),
-    )
-    objs = t.select(
-        "doc_id",
-        F.sha2(F.concat_ws(":", "obj_label", "obj_name"), 256).alias("entity_id"),
-    )
+    t = _with_ids(_with_node_names(triples))
+    subs = t.select("doc_id", F.col("src_id").alias("entity_id"))
+    objs = t.select("doc_id", F.col("dst_id").alias("entity_id"))
     return subs.union(objs).dropDuplicates(["doc_id", "entity_id"])
 
 

@@ -190,7 +190,27 @@ def chunks_to_triples(chunks: DataFrame,
     per_chunk = uniq.mapInPandas(extract, schema=TRIPLES_SCHEMA)
     # join back: every (doc, chunk) pair gets the (cached) extraction result
     occurrences = chunks.select("doc_id", "chunk_id", "chunk_idx")
-    return occurrences.join(per_chunk, "chunk_id", "inner")
+    joined = occurrences.join(per_chunk, "chunk_id", "inner")
+    # Materialize the graph-identity columns ONCE here (they are pure
+    # functions of the triple row): object-node dispatch + sha256 entity
+    # ids. Every downstream branch (nodes/edges/mentions/embeddings) reads
+    # them from the persisted table instead of re-hashing per branch.
+    obj_label = (
+        F.when(F.col("object_kind") == "timeline", F.lit("Time_Period"))
+        .when(F.col("object_kind") == "distribution", F.lit("Pillar"))
+        .otherwise(F.col("object_type"))
+    )
+    obj_name = (
+        F.when(F.col("object_kind") == "distribution", F.col("pillar"))
+        .otherwise(F.col("object"))
+    )
+    return (
+        joined
+        .withColumn("obj_label", obj_label)
+        .withColumn("obj_name", obj_name)
+        .withColumn("src_id", F.sha2(F.concat_ws(":", "subject_type", "subject"), 256))
+        .withColumn("dst_id", F.sha2(F.concat_ws(":", "obj_label", "obj_name"), 256))
+    )
 
 
 def run_ingest_stages(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG):
