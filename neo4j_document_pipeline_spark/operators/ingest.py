@@ -145,7 +145,9 @@ def documents_to_chunks(documents: DataFrame,
     # JVM bytes, which underestimates Python-side cost per row by orders of
     # magnitude — a coalesced 16-partition input would starve a 32-core
     # executor pool on the chunker.
-    par = documents.sparkSession.sparkContext.defaultParallelism * 2
+    # 4x cores: fine-grained tasks so a straggler costs 1/32 of the stage,
+    # not 1/8 (python per-row cost varies with document size)
+    par = documents.sparkSession.sparkContext.defaultParallelism * 4
     src = documents.select("doc_id", "text").repartition(par)
     return src.mapInPandas(chunker, schema=CHUNKS_SCHEMA)
 
@@ -161,7 +163,7 @@ def chunks_to_triples(chunks: DataFrame,
         object_type, rel_type, object_kind, start, end, pillar, term,
         count, src_txt
     """
-    par = chunks.sparkSession.sparkContext.defaultParallelism * 2
+    par = chunks.sparkSession.sparkContext.defaultParallelism * 4
     # dedup then re-spread: extraction cost per row dwarfs JVM bytes, so
     # never let the dedup shuffle's partitioning throttle the Python stage
     uniq = (chunks.select("chunk_id", "text")
