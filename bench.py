@@ -72,7 +72,7 @@ def main():
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     def timed(name, fn):
         best, out = None, None
