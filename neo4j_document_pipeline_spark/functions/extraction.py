@@ -191,6 +191,7 @@ _DIST_ITEM_RE = re.compile(r"([A-Za-z][\w -]*?)\s+(\d+(?:\.\d+)?|\S+)\s*(?:,|$)"
 # split after sentence punctuation only when a capital/quote follows, so
 # abbreviations like "(r. 786–809 CE)" stay inside one sentence
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'“‘(])|\n+")
+_HAS_DIGIT_RE = re.compile(r"\d")
 
 
 def _strip_article(np: str) -> str:
@@ -245,7 +246,7 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
         # cheap guards: the timeline regexes require a 3-4 digit run and
         # the distribution regex the literal "initiative counts" — skip
         # those passes when they can't match (hot path, identical results)
-        has_digit = any(c.isdigit() for c in sent)
+        has_digit = _HAS_DIGIT_RE.search(sent) is not None
         if has_digit:
             for m in _TL_FROM_RE.finditer(sent):
                 add(py_norm_space(_strip_article(m.group("subj"))), m.group("verb"),
