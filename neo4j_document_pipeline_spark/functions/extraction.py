@@ -193,6 +193,14 @@ _DIST_ITEM_RE = re.compile(r"([A-Za-z][\w -]*?)\s+(\d+(?:\.\d+)?|\S+)\s*(?:,|$)"
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'“‘(])|\n+")
 _HAS_DIGIT_RE = re.compile(r"\d")
 
+# cheap superset pre-tests for the expensive NP-backtracking passes: the
+# full regexes require (a) a lexicon verb bounded by whitespace, (b) an
+# is/was/are/were + article sequence, (c) a located/based/housed literal —
+# a sentence failing the quick test cannot match the full pattern, so
+# gating skips the pass with identical results (hot path)
+_SVO_QUICK_RE = re.compile(r"\b(?:" + "|".join(_VERBS) + r")\b")
+_ISA_QUICK_RE = re.compile(r"\b(?:is|was|are|were)\s+(?:a|an|the)\s")
+
 
 def _strip_article(np: str) -> str:
     """Drop a leading The/A/An from a captured noun phrase."""
@@ -265,22 +273,25 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
                     add(py_norm_space(_strip_article(m.group("subj"))), "has initiative count",
                         {py_norm_space(m.group("pillar")): term_map},
                         _np_type(m.group("subj"), None), "Pillar")
-        for m in _SVO_RE.finditer(sent):
-            verb = m.group("verb")
-            pred, s_hint, o_hint = _VERBS[verb]
-            subj = py_norm_space(_strip_article(m.group("subj")))
-            obj = py_norm_space(m.group("obj"))
-            # drop objects that start with a stopword-ish fragment
-            if obj.split() and obj.split()[0].lower() in {"the", "a", "an", "by", "to", "in", "on", "and", "from", "its", "their"}:
-                obj = " ".join(obj.split()[1:])
-            if obj:
-                add(subj, pred, obj, _np_type(subj, s_hint), _np_type(obj, o_hint))
-        for m in _ISA_RE.finditer(sent):
-            add(py_norm_space(_strip_article(m.group("subj"))), "is a", py_norm_space(m.group("obj")),
-                _np_type(m.group("subj"), None), "Entity")
-        for m in _LOC_RE.finditer(sent):
-            add(py_norm_space(_strip_article(m.group("subj"))), "located in", py_norm_space(m.group("obj")),
-                _np_type(m.group("subj"), None), "Region")
+        if _SVO_QUICK_RE.search(sent):
+            for m in _SVO_RE.finditer(sent):
+                verb = m.group("verb")
+                pred, s_hint, o_hint = _VERBS[verb]
+                subj = py_norm_space(_strip_article(m.group("subj")))
+                obj = py_norm_space(m.group("obj"))
+                # drop objects that start with a stopword-ish fragment
+                if obj.split() and obj.split()[0].lower() in {"the", "a", "an", "by", "to", "in", "on", "and", "from", "its", "their"}:
+                    obj = " ".join(obj.split()[1:])
+                if obj:
+                    add(subj, pred, obj, _np_type(subj, s_hint), _np_type(obj, o_hint))
+        if _ISA_QUICK_RE.search(sent):
+            for m in _ISA_RE.finditer(sent):
+                add(py_norm_space(_strip_article(m.group("subj"))), "is a", py_norm_space(m.group("obj")),
+                    _np_type(m.group("subj"), None), "Entity")
+        if "located" in sent or "based" in sent or "housed" in sent:
+            for m in _LOC_RE.finditer(sent):
+                add(py_norm_space(_strip_article(m.group("subj"))), "located in", py_norm_space(m.group("obj")),
+                    _np_type(m.group("subj"), None), "Region")
     return triples
 
 
