@@ -19,7 +19,20 @@ extraction.
 
 from __future__ import annotations
 
-from neo4j_document_pipeline_spark.functions.tokenizer import decode, encode
+from neo4j_document_pipeline_spark.functions.tokenizer import (
+    TOKENIZER,
+    decode,
+    encode,
+)
+
+# With the regex fallback tokenizer, token counts are exactly additive over
+# stripped paragraphs joined by "\n\n": no token class can span the
+# boundary (paragraphs end/start on non-whitespace, so each separator is
+# one whole \s+ token), hence tokens(join(buf)) == sum(tokens(p)) +
+# (len(buf)-1). That makes the final re-encode of every packed chunk
+# redundant. BPE merges (tiktoken) break additivity, so the exact path
+# keeps the re-encode there.
+_ADDITIVE_COUNTS = TOKENIZER == "regex_fallback"
 
 
 def split_by_tokens(text: str, size: int, overlap: int) -> list[str]:
@@ -48,31 +61,36 @@ def chunk_text_with_counts(text: str, max_tokens: int = 2500,
     chunk tokenized exactly once (the distributed chunker needs the count
     anyway — avoids a second full tokenization pass per chunk)."""
     paras = [p.strip() for p in text.split("\n\n") if p.strip()]
-    chunks: list[str] = []
+    # (chunk, derived_count); derived_count is exact under _ADDITIVE_COUNTS,
+    # an upper-bound placeholder otherwise (recomputed in the final pass)
+    pairs: list[tuple[str, int]] = []
     buf: list[str] = []
+    ns: list[int] = []
     tcount = 0
 
     for p in paras:
         n = len(encode(p))
         if n > max_tokens:
             if buf:
-                chunks.append("\n\n".join(buf))
-                buf, tcount = [], 0
-            chunks.extend(split_by_tokens(p, max_tokens, overlap_tokens))
+                pairs.append(("\n\n".join(buf), sum(ns) + len(ns) - 1))
+                buf, ns, tcount = [], [], 0
+            pairs.extend(split_by_tokens_with_counts(p, max_tokens, overlap_tokens))
             continue
         if tcount + n + 1 > max_tokens and buf:
-            chunks.append("\n\n".join(buf))
-            buf, tcount = [p], n
+            pairs.append(("\n\n".join(buf), sum(ns) + len(ns) - 1))
+            buf, ns, tcount = [p], [n], n
         else:
             buf.append(p)
+            ns.append(n)
             tcount += n + 1
 
     if buf:
-        chunks.append("\n\n".join(buf))
+        pairs.append(("\n\n".join(buf), sum(ns) + len(ns) - 1))
 
     out: list[tuple[str, int]] = []
-    for c in chunks:
-        n = len(encode(c))
+    for c, n in pairs:
+        if not _ADDITIVE_COUNTS:
+            n = len(encode(c))
         if n <= max_tokens:
             out.append((c, n))
         else:
