@@ -213,8 +213,13 @@ def _strip_article(np: str) -> str:
 def _np_type(np: str, hint: str | None) -> str:
     if hint:
         return hint
-    last = np.split()[-1].lower() if np.split() else ""
+    parts = np.split()
+    last = parts[-1].lower() if parts else ""
     return _TYPE_SUFFIX.get(last, "Entity")
+
+
+_HEAD_STRIP_RE = re.compile(r"^[#>*\-\s\d.]+")
+_HEAD_STRIP_CHARS = set("#>*-. \t0123456789")
 
 
 def _iter_sentences(text: str):
@@ -223,8 +228,12 @@ def _iter_sentences(text: str):
         if not s or "|" in s:  # table rows handled by the table extractor
             continue
         # strip markdown heading/bullet/emphasis markers so NPs line up
-        s = re.sub(r"^[#>*\-\s\d.]+", "", s)
-        s = s.replace("**", "").replace("*", "")
+        # (prefix regex can only match when the first char is in its class;
+        # the replaces only matter when a '*' survives — guarded hot path)
+        if s[0] in _HEAD_STRIP_CHARS:
+            s = _HEAD_STRIP_RE.sub("", s)
+        if "*" in s:
+            s = s.replace("**", "").replace("*", "")
         if s:
             yield s
 
@@ -242,7 +251,9 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
         key = (subj, pred, json.dumps(obj, sort_keys=True) if isinstance(obj, dict) else obj)
         if key in seen or not subj or not pred:
             return
-        if subj in _SUBJ_STOP or subj.split()[0] in _SUBJ_STOP:
+        # subj is norm_space'd (single internal spaces), so the first
+        # whitespace-token equals the first space-partition
+        if subj in _SUBJ_STOP or subj.partition(" ")[0] in _SUBJ_STOP:
             return
         seen.add(key)
         triples.append({
