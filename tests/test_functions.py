@@ -124,6 +124,32 @@ def test_chunk_oversize_paragraph_sliced():
     assert "".join(chunks) == big.strip()
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1 .#*-\n'é\t|",
+            min_size=0, max_size=60,
+        ),
+        min_size=0, max_size=12,
+    ),
+    st.sampled_from([5, 17, 60, 2500]),
+    st.sampled_from([0, 2]),
+)
+@settings(max_examples=150, deadline=None)
+def test_chunk_counts_match_reencode(paras, max_tokens, overlap):
+    """Guard for the additive-count optimization: every (chunk, n) pair
+    must have n == len(encode(chunk)) and n <= max_tokens, for arbitrary
+    paragraph content including markdown markers, unicode, and whitespace
+    (fixtures are frozen against this chunker — counts must stay exact)."""
+    from neo4j_document_pipeline_spark.functions.chunking import (
+        chunk_text_with_counts,
+    )
+    text = "\n\n".join(paras)
+    for c, n in chunk_text_with_counts(text, max_tokens, overlap):
+        assert n == len(encode(c))
+        assert n <= max_tokens
+
+
 # --- markdown table extraction (ingestMD.py:177-216 semantics) ---
 
 TABLE_DOC = """Intro line.
