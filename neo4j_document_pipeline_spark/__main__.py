@@ -56,6 +56,12 @@ def main(argv=None):
         if ns.pages.startswith("synth:"):
             pages = synth_pages(spark, int(ns.pages.split(":", 1)[1]))
         else:
+            import os
+            if not os.path.exists(ns.pages):
+                hint = (f" (did you mean synth:{ns.pages}?)"
+                        if ns.pages.isdigit() else "")
+                sys.exit(f"--pages: no such parquet path {ns.pages!r}; "
+                         f"expected a parquet dir or synth:N{hint}")
             pages = read_pages(spark, ns.pages)
         manifests = run_pipeline(spark, pages, ns.store,
                                  canonicalize_entities=ns.canonicalize)
