@@ -69,6 +69,35 @@ def test_edge_agg_is_hash_based_with_partial(spark):
     assert "Window" not in p
 
 
+def test_minhash_lsh_join_is_equi_hash_not_cartesian(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(minhash_near_duplicates(docs, "doc_id", "text"))
+    # LSH blocking exists precisely so candidate generation is an
+    # equi-join on (band, band-hash) — a cartesian/NL join here would be
+    # O(n^2) at 100TB
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_exact_dedup_groups_partial_agg_no_window(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        exact_duplicate_groups)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(exact_duplicate_groups(docs, "doc_id", "text"))
+    # hash-groupBy with map-side partial aggregation; text column is
+    # hashed before the exchange so full text never shuffles
+    assert "ObjectHashAggregate" in p or "HashAggregate" in p
+    assert "Window" not in p
+    # formatted explain puts partitioning in the numbered detail section
+    parts = [l for l in p.splitlines() if "hashpartitioning(" in l]
+    assert parts, "expected a hash exchange"
+    assert all("content_hash" in l for l in parts), \
+        "shuffle key must be the content hash, never the full text"
+
+
 def test_cosine_scoring_is_whole_stage_codegen(spark):
     from neo4j_document_pipeline_spark.operators.similarity import brute_force_topk
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
