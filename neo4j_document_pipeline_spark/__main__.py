@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--no-mmr", action="store_true")
     ap.add_argument("--no-cross-doc", action="store_true")
     ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--text-source", default="text",
+                    choices=["text", "html", "auto"],
+                    help="ingest text from the text column (default), "
+                         "extract from the html binary, or auto-fallback")
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
     ns, unknown = ap.parse_known_args(argv)
@@ -64,7 +68,8 @@ def main(argv=None):
                          f"expected a parquet dir or synth:N{hint}")
             pages = read_pages(spark, ns.pages)
         manifests = run_pipeline(spark, pages, ns.store,
-                                 canonicalize_entities=ns.canonicalize)
+                                 canonicalize_entities=ns.canonicalize,
+                                 text_source=ns.text_source)
         print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                           for k, m in manifests.items()}, indent=1))
     elif ns.command == "query":

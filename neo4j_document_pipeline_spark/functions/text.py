@@ -147,3 +147,87 @@ def pd_canonicalize(s: pd.Series) -> pd.Series:
 
 def pd_sha256(s: pd.Series) -> pd.Series:
     return s.map(py_sha256_hex)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (north-star item 1: Common-Crawl pages carry
+# html:binary; extracted text must be byte-identical per url to the
+# reference extractor — which IS this plain-Python function, used
+# unchanged inside the pandas UDF, SURVEY.md §7.3 mitigation #1)
+# ---------------------------------------------------------------------------
+
+from html.parser import HTMLParser as _HTMLParser  # noqa: E402
+
+_HTML_SKIP_TAGS = {"script", "style", "head", "noscript", "template"}
+_HTML_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "section", "article", "header", "footer",
+    "blockquote", "pre",
+}
+
+
+class _TextExtractor(_HTMLParser):
+    """Segment-per-block extraction: text inside script/style/head is
+    dropped, <br> emits a newline, each closed block element ends a
+    segment (kept even when empty), segments join with a blank line.
+    For well-formed flat markup (<p>seg</p> per paragraph) this is the
+    exact inverse of wrapping \\n\\n-split paragraphs in <p> tags."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.segments: list[str] = []
+        self._cur: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _HTML_SKIP_TAGS:
+            self._skip += 1
+        elif tag == "br":
+            self._cur.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br":
+            self._cur.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _HTML_SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _HTML_BLOCK_TAGS:
+            self.segments.append("".join(self._cur))
+            self._cur = []
+
+    def handle_data(self, data):
+        if not self._skip:
+            self._cur.append(data)
+
+    def result(self) -> str:
+        segs = list(self.segments)
+        tail = "".join(self._cur)
+        if tail:
+            segs.append(tail)
+        return "\n\n".join(segs)
+
+
+def py_html_to_text(html: bytes | str | None) -> str:
+    """Deterministic stdlib-only HTML -> text (no external parser deps).
+    bytes are decoded utf-8 with replacement; entity references are
+    unescaped; block structure maps to blank-line paragraph breaks."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        raw = bytes(html).decode("utf-8", errors="replace")
+    else:
+        raw = str(html)
+    p = _TextExtractor()
+    try:
+        p.feed(raw)
+        p.close()
+    except Exception:
+        # HTMLParser is tolerant; this is a belt for pathological input —
+        # fall back to whatever was collected
+        pass
+    return p.result()
+
+
+def pd_html_to_text(s: pd.Series) -> pd.Series:
+    return s.map(py_html_to_text)

@@ -61,8 +61,43 @@ def _canonicalize_udf():
     return canon
 
 
+def _html_to_text_udf():
+    from neo4j_document_pipeline_spark.functions.text import py_html_to_text
+
+    @F.pandas_udf("string")
+    def h2t(s: pd.Series) -> pd.Series:
+        return s.map(py_html_to_text)
+    return h2t
+
+
+def _page_text(pages: DataFrame, text_source: str) -> DataFrame:
+    """(url, text) projection under the chosen source column.
+
+    - 'text' (default): trust the pre-extracted text column; the html
+      binary column is pruned from the scan entirely;
+    - 'html': extract text from the html binary via the Arrow-batched
+      pandas UDF (north-star item 1) — byte-identical per url to the
+      plain-Python reference extractor, which is the same function;
+    - 'auto': use text when non-empty, else extract from html.
+    """
+    if text_source == "text":
+        return pages.select("url", "text")
+    h2t = _html_to_text_udf()
+    if text_source == "html":
+        return pages.select("url", h2t(F.col("html")).alias("text"))
+    if text_source == "auto":
+        return pages.select(
+            "url",
+            F.when(F.col("text").isNotNull() & (F.col("text") != ""),
+                   F.col("text"))
+            .otherwise(h2t(F.col("html"))).alias("text"),
+        )
+    raise ValueError(f"text_source must be text|html|auto, got {text_source!r}")
+
+
 def pages_to_canonical(pages: DataFrame,
-                       cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       text_source: str = "text") -> DataFrame:
     """Canonicalize + content-hash WITHOUT the doc-dedup shuffle.
 
     The chunker only needs (doc_id, text); duplicate pages share a doc_id
@@ -71,14 +106,14 @@ def pages_to_canonical(pages: DataFrame,
     duplicate-page groupBy can run OFF the extraction critical path (it is
     only needed to materialize the documents TABLE)."""
     return (
-        pages
-        .select("url", "text")
+        _page_text(pages, text_source)
         .withColumn("text", _canonicalize_udf()(F.col("text")))
         .withColumn("doc_id", F.sha2(F.col("text"), 256))
     )
 
 
-def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       text_source: str = "text") -> DataFrame:
     """Canonical text + content-hash doc_id (ingestMD.py:736-737).
 
     Title = url basename stem (the reference uses the file stem,
@@ -86,8 +121,7 @@ def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -
     url (deterministic; the reference's MERGE is idempotent on doc_id).
     """
     docs = (
-        pages
-        .select("url", "text")
+        _page_text(pages, text_source)
         .withColumn("text", _canonicalize_udf()(F.col("text")))
         .withColumn("doc_id", F.sha2(F.col("text"), 256))
         .withColumn("path", F.col("url"))

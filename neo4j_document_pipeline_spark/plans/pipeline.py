@@ -44,7 +44,8 @@ def fingerprint(df: DataFrame, cols: list[str]) -> str:
 def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
                  resume: bool = True,
-                 canonicalize_entities: bool = False) -> dict:
+                 canonicalize_entities: bool = False,
+                 text_source: str = "text") -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
 
     ``canonicalize_entities=True`` appends the north-star entity-resolution
@@ -52,10 +53,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     nodes/edges/mentions tables (suffix ``_canonical``) plus the
     ``entity_map`` table.
 
+    ``text_source``: 'text' (default, html column pruned), 'html'
+    (extract from the html binary column), or 'auto' (text else html).
+
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
     manifests: dict[str, dict] = {}
-    fp = fingerprint(pages, ["url", "text"])
+    if text_source == "text":
+        fp = fingerprint(pages, ["url", "text"])
+    else:
+        # html-sourced runs must key resume on html content too (text may
+        # be null); crc per row keeps the fingerprint cheap on binary
+        fp = fingerprint(
+            pages.withColumn("_hcrc", F.crc32("html").cast("string")),
+            ["url", "text", "_hcrc"])
 
     def stage(name: str, build, deps_fp: str, **write_kw):
         if resume and store.is_current(name, deps_fp):
@@ -75,7 +86,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         return df.observe(obs, *metrics), obs
 
     docs_df, docs_obs = observed(
-        pages_to_documents(pages, cfg), "documents_metrics",
+        pages_to_documents(pages, cfg, text_source=text_source),
+        "documents_metrics",
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.length("text")).alias("total_text_bytes"),
         F.approx_count_distinct(F.col("doc_id")).alias("approx_distinct_docs"),

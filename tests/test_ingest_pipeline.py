@@ -153,3 +153,57 @@ def test_edge_sources_accumulate_across_docs(spark):
     _, edges, _, _ = build_graph(triples)
     multi = edges.filter(F.size("sources") >= 2).count()
     assert multi > 0
+
+
+# --- html:binary -> text extraction (north-star item 1) ---
+
+def test_html_to_text_byte_identical_per_url(pages):
+    """input_hint invariant: extracted text per url must be byte-identical
+    to the reference extractor (the same plain-Python function)."""
+    from neo4j_document_pipeline_spark.functions.text import py_html_to_text
+    for r in pages.select("url", "html", "text").collect():
+        assert py_html_to_text(r["html"]) == r["text"], r["url"]
+
+
+def test_documents_from_html_match_documents_from_text(spark, pages):
+    from_text = pages_to_documents(pages)
+    from_html = pages_to_documents(pages, text_source="html")
+    cols = ["doc_id", "url", "text"]
+    assert sorted(from_text.select(*cols).collect()) == \
+        sorted(from_html.select(*cols).collect())
+    # 'auto' with text nulled out must also reproduce the same documents
+    nulled = pages.withColumn("text", F.lit(None).cast("string"))
+    from_auto = pages_to_documents(nulled, text_source="auto")
+    assert sorted(from_text.select(*cols).collect()) == \
+        sorted(from_auto.select(*cols).collect())
+
+
+def test_html_to_text_adversarial():
+    from neo4j_document_pipeline_spark.functions.text import py_html_to_text
+    # script/style/head dropped, entities unescaped, br -> newline
+    h = (b"<html><head><title>T</title><style>p{}</style>"
+         b"<script>var x='<p>no</p>';</script></head>"
+         b"<body><p>A &amp; B</p><div>C<br/>D</div></body></html>")
+    assert py_html_to_text(h) == "A & B\n\nC\nD"
+    assert py_html_to_text(None) == ""
+    assert py_html_to_text(b"") == ""
+    assert py_html_to_text(b"no tags at all") == "no tags at all"
+    # invalid utf-8 is replaced, not fatal
+    assert "�" in py_html_to_text(b"<p>\xff\xfe</p>")
+    # unclosed / hostile markup must not raise
+    py_html_to_text(b"<p><div><p>x")
+
+
+def test_default_text_source_prunes_html_from_scan(spark, tmp_path):
+    """The 100TB design check: unless html extraction is requested, the
+    html binary column must never be read from parquet."""
+    import io
+    from contextlib import redirect_stdout
+    p = str(tmp_path / "pages.parquet")
+    synth_pages(spark, 10).write.mode("overwrite").parquet(p)
+    df = pages_to_documents(spark.read.parquet(p))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert read_schema and all("html" not in l for l in read_schema)
