@@ -78,13 +78,28 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        # per-partition lineage (north rule): one entry per committed data
+        # file with its row count — the same information an Iceberg
+        # manifest records — gathered in the single read-back job that
+        # previously only produced the global count
+        per_file = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .count().collect()
+        )
+        partitions = sorted(
+            ({"file": r["file"].split(version + "/", 1)[-1],
+              "rows": r["count"]} for r in per_file),
+            key=lambda d: d["file"])
+        rows = sum(p["rows"] for p in partitions)
         prev = self.manifest(name)
         man = {
             "table": name,
             "version": version,
             "stage": stage or name,
             "rows": rows,
+            "n_files": len(partitions),
+            "partitions": partitions,
             "input_fingerprint": input_fingerprint,
             "committed_at_unix": int(time.time()),
             "parent_version": prev["version"] if prev else None,

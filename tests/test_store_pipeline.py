@@ -121,6 +121,23 @@ def test_manifest_contents(spark, tmp_path):
     assert man["rows"] > 0
     assert man["input_fingerprint"]
     assert man["stage"] == "triples_raw"
+    # per-partition lineage (north rule): one entry per committed data
+    # file, counts summing to the global row count
+    assert man["n_files"] == len(man["partitions"]) > 0
+    assert sum(p["rows"] for p in man["partitions"]) == man["rows"]
+    for p in man["partitions"]:
+        assert p["file"] and not p["file"].startswith("file:")
+
+
+def test_manifest_partition_lineage_multifile(spark, tmp_path):
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    store = GraphStore(str(tmp_path / "kg5"), spark)
+    df = spark.range(0, 1000, 1, 8).withColumn("k", F.col("id") % 3)
+    man = store.write("multi", df, partition_by=["k"])
+    assert man["n_files"] >= 3  # at least one file per k= partition
+    assert sum(p["rows"] for p in man["partitions"]) == 1000
+    # partition directory names surface in the lineage paths
+    assert any("k=0" in p["file"] for p in man["partitions"])
 
 
 def test_truncate(spark, store):
