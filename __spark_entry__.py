@@ -290,6 +290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cosine_topk"] = cosine_topk
 
+    # ---- IVF ANN, full probe (exact -> shares the cosine oracle) ----
+    def ivf_topk_full(spark, sf):
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            ivf_topk, ivf_train)
+        e = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+        out = ivf_topk(e, "vec_id", "embedding", cents, qv, k=10, nprobe=4)
+        return out.select("vec_id", F.round("score", 4).alias("score"))
+    q["ivf_topk_full"] = ivf_topk_full
+
     # ---- textstats: token count ----
     def token_counts(spark, sf):
         return _t(spark, sf, "documents").select(
@@ -550,6 +562,12 @@ def oracle_sql() -> dict[str, str]:
             "  ' ', '_'), '[^A-Za-z0-9_]', '_', 'g'), 64) AS label FROM documents) "
             "GROUP BY label",
         "cosine_topk":
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
+            "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        # IVF at nprobe == n_cells is exact, so the brute-force cosine SQL
+        # is its oracle too
+        "ivf_topk_full":
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
             "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",

@@ -105,3 +105,90 @@ def pairwise_topk_join(left: DataFrame, right: DataFrame,
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-probing scale path
+# ---------------------------------------------------------------------------
+
+def _cell_col(vec_col: str, centroids: list[list[float]]):
+    """0-based nearest-centroid index by cosine, computed entirely with
+    JVM higher-order functions over a literal centroid array — no explode
+    (no row multiplication), no shuffle, no Python. Centroids are
+    L2-normalized here so the dot IS the cosine ranking (the row vector's
+    own norm is constant across cells and cannot change the argmax)."""
+    normed = []
+    for c in centroids:
+        n = float(np.sqrt(sum(x * x for x in c))) or 1.0
+        normed.append([float(x) / n for x in c])
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in normed])
+    dots = F.transform(
+        cents,
+        lambda c: F.aggregate(F.zip_with(F.col(vec_col), c, lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    # array_position: 1-based, first occurrence -> deterministic tie-break
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_train(df: DataFrame, id_col: str, vec_col: str,
+              n_cells: int = 16, iters: int = 5,
+              seed: int = 42) -> list[list[float]]:
+    """Distributed Lloyd k-means coarse quantizer.
+
+    - init: n_cells rows picked by sha2(id) order (deterministic seeded
+      pseudo-random sample, one small job);
+    - assign: expression-only argmax over literal centroids (above) —
+      one narrow map stage per iteration;
+    - update: single groupBy(cell) with one avg per dimension (map-side
+      partial aggregation; k x dim result collected to the driver).
+    Empty cells keep their previous centroid."""
+    dim = len(df.select(vec_col).first()[0])
+    init = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
+                                 F.lit(str(seed))), 256))
+        .limit(n_cells).collect()
+    )
+    centroids = [list(map(float, r["v"])) for r in init]
+    for _ in range(iters):
+        assigned = df.select(_cell_col(vec_col, centroids).alias("cell"),
+                             F.col(vec_col).alias("v"))
+        rows = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = list(centroids)
+        for r in rows:
+            new[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str,
+               centroids: list[list[float]],
+               cell_col: str = "cell") -> DataFrame:
+    """Attach the IVF cell id. At scale, write the table partitioned by
+    this column so ivf_topk's cell filter becomes partition pruning."""
+    return df.withColumn(cell_col, _cell_col(vec_col, centroids))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+             centroids: list[list[float]], query: list[float],
+             k: int = 10, nprobe: int = 4,
+             cell_col: str | None = None) -> DataFrame:
+    """Probe the nprobe cells nearest the query (ranked driver-side over
+    the tiny centroid set), exact cosine re-rank within. nprobe ==
+    len(centroids) degrades to exact brute force."""
+    q = np.asarray(query, dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        ca = np.asarray(c, dtype=float)
+        cn = np.linalg.norm(ca) or 1.0
+        sims.append((float(q @ ca / (qn * cn)), i))
+    probes = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:max(1, nprobe)]]
+    cells = df if cell_col else ivf_assign(df, vec_col, centroids, "_ivf_cell")
+    col = cell_col or "_ivf_cell"
+    pruned = cells.filter(F.col(col).isin(probes)).drop("_ivf_cell")
+    return brute_force_topk(pruned, id_col, vec_col, query, k)

@@ -188,3 +188,61 @@ def test_media_decode_stub_raises(spark):
     media = synth_media(spark, 3)
     with pytest.raises(Exception):
         extract_media_features(media, deterministic_fake=False).collect()
+
+
+# --- IVF ANN (the cell-probing scale path) ---
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, ivf_train)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1, -0.2] * 32
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    exact = brute_force_topk(e, "vec_id", "embedding", q, 10).collect()
+    full = ivf_topk(e, "vec_id", "embedding", cents, q, 10, nprobe=4).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_train_deterministic_and_partitions_all_rows(spark):
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    c2 = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    assert c1 == c2
+    cells = ivf_assign(e, "embedding", c1)
+    assert cells.count() == e.count()
+    dist = dict(cells.groupBy("cell").count().collect() and
+                [(r["cell"], r["count"]) for r in cells.groupBy("cell").count().collect()])
+    assert set(dist) <= set(range(4)) and sum(dist.values()) == e.count()
+
+
+def test_ivf_probe_recall_grows_with_nprobe(spark):
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, ivf_train)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.3] * 64
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    exact = {r["vec_id"] for r in brute_force_topk(e, "vec_id", "embedding", q, 10).collect()}
+    recalls = []
+    for npb in (1, 2, 4):
+        got = {r["vec_id"] for r in
+               ivf_topk(e, "vec_id", "embedding", cents, q, 10, nprobe=npb).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert recalls[-1] == 1.0          # full probe is exact
+    assert recalls == sorted(recalls)  # more cells never lose recall
+
+
+def test_ivf_assignment_is_expression_only(spark):
+    """Scale check: cell assignment must be JVM expressions, never a
+    Python UDF stage."""
+    import io
+    from contextlib import redirect_stdout
+    from neo4j_document_pipeline_spark.operators.similarity import ivf_assign
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.1] * 64, [-0.1] * 64]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_assign(e, "embedding", cents).explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
