@@ -38,6 +38,8 @@ def main(argv=None):
                     choices=["text", "html", "auto"],
                     help="ingest text from the text column (default), "
                          "extract from the html binary, or auto-fallback")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated lang codes to ingest (default all)")
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
     ns, unknown = ap.parse_known_args(argv)
@@ -69,7 +71,8 @@ def main(argv=None):
             pages = read_pages(spark, ns.pages)
         manifests = run_pipeline(spark, pages, ns.store,
                                  canonicalize_entities=ns.canonicalize,
-                                 text_source=ns.text_source)
+                                 text_source=ns.text_source,
+                                 langs=ns.langs.split(",") if ns.langs else None)
         print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                           for k, m in manifests.items()}, indent=1))
     elif ns.command == "query":

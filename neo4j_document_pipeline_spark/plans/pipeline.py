@@ -45,7 +45,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
                  resume: bool = True,
                  canonicalize_entities: bool = False,
-                 text_source: str = "text") -> dict:
+                 text_source: str = "text",
+                 langs: list[str] | None = None) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
 
     ``canonicalize_entities=True`` appends the north-star entity-resolution
@@ -56,9 +57,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     ``text_source``: 'text' (default, html column pruned), 'html'
     (extract from the html binary column), or 'auto' (text else html).
 
+    ``langs``: keep only pages whose ``lang`` is in the list (None = all).
+    Applied before any UDF stage, as a plain column predicate, so Catalyst
+    pushes it into the parquet/Iceberg scan — at CC scale this skips the
+    bulk of the corpus at the I/O layer.
+
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
     manifests: dict[str, dict] = {}
+    if langs:
+        pages = pages.filter(F.col("lang").isin(list(langs)))
     if text_source == "text":
         fp = fingerprint(pages, ["url", "text"])
     else:

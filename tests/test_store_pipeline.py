@@ -145,3 +145,27 @@ def test_truncate(spark, store):
     store.write("x", df)
     store.truncate("x")
     assert not store.exists("x")
+
+
+def test_lang_filter_pushes_down_and_filters(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        pages_to_documents)
+    p = str(tmp_path / "pages.parquet")
+    synth_pages(spark, 40).write.mode("overwrite").parquet(p)
+    pages = spark.read.parquet(p)
+    # generator makes every 10th page lang='ms'
+    root = str(tmp_path / "kg_lang")
+    man = run_pipeline(spark, pages, root, langs=["en"])
+    en_docs = pages_to_documents(
+        pages.filter(F.col("lang") == "en")).count()
+    assert man["documents_final"]["rows"] == en_docs
+    # the predicate must reach the parquet scan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pages.filter(F.col("lang").isin(["en"])).select("url").explain("formatted")
+    plan = buf.getvalue().replace(" ", "")
+    pushed = plan[plan.find("PushedFilters"):].splitlines()[0]
+    # single-element isin folds to EqualTo; either form must be pushed
+    assert "EqualTo(lang,en)" in pushed or "In(lang" in pushed, pushed
