@@ -40,6 +40,13 @@ def main(argv=None):
                          "extract from the html binary, or auto-fallback")
     ap.add_argument("--langs", default=None,
                     help="comma-separated lang codes to ingest (default all)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="MERGE this batch into the existing store instead "
+                         "of recomputing staged tables (delta ingest)")
+    ap.add_argument("--since-ts", default=None,
+                    help="only ingest pages with warc_ts after this ISO "
+                         "timestamp; 'auto' = the store's last committed "
+                         "max_warc_ts (implies --incremental)")
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
     ns, unknown = ap.parse_known_args(argv)
@@ -69,12 +76,32 @@ def main(argv=None):
                 sys.exit(f"--pages: no such parquet path {ns.pages!r}; "
                          f"expected a parquet dir or synth:N{hint}")
             pages = read_pages(spark, ns.pages)
-        manifests = run_pipeline(spark, pages, ns.store,
-                                 canonicalize_entities=ns.canonicalize,
-                                 text_source=ns.text_source,
-                                 langs=ns.langs.split(",") if ns.langs else None)
-        print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
-                          for k, m in manifests.items()}, indent=1))
+        from pyspark.sql import functions as F
+        if ns.since_ts:
+            since = ns.since_ts
+            if since == "auto":
+                m = store.manifest("documents_final") or {}
+                since = (m.get("metrics") or {}).get("max_warc_ts")
+            if since:
+                pages = pages.filter(F.col("warc_ts") > F.lit(since).cast("timestamp"))
+        if ns.incremental or ns.since_ts:
+            from neo4j_document_pipeline_spark.streaming.ingest import (
+                ingest_increment)
+            if pages.isEmpty():
+                print(json.dumps({"increment": {"rows": 0, "note": "no new pages"}}))
+            else:
+                ingest_increment(store, pages, stage="cli-increment")
+                print(json.dumps({"increment": {
+                    k: (store.manifest(k) or {}).get("rows")
+                    for k in ("nodes", "edges", "mentions", "documents_final")}},
+                    indent=1))
+        else:
+            manifests = run_pipeline(spark, pages, ns.store,
+                                     canonicalize_entities=ns.canonicalize,
+                                     text_source=ns.text_source,
+                                     langs=ns.langs.split(",") if ns.langs else None)
+            print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
+                              for k, m in manifests.items()}, indent=1))
     elif ns.command == "query":
         from neo4j_document_pipeline_spark.operators.retrieval import graphrag
         question = " ".join(ns.args)

@@ -197,7 +197,10 @@ class GraphStore:
 
     def merge_documents(self, updates: DataFrame) -> DataFrame:
         """MERGE by doc_id with coalesce-style title/path (first write
-        sticks, ingestMD.py:528-536)."""
+        sticks, ingestMD.py:528-536) into the accumulated documents_final
+        table. n_chunks takes any non-null value: doc_id is a content
+        hash, so the same doc always has the same chunk count — this
+        back-fills rows that were committed before their count was known."""
         def fn(existing, new):
             new = new.withColumn("_src", F.lit(1))
             if existing is None:
@@ -205,12 +208,15 @@ class GraphStore:
             else:
                 allr = existing.withColumn("_src", F.lit(0)).unionByName(new)
             w = Window.partitionBy("doc_id").orderBy(F.col("_src").asc())
+            wall = Window.partitionBy("doc_id")
             return (
-                allr.withColumn("_rn", F.row_number().over(w))
+                allr.withColumn("_nc", F.max("n_chunks").over(wall))
+                .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .drop("_rn", "_src")
+                .withColumn("n_chunks", F.col("_nc"))
+                .drop("_rn", "_src", "_nc")
             )
-        return self._merged("documents", updates, fn)
+        return self._merged("documents_final", updates, fn)
 
     def merge_mentions(self, updates: DataFrame) -> DataFrame:
         def fn(existing, new):

@@ -29,16 +29,49 @@ def stream_pages(spark: SparkSession, pages_dir: str,
     )
 
 
+def ingest_increment(store, batch_df: DataFrame,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     stage: str = "increment") -> None:
+    """Incrementally MERGE one batch of pages into an existing graph store
+    — the core shared by streaming foreachBatch and batch delta-ingest
+    (CLI --incremental). Unlike run_pipeline, adding new pages never
+    recomputes prior pages: each table is union-merged on its identity key
+    (idempotent, so re-delivery of the same batch is a no-op)."""
+    from neo4j_document_pipeline_spark.operators.graph import (
+        build_edges, build_embeddings_cache, build_mentions, build_nodes)
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        chunks_to_triples, documents_to_chunks, pages_to_documents)
+
+    max_ts = batch_df.agg(F.max("warc_ts").alias("m")).first()["m"]
+    documents = pages_to_documents(batch_df, cfg).localCheckpoint()
+    chunks = documents_to_chunks(documents, cfg).localCheckpoint()
+    triples = chunks_to_triples(chunks, cfg).localCheckpoint()
+    emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
+    store.write("embeddings_cache", emb, stage=stage)
+    emb = store.read("embeddings_cache")
+    store.write("nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
+                stage=stage)
+    store.write("edges",
+                store.merge_edges(build_edges(triples, emb, cfg,
+                                              chunks=chunks)),
+                stage=stage)
+    store.write("mentions", store.merge_mentions(build_mentions(triples)),
+                stage=stage)
+    n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    docs_final = (documents.join(n_chunks, "doc_id", "left")
+                  .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
+                  .drop("_n"))
+    store.write("documents_final", store.merge_documents(docs_final),
+                stage=stage,
+                extra_metrics={"max_warc_ts": str(max_ts) if max_ts else None})
+
+
 def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         checkpoint_dir: str,
                         cfg: PipelineConfig = DEFAULT_CONFIG):
     """readStream(pages) -> foreachBatch(full ingest DAG with MERGE
     semantics). Each micro-batch is one 'Celery task batch'; the GraphStore
     MERGE keeps re-delivery idempotent (at-least-once -> effectively-once)."""
-    from neo4j_document_pipeline_spark.operators.graph import (
-        build_edges, build_embeddings_cache, build_mentions, build_nodes)
-    from neo4j_document_pipeline_spark.operators.ingest import (
-        chunks_to_triples, documents_to_chunks, pages_to_documents)
     from neo4j_document_pipeline_spark.sources.store import GraphStore
 
     store = GraphStore(store_root, spark)
@@ -46,26 +79,7 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
     def process_batch(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
-        documents = pages_to_documents(batch_df, cfg).localCheckpoint()
-        chunks = documents_to_chunks(documents, cfg).localCheckpoint()
-        triples = chunks_to_triples(chunks, cfg).localCheckpoint()
-        emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
-        store.write("embeddings_cache", emb, stage=f"stream-epoch-{epoch_id}")
-        emb = store.read("embeddings_cache")
-        store.write("nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
-                    stage=f"stream-epoch-{epoch_id}")
-        store.write("edges",
-                    store.merge_edges(build_edges(triples, emb, cfg,
-                                                  chunks=chunks)),
-                    stage=f"stream-epoch-{epoch_id}")
-        store.write("mentions", store.merge_mentions(build_mentions(triples)),
-                    stage=f"stream-epoch-{epoch_id}")
-        n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
-        docs_final = (documents.join(n_chunks, "doc_id", "left")
-                      .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
-                      .drop("_n"))
-        store.write("documents_final", store.merge_documents(docs_final),
-                    stage=f"stream-epoch-{epoch_id}")
+        ingest_increment(store, batch_df, cfg, stage=f"stream-epoch-{epoch_id}")
 
     return (
         stream_pages(spark, pages_dir)
