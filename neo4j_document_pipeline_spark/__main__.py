@@ -40,6 +40,9 @@ def main(argv=None):
                          "extract from the html binary, or auto-fallback")
     ap.add_argument("--langs", default=None,
                     help="comma-separated lang codes to ingest (default all)")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop pages below this [0,1] heuristic quality "
+                         "score before extraction")
     ap.add_argument("--incremental", action="store_true",
                     help="MERGE this batch into the existing store instead "
                          "of recomputing staged tables (delta ingest)")
@@ -99,7 +102,8 @@ def main(argv=None):
             manifests = run_pipeline(spark, pages, ns.store,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
-                                     langs=ns.langs.split(",") if ns.langs else None)
+                                     langs=ns.langs.split(",") if ns.langs else None,
+                                     min_quality=ns.min_quality)
             print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                               for k, m in manifests.items()}, indent=1))
     elif ns.command == "query":

@@ -46,7 +46,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  resume: bool = True,
                  canonicalize_entities: bool = False,
                  text_source: str = "text",
-                 langs: list[str] | None = None) -> dict:
+                 langs: list[str] | None = None,
+                 min_quality: float | None = None) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
 
     ``canonicalize_entities=True`` appends the north-star entity-resolution
@@ -62,11 +63,21 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     pushes it into the parquet/Iceberg scan — at CC scale this skips the
     bulk of the corpus at the I/O layer.
 
+    ``min_quality``: drop pages whose heuristic quality score
+    (functions/textstats.py::col_quality_score over the text column,
+    [0,1]) is below the threshold — the C4/Gopher-style gate that keeps
+    boilerplate out of extraction. Expression-only, evaluated in the
+    scan's first map stage (no UDF, no extra action).
+
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
     manifests: dict[str, dict] = {}
     if langs:
         pages = pages.filter(F.col("lang").isin(list(langs)))
+    if min_quality is not None:
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_quality_score)
+        pages = pages.filter(col_quality_score(F.col("text")) >= min_quality)
     if text_source == "text":
         fp = fingerprint(pages, ["url", "text"])
     else:

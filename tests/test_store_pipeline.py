@@ -169,3 +169,16 @@ def test_lang_filter_pushes_down_and_filters(spark, tmp_path):
     pushed = plan[plan.find("PushedFilters"):].splitlines()[0]
     # single-element isin folds to EqualTo; either form must be pushed
     assert "EqualTo(lang,en)" in pushed or "In(lang" in pushed, pushed
+
+
+def test_min_quality_gate_filters_pages(spark, tmp_path):
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_quality_score)
+    pages = synth_pages(spark, 40).cache()
+    root = str(tmp_path / "kg_q")
+    man = run_pipeline(spark, pages, root, min_quality=0.75)
+    kept = pages.filter(col_quality_score(F.col("text")) >= 0.75)
+    from neo4j_document_pipeline_spark.operators.ingest import (
+        pages_to_documents)
+    assert man["documents_final"]["rows"] == pages_to_documents(kept).count()
+    assert man["documents_final"]["rows"] < 40  # gate actually drops some
