@@ -302,6 +302,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("score", 4).alias("score"))
     q["ivf_topk_full"] = ivf_topk_full
 
+    # ---- URL normalization (url-level dedup staple) ----
+    def url_normalize(spark, sf):
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_normalize_url)
+        d = _t(spark, sf, "documents")
+        messy = F.concat(F.lit("HTTPS://Example.COM:443/"), F.col("doc_id"),
+                         F.lit("/?utm_source=x&q=1&utm_b=2#frag"))
+        return d.select("doc_id", col_normalize_url(messy).alias("url_norm"))
+    q["url_normalize"] = url_normalize
+
     # ---- textstats: token count ----
     def token_counts(spark, sf):
         return _t(spark, sf, "documents").select(
@@ -565,6 +575,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
             "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        # identical regex chain (RE2-safe: no lookaheads) over the same
+        # synthesized messy url — exercises fragment strip, multi-tracking-
+        # param removal, separator repair, host lowering, default port,
+        # trailing slash
+        "url_normalize":
+            r"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            r"CASE WHEN regexp_extract(s5, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' THEN s5 "
+            r"ELSE lower(regexp_extract(s5, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) "
+            r"|| regexp_replace(s5, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END, "
+            r"'^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'), "
+            r"'^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'), "
+            r"'^([^?]*[^/?])/$', '\1') AS url_norm FROM ("
+            r"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            r"trim('HTTPS://Example.COM:443/' || doc_id || '/?utm_source=x&q=1&utm_b=2#frag'), "
+            r"'#.*$', ''), "
+            r"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'), "
+            r"'[?&]+$', ''), "
+            r"'&&+', '&', 'g'), "
+            r"'\?&', '?') AS s5 FROM documents)",
         # IVF at nprobe == n_cells is exact, so the brute-force cosine SQL
         # is its oracle too
         "ivf_topk_full":

@@ -105,3 +105,30 @@ def col_rolling_fingerprints(c: Column, k: int = 8, keep: int = 4) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.crc32(F.substring(norm, i, k).cast("binary")))
     return F.slice(F.array_sort(grams), 1, keep)
+
+
+def col_normalize_url(c: Column) -> Column:
+    """Canonical URL for url-level dedup (the Common-Crawl staple):
+    lowercase scheme+host, strip the fragment, drop utm_*/fbclid/gclid
+    tracking params (and a dangling '?'/'&'), strip default ports and a
+    trailing slash on a bare path. Pure regex, so the DuckDB oracle can
+    run the identical transformation."""
+    u = F.trim(c)
+    # fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # tracking params (leading or mid-query), then a dangling separator
+    u = F.regexp_replace(u, r"([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"&&+", "&")   # collapse runs first, then the
+    u = F.regexp_replace(u, r"\?&", "?")   # stranded '?&' left at the head
+    # lowercase scheme://host (leave path/query case alone)
+    scheme_host = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.when(scheme_host == "", u).otherwise(F.concat(scheme_host, rest))
+    # default ports (lookahead-free so the RE2-based DuckDB oracle can run
+    # the identical pattern; an unmatched trailing group substitutes "")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    # trailing slash on a bare path (no query)
+    u = F.regexp_replace(u, r"^([^?]*[^/?])/$", "$1")
+    return u

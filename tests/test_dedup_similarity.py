@@ -246,3 +246,26 @@ def test_ivf_assignment_is_expression_only(spark):
         ivf_assign(e, "embedding", cents).explain("formatted")
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_normalize_url_cases(spark):
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_normalize_url)
+    cases = [
+        ("HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "https://example.com/Path/?q=1"),
+        ("http://A.com:80/", "http://a.com"),
+        ("https://a.com:4433/p", "https://a.com:4433/p"),  # non-default port kept
+        ("https://a.com/p?utm_a=1&utm_b=2&q=3", "https://a.com/p?q=3"),
+        ("https://a.com/p?q=1&utm_x=2&r=4", "https://a.com/p?q=1&r=4"),
+        ("https://a.com/p?q=1&utm_x=2", "https://a.com/p?q=1"),
+        ("https://a.com/p/", "https://a.com/p"),
+        ("https://a.com/?gclid=1", "https://a.com"),
+        ("ftp://X.org/A/", "ftp://x.org/A"),  # path case preserved
+        ("not a url", "not a url"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    bad = df.select("u", col_normalize_url(F.col("u")).alias("got"), "want") \
+            .filter(F.col("got") != F.col("want")).collect()
+    assert not bad, bad
