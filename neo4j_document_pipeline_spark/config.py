@@ -33,6 +33,12 @@ class PipelineConfig:
     chunk_size_tokens: int = 2500          # embedConfig.yaml:9
     chunk_overlap_tokens: int = 0          # ingestMD.py:34
     src_txt_clamp: int = 1000              # ingestMD.py:494
+    # bounded per-edge state at CC scale: cap the sources doc_id list at
+    # the N lexicographically-smallest ids (deterministic under any ingest
+    # order, so MERGE stays idempotent). None = unbounded, reference-
+    # faithful append-if-absent (ingestMD.py:516-526) — a celebrity edge
+    # across 10^9 docs would otherwise carry a 10^9-element array.
+    max_sources_per_edge: int | None = None
     embedding_dim: int = 64                # featurizer dim (reference: 3072)
     featurizer_seed: int = 42
     fixed_clock_millis: int = 1764288000000  # 2025-11-28T00:00:00Z; injected

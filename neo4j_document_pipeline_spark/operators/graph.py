@@ -189,9 +189,14 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
         F.col("doc_id"), F.col("chunk_idx"), F.col("chunk_id"),
         F.col("count"), F.col("rel_text"),
     )).alias("_last")
+    sources_agg = F.array_sort(F.collect_set("doc_id"))
+    if cfg.max_sources_per_edge:
+        # bounded per-edge state: keep the N lexicographically-smallest
+        # doc_ids — deterministic under any ingest order (config.py note)
+        sources_agg = F.slice(sources_agg, 1, cfg.max_sources_per_edge)
     edges = (
         t.groupBy("src_id", "rel_type", "term_key", "dst_id")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("sources"), last)
+        .agg(sources_agg.alias("sources"), last)
         .select(
             "src_id", "rel_type", "term_key", "dst_id", "sources",
             F.col("_last.chunk_id").alias("_chunk_id"),

@@ -148,7 +148,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     tail = [
         ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg))),
         ("edges", lambda: store.merge_edges(
-            build_edges(triples, embeddings, cfg, chunks=chunks))),
+            build_edges(triples, embeddings, cfg, chunks=chunks),
+            max_sources=cfg.max_sources_per_edge)),
         ("mentions", lambda: store.merge_mentions(build_mentions(triples))),
         ("documents_final", lambda: store.merge_documents(docs_final)),
     ]

@@ -165,11 +165,19 @@ class GraphStore:
             )
         return self._merged("nodes", updates, fn)
 
-    def merge_edges(self, updates: DataFrame) -> DataFrame:
+    def merge_edges(self, updates: DataFrame,
+                    max_sources: int | None = None) -> DataFrame:
         """MERGE by (src_id, rel_type, term, dst_id): sources append-if-
         absent (array_union), source_text_full/count/embedding last-write-
         wins, created_at preserved, updated_at bumped
-        (ingestMD.py:513-547)."""
+        (ingestMD.py:513-547). ``max_sources`` re-applies the bounded-state
+        cap after the union (cfg.max_sources_per_edge) so accumulation
+        never regrows past it; lexicographic keep = idempotent."""
+        merged_sources = F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sources"))))
+        if max_sources:
+            merged_sources = F.slice(merged_sources, 1, max_sources)
+
         def fn(existing, new):
             new = new.withColumn("_src", F.lit(1))
             if existing is None:
@@ -180,7 +188,7 @@ class GraphStore:
             return (
                 g.groupBy("src_id", "rel_type", "term_k", "dst_id")
                 .agg(
-                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources")))).alias("sources"),
+                    merged_sources.alias("sources"),
                     F.max_by("source_text_full", "_src").alias("source_text_full"),
                     F.max_by("count", "_src").alias("count"),
                     F.max_by("embedding", "_src").alias("embedding"),

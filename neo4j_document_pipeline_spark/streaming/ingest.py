@@ -53,7 +53,8 @@ def ingest_increment(store, batch_df: DataFrame,
                 stage=stage)
     store.write("edges",
                 store.merge_edges(build_edges(triples, emb, cfg,
-                                              chunks=chunks)),
+                                              chunks=chunks),
+                                  max_sources=cfg.max_sources_per_edge),
                 stage=stage)
     store.write("mentions", store.merge_mentions(build_mentions(triples)),
                 stage=stage)

@@ -182,3 +182,25 @@ def test_min_quality_gate_filters_pages(spark, tmp_path):
         pages_to_documents)
     assert man["documents_final"]["rows"] == pages_to_documents(kept).count()
     assert man["documents_final"]["rows"] < 40  # gate actually drops some
+
+
+def test_max_sources_per_edge_bounded_and_idempotent(spark, store):
+    """Bounded per-edge state (config.py note): cap survives merge
+    accumulation and is deterministic under any batch order."""
+    schema = (
+        "src_id string, dst_id string, rel_type string, term string, count int, "
+        "embedding array<float>, sources array<string>, source_text_full string, "
+        "created_at timestamp, updated_at timestamp"
+    )
+    def batch(srcs):
+        return spark.createDataFrame(
+            [("s", "d", "R", None, None, [1.0], sorted(srcs), "t", None, None)],
+            schema)
+    store.write("edges", store.merge_edges(batch(["d5", "d9"]), max_sources=3))
+    store.write("edges", store.merge_edges(batch(["d1", "d7"]), max_sources=3))
+    store.write("edges", store.merge_edges(batch(["d3", "d2"]), max_sources=3))
+    row = store.read("edges").first()
+    assert row["sources"] == ["d1", "d2", "d3"]  # 3 lexicographically smallest
+    # re-delivering any earlier batch cannot change the capped set
+    store.write("edges", store.merge_edges(batch(["d5", "d9"]), max_sources=3))
+    assert store.read("edges").first()["sources"] == ["d1", "d2", "d3"]
