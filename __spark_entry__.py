@@ -580,20 +580,24 @@ def oracle_sql() -> dict[str, str]:
         # param removal, separator repair, host lowering, default port,
         # trailing slash
         "url_normalize":
+            r"WITH m AS (SELECT doc_id, regexp_replace("
+            r"trim('HTTPS://Example.COM:443/' || doc_id || '/?utm_source=x&q=1&utm_b=2#frag'), "
+            r"'#.*$', '') AS u FROM documents), "
+            r"hq AS (SELECT doc_id, regexp_extract(u, '^([^?]*)', 1) AS head, "
+            r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            r"regexp_replace(u, '^[^?]*', ''), "
+            r"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'), "
+            r"'&&+', '&', 'g'), "
+            r"'\?&', '?'), "
+            r"'[?&]+$', '') AS q FROM m), "
+            r"s AS (SELECT doc_id, head || q AS s5 FROM hq) "
             r"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
             r"CASE WHEN regexp_extract(s5, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' THEN s5 "
             r"ELSE lower(regexp_extract(s5, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) "
             r"|| regexp_replace(s5, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END, "
             r"'^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'), "
             r"'^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'), "
-            r"'^([^?]*[^/?])/$', '\1') AS url_norm FROM ("
-            r"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            r"trim('HTTPS://Example.COM:443/' || doc_id || '/?utm_source=x&q=1&utm_b=2#frag'), "
-            r"'#.*$', ''), "
-            r"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'), "
-            r"'[?&]+$', ''), "
-            r"'&&+', '&', 'g'), "
-            r"'\?&', '?') AS s5 FROM documents)",
+            r"'^([^?]*[^/?])/$', '\1') AS url_norm FROM s",
         # IVF at nprobe == n_cells is exact, so the brute-force cosine SQL
         # is its oracle too
         "ivf_topk_full":

@@ -73,36 +73,56 @@ def main(argv=None):
             pages = synth_pages(spark, int(ns.pages.split(":", 1)[1]))
         else:
             import os
-            if not os.path.exists(ns.pages):
+            import re as _re
+            # only pre-check plain local paths; scheme URIs (s3a://,
+            # hdfs://, file://) go straight to the Spark reader
+            is_uri = bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", ns.pages))
+            if not is_uri and not os.path.exists(ns.pages):
                 hint = (f" (did you mean synth:{ns.pages}?)"
                         if ns.pages.isdigit() else "")
                 sys.exit(f"--pages: no such parquet path {ns.pages!r}; "
                          f"expected a parquet dir or synth:N{hint}")
             pages = read_pages(spark, ns.pages)
         from pyspark.sql import functions as F
+        if ns.langs:
+            pages = pages.filter(F.col("lang").isin(ns.langs.split(",")))
         if ns.since_ts:
             since = ns.since_ts
             if since == "auto":
                 m = store.manifest("documents_final") or {}
                 since = (m.get("metrics") or {}).get("max_warc_ts")
             if since:
-                pages = pages.filter(F.col("warc_ts") > F.lit(since).cast("timestamp"))
+                # >= not >: pages sharing the committed max timestamp may
+                # arrive late; the MERGE is idempotent so re-processing the
+                # watermark second is safe, dropping latecomers is not
+                pages = pages.filter(F.col("warc_ts") >= F.lit(since).cast("timestamp"))
         if ns.incremental or ns.since_ts:
             from neo4j_document_pipeline_spark.streaming.ingest import (
                 ingest_increment)
+            if ns.canonicalize:
+                sys.exit("--canonicalize is not supported with --incremental; "
+                         "run `ingest --canonicalize` over the store afterwards")
+            if ns.min_quality is not None and ns.text_source == "text":
+                from neo4j_document_pipeline_spark.functions.textstats import (
+                    col_quality_score)
+                pages = pages.filter(col_quality_score(F.col("text")) >= ns.min_quality)
+            elif ns.min_quality is not None:
+                sys.exit("--min-quality with --text-source html/auto is not "
+                         "supported on the incremental path yet")
             if pages.isEmpty():
                 print(json.dumps({"increment": {"rows": 0, "note": "no new pages"}}))
             else:
-                ingest_increment(store, pages, stage="cli-increment")
+                ingest_increment(store, pages, stage="cli-increment",
+                                 text_source=ns.text_source)
                 print(json.dumps({"increment": {
                     k: (store.manifest(k) or {}).get("rows")
                     for k in ("nodes", "edges", "mentions", "documents_final")}},
                     indent=1))
         else:
+            # langs already applied above (shared with the incremental path)
             manifests = run_pipeline(spark, pages, ns.store,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
-                                     langs=ns.langs.split(",") if ns.langs else None,
                                      min_quality=ns.min_quality)
             print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                               for k, m in manifests.items()}, indent=1))

@@ -230,7 +230,9 @@ def _iter_sentences(text: str):
         # strip markdown heading/bullet/emphasis markers so NPs line up
         # (prefix regex can only match when the first char is in its class;
         # the replaces only matter when a '*' survives — guarded hot path)
-        if s[0] in _HEAD_STRIP_CHARS:
+        # isdigit() covers Unicode digits (the regex \d class) that the
+        # ASCII set misses — the guard must be a superset of the pattern
+        if s[0] in _HEAD_STRIP_CHARS or s[0].isdigit():
             s = _HEAD_STRIP_RE.sub("", s)
         if "*" in s:
             s = s.replace("**", "").replace("*", "")

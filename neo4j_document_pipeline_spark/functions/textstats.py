@@ -116,11 +116,16 @@ def col_normalize_url(c: Column) -> Column:
     u = F.trim(c)
     # fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # tracking params (leading or mid-query), then a dangling separator
-    u = F.regexp_replace(u, r"([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
-    u = F.regexp_replace(u, r"[?&]+$", "")
-    u = F.regexp_replace(u, r"&&+", "&")   # collapse runs first, then the
-    u = F.regexp_replace(u, r"\?&", "?")   # stranded '?&' left at the head
+    # all query cleanup is scoped to the query part — '&' is a legal path
+    # character (RFC 3986 sub-delims), so '&&' or '&utm_x=1' inside a
+    # PATH must survive untouched
+    head = F.regexp_extract(u, r"^([^?]*)", 1)
+    q = F.regexp_replace(u, r"^[^?]*", "")  # '?...' or ''
+    q = F.regexp_replace(q, r"([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    q = F.regexp_replace(q, r"&&+", "&")   # collapse runs first, then the
+    q = F.regexp_replace(q, r"\?&", "?")   # stranded '?&' left at the head
+    q = F.regexp_replace(q, r"[?&]+$", "")
+    u = F.concat(head, q)
     # lowercase scheme://host (leave path/query case alone)
     scheme_host = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")

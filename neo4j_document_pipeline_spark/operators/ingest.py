@@ -62,11 +62,11 @@ def _canonicalize_udf():
 
 
 def _html_to_text_udf():
-    from neo4j_document_pipeline_spark.functions.text import py_html_to_text
+    from neo4j_document_pipeline_spark.functions.text import pd_html_to_text
 
     @F.pandas_udf("string")
     def h2t(s: pd.Series) -> pd.Series:
-        return s.map(py_html_to_text)
+        return pd_html_to_text(s)
     return h2t
 
 

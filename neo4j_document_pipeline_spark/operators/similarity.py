@@ -142,7 +142,11 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
     - update: single groupBy(cell) with one avg per dimension (map-side
       partial aggregation; k x dim result collected to the driver).
     Empty cells keep their previous centroid."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("ivf_train: input has no rows (or a null first "
+                         f"vector) in column {vec_col!r}")
+    dim = len(head[0])
     init = (
         df.select(F.col(vec_col).alias("v"))
         .orderBy(F.sha2(F.concat(F.col("v").cast("string"),

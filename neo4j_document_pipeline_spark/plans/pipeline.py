@@ -72,9 +72,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
     manifests: dict[str, dict] = {}
+    # prior warc_ts high-water mark, read BEFORE any stage overwrites it
+    prior_wm = (((store.manifest("documents_final") or {}).get("metrics")
+                 or {}).get("max_warc_ts"))
     if langs:
         pages = pages.filter(F.col("lang").isin(list(langs)))
-    if min_quality is not None:
+    if min_quality is not None and text_source == "text":
+        # cheap scan-level gate on the trusted text column
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_quality_score)
         pages = pages.filter(col_quality_score(F.col("text")) >= min_quality)
@@ -104,8 +108,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         obs = Observation(obs_name)
         return df.observe(obs, *metrics), obs
 
+    docs_src = pages_to_documents(pages, cfg, text_source=text_source)
+    if min_quality is not None and text_source != "text":
+        # html/auto: the text column may be null — gate on the EXTRACTED
+        # canonical text instead (after pages_to_documents, before the
+        # expensive chunk/extract stages)
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_quality_score)
+        docs_src = docs_src.filter(col_quality_score(F.col("text")) >= min_quality)
     docs_df, docs_obs = observed(
-        pages_to_documents(pages, cfg, text_source=text_source),
+        docs_src,
         "documents_metrics",
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.length("text")).alias("total_text_bytes"),
@@ -158,6 +170,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                 for name, build in tail}
         for name, fut in futs.items():
             fut.result()
+
+    if not manifests["documents_final"].get("skipped"):
+        # commit the warc_ts high-water mark so `--since-ts auto` works
+        # after a full run too (never regressing a prior watermark)
+        batch_max = pages.agg(F.max("warc_ts").alias("m")).first()["m"]
+        wm = max(str(batch_max), prior_wm) if (batch_max and prior_wm) \
+            else (str(batch_max) if batch_max else prior_wm)
+        if wm:
+            manifests["documents_final"]["metrics"]["max_warc_ts"] = wm
+            store.update_metrics("documents_final", {"max_warc_ts": wm})
 
     if canonicalize_entities:
         from neo4j_document_pipeline_spark.operators.linking import (

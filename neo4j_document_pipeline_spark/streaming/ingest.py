@@ -31,19 +31,28 @@ def stream_pages(spark: SparkSession, pages_dir: str,
 
 def ingest_increment(store, batch_df: DataFrame,
                      cfg: PipelineConfig = DEFAULT_CONFIG,
-                     stage: str = "increment") -> None:
+                     stage: str = "increment",
+                     text_source: str = "text") -> None:
     """Incrementally MERGE one batch of pages into an existing graph store
     — the core shared by streaming foreachBatch and batch delta-ingest
     (CLI --incremental). Unlike run_pipeline, adding new pages never
     recomputes prior pages: each table is union-merged on its identity key
-    (idempotent, so re-delivery of the same batch is a no-op)."""
+    (idempotent, so re-delivery of the same batch is a no-op).
+
+    The committed max_warc_ts watermark never regresses: re-delivering an
+    older batch keeps the prior high-water mark."""
     from neo4j_document_pipeline_spark.operators.graph import (
         build_edges, build_embeddings_cache, build_mentions, build_nodes)
     from neo4j_document_pipeline_spark.operators.ingest import (
         chunks_to_triples, documents_to_chunks, pages_to_documents)
 
-    max_ts = batch_df.agg(F.max("warc_ts").alias("m")).first()["m"]
-    documents = pages_to_documents(batch_df, cfg).localCheckpoint()
+    batch_max = batch_df.agg(F.max("warc_ts").alias("m")).first()["m"]
+    prev = ((store.manifest("documents_final") or {}).get("metrics") or {}) \
+        .get("max_warc_ts")
+    max_ts = max(str(batch_max), prev) if (batch_max and prev) \
+        else (str(batch_max) if batch_max else prev)
+    documents = pages_to_documents(batch_df, cfg,
+                                   text_source=text_source).localCheckpoint()
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
     emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
@@ -64,7 +73,7 @@ def ingest_increment(store, batch_df: DataFrame,
                   .drop("_n"))
     store.write("documents_final", store.merge_documents(docs_final),
                 stage=stage,
-                extra_metrics={"max_warc_ts": str(max_ts) if max_ts else None})
+                extra_metrics={"max_warc_ts": max_ts})
 
 
 def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,

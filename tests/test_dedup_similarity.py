@@ -264,6 +264,11 @@ def test_normalize_url_cases(spark):
         ("ftp://X.org/A/", "ftp://x.org/A"),  # path case preserved
         ("not a url", "not a url"),
         ("", ""),
+        # '&' is a legal PATH char (RFC 3986 sub-delims): path content
+        # must survive query cleanup untouched
+        ("https://a.com/a&&b/c", "https://a.com/a&&b/c"),
+        ("https://a.com/x&utm_a=1/y?utm_b=2", "https://a.com/x&utm_a=1/y"),
+        ("https://a.com/p&", "https://a.com/p&"),
     ]
     df = spark.createDataFrame(cases, "u string, want string")
     bad = df.select("u", col_normalize_url(F.col("u")).alias("got"), "want") \
