@@ -102,18 +102,12 @@ def main(argv=None):
             if ns.canonicalize:
                 sys.exit("--canonicalize is not supported with --incremental; "
                          "run `ingest --canonicalize` over the store afterwards")
-            if ns.min_quality is not None and ns.text_source == "text":
-                from neo4j_document_pipeline_spark.functions.textstats import (
-                    col_quality_score)
-                pages = pages.filter(col_quality_score(F.col("text")) >= ns.min_quality)
-            elif ns.min_quality is not None:
-                sys.exit("--min-quality with --text-source html/auto is not "
-                         "supported on the incremental path yet")
             if pages.isEmpty():
                 print(json.dumps({"increment": {"rows": 0, "note": "no new pages"}}))
             else:
                 ingest_increment(store, pages, stage="cli-increment",
-                                 text_source=ns.text_source)
+                                 text_source=ns.text_source,
+                                 min_quality=ns.min_quality)
                 print(json.dumps({"increment": {
                     k: (store.manifest(k) or {}).get("rows")
                     for k in ("nodes", "edges", "mentions", "documents_final")}},

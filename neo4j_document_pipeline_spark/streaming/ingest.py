@@ -32,7 +32,8 @@ def stream_pages(spark: SparkSession, pages_dir: str,
 def ingest_increment(store, batch_df: DataFrame,
                      cfg: PipelineConfig = DEFAULT_CONFIG,
                      stage: str = "increment",
-                     text_source: str = "text") -> None:
+                     text_source: str = "text",
+                     min_quality: float | None = None) -> None:
     """Incrementally MERGE one batch of pages into an existing graph store
     — the core shared by streaming foreachBatch and batch delta-ingest
     (CLI --incremental). Unlike run_pipeline, adding new pages never
@@ -51,8 +52,14 @@ def ingest_increment(store, batch_df: DataFrame,
         .get("max_warc_ts")
     max_ts = max(str(batch_max), prev) if (batch_max and prev) \
         else (str(batch_max) if batch_max else prev)
-    documents = pages_to_documents(batch_df, cfg,
-                                   text_source=text_source).localCheckpoint()
+    documents = pages_to_documents(batch_df, cfg, text_source=text_source)
+    if min_quality is not None:
+        # gate on the EXTRACTED canonical text (valid for every
+        # text_source, including html/auto where the raw column is null)
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_quality_score)
+        documents = documents.filter(col_quality_score(F.col("text")) >= min_quality)
+    documents = documents.localCheckpoint()
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
     emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))

@@ -174,14 +174,17 @@ def test_lang_filter_pushes_down_and_filters(spark, tmp_path):
 def test_min_quality_gate_filters_pages(spark, tmp_path):
     from neo4j_document_pipeline_spark.functions.textstats import (
         col_quality_score)
-    pages = synth_pages(spark, 40).cache()
-    root = str(tmp_path / "kg_q")
-    man = run_pipeline(spark, pages, root, min_quality=0.75)
-    kept = pages.filter(col_quality_score(F.col("text")) >= 0.75)
     from neo4j_document_pipeline_spark.operators.ingest import (
         pages_to_documents)
+    pages = synth_pages(spark, 40).cache()
+    ungated_docs = pages_to_documents(pages).count()
+    # synth corpus scores are 0.75 or 1.0 — 0.9 actually drops pages
+    root = str(tmp_path / "kg_q")
+    man = run_pipeline(spark, pages, root, min_quality=0.9)
+    kept = pages.filter(col_quality_score(F.col("text")) >= 0.9)
+    assert kept.count() < 40  # the gate bites at page level
     assert man["documents_final"]["rows"] == pages_to_documents(kept).count()
-    assert man["documents_final"]["rows"] < 40  # gate actually drops some
+    assert man["documents_final"]["rows"] < ungated_docs  # and at doc level
 
 
 def test_max_sources_per_edge_bounded_and_idempotent(spark, store):
