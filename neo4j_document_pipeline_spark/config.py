@@ -61,7 +61,11 @@ class PipelineConfig:
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16
     lsh_rows_per_band: int = 4             # minhash sig len = bands*rows
-    link_cosine_threshold: float = 0.85
+    # entity-linking verification: exact shingle-Jaccard over normalized
+    # names (documented deviation from the north-star's TF-IDF cosine —
+    # exact Jaccard on the same shingles is strictly stronger evidence
+    # than an approximation of it)
+    link_jaccard_threshold: float = 0.6
 
     labels: tuple = field(default=tuple(DEFAULT_LABELS))
 

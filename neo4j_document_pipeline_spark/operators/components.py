@@ -83,12 +83,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a silently-truncated fixpoint splits components (groupBy-min
+        # then assigns one true component several ids) — fail loudly;
+        # alternating star rounds converge in O(log n), so max_iter=20
+        # covers any realistic graph and hitting it means something is wrong
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; raise max_iter")
     # fixpoint: every edge points a node at its component min
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()

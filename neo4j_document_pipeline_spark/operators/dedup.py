@@ -83,7 +83,7 @@ def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                     sigs.append([0] * k)
                     shingles.append([])
                     continue
-                x = np.fromiter(grams, dtype=np.int64)[:, None]
+                x = np.fromiter(grams, dtype=np.int64)[:, None] % _MERSENNE
                 hv = (x * a_[None, :] + b_[None, :]) % _MERSENNE
                 sigs.append(hv.min(axis=0).tolist())
                 shingles.append(sorted(grams))

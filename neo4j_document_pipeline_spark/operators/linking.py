@@ -1,11 +1,15 @@
-"""Entity linking — MinHash-LSH blocking + hashed-TF-IDF cosine scoring.
+"""Entity linking — MinHash-LSH blocking + exact shingle-Jaccard verify.
 
 The reference merges entities only on exact (label, name)
 (/root/reference/ingestMD.py:505,509); near-duplicate names ("Phase Two"
 vs "phase-2") survive as distinct nodes and are only deduped at
 read-format time (graphutil.py:640-674). The north star requires linking
-them at WRITE time: MinHash-LSH candidate blocking + cosine verification,
-then connected components -> canonical entity ids.
+them at WRITE time: MinHash-LSH candidate blocking + similarity
+verification, then connected components -> canonical entity ids.
+DOCUMENTED DEVIATION from the north-star's "TF-IDF cosine" wording:
+verification is EXACT Jaccard over the same normalized-name shingles the
+signatures hash — strictly stronger evidence than the cosine
+approximation of it, and fully JVM-side (array_intersect/array_union).
 
 Design (scale-first):
 - signatures: k=bands*rows minhashes over character-3-gram shingles of
@@ -17,7 +21,7 @@ Design (scale-first):
   skew control: blocks larger than ``max_block_size`` are dropped from
   pair generation (they are near-degenerate shingle sets — e.g. empty
   names) and counted in the metrics; AQE skew-join handles the rest;
-- verification: cosine of hashed-TF name vectors >= threshold;
+- verification: exact shingle Jaccard >= cfg.link_jaccard_threshold;
 - canonicalization: connected components over verified links; canonical
   id = lexicographic min entity_id (deterministic).
 """
@@ -34,7 +38,11 @@ from pyspark.sql import functions as F
 from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
 from neo4j_document_pipeline_spark.operators.components import connected_components
 
-_MERSENNE = (1 << 61) - 1
+# 2^31-1: with a,b < p and x pre-reduced mod p, the product a*x stays
+# under 2^62 — no silent int64 wraparound, so (a*x+b) mod p really is the
+# universal hash the LSH band/row collision math assumes (a 2^61-1 prime
+# overflows int64 at x*a and voids the construction)
+_MERSENNE = (1 << 31) - 1
 
 
 def _minhash_params(k: int, seed: int):
@@ -65,14 +73,19 @@ def minhash_signatures(df: DataFrame, text_col: str,
             sigs, shingles = [], []
             for text in pdf[text_col]:
                 norm = py_normalize_name_for_key(text)
+                if not norm:
+                    # names that normalize to nothing (non-ASCII scripts,
+                    # punctuation-only) carry no evidence: give each a
+                    # UNIQUE sentinel signature so unrelated entities never
+                    # share a block (padding would give them all the SAME
+                    # shingle and link them at sim 1.0)
+                    sigs.append([zlib.crc32(str(text).encode("utf-8"))] * k)
+                    shingles.append([])
+                    continue
                 s = f"  {norm}  "
                 sh = {zlib.crc32(s[i:i + n_shingle].encode("utf-8"))
                       for i in range(len(s) - n_shingle + 1)}
-                if not sh:
-                    sigs.append([0] * k)
-                    shingles.append([])
-                    continue
-                x = np.fromiter(sh, dtype=np.int64)[:, None]       # (S,1)
+                x = np.fromiter(sh, dtype=np.int64)[:, None] % _MERSENNE  # (S,1)
                 hv = (x * a_[None, :] + b_[None, :]) % _MERSENNE   # (S,k)
                 sigs.append(hv.min(axis=0).tolist())
                 shingles.append(sorted(sh))
@@ -129,12 +142,14 @@ def candidate_pairs(blocks: DataFrame, id_col: str,
 
 def link_entities(nodes: DataFrame,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
-                  jaccard_threshold: float = 0.6) -> DataFrame:
+                  jaccard_threshold: float | None = None) -> DataFrame:
     """nodes(entity_id,label,name,...) -> verified link edges
     (id1, id2, sim). Blocking is per-label MinHash-LSH over normalized-name
     shingles; verification is EXACT shingle Jaccard >= threshold, computed
     JVM-side (array_intersect / array_union) — variants that normalize to
     the same key ("Phase Two" / "phase-2" -> "phase 2") get sim = 1.0."""
+    if jaccard_threshold is None:
+        jaccard_threshold = cfg.link_jaccard_threshold
     base = nodes.select("entity_id", "label", "name")
     sigs = minhash_signatures(base, "name", cfg)
     blocks = lsh_blocks(sigs, cfg, extra_key="label")
@@ -154,6 +169,11 @@ def link_entities(nodes: DataFrame,
     )
 
 
+def _canon_sources(max_sources: int | None):
+    agg = F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources"))))
+    return F.slice(agg, 1, max_sources) if max_sources else agg
+
+
 def canonical_map(nodes: DataFrame, links: DataFrame) -> DataFrame:
     """links -> (entity_id, canonical_id); unlinked entities map to
     themselves."""
@@ -168,9 +188,12 @@ def canonical_map(nodes: DataFrame, links: DataFrame) -> DataFrame:
 
 
 def apply_canonicalization(nodes: DataFrame, edges: DataFrame,
-                           mentions: DataFrame, mapping: DataFrame):
+                           mentions: DataFrame, mapping: DataFrame,
+                           max_sources: int | None = None):
     """Rewrite the graph onto canonical ids. The canonical node keeps the
-    lexicographically-smallest (name) representative's properties."""
+    lexicographically-smallest (name) representative's properties.
+    ``max_sources`` re-applies cfg.max_sources_per_edge after edge merging
+    (merging K capped edges would otherwise regrow to K*N ids)."""
     m = mapping
     canon_nodes = (
         nodes.join(m, "entity_id")
@@ -192,13 +215,27 @@ def apply_canonicalization(nodes: DataFrame, edges: DataFrame,
         .withColumn("term_k", F.coalesce("term", F.lit("")))
         .groupBy("src_id", "rel_type", "term_k", "dst_id")
         .agg(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources")))).alias("sources"),
-            F.max_by("source_text_full", "updated_at").alias("source_text_full"),
-            F.max_by("count", "updated_at").alias("count"),
-            F.max_by("embedding", "updated_at").alias("embedding"),
-            F.max_by("term", "updated_at").alias("term"),
+            _canon_sources(max_sources).alias("sources"),
+            # deterministic last-write-wins: within one run every edge
+            # carries the SAME fixed-clock updated_at, so a bare
+            # max_by(updated_at) tie is partition-order-dependent — break
+            # ties on the full payload (same argmax-struct pattern as
+            # build_edges)
+            F.max(F.struct(
+                F.col("updated_at").alias("ts"),
+                F.col("source_text_full"), F.col("count"),
+                F.col("embedding"), F.col("term"),
+            )).alias("_last"),
             F.min("created_at").alias("created_at"),
             F.max("updated_at").alias("updated_at"),
+        )
+        .select(
+            "src_id", "rel_type", "term_k", "dst_id", "sources",
+            F.col("_last.source_text_full").alias("source_text_full"),
+            F.col("_last.count").alias("count"),
+            F.col("_last.embedding").alias("embedding"),
+            F.col("_last.term").alias("term"),
+            "created_at", "updated_at",
         )
         .drop("term_k")
         .select("src_id", "dst_id", "rel_type", "term", "count", "embedding",

@@ -135,12 +135,17 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     IDF-weight matched terms (single tokens) and contained phrases
     (multi-word anchors), sum per node. Terms are a tiny broadcast side."""
     spark = nodes.sparkSession
+    import re as _re
     anchors = anchor_terms(question, cfg.max_anchor_terms)
     kws = extract_keywords(question, cfg.max_keywords)
     terms: list[str] = []
     seen = set()
     for t in anchors + kws:
-        t = (t or "").strip()
+        # normalize query terms with the SAME alphanumeric tokenization the
+        # inverted index uses — otherwise "optics?" / "al-Khwarizmi" can
+        # never equi-join tokens built via [^A-Za-z0-9]+ splitting (the
+        # Lucene analyzer this replaces normalizes query terms too)
+        t = _re.sub(r"[^A-Za-z0-9]+", " ", (t or "")).strip()
         if t and t.lower() not in seen:
             terms.append(t)
             seen.add(t.lower())
@@ -181,7 +186,10 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
         )
         parts.append(matched)
     if phrases:
-        lname = F.lower(F.col("name"))
+        # phrase containment over the SAME normalization as the tokens, so
+        # "al khwarizmi" (from the hyphenated query term) matches the node
+        # name "Al-Khwarizmi"
+        lname = F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " "))
         cond = None
         score = F.lit(0.0)
         for p in phrases:
@@ -197,7 +205,7 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     return (
         scored.groupBy("entity_id").agg(F.sum("kw_part").alias("kw"))
         .orderBy(F.col("kw").desc(), "entity_id")
-        .limit(max(k_kw, DEFAULT_CONFIG.fts_limit_floor))
+        .limit(max(k_kw, cfg.fts_limit_floor))
     )
 
 
@@ -389,8 +397,17 @@ def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     if include_source:
+        # scope the title lookup to the traversed endpoints (broadcast
+        # semi-join) — never an all-mentions aggregate (same rule as
+        # graphrag's candidate-scoped lookup)
+        endpoint_ids = (
+            rels.select(F.col("src_id").alias("entity_id"))
+            .unionByName(rels.select(F.col("dst_id").alias("entity_id")))
+            .distinct()
+        )
         titles = (
-            mentions.join(documents.select("doc_id", "title"), "doc_id")
+            mentions.join(F.broadcast(endpoint_ids), "entity_id", "left_semi")
+            .join(documents.select("doc_id", "title"), "doc_id")
             .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
         )
         df = (
@@ -476,7 +493,10 @@ def graphrag(spark: SparkSession, store, question: str,
     cands_df = hybrid_candidates(nodes, question, qvec, labels,
                                  k_vec=k, k_kw=k,
                                  alpha_vec=alpha_vec, beta_kw=beta_kw, cfg=cfg,
-                                 n_nodes=n_nodes).cache()
+                                 # manifest count covers the WHOLE table;
+                                 # with a label filter the IDF corpus is the
+                                 # filtered frame — let the channel count it
+                                 n_nodes=n_nodes if not labels else None).cache()
     # attach doc titles for diversification / seed-dedup (J1) — scoped to
     # the <=2k candidate ids (broadcast), never an all-mentions aggregate
     cand_ids = cands_df.select("entity_id")

@@ -190,7 +190,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         links = link_entities(nodes, cfg)
         mapping = stage("entity_map",
                         lambda: canonical_map(nodes, links), fp)
-        cn, ce, cm = apply_canonicalization(nodes, edges, mentions, mapping)
+        cn, ce, cm = apply_canonicalization(nodes, edges, mentions, mapping,
+                                            max_sources=cfg.max_sources_per_edge)
         stage("nodes_canonical", lambda: cn, fp)
         stage("edges_canonical", lambda: ce, fp)
         stage("mentions_canonical", lambda: cm, fp)

@@ -113,3 +113,14 @@ def test_canonicalization_rewrites_graph(variant_nodes):
     variant_id = next(r["entity_id"] for r in cn.collect() if "hase" in r["name"].lower())
     deg = ce.filter((F.col("src_id") == variant_id) | (F.col("dst_id") == variant_id)).count()
     assert deg >= 3
+
+
+def test_empty_normalization_names_never_link(spark):
+    """Names outside [a-z0-9 ] normalize to '' and carry no evidence —
+    distinct non-ASCII entities must NOT merge (each gets a unique
+    sentinel signature, not a shared padded shingle)."""
+    from neo4j_document_pipeline_spark.operators.linking import link_entities
+    rows = [(f"e{i}", "Stakeholder", name) for i, name in
+            enumerate(["北京公司", "上海集团", "Ωμέγα", "!!!", "مؤسسة"])]
+    nodes = spark.createDataFrame(rows, "entity_id string, label string, name string")
+    assert link_entities(nodes).count() == 0

@@ -174,3 +174,19 @@ def test_graphrag_hops_expand_more(spark, kg):
     r1 = graphrag(spark, kg, "Broadband Initiative", top_k=5, hops=1)
     r3 = graphrag(spark, kg, "Broadband Initiative", top_k=5, hops=3)
     assert len(r3.facts) >= len(r1.facts)
+
+
+def test_keyword_channel_matches_punctuated_query_terms(spark):
+    """Query tokens adjacent to punctuation ('optics?', 'al-Khwarizmi')
+    must still match the alphanumeric inverted index."""
+    from neo4j_document_pipeline_spark.operators.retrieval import keyword_channel
+    nodes = spark.createDataFrame(
+        [("e1", "Entity", "Optics"), ("e2", "Stakeholder", "Al-Khwarizmi"),
+         ("e3", "Entity", "Geometry")],
+        "entity_id string, label string, name string")
+    hits = {r["entity_id"]
+            for r in keyword_channel(nodes, "Who invented optics?", 10).collect()}
+    assert "e1" in hits
+    hits2 = {r["entity_id"]
+             for r in keyword_channel(nodes, "What did al-Khwarizmi develop?", 10).collect()}
+    assert "e2" in hits2
