@@ -73,14 +73,18 @@ def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         tok_re = re.compile(r"[a-z0-9]+")
         for pdf in batches:
             sigs, shingles = [], []
-            for text in pdf[text_col]:
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = tok_re.findall((text or "").lower())
                 grams = {
                     zlib.crc32(" ".join(toks[i:i + shingle_words]).encode())
                     for i in range(max(1, len(toks) - shingle_words + 1))
                 } if toks else set()
                 if not grams:
-                    sigs.append([0] * k)
+                    # token-less docs carry no shingle evidence: a UNIQUE
+                    # per-id sentinel keeps unrelated empty docs out of
+                    # each other's blocks (a shared all-zero signature
+                    # would pair every empty doc with every other one)
+                    sigs.append([zlib.crc32(str(doc_id).encode())] * k)
                     shingles.append([])
                     continue
                 x = np.fromiter(grams, dtype=np.int64)[:, None] % _MERSENNE
@@ -182,7 +186,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3, seed: int = 42) -> DataFrame:
+                            max_hamming: int = 3, seed: int = 42,
+                            max_block_size: int = 64) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming. Candidates: split the
     64-bit signature into 4 x 16-bit bands; any pair within distance 3
     agrees on >= 1 band (pigeonhole). Verify via bit_count(xor)."""
@@ -195,6 +200,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
             for b in range(4)
         ])).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # head-block skew control (same rule as candidate_pairs): a 16-bit
+    # band has only 65536 values, so degenerate corpora (every empty doc
+    # simhashes to 0) would make the self-join quadratic without a cap
+    bands = bands.withColumn(
+        "_bs", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("_bs") <= max_block_size).drop("_bs")
     a = bands.select("band", "bh", F.col("id").alias("id1"), F.col("simhash").alias("s1"))
     b = bands.select("band", "bh", F.col("id").alias("id2"), F.col("simhash").alias("s2"))
     return (
@@ -202,8 +213,10 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2",
                 F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
-        .distinct()
+        # verify BEFORE the distinct so the dedup shuffle carries only
+        # surviving pairs, not the full candidate set
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -218,9 +231,13 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     """Cosine >= threshold pairs via random-hyperplane buckets + exact
     rerank. High-cosine pairs agree on all hyperplane signs w.h.p.; we use
     two independent banded sign-groups to boost recall."""
-    first = df.select(vec_col).first()
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
-        return df.sparkSession.createDataFrame([], "id1 long, id2 long, cos double")
+        # empty input: the pair schema's id type must mirror the caller's
+        # actual id column (string doc_ids would otherwise come back long)
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id1 {id_type}, id2 {id_type}, cos double")
     d = dim or len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, d))

@@ -55,6 +55,12 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     """Skewed-fact x dimension join: replicate dim ``buckets`` ways, salt
     fact rows, join on (key, salt). Shuffle partitions for a hot key are
     split ``buckets`` ways at the cost of a ``buckets``x dim replication."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti", "cross"):
+        # the dim side is replicated `buckets` ways: right/full outer
+        # would surface each unmatched dim row `buckets` times
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "dim-side replication breaks right/full outer")
     dim_rep = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
     fact_salted = fact.withColumn(

@@ -63,11 +63,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     pushes it into the parquet/Iceberg scan — at CC scale this skips the
     bulk of the corpus at the I/O layer.
 
-    ``min_quality``: drop pages whose heuristic quality score
-    (functions/textstats.py::col_quality_score over the text column,
-    [0,1]) is below the threshold — the C4/Gopher-style gate that keeps
-    boilerplate out of extraction. Expression-only, evaluated in the
-    scan's first map stage (no UDF, no extra action).
+    ``min_quality``: drop documents whose heuristic quality score
+    (functions/textstats.py::col_quality_score over the extracted
+    CANONICAL text, [0,1]) is below the threshold — the C4/Gopher-style
+    gate that keeps boilerplate out of chunking/extraction. Expression-
+    only; scored identically on the batch and incremental paths.
 
     Returns {stage: manifest} for every stage that ran or was skipped."""
     store = GraphStore(store_root, spark)
@@ -77,11 +77,6 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  or {}).get("max_warc_ts"))
     if langs:
         pages = pages.filter(F.col("lang").isin(list(langs)))
-    if min_quality is not None and text_source == "text":
-        # cheap scan-level gate on the trusted text column
-        from neo4j_document_pipeline_spark.functions.textstats import (
-            col_quality_score)
-        pages = pages.filter(col_quality_score(F.col("text")) >= min_quality)
     if text_source == "text":
         fp = fingerprint(pages, ["url", "text"])
     else:
@@ -90,6 +85,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         fp = fingerprint(
             pages.withColumn("_hcrc", F.crc32("html").cast("string")),
             ["url", "text", "_hcrc"])
+    # the resume key must cover EVERY knob that changes stage output, not
+    # just the input rows — otherwise re-running with a new min_quality /
+    # text_source / chunk size silently skips stages built under the old
+    # settings (langs is already reflected in the filtered input rows)
+    import dataclasses
+    import hashlib
+    import json as _json
+    cfg_sig = hashlib.sha256(_json.dumps(
+        {**dataclasses.asdict(cfg), "_text_source": text_source,
+         "_min_quality": min_quality},
+        sort_keys=True, default=str).encode()).hexdigest()[:16]
+    fp = f"{fp}:{cfg_sig}"
 
     def stage(name: str, build, deps_fp: str, **write_kw):
         if resume and store.is_current(name, deps_fp):
@@ -109,10 +116,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         return df.observe(obs, *metrics), obs
 
     docs_src = pages_to_documents(pages, cfg, text_source=text_source)
-    if min_quality is not None and text_source != "text":
-        # html/auto: the text column may be null — gate on the EXTRACTED
-        # canonical text instead (after pages_to_documents, before the
-        # expensive chunk/extract stages)
+    if min_quality is not None:
+        # gate on the EXTRACTED CANONICAL text for every text_source —
+        # the same text ingest_increment gates on, so a page passes or
+        # fails identically on the batch and incremental paths (raw and
+        # canonical text can score differently near the threshold)
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_quality_score)
         docs_src = docs_src.filter(col_quality_score(F.col("text")) >= min_quality)
@@ -156,30 +164,29 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         .withColumn("n_chunks", F.coalesce(F.col("_n"), F.lit(0)).cast("int"))
         .drop("_n")
     )
+    # warc_ts high-water mark so `--since-ts auto` works after a full run
+    # too (never regressing a prior watermark); computed BEFORE the stage
+    # write and committed INSIDE the same manifest so no crash window can
+    # lose it
+    batch_max = pages.agg(F.max("warc_ts").alias("m")).first()["m"]
+    wm = max(str(batch_max), prior_wm) if (batch_max and prior_wm) \
+        else (str(batch_max) if batch_max else prior_wm)
+
     from concurrent.futures import ThreadPoolExecutor
     tail = [
-        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg))),
+        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)), {}),
         ("edges", lambda: store.merge_edges(
             build_edges(triples, embeddings, cfg, chunks=chunks),
-            max_sources=cfg.max_sources_per_edge)),
-        ("mentions", lambda: store.merge_mentions(build_mentions(triples))),
-        ("documents_final", lambda: store.merge_documents(docs_final)),
+            max_sources=cfg.max_sources_per_edge), {}),
+        ("mentions", lambda: store.merge_mentions(build_mentions(triples)), {}),
+        ("documents_final", lambda: store.merge_documents(docs_final),
+         {"extra_metrics": {"max_warc_ts": wm}} if wm else {}),
     ]
     with ThreadPoolExecutor(4) as ex:
-        futs = {name: ex.submit(stage, name, build, fp)
-                for name, build in tail}
+        futs = {name: ex.submit(stage, name, build, fp, **kw)
+                for name, build, kw in tail}
         for name, fut in futs.items():
             fut.result()
-
-    if not manifests["documents_final"].get("skipped"):
-        # commit the warc_ts high-water mark so `--since-ts auto` works
-        # after a full run too (never regressing a prior watermark)
-        batch_max = pages.agg(F.max("warc_ts").alias("m")).first()["m"]
-        wm = max(str(batch_max), prior_wm) if (batch_max and prior_wm) \
-            else (str(batch_max) if batch_max else prior_wm)
-        if wm:
-            manifests["documents_final"]["metrics"]["max_warc_ts"] = wm
-            store.update_metrics("documents_final", {"max_warc_ts": wm})
 
     if canonicalize_entities:
         from neo4j_document_pipeline_spark.operators.linking import (
@@ -199,16 +206,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
 
 
 def graph_stats(store: GraphStore) -> dict:
-    """/graph/stats analogue (main.py:590-654): label / rel-type counts."""
-    nodes = store.read("nodes")
-    edges = store.read("edges")
-    by_label = {r["label"]: r["count"]
-                for r in nodes.groupBy("label").count().collect()}
-    by_rel = {r["rel_type"]: r["count"]
-              for r in edges.groupBy("rel_type").count().collect()}
-    return {
-        "total_nodes": sum(by_label.values()),
-        "total_relationships": sum(by_rel.values()),
-        "nodes_by_label": by_label,
-        "relationships_by_type": by_rel,
-    }
+    """/graph/stats analogue — re-exported from operators.admin (the
+    single implementation; this alias keeps older imports working)."""
+    from neo4j_document_pipeline_spark.operators.admin import (
+        graph_stats as _admin_graph_stats)
+    return _admin_graph_stats(store)

@@ -50,14 +50,22 @@ _THINGS = ["Broadband Initiative", "Solar Programme", "Rail Strategy",
 _PILLARS = ["Digital Pillar", "Green Pillar", "Social Pillar"]
 
 
-def _zipf_domain(i: int, n_hosts: int = 100, s: float = 1.2) -> str:
-    """Deterministic Zipf-ish host pick: rank r w.p. proportional to r^-s."""
-    # inverse-CDF on a fixed pseudo-random uniform from the index
-    u = ((i * 2654435761) % 2**32) / 2**32
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _zipf_cdf(n_hosts: int, s: float):
     ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
     w = ranks ** -s
-    cdf = np.cumsum(w) / w.sum()
-    r = int(np.searchsorted(cdf, u))
+    return np.cumsum(w) / w.sum()
+
+
+def _zipf_domain(i: int, n_hosts: int = 100, s: float = 1.2) -> str:
+    """Deterministic Zipf-ish host pick: rank r w.p. proportional to r^-s."""
+    # inverse-CDF on a fixed pseudo-random uniform from the index; the CDF
+    # depends only on (n_hosts, s) — cached, not rebuilt per generated row
+    u = ((i * 2654435761) % 2**32) / 2**32
+    r = int(np.searchsorted(_zipf_cdf(n_hosts, s), u))
     return f"site{r:03d}.example.org"
 
 

@@ -189,7 +189,14 @@ class GraphStore:
                 g.groupBy("src_id", "rel_type", "term_k", "dst_id")
                 .agg(
                     merged_sources.alias("sources"),
-                    F.max_by("source_text_full", "_src").alias("source_text_full"),
+                    # last NON-EMPTY write wins: the reference only sets
+                    # source_text_full when the incoming chunk text is
+                    # non-empty (ingestMD.py:543-547) — a batch built
+                    # without chunk text must not erase the stored snippet
+                    F.max_by("source_text_full", F.struct(
+                        (F.col("source_text_full").isNotNull()
+                         & (F.col("source_text_full") != "")).alias("nn"),
+                        F.col("_src"))).alias("source_text_full"),
                     F.max_by("count", "_src").alias("count"),
                     F.max_by("embedding", "_src").alias("embedding"),
                     F.max_by("term", "_src").alias("term"),

@@ -177,14 +177,16 @@ def test_min_quality_gate_filters_pages(spark, tmp_path):
     from neo4j_document_pipeline_spark.operators.ingest import (
         pages_to_documents)
     pages = synth_pages(spark, 40).cache()
-    ungated_docs = pages_to_documents(pages).count()
+    docs_all = pages_to_documents(pages).cache()
+    ungated_docs = docs_all.count()
     # synth corpus scores are 0.75 or 1.0 — 0.9 actually drops pages
     root = str(tmp_path / "kg_q")
     man = run_pipeline(spark, pages, root, min_quality=0.9)
-    kept = pages.filter(col_quality_score(F.col("text")) >= 0.9)
-    assert kept.count() < 40  # the gate bites at page level
-    assert man["documents_final"]["rows"] == pages_to_documents(kept).count()
-    assert man["documents_final"]["rows"] < ungated_docs  # and at doc level
+    # the gate scores the extracted CANONICAL text (same as the
+    # incremental path) — expectation computed the same way
+    expected = docs_all.filter(col_quality_score(F.col("text")) >= 0.9).count()
+    assert expected < ungated_docs  # the gate bites
+    assert man["documents_final"]["rows"] == expected
 
 
 def test_max_sources_per_edge_bounded_and_idempotent(spark, store):
