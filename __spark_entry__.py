@@ -73,15 +73,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Shared expression helpers (kept in sync with their oracle SQL)
 # ---------------------------------------------------------------------------
 
+# the contract queries call the ENGINE's own column functions (textstats/
+# text), never local copies — the oracle must validate what the pipeline
+# ships, so the SQL-side arrays below are derived from the same lists
 def _tokens_col(c):
-    return F.filter(
-        F.split(F.lower(F.regexp_replace(c, r"[^A-Za-z0-9']+", " ")), " "),
-        lambda x: x != "",
-    )
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+    return col_tokens(c)
 
 
-_EN_SW = ["the", "and", "of", "to", "in", "is", "for", "that", "with", "are"]
-_MS_SW = ["yang", "dan", "di", "untuk", "dengan", "ini", "itu", "pada", "adalah", "dari"]
+def _stopword_lists():
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        EN_STOPWORDS, MS_STOPWORDS)
+    return EN_STOPWORDS, MS_STOPWORDS
+
+
+_EN_SW, _MS_SW = _stopword_lists()
 
 _SQL_TOKENS = (
     "list_filter(string_split_regex(lower(regexp_replace(text, "
@@ -250,15 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- F1: canonicalize text (byte-identical chain) ----
     def canonicalize_docs(spark, sf):
-        c = F.col("text")
-        t = F.regexp_replace(c, r"\r\n", "\n")
-        t = F.regexp_replace(t, r"\r", "\n")
-        t = F.regexp_replace(t, r"\n{3,}", "\n\n")
-        t = F.regexp_replace(t, r"(?m)[ \t]+$", "")
-        t = F.regexp_replace(t, r"[ \t]{2,}", " ")
-        t = F.regexp_replace(t, r"^\s+|\s+$", "")
+        # the ENGINE's canonicalization (Unicode-aware strip), not a copy
+        from neo4j_document_pipeline_spark.functions.text import (
+            col_canonicalize)
         return _t(spark, sf, "documents").select(
-            "doc_id", F.sha2(t, 256).alias("canon_hash"))
+            "doc_id", F.sha2(col_canonicalize(F.col("text")), 256).alias("canon_hash"))
     q["canonicalize_docs"] = canonicalize_docs
 
     # ---- F3: safe_label ----
@@ -298,8 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in
               e.filter(F.col("vec_id") == 0).first()["embedding"]]
         cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
-        out = ivf_topk(e, "vec_id", "embedding", cents, qv, k=10, nprobe=4)
-        return out.select("vec_id", F.round("score", 4).alias("score"))
+        # over-fetch, then take the final 10 by the SAME (rounded score,
+        # vec_id) ordering the oracle SQL uses — raw-score selection could
+        # pick a different row when scores at the cutoff round equal
+        out = ivf_topk(e, "vec_id", "embedding", cents, qv, k=50, nprobe=4)
+        return (out.select("vec_id", F.round("score", 4).alias("score"))
+                .orderBy(F.col("score").desc(), "vec_id").limit(10))
     q["ivf_topk_full"] = ivf_topk_full
 
     # ---- URL normalization (url-level dedup staple) ----
@@ -312,49 +318,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", col_normalize_url(messy).alias("url_norm"))
     q["url_normalize"] = url_normalize
 
-    # ---- textstats: token count ----
+    # ---- textstats: token count (engine function) ----
     def token_counts(spark, sf):
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
         return _t(spark, sf, "documents").select(
-            "doc_id", F.size(_tokens_col(F.col("text"))).alias("n_tok"))
+            "doc_id", col_token_count(F.col("text")).alias("n_tok"))
     q["token_counts"] = token_counts
 
-    # ---- textstats: language id ----
+    # ---- textstats: language id (engine function) ----
     def lang_id(spark, sf):
-        toks = F.array_distinct(_tokens_col(F.col("text")))
-        en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_SW])))
-        ms = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _MS_SW])))
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_lang_id)
         return _t(spark, sf, "documents").select(
-            "doc_id",
-            F.when((en >= ms) & (en > 0), "en").when(ms > en, "ms")
-            .otherwise("unknown").alias("lang_pred"))
+            "doc_id", col_lang_id(F.col("text")).alias("lang_pred"))
     q["lang_id"] = lang_id
 
-    # ---- textstats: quality score ----
+    # ---- textstats: quality score (engine function) ----
     def quality_scores(spark, sf):
-        c = F.col("text")
-        toks = _tokens_col(c)
-        n_tok = F.size(toks)
-        sw = F.size(F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in _EN_SW + _MS_SW])))
-        punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
-        pr = F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
-        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-        mwl = F.when(n_tok > 0, total / n_tok).otherwise(F.lit(0.0))
-        score = (
-            F.when((n_tok >= 10) & (n_tok <= 100000), 0.25).otherwise(0.0)
-            + F.when(sw >= 2, 0.25).otherwise(0.0)
-            + F.when(pr <= 0.2, 0.25).otherwise(0.0)
-            + F.when((mwl >= 3.0) & (mwl <= 12.0), 0.25).otherwise(0.0)
-        )
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_quality_score)
         return _t(spark, sf, "documents").select(
-            "doc_id", F.round(score, 2).alias("quality"))
+            "doc_id", F.round(col_quality_score(F.col("text")), 2).alias("quality"))
     q["quality_scores"] = quality_scores
 
-    # ---- textstats: order-insensitive fingerprint ----
+    # ---- textstats: order-insensitive fingerprint (engine function) ----
     def doc_fingerprints(spark, sf):
-        fp = F.sha2(F.array_join(F.array_sort(F.array_distinct(_tokens_col(F.col("text")))), " "), 256)
-        return _t(spark, sf, "documents").select("doc_id", fp.alias("fingerprint"))
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_fingerprint)
+        return _t(spark, sf, "documents").select(
+            "doc_id", col_fingerprint(F.col("text")).alias("fingerprint"))
     q["doc_fingerprints"] = doc_fingerprints
 
     # ---- exact dedup groups ----

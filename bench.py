@@ -97,7 +97,7 @@ def main():
 
         timed("kg_ingest_synth", ingest_once)
         store_root = roots[-1]  # populated store for the graphrag step
-        extras["kg_ingest_docs_per_sec"] = round(
+        extras["synth_docs_per_sec"] = round(
             N_SYNTH / timings["kg_ingest_synth"], 2)
 
         # 2. canonicalize+chunk+extract over the driver documents table

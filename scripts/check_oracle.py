@@ -28,7 +28,11 @@ def canon(v):
             return "NaN"
         return f"{round(v, 6):.6f}"
     if isinstance(v, (datetime.datetime,)):
-        return v.replace(tzinfo=None).isoformat()
+        # Spark collect() yields naive datetimes in HOST-LOCAL time while
+        # DuckDB (TimeZone=UTC) yields UTC-aware ones: normalize BOTH to
+        # naive UTC (astimezone() on a naive value assumes the local tz),
+        # so the compare holds on non-UTC hosts too
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None).isoformat()
     if isinstance(v, (datetime.date,)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -54,6 +54,12 @@ def extract_doc(text: str) -> tuple[str, list[dict]]:
 
 
 def main():
+    # wipe stale fixtures first: doc_ids are content hashes, so a corpus
+    # or canonicalization change orphans old files and the golden gate's
+    # exact doc_id-set assertion would fail for a phantom reason
+    if os.path.isdir(OUT_DIR):
+        import shutil
+        shutil.rmtree(OUT_DIR)
     os.makedirs(OUT_DIR, exist_ok=True)
     corpus: list[tuple[str, str]] = []
     for p in _FIXTURE_PATHS:
