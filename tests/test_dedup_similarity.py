@@ -33,9 +33,6 @@ from neo4j_document_pipeline_spark.operators.similarity import (
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
 
 
 @pytest.fixture(scope="module")
@@ -133,7 +130,8 @@ def test_pairwise_topk_join(spark, embs):
         by_left.setdefault(r["lid"], []).append(r)
     for lid, rows in by_left.items():
         assert len(rows) == 3
-        assert rows[0]["rid"] == lid  # self is the most similar
+        top = next(r for r in rows if r["rank"] == 1)
+        assert top["rid"] == lid  # self is the most similar (rank, not row order)
 
 
 def test_textstats_columns(spark):
@@ -212,8 +210,7 @@ def test_ivf_train_deterministic_and_partitions_all_rows(spark):
     assert c1 == c2
     cells = ivf_assign(e, "embedding", c1)
     assert cells.count() == e.count()
-    dist = dict(cells.groupBy("cell").count().collect() and
-                [(r["cell"], r["count"]) for r in cells.groupBy("cell").count().collect()])
+    dist = {r["cell"]: r["count"] for r in cells.groupBy("cell").count().collect()}
     assert set(dist) <= set(range(4)) and sum(dist.values()) == e.count()
 
 

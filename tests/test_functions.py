@@ -87,8 +87,9 @@ def test_sha256():
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=200))
 def test_tokenizer_roundtrip(s):
-    if TOKENIZER == "regex_fallback":
-        assert decode(encode(s)) == s
+    if TOKENIZER != "regex_fallback":
+        pytest.skip("tiktoken active: regex-fallback round-trip not exercised")
+    assert decode(encode(s)) == s
 
 
 def test_split_by_tokens_roundtrip():

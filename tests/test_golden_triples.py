@@ -44,7 +44,10 @@ def spark_triples(spark):
     for i, p in enumerate(_FIXTURE_PATHS):
         with open(p, encoding="utf-8") as f:
             rows.append((f"u{i:04d}", f.read()))
-    for i in range(2, 120):
+    # SAME corpus recipe as the freezer — imported, not copy-pasted, so a
+    # change to N_SYNTH can never desynchronize the gate from the fixtures
+    from scripts.freeze_fixtures import N_SYNTH
+    for i in range(2, N_SYNTH):
         rows.append((f"u{i:04d}", make_text(i)))
     pages = spark.createDataFrame(rows, "url string, text string")
     triples = chunks_to_triples(documents_to_chunks(pages_to_documents(pages)))

@@ -43,7 +43,7 @@ def test_stateful_user_counters_stream(spark, tmp_path):
          .writeStream.outputMode("update")
          .format("memory").queryName("statecnt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "ingest stream did not terminate"
     # last emitted row per user carries the cumulative totals
     got_rows = spark.sql(
         "select * from (select *, row_number() over "

@@ -36,19 +36,9 @@ def test_cc_converges_on_large_random_graph(spark):
             parent[max(ra, rb)] = min(ra, rb)
     for u, v in pairs:
         union(u, v)
-    # path-compress fully, then map each node to its component min
-    truth = {}
-    for node in parent:
-        truth[node] = find(node)
-    # find() roots are not necessarily the min id; normalize per component
-    comp_members = {}
-    for node, root in truth.items():
-        comp_members.setdefault(root, []).append(node)
-    truth_min = {}
-    for members in comp_members.values():
-        m = min(members)
-        for node in members:
-            truth_min[node] = m
+    # union() always reparents the larger root under the smaller, so
+    # find() roots ARE the component minimum ids — no normalization needed
+    truth_min = {node: find(node) for node in parent}
 
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == truth_min

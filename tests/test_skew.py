@@ -43,8 +43,6 @@ def test_salted_aggregate_matches_plain(spark, skewed):
 def test_salted_join_matches_plain(spark, skewed):
     dim = spark.createDataFrame(
         [("hot", "HOT"), ("c1", "C1"), ("c5", "C5")], "k string, label string")
-    plain = sorted(map(str, skewed.join(dim, "k").collect()))
-    salted = sorted(map(str, salted_join(skewed, dim, "k", buckets=4).collect()))
     # column order may differ; compare as sets of (k, doc, label)
     p = sorted((r["k"], r["doc"], r["label"]) for r in skewed.join(dim, "k").collect())
     s = sorted((r["k"], r["doc"], r["label"]) for r in salted_join(skewed, dim, "k", buckets=4).collect())

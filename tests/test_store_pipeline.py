@@ -161,10 +161,13 @@ def test_lang_filter_pushes_down_and_filters(spark, tmp_path):
     en_docs = pages_to_documents(
         pages.filter(F.col("lang") == "en")).count()
     assert man["documents_final"]["rows"] == en_docs
-    # the predicate must reach the parquet scan
+    # the predicate must reach the parquet scan THROUGH the pipeline's own
+    # documents stage (filter -> pandas-UDF canonicalize -> hash), i.e.
+    # the same shape run_pipeline builds — not just a bare filter
     buf = io.StringIO()
     with redirect_stdout(buf):
-        pages.filter(F.col("lang").isin(["en"])).select("url").explain("formatted")
+        pages_to_documents(pages.filter(F.col("lang").isin(["en"]))) \
+            .explain("formatted")
     plan = buf.getvalue().replace(" ", "")
     pushed = plan[plan.find("PushedFilters"):].splitlines()[0]
     # single-element isin folds to EqualTo; either form must be pushed

@@ -26,7 +26,7 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     stream_root = str(tmp_path / "stream_store")
     q = start_ingest_stream(spark, pages_dir, stream_root,
                             str(tmp_path / "ckpt"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "ingest stream did not terminate"
 
     b = GraphStore(batch_root, spark)
     s = GraphStore(stream_root, spark)
@@ -54,7 +54,7 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName("winout")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "ingest stream did not terminate"
     got = {(str(r["win_start"]), r["event_type"]): (r["n"], round(r["v"], 6))
            for r in spark.sql("select * from winout").collect()}
     assert got == batch
