@@ -71,6 +71,12 @@ def main(argv=None):
             sys.exit("--pages required for ingest")
         if ns.pages.startswith("synth:"):
             pages = synth_pages(spark, int(ns.pages.split(":", 1)[1]))
+        elif ns.pages.startswith("warc:") or ns.pages.endswith((".warc", ".warc.gz")):
+            from neo4j_document_pipeline_spark.sources.warc import (
+                read_warc_pages)
+            pages = read_warc_pages(
+                spark, ns.pages.split(":", 1)[1]
+                if ns.pages.startswith("warc:") else ns.pages)
         else:
             import os
             import re as _re
