@@ -77,6 +77,13 @@ def main(argv=None):
             pages = read_warc_pages(
                 spark, ns.pages.split(":", 1)[1]
                 if ns.pages.startswith("warc:") else ns.pages)
+            if ns.text_source == "text":
+                # WARC pages carry html only (text is NULL); the default
+                # text source would canonicalize everything to "" and
+                # collapse the corpus into one empty doc
+                print("note: WARC input has no text column; "
+                      "using --text-source auto", file=sys.stderr)
+                ns.text_source = "auto"
         else:
             import os
             import re as _re
