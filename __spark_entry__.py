@@ -361,7 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- streaming-shape: fixed-window event aggregation ----
     def events_5min_windows(spark, sf):
         e = _t(spark, sf, "events")
-        win = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 300) * 300)
+        # bigint epoch seconds, not a timestamp: DuckDB's to_timestamp()
+        # yields TIMESTAMPTZ which schema-mismatches Spark's naive
+        # timestamp in the driver compare (VERDICT r1 red row).
+        win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
         return (e.groupBy(win.alias("win_start"), "event_type")
                 .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")))
     q["events_5min_windows"] = events_5min_windows
@@ -370,8 +373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sessionize_events(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-        newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        # microsecond-precision gap: events.ts carries sub-second parts;
+        # unix_timestamp() truncates to whole seconds while the DuckDB
+        # oracle's epoch() is fractional, so gaps straddling 1800s split
+        # sessions differently (VERDICT r1 red row). timestampdiff is
+        # exact-integer, works on TIMESTAMP_NTZ, and is timezone-free
+        # (oracle uses epoch_us()).
+        gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+        newsess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
         sess = F.sum(newsess).over(w.rowsBetween(Window.unboundedPreceding, 0))
         return (e.withColumn("session_id", sess)
                 .groupBy("user_id", "session_id")
@@ -453,8 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- A9: sources-list accumulation (sorted set per group) ----
     def sources_accumulation(spark, sf):
         e = _t(spark, sf, "events")
-        return (e.groupBy("event_type")
-                .agg(F.array_sort(F.collect_set(F.col("user_id") % 10)).alias("buckets")))
+        # join to a scalar string: the external driver checker canonicalizes
+        # via pandas sort_values, which crashes on raw array columns
+        # (unhashable list — VERDICT r1 red row).
+        buckets = F.array_join(
+            F.array_sort(F.collect_set(F.col("user_id") % 10)), ",")
+        return e.groupBy("event_type").agg(buckets.alias("buckets"))
     q["sources_accumulation"] = sources_accumulation
 
     # ---- exact-dedup keep-min rows (U3 complement) ----
@@ -624,7 +637,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id "
             "FROM documents GROUP BY sha256(text) HAVING count(*) > 1",
         "events_5min_windows":
-            "SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS win_start, event_type, "
+            "SELECT (floor(epoch(ts) / 300) * 300)::bigint AS win_start, event_type, "
             "count(*) AS n, round(sum(value), 4) AS v FROM events GROUP BY 1, 2",
         "sessionize_events":
             "SELECT user_id, session_id, count(*) AS n_events FROM ("
@@ -632,7 +645,7 @@ def oracle_sql() -> dict[str, str]:
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
             "    SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER "
             "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-            "    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+            "    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 "
             "    THEN 1 ELSE 0 END AS newsess FROM events)) "
             "GROUP BY user_id, session_id",
         "recent_orders":
@@ -658,8 +671,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT s_name FROM supplier "
             "UNION ALL SELECT event_type FROM events) GROUP BY txt",
         "sources_accumulation":
-            "SELECT event_type, list_sort(list_distinct(list(user_id % 10))) AS buckets "
-            "FROM events GROUP BY event_type",
+            "SELECT event_type, array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') "
+            "AS buckets FROM events GROUP BY event_type",
         "dedup_exact_keep":
             "SELECT doc_id, n_chars FROM ("
             "  SELECT doc_id, n_chars, row_number() OVER "
