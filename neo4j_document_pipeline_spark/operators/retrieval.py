@@ -348,10 +348,16 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                        "source_text_full", "sources").persist()
     try:
         for h in range(hops):
-            hit = und.join(
-                F.broadcast(frontier),
-                (und.src_id == frontier.id) | (und.dst_id == frontier.id),
-            ).drop("id")
+            # An OR of equalities cannot hash-join (Spark falls back to a
+            # BroadcastNestedLoopJoin: |edges| x |frontier| per hop). Same
+            # semantics as union of two broadcast HASH equi-joins + dedup —
+            # two codegen'd BHJs that stay O(|edges|) at any frontier size.
+            hit_s = und.join(F.broadcast(frontier),
+                             und.src_id == frontier.id).drop("id")
+            hit_d = und.join(F.broadcast(frontier),
+                             und.dst_id == frontier.id).drop("id")
+            hit = hit_s.unionByName(hit_d).dropDuplicates(
+                ["src_id", "dst_id", "rel_type", "term"])
             if checkpoint:
                 # eager: small result, truncates lineage across hops
                 hit = hit.localCheckpoint()

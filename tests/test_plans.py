@@ -49,7 +49,12 @@ def test_traversal_broadcasts_frontier(spark):
         .withColumn("source_text_full", F.lit("")) \
         .withColumn("sources", F.array().cast("array<string>"))
     out = traverse_neighbors(edges, ["a"], 1, checkpoint=False)
-    assert "BroadcastNestedLoopJoin" in plan_of(out) or "BroadcastHashJoin" in plan_of(out)
+    p = plan_of(out)
+    # an OR-of-equalities frontier join would fall back to a
+    # BroadcastNestedLoopJoin — O(|edges| x |frontier|) per hop at scale;
+    # the operator must produce two broadcast HASH equi-joins instead
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
 
 
 def test_edge_agg_is_hash_based_with_partial(spark):
