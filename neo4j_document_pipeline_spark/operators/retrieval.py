@@ -126,14 +126,54 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
     )
 
 
+def _name_tokens(df: DataFrame) -> DataFrame:
+    """Distinct (entity_id, tok) pairs under the index's alphanumeric
+    normalization — the single tokenization shared by the write-time
+    inverted index and the on-the-fly fallback."""
+    return df.select(
+        "entity_id",
+        F.explode(
+            F.array_distinct(F.split(
+                F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " ")), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def build_node_tokens(nodes: DataFrame) -> DataFrame:
+    """Write-time inverted index over node names: (tok, entity_id, df).
+
+    Replaces the Lucene fulltext INDEX the reference maintains at write
+    time (graphutil.py:306-359 queries it; Neo4j builds it on MERGE).
+    Materializing token -> document-frequency once at graph-commit time
+    means a query probes a committed table with a broadcast term join
+    instead of re-aggregating every node name per query — the per-query
+    full-corpus shuffle was the read-path scale-killer flagged in round 1.
+
+    df is attached per posting row (count over the tok partition, exact:
+    postings are distinct pairs). Output is shuffled by tok and sorted
+    within partitions so parquet row-group stats prune term probes."""
+    toks = _name_tokens(nodes.select("entity_id", "name"))
+    w = Window.partitionBy("tok")
+    return (toks.withColumn("df", F.count("*").over(w))
+            .sortWithinPartitions("tok"))
+
+
 def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
                     labels: list[str] | None = None,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
-                    n_nodes: int | None = None) -> DataFrame:
+                    n_nodes: int | None = None,
+                    postings: DataFrame | None = None) -> DataFrame:
     """BM25-lite replacement of the Lucene fulltext index
-    (graphutil.py:306-359): tokenize node names into an inverted index,
-    IDF-weight matched terms (single tokens) and contained phrases
-    (multi-word anchors), sum per node. Terms are a tiny broadcast side."""
+    (graphutil.py:306-359): IDF-weight matched terms (single tokens) and
+    contained phrases (multi-word anchors), sum per node. Terms are a tiny
+    broadcast side.
+
+    With ``postings`` (the committed build_node_tokens table) the channel
+    probes the index: single terms broadcast-join the postings, phrases
+    prefilter to entities carrying ALL phrase tokens before a containment
+    verify — no full-corpus aggregation on the read path. Without it (or
+    with a label filter, whose IDF corpus is the filtered frame) it falls
+    back to tokenizing in-query."""
     spark = nodes.sparkSession
     import re as _re
     anchors = anchor_terms(question, cfg.max_anchor_terms)
@@ -160,36 +200,59 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     single = [t.lower() for t in terms if " " not in t]
     phrases = [t.lower() for t in terms if " " in t]
 
-    toks = df.select(
-        "entity_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " ")), " "))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # the committed index covers the whole table; a label filter changes
+    # the IDF corpus, so that (rare) path tokenizes in-query
+    use_index = postings is not None and not labels
 
     # IDF denominator: the caller passes the corpus size (one manifest
     # lookup) instead of paying a count() job per query
     total = n_nodes if n_nodes is not None else df.count()
+    idf = F.log((F.lit(float(total)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    # phrase containment over the SAME normalization as the tokens, so
+    # "al khwarizmi" (from the hyphenated query term) matches the node
+    # name "Al-Khwarizmi"
+    lname = F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " "))
     parts = []
     if single:
         terms_df = F.broadcast(
             spark.createDataFrame([(t,) for t in single], "tok string"))
-        df_counts = toks.groupBy("tok").agg(F.countDistinct("entity_id").alias("df"))
-        matched = (
-            toks.join(terms_df, "tok")
-            .join(F.broadcast(df_counts.join(terms_df, "tok")), "tok")
-            .withColumn(
-                "idf",
-                F.log((F.lit(float(total)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        if use_index:
+            matched = (
+                postings.join(terms_df, "tok")
+                .withColumn("idf", idf)
+                .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
             )
-            .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
-        )
+        else:
+            toks = _name_tokens(df)
+            df_counts = toks.groupBy("tok").agg(
+                F.countDistinct("entity_id").alias("df"))
+            matched = (
+                toks.join(terms_df, "tok")
+                .join(F.broadcast(df_counts.join(terms_df, "tok")), "tok")
+                .withColumn("idf", idf)
+                .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
+            )
         parts.append(matched)
-    if phrases:
-        # phrase containment over the SAME normalization as the tokens, so
-        # "al khwarizmi" (from the hyphenated query term) matches the node
-        # name "Al-Khwarizmi"
-        lname = F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " "))
+    if phrases and use_index:
+        # a phrase can only be contained in a name carrying ALL its tokens:
+        # probe the index per phrase (pushed-down tok IN (...) filter),
+        # intersect, then verify containment on that small candidate set —
+        # never a full scan of names
+        for p in phrases:
+            ptoks = sorted({t for t in p.split() if t})
+            cand = (
+                postings.filter(F.col("tok").isin(ptoks))
+                .groupBy("entity_id")
+                .agg(F.countDistinct("tok").alias("_nt"))
+                .filter(F.col("_nt") == len(ptoks))
+                .select("entity_id")
+            )
+            parts.append(
+                df.join(F.broadcast(cand), "entity_id", "left_semi")
+                .filter(lname.contains(p))
+                .select("entity_id", F.lit(2.0).alias("kw_part"))
+            )
+    elif phrases:
         cond = None
         score = F.lit(0.0)
         for p in phrases:
@@ -225,11 +288,13 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
                       k_vec: int = 12, k_kw: int = 12,
                       alpha_vec: float = 0.6, beta_kw: float = 0.4,
                       cfg: PipelineConfig = DEFAULT_CONFIG,
-                      n_nodes: int | None = None) -> DataFrame:
+                      n_nodes: int | None = None,
+                      postings: DataFrame | None = None) -> DataFrame:
     """Full-outer channel merge, per-channel max, min-max norm, blended
     score with weights renormalized to sum 1 (graphutil.py:401-447)."""
     vec = vector_channel(nodes, qvec, labels, k_vec)
-    kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes)
+    kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes,
+                         postings=postings)
     raw = (
         vec.join(kw, "entity_id", "full_outer")
         .withColumn("vec", F.coalesce("vec", F.lit(0.0)))
@@ -494,6 +559,15 @@ def graphrag(spark: SparkSession, store, question: str,
     man = store.manifest("nodes") or {}
     n_nodes = man.get("rows")
 
+    # committed inverted index (build_node_tokens): use it only when its
+    # manifest records the CURRENT nodes snapshot — a stale index (e.g.
+    # nodes merged since) silently falls back to in-query tokenization
+    postings = None
+    if store.exists("node_tokens"):
+        tok_man = store.manifest("node_tokens") or {}
+        if tok_man.get("metrics", {}).get("src_nodes_version") == man.get("version"):
+            postings = store.read("node_tokens")
+
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
     cands_df = hybrid_candidates(nodes, question, qvec, labels,
@@ -502,7 +576,8 @@ def graphrag(spark: SparkSession, store, question: str,
                                  # manifest count covers the WHOLE table;
                                  # with a label filter the IDF corpus is the
                                  # filtered frame — let the channel count it
-                                 n_nodes=n_nodes if not labels else None).cache()
+                                 n_nodes=n_nodes if not labels else None,
+                                 postings=postings).cache()
     # attach doc titles for diversification / seed-dedup (J1) — scoped to
     # the <=2k candidate ids (broadcast), never an all-mentions aggregate
     cand_ids = cands_df.select("entity_id")

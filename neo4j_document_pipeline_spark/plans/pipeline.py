@@ -188,6 +188,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         for name, fut in futs.items():
             fut.result()
 
+    # FTS inverted index, committed alongside the graph (the Lucene-index
+    # analogue): queries probe this table instead of re-aggregating every
+    # node name. Stamped with the nodes snapshot it was built from so a
+    # stale index is detected (and bypassed) at read time.
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens)
+    nodes_version = (store.manifest("nodes") or {}).get("version")
+    stage("node_tokens",
+          lambda: build_node_tokens(store.read("nodes")),
+          f"{fp}:nodes={nodes_version}",
+          extra_metrics={"src_nodes_version": nodes_version})
+
     if canonicalize_entities:
         from neo4j_document_pipeline_spark.operators.linking import (
             apply_canonicalization, canonical_map, link_entities)

@@ -65,8 +65,17 @@ def ingest_increment(store, batch_df: DataFrame,
     emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
     store.write("embeddings_cache", emb, stage=stage)
     emb = store.read("embeddings_cache")
-    store.write("nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
-                stage=stage)
+    nodes_man = store.write(
+        "nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
+        stage=stage)
+    # keep the committed FTS inverted index in step with the merged nodes
+    # (a stale index is bypassed at read time; rebuilding here keeps the
+    # indexed fast path live across incremental batches)
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens)
+    store.write("node_tokens", build_node_tokens(store.read("nodes")),
+                stage=stage,
+                extra_metrics={"src_nodes_version": nodes_man["version"]})
     store.write("edges",
                 store.merge_edges(build_edges(triples, emb, cfg,
                                               chunks=chunks),

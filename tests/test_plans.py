@@ -115,3 +115,24 @@ def test_cosine_scoring_is_whole_stage_codegen(spark):
     # no python evaluation nodes in the scoring path
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "pythonUDF" not in p
+
+
+def test_keyword_channel_index_path_never_scans_names(spark):
+    """With the committed inverted index and single query terms, the plan
+    must probe the postings table only — no tokenize-explode-aggregate of
+    the full nodes table per query (the round-1 read-path scale-killer)."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens, keyword_channel)
+    nodes = spark.createDataFrame(
+        [("e1", "Entity", "Optics"), ("e2", "Stakeholder", "Al Khwarizmi")],
+        "entity_id string, label string, name string")
+    postings = build_node_tokens(nodes).localCheckpoint()
+    out = keyword_channel(nodes, "optics geometry", 10,
+                          n_nodes=2, postings=postings)
+    p = plan_of(out)
+    # the on-the-fly fallback tokenizes names (regexp_replace + explode)
+    # and recounts document frequency (count(distinct ...)); the index
+    # path must do neither
+    assert "regexp_replace" not in p
+    assert "explode" not in p
+    assert "distinct" not in p.lower()

@@ -190,3 +190,53 @@ def test_keyword_channel_matches_punctuated_query_terms(spark):
     hits2 = {r["entity_id"]
              for r in keyword_channel(nodes, "What did al-Khwarizmi develop?", 10).collect()}
     assert "e2" in hits2
+
+
+def test_keyword_channel_postings_parity(spark, kg):
+    """The committed inverted-index path must score IDENTICALLY to the
+    on-the-fly tokenization fallback — same entities, same kw scores —
+    for single terms, phrases, and their mix."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens, keyword_channel)
+    nodes = kg.read("nodes")
+    postings = build_node_tokens(nodes)
+    for q in ["What did Al-Khwarizmi develop?",
+              'What is the "House of Wisdom"?',
+              "algebra geometry optics"]:
+        base = {(r["entity_id"], round(r["kw"], 9))
+                for r in keyword_channel(nodes, q, 50).collect()}
+        fast = {(r["entity_id"], round(r["kw"], 9))
+                for r in keyword_channel(nodes, q, 50, postings=postings).collect()}
+        assert fast == base and base, q
+
+
+def test_node_tokens_df_is_exact(spark):
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens)
+    nodes = spark.createDataFrame(
+        [("e1", "A", "alpha beta"), ("e2", "A", "beta gamma"),
+         ("e3", "B", "Beta-Beta!")],
+        "entity_id string, label string, name string")
+    rows = {(r["tok"], r["entity_id"]): r["df"]
+            for r in build_node_tokens(nodes).collect()}
+    # beta appears in all 3 names (deduped within e3), alpha/gamma in 1
+    assert rows[("beta", "e1")] == 3 and rows[("beta", "e3")] == 3
+    assert rows[("alpha", "e1")] == 1 and rows[("gamma", "e2")] == 1
+
+
+def test_graphrag_uses_fresh_index_and_detects_stale(spark, kg):
+    """run_pipeline commits node_tokens stamped with its nodes snapshot;
+    graphrag answers identically with the index live and with it stale."""
+    man = kg.manifest("node_tokens")
+    assert man is not None
+    assert man["metrics"]["src_nodes_version"] == kg.manifest("nodes")["version"]
+    a1 = graphrag(spark, kg, "What did Al-Khwarizmi develop?").answer
+    # forge staleness: restamp the index with a bogus source version
+    kg.update_metrics("node_tokens", {"src_nodes_version": "v-stale"})
+    try:
+        a2 = graphrag(spark, kg, "What did Al-Khwarizmi develop?").answer
+    finally:
+        kg.update_metrics("node_tokens",
+                          {"src_nodes_version": kg.manifest("nodes")["version"]})
+    assert a1 == a2
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in a1
