@@ -403,15 +403,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("p_partkey").limit(50))
     q["regex_part_search"] = regex_part_search
 
-    # ---------------- rows-only (non-SQL-expressible) ----------------
-
+    # ---- flagship KG extraction vs frozen golden fixtures ----
     def kg_triples_documents(spark, sf):
+        """Spark extraction over the EXACT fixture corpus; the oracle reads
+        the frozen golden JSON (fixtures/triples/), so the driver gate now
+        asserts the full (doc_id, subject, rel_type, object, object_kind)
+        set — the same P/R=1.00 parity the pytest golden gate proves."""
+        from neo4j_document_pipeline_spark.functions.text import col_norm_space
         from neo4j_document_pipeline_spark.operators.ingest import (
             chunks_to_triples, documents_to_chunks, pages_to_documents)
-        from neo4j_document_pipeline_spark.sources.pages import synth_pages
-        pages = synth_pages(spark, 300).select("url", "text")
+        from neo4j_document_pipeline_spark.sources.pages import (
+            _FIXTURE_PATHS, make_text)
+        from scripts.freeze_fixtures import N_SYNTH
+        rows = []
+        for i, p in enumerate(_FIXTURE_PATHS):
+            with open(p, encoding="utf-8") as f:
+                rows.append((f"u{i:04d}", f.read()))
+        for i in range(2, N_SYNTH):
+            rows.append((f"u{i:04d}", make_text(i)))
+        pages = spark.createDataFrame(rows, "url string, text string")
         tr = chunks_to_triples(documents_to_chunks(pages_to_documents(pages)))
-        return tr.select("doc_id", "subject", "rel_type", "object", "object_kind")
+        return (tr.select(
+            "doc_id",
+            col_norm_space(F.col("subject")).alias("subject"),
+            "rel_type",
+            col_norm_space(F.col("object")).alias("object"),
+            "object_kind").distinct())
     q["kg_triples_documents"] = kg_triples_documents
 
     def minhash_near_dups(spark, sf):
@@ -503,7 +520,80 @@ def oracle_sql() -> dict[str, str]:
     en_arr = "[" + ", ".join(f"'{w}'" for w in _EN_SW) + "]"
     ms_arr = "[" + ", ".join(f"'{w}'" for w in _MS_SW) + "]"
 
+    # 3-word-gram shingle sets under the engine's tokenization — the exact
+    # verification kernel of minhash_near_duplicates (operators/dedup.py)
+    shingle_cte = (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::varchar[] "
+        "ELSE list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
+        "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM t)")
+
+    # simhash: 64 per-bit tf-weighted majority votes over
+    # md5_number_lower('42:'||tok) — the identical token hash the engine
+    # computes (low 8 md5 digest bytes, little-endian)
+    bit_acc = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}"
+        for i in range(64))
+    sig_sum = " + ".join(
+        f"CASE WHEN a{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64))
+    simhash_sql = (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+        "FROM documents), "
+        "u AS (SELECT doc_id, md5_number_lower('42:' || unnest(toks)) AS h FROM d), "
+        f"acc AS (SELECT doc_id, {bit_acc} FROM u GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, ({sig_sum}) AS s FROM acc) "
+        "SELECT d.doc_id AS id, coalesce(CASE WHEN s >= 9223372036854775808::HUGEINT "
+        "THEN (s - 18446744073709551616::HUGEINT)::BIGINT ELSE s::BIGINT END, 0) AS simhash "
+        "FROM d LEFT JOIN sig USING (doc_id)")
+
+    # embedding near-dup: the SAME seeded hyperplanes the engine uses
+    # (np.random.RandomState(42), 12 planes x dim 64), two 6-bit sign
+    # bands, union of band self-joins, exact cosine rerank in double
+    import numpy as _np
+    _planes = _np.random.RandomState(42).normal(size=(12, 64))
+    bit_cols = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in _planes[p]) + "]) >= 0 "
+        f"THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(12))
+    bk1 = " + ".join(f"bit{i} * {1 << i}" for i in range(6))
+    bk2 = " + ".join(f"bit{6 + i} * {1 << i}" for i in range(6))
+    emb_neardup_sql = (
+        "WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"s AS (SELECT id, v, {bit_cols} FROM base), "
+        f"k AS (SELECT id, v, ({bk1}) AS bk1, ({bk2}) AS bk2 FROM s), "
+        "cand AS ("
+        "  SELECT a.id AS id1, b.id AS id2, a.v AS v1, b.v AS v2 "
+        "  FROM k a JOIN k b ON a.bk1 = b.bk1 AND a.id < b.id "
+        "  UNION "
+        "  SELECT a.id, b.id, a.v, b.v "
+        "  FROM k a JOIN k b ON a.bk2 = b.bk2 AND a.id < b.id) "
+        "SELECT id1, id2, round(c, 4) AS cos FROM ("
+        "  SELECT id1, id2, CASE WHEN sqrt(list_dot_product(v1, v1)) = 0 "
+        "  OR sqrt(list_dot_product(v2, v2)) = 0 THEN 0.0 "
+        "  ELSE list_dot_product(v1, v2) / "
+        "  (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) END AS c "
+        "  FROM cand) WHERE c >= 0.35")
+
     return {
+        "kg_triples_documents":
+            "SELECT DISTINCT doc_id, t.subject AS subject, t.predicate AS rel_type, "
+            "t.object AS object, t.object_kind AS object_kind "
+            "FROM (SELECT doc_id, unnest(triples) AS t "
+            "FROM read_json_auto('/root/repo/fixtures/triples/*.json'))",
+        "minhash_near_dups":
+            f"{shingle_cte} "
+            "SELECT id1, id2, round(j, 4) AS jaccard FROM ("
+            "  SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "  CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0 "
+            "  THEN len(list_intersect(a.grams, b.grams))::double "
+            "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END AS j "
+            "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+            "WHERE j >= 0.8",
+        "simhash_signatures": simhash_sql,
+        "embedding_near_dups": emb_neardup_sql,
         "agg_docs_by_lang":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
         "agg_events_by_type":

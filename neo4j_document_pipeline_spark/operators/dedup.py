@@ -63,7 +63,12 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
                            shingle_words: int = 3) -> DataFrame:
-    """(id, text) -> (id, sig, shingles) over word n-gram shingles."""
+    """(id, text) -> (id, sig, shingles) over word n-gram shingles.
+
+    ``sig`` (minhash over crc32 gram hashes) drives LSH banding only;
+    ``shingles`` carries the raw gram STRINGS so the exact-Jaccard
+    verification kernel is hash-free (no crc32-collision noise) and
+    reproducible by a plain-SQL oracle."""
     k = cfg.minhash_sig_len
     a_, b_ = _minhash_params(k, cfg.featurizer_seed)
 
@@ -76,7 +81,7 @@ def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = tok_re.findall((text or "").lower())
                 grams = {
-                    zlib.crc32(" ".join(toks[i:i + shingle_words]).encode())
+                    " ".join(toks[i:i + shingle_words])
                     for i in range(max(1, len(toks) - shingle_words + 1))
                 } if toks else set()
                 if not grams:
@@ -87,7 +92,10 @@ def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                     sigs.append([zlib.crc32(str(doc_id).encode())] * k)
                     shingles.append([])
                     continue
-                x = np.fromiter(grams, dtype=np.int64)[:, None] % _MERSENNE
+                hashed = np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.int64, count=len(grams))
+                x = hashed[:, None] % _MERSENNE
                 hv = (x * a_[None, :] + b_[None, :]) % _MERSENNE
                 sigs.append(hv.min(axis=0).tolist())
                 shingles.append(sorted(grams))
@@ -98,7 +106,7 @@ def doc_minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        gen, schema=f"id {id_type}, sig array<bigint>, shingles array<bigint>"
+        gen, schema=f"id {id_type}, sig array<bigint>, shingles array<string>"
     )
 
 
@@ -140,36 +148,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = 42) -> DataFrame:
-    """64-bit SimHash over token crc64-ish hashes (weighted by tf)."""
+    """64-bit SimHash over 64-bit md5 token hashes (weighted by tf).
 
-    def _splitmix64(x: np.ndarray) -> np.ndarray:
-        # avalanche finalizer — crc32 alone is GF(2)-linear, which makes
-        # similar tokens produce correlated bit patterns
-        x = np.uint64(x)
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x ^= x >> np.uint64(30)
-        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x ^= x >> np.uint64(27)
-        x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x ^= x >> np.uint64(31)
-        return x
+    The token hash is the low 8 digest bytes of md5('{seed}:{tok}') read
+    little-endian — exactly SQL ``md5_number_lower('{seed}:' || tok)``, so
+    the full signature is reproducible by a plain-SQL oracle (md5 is
+    already avalanched; no extra finalizer needed)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import re
-        import zlib
+        from collections import Counter
         tok_re = re.compile(r"[a-z0-9]+")
-        old = np.seterr(over="ignore")
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
                 toks = tok_re.findall((text or "").lower())
                 if toks:
-                    raw = np.fromiter(
-                        (zlib.crc32(f"{seed}:{t}".encode()) for t in toks),
-                        dtype=np.uint64, count=len(toks))
-                    h = _splitmix64(raw)                         # (T,)
+                    # hash each DISTINCT token once; weight by tf
+                    tf = Counter(toks)
+                    h = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.md5(f"{seed}:{t}".encode()).digest()[8:16],
+                            "little") for t in tf),
+                        dtype=np.uint64, count=len(tf))
+                    w = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
                     bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc = np.where(bits == 1, 1, -1).sum(axis=0)  # (64,)
+                    acc = (np.where(bits == 1, 1, -1) * w[:, None]).sum(axis=0)
                 else:
                     acc = np.full(64, -1)
                 sig = 0
@@ -178,7 +183,6 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                         sig |= 1 << i
                 out.append(np.uint64(sig).astype(np.int64))
             yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
-        np.seterr(**old)
 
     id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
     return df.select(id_col, text_col).mapInPandas(

@@ -44,7 +44,12 @@ def extract_doc(text: str) -> tuple[str, list[dict]]:
                                  src_txt=chunk, clamp_all=True):
             rows.append({
                 "subject": py_norm_space(r["subject"]),
-                "predicate": py_safe_label(r["predicate"], "RELATED_TO"),
+                # the DISPATCHED rel type (flatten_triples), not a re-derived
+                # safe_label(raw predicate): they differ only on distribution
+                # rows, where the reference emits HAS_INITIATIVE_COUNT
+                # (ingestMD.py:423-464) — the golden gate and the driver
+                # oracle both compare against the pipeline's rel_type
+                "predicate": r["rel_type"],
                 "object": py_norm_space(r["object"]),
                 "subject_type": r["subject_type"],
                 "object_type": r["object_type"],
