@@ -111,6 +111,20 @@ def pairwise_topk_join(left: DataFrame, right: DataFrame,
 # IVF (inverted-file) ANN — the cell-probing scale path
 # ---------------------------------------------------------------------------
 
+# above this many literal floats (n_cells * dim), embedding centroids into
+# the Catalyst expression tree stops being sane (multi-MB plans at e.g.
+# 3072 dims x 64 cells) — switch to a broadcast numpy matmul in mapInPandas
+_EXPR_ASSIGN_LIMIT = 8192
+
+
+def _normed_matrix(centroids: list[list[float]]) -> np.ndarray:
+    """Centroids L2-normalized row-wise (zero rows kept as zero)."""
+    arr = np.asarray(centroids, dtype=float)
+    norms = np.linalg.norm(arr, axis=1)
+    norms[norms == 0] = 1.0
+    return arr / norms[:, None]
+
+
 def _cell_col(vec_col: str, centroids: list[list[float]]):
     """0-based nearest-centroid index by cosine, computed entirely with
     JVM higher-order functions over a literal centroid array — no explode
@@ -130,6 +144,75 @@ def _cell_col(vec_col: str, centroids: list[list[float]]):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _assign_cells_pandas(df: DataFrame, vec_col: str,
+                         centroids: list[list[float]],
+                         cell_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast numpy matmul over Arrow
+    batches — the large-dimensionality path (centroids travel as a Spark
+    broadcast variable, never as plan literals)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    M = _normed_matrix(centroids)
+    bc = df.sparkSession.sparkContext.broadcast(M)
+    # a NEW StructType — StructType.add would mutate the source frame's
+    # cached schema object in place
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(cell_col, IntegerType())])
+
+    def gen(batches):
+        mat = bc.value
+        for pdf in batches:
+            if len(pdf):
+                V = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+                pdf[cell_col] = (V @ mat.T).argmax(axis=1).astype("int32")
+            else:
+                pdf[cell_col] = pd.Series([], dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def _train_stats(df: DataFrame, vec_col: str,
+                 centroids: list[list[float]]) -> tuple[np.ndarray, np.ndarray]:
+    """One Lloyd step's sufficient statistics in ONE pass: per-partition
+    numpy assign (broadcast matmul) + scatter-added partial (sum, count)
+    per cell, reduced driver-side. The shuffle-free replacement of the
+    per-dimension avg() aggregation, whose dim separate aggregate
+    expressions melt Catalyst at real embedding widths (3072+)."""
+    import pandas as pd
+
+    M = _normed_matrix(centroids)
+    k, dim = M.shape
+    bc = df.sparkSession.sparkContext.broadcast(M)
+
+    def gen(batches):
+        mat = bc.value
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cells = (V @ mat.T).argmax(axis=1)
+            np.add.at(sums, cells, V)
+            cnts += np.bincount(cells, minlength=k)
+        yield pd.DataFrame({
+            "cell": np.arange(k, dtype="int32"),
+            "s": [row.tolist() for row in sums],
+            "n": cnts,
+        })
+
+    parts = df.select(vec_col).mapInPandas(
+        gen, schema="cell int, s array<double>, n bigint").collect()
+    sums = np.zeros((k, dim))
+    cnts = np.zeros(k, dtype=np.int64)
+    for r in parts:
+        sums[r["cell"]] += np.asarray(r["s"])
+        cnts[r["cell"]] += r["n"]
+    return sums, cnts
+
+
 def ivf_train(df: DataFrame, id_col: str, vec_col: str,
               n_cells: int = 16, iters: int = 5,
               seed: int = 42) -> list[list[float]]:
@@ -137,10 +220,14 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
 
     - init: n_cells rows picked by sha2(id) order (deterministic seeded
       pseudo-random sample, one small job);
-    - assign: expression-only argmax over literal centroids (above) —
-      one narrow map stage per iteration;
-    - update: single groupBy(cell) with one avg per dimension (map-side
-      partial aggregation; k x dim result collected to the driver).
+    - assign+update, small dims (n_cells*dim <= _EXPR_ASSIGN_LIMIT):
+      expression-only argmax over literal centroids + one avg per
+      dimension (map-side partial aggregation) — whole-stage codegen,
+      no Python;
+    - assign+update, large dims: one numpy mapInPandas pass per iteration
+      computing per-partition (cell, sum, count) partials against
+      BROADCAST centroids, reduced driver-side — k*dim floats cross the
+      wire per partition, nothing enters the expression tree.
     Empty cells keep their previous centroid."""
     head = df.select(vec_col).first()
     if head is None or head[0] is None:
@@ -154,18 +241,27 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
         .limit(n_cells).collect()
     )
     centroids = [list(map(float, r["v"])) for r in init]
+    use_expr = n_cells * dim <= _EXPR_ASSIGN_LIMIT
     for _ in range(iters):
-        assigned = df.select(_cell_col(vec_col, centroids).alias("cell"),
-                             F.col(vec_col).alias("v"))
-        rows = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
-        new = list(centroids)
-        for r in rows:
-            new[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
-        centroids = new
+        if use_expr:
+            assigned = df.select(_cell_col(vec_col, centroids).alias("cell"),
+                                 F.col(vec_col).alias("v"))
+            rows = (
+                assigned.groupBy("cell")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+                .collect()
+            )
+            new = list(centroids)
+            for r in rows:
+                new[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+            centroids = new
+        else:
+            sums, cnts = _train_stats(df, vec_col, centroids)
+            new = list(centroids)
+            for c in range(n_cells):
+                if cnts[c] > 0:
+                    new[c] = (sums[c] / cnts[c]).tolist()
+            centroids = new
     return centroids
 
 
@@ -173,8 +269,12 @@ def ivf_assign(df: DataFrame, vec_col: str,
                centroids: list[list[float]],
                cell_col: str = "cell") -> DataFrame:
     """Attach the IVF cell id. At scale, write the table partitioned by
-    this column so ivf_topk's cell filter becomes partition pruning."""
-    return df.withColumn(cell_col, _cell_col(vec_col, centroids))
+    this column so ivf_topk's cell filter becomes partition pruning.
+    Small centroid sets stay a pure JVM expression; large ones switch to
+    a broadcast numpy matmul (identical argmax up to float tie-breaks)."""
+    if len(centroids) * len(centroids[0]) <= _EXPR_ASSIGN_LIMIT:
+        return df.withColumn(cell_col, _cell_col(vec_col, centroids))
+    return _assign_cells_pandas(df, vec_col, centroids, cell_col)
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,

@@ -271,3 +271,53 @@ def test_normalize_url_cases(spark):
     bad = df.select("u", col_normalize_url(F.col("u")).alias("got"), "want") \
             .filter(F.col("got") != F.col("want")).collect()
     assert not bad, bad
+
+
+def test_ivf_pandas_assign_matches_expression(spark):
+    """The broadcast-matmul assignment (large-dim path) must agree with
+    the literal-expression argmax on the same centroids."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        _assign_cells_pandas, _cell_col, ivf_train)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    expr = {r["vec_id"]: r["cell"] for r in
+            e.withColumn("cell", _cell_col("embedding", cents))
+            .select("vec_id", "cell").collect()}
+    pnd = {r["vec_id"]: r["cell"] for r in
+           _assign_cells_pandas(e, "embedding", cents, "cell")
+           .select("vec_id", "cell").collect()}
+    assert pnd == expr
+
+
+def test_ivf_at_reference_dimensionality(spark):
+    """dim=3072 x n_cells=64 — the config that melted the literal
+    expression tree in round 1. Trains + assigns via the broadcast numpy
+    path in sane time; full-probe top-k equals brute force."""
+    import time
+
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        _EXPR_ASSIGN_LIMIT, brute_force_topk, ivf_assign, ivf_topk,
+        ivf_train)
+    dim, n, k = 3072, 400, 64
+    assert k * dim > _EXPR_ASSIGN_LIMIT  # must exercise the pandas path
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=dim).astype("float32").tolist())
+            for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .repartition(8).cache()
+    e.count()
+    t0 = time.perf_counter()
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=k, iters=2)
+    assigned = ivf_assign(e, "embedding", cents)
+    counts = assigned.groupBy().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cell").alias("k_used")).first()
+    elapsed = time.perf_counter() - t0
+    assert len(cents) == k and len(cents[0]) == dim
+    assert counts["n"] == n and counts["k_used"] > 1
+    assert elapsed < 120, f"IVF at 3072x64 took {elapsed:.0f}s"
+    q = rows[0][1]
+    full = ivf_topk(e, "vec_id", "embedding", cents, q, 5, nprobe=k,
+                    cell_col=None).collect()
+    brute = brute_force_topk(e, "vec_id", "embedding", q, 5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
