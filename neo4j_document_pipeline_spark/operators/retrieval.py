@@ -107,20 +107,21 @@ def cosine_score_col(qvec: list[float]) -> F.Column:
 
 def vector_channel(nodes: DataFrame, qvec: list[float],
                    labels: list[str] | None, k_vec: int) -> DataFrame:
-    """Per-label top-k by cosine, dedupe-max across labels, global top k_vec
-    (graphutil.py:364-391). Brute-force scan — the ANN-index replacement —
-    stays JVM-side; per-label ranking is one window over the label
-    partitioning the nodes table already has."""
+    """Global top-k_vec by cosine (graphutil.py:364-391). Brute-force scan
+    — the ANN-index replacement — stays JVM-side and compiles to a single
+    TakeOrderedAndProject stage: no shuffle, no window.
+
+    The reference queries a per-label vector index top-k then dedupe-maxes
+    across labels; since the nodes table holds exactly ONE row per
+    entity_id and the per-label cap equals the global limit (both k_vec),
+    that per-label ranking and the dedupe-max are provably no-ops on the
+    result — a k_vec-row output cannot exceed k_vec rows of any label
+    (parity asserted in tests/test_retrieval.py against numpy)."""
     df = nodes.filter(F.col("embedding").isNotNull())
     if labels:
         df = df.filter(F.col("label").isin(labels))
-    scored = df.withColumn("score", cosine_score_col(qvec))
-    per_label = Window.partitionBy("label").orderBy(F.col("score").desc(), "entity_id")
     return (
-        scored.withColumn("_r", F.row_number().over(per_label))
-        .filter(F.col("_r") <= k_vec)
-        .groupBy("entity_id")
-        .agg(F.max("score").alias("vec"))
+        df.select("entity_id", cosine_score_col(qvec).alias("vec"))
         .orderBy(F.col("vec").desc(), "entity_id")
         .limit(k_vec)
     )
@@ -242,8 +243,11 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
             ptoks = sorted({t for t in p.split() if t})
             cand = (
                 postings.filter(F.col("tok").isin(ptoks))
+                # postings rows are DISTINCT (tok, entity_id) pairs, so a
+                # plain count equals the distinct-token count without the
+                # two-phase countDistinct expansion
                 .groupBy("entity_id")
-                .agg(F.countDistinct("tok").alias("_nt"))
+                .agg(F.count("*").alias("_nt"))
                 .filter(F.col("_nt") == len(ptoks))
                 .select("entity_id")
             )
@@ -394,52 +398,88 @@ def dedupe_seeds_one_per_doc(cands: list[dict]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
-                       max_hops: int = 1, checkpoint: bool = True) -> DataFrame:
+                       max_hops: int = 1, checkpoint: bool = True,
+                       max_inline_frontier: int = 2048) -> DataFrame:
     """Undirected BFS, node-global uniqueness (graphutil.py:547-632,
     clamp at main.py:337). Returns the traversed edge set.
 
-    Iterative frontier joins with the (small) frontier broadcast; per hop
-    one shuffle-free probe of the edges table. Lineage stays short (<=3
+    While the frontier stays small (<= max_inline_frontier ids) each hop
+    is ONE pushed-down scan filter — ``src_id IN (...) OR dst_id IN (...)``
+    — no join, no shuffle, no dedup; next-hop ids are collected with a
+    limit probe. The moment a hop's neighbor set exceeds the cap, the
+    remaining hops switch to broadcast HASH equi-joins of a frontier
+    frame against the edges table (union of the two endpoint joins +
+    edge-key dedup — never an OR-of-equalities join, which would fall
+    back to a BroadcastNestedLoopJoin). Lineage stays short (<=3
     iterations, north-rule clamp)."""
     spark = edges.sparkSession
     hops = max(1, min(3, max_hops))
     if not seed_ids:
         return edges.limit(0)
-    frontier = spark.createDataFrame([(s,) for s in seed_ids], "id string")
-    visited = frontier
+    frontier_ids: list[str] | None = list(dict.fromkeys(seed_ids))
+    visited_ids = set(frontier_ids)
+    frontier = None    # DataFrame-mode frontier / visited (big frontiers)
+    visited = None
+    if len(frontier_ids) > max_inline_frontier:
+        frontier = spark.createDataFrame(
+            [(s,) for s in frontier_ids], "id string")
+        visited = frontier
+        frontier_ids = None
     touched = None
     # one slim scan of the edges table, reused by every hop
     und = edges.select("src_id", "dst_id", "rel_type", "term",
                        "source_text_full", "sources").persist()
     try:
         for h in range(hops):
-            # An OR of equalities cannot hash-join (Spark falls back to a
-            # BroadcastNestedLoopJoin: |edges| x |frontier| per hop). Same
-            # semantics as union of two broadcast HASH equi-joins + dedup —
-            # two codegen'd BHJs that stay O(|edges|) at any frontier size.
-            hit_s = und.join(F.broadcast(frontier),
-                             und.src_id == frontier.id).drop("id")
-            hit_d = und.join(F.broadcast(frontier),
-                             und.dst_id == frontier.id).drop("id")
-            hit = hit_s.unionByName(hit_d).dropDuplicates(
-                ["src_id", "dst_id", "rel_type", "term"])
-            if checkpoint:
-                # eager: small result, truncates lineage across hops
-                hit = hit.localCheckpoint()
+            last_hop = h == hops - 1
+            if frontier_ids is not None:
+                hit = und.filter(F.col("src_id").isin(frontier_ids)
+                                 | F.col("dst_id").isin(frontier_ids))
+            else:
+                hit_s = und.join(F.broadcast(frontier),
+                                 und.src_id == frontier.id).drop("id")
+                hit_d = und.join(F.broadcast(frontier),
+                                 und.dst_id == frontier.id).drop("id")
+                hit = hit_s.unionByName(hit_d).dropDuplicates(
+                    ["src_id", "dst_id", "rel_type", "term"])
+                if checkpoint and not last_hop:
+                    # eager: small result, truncates lineage across hops;
+                    # the LAST hop is never checkpointed — it feeds only
+                    # the returned frame, so materializing it here would
+                    # just run the frontier joins twice
+                    hit = hit.localCheckpoint()
             touched = hit if touched is None else touched.unionByName(hit)
-            if h == hops - 1:
-                break  # last hop: no need to grow the frontier
+            if last_hop:
+                break  # no need to grow the frontier
             nbrs = (
                 hit.select(F.col("src_id").alias("id"))
                 .union(hit.select(F.col("dst_id").alias("id")))
                 .distinct()
             )
+            if frontier_ids is not None:
+                # limit probe: fetch at most cap+1 ids — if the neighbor
+                # set overflows, flip to DataFrame mode instead of pulling
+                # an unbounded id list to the driver
+                sample = nbrs.limit(max_inline_frontier + 1).collect()
+                if len(sample) <= max_inline_frontier:
+                    frontier_ids = [r["id"] for r in sample
+                                    if r["id"] not in visited_ids]
+                    visited_ids.update(frontier_ids)
+                    if not frontier_ids:
+                        break
+                    continue
+                # overflow: materialize DF-mode frontier/visited from the
+                # (bounded) driver-side sets and this hop's lineage
+                visited = spark.createDataFrame(
+                    [(v,) for v in visited_ids], "id string")
+                frontier_ids = None
             frontier = nbrs.join(visited, "id", "left_anti")
             if checkpoint:
                 frontier = frontier.localCheckpoint()
             visited = visited.union(frontier).distinct()
-        out = touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
-        return out.localCheckpoint() if checkpoint else out
+        # returned lazily: the caller's next action (facts assembly /
+        # collect) is the traversal's single materialization
+        return touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
     finally:
         und.unpersist()
 
@@ -534,20 +574,60 @@ class GraphRagResult:
     timings: dict = field(default_factory=dict)
 
 
+def _blend_candidates_py(vec_rows, kw_rows, alpha_vec: float,
+                         beta_kw: float) -> list[tuple]:
+    """Driver-side replica of hybrid_candidates' blend over the
+    <= k_vec + k_kw channel winners: full-outer merge, minmax with the
+    reference's degenerate-span 0.5 rule, renormalized weighted sum
+    (graphutil.py:401-447 — the reference also blends in-process).
+    Returns [(entity_id, score)] sorted by (-score, entity_id)."""
+    vals: dict[str, list[float]] = {}
+    for r in vec_rows:
+        vals[r["entity_id"]] = [float(r["vec"]), 0.0]
+    for r in kw_rows:
+        vals.setdefault(r["entity_id"], [0.0, 0.0])[1] = float(r["kw"])
+    if not vals:
+        return []
+
+    def _norm(idx: int) -> dict[str, float]:
+        xs = [v[idx] for v in vals.values()]
+        lo, hi = min(xs), max(xs)
+        if hi - lo < 1e-12:
+            return dict.fromkeys(vals, 0.5)
+        return {k: (v[idx] - lo) / (hi - lo) for k, v in vals.items()}
+
+    nv, nk = _norm(0), _norm(1)
+    w_sum = max(1e-12, alpha_vec + beta_kw)
+    w_vec, w_kw = alpha_vec / w_sum, beta_kw / w_sum
+    scores = {k: w_vec * nv[k] + w_kw * nk[k] for k in vals}
+    return sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+
+
 def graphrag(spark: SparkSession, store, question: str,
              top_k: int = 10, hops: int = 1,
              labels: list[str] | None = None,
              alpha_vec: float = 0.6, beta_kw: float = 0.4,
              use_mmr: bool = True, use_cross_doc: bool = True,
              include_source: bool = False,
-             cfg: PipelineConfig = DEFAULT_CONFIG) -> GraphRagResult:
+             cfg: PipelineConfig = DEFAULT_CONFIG,
+             fused: bool = True) -> GraphRagResult:
     """End-to-end /graphrag (main.py:229-400). The answer IS the formatted
-    facts block — no LLM generation step (main.py:370-371)."""
+    facts block — no LLM generation step (main.py:370-371).
+
+    ``fused=True`` (default) collects the two channel top-k lists
+    concurrently and blends them driver-side (<= k_vec+k_kw rows — the
+    same rows the reference moves in-process), then fetches candidate
+    attributes + doc titles in ONE job: ~3 Spark actions per query
+    instead of the DF-native blend's ~10 shuffle stages. ``fused=False``
+    keeps everything in hybrid_candidates; both paths are parity-tested
+    to the byte."""
     import time as _time
     timings = {}
     t0 = _time.perf_counter()
 
-    nodes = store.read("nodes")
+    # nodes is scanned by the vector channel, the phrase verify, and both
+    # endpoint lookups of the facts assembly — persist once per query
+    nodes = store.read("nodes").persist()
     edges = store.read("edges")
     mentions = store.read("mentions")
     documents = store.read("documents_final")
@@ -568,28 +648,77 @@ def graphrag(spark: SparkSession, store, question: str,
         if tok_man.get("metrics", {}).get("src_nodes_version") == man.get("version"):
             postings = store.read("node_tokens")
 
+    try:
+        return _graphrag_body(
+            spark, store, question, nodes, edges, mentions, documents,
+            qvec, postings, n_nodes, timings, top_k, hops, labels,
+            alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
+            cfg, fused)
+    finally:
+        nodes.unpersist()
+
+
+def _graphrag_body(spark, store, question, nodes, edges, mentions,
+                   documents, qvec, postings, n_nodes, timings, top_k,
+                   hops, labels, alpha_vec, beta_kw, use_mmr,
+                   use_cross_doc, include_source, cfg,
+                   fused) -> GraphRagResult:
+    import time as _time
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
-    cands_df = hybrid_candidates(nodes, question, qvec, labels,
-                                 k_vec=k, k_kw=k,
-                                 alpha_vec=alpha_vec, beta_kw=beta_kw, cfg=cfg,
-                                 # manifest count covers the WHOLE table;
-                                 # with a label filter the IDF corpus is the
-                                 # filtered frame — let the channel count it
-                                 n_nodes=n_nodes if not labels else None,
-                                 postings=postings).cache()
-    # attach doc titles for diversification / seed-dedup (J1) — scoped to
-    # the <=2k candidate ids (broadcast), never an all-mentions aggregate
-    cand_ids = cands_df.select("entity_id")
-    titles = (
-        mentions.join(F.broadcast(cand_ids), "entity_id", "left_semi")
-        .join(documents.select("doc_id", "title"), "doc_id")
-        .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
-    )
-    cands = [r.asDict() for r in
-             cands_df.join(titles, "entity_id", "left")
-             .orderBy(F.col("score").desc(), "entity_id").collect()]
-    cands_df.unpersist()
+    if fused:
+        # two channel jobs run concurrently (the Spark scheduler
+        # interleaves their stages); blend + rank over <= 2k rows happens
+        # driver-side, then ONE job fetches attrs + doc titles
+        from concurrent.futures import ThreadPoolExecutor
+        vec_df = vector_channel(nodes, qvec, labels, k)
+        kw_df = keyword_channel(nodes, question, k, labels, cfg,
+                                n_nodes=n_nodes if not labels else None,
+                                postings=postings)
+        with ThreadPoolExecutor(2) as ex:
+            fv = ex.submit(vec_df.collect)
+            fk = ex.submit(kw_df.collect)
+            vec_rows, kw_rows = fv.result(), fk.result()
+        scored = _blend_candidates_py(vec_rows, kw_rows, alpha_vec, beta_kw)
+        cands = []
+        if scored:
+            ids_df = F.broadcast(spark.createDataFrame(
+                [(i,) for i, _ in scored], "entity_id string"))
+            titles = (
+                mentions.join(ids_df, "entity_id", "left_semi")
+                .join(documents.select("doc_id", "title"), "doc_id")
+                .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
+            )
+            attrs = {r["entity_id"]: r.asDict() for r in
+                     nodes.select("entity_id", "label", "name", "embedding")
+                     .join(ids_df, "entity_id")
+                     .join(titles, "entity_id", "left").collect()}
+            cands = [{**attrs[i], "score": s}
+                     for i, s in scored if i in attrs]
+    else:
+        cands_df = hybrid_candidates(nodes, question, qvec, labels,
+                                     k_vec=k, k_kw=k,
+                                     alpha_vec=alpha_vec, beta_kw=beta_kw,
+                                     cfg=cfg,
+                                     # manifest count covers the WHOLE
+                                     # table; with a label filter the IDF
+                                     # corpus is the filtered frame — let
+                                     # the channel count it
+                                     n_nodes=n_nodes if not labels else None,
+                                     postings=postings).cache()
+        # attach doc titles for diversification / seed-dedup (J1) — scoped
+        # to the <=2k candidate ids (broadcast), never an all-mentions
+        # aggregate
+        cand_ids = cands_df.select("entity_id")
+        titles = (
+            mentions.join(F.broadcast(cand_ids), "entity_id", "left_semi")
+            .join(documents.select("doc_id", "title"), "doc_id")
+            .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
+        )
+        cands = [r.asDict() for r in
+                 cands_df.join(titles, "entity_id", "left")
+                 .orderBy(F.col("score").desc(), "entity_id").collect()]
+        cands_df.unpersist()
     timings["retrieval"] = _time.perf_counter() - t1
 
     if not cands:

@@ -36,6 +36,10 @@ class GraphStore:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
         self.spark = spark
+        # (name, version) -> DataFrame handle: skips re-listing + parquet
+        # footer schema inference on repeated reads of the same snapshot
+        # (the version key self-invalidates on every commit)
+        self._df_cache: dict[tuple[str, str], DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # ---------- snapshot plumbing ----------
@@ -63,7 +67,15 @@ class GraphStore:
         m = self.manifest(name)
         if not m:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
-        return self.spark.read.parquet(os.path.join(self._tdir(name), m["version"]))
+        key = (name, m["version"])
+        df = self._df_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(
+                os.path.join(self._tdir(name), m["version"]))
+            self._df_cache = {k: v for k, v in self._df_cache.items()
+                              if k[0] != name}  # drop superseded snapshots
+            self._df_cache[key] = df
+        return df
 
     def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",
               stage: str = "", extra_metrics: dict | None = None,

@@ -48,13 +48,19 @@ def test_traversal_broadcasts_frontier(spark):
         .withColumn("term", F.lit(None).cast("string")) \
         .withColumn("source_text_full", F.lit("")) \
         .withColumn("sources", F.array().cast("array<string>"))
+    # small frontier: a pushed-down IN filter — no join node at all
     out = traverse_neighbors(edges, ["a"], 1, checkpoint=False)
     p = plan_of(out)
-    # an OR-of-equalities frontier join would fall back to a
-    # BroadcastNestedLoopJoin — O(|edges| x |frontier|) per hop at scale;
-    # the operator must produce two broadcast HASH equi-joins instead
     assert "BroadcastNestedLoopJoin" not in p
-    assert p.count("BroadcastHashJoin") >= 2
+    assert "Join" not in p  # pure scan filter
+    # big frontier (forced via cap=0): an OR-of-equalities join would fall
+    # back to a BroadcastNestedLoopJoin — O(|edges| x |frontier|) per hop
+    # at scale; the operator must produce two broadcast HASH equi-joins
+    out2 = traverse_neighbors(edges, ["a"], 1, checkpoint=False,
+                              max_inline_frontier=0)
+    p2 = plan_of(out2)
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert p2.count("BroadcastHashJoin") >= 2
 
 
 def test_edge_agg_is_hash_based_with_partial(spark):

@@ -240,3 +240,36 @@ def test_graphrag_uses_fresh_index_and_detects_stale(spark, kg):
                           {"src_nodes_version": kg.manifest("nodes")["version"]})
     assert a1 == a2
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in a1
+
+
+def test_graphrag_fused_matches_unfused(spark, kg):
+    """The fused read path (driver-side blend over channel winners) must
+    produce byte-identical answers to the DF-native hybrid_candidates
+    path across extraction families."""
+    for q in ["What did Al-Khwarizmi develop?",
+              "When was the House of Wisdom active?",
+              "What is the initiative distribution?"]:
+        a = graphrag(spark, kg, q, fused=True)
+        b = graphrag(spark, kg, q, fused=False)
+        assert a.answer == b.answer, q
+        assert a.seeds == b.seeds, q
+
+
+def test_traversal_inline_matches_join_mode(spark):
+    """The small-frontier IN-filter path and the big-frontier broadcast
+    join path must traverse identical edge sets at every hop count."""
+    rows = [("a", "b", "R"), ("b", "c", "R"), ("c", "d", "S"),
+            ("d", "e", "R"), ("x", "y", "R"), ("b", "a", "T")]
+    edges = spark.createDataFrame(
+        rows, "src_id string, dst_id string, rel_type string") \
+        .withColumn("term", F.lit(None).cast("string")) \
+        .withColumn("source_text_full", F.lit("")) \
+        .withColumn("sources", F.array().cast("array<string>"))
+    for hops in (1, 2, 3):
+        inline = {(r["src_id"], r["dst_id"], r["rel_type"]) for r in
+                  traverse_neighbors(edges, ["a"], hops).collect()}
+        joined = {(r["src_id"], r["dst_id"], r["rel_type"]) for r in
+                  traverse_neighbors(edges, ["a"], hops,
+                                     max_inline_frontier=0).collect()}
+        assert inline == joined, hops
+        assert not any("x" in t or "y" in t for t in inline)
