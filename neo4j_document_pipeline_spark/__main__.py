@@ -9,6 +9,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark search --store <dir> VALUE  # /graph/search
     python -m neo4j_document_pipeline_spark docs   --store <dir>        # /documents
     python -m neo4j_document_pipeline_spark drop   --store <dir>        # /drop-all
+    python -m neo4j_document_pipeline_spark status --store <dir> [JOB]  # /queue_stats, /ingest/status
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
-        "ingest", "query", "stats", "schema", "search", "docs", "drop"])
+        "ingest", "query", "stats", "schema", "search", "docs", "drop",
+        "status"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -159,6 +161,14 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.operators.admin import list_documents
         for r in list_documents(store, limit=ns.limit).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "status":
+        # /queue_stats analogue; with a stage/table name, /ingest/status
+        from neo4j_document_pipeline_spark.operators.admin import (
+            ingest_status, queue_stats)
+        if ns.args:
+            print(json.dumps(ingest_status(store, ns.args[0]), indent=1))
+        else:
+            print(json.dumps(queue_stats(store, spark), indent=1))
     elif ns.command == "drop":
         from neo4j_document_pipeline_spark.operators.admin import drop_all
         print(json.dumps(drop_all(store)))

@@ -106,3 +106,74 @@ def drop_all(store) -> dict:
     clean.py:53)."""
     store.drop_all()
     return {"status": "dropped"}
+
+
+def queue_stats(store, spark=None) -> dict:
+    """/queue_stats analogue (main.py:497-565). The reference inspects the
+    Celery queue (active/reserved/scheduled tasks per worker); here the
+    'queue' is the Spark scheduler plus the store's committed stage
+    manifests — active jobs and streaming queries stand in for active
+    tasks, committed stage manifests for completed ones."""
+    import os
+
+    spark = spark or store.spark
+    st = spark.sparkContext.statusTracker()
+    active_jobs = list(st.getActiveJobsIds())
+    active_stages = list(st.getActiveStageIds())
+    streams = [{
+        "id": q.id,
+        "name": q.name,
+        "is_active": q.isActive,
+        "last_progress": (q.lastProgress or {}).get("batchId")
+        if q.lastProgress else None,
+    } for q in spark.streams.active]
+    tables = []
+    root = store.root
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            m = store.manifest(name)
+            if m:
+                tables.append({
+                    "table": name, "stage": m.get("stage"),
+                    "rows": m.get("rows"), "n_files": m.get("n_files"),
+                    "committed_at_unix": m.get("committed_at_unix"),
+                    "version": m.get("version"),
+                })
+    return {
+        "success": True,
+        "message": "Queue statistics retrieved successfully",
+        "stats": {
+            "active_tasks": len(active_jobs),
+            "active_stages": len(active_stages),
+            "active_streams": len(streams),
+            "total_in_progress": len(active_jobs) + len(streams),
+            "worker_count": spark.sparkContext.defaultParallelism,
+            "streams": streams,
+            "committed_stages": tables,
+        },
+    }
+
+
+def ingest_status(store, job_id: str | None = None) -> dict:
+    """/ingest/status analogue (main.py:566-588). A 'job' is a pipeline
+    stage / store table; its state comes from the committed manifest:
+    SUCCESS once a snapshot is committed (with the manifest's metrics as
+    the result), PENDING when the table is unknown or uncommitted."""
+    if not job_id:
+        return {"success": False,
+                "message": "Missing value: job_id parameter is required."}
+    m = store.manifest(job_id)
+    state = "SUCCESS" if m and store.exists(job_id) else "PENDING"
+    return {
+        "success": True,
+        "message": "Job status retrieved",
+        "job_id": job_id,
+        "state": state,
+        "result": {
+            "rows": m.get("rows"),
+            "version": m.get("version"),
+            "committed_at_unix": m.get("committed_at_unix"),
+            "metrics": m.get("metrics"),
+            "partitions": len(m.get("partitions") or []),
+        } if m else None,
+    }

@@ -90,3 +90,64 @@ def test_query_fixtures(spark, kg, question, expected_substrings, kw):
 def test_noisy_edges_never_in_facts(spark, kg):
     res = graphrag(spark, kg, "Al-Farabi", top_k=10, hops=3)
     assert not any("MENTIONS" in f or "-[SOURCE]->" in f for f in res.facts)
+
+
+def test_queue_stats_shape(kg, spark):
+    from neo4j_document_pipeline_spark.operators.admin import queue_stats
+    s = queue_stats(kg, spark)
+    assert s["success"] is True
+    stats = s["stats"]
+    assert stats["worker_count"] >= 1
+    assert stats["active_streams"] == 0 and stats["streams"] == []
+    committed = {t["table"] for t in stats["committed_stages"]}
+    assert {"nodes", "edges", "mentions", "documents_final",
+            "node_tokens"} <= committed
+    for t in stats["committed_stages"]:
+        assert t["rows"] is not None and t["version"].startswith("v-")
+        assert t["committed_at_unix"] > 0
+
+
+def test_ingest_status_states(kg):
+    from neo4j_document_pipeline_spark.operators.admin import ingest_status
+    missing = ingest_status(kg)  # no job_id — reference's exact error shape
+    assert missing["success"] is False and "job_id" in missing["message"]
+    ok = ingest_status(kg, "nodes")
+    assert ok["state"] == "SUCCESS"
+    assert ok["result"]["rows"] > 0 and ok["result"]["partitions"] >= 1
+    pending = ingest_status(kg, "no_such_stage")
+    assert pending["state"] == "PENDING" and pending["result"] is None
+
+
+def test_queue_stats_sees_active_stream(spark, kg, tmp_path):
+    """A live StreamingQuery must show up as an active 'task'."""
+    from neo4j_document_pipeline_spark.operators.admin import queue_stats
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+              .writeStream.format("memory").queryName("qs_probe")
+              .start())
+    try:
+        s = queue_stats(kg, spark)
+        assert s["stats"]["active_streams"] >= 1
+        assert any(q["name"] == "qs_probe" for q in s["stats"]["streams"])
+    finally:
+        stream.stop()
+
+
+def test_cli_pages_digit_suggests_synth(spark, tmp_path, capsys):
+    """`--pages 40` (a bare count) must fail fast with a did-you-mean
+    synth:40 hint instead of a raw AnalysisException."""
+    from neo4j_document_pipeline_spark.__main__ import main
+    with pytest.raises(SystemExit) as ei:
+        main(["ingest", "--store", str(tmp_path / "s"), "--pages", "40"])
+    assert "synth:40" in str(ei.value)
+
+
+def test_cli_status_command(spark, kg, capsys):
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    main(["status", "--store", kg.root])
+    out = json.loads(capsys.readouterr().out)
+    assert out["success"] and out["stats"]["committed_stages"]
+    main(["status", "--store", kg.root, "nodes"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["state"] == "SUCCESS"
