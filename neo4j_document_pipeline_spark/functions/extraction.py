@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import re
+from functools import lru_cache
 from typing import Any
 
 from neo4j_document_pipeline_spark.functions.text import (
@@ -201,15 +202,21 @@ _HAS_DIGIT_RE = re.compile(r"\d")
 _SVO_QUICK_RE = re.compile(r"\b(?:" + "|".join(_VERBS) + r")\b")
 _ISA_QUICK_RE = re.compile(r"\b(?:is|was|are|were)\s+(?:a|an|the)\s")
 
+_OBJ_LEAD_STOP = frozenset(
+    ("the", "a", "an", "by", "to", "in", "on", "and", "from", "its", "their"))
 
+
+@lru_cache(maxsize=65536)
 def _strip_article(np: str) -> str:
-    """Drop a leading The/A/An from a captured noun phrase."""
+    """Drop a leading The/A/An from a captured noun phrase. Pure;
+    memoized — noun phrases repeat across sentences in the hot path."""
     parts = np.split(None, 1)
     if len(parts) == 2 and parts[0] in ("The", "A", "An"):
         return parts[1]
     return np
 
 
+@lru_cache(maxsize=65536)
 def _np_type(np: str, hint: str | None) -> str:
     if hint:
         return hint
@@ -240,17 +247,27 @@ def _iter_sentences(text: str):
             yield s
 
 
-def extract_triples_rules(text: str) -> list[dict[str, Any]]:
-    """FROZEN deterministic ruleset standing in for the chat-LLM extractor
-    (ingestMD.py:123-156). Sentence-scoped regex SVO patterns with a typed
-    verb lexicon, timeline patterns producing ``{start, end}`` objects
-    (ingestMD.py:310-311) and a distribution pattern producing
-    ``{pillar: {term: count}}`` objects (ingestMD.py:313-315)."""
-    triples: list[dict[str, Any]] = []
+def _obj_key(o):
+    # canonical structural key — same equivalence classes as
+    # json.dumps(sort_keys=True) without serializing per call
+    if isinstance(o, dict):
+        return tuple(sorted((k, _obj_key(v)) for k, v in o.items()))
+    return o
+
+
+@lru_cache(maxsize=65536)
+def _sentence_triples(sent: str) -> tuple:
+    """All pattern passes for ONE (already marker-stripped) sentence, as a
+    tuple of (dedup_key, triple) in pattern order. Memoized: web corpora
+    repeat boilerplate sentences heavily (the synth scaling corpus is 78%
+    duplicate sentences), and a sentence's candidate triples are a pure
+    function of its text — sentence-level extraction dedup, the
+    fine-grained analogue of the pipeline's chunk-level dedup-then-extract."""
+    out: list[tuple] = []
     seen: set[tuple] = set()
 
     def add(subj, pred, obj, stype, otype):
-        key = (subj, pred, json.dumps(obj, sort_keys=True) if isinstance(obj, dict) else obj)
+        key = (subj, pred, _obj_key(obj) if isinstance(obj, dict) else obj)
         if key in seen or not subj or not pred:
             return
         # subj is norm_space'd (single internal spaces), so the first
@@ -258,53 +275,72 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
         if subj in _SUBJ_STOP or subj.partition(" ")[0] in _SUBJ_STOP:
             return
         seen.add(key)
-        triples.append({
+        out.append((key, {
             "subject": subj, "predicate": pred, "object": obj,
             "subject_type": stype, "object_type": otype,
-        })
+        }))
 
+    # cheap guards: the timeline regexes require a 3-4 digit run and
+    # the distribution regex the literal "initiative counts" — skip
+    # those passes when they can't match (hot path, identical results)
+    if _HAS_DIGIT_RE.search(sent) is not None:
+        for m in _TL_FROM_RE.finditer(sent):
+            add(py_norm_space(_strip_article(m.group("subj"))), m.group("verb"),
+                {"start": m.group("start"), "end": m.group("end")},
+                _np_type(m.group("subj"), None), "Time_Period")
+        for m in _TL_PAREN_RE.finditer(sent):
+            add(py_norm_space(_strip_article(m.group("subj"))), "has timeline",
+                {"start": m.group("start"), "end": m.group("end")},
+                _np_type(m.group("subj"), None), "Time_Period")
+    if "initiative counts" in sent:
+        for m in _DIST_RE.finditer(sent):
+            term_map: dict[str, Any] = {}
+            for item in _DIST_ITEM_RE.finditer(m.group("body")):
+                term_map[py_norm_space(item.group(1))] = item.group(2)
+            if term_map:
+                add(py_norm_space(_strip_article(m.group("subj"))), "has initiative count",
+                    {py_norm_space(m.group("pillar")): term_map},
+                    _np_type(m.group("subj"), None), "Pillar")
+    if _SVO_QUICK_RE.search(sent):
+        for m in _SVO_RE.finditer(sent):
+            verb = m.group("verb")
+            pred, s_hint, o_hint = _VERBS[verb]
+            subj = py_norm_space(_strip_article(m.group("subj")))
+            obj = py_norm_space(m.group("obj"))
+            # drop objects that start with a stopword-ish fragment
+            parts = obj.split()
+            if parts and parts[0].lower() in _OBJ_LEAD_STOP:
+                obj = " ".join(parts[1:])
+            if obj:
+                add(subj, pred, obj, _np_type(subj, s_hint), _np_type(obj, o_hint))
+    if _ISA_QUICK_RE.search(sent):
+        for m in _ISA_RE.finditer(sent):
+            add(py_norm_space(_strip_article(m.group("subj"))), "is a", py_norm_space(m.group("obj")),
+                _np_type(m.group("subj"), None), "Entity")
+    if "located" in sent or "based" in sent or "housed" in sent:
+        for m in _LOC_RE.finditer(sent):
+            add(py_norm_space(_strip_article(m.group("subj"))), "located in", py_norm_space(m.group("obj")),
+                _np_type(m.group("subj"), None), "Region")
+    return tuple(out)
+
+
+def extract_triples_rules(text: str) -> list[dict[str, Any]]:
+    """FROZEN deterministic ruleset standing in for the chat-LLM extractor
+    (ingestMD.py:123-156). Sentence-scoped regex SVO patterns with a typed
+    verb lexicon, timeline patterns producing ``{start, end}`` objects
+    (ingestMD.py:310-311) and a distribution pattern producing
+    ``{pillar: {term: count}}`` objects (ingestMD.py:313-315).
+
+    Per-sentence passes are memoized (_sentence_triples); this wrapper
+    merges them with the original chunk-level first-occurrence dedup, so
+    the output is byte-identical to the unmemoized single pass."""
+    triples: list[dict[str, Any]] = []
+    seen: set[tuple] = set()
     for sent in _iter_sentences(text):
-        # cheap guards: the timeline regexes require a 3-4 digit run and
-        # the distribution regex the literal "initiative counts" — skip
-        # those passes when they can't match (hot path, identical results)
-        has_digit = _HAS_DIGIT_RE.search(sent) is not None
-        if has_digit:
-            for m in _TL_FROM_RE.finditer(sent):
-                add(py_norm_space(_strip_article(m.group("subj"))), m.group("verb"),
-                    {"start": m.group("start"), "end": m.group("end")},
-                    _np_type(m.group("subj"), None), "Time_Period")
-            for m in _TL_PAREN_RE.finditer(sent):
-                add(py_norm_space(_strip_article(m.group("subj"))), "has timeline",
-                    {"start": m.group("start"), "end": m.group("end")},
-                    _np_type(m.group("subj"), None), "Time_Period")
-        if "initiative counts" in sent:
-            for m in _DIST_RE.finditer(sent):
-                term_map: dict[str, Any] = {}
-                for item in _DIST_ITEM_RE.finditer(m.group("body")):
-                    term_map[py_norm_space(item.group(1))] = item.group(2)
-                if term_map:
-                    add(py_norm_space(_strip_article(m.group("subj"))), "has initiative count",
-                        {py_norm_space(m.group("pillar")): term_map},
-                        _np_type(m.group("subj"), None), "Pillar")
-        if _SVO_QUICK_RE.search(sent):
-            for m in _SVO_RE.finditer(sent):
-                verb = m.group("verb")
-                pred, s_hint, o_hint = _VERBS[verb]
-                subj = py_norm_space(_strip_article(m.group("subj")))
-                obj = py_norm_space(m.group("obj"))
-                # drop objects that start with a stopword-ish fragment
-                if obj.split() and obj.split()[0].lower() in {"the", "a", "an", "by", "to", "in", "on", "and", "from", "its", "their"}:
-                    obj = " ".join(obj.split()[1:])
-                if obj:
-                    add(subj, pred, obj, _np_type(subj, s_hint), _np_type(obj, o_hint))
-        if _ISA_QUICK_RE.search(sent):
-            for m in _ISA_RE.finditer(sent):
-                add(py_norm_space(_strip_article(m.group("subj"))), "is a", py_norm_space(m.group("obj")),
-                    _np_type(m.group("subj"), None), "Entity")
-        if "located" in sent or "based" in sent or "housed" in sent:
-            for m in _LOC_RE.finditer(sent):
-                add(py_norm_space(_strip_article(m.group("subj"))), "located in", py_norm_space(m.group("obj")),
-                    _np_type(m.group("subj"), None), "Region")
+        for key, t in _sentence_triples(sent):
+            if key not in seen:
+                seen.add(key)
+                triples.append(t)
     return triples
 
 

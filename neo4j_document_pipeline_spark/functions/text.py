@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -53,8 +54,11 @@ def py_canonicalize(text: str | None) -> str:
     return t.strip()
 
 
+@lru_cache(maxsize=65536)
 def py_safe_label(x: str | None, fallback: str = "Entity") -> str:
-    """Strip, spaces->_, non-word->_, truncate to 64 (ingestMD.py:57-59)."""
+    """Strip, spaces->_, non-word->_, truncate to 64 (ingestMD.py:57-59).
+    Pure function of its args — memoized (entity labels/predicates repeat
+    heavily in the extraction hot path)."""
     x = (x or fallback).strip().replace(" ", "_")
     return _SAFE_RE.sub("_", x)[:64]
 
@@ -63,7 +67,10 @@ def py_sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
 
+@lru_cache(maxsize=65536)
 def py_norm_space(s: str | None) -> str:
+    """Pure; memoized — called per captured noun phrase in the extraction
+    hot path, and entity names draw from a repeating population."""
     return _WS_RUN_RE.sub(" ", (s or "").strip())
 
 
