@@ -177,3 +177,49 @@ def ingest_status(store, job_id: str | None = None) -> dict:
             "partitions": len(m.get("partitions") or []),
         } if m else None,
     }
+
+
+def debug_search(store, question: str = "test", k: int = 5) -> dict:
+    """/debug-search analogue (main.py:428-477): exercise each retrieval
+    component separately — question embedding, per-channel hits, hybrid
+    blend — plus the store's label inventory and 'index' state (the
+    committed node_tokens inverted index standing in for Neo4j's SHOW
+    INDEXES)."""
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    from neo4j_document_pipeline_spark.functions.featurizer import embed_text
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        hybrid_candidates, keyword_channel, vector_channel)
+
+    cfg = DEFAULT_CONFIG
+    nodes = store.read("nodes")
+    qvec = embed_text(question, dim=cfg.embedding_dim,
+                      seed=cfg.featurizer_seed).tolist()
+    label_counts = {r["label"]: r["count"]
+                    for r in nodes.groupBy("label").count().collect()}
+    postings = store.read("node_tokens") if store.exists("node_tokens") else None
+    vec_hits = vector_channel(nodes, qvec, None, k).collect()
+    kw_hits = keyword_channel(nodes, question, k, cfg=cfg,
+                              postings=postings).collect()
+    hybrid = hybrid_candidates(nodes, question, qvec,
+                               k_vec=k, k_kw=k, cfg=cfg,
+                               postings=postings).collect()
+    indexes = []
+    if store.exists("node_tokens"):
+        m = store.manifest("node_tokens") or {}
+        indexes.append({
+            "name": "node_tokens", "type": "FULLTEXT-analogue",
+            "rows": m.get("rows"), "version": m.get("version"),
+            "src_nodes_version": (m.get("metrics") or {}).get(
+                "src_nodes_version"),
+        })
+    return {
+        "success": True,
+        "message": "Debug search completed",
+        "question": question,
+        "existing_labels": sorted(label_counts),
+        "existing_indexes": indexes,
+        "label_counts": label_counts,
+        "vector_hits": [r.asDict() for r in vec_hits],
+        "keyword_hits": [r.asDict() for r in kw_hits],
+        "hybrid_results_count": len(hybrid),
+    }

@@ -151,3 +151,12 @@ def test_cli_status_command(spark, kg, capsys):
     main(["status", "--store", kg.root, "nodes"])
     out = json.loads(capsys.readouterr().out)
     assert out["state"] == "SUCCESS"
+
+
+def test_debug_search_components(kg):
+    from neo4j_document_pipeline_spark.operators.admin import debug_search
+    d = debug_search(kg, "What did Al-Khwarizmi develop?")
+    assert d["success"] and d["hybrid_results_count"] > 0
+    assert d["label_counts"].get("Stakeholder", 0) > 0
+    assert any(i["name"] == "node_tokens" for i in d["existing_indexes"])
+    assert d["vector_hits"] and d["keyword_hits"]
