@@ -434,7 +434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_near_dups(spark, sf):
         from neo4j_document_pipeline_spark.operators.dedup import (
             minhash_near_duplicates)
-        d = _t(spark, sf, "documents").select("doc_id", "text").limit(500)
+        # deterministic ≤500-doc subset (smallest doc_ids; doc_id is
+        # unique) so the oracle can pin the SAME corpus at any sf — a bare
+        # .limit(500) is an arbitrary subset and row counts diverge at sf0.1
+        d = (_t(spark, sf, "documents").select("doc_id", "text")
+             .orderBy("doc_id").limit(500))
         return minhash_near_duplicates(d, "doc_id", "text", jaccard_threshold=0.8) \
             .withColumn("jaccard", F.round("jaccard", 4))
     q["minhash_near_dups"] = minhash_near_dups
@@ -442,7 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_signatures(spark, sf):
         from neo4j_document_pipeline_spark.operators.dedup import (
             simhash_signatures as sigs)
-        d = _t(spark, sf, "documents").select("doc_id", "text").limit(500)
+        d = (_t(spark, sf, "documents").select("doc_id", "text")
+             .orderBy("doc_id").limit(500))
         return sigs(d, "doc_id", "text")
     q["simhash_signatures"] = simhash_signatures
 
@@ -522,9 +527,11 @@ def oracle_sql() -> dict[str, str]:
 
     # 3-word-gram shingle sets under the engine's tokenization — the exact
     # verification kernel of minhash_near_duplicates (operators/dedup.py)
+    # same deterministic ≤500-doc subset the Spark queries pin
+    doc_subset = "(SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500)"
     shingle_cte = (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
-        "FROM documents), "
+        f"FROM {doc_subset}), "
         "g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::varchar[] "
         "ELSE list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
         "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM t)")
@@ -540,7 +547,7 @@ def oracle_sql() -> dict[str, str]:
         for i in range(64))
     simhash_sql = (
         "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
-        "FROM documents), "
+        f"FROM {doc_subset}), "
         "u AS (SELECT doc_id, md5_number_lower('42:' || unnest(toks)) AS h FROM d), "
         f"acc AS (SELECT doc_id, {bit_acc} FROM u GROUP BY doc_id), "
         f"sig AS (SELECT doc_id, ({sig_sum}) AS s FROM acc) "

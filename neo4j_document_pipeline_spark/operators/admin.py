@@ -169,13 +169,16 @@ def ingest_status(store, job_id: str | None = None) -> dict:
         "message": "Job status retrieved",
         "job_id": job_id,
         "state": state,
+        # result only in SUCCESS: a manifest whose snapshot dir is gone
+        # (crash mid-rewrite / manual cleanup) must not surface stale
+        # metrics under a PENDING state
         "result": {
             "rows": m.get("rows"),
             "version": m.get("version"),
             "committed_at_unix": m.get("committed_at_unix"),
             "metrics": m.get("metrics"),
             "partitions": len(m.get("partitions") or []),
-        } if m else None,
+        } if state == "SUCCESS" else None,
     }
 
 
@@ -192,26 +195,35 @@ def debug_search(store, question: str = "test", k: int = 5) -> dict:
 
     cfg = DEFAULT_CONFIG
     nodes = store.read("nodes")
+    nodes_man = store.manifest("nodes") or {}
+    n_nodes = nodes_man.get("rows")
     qvec = embed_text(question, dim=cfg.embedding_dim,
                       seed=cfg.featurizer_seed).tolist()
     label_counts = {r["label"]: r["count"]
                     for r in nodes.groupBy("label").count().collect()}
-    postings = store.read("node_tokens") if store.exists("node_tokens") else None
-    vec_hits = vector_channel(nodes, qvec, None, k).collect()
-    kw_hits = keyword_channel(nodes, question, k, cfg=cfg,
-                              postings=postings).collect()
-    hybrid = hybrid_candidates(nodes, question, qvec,
-                               k_vec=k, k_kw=k, cfg=cfg,
-                               postings=postings).collect()
+    # same freshness rule as graphrag: a stale index (src_nodes_version
+    # != live nodes version) is bypassed, so this debug surface probes
+    # exactly the channels a real query would use
+    postings, index_stale = None, False
     indexes = []
     if store.exists("node_tokens"):
         m = store.manifest("node_tokens") or {}
+        src_v = (m.get("metrics") or {}).get("src_nodes_version")
+        index_stale = src_v != nodes_man.get("version")
+        if not index_stale:
+            postings = store.read("node_tokens")
         indexes.append({
             "name": "node_tokens", "type": "FULLTEXT-analogue",
             "rows": m.get("rows"), "version": m.get("version"),
-            "src_nodes_version": (m.get("metrics") or {}).get(
-                "src_nodes_version"),
+            "src_nodes_version": src_v,
+            "stale": index_stale,
         })
+    vec_hits = vector_channel(nodes, qvec, None, k).collect()
+    kw_hits = keyword_channel(nodes, question, k, cfg=cfg,
+                              n_nodes=n_nodes, postings=postings).collect()
+    hybrid = hybrid_candidates(nodes, question, qvec,
+                               k_vec=k, k_kw=k, cfg=cfg,
+                               n_nodes=n_nodes, postings=postings).collect()
     return {
         "success": True,
         "message": "Debug search completed",

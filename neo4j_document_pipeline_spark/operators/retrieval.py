@@ -211,8 +211,16 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     idf = F.log((F.lit(float(total)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     # phrase containment over the SAME normalization as the tokens, so
     # "al khwarizmi" (from the hyphenated query term) matches the node
-    # name "Al-Khwarizmi"
-    lname = F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " "))
+    # name "Al-Khwarizmi". Padded with spaces so the phrase must align on
+    # token boundaries — Lucene phrase-query semantics (the index this
+    # replaces matches token SEQUENCES, not raw substrings: "Royal
+    # Khwarizmi Centre" must not match the phrase "al khwarizmi"), and
+    # the only definition for which the index path's all-tokens prefilter
+    # is a true superset of the containment verify.
+    lname = F.concat(
+        F.lit(" "),
+        F.lower(F.trim(F.regexp_replace("name", r"[^A-Za-z0-9]+", " "))),
+        F.lit(" "))
     parts = []
     if single:
         terms_df = F.broadcast(
@@ -253,14 +261,14 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
             )
             parts.append(
                 df.join(F.broadcast(cand), "entity_id", "left_semi")
-                .filter(lname.contains(p))
+                .filter(lname.contains(f" {p} "))
                 .select("entity_id", F.lit(2.0).alias("kw_part"))
             )
     elif phrases:
         cond = None
         score = F.lit(0.0)
         for p in phrases:
-            hit = lname.contains(p)
+            hit = lname.contains(f" {p} ")
             score = score + F.when(hit, F.lit(2.0)).otherwise(F.lit(0.0))
             cond = hit if cond is None else (cond | hit)
         parts.append(
@@ -477,9 +485,17 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
             if checkpoint:
                 frontier = frontier.localCheckpoint()
             visited = visited.union(frontier).distinct()
-        # returned lazily: the caller's next action (facts assembly /
-        # collect) is the traversal's single materialization
-        return touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
+        out = touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
+        if checkpoint:
+            # eager: downstream consumers (assemble_facts) reference the
+            # traversal several times in one plan — Spark does not CSE
+            # common subplans, so an un-materialized traversal would
+            # re-run per reference, AFTER the finally below has already
+            # unpersisted the edges scan. The result is small (seed
+            # neighborhoods), so materializing here while `und` is still
+            # cached is the cheap point.
+            out = out.localCheckpoint()
+        return out
     finally:
         und.unpersist()
 

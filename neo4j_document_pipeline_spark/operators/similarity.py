@@ -162,12 +162,20 @@ def _assign_cells_pandas(df: DataFrame, vec_col: str,
 
     def gen(batches):
         mat = bc.value
+        dim = mat.shape[1]
         for pdf in batches:
-            if len(pdf):
-                V = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-                pdf[cell_col] = (V @ mat.T).argmax(axis=1).astype("int32")
-            else:
-                pdf[cell_col] = pd.Series([], dtype="int32")
+            # NULL / wrong-width vectors get a null cell — identical to
+            # the expression path, where zip_with over a null/ragged
+            # array nulls the dots (np.stack would crash on them)
+            cells = pd.array([pd.NA] * len(pdf), dtype="Int32")
+            vals = [None if v is None else np.asarray(v, dtype=float)
+                    for v in pdf[vec_col]]
+            ok = [i for i, v in enumerate(vals)
+                  if v is not None and v.ndim == 1 and v.size == dim]
+            if ok:
+                V = np.stack([vals[i] for i in ok])
+                cells[ok] = (V @ mat.T).argmax(axis=1).astype("int32")
+            pdf[cell_col] = cells
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)
@@ -193,7 +201,14 @@ def _train_stats(df: DataFrame, vec_col: str,
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            # skip NULL / wrong-width vectors: they carry no usable
+            # coordinates for a centroid update (np.stack would crash)
+            rows = [np.asarray(v, dtype=float) for v in pdf[vec_col]
+                    if v is not None]
+            rows = [v for v in rows if v.ndim == 1 and v.size == dim]
+            if not rows:
+                continue
+            V = np.stack(rows)
             cells = (V @ mat.T).argmax(axis=1)
             np.add.at(sums, cells, V)
             cnts += np.bincount(cells, minlength=k)
@@ -229,11 +244,15 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
       BROADCAST centroids, reduced driver-side — k*dim floats cross the
       wire per partition, nothing enters the expression tree.
     Empty cells keep their previous centroid."""
-    head = df.select(vec_col).first()
+    head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if head is None or head[0] is None:
-        raise ValueError("ivf_train: input has no rows (or a null first "
-                         f"vector) in column {vec_col!r}")
+        raise ValueError("ivf_train: input has no non-null vectors "
+                         f"in column {vec_col!r}")
     dim = len(head[0])
+    # train only on well-formed vectors: a NULL picked by the init sample
+    # crashes centroid seeding, and a null/ragged cell assignment has no
+    # cell to update (ivf_assign nulls those rows' cells at query time)
+    df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
     init = (
         df.select(F.col(vec_col).alias("v"))
         .orderBy(F.sha2(F.concat(F.col("v").cast("string"),

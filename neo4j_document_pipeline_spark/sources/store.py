@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -40,6 +41,7 @@ class GraphStore:
         # footer schema inference on repeated reads of the same snapshot
         # (the version key self-invalidates on every commit)
         self._df_cache: dict[tuple[str, str], DataFrame] = {}
+        self._df_cache_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # ---------- snapshot plumbing ----------
@@ -68,13 +70,19 @@ class GraphStore:
         if not m:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
         key = (name, m["version"])
+        # run_pipeline's tail stage reads/writes tables from a
+        # ThreadPoolExecutor, so cache mutation must be atomic: build the
+        # replacement dict privately and swap it in with one assignment
+        # (never mutate the live dict another thread may be iterating)
         df = self._df_cache.get(key)
         if df is None:
             df = self.spark.read.parquet(
                 os.path.join(self._tdir(name), m["version"]))
-            self._df_cache = {k: v for k, v in self._df_cache.items()
-                              if k[0] != name}  # drop superseded snapshots
-            self._df_cache[key] = df
+            with self._df_cache_lock:
+                fresh = {k: v for k, v in self._df_cache.items()
+                         if k[0] != name}  # drop superseded snapshots
+                fresh[key] = df
+                self._df_cache = fresh
         return df
 
     def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",

@@ -289,6 +289,30 @@ def test_ivf_pandas_assign_matches_expression(spark):
     assert pnd == expr
 
 
+def test_ivf_assign_null_vector_parity(spark):
+    """A NULL embedding must yield a null cell on BOTH assignment paths —
+    the pandas path used to crash the task on np.stack, while the
+    expression path nulled the cell, making behavior depend on
+    dimensionality for identical data."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        _assign_cells_pandas, _cell_col, ivf_train)
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    cents = ivf_train(e.filter("embedding IS NOT NULL"),
+                      "vec_id", "embedding", n_cells=2, iters=2)
+    expr = {r["vec_id"]: r["cell"] for r in
+            e.withColumn("cell", _cell_col("embedding", cents))
+            .select("vec_id", "cell").collect()}
+    pnd = {r["vec_id"]: r["cell"] for r in
+           _assign_cells_pandas(e, "embedding", cents, "cell")
+           .select("vec_id", "cell").collect()}
+    assert pnd == expr and expr[2] is None
+    # training on a frame CONTAINING the null row must not crash either
+    cents2 = ivf_train(e, "vec_id", "embedding", n_cells=2, iters=2)
+    assert len(cents2) == 2
+
+
 def test_ivf_at_reference_dimensionality(spark):
     """dim=3072 x n_cells=64 — the config that melted the literal
     expression tree in round 1. Trains + assigns via the broadcast numpy

@@ -210,6 +210,39 @@ def test_keyword_channel_postings_parity(spark, kg):
         assert fast == base and base, q
 
 
+def test_keyword_phrase_token_boundary_parity(spark):
+    """Phrase matching is token-sequence (Lucene phrase-query) semantics,
+    NOT raw substring: 'Royal Khwarizmi Centre' must not match the phrase
+    'al khwarizmi' (the substring match crosses the 'roy|al' boundary),
+    and 'Khwarizmian Era' must not match either ('khwarizmi' is a token
+    prefix). Both paths must agree — this was a live parity bug where the
+    fallback matched substrings the index prefilter could never see."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens, keyword_channel)
+    nodes = spark.createDataFrame(
+        [("e1", "Entity", "Royal Khwarizmi Centre"),
+         ("e2", "Stakeholder", "Al-Khwarizmi"),
+         ("e3", "Entity", "Khwarizmian Era"),
+         ("e4", "Entity", "the al khwarizmi institute")],
+        "entity_id string, label string, name string")
+    postings = build_node_tokens(nodes)
+    q = "What did al-Khwarizmi develop?"
+    base = {(r["entity_id"], round(r["kw"], 9))
+            for r in keyword_channel(nodes, q, 50).collect()}
+    fast = {(r["entity_id"], round(r["kw"], 9))
+            for r in keyword_channel(nodes, q, 50, postings=postings).collect()}
+    assert fast == base
+    hit_ids = {e for e, _ in base}
+    assert "e2" in hit_ids and "e4" in hit_ids
+    # substring-crossing names score only single-token IDF, never the
+    # phrase bonus: their kw must be strictly below the true phrase hits
+    phrase_score = {e: s for e, s in base}
+    if "e1" in phrase_score:
+        assert phrase_score["e1"] < phrase_score["e2"]
+    if "e3" in phrase_score:
+        assert phrase_score["e3"] < phrase_score["e2"]
+
+
 def test_node_tokens_df_is_exact(spark):
     from neo4j_document_pipeline_spark.operators.retrieval import (
         build_node_tokens)
