@@ -42,6 +42,9 @@ def main(argv=None):
                          "extract from the html binary, or auto-fallback")
     ap.add_argument("--langs", default=None,
                     help="comma-separated lang codes to ingest (default all)")
+    ap.add_argument("--buckets", type=int, default=0,
+                    help="bucket(N, key) layout for nodes/edges/mentions "
+                         "(shuffle-free read-path joins); 0 = plain parquet")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop pages below this [0,1] heuristic quality "
                          "score before extraction")
@@ -129,7 +132,13 @@ def main(argv=None):
                     indent=1))
         else:
             # langs already applied above (shared with the incremental path)
-            manifests = run_pipeline(spark, pages, ns.store,
+            import dataclasses
+
+            from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+            cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                      store_buckets=ns.buckets) \
+                if ns.buckets else DEFAULT_CONFIG
+            manifests = run_pipeline(spark, pages, ns.store, cfg=cfg,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
                                      min_quality=ns.min_quality)

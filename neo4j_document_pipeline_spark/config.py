@@ -57,6 +57,13 @@ class PipelineConfig:
 
     # --- scale knobs ---
     shuffle_partitions: int = 32
+    # bucket(N, key) physical layout for the graph tables (0 = plain
+    # parquet). With N > 0, nodes/edges/mentions commit as catalog-
+    # registered bucketed tables (nodes by entity_id, edges by src_id,
+    # mentions by entity_id), so the read path's edges ⋈ nodes and
+    # mentions ⋈ nodes equi-joins run with NO shuffle on either side —
+    # the storage-partitioned join SURVEY §1.3 calls for at 100 TB.
+    store_buckets: int = 0
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

@@ -103,8 +103,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             manifests[name] = {**store.manifest(name), "skipped": True}
             return store.read(name)
         df = build()
-        manifests[name] = store.write(name, df, input_fingerprint=deps_fp,
-                                      stage=name, **write_kw)
+        writer = store.write_bucketed if "bucket_by" in write_kw else store.write
+        manifests[name] = writer(name, df, input_fingerprint=deps_fp,
+                                 stage=name, **write_kw)
         return store.read(name)
 
     from pyspark.sql import Observation
@@ -173,12 +174,23 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         else (str(batch_max) if batch_max else prior_wm)
 
     from concurrent.futures import ThreadPoolExecutor
+
+    def _bk(key: str) -> dict:
+        """bucket(N, key) layout for the graph tables when enabled — the
+        read path's edges ⋈ nodes / mentions ⋈ nodes equi-joins then
+        need no exchange on either side (storage-partitioned join)."""
+        if cfg.store_buckets > 0:
+            return {"bucket_by": key, "n_buckets": cfg.store_buckets}
+        return {}
+
     tail = [
-        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)), {}),
+        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)),
+         _bk("entity_id")),
         ("edges", lambda: store.merge_edges(
             build_edges(triples, embeddings, cfg, chunks=chunks),
-            max_sources=cfg.max_sources_per_edge), {}),
-        ("mentions", lambda: store.merge_mentions(build_mentions(triples)), {}),
+            max_sources=cfg.max_sources_per_edge), _bk("src_id")),
+        ("mentions", lambda: store.merge_mentions(build_mentions(triples)),
+         _bk("entity_id")),
         ("documents_final", lambda: store.merge_documents(docs_final),
          {"extra_metrics": {"max_warc_ts": wm}} if wm else {}),
     ]

@@ -76,14 +76,36 @@ class GraphStore:
         # (never mutate the live dict another thread may be iterating)
         df = self._df_cache.get(key)
         if df is None:
-            df = self.spark.read.parquet(
-                os.path.join(self._tdir(name), m["version"]))
+            path = os.path.join(self._tdir(name), m["version"])
+            if m.get("catalog_table"):
+                df = self._read_bucketed(m, path)
+            else:
+                df = self.spark.read.parquet(path)
             with self._df_cache_lock:
                 fresh = {k: v for k, v in self._df_cache.items()
                          if k[0] != name}  # drop superseded snapshots
                 fresh[key] = df
                 self._df_cache = fresh
         return df
+
+    def _read_bucketed(self, m: dict, path: str) -> DataFrame:
+        """Read a bucketed snapshot THROUGH the catalog — bucket layout
+        lives in table metadata, not in the parquet files, so a plain
+        path read would lose the shuffle-free join property. A fresh
+        session re-registers the external table from the manifest (the
+        durable source of truth), Iceberg-style."""
+        tbl = m["catalog_table"]
+        if not self.spark.catalog.tableExists(tbl):
+            schema = self.spark.read.parquet(path).schema
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in schema.fields)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{m['bucket_by']}`) "
+                f"SORTED BY (`{m['bucket_by']}`) "
+                f"INTO {m['n_buckets']} BUCKETS "
+                f"LOCATION '{path}'")
+        return self.spark.table(tbl)
 
     def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",
               stage: str = "", extra_metrics: dict | None = None,
@@ -98,6 +120,66 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        return self._commit_snapshot(
+            name, version, path, stage=stage,
+            input_fingerprint=input_fingerprint,
+            extra_metrics=extra_metrics)
+
+    def write_bucketed(self, name: str, df: DataFrame, *, bucket_by: str,
+                       n_buckets: int = 16, input_fingerprint: str = "",
+                       stage: str = "",
+                       extra_metrics: dict | None = None) -> dict:
+        """Snapshot write with a bucket(bucket_by) physical layout — the
+        Iceberg `bucket(N, entity_id)` storage-partitioned-join layout
+        from SURVEY §1.3/§4 on plain parquet + the session catalog.
+
+        Two tables bucketed into the same N on their join keys equi-join
+        with NO shuffle on either side (storage-partitioned join): the
+        scan's output partitioning already satisfies the join's required
+        distribution. At 100 TB that removes the biggest read-path
+        exchange (edges ⋈ nodes). Bucket metadata lives in the catalog;
+        the manifest records (bucket_by, n_buckets, catalog_table) so a
+        fresh session re-registers the external table and keeps the
+        property (see _read_bucketed)."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(tdir, version)
+        tbl = self._catalog_table(name, version)
+        # one file per bucket: repartition by the bucket key first (both
+        # use Murmur3, so task partitions align with buckets), so the
+        # write does not emit (input-partitions × buckets) small files.
+        # sortBy gives in-file ordering; the scan only ELIDES its sort
+        # under spark.sql.legacy.bucketedTableScan.outputOrdering — the
+        # win this layout targets is the removed shuffle, which needs no
+        # legacy flag
+        (df.repartition(n_buckets, F.col(bucket_by))
+         .write.mode("overwrite").format("parquet").option("path", path)
+         .bucketBy(n_buckets, bucket_by).sortBy(bucket_by)
+         .saveAsTable(tbl))
+        return self._commit_snapshot(
+            name, version, path, stage=stage,
+            input_fingerprint=input_fingerprint,
+            extra_metrics=extra_metrics,
+            extra_manifest={"bucket_by": bucket_by, "n_buckets": n_buckets,
+                            "catalog_table": tbl})
+
+    def _catalog_table(self, name: str, version: str) -> str:
+        """Session-catalog identifier for a bucketed snapshot: unique per
+        (store root, table, version) so two stores in one session never
+        collide."""
+        import hashlib
+        import re
+        root_sig = hashlib.sha256(
+            os.path.abspath(self.root).encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return f"kg_{root_sig}_{safe}_{version.replace('-', '_')}"
+
+    def _commit_snapshot(self, name: str, version: str, path: str, *,
+                         stage: str, input_fingerprint: str,
+                         extra_metrics: dict | None,
+                         extra_manifest: dict | None = None) -> dict:
+        tdir = self._tdir(name)
         # per-partition lineage (north rule): one entry per committed data
         # file with its row count — the same information an Iceberg
         # manifest records — gathered in the single read-back job that
@@ -124,14 +206,24 @@ class GraphStore:
             "committed_at_unix": int(time.time()),
             "parent_version": prev["version"] if prev else None,
             "metrics": extra_metrics or {},
+            **(extra_manifest or {}),
         }
         tmp = self._manifest_path(name) + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic commit point
         if prev and prev["version"] != version:
+            self._drop_catalog_entry(prev)
             shutil.rmtree(os.path.join(tdir, prev["version"]), ignore_errors=True)
         return man
+
+    def _drop_catalog_entry(self, m: dict | None):
+        if m and m.get("catalog_table"):
+            try:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {m['catalog_table']}")
+            except Exception:
+                pass  # catalog entry may belong to a dead session
 
     def update_metrics(self, name: str, metrics: dict):
         """Attach post-action metrics (df.observe results) to a committed
@@ -273,8 +365,10 @@ class GraphStore:
         """DETACH DELETE analogue — O(metadata), no batched deletes needed
         (clean.py:15-72's 100k-row batching exists only because of Neo4j
         transaction memory; a snapshot store just drops the pointer)."""
+        self._drop_catalog_entry(self.manifest(name))
         shutil.rmtree(self._tdir(name), ignore_errors=True)
 
     def drop_all(self):
         for name in list(os.listdir(self.root)):
+            self._drop_catalog_entry(self.manifest(name))
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

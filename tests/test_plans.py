@@ -142,3 +142,47 @@ def test_keyword_channel_index_path_never_scans_names(spark):
     assert "regexp_replace" not in p
     assert "explode" not in p
     assert "distinct" not in p.lower()
+
+
+def test_bucketed_join_is_storage_partitioned(spark, tmp_path):
+    """Two tables bucketed into the same N on their join keys equi-join
+    with ZERO Exchange on either side (the SURVEY §1.3 bucket(entity_id)
+    storage-partitioned join) — and the property survives a fresh
+    catalog via manifest re-registration. Broadcast is disabled so the
+    plan can't sidestep the question (at 100 TB neither side fits)."""
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    st = GraphStore(str(tmp_path / "kg"), spark)
+    nodes = spark.range(0, 500).selectExpr(
+        "concat('e', id) AS entity_id", "concat('n', id) AS name")
+    edges = spark.range(0, 2000).selectExpr(
+        "concat('e', id % 500) AS src_id",
+        "concat('e', (id * 7) % 500) AS dst_id")
+    st.write_bucketed("nodes", nodes, bucket_by="entity_id", n_buckets=8)
+    st.write_bucketed("edges", edges, bucket_by="src_id", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n, e = st.read("nodes"), st.read("edges")
+        j = e.join(n, e.src_id == n.entity_id)
+        p = plan_of(j)
+        assert "Exchange" not in p, p
+        assert p.count("Bucketed: true") == 2, p
+        assert j.count() == 2000
+
+        # control: the SAME join over plain-parquet copies must shuffle
+        pn = spark.read.parquet(f"{st.root}/nodes/" +
+                                st.manifest("nodes")["version"])
+        pe = spark.read.parquet(f"{st.root}/edges/" +
+                                st.manifest("edges")["version"])
+        assert "Exchange" in plan_of(pe.join(pn, pe.src_id == pn.entity_id))
+
+        # fresh-session simulation: drop the catalog entries; read() must
+        # re-register from the manifest and keep the bucketed scan
+        for t in ("nodes", "edges"):
+            spark.sql(f"DROP TABLE IF EXISTS {st.manifest(t)['catalog_table']}")
+        st._df_cache = {}
+        n2, e2 = st.read("nodes"), st.read("edges")
+        p2 = plan_of(e2.join(n2, e2.src_id == n2.entity_id))
+        assert "Exchange" not in p2 and p2.count("Bucketed: true") == 2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -212,3 +212,44 @@ def test_max_sources_per_edge_bounded_and_idempotent(spark, store):
     # re-delivering any earlier batch cannot change the capped set
     store.write("edges", store.merge_edges(batch(["d5", "d9"]), max_sources=3))
     assert store.read("edges").first()["sources"] == ["d1", "d2", "d3"]
+
+
+def test_bucketed_write_read_roundtrip(spark, store):
+    """bucket(N, key) snapshots: content identical to a plain write, one
+    file per bucket (repartition aligns with the bucket hash), manifest
+    carries the layout, versioning + cleanup still hold."""
+    df = spark.range(0, 200).selectExpr(
+        "concat('e', id) AS entity_id", "concat('n', id) AS name")
+    m1 = store.write_bucketed("nodes", df, bucket_by="entity_id", n_buckets=4)
+    assert m1["rows"] == 200 and m1["bucket_by"] == "entity_id"
+    assert m1["n_buckets"] == 4 and m1["n_files"] == 4
+    got = {r["entity_id"] for r in store.read("nodes").collect()}
+    assert got == {f"e{i}" for i in range(200)}
+    # superseding version drops the old catalog entry and directory
+    m2 = store.write_bucketed("nodes", df.filter("entity_id like 'e1%'"),
+                              bucket_by="entity_id", n_buckets=4)
+    assert m2["parent_version"] == m1["version"]
+    assert not spark.catalog.tableExists(m1["catalog_table"])
+    assert spark.catalog.tableExists(m2["catalog_table"])
+    store.truncate("nodes")
+    assert not spark.catalog.tableExists(m2["catalog_table"])
+
+
+def test_pipeline_bucketed_layout_same_content(spark, tmp_path):
+    """run_pipeline with cfg.store_buckets produces byte-identical graph
+    tables to the plain layout — bucketing is physical only."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    pages = synth_pages(spark, 12)
+    plain = GraphStore(str(tmp_path / "plain"), spark)
+    run_pipeline(spark, pages, plain.root)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, store_buckets=4)
+    buck = GraphStore(str(tmp_path / "buck"), spark)
+    run_pipeline(spark, pages, buck.root, cfg=cfg)
+    for t in ("nodes", "edges", "mentions"):
+        man = buck.manifest(t)
+        assert man["n_buckets"] == 4, t
+        a = {tuple(str(v) for v in r) for r in plain.read(t).collect()}
+        b = {tuple(str(v) for v in r) for r in buck.read(t).collect()}
+        assert a == b, t
