@@ -189,15 +189,40 @@ def build_edges(triples: DataFrame, embeddings: DataFrame,
         F.col("doc_id"), F.col("chunk_idx"), F.col("chunk_id"),
         F.col("count"), F.col("rel_text"),
     )).alias("_last")
-    sources_agg = F.array_sort(F.collect_set("doc_id"))
+    edge_key = ["src_id", "rel_type", "term_key", "dst_id"]
     if cfg.max_sources_per_edge:
         # bounded per-edge state: keep the N lexicographically-smallest
-        # doc_ids — deterministic under any ingest order (config.py note)
-        sources_agg = F.slice(sources_agg, 1, cfg.max_sources_per_edge)
+        # doc_ids — deterministic under any ingest order (config.py note).
+        # SALTED two-phase accumulation (explicit head-entity skew
+        # handling, north rule): a celebrity edge appearing in 10^7 docs
+        # would otherwise assemble its full distinct doc_id set on ONE
+        # reducer before the slice. N-smallest is a distributive order
+        # statistic — N smallest of a union == N smallest of the per-salt
+        # N-smallest — so each salt bucket pre-truncates and the merge
+        # reducer holds at most salt_buckets x N ids per edge. doc_id is
+        # the salt hash, so a doc never lands in two buckets (the
+        # per-bucket collect_set stays an exact distinct).
+        n = cfg.max_sources_per_edge
+        b = max(1, cfg.salt_buckets)
+        partial = (
+            t.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(b)))
+            .groupBy(*edge_key, "_salt")
+            .agg(F.slice(F.array_sort(F.collect_set("doc_id")), 1, n)
+                 .alias("_src_part"), last)
+        )
+        agged = (
+            partial.groupBy(*edge_key)
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_src_part"))),
+                         1, n).alias("sources"),
+                 F.max("_last").alias("_last"))
+        )
+    else:
+        agged = (
+            t.groupBy(*edge_key)
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("sources"), last)
+        )
     edges = (
-        t.groupBy("src_id", "rel_type", "term_key", "dst_id")
-        .agg(sources_agg.alias("sources"), last)
-        .select(
+        agged.select(
             "src_id", "rel_type", "term_key", "dst_id", "sources",
             F.col("_last.chunk_id").alias("_chunk_id"),
             F.col("_last.count").alias("count"),

@@ -186,3 +186,41 @@ def test_bucketed_join_is_storage_partitioned(spark, tmp_path):
         assert "Exchange" not in p2 and p2.count("Bucketed: true") == 2, p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_bounded_sources_semantics(spark):
+    """The salted two-phase bounded-sources accumulation (head-entity
+    skew handling) must emit exactly the N lexicographically-smallest
+    distinct doc_ids per edge — identical to the single-phase spec —
+    while holding at most salt_buckets x N ids on the merge reducer."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    from neo4j_document_pipeline_spark.operators.graph import (
+        build_edges, build_embeddings_cache)
+    schema = ("doc_id string, chunk_id string, chunk_idx int, "
+              "subject string, predicate string, object string, "
+              "subject_type string, object_type string, rel_type string, "
+              "object_kind string, start string, end string, "
+              "pillar string, term string, count int")
+    # one celebrity edge (many docs) + one normal edge
+    rows = [(f"doc{i:03d}", f"c{i}", 0, "Star", "likes", "Fame",
+             "Entity", "Entity", "likes", "entity",
+             None, None, None, None, None) for i in range(40)]
+    rows += [("doc900", "c900", 0, "Quiet", "likes", "Calm",
+              "Entity", "Entity", "likes", "entity",
+              None, None, None, None, None)]
+    triples = spark.createDataFrame(rows, schema)
+    emb = build_embeddings_cache(triples)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_sources_per_edge=3,
+                              salt_buckets=4)
+    got = {(r["src_id"], r["dst_id"]): r["sources"]
+           for r in build_edges(triples, emb, cfg).collect()}
+    star = next(v for k, v in got.items() if len(v) == 3)
+    assert star == ["doc000", "doc001", "doc002"]
+    assert ["doc900"] in got.values()
+    # degenerate bucket count behaves identically
+    cfg1 = dataclasses.replace(cfg, salt_buckets=1)
+    got1 = {(r["src_id"], r["dst_id"]): r["sources"]
+            for r in build_edges(triples, emb, cfg1).collect()}
+    assert got1 == got
