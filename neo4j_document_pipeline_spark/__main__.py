@@ -10,6 +10,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark docs   --store <dir>        # /documents
     python -m neo4j_document_pipeline_spark drop   --store <dir>        # /drop-all
     python -m neo4j_document_pipeline_spark status --store <dir> [JOB]  # /queue_stats, /ingest/status
+    python -m neo4j_document_pipeline_spark history --store <dir> TABLE # snapshot log
+    python -m neo4j_document_pipeline_spark compact --store <dir> TABLE # OPTIMIZE small files
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
-        "status"])
+        "status", "history", "compact"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -178,6 +180,22 @@ def main(argv=None):
             print(json.dumps(ingest_status(store, ns.args[0]), indent=1))
         else:
             print(json.dumps(queue_stats(store, spark), indent=1))
+    elif ns.command == "history":
+        # snapshot log (Iceberg t.snapshots analogue) for a table
+        if not ns.args:
+            sys.exit("history requires a table name, e.g. history nodes")
+        print(json.dumps([
+            {k: h.get(k) for k in ("version", "parent_version", "rows",
+                                   "n_files", "committed_at_unix", "stage")}
+            for h in store.history(ns.args[0])], indent=1))
+    elif ns.command == "compact":
+        # OPTIMIZE analogue: rewrite a table's small files
+        if not ns.args:
+            sys.exit("compact requires a table name, e.g. compact edges")
+        m = store.compact(ns.args[0])
+        print(json.dumps({"table": ns.args[0], "version": m["version"],
+                          "rows": m["rows"], "n_files": m["n_files"]},
+                         indent=1))
     elif ns.command == "drop":
         from neo4j_document_pipeline_spark.operators.admin import drop_all
         print(json.dumps(drop_all(store)))

@@ -34,9 +34,16 @@ from pyspark.sql import functions as F
 
 
 class GraphStore:
-    def __init__(self, root: str, spark: SparkSession):
+    def __init__(self, root: str, spark: SparkSession,
+                 keep_versions: int = 1):
         self.root = root
         self.spark = spark
+        # Iceberg-style snapshot retention: how many committed versions
+        # of each table stay on disk. 1 (default) = current behavior —
+        # a commit supersedes and deletes its parent. >1 enables
+        # time-travel reads (read(name, version=...)) over the retained
+        # window; expire_snapshots()/the commit path prune beyond it.
+        self.keep_versions = max(1, keep_versions)
         # (name, version) -> DataFrame handle: skips re-listing + parquet
         # footer schema inference on repeated reads of the same snapshot
         # (the version key self-invalidates on every commit)
@@ -212,10 +219,101 @@ class GraphStore:
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic commit point
-        if prev and prev["version"] != version:
-            self._drop_catalog_entry(prev)
-            shutil.rmtree(os.path.join(tdir, prev["version"]), ignore_errors=True)
+        # snapshot log (Iceberg metadata-log analogue): every committed
+        # manifest appends here; retention below prunes DATA beyond
+        # keep_versions but the log keeps the full lineage chain
+        with open(os.path.join(tdir, "_history.jsonl"), "a") as f:
+            f.write(json.dumps(man) + "\n")
+        self._prune_versions(name, keep=self.keep_versions)
         return man
+
+    def history(self, name: str) -> list[dict]:
+        """Commit log for a table, oldest first (snapshot id, parent,
+        rows, timestamp — the SELECT * FROM t.snapshots analogue)."""
+        path = os.path.join(self._tdir(name), "_history.jsonl")
+        out = []
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        out.append(json.loads(line))
+        except OSError:
+            pass
+        return out
+
+    def _prune_versions(self, name: str, keep: int):
+        """Expire snapshot DATA beyond the last ``keep`` commits (the
+        expire_snapshots maintenance action). The history log is never
+        truncated."""
+        hist = self.history(name)
+        if not hist:
+            return
+        retained = {m["version"] for m in hist[-max(1, keep):]}
+        cur = self.manifest(name)
+        if cur:
+            retained.add(cur["version"])  # never expire the live pointer
+        by_version = {m["version"]: m for m in hist}
+        tdir = self._tdir(name)
+        for v in list(os.listdir(tdir)):
+            if v.startswith("v-") and v not in retained:
+                self._drop_catalog_entry(by_version.get(v))
+                shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+
+    def expire_snapshots(self, name: str, keep: int = 1):
+        """Explicit maintenance: keep only the newest ``keep`` snapshots'
+        data files for ``name``."""
+        self._prune_versions(name, keep=keep)
+
+    def read_version(self, name: str, version: str) -> DataFrame:
+        """Time-travel read of a retained snapshot (read of t VERSION AS
+        OF v). Raises if the snapshot's data has been expired."""
+        m = next((h for h in self.history(name) if h["version"] == version),
+                 None)
+        cur = self.manifest(name)
+        if m is None and cur and cur["version"] == version:
+            m = cur
+        if m is None:
+            raise FileNotFoundError(
+                f"table {name} has no committed snapshot {version}")
+        path = os.path.join(self._tdir(name), version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"snapshot {version} of {name} has been expired "
+                f"(keep_versions={self.keep_versions})")
+        if m.get("catalog_table"):
+            return self._read_bucketed(m, path)
+        return self.spark.read.parquet(path)
+
+    def compact(self, name: str, target_file_mb: int = 128) -> dict:
+        """Small-file compaction (the OPTIMIZE / rewrite_data_files
+        maintenance action): rewrite the current snapshot into
+        ceil(bytes / target_file_mb) files. Content-identical; the input
+        fingerprint carries over so stage resume still treats the table
+        as current. Bucketed tables rewrite under the SAME bucket spec
+        (compaction must never silently drop the join layout)."""
+        m = self.manifest(name)
+        if not m:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        path = os.path.join(self._tdir(name), m["version"])
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(path) for fn in fns)
+        df = self.read(name)
+        extra = {"compacted_from": m["version"]}
+        if m.get("bucket_by"):
+            return self.write_bucketed(
+                name, df, bucket_by=m["bucket_by"],
+                n_buckets=m["n_buckets"],
+                input_fingerprint=m.get("input_fingerprint", ""),
+                stage=m.get("stage", name),
+                extra_metrics={**(m.get("metrics") or {}), **extra})
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        return self.write(
+            name, df.repartition(n_files),
+            input_fingerprint=m.get("input_fingerprint", ""),
+            stage=m.get("stage", name),
+            extra_metrics={**(m.get("metrics") or {}), **extra})
 
     def _drop_catalog_entry(self, m: dict | None):
         if m and m.get("catalog_table"):
@@ -365,10 +463,12 @@ class GraphStore:
         """DETACH DELETE analogue — O(metadata), no batched deletes needed
         (clean.py:15-72's 100k-row batching exists only because of Neo4j
         transaction memory; a snapshot store just drops the pointer)."""
-        self._drop_catalog_entry(self.manifest(name))
+        for m in self.history(name) + [self.manifest(name)]:
+            self._drop_catalog_entry(m)
         shutil.rmtree(self._tdir(name), ignore_errors=True)
 
     def drop_all(self):
         for name in list(os.listdir(self.root)):
-            self._drop_catalog_entry(self.manifest(name))
+            for m in self.history(name) + [self.manifest(name)]:
+                self._drop_catalog_entry(m)
             shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

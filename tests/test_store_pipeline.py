@@ -253,3 +253,53 @@ def test_pipeline_bucketed_layout_same_content(spark, tmp_path):
         a = {tuple(str(v) for v in r) for r in plain.read(t).collect()}
         b = {tuple(str(v) for v in r) for r in buck.read(t).collect()}
         assert a == b, t
+
+
+def test_snapshot_history_time_travel_and_retention(spark, tmp_path):
+    """keep_versions>1 retains a time-travel window: read_version serves
+    any retained snapshot, the history log records the full lineage
+    chain even past expiry, and expiry is loud (FileNotFoundError)."""
+    st = GraphStore(str(tmp_path / "kg"), spark, keep_versions=2)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    m1 = st.write("t", df)
+    m2 = st.write("t", df.filter("id = 1"))
+    # both retained: current + parent readable
+    assert st.read_version("t", m2["version"]).count() == 1
+    assert st.read_version("t", m1["version"]).count() == 2
+    m3 = st.write("t", df.limit(0))
+    hist = st.history("t")
+    assert [h["version"] for h in hist] == [m1["version"], m2["version"],
+                                            m3["version"]]
+    assert hist[1]["parent_version"] == m1["version"]
+    # v1 expired (keep=2), v2 still readable
+    with pytest.raises(FileNotFoundError):
+        st.read_version("t", m1["version"])
+    assert st.read_version("t", m2["version"]).count() == 1
+    # explicit maintenance prunes to the live snapshot only
+    st.expire_snapshots("t", keep=1)
+    with pytest.raises(FileNotFoundError):
+        st.read_version("t", m2["version"])
+    assert st.read("t").count() == 0
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """OPTIMIZE analogue: compaction collapses a many-file snapshot into
+    few files, preserves content + input fingerprint (stage resume still
+    sees the table as current), and keeps a bucketed table bucketed."""
+    st = GraphStore(str(tmp_path / "kg"), spark)
+    df = spark.range(0, 1000).selectExpr("id", "concat('v', id) AS v")
+    m1 = st.write("t", df.repartition(16), input_fingerprint="fp-1")
+    assert m1["n_files"] == 16
+    m2 = st.compact("t")
+    assert m2["n_files"] < 16 and m2["rows"] == 1000
+    assert m2["input_fingerprint"] == "fp-1"
+    assert st.is_current("t", "fp-1")
+    assert m2["metrics"]["compacted_from"] == m1["version"]
+    assert st.read("t").count() == 1000
+    # bucketed table: compaction preserves the layout
+    nodes = spark.range(0, 300).selectExpr("concat('e', id) AS entity_id")
+    st.write_bucketed("nodes", nodes, bucket_by="entity_id", n_buckets=4,
+                      input_fingerprint="fp-n")
+    mc = st.compact("nodes")
+    assert mc["bucket_by"] == "entity_id" and mc["n_buckets"] == 4
+    assert st.read("nodes").count() == 300
