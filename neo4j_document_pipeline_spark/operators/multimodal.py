@@ -1,16 +1,28 @@
-"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+"""Multimodal columns — image/audio/video as binary columns with REAL
+decoders for every format the Python standard library can parse.
 
-The Spark-side machinery (schemas, Arrow batch shapes, partition-aware
-batching, typed metadata) is real and tested; the actual media DECODE step
-is stubbed: the codec libraries are not available in this environment, so
-``decode_media`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which substitutes a seeded, content-hashed
-fake decoder with the same output schema. Swapping in a real decoder is a
-one-function change inside the same mapInPandas stage.
+Decode support (pure stdlib + numpy, no codec libraries needed):
+
+- image: uncompressed BMP (24/32-bit BI_RGB) and binary PPM (P6) /
+  PGM (P5) → (H, W, 3) uint8 pixel arrays;
+- audio: WAV PCM (8/16/32-bit, any channel count) via the stdlib
+  ``wave`` module → mono float32 samples + sample rate.
+
+Compressed codecs (JPEG/PNG/MP3/MP4 …) genuinely require external
+libraries absent from this environment; for those payloads
+``extract_media_features`` falls back to a seeded content-hashed fake
+feature (``deterministic_fake=True``, the default) or raises
+``NotImplementedError`` — the integration point for a real codec is the
+same ``_decode_any`` dispatch used by the stdlib decoders.
+
+The Spark-side machinery — schemas, Arrow batch shapes, partition-aware
+batch re-chunking, typed metadata — is shared by both paths and tested
+over real BMP/WAV payloads synthesized by ``synth_media``.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -35,6 +47,154 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (pure stdlib + numpy)
+# ---------------------------------------------------------------------------
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Decode uncompressed BMP / binary PPM (P6) / PGM (P5) bytes to an
+    (H, W, 3) uint8 array. Raises ValueError on anything else."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    raise ValueError("not an uncompressed BMP/PPM/PGM payload")
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("empty BMP")
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    need = data_off + stride * height
+    if len(b) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * height,
+                         offset=data_off).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A): reorder to RGB, drop alpha
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def _decode_pnm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray replicated to 3 channels),
+    maxval <= 255."""
+    magic = b[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(b):
+            raise ValueError("truncated PNM header")
+        c = b[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = b.find(b"\n", pos)
+            pos = len(b) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(b) and not b[end:end + 1].isspace():
+                end += 1
+            fields.append(int(b[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255 or width <= 0 or height <= 0:
+        raise ValueError("unsupported PNM")
+    ch = 3 if magic == b"P6" else 1
+    n = width * height * ch
+    if len(b) < pos + n:
+        raise ValueError("truncated PNM pixel data")
+    px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos) \
+        .reshape(height, width, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
+def decode_audio_bytes(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV PCM bytes (stdlib ``wave``) to (mono float32 samples in
+    [-1, 1], sample_rate). Raises ValueError on non-WAV payloads."""
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), \
+                w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+    if sampwidth == 1:      # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _image_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic image descriptor: per-channel mean/std (scaled to
+    [0,1]) + 8-bin luma histogram, zero-padded to ``dim``."""
+    f = np.zeros(dim, dtype=np.float32)
+    flat = px.reshape(-1, 3).astype(np.float32)
+    means, stds = flat.mean(axis=0) / 255.0, flat.std(axis=0) / 255.0
+    luma = flat @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 255.0))
+    hist = hist.astype(np.float32) / max(1, luma.size)
+    vals = np.concatenate([means, stds, hist])[:dim]
+    f[: len(vals)] = vals
+    return f
+
+
+def _audio_feature(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Deterministic audio descriptor: RMS, peak, zero-crossing rate,
+    duration (s) + 8-bin |amplitude| histogram, zero-padded to ``dim``."""
+    f = np.zeros(dim, dtype=np.float32)
+    if x.size:
+        zcr = float(np.count_nonzero(np.diff(np.signbit(x)))) / x.size
+        hist, _ = np.histogram(np.abs(x), bins=8, range=(0.0, 1.0))
+        vals = np.concatenate([
+            [np.sqrt(float(np.mean(x * x))), float(np.max(np.abs(x))),
+             zcr, x.size / float(rate or 1)],
+            hist.astype(np.float32) / x.size])[:dim]
+        f[: len(vals)] = vals
+    return f
+
+
+def _decode_any(payload: bytes, kind: str, dim: int) -> tuple[np.ndarray, int] | None:
+    """Dispatch to the real decoders; None when the payload needs a codec
+    this environment lacks. n_frames: images 1; audio = ceil(seconds)."""
+    try:
+        if kind == "image":
+            return _image_feature(decode_image_bytes(payload), dim), 1
+        if kind == "audio":
+            x, rate = decode_audio_bytes(payload)
+            secs = x.size / float(rate or 1)
+            return _audio_feature(x, rate, dim), max(1, int(np.ceil(secs)))
+    except ValueError:
+        return None
+    return None
+
+
 def _fake_decode(payload: bytes, kind: str, dim: int, seed: int) -> tuple[np.ndarray, int]:
     """Deterministic stand-in decoder: hashed-content feature vector.
     Output SHAPE matches what a real embed-after-decode stage produces."""
@@ -52,10 +212,13 @@ def extract_media_features(df: DataFrame, dim: int = 32, seed: int = 42,
                            batch_limit: int = 256) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real-decoder integration point: replace the ``_fake_decode`` call.
-    ``batch_limit`` re-chunks Arrow batches so a partition of large blobs
-    never materializes more than ``batch_limit`` payloads at once (memory
-    ceiling per task — the knob that matters at 100 TB)."""
+    Payloads the stdlib can parse (BMP/PPM/PGM images, WAV PCM audio)
+    are REALLY decoded — pixel/sample arrays → deterministic descriptors.
+    Anything needing an external codec falls back to the seeded fake
+    (``deterministic_fake=True``) or raises. ``batch_limit`` re-chunks
+    Arrow batches so a partition of large blobs never materializes more
+    than ``batch_limit`` payloads at once (memory ceiling per task — the
+    knob that matters at 100 TB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,14 +226,21 @@ def extract_media_features(df: DataFrame, dim: int = 32, seed: int = 42,
                 sub = pdf.iloc[lo:lo + batch_limit]
                 feats, frames = [], []
                 for payload, kind in zip(sub["payload"], sub["kind"]):
-                    if not deterministic_fake:
-                        raise NotImplementedError(
-                            "real media codecs are not available in this "
-                            "environment; pass deterministic_fake=True or "
-                            "plug a decoder in here")
-                    f, nf = _fake_decode(bytes(payload or b""), kind, dim, seed)
-                    feats.append(f.tolist())
-                    frames.append(nf)
+                    raw = bytes(payload or b"")
+                    decoded = _decode_any(raw, kind, dim)
+                    if decoded is None:
+                        if not deterministic_fake:
+                            raise NotImplementedError(
+                                "payload needs an external codec "
+                                "(JPEG/PNG/MP3/MP4...) not available in "
+                                "this environment; only uncompressed "
+                                "BMP/PPM/PGM/WAV decode natively — pass "
+                                "deterministic_fake=True or plug a codec "
+                                "into _decode_any")
+                        decoded = _fake_decode(raw, kind, dim, seed)
+                    f, nf = decoded
+                    feats.append(np.asarray(f, dtype=np.float32).tolist())
+                    frames.append(int(nf))
                 yield pd.DataFrame({
                     "media_id": sub["media_id"],
                     "kind": sub["kind"],
@@ -96,18 +266,69 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP —
+    the inverse of _decode_bmp, used by synth_media and tests."""
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono float32 [-1,1] samples as 16-bit PCM WAV."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/bench."""
-    kinds = ["image", "audio", "video"]
-    return (
-        spark.range(n)
-        .withColumn("media_id", F.concat(F.lit("m"), F.lpad(F.col("id").cast("string"), 8, "0")))
-        .withColumn("kind", F.element_at(F.array(*[F.lit(k) for k in kinds]),
-                                         (F.col("id") % 3 + 1).cast("int")))
-        .withColumn("payload", F.sha2(F.concat(F.lit(seed), F.col("id")), 512).cast("binary"))
-        .withColumn("mime", F.concat(F.col("kind"), F.lit("/x-fake")))
-        .withColumn("width", F.when(F.col("kind") == "image", (F.col("id") % 640 + 64).cast("int")))
-        .withColumn("height", F.when(F.col("kind") == "image", (F.col("id") % 480 + 48).cast("int")))
-        .withColumn("duration_ms", F.when(F.col("kind") != "image", ((F.col("id") % 30 + 1) * 1000).cast("int")))
-        .select("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")
-    )
+    """Deterministic media table for tests/bench with REAL payloads where
+    the stdlib can round-trip them: image rows carry a 16x12 24-bit BMP,
+    audio rows a short 16-bit PCM WAV, video rows an opaque payload (no
+    stdlib video container — exercises the fake/codec-needed path)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                rng = np.random.RandomState((seed * 1_000_003 + i) & 0x7FFFFFFF)
+                w = h = dur = None
+                if kind == "image":
+                    w, h = 16, 12
+                    payload = encode_bmp(
+                        rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8))
+                    mime = "image/bmp"
+                elif kind == "audio":
+                    dur = (i % 5 + 1) * 250           # 250ms..1250ms
+                    t = np.arange(int(8000 * dur / 1000)) / 8000.0
+                    payload = encode_wav(
+                        0.5 * np.sin(2 * np.pi * (220 + i % 440) * t))
+                    mime = "audio/wav"
+                else:
+                    dur = (i % 30 + 1) * 1000
+                    payload = hashlib.sha512(
+                        f"{seed}:{i}".encode()).digest()  # opaque: needs codec
+                    mime = "video/x-fake"
+                rows.append((f"m{i:08d}", kind, payload, mime, w, h, dur))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -169,10 +169,21 @@ def test_multimodal_plumbing(spark):
     assert meta.filter(F.col("n_bytes") > 0).count() == 30
     feats = extract_media_features(media, dim=16).collect()
     assert len(feats) == 30
+    by_kind = {}
     for r in feats:
         assert len(r["feature"]) == 16
-        norm = sum(x * x for x in r["feature"])
-        assert abs(norm - 1.0) < 1e-3
+        by_kind.setdefault(r["kind"], []).append(r)
+    # image/audio rows are REALLY decoded: image mean-RGB descriptors sit
+    # in [0,1]; audio rows carry rms/peak/zcr in [0,1] with peak ~0.5
+    for r in by_kind["image"]:
+        assert all(0.0 <= x <= 1.0 for x in r["feature"][:6])
+        assert r["n_frames"] == 1
+    for r in by_kind["audio"]:
+        rms, peak = r["feature"][0], r["feature"][1]
+        assert 0.2 < rms < 0.5 and 0.45 < peak <= 0.51
+    # video payloads have no stdlib codec -> fake path (unit-norm vector)
+    for r in by_kind["video"]:
+        assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-3
     # deterministic across runs
     feats2 = extract_media_features(media, dim=16).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
@@ -182,10 +193,53 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == vids
 
 
-def test_media_decode_stub_raises(spark):
-    media = synth_media(spark, 3)
+def test_media_codec_needed_raises_only_for_undecodable(spark):
+    media = synth_media(spark, 6).cache()
+    # image+audio decode natively even with the fake disabled
+    ok = extract_media_features(
+        media.filter(F.col("kind") != "video"),
+        deterministic_fake=False).collect()
+    assert len(ok) == 4
+    # a compressed-codec payload (video) without the fake raises
     with pytest.raises(Exception):
-        extract_media_features(media, deterministic_fake=False).collect()
+        extract_media_features(media.filter(F.col("kind") == "video"),
+                               deterministic_fake=False).collect()
+
+
+def test_image_decoders_roundtrip_exact():
+    """BMP encode→decode is pixel-exact (incl. stride padding); PPM and
+    PGM parse with comments; truncated/unknown payloads raise."""
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.multimodal import (
+        decode_image_bytes, encode_bmp)
+    rng = np.random.RandomState(7)
+    for w, h in [(16, 12), (3, 5), (1, 1), (7, 2)]:  # odd widths: stride pad
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_image_bytes(encode_bmp(px)), px)
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    got = decode_image_bytes(ppm)
+    assert got.shape == (2, 2, 3) and got[0, 0, 0] == 0 and got[1, 1, 2] == 11
+    pgm = b"P5\n2 1\n255\n" + bytes([7, 250])
+    gray = decode_image_bytes(pgm)
+    assert gray.shape == (1, 2, 3) and list(gray[0, 1]) == [250, 250, 250]
+    for bad in (b"JPEG", b"BM\x00", b"P6\n2 2\n255\n" + b"\x00"):
+        with pytest.raises(ValueError):
+            decode_image_bytes(bad)
+
+
+def test_audio_decoder_roundtrip():
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.multimodal import (
+        decode_audio_bytes, encode_wav)
+    t = np.arange(8000) / 8000.0
+    x = 0.25 * np.sin(2 * np.pi * 440 * t)
+    got, rate = decode_audio_bytes(encode_wav(x, rate=8000))
+    assert rate == 8000 and got.size == 8000
+    assert abs(np.sqrt(np.mean(got ** 2)) - 0.25 / np.sqrt(2)) < 1e-3
+    with pytest.raises(ValueError):
+        decode_audio_bytes(b"\x00" * 64)
 
 
 # --- IVF ANN (the cell-probing scale path) ---
