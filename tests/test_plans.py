@@ -224,3 +224,27 @@ def test_salted_bounded_sources_semantics(spark):
     got1 = {(r["src_id"], r["dst_id"]): r["sources"]
             for r in build_edges(triples, emb, cfg1).collect()}
     assert got1 == got
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path):
+    """The IVF scale path: vectors written partitioned by assigned cell,
+    ivf_topk's probe filter must reach the scan as a PARTITION filter —
+    at 100 TB only nprobe/n_cells of the table is listed, let alone
+    read."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        ivf_assign, ivf_topk, ivf_train)
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=4, iters=2)
+    st = GraphStore(str(tmp_path / "kg"), spark)
+    st.write("vectors_ivf", ivf_assign(e, "embedding", cents),
+             partition_by=["cell"])
+    stored = st.read("vectors_ivf")
+    q = e.first()["embedding"]
+    topk = ivf_topk(stored, "vec_id", "embedding", cents, list(q),
+                    k=5, nprobe=2, cell_col="cell")
+    p = plan_of(topk)
+    seg = p[p.find("PartitionFilters"):].splitlines()[0]
+    assert "cell" in seg and ("IN" in seg.upper() or "In(" in seg), p[:2000]
+    rows = topk.collect()
+    assert 0 < len(rows) <= 5
