@@ -461,6 +461,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("cos", F.round("cos", 4))
     q["embedding_near_dups"] = embedding_near_dups
 
+    def node_tokens_index(spark, sf):
+        # the write-time FTS inverted index (S10 Lucene-analogue) over a
+        # deterministic part-derived nodes frame: distinct (tok, entity)
+        # postings with exact per-token document frequency
+        from neo4j_document_pipeline_spark.operators.retrieval import (
+            build_node_tokens)
+        p = _t(spark, sf, "part").select(
+            F.col("p_partkey").cast("string").alias("entity_id"),
+            F.col("p_name").alias("name"))
+        return build_node_tokens(p).select(
+            "tok", "entity_id", F.col("df").cast("long").alias("df"))
+    q["node_tokens_index"] = node_tokens_index
+
+    def salted_distinct_users(spark, sf):
+        # explicit skew-salting operator: two-phase distinct-user count
+        # must equal the plain COUNT(DISTINCT) the oracle computes
+        from neo4j_document_pipeline_spark.operators.skew import (
+            salted_aggregate)
+        ev = _t(spark, sf, "events").select("event_type", "user_id")
+        out = salted_aggregate(
+            ev, ["event_type"],
+            [F.collect_set("user_id").alias("s")],
+            [F.size(F.array_distinct(F.flatten(F.collect_list("s"))))
+             .alias("n_users")])
+        return out.select("event_type",
+                          F.col("n_users").cast("long").alias("n_users"))
+    q["salted_distinct_users"] = salted_distinct_users
+
+    def salted_join_orders(spark, sf):
+        # salted fact x replicated-dim join == the plain equi-join
+        from neo4j_document_pipeline_spark.operators.skew import salted_join
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        c = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name")
+        return salted_join(o, c, "o_custkey", buckets=4) \
+            .select("o_orderkey", "c_name")
+    q["salted_join_orders"] = salted_join_orders
+
     def connected_components_demo(spark, sf):
         # oracle-checked: recursive-CTE transitive closure in DuckDB over
         # the same deterministic edge subset (l_orderkey < 60)
@@ -767,6 +805,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT txt FROM (SELECT p_name AS txt FROM part "
             "UNION ALL SELECT s_name FROM supplier "
             "UNION ALL SELECT event_type FROM events) GROUP BY txt",
+        "node_tokens_index":
+            "WITH pairs AS ("
+            "  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS entity_id, "
+            "         t.tok AS tok "
+            "  FROM part, unnest(regexp_extract_all(lower(p_name), "
+            "'[a-z0-9]+')) AS t(tok)) "
+            "SELECT tok, entity_id, "
+            "CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df "
+            "FROM pairs",
+        "salted_distinct_users":
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type",
+        "salted_join_orders":
+            "SELECT o_orderkey, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey",
         "sources_accumulation":
             "SELECT event_type, array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') "
             "AS buckets FROM events GROUP BY event_type",
