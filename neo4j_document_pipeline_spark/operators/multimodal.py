@@ -121,6 +121,10 @@ def _decode_pnm(b: bytes) -> np.ndarray:
         raise ValueError("truncated PNM pixel data")
     px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos) \
         .reshape(height, width, ch)
+    if maxval != 255:
+        # rescale to full 8-bit range: raw value maxval IS white
+        px = np.round(px.astype(np.float32) * (255.0 / maxval)) \
+            .clip(0, 255).astype(np.uint8)
     if ch == 1:
         px = np.repeat(px, 3, axis=2)
     return np.ascontiguousarray(px)

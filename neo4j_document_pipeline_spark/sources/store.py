@@ -106,8 +106,10 @@ class GraphStore:
             schema = self.spark.read.parquet(path).schema
             ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                             for f in schema.fields)
+            # IF NOT EXISTS: two concurrent readers may both pass the
+            # tableExists probe; the loser must not fail the read
             self.spark.sql(
-                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
                 f"CLUSTERED BY (`{m['bucket_by']}`) "
                 f"SORTED BY (`{m['bucket_by']}`) "
                 f"INTO {m['n_buckets']} BUCKETS "
@@ -130,7 +132,23 @@ class GraphStore:
         return self._commit_snapshot(
             name, version, path, stage=stage,
             input_fingerprint=input_fingerprint,
-            extra_metrics=extra_metrics)
+            extra_metrics=extra_metrics,
+            extra_manifest={"partition_by": partition_by} if partition_by
+            else None)
+
+    def write_preserving_layout(self, name: str, df: DataFrame,
+                                **kw) -> dict:
+        """Re-commit a table keeping whatever physical layout its current
+        snapshot has (bucket spec or hive partitioning) — the writer for
+        paths that update EXISTING tables (incremental merge, compaction)
+        and must not silently degrade a layout a full run chose."""
+        m = self.manifest(name) or {}
+        if m.get("bucket_by"):
+            return self.write_bucketed(name, df, bucket_by=m["bucket_by"],
+                                       n_buckets=m["n_buckets"], **kw)
+        if m.get("partition_by"):
+            return self.write(name, df, partition_by=m["partition_by"], **kw)
+        return self.write(name, df, **kw)
 
     def write_bucketed(self, name: str, df: DataFrame, *, bucket_by: str,
                        n_buckets: int = 16, input_fingerprint: str = "",
@@ -221,9 +239,20 @@ class GraphStore:
         os.replace(tmp, self._manifest_path(name))  # atomic commit point
         # snapshot log (Iceberg metadata-log analogue): every committed
         # manifest appends here; retention below prunes DATA beyond
-        # keep_versions but the log keeps the full lineage chain
-        with open(os.path.join(tdir, "_history.jsonl"), "a") as f:
-            f.write(json.dumps(man) + "\n")
+        # keep_versions but the log keeps the full lineage chain. A torn
+        # tail (crash mid-append) must not swallow this commit's line, so
+        # start on a fresh line whenever the log doesn't end with one.
+        hist_path = os.path.join(tdir, "_history.jsonl")
+        prefix = ""
+        try:
+            with open(hist_path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    prefix = "\n"
+        except OSError:
+            pass
+        with open(hist_path, "a") as f:
+            f.write(prefix + json.dumps(man) + "\n")
         self._prune_versions(name, keep=self.keep_versions)
         return man
 
@@ -236,8 +265,15 @@ class GraphStore:
             with open(path) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         out.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        # torn append (crash mid-write): the manifest is
+                        # the atomic commit point, so a partial history
+                        # line must never brick reads/writes — skip it
+                        continue
         except OSError:
             pass
         return out
@@ -255,9 +291,13 @@ class GraphStore:
             retained.add(cur["version"])  # never expire the live pointer
         by_version = {m["version"]: m for m in hist}
         tdir = self._tdir(name)
-        for v in list(os.listdir(tdir)):
-            if v.startswith("v-") and v not in retained:
-                self._drop_catalog_entry(by_version.get(v))
+        # expire only versions KNOWN COMMITTED (in the history log): a
+        # v-* directory absent from the log may be another writer's
+        # in-flight uncommitted snapshot — deleting it would corrupt a
+        # concurrent job mid-write
+        for v, m in by_version.items():
+            if v not in retained and os.path.isdir(os.path.join(tdir, v)):
+                self._drop_catalog_entry(m)
                 shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
 
     def expire_snapshots(self, name: str, keep: int = 1):
@@ -300,20 +340,24 @@ class GraphStore:
             os.path.getsize(os.path.join(dp, fn))
             for dp, _, fns in os.walk(path) for fn in fns)
         df = self.read(name)
-        extra = {"compacted_from": m["version"]}
+        kw = dict(
+            input_fingerprint=m.get("input_fingerprint", ""),
+            stage=m.get("stage", name),
+            extra_metrics={**(m.get("metrics") or {}),
+                           "compacted_from": m["version"]})
         if m.get("bucket_by"):
             return self.write_bucketed(
                 name, df, bucket_by=m["bucket_by"],
-                n_buckets=m["n_buckets"],
-                input_fingerprint=m.get("input_fingerprint", ""),
-                stage=m.get("stage", name),
-                extra_metrics={**(m.get("metrics") or {}), **extra})
+                n_buckets=m["n_buckets"], **kw)
+        if m.get("partition_by"):
+            # hive-partitioned tables keep their layout: cluster rows by
+            # the partition columns so each partition value lands in one
+            # task → one file per value
+            pcols = m["partition_by"]
+            return self.write(name, df.repartition(*[F.col(c) for c in pcols]),
+                              partition_by=pcols, **kw)
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        return self.write(
-            name, df.repartition(n_files),
-            input_fingerprint=m.get("input_fingerprint", ""),
-            stage=m.get("stage", name),
-            extra_metrics={**(m.get("metrics") or {}), **extra})
+        return self.write(name, df.repartition(n_files), **kw)
 
     def _drop_catalog_entry(self, m: dict | None):
         if m and m.get("catalog_table"):
@@ -469,6 +513,4 @@ class GraphStore:
 
     def drop_all(self):
         for name in list(os.listdir(self.root)):
-            for m in self.history(name) + [self.manifest(name)]:
-                self._drop_catalog_entry(m)
-            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            self.truncate(name)

@@ -65,7 +65,11 @@ def ingest_increment(store, batch_df: DataFrame,
     emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
     store.write("embeddings_cache", emb, stage=stage)
     emb = store.read("embeddings_cache")
-    nodes_man = store.write(
+    # write_preserving_layout: a store built with bucket(N, key) (or any
+    # hive partitioning) keeps that layout across incremental merges —
+    # a plain write here would silently drop the storage-partitioned-join
+    # property the full run committed
+    nodes_man = store.write_preserving_layout(
         "nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
         stage=stage)
     # keep the committed FTS inverted index in step with the merged nodes
@@ -76,13 +80,14 @@ def ingest_increment(store, batch_df: DataFrame,
     store.write("node_tokens", build_node_tokens(store.read("nodes")),
                 stage=stage,
                 extra_metrics={"src_nodes_version": nodes_man["version"]})
-    store.write("edges",
-                store.merge_edges(build_edges(triples, emb, cfg,
-                                              chunks=chunks),
-                                  max_sources=cfg.max_sources_per_edge),
-                stage=stage)
-    store.write("mentions", store.merge_mentions(build_mentions(triples)),
-                stage=stage)
+    store.write_preserving_layout(
+        "edges",
+        store.merge_edges(build_edges(triples, emb, cfg, chunks=chunks),
+                          max_sources=cfg.max_sources_per_edge),
+        stage=stage)
+    store.write_preserving_layout(
+        "mentions", store.merge_mentions(build_mentions(triples)),
+        stage=stage)
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (documents.join(n_chunks, "doc_id", "left")
                   .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))

@@ -223,6 +223,10 @@ def test_image_decoders_roundtrip_exact():
     pgm = b"P5\n2 1\n255\n" + bytes([7, 250])
     gray = decode_image_bytes(pgm)
     assert gray.shape == (1, 2, 3) and list(gray[0, 1]) == [250, 250, 250]
+    # maxval != 255 rescales: raw 15 at maxval 15 IS white
+    lowmax = decode_image_bytes(b"P5\n2 1\n15\n" + bytes([15, 3]))
+    assert list(lowmax[0, 0]) == [255, 255, 255]
+    assert list(lowmax[0, 1]) == [51, 51, 51]  # round(3 * 255/15)
     for bad in (b"JPEG", b"BM\x00", b"P6\n2 2\n255\n" + b"\x00"):
         with pytest.raises(ValueError):
             decode_image_bytes(bad)

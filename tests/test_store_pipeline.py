@@ -303,3 +303,29 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     mc = st.compact("nodes")
     assert mc["bucket_by"] == "entity_id" and mc["n_buckets"] == 4
     assert st.read("nodes").count() == 300
+
+
+def test_compact_preserves_hive_partitioning(spark, store):
+    """Compaction of a partition_by table must re-commit the SAME hive
+    layout (partition pruning depends on it), not flatten to plain files."""
+    df = spark.range(0, 300, 1, 8).withColumn("k", (F.col("id") % 3).cast("int"))
+    m1 = store.write("t", df, partition_by=["k"], input_fingerprint="fp")
+    assert m1["partition_by"] == ["k"]
+    m2 = store.compact("t")
+    assert m2["partition_by"] == ["k"]
+    assert any("k=2" in p["file"] for p in m2["partitions"])
+    assert store.read("t").count() == 300 and store.is_current("t", "fp")
+
+
+def test_history_tolerates_torn_line(spark, store):
+    """A crash can tear the non-atomic history append; the manifest is
+    the commit point, so reads/writes/history must keep working."""
+    df = spark.createDataFrame([(1,)], "id long")
+    m1 = store.write("t", df)
+    with open(store._tdir("t") + "/_history.jsonl", "a") as f:
+        f.write('{"version": "v-torn', )  # torn JSON line
+    assert [h["version"] for h in store.history("t")] == [m1["version"]]
+    m2 = store.write("t", df)  # must not raise
+    assert store.read("t").count() == 1
+    assert [h["version"] for h in store.history("t")] == [m1["version"],
+                                                          m2["version"]]

@@ -99,3 +99,45 @@ def test_batch_incremental_equals_full_run(spark, tmp_path):
     # lineage metric for --since-ts auto
     m = inc.manifest("documents_final")
     assert m["metrics"].get("max_warc_ts")
+
+
+def test_incremental_preserves_bucketed_layout(spark, tmp_path):
+    """A store built with bucket(N, key) must KEEP that layout (and the
+    shuffle-free join property) across incremental merges — the
+    incremental path used plain writes and silently degraded it."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        ingest_increment)
+    root = str(tmp_path / "kg")
+    cfg = dataclasses.replace(DEFAULT_CONFIG, store_buckets=4)
+    run_pipeline(spark, synth_pages(spark, 20), root, cfg=cfg)
+    store = GraphStore(root, spark)
+    before = {t: store.manifest(t)["rows"]
+              for t in ("nodes", "edges", "mentions")}
+    delta = synth_pages(spark, 26).subtract(synth_pages(spark, 20))
+    ingest_increment(store, delta, cfg=cfg)
+    for t, key in [("nodes", "entity_id"), ("edges", "src_id"),
+                   ("mentions", "entity_id")]:
+        m = store.manifest(t)
+        assert m.get("bucket_by") == key and m.get("n_buckets") == 4, t
+        assert m["rows"] >= before[t], t
+    # the merged tables still storage-partition-join with no shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e, n = store.read("edges"), store.read("nodes")
+        j = e.join(n, e.src_id == n.entity_id)
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
