@@ -407,7 +407,8 @@ def dedupe_seeds_one_per_doc(cands: list[dict]) -> list[dict]:
 
 def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                        max_hops: int = 1, checkpoint: bool = True,
-                       max_inline_frontier: int = 2048) -> DataFrame:
+                       max_inline_frontier: int = 2048,
+                       materialize: bool | None = None) -> DataFrame:
     """Undirected BFS, node-global uniqueness (graphutil.py:547-632,
     clamp at main.py:337). Returns the traversed edge set.
 
@@ -486,14 +487,16 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                 frontier = frontier.localCheckpoint()
             visited = visited.union(frontier).distinct()
         out = touched.dropDuplicates(["src_id", "dst_id", "rel_type", "term"])
-        if checkpoint:
-            # eager: downstream consumers (assemble_facts) reference the
-            # traversal several times in one plan — Spark does not CSE
-            # common subplans, so an un-materialized traversal would
-            # re-run per reference, AFTER the finally below has already
-            # unpersisted the edges scan. The result is small (seed
-            # neighborhoods), so materializing here while `und` is still
-            # cached is the cheap point.
+        # materialize=True: downstream plans that reference the traversal
+        # SEVERAL times (assemble_facts with include_source — 3 refs)
+        # would re-run it per reference (Spark does not CSE common
+        # subplans) AFTER the finally below has unpersisted the edges
+        # scan; the result is small (seed neighborhoods), so eagerly
+        # checkpointing here while `und` is still cached is the cheap
+        # point. Callers that consume the result exactly once (the
+        # default graphrag path) pass materialize=False and keep the
+        # single-action lazy plan. Default follows `checkpoint` (safe).
+        if materialize if materialize is not None else checkpoint:
             out = out.localCheckpoint()
         return out
     finally:
@@ -751,7 +754,11 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
     seeds = dedupe_seeds_one_per_doc(cands)
 
     t2 = _time.perf_counter()
-    rels = traverse_neighbors(edges, [s["entity_id"] for s in seeds], hops)
+    # materialize only when assemble_facts will reference the traversal
+    # multiple times (include_source endpoint lookups); otherwise the
+    # facts collect below is the traversal's single action
+    rels = traverse_neighbors(edges, [s["entity_id"] for s in seeds], hops,
+                              materialize=include_source)
     facts_df = assemble_facts(rels, nodes, mentions, documents,
                               include_source=include_source)
     fact_lines = [r["fact"] for r in
