@@ -629,7 +629,8 @@ def graphrag(spark: SparkSession, store, question: str,
              use_mmr: bool = True, use_cross_doc: bool = True,
              include_source: bool = False,
              cfg: PipelineConfig = DEFAULT_CONFIG,
-             fused: bool = True) -> GraphRagResult:
+             fused: bool = True,
+             use_canonical: bool | None = None) -> GraphRagResult:
     """End-to-end /graphrag (main.py:229-400). The answer IS the formatted
     facts block — no LLM generation step (main.py:370-371).
 
@@ -639,33 +640,51 @@ def graphrag(spark: SparkSession, store, question: str,
     attributes + doc titles in ONE job: ~3 Spark actions per query
     instead of the DF-native blend's ~10 shuffle stages. ``fused=False``
     keeps everything in hybrid_candidates; both paths are parity-tested
-    to the byte."""
+    to the byte.
+
+    ``use_canonical``: serve the entity-resolved graph
+    (nodes_canonical/edges_canonical/mentions_canonical). None (default)
+    auto-selects it when the canonical tables exist AND were built from
+    the same pipeline input as the live raw tables — a raw-table merge
+    since canonicalization silently falls back to the raw graph rather
+    than answering from a stale resolution."""
     import time as _time
     timings = {}
     t0 = _time.perf_counter()
 
+    canon = use_canonical
+    if canon is None:
+        raw_fp = (store.manifest("nodes") or {}).get("input_fingerprint")
+        can_fp = (store.manifest("nodes_canonical") or {}) \
+            .get("input_fingerprint")
+        canon = bool(raw_fp) and raw_fp == can_fp \
+            and store.exists("nodes_canonical") \
+            and store.exists("edges_canonical") \
+            and store.exists("mentions_canonical")
+    suffix = "_canonical" if canon else ""
+
     # nodes is scanned by the vector channel, the phrase verify, and both
     # endpoint lookups of the facts assembly — persist once per query
-    nodes = store.read("nodes").persist()
-    edges = store.read("edges")
-    mentions = store.read("mentions")
+    nodes = store.read(f"nodes{suffix}").persist()
+    edges = store.read(f"edges{suffix}")
+    mentions = store.read(f"mentions{suffix}")
     documents = store.read("documents_final")
 
     qvec = embed_text(question, dim=cfg.embedding_dim, seed=cfg.featurizer_seed).tolist()
     timings["embed"] = _time.perf_counter() - t0
 
     # corpus size for IDF comes from the committed manifest — no count() job
-    man = store.manifest("nodes") or {}
+    man = store.manifest(f"nodes{suffix}") or {}
     n_nodes = man.get("rows")
 
     # committed inverted index (build_node_tokens): use it only when its
     # manifest records the CURRENT nodes snapshot — a stale index (e.g.
     # nodes merged since) silently falls back to in-query tokenization
     postings = None
-    if store.exists("node_tokens"):
-        tok_man = store.manifest("node_tokens") or {}
+    if store.exists(f"node_tokens{suffix}"):
+        tok_man = store.manifest(f"node_tokens{suffix}") or {}
         if tok_man.get("metrics", {}).get("src_nodes_version") == man.get("version"):
-            postings = store.read("node_tokens")
+            postings = store.read(f"node_tokens{suffix}")
 
     try:
         return _graphrag_body(

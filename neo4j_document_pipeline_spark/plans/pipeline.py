@@ -226,6 +226,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         stage("nodes_canonical", lambda: cn, fp)
         stage("edges_canonical", lambda: ce, fp)
         stage("mentions_canonical", lambda: cm, fp)
+        # FTS index over the CANONICAL entity names, so the read path
+        # keeps its indexed keyword channel when it serves the canonical
+        # graph (same staleness stamping as the raw index)
+        cn_version = (store.manifest("nodes_canonical") or {}).get("version")
+        stage("node_tokens_canonical",
+              lambda: build_node_tokens(store.read("nodes_canonical")),
+              f"{fp}:nodes_canonical={cn_version}",
+              extra_metrics={"src_nodes_version": cn_version})
     return manifests
 
 

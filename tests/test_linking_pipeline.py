@@ -26,6 +26,30 @@ def test_pipeline_with_canonicalization(spark, tmp_path):
     ids = {r["entity_id"] for r in store.read("nodes_canonical").collect()}
     for r in store.read("edges_canonical").select("src_id", "dst_id").collect():
         assert r["src_id"] in ids and r["dst_id"] in ids
+    # the canonical FTS index commits alongside, stamped to its snapshot
+    tok_man = store.manifest("node_tokens_canonical")
+    assert tok_man and tok_man["metrics"]["src_nodes_version"] == \
+        store.manifest("nodes_canonical")["version"]
+
+    # graphrag auto-serves the CANONICAL graph while fresh: every seed id
+    # must be a canonical entity, and the flagship fact still answers
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+    res = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in res.answer
+    assert res.seeds and all(s["entity_id"] in ids for s in res.seeds)
+    # explicit opt-out serves the raw graph (byte-identical flagship fact)
+    raw = graphrag(spark, store, "What did Al-Khwarizmi develop?",
+                   use_canonical=False)
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in raw.answer
+    # a raw-table merge AFTER canonicalization (different fingerprint)
+    # must auto-fall back to the raw graph, not answer from a stale
+    # resolution
+    store.write("nodes", store.read("nodes"), input_fingerprint="fp-new")
+    try:
+        res2 = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+        assert 'developed]-> Entity("algebra")' in res2.answer
+    finally:
+        pass
 
 
 def test_stateful_user_counters_stream(spark, tmp_path):
