@@ -654,14 +654,19 @@ def graphrag(spark: SparkSession, store, question: str,
 
     canon = use_canonical
     if canon is None:
+        # ALL THREE canonical tables must exist and carry the live raw
+        # fingerprint: the pipeline commits them as three independent
+        # atomic stages, so a crash between commits can leave e.g. fresh
+        # canonical nodes next to a previous resolution's edges — a mixed
+        # graph that must fall back to raw, not serve silently
         raw_fp = (store.manifest("nodes") or {}).get("input_fingerprint")
-        can_fp = (store.manifest("nodes_canonical") or {}) \
-            .get("input_fingerprint")
-        canon = bool(raw_fp) and raw_fp == can_fp \
-            and store.exists("nodes_canonical") \
-            and store.exists("edges_canonical") \
-            and store.exists("mentions_canonical")
+        canon = bool(raw_fp) and all(
+            store.exists(t) and
+            (store.manifest(t) or {}).get("input_fingerprint") == raw_fp
+            for t in ("nodes_canonical", "edges_canonical",
+                      "mentions_canonical"))
     suffix = "_canonical" if canon else ""
+    timings["canonical_graph"] = 1.0 if canon else 0.0
 
     # nodes is scanned by the vector channel, the phrase verify, and both
     # endpoint lookups of the facts assembly — persist once per query
@@ -773,11 +778,12 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
     seeds = dedupe_seeds_one_per_doc(cands)
 
     t2 = _time.perf_counter()
-    # materialize only when assemble_facts will reference the traversal
-    # multiple times (include_source endpoint lookups); otherwise the
-    # facts collect below is the traversal's single action
+    # materialize when the traversal would otherwise recompute inside the
+    # facts action: include_source references it 3x, and each hop > 1
+    # adds another full edges-scan branch to the lazy union (the scan
+    # cache inside traverse_neighbors is gone by collect time)
     rels = traverse_neighbors(edges, [s["entity_id"] for s in seeds], hops,
-                              materialize=include_source)
+                              materialize=include_source or hops > 1)
     facts_df = assemble_facts(rels, nodes, mentions, documents,
                               include_source=include_source)
     fact_lines = [r["fact"] for r in

@@ -223,9 +223,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                         lambda: canonical_map(nodes, links), fp)
         cn, ce, cm = apply_canonicalization(nodes, edges, mentions, mapping,
                                             max_sources=cfg.max_sources_per_edge)
-        stage("nodes_canonical", lambda: cn, fp)
-        stage("edges_canonical", lambda: ce, fp)
-        stage("mentions_canonical", lambda: cm, fp)
+        # same bucket layout as the raw tables: graphrag auto-prefers the
+        # canonical graph, so committing it unbucketed would silently
+        # re-introduce the join shuffles --buckets removes
+        stage("nodes_canonical", lambda: cn, fp, **_bk("entity_id"))
+        stage("edges_canonical", lambda: ce, fp, **_bk("src_id"))
+        stage("mentions_canonical", lambda: cm, fp, **_bk("entity_id"))
         # FTS index over the CANONICAL entity names, so the read path
         # keeps its indexed keyword channel when it serves the canonical
         # graph (same staleness stamping as the raw index)

@@ -35,21 +35,30 @@ def test_pipeline_with_canonicalization(spark, tmp_path):
     # must be a canonical entity, and the flagship fact still answers
     from neo4j_document_pipeline_spark.operators.retrieval import graphrag
     res = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert res.timings["canonical_graph"] == 1.0
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in res.answer
     assert res.seeds and all(s["entity_id"] in ids for s in res.seeds)
     # explicit opt-out serves the raw graph (byte-identical flagship fact)
     raw = graphrag(spark, store, "What did Al-Khwarizmi develop?",
                    use_canonical=False)
+    assert raw.timings["canonical_graph"] == 0.0
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in raw.answer
     # a raw-table merge AFTER canonicalization (different fingerprint)
     # must auto-fall back to the raw graph, not answer from a stale
     # resolution
     store.write("nodes", store.read("nodes"), input_fingerprint="fp-new")
-    try:
-        res2 = graphrag(spark, store, "What did Al-Khwarizmi develop?")
-        assert 'developed]-> Entity("algebra")' in res2.answer
-    finally:
-        pass
+    res2 = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert res2.timings["canonical_graph"] == 0.0
+    assert 'developed]-> Entity("algebra")' in res2.answer
+    # likewise a PARTIAL canonicalization (one table's fingerprint
+    # behind) must not serve a mixed graph
+    store.write("nodes", store.read("nodes"),
+                input_fingerprint=store.manifest("nodes_canonical")
+                ["input_fingerprint"])
+    store.write("edges_canonical", store.read("edges_canonical"),
+                input_fingerprint="fp-older")
+    res3 = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert res3.timings["canonical_graph"] == 0.0
 
 
 def test_stateful_user_counters_stream(spark, tmp_path):
