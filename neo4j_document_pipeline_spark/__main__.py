@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--buckets", type=int, default=0,
                     help="bucket(N, key) layout for nodes/edges/mentions "
                          "(shuffle-free read-path joins); 0 = plain parquet")
+    ap.add_argument("--keep-versions", type=int, default=1,
+                    help="snapshots retained per table (time-travel "
+                         "window); 1 = only the live version")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop pages below this [0,1] heuristic quality "
                          "score before extraction")
@@ -68,7 +71,7 @@ def main(argv=None):
     from neo4j_document_pipeline_spark.sources.store import GraphStore
 
     spark = build_session(ns.master)
-    store = GraphStore(ns.store, spark)
+    store = GraphStore(ns.store, spark, keep_versions=ns.keep_versions)
 
     if ns.command == "ingest":
         from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
@@ -143,7 +146,8 @@ def main(argv=None):
             manifests = run_pipeline(spark, pages, ns.store, cfg=cfg,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
-                                     min_quality=ns.min_quality)
+                                     min_quality=ns.min_quality,
+                                     keep_versions=ns.keep_versions)
             print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                               for k, m in manifests.items()}, indent=1))
     elif ns.command == "query":

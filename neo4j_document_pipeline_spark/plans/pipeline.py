@@ -47,7 +47,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  canonicalize_entities: bool = False,
                  text_source: str = "text",
                  langs: list[str] | None = None,
-                 min_quality: float | None = None) -> dict:
+                 min_quality: float | None = None,
+                 keep_versions: int = 1) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
 
     ``canonicalize_entities=True`` appends the north-star entity-resolution
@@ -69,8 +70,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     gate that keeps boilerplate out of chunking/extraction. Expression-
     only; scored identically on the batch and incremental paths.
 
+    ``keep_versions``: snapshots retained per table (time-travel window).
+
     Returns {stage: manifest} for every stage that ran or was skipped."""
-    store = GraphStore(store_root, spark)
+    store = GraphStore(store_root, spark, keep_versions=keep_versions)
     manifests: dict[str, dict] = {}
     # prior warc_ts high-water mark, read BEFORE any stage overwrites it
     prior_wm = (((store.manifest("documents_final") or {}).get("metrics")

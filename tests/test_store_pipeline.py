@@ -329,3 +329,22 @@ def test_history_tolerates_torn_line(spark, store):
     assert store.read("t").count() == 1
     assert [h["version"] for h in store.history("t")] == [m1["version"],
                                                           m2["version"]]
+
+
+def test_cli_keep_versions_time_travel(spark, tmp_path, capsys):
+    """--keep-versions N exposes time travel through the CLI: after two
+    ingests the prior nodes snapshot is still readable by version."""
+    from neo4j_document_pipeline_spark.__main__ import main
+    root = str(tmp_path / "kg")
+    main(["ingest", "--store", root, "--pages", "synth:12",
+          "--keep-versions", "2"])
+    capsys.readouterr()
+    main(["ingest", "--store", root, "--pages", "synth:16",
+          "--keep-versions", "2"])
+    capsys.readouterr()
+    st = GraphStore(root, spark, keep_versions=2)
+    hist = st.history("nodes")
+    assert len(hist) == 2
+    old = st.read_version("nodes", hist[0]["version"])
+    new = st.read_version("nodes", hist[1]["version"])
+    assert old.count() > 0 and new.count() >= old.count()
