@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from neo4j_document_pipeline_spark.functions.tokenizer import (
     TOKENIZER,
+    count_tokens,
     decode,
     encode,
 )
@@ -69,7 +70,11 @@ def chunk_text_with_counts(text: str, max_tokens: int = 2500,
     tcount = 0
 
     for p in paras:
-        n = len(encode(p))
+        # only the COUNT is needed here (the token list is discarded in
+        # the common fits-in-budget case) — count_tokens memoizes per
+        # paragraph, so repeated boilerplate paragraphs across a corpus
+        # tokenize once per executor instead of once per occurrence
+        n = count_tokens(p)
         if n > max_tokens:
             if buf:
                 pairs.append(("\n\n".join(buf), sum(ns) + len(ns) - 1))
