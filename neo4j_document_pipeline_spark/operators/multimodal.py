@@ -293,7 +293,7 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes((np.clip(samples, -1, 1) * 32767)
+        w.writeframes(np.round(np.clip(samples, -1, 1) * 32767)
                       .astype("<i2").tobytes())
     return buf.getvalue()
 

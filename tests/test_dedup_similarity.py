@@ -403,3 +403,48 @@ def test_ivf_at_reference_dimensionality(spark):
                     cell_col=None).collect()
     brute = brute_force_topk(e, "vec_id", "embedding", q, 5).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
+def test_bmp_roundtrip_property():
+    """Pixel-exact BMP encode→decode for arbitrary small geometries
+    (exercises every stride-padding remainder and degenerate 1-pixel
+    rows/columns)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_document_pipeline_spark.operators.multimodal import (
+        decode_image_bytes, encode_bmp)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 13), st.integers(1, 9), st.integers(0, 2**31 - 1))
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_image_bytes(encode_bmp(px)), px)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    """WAV decode recovers sample count, rate, and amplitude within
+    16-bit quantization for arbitrary short signals."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_document_pipeline_spark.operators.multimodal import (
+        decode_audio_bytes, encode_wav)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 400), st.sampled_from([4000, 8000, 16000]),
+           st.integers(0, 2**31 - 1))
+    def check(n, rate, seed):
+        x = np.random.RandomState(seed).uniform(-1, 1, size=n)
+        got, r = decode_audio_bytes(encode_wav(x, rate=rate))
+        assert r == rate and got.size == n
+        # encode rounds at scale 32767, decode divides by 32768: worst
+        # error = half an LSB + the 1/32768 scale asymmetry at |x|=1
+        assert np.max(np.abs(got - np.clip(x, -1, 1))) <= 2.0 / 32768
+
+    check()
