@@ -701,6 +701,28 @@ def graphrag(spark: SparkSession, store, question: str,
         nodes.unpersist()
 
 
+def graphrag_many(spark: SparkSession, store, questions: list[str],
+                  max_concurrent: int = 20,
+                  **kw) -> list[GraphRagResult]:
+    """Bounded-concurrency query serving — the analogue of the
+    reference's 20-slot asyncio semaphore on /graphrag (main.py:35-36).
+    Runs up to ``max_concurrent`` graphrag calls against one
+    SparkSession (the scheduler interleaves their jobs across executor
+    slots); results return in input order. Unlike the reference, an
+    overloaded queue degrades to waiting, never to dropped requests.
+
+    Note: concurrent queries share the store's cached table handles; an
+    unpersist by a finishing query can evict a sibling's nodes cache —
+    a benign perf-only race (each query re-persists on first use)."""
+    from concurrent.futures import ThreadPoolExecutor
+    if not questions:
+        return []
+    with ThreadPoolExecutor(max(1, min(max_concurrent, len(questions)))) as ex:
+        futs = [ex.submit(graphrag, spark, store, q, **kw)
+                for q in questions]
+        return [f.result() for f in futs]
+
+
 def _graphrag_body(spark, store, question, nodes, edges, mentions,
                    documents, qvec, postings, n_nodes, timings, top_k,
                    hops, labels, alpha_vec, beta_kw, use_mmr,

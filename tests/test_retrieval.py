@@ -306,3 +306,18 @@ def test_traversal_inline_matches_join_mode(spark):
                                      max_inline_frontier=0).collect()}
         assert inline == joined, hops
         assert not any("x" in t or "y" in t for t in inline)
+
+
+def test_graphrag_many_bounded_concurrency(spark, kg):
+    """Concurrent serving (the main.py:35 semaphore analogue) returns the
+    same answers as sequential calls, in input order."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        graphrag, graphrag_many)
+    qs = ["What did Al-Khwarizmi develop?",
+          'What is the "House of Wisdom"?',
+          "Who studied optics and geometry?",
+          "What did Al-Khwarizmi develop?"]
+    seq = [graphrag(spark, kg, q).answer for q in qs]
+    conc = graphrag_many(spark, kg, qs, max_concurrent=3)
+    assert [r.answer for r in conc] == seq
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in conc[0].answer
