@@ -315,3 +315,141 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     col = cell_col or "_ivf_cell"
     pruned = cells.filter(F.col(col).isin(probes)).drop("_ivf_cell")
     return brute_force_topk(pruned, id_col, vec_col, query, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
+             sample: int = 10_000, iters: int = 8,
+             seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks: split each (L2-normalized) vector into ``m``
+    subspaces, k-means each subspace to ``k`` centroids.
+
+    Returns codebooks of shape (m, k, dim//m). Training runs driver-side
+    over a deterministic ≤``sample``-row subset (sha2-ordered, the same
+    seeded pseudo-sample ivf_train uses) — at 100 TB the codebook is
+    trained once on a sample and broadcast, never on the full table.
+    Requires dim % m == 0 (raises otherwise)."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
+                                 F.lit(str(seed))), 256))
+        .limit(sample).collect()
+    )
+    if not rows:
+        raise ValueError(f"pq_train: no non-null vectors in {vec_col!r}")
+    X = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    dsub = dim // m
+    k_eff = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k_eff, dsub))
+    for s in range(m):
+        S = X[:, s * dsub:(s + 1) * dsub]
+        cents = S[rng.choice(len(S), size=k_eff, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: np.ndarray,
+              code_col: str = "pq_code") -> DataFrame:
+    """Attach the ``m``-byte PQ code (array<int>, one codebook index per
+    subspace) for each L2-normalized vector — broadcast numpy, Arrow
+    batches, nothing in the plan expression tree. NULL / wrong-width
+    vectors get a null code. At scale the stored table carries ONLY
+    (id, pq_code): m bytes instead of 4*dim."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, k_eff, dsub = codebooks.shape
+    dim = m * dsub
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(code_col, ArrayType(IntegerType()))])
+
+    def gen(batches):
+        books = bc.value
+        for pdf in batches:
+            codes = [None] * len(pdf)
+            vals = [None if v is None else np.asarray(v, dtype=float)
+                    for v in pdf[vec_col]]
+            ok = [i for i, v in enumerate(vals)
+                  if v is not None and v.ndim == 1 and v.size == dim]
+            if ok:
+                V = np.stack([vals[i] for i in ok])
+                norms = np.linalg.norm(V, axis=1)
+                norms[norms == 0] = 1.0
+                V = V / norms[:, None]
+                enc = np.empty((len(ok), m), dtype=np.int64)
+                for s in range(m):
+                    S = V[:, s * dsub:(s + 1) * dsub]
+                    d2 = ((S[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                    enc[:, s] = d2.argmin(axis=1)
+                for j, i in enumerate(ok):
+                    codes[i] = enc[j].tolist()
+            pdf[code_col] = pd.Series(codes, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def pq_topk(df: DataFrame, id_col: str, code_col: str,
+            codebooks: np.ndarray, query: list[float], k: int = 10,
+            candidates: int | None = None,
+            vec_col: str | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: one m × k lookup
+    table of query-subvector · centroid dot products is broadcast, each
+    code scores as the sum of m table lookups (approximate cosine on
+    normalized vectors). With ``vec_col`` present, the top ``candidates``
+    (default 10*k) ADC hits are re-ranked by exact cosine — the standard
+    two-stage PQ search."""
+    import pandas as pd
+
+    m, k_eff, dsub = codebooks.shape
+    q = np.asarray(query, dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    q = q / qn
+    lut = np.stack([codebooks[s] @ q[s * dsub:(s + 1) * dsub]
+                    for s in range(m)])          # (m, k_eff)
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+    cols = [id_col, code_col] + ([vec_col] if vec_col else [])
+
+    def score(batches):
+        tbl = bc.value
+        rows_m = np.arange(m)
+        for pdf in batches:
+            keep = pdf[pdf[code_col].notna()]
+            if not len(keep):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64)
+                          for c in keep[code_col]])
+            keep = keep.assign(adc=tbl[rows_m[None, :], C].sum(axis=1))
+            yield keep.drop(columns=[code_col])
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in df.select(*cols).schema.fields if f.name != code_col]
+        + ["adc double"])
+    scored = df.select(*cols).mapInPandas(score, schema=schema)
+    n_cand = candidates or 10 * k
+    top = scored.orderBy(F.col("adc").desc(), F.col(id_col)).limit(n_cand)
+    if vec_col is None:
+        return top.select(id_col, F.col("adc").alias("score")).limit(k)
+    return (top.select(F.col(id_col),
+                       cosine_score(vec_col, query).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col)).limit(k))

@@ -448,3 +448,46 @@ def test_wav_roundtrip_property():
         assert np.max(np.abs(got - np.clip(x, -1, 1))) <= 2.0 / 32768
 
     check()
+
+
+# --- Product quantization (the memory-scale ANN path) ---
+
+def test_pq_roundtrip_and_search(spark):
+    """PQ codes are m small ints (vs 4*dim bytes); ADC+rerank recovers
+    the exact brute-force top-k on clustered vectors; degenerate inputs
+    (null vec) carry a null code."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        brute_force_topk, pq_encode, pq_topk, pq_train)
+    rng = np.random.RandomState(3)
+    dim, m = 32, 4
+    centers = rng.normal(size=(8, dim))
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + rng.normal(scale=0.05, size=dim)
+        rows.append((i, v.tolist()))
+    rows.append((999, None))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(e, "embedding", m=m, k=16, sample=200, seed=7)
+    assert books.shape == (m, 16, dim // m)
+    # deterministic training
+    books2 = pq_train(e, "embedding", m=m, k=16, sample=200, seed=7)
+    assert np.allclose(books, books2)
+    enc = pq_encode(e, "embedding", books).cache()
+    got = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert got[999] is None
+    assert all(len(c) == m for i, c in got.items() if c is not None)
+    # two-stage search (ADC candidates + exact rerank) == brute force
+    q = rows[5][1]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(e, "vec_id", "embedding", q, 5).collect()]
+    reranked = [r["vec_id"] for r in
+                pq_topk(enc, "vec_id", "pq_code", books, q, 5,
+                        candidates=60, vec_col="embedding").collect()]
+    assert reranked == exact and reranked[0] == 5
+    # ADC-only search still puts the query's own cluster on top
+    adc_only = [r["vec_id"] for r in
+                pq_topk(enc, "vec_id", "pq_code", books, q, 5).collect()]
+    assert adc_only and adc_only[0] % 8 == 5 % 8
+    # dim not divisible by m raises loudly
+    with pytest.raises(ValueError):
+        pq_train(e, "embedding", m=5)
