@@ -453,3 +453,27 @@ def pq_topk(df: DataFrame, id_col: str, code_col: str,
     return (top.select(F.col(id_col),
                        cosine_score(vec_col, query).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col)).limit(k))
+
+
+def ivfpq_topk(df: DataFrame, id_col: str, code_col: str,
+               centroids: list[list[float]], codebooks: np.ndarray,
+               query: list[float], k: int = 10, nprobe: int = 4,
+               cell_col: str = "cell",
+               candidates: int | None = None,
+               vec_col: str | None = None) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN shape: prune to
+    the ``nprobe`` nearest coarse cells (partition pruning when the table
+    is written partitioned by ``cell_col``), then ADC-score only those
+    cells' m-byte codes, optionally exact-reranking with ``vec_col``.
+    Scan cost ≈ (nprobe/n_cells) · n · m bytes."""
+    q = np.asarray(query, dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        ca = np.asarray(c, dtype=float)
+        cn = np.linalg.norm(ca) or 1.0
+        sims.append((float(q @ ca / (qn * cn)), i))
+    probes = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:max(1, nprobe)]]
+    pruned = df.filter(F.col(cell_col).isin(probes))
+    return pq_topk(pruned, id_col, code_col, codebooks, query, k,
+                   candidates=candidates, vec_col=vec_col)

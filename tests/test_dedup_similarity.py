@@ -491,3 +491,34 @@ def test_pq_roundtrip_and_search(spark):
     # dim not divisible by m raises loudly
     with pytest.raises(ValueError):
         pq_train(e, "embedding", m=5)
+
+
+def test_ivfpq_full_probe_equals_brute_force(spark):
+    """IVF cells + PQ codes composed: at full probe with exact rerank the
+    result equals brute force; at nprobe=1 the scan is cell-pruned."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        brute_force_topk, ivf_assign, ivf_train, ivfpq_topk, pq_encode,
+        pq_train)
+    rng = np.random.RandomState(11)
+    dim = 32
+    centers = rng.normal(size=(6, dim))
+    rows = [(i, (centers[i % 6] + rng.normal(scale=0.05, size=dim)).tolist())
+            for i in range(180)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=6, iters=3)
+    books = pq_train(e, "embedding", m=4, k=16, seed=5)
+    enc = pq_encode(ivf_assign(e, "embedding", cents), "embedding",
+                    books).cache()
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(e, "vec_id", "embedding", q, 5).collect()]
+    full = [r["vec_id"] for r in
+            ivfpq_topk(enc, "vec_id", "pq_code", cents, books, q, 5,
+                       nprobe=6, candidates=180,
+                       vec_col="embedding").collect()]
+    assert full == exact
+    # pruned probe still finds the query's own vector first
+    pruned = [r["vec_id"] for r in
+              ivfpq_topk(enc, "vec_id", "pq_code", cents, books, q, 5,
+                         nprobe=1, vec_col="embedding").collect()]
+    assert pruned and pruned[0] == 7
