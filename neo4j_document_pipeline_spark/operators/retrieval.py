@@ -703,23 +703,37 @@ def graphrag(spark: SparkSession, store, question: str,
 
 def graphrag_many(spark: SparkSession, store, questions: list[str],
                   max_concurrent: int = 20,
-                  **kw) -> list[GraphRagResult]:
+                  return_exceptions: bool = True,
+                  **kw) -> list:
     """Bounded-concurrency query serving — the analogue of the
     reference's 20-slot asyncio semaphore on /graphrag (main.py:35-36).
     Runs up to ``max_concurrent`` graphrag calls against one
     SparkSession (the scheduler interleaves their jobs across executor
-    slots); results return in input order. Unlike the reference, an
-    overloaded queue degrades to waiting, never to dropped requests.
+    slots); results return in input order.
 
-    Note: concurrent queries share the store's cached table handles; an
-    unpersist by a finishing query can evict a sibling's nodes cache —
-    a benign perf-only race (each query re-persists on first use)."""
+    Per-request isolation: with ``return_exceptions=True`` (default) a
+    failed question yields its Exception object in that slot while every
+    other answer survives — one bad request must not discard 19 good
+    ones. ``return_exceptions=False`` restores fail-fast.
+
+    Perf note: concurrent queries share the store's cached table
+    handles, and a finishing query's unpersist can evict a sibling's
+    nodes cache mid-flight — correctness is unaffected, but that
+    sibling's remaining node scans re-read parquet."""
     from concurrent.futures import ThreadPoolExecutor
     if not questions:
         return []
+
+    def one(q):
+        try:
+            return graphrag(spark, store, q, **kw)
+        except Exception as e:  # noqa: BLE001 — serving boundary
+            if not return_exceptions:
+                raise
+            return e
+
     with ThreadPoolExecutor(max(1, min(max_concurrent, len(questions)))) as ex:
-        futs = [ex.submit(graphrag, spark, store, q, **kw)
-                for q in questions]
+        futs = [ex.submit(one, q) for q in questions]
         return [f.result() for f in futs]
 
 

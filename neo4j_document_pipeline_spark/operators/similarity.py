@@ -296,13 +296,10 @@ def ivf_assign(df: DataFrame, vec_col: str,
     return _assign_cells_pandas(df, vec_col, centroids, cell_col)
 
 
-def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
-             centroids: list[list[float]], query: list[float],
-             k: int = 10, nprobe: int = 4,
-             cell_col: str | None = None) -> DataFrame:
-    """Probe the nprobe cells nearest the query (ranked driver-side over
-    the tiny centroid set), exact cosine re-rank within. nprobe ==
-    len(centroids) degrades to exact brute force."""
+def _nearest_cells(centroids: list[list[float]], query: list[float],
+                   nprobe: int) -> list[int]:
+    """Coarse-probe selection shared by ivf_topk / ivfpq_topk: indices of
+    the nprobe centroids nearest the query by cosine, index tie-break."""
     q = np.asarray(query, dtype=float)
     qn = np.linalg.norm(q) or 1.0
     sims = []
@@ -310,7 +307,18 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
         ca = np.asarray(c, dtype=float)
         cn = np.linalg.norm(ca) or 1.0
         sims.append((float(q @ ca / (qn * cn)), i))
-    probes = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:max(1, nprobe)]]
+    return [i for _, i in
+            sorted(sims, key=lambda t: (-t[0], t[1]))[:max(1, nprobe)]]
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+             centroids: list[list[float]], query: list[float],
+             k: int = 10, nprobe: int = 4,
+             cell_col: str | None = None) -> DataFrame:
+    """Probe the nprobe cells nearest the query (ranked driver-side over
+    the tiny centroid set), exact cosine re-rank within. nprobe ==
+    len(centroids) degrades to exact brute force."""
+    probes = _nearest_cells(centroids, query, nprobe)
     cells = df if cell_col else ivf_assign(df, vec_col, centroids, "_ivf_cell")
     col = cell_col or "_ivf_cell"
     pruned = cells.filter(F.col(col).isin(probes)).drop("_ivf_cell")
@@ -332,19 +340,23 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
     seeded pseudo-sample ivf_train uses) — at 100 TB the codebook is
     trained once on a sample and broadcast, never on the full table.
     Requires dim % m == 0 (raises otherwise)."""
+    head = df.select(F.col(vec_col).alias("v")) \
+        .filter(F.col("v").isNotNull()).first()
+    if head is None:
+        raise ValueError(f"pq_train: no non-null vectors in {vec_col!r}")
+    dim = len(head["v"])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     rows = (
         df.select(F.col(vec_col).alias("v"))
-        .filter(F.col("v").isNotNull())
+        # width filter: one ragged vector in the sample would crash
+        # np.stack (same guard ivf_train applies)
+        .filter(F.col("v").isNotNull() & (F.size("v") == dim))
         .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
                                  F.lit(str(seed))), 256))
         .limit(sample).collect()
     )
-    if not rows:
-        raise ValueError(f"pq_train: no non-null vectors in {vec_col!r}")
     X = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]
@@ -356,7 +368,12 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
         S = X[:, s * dsub:(s + 1) * dsub]
         cents = S[rng.choice(len(S), size=k_eff, replace=False)]
         for _ in range(iters):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # matmul form, (n, k) temp only: the broadcast (n, k, dsub)
+            # difference tensor would be multi-GB at reference dims
+            # (10000×256×384 ≈ 8 GB) — same lesson as _train_stats.
+            # ||s||² is constant per row, so argmin needs only
+            # ||c||² - 2·S·Cᵀ
+            d2 = (cents ** 2).sum(axis=1)[None, :] - 2.0 * (S @ cents.T)
             assign = d2.argmin(axis=1)
             for c in range(k_eff):
                 mask = assign == c
@@ -398,7 +415,10 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks: np.ndarray,
                 enc = np.empty((len(ok), m), dtype=np.int64)
                 for s in range(m):
                     S = V[:, s * dsub:(s + 1) * dsub]
-                    d2 = ((S[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                    # (batch, k) temp via matmul — the broadcast
+                    # difference tensor would OOM executors at real dims
+                    d2 = (books[s] ** 2).sum(axis=1)[None, :] \
+                        - 2.0 * (S @ books[s].T)
                     enc[:, s] = d2.argmin(axis=1)
                 for j, i in enumerate(ok):
                     codes[i] = enc[j].tolist()
@@ -466,14 +486,7 @@ def ivfpq_topk(df: DataFrame, id_col: str, code_col: str,
     is written partitioned by ``cell_col``), then ADC-score only those
     cells' m-byte codes, optionally exact-reranking with ``vec_col``.
     Scan cost ≈ (nprobe/n_cells) · n · m bytes."""
-    q = np.asarray(query, dtype=float)
-    qn = np.linalg.norm(q) or 1.0
-    sims = []
-    for i, c in enumerate(centroids):
-        ca = np.asarray(c, dtype=float)
-        cn = np.linalg.norm(ca) or 1.0
-        sims.append((float(q @ ca / (qn * cn)), i))
-    probes = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:max(1, nprobe)]]
+    probes = _nearest_cells(centroids, query, nprobe)
     pruned = df.filter(F.col(cell_col).isin(probes))
     return pq_topk(pruned, id_col, code_col, codebooks, query, k,
                    candidates=candidates, vec_col=vec_col)

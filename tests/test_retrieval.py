@@ -321,3 +321,41 @@ def test_graphrag_many_bounded_concurrency(spark, kg):
     conc = graphrag_many(spark, kg, qs, max_concurrent=3)
     assert [r.answer for r in conc] == seq
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in conc[0].answer
+
+
+def test_graphrag_many_enforces_bound_and_isolates_failures(monkeypatch):
+    """The worker cap is REAL (max in-flight never exceeds
+    max_concurrent) and one failing request yields its exception in
+    place without discarding sibling answers."""
+    import threading
+    import time
+
+    from neo4j_document_pipeline_spark.operators import retrieval as R
+
+    lock = threading.Lock()
+    state = {"now": 0, "peak": 0}
+
+    def fake_graphrag(spark, store, q, **kw):
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        time.sleep(0.05)
+        try:
+            if q == "boom":
+                raise RuntimeError("induced failure")
+            return f"answer:{q}"
+        finally:
+            with lock:
+                state["now"] -= 1
+
+    monkeypatch.setattr(R, "graphrag", fake_graphrag)
+    qs = [f"q{i}" for i in range(9)] + ["boom"]
+    out = R.graphrag_many(None, None, qs, max_concurrent=3)
+    assert state["peak"] <= 3
+    assert out[:9] == [f"answer:q{i}" for i in range(9)]
+    assert isinstance(out[9], RuntimeError)
+    # fail-fast mode propagates
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        R.graphrag_many(None, None, ["boom"], max_concurrent=2,
+                        return_exceptions=False)
