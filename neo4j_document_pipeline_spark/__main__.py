@@ -12,12 +12,14 @@ or plain python:
     python -m neo4j_document_pipeline_spark status --store <dir> [JOB]  # /queue_stats, /ingest/status
     python -m neo4j_document_pipeline_spark history --store <dir> TABLE # snapshot log
     python -m neo4j_document_pipeline_spark compact --store <dir> TABLE # OPTIMIZE small files
+    python -m neo4j_document_pipeline_spark stream --store <dir> --pages <parquet-dir>  # drain new files (availableNow)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -25,7 +27,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
-        "status", "history", "compact"])
+        "status", "history", "compact", "stream"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -47,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--buckets", type=int, default=0,
                     help="bucket(N, key) layout for nodes/edges/mentions "
                          "(shuffle-free read-path joins); 0 = plain parquet")
+    ap.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default "
+                         "<store>/_stream_checkpoint)")
     ap.add_argument("--keep-versions", type=int, default=1,
                     help="snapshots retained per table (time-travel "
                          "window); 1 = only the live version")
@@ -95,7 +100,6 @@ def main(argv=None):
                       "using --text-source auto", file=sys.stderr)
                 ns.text_source = "auto"
         else:
-            import os
             import re as _re
             # only pre-check plain local paths; scheme URIs (s3a://,
             # hdfs://, file://) go straight to the Spark reader
@@ -184,6 +188,23 @@ def main(argv=None):
             print(json.dumps(ingest_status(store, ns.args[0]), indent=1))
         else:
             print(json.dumps(queue_stats(store, spark), indent=1))
+    elif ns.command == "stream":
+        # Structured-Streaming ingest (the Celery-queue replacement):
+        # availableNow trigger drains every unprocessed file under
+        # --pages into the store via the MERGE increment path, then
+        # stops; re-running picks up only NEW files (checkpointed).
+        from neo4j_document_pipeline_spark.streaming.ingest import (
+            start_ingest_stream)
+        if not ns.pages:
+            sys.exit("--pages <parquet dir> required for stream")
+        ckpt = ns.checkpoint or os.path.join(ns.store, "_stream_checkpoint")
+        q = start_ingest_stream(spark, ns.pages, ns.store, ckpt)
+        q.awaitTermination()
+        print(json.dumps({
+            "stream": {"checkpoint": ckpt, "tables": {
+                k: (store.manifest(k) or {}).get("rows")
+                for k in ("nodes", "edges", "mentions", "documents_final")}}},
+            indent=1))
     elif ns.command == "history":
         # snapshot log (Iceberg t.snapshots analogue) for a table
         if not ns.args:

@@ -141,3 +141,28 @@ def test_incremental_preserves_bucketed_layout(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cli_stream_command(spark, tmp_path, capsys):
+    """CLI `stream`: availableNow drain into the store, idempotent on
+    re-run with no new files, and new files picked up incrementally."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    pages_dir = str(tmp_path / "pages")
+    store = str(tmp_path / "kg")
+    synth_pages(spark, 30).write.mode("overwrite").parquet(pages_dir)
+    main(["stream", "--store", store, "--pages", pages_dir])
+    out1 = json.loads(capsys.readouterr().out)["stream"]["tables"]
+    assert out1["documents_final"] and out1["nodes"] > 0
+    # no new files -> no-op
+    main(["stream", "--store", store, "--pages", pages_dir])
+    out2 = json.loads(capsys.readouterr().out)["stream"]["tables"]
+    assert out2 == out1
+    # append a delta file -> only the delta merges
+    delta = synth_pages(spark, 36).subtract(synth_pages(spark, 30))
+    delta.write.mode("append").parquet(pages_dir)
+    main(["stream", "--store", store, "--pages", pages_dir])
+    out3 = json.loads(capsys.readouterr().out)["stream"]["tables"]
+    assert out3["documents_final"] > out1["documents_final"]
