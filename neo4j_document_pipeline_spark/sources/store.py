@@ -207,17 +207,22 @@ class GraphStore:
         tdir = self._tdir(name)
         # per-partition lineage (north rule): one entry per committed data
         # file with its row count — the same information an Iceberg
-        # manifest records — gathered in the single read-back job that
-        # previously only produced the global count
-        per_file = (
-            self.spark.read.parquet(path)
-            .groupBy(F.input_file_name().alias("file"))
-            .count().collect()
-        )
-        partitions = sorted(
-            ({"file": r["file"].split(version + "/", 1)[-1],
-              "rows": r["count"]} for r in per_file),
-            key=lambda d: d["file"])
+        # manifest records. Parquet FOOTERS already carry num_rows, so
+        # the counts come from driver-side metadata reads (exactly how
+        # Iceberg builds its manifests — O(files) footer reads, no
+        # table-scan job); the Spark read-back job is only the fallback
+        # for filesystems pyarrow can't reach.
+        partitions = self._footer_lineage(path, version)
+        if partitions is None:
+            per_file = (
+                self.spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("file"))
+                .count().collect()
+            )
+            partitions = sorted(
+                ({"file": r["file"].split(version + "/", 1)[-1],
+                  "rows": r["count"]} for r in per_file),
+                key=lambda d: d["file"])
         rows = sum(p["rows"] for p in partitions)
         prev = self.manifest(name)
         man = {
@@ -358,6 +363,33 @@ class GraphStore:
                               partition_by=pcols, **kw)
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
         return self.write(name, df.repartition(n_files), **kw)
+
+    @staticmethod
+    def _footer_lineage(path: str, version: str) -> list[dict] | None:
+        """Per-file row counts from parquet footer metadata (local
+        filesystem paths only — returns None for scheme URIs or on any
+        read error, signalling the caller to fall back to a Spark job)."""
+        if "://" in path:
+            return None
+        try:
+            import pyarrow.parquet as pq
+            parts = []
+            for dp, _, fns in os.walk(path):
+                for fn in fns:
+                    if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                        continue
+                    full = os.path.join(dp, fn)
+                    parts.append({
+                        "file": full.split(version + "/", 1)[-1],
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    })
+            if not parts:
+                # zero-row writes emit no data files on some writers;
+                # represent the empty snapshot faithfully
+                return []
+            return sorted(parts, key=lambda d: d["file"])
+        except Exception:
+            return None
 
     def _drop_catalog_entry(self, m: dict | None):
         if m and m.get("catalog_table"):
