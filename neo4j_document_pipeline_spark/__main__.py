@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None,
                     help="stream checkpoint dir (default "
                          "<store>/_stream_checkpoint)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=64,
+                    help="stream micro-batch size in files; raise for "
+                         "large backfills (each batch MERGE-rewrites the "
+                         "graph tables)")
     ap.add_argument("--keep-versions", type=int, default=1,
                     help="snapshots retained per table (time-travel "
                          "window); 1 = only the live version")
@@ -197,8 +201,21 @@ def main(argv=None):
             start_ingest_stream)
         if not ns.pages:
             sys.exit("--pages <parquet dir> required for stream")
+        if ns.pages.startswith(("synth:", "warc:")):
+            sys.exit(f"stream reads a parquet dir of pages, not "
+                     f"{ns.pages.split(':', 1)[0]}: inputs — write the "
+                     "corpus to parquet first (or use ingest)")
+        import re as _re
+        if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", ns.pages) \
+                and not os.path.exists(ns.pages):
+            sys.exit(f"no such parquet path {ns.pages!r}")
         ckpt = ns.checkpoint or os.path.join(ns.store, "_stream_checkpoint")
-        q = start_ingest_stream(spark, ns.pages, ns.store, ckpt)
+        q = start_ingest_stream(
+            spark, ns.pages, ns.store, ckpt,
+            text_source=ns.text_source, min_quality=ns.min_quality,
+            langs=ns.langs.split(",") if ns.langs else None,
+            keep_versions=ns.keep_versions,
+            max_files_per_trigger=ns.max_files_per_trigger)
         q.awaitTermination()
         print(json.dumps({
             "stream": {"checkpoint": ckpt, "tables": {

@@ -214,13 +214,17 @@ class GraphStore:
         # for filesystems pyarrow can't reach.
         partitions = self._footer_lineage(path, version)
         if partitions is None:
+            from urllib.parse import unquote
             per_file = (
                 self.spark.read.parquet(path)
                 .groupBy(F.input_file_name().alias("file"))
                 .count().collect()
             )
+            # unquote: input_file_name returns URI-encoded paths
+            # ('lang=pt%20BR'), the footer path raw filesystem names —
+            # manifests must not differ by which environment committed
             partitions = sorted(
-                ({"file": r["file"].split(version + "/", 1)[-1],
+                ({"file": unquote(r["file"]).split(version + "/", 1)[-1],
                   "rows": r["count"]} for r in per_file),
                 key=lambda d: d["file"])
         rows = sum(p["rows"] for p in partitions)
@@ -367,9 +371,11 @@ class GraphStore:
     @staticmethod
     def _footer_lineage(path: str, version: str) -> list[dict] | None:
         """Per-file row counts from parquet footer metadata (local
-        filesystem paths only — returns None for scheme URIs or on any
-        read error, signalling the caller to fall back to a Spark job)."""
-        if "://" in path:
+        filesystem paths only — returns None for scheme URIs, a missing
+        snapshot dir, zero discovered files, or any read error,
+        signalling the caller to fall back to the Spark read-back job,
+        which fails LOUDLY on a path that holds no data)."""
+        if "://" in path or not os.path.isdir(path):
             return None
         try:
             import pyarrow.parquet as pq
@@ -383,11 +389,10 @@ class GraphStore:
                         "file": full.split(version + "/", 1)[-1],
                         "rows": pq.ParquetFile(full).metadata.num_rows,
                     })
-            if not parts:
-                # zero-row writes emit no data files on some writers;
-                # represent the empty snapshot faithfully
-                return []
-            return sorted(parts, key=lambda d: d["file"])
+            # no parquet files under an existing dir: ambiguous (writer
+            # that emits nothing for empty frames vs data landing
+            # elsewhere) — let the Spark fallback adjudicate
+            return sorted(parts, key=lambda d: d["file"]) or None
         except Exception:
             return None
 

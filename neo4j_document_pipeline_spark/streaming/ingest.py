@@ -99,21 +99,39 @@ def ingest_increment(store, batch_df: DataFrame,
 
 def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         checkpoint_dir: str,
-                        cfg: PipelineConfig = DEFAULT_CONFIG):
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        text_source: str = "text",
+                        min_quality: float | None = None,
+                        langs: list[str] | None = None,
+                        keep_versions: int = 1,
+                        max_files_per_trigger: int = 4):
     """readStream(pages) -> foreachBatch(full ingest DAG with MERGE
     semantics). Each micro-batch is one 'Celery task batch'; the GraphStore
-    MERGE keeps re-delivery idempotent (at-least-once -> effectively-once)."""
+    MERGE keeps re-delivery idempotent (at-least-once -> effectively-once).
+
+    Ingest options (text_source/min_quality/langs) apply per batch exactly
+    as on the batch-ingest path; ``keep_versions`` must match the store's
+    retention window or streaming commits would prune snapshots the user
+    asked to keep. A MERGE rewrites the graph tables per micro-batch, so
+    backfills over many files should raise ``max_files_per_trigger`` (or
+    use plain ``ingest``) — tiny triggers make an O(n_files/trigger)
+    sequence of full rewrites."""
     from neo4j_document_pipeline_spark.sources.store import GraphStore
 
-    store = GraphStore(store_root, spark)
+    store = GraphStore(store_root, spark, keep_versions=keep_versions)
 
     def process_batch(batch_df: DataFrame, epoch_id: int):
+        if langs:
+            batch_df = batch_df.filter(F.col("lang").isin(list(langs)))
         if batch_df.isEmpty():
             return
-        ingest_increment(store, batch_df, cfg, stage=f"stream-epoch-{epoch_id}")
+        ingest_increment(store, batch_df, cfg,
+                         stage=f"stream-epoch-{epoch_id}",
+                         text_source=text_source, min_quality=min_quality)
 
     return (
-        stream_pages(spark, pages_dir)
+        stream_pages(spark, pages_dir,
+                     max_files_per_trigger=max_files_per_trigger)
         .writeStream
         .foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
