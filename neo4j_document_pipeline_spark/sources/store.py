@@ -118,9 +118,18 @@ class GraphStore:
 
     def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",
               stage: str = "", extra_metrics: dict | None = None,
-              partition_by: list[str] | None = None) -> dict:
+              partition_by: list[str] | None = None,
+              stats_cols: list[str] | None = None) -> dict:
         """Write a new snapshot version and commit it atomically via the
-        manifest. Returns the manifest dict (with row count metric)."""
+        manifest. Returns the manifest dict (with row count metric).
+
+        ``stats_cols``: record per-file [min, max] bounds for these
+        columns in the manifest (from parquet footer row-group
+        statistics — what an Iceberg manifest stores for scan-level file
+        skipping via ``read_where``). Useful when the layout clusters
+        the column (range partitioning, sortWithinPartitions, time-ordered
+        appends); meaningless on hash-bucketed keys, where every file
+        spans the full range."""
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         version = f"v-{uuid.uuid4().hex[:12]}"
@@ -129,12 +138,17 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        extra_man = {}
+        if partition_by:
+            extra_man["partition_by"] = partition_by
+        if stats_cols:
+            extra_man["stats_cols"] = stats_cols
         return self._commit_snapshot(
             name, version, path, stage=stage,
             input_fingerprint=input_fingerprint,
             extra_metrics=extra_metrics,
-            extra_manifest={"partition_by": partition_by} if partition_by
-            else None)
+            extra_manifest=extra_man or None,
+            stats_cols=stats_cols)
 
     def write_preserving_layout(self, name: str, df: DataFrame,
                                 **kw) -> dict:
@@ -203,7 +217,8 @@ class GraphStore:
     def _commit_snapshot(self, name: str, version: str, path: str, *,
                          stage: str, input_fingerprint: str,
                          extra_metrics: dict | None,
-                         extra_manifest: dict | None = None) -> dict:
+                         extra_manifest: dict | None = None,
+                         stats_cols: list[str] | None = None) -> dict:
         tdir = self._tdir(name)
         # per-partition lineage (north rule): one entry per committed data
         # file with its row count — the same information an Iceberg
@@ -212,7 +227,8 @@ class GraphStore:
         # Iceberg builds its manifests — O(files) footer reads, no
         # table-scan job); the Spark read-back job is only the fallback
         # for filesystems pyarrow can't reach.
-        partitions = self._footer_lineage(path, version)
+        partitions = self._footer_lineage(path, version,
+                                          stats_cols=stats_cols)
         if partitions is None:
             from urllib.parse import unquote
             per_file = (
@@ -369,7 +385,9 @@ class GraphStore:
         return self.write(name, df.repartition(n_files), **kw)
 
     @staticmethod
-    def _footer_lineage(path: str, version: str) -> list[dict] | None:
+    def _footer_lineage(path: str, version: str,
+                        stats_cols: list[str] | None = None
+                        ) -> list[dict] | None:
         """Per-file row counts from parquet footer metadata (local
         filesystem paths only — returns None for scheme URIs, a missing
         snapshot dir, zero discovered files, or any read error,
@@ -385,16 +403,81 @@ class GraphStore:
                     if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                         continue
                     full = os.path.join(dp, fn)
-                    parts.append({
+                    md = pq.ParquetFile(full).metadata
+                    entry = {
                         "file": full.split(version + "/", 1)[-1],
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                    })
+                        "rows": md.num_rows,
+                    }
+                    if stats_cols:
+                        stats = GraphStore._column_bounds(md, stats_cols)
+                        if stats:
+                            entry["stats"] = stats
+                    parts.append(entry)
             # no parquet files under an existing dir: ambiguous (writer
             # that emits nothing for empty frames vs data landing
             # elsewhere) — let the Spark fallback adjudicate
             return sorted(parts, key=lambda d: d["file"]) or None
         except Exception:
             return None
+
+    @staticmethod
+    def _column_bounds(md, stats_cols: list[str]) -> dict:
+        """[min, max] per requested column across a file's row groups
+        (parquet footer statistics). Columns without stats are omitted."""
+        name_to_idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+        out = {}
+        for col in stats_cols:
+            idx = name_to_idx.get(col)
+            if idx is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        lo = hi = None
+                        break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                out[col] = [lo, hi]
+        return out
+
+    def read_where(self, name: str, col: str, lo, hi=None) -> DataFrame:
+        """Manifest-based FILE SKIPPING (the Iceberg scan-planning step):
+        read only the data files whose committed [min, max] bounds for
+        ``col`` overlap [lo, hi] (hi defaults to lo — point lookup), then
+        apply the residual row filter. Files without committed stats are
+        conservatively read. Falls back to a full filtered read when the
+        snapshot carries no stats for ``col``."""
+        hi = lo if hi is None else hi
+        m = self.manifest(name)
+        if not m:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        base = os.path.join(self._tdir(name), m["version"])
+        parts = m.get("partitions") or []
+        have_stats = [p for p in parts if (p.get("stats") or {}).get(col)]
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not have_stats:
+            return self.read(name).filter(pred)
+        keep = []
+        for p in parts:
+            b = (p.get("stats") or {}).get(col)
+            if b is None or not (b[1] < lo or b[0] > hi):
+                keep.append(os.path.join(base, p["file"]))
+        if not keep:
+            return self.read(name).filter(pred).limit(0)
+        # basePath keeps hive partition columns in the schema when the
+        # kept files live under partition directories
+        return (self.spark.read.option("basePath", base)
+                .parquet(*keep).filter(pred))
 
     def _drop_catalog_entry(self, m: dict | None):
         if m and m.get("catalog_table"):

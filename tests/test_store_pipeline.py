@@ -348,3 +348,37 @@ def test_cli_keep_versions_time_travel(spark, tmp_path, capsys):
     old = st.read_version("nodes", hist[0]["version"])
     new = st.read_version("nodes", hist[1]["version"])
     assert old.count() > 0 and new.count() >= old.count()
+
+
+def test_manifest_column_stats_and_file_skipping(spark, store):
+    """stats_cols commits per-file [min,max] bounds (Iceberg manifest
+    stats); read_where plans the scan from the MANIFEST — only files
+    whose bounds overlap are opened — and returns exactly the full-scan
+    filter result."""
+    df = (spark.range(0, 10_000)
+          .withColumn("k", F.col("id"))
+          .withColumn("payload", F.sha2(F.col("id").cast("string"), 256)))
+    # range layout => disjoint per-file bounds (the layout stats need)
+    m = store.write("t", df.repartitionByRange(8, "k"), stats_cols=["k"])
+    assert all("stats" in p and "k" in p["stats"] for p in m["partitions"])
+    spans = sorted(tuple(p["stats"]["k"]) for p in m["partitions"])
+    assert spans[0][0] == 0 and spans[-1][1] == 9999
+    got = store.read_where("t", "k", 100, 160)
+    # the plan reads a strict subset of the snapshot's files
+    files = {r["f"] for r in
+             got.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert 0 < len(files) < m["n_files"]
+    expect = {r["id"] for r in
+              store.read("t").filter(F.col("k").between(100, 160)).collect()}
+    assert {r["id"] for r in got.collect()} == expect and len(expect) == 61
+    # point lookup + out-of-range
+    assert store.read_where("t", "k", 42).count() == 1
+    assert store.read_where("t", "k", 1_000_000).count() == 0
+    # string bounds work too (byte-decoded from footer statistics)
+    ms = store.write("s", df.selectExpr("payload AS h")
+                    .repartitionByRange(4, "h"), stats_cols=["h"])
+    probe = df.first()["payload"]
+    assert store.read_where("s", "h", probe).count() == 1
+    # no stats committed -> falls back to a full filtered read
+    store.write("u", df.select("k"))
+    assert store.read_where("u", "k", 5).count() == 1
