@@ -330,6 +330,32 @@ class GraphStore:
         data files for ``name``."""
         self._prune_versions(name, keep=keep)
 
+    def vacuum(self, name: str, grace_seconds: int = 3600) -> list[str]:
+        """remove_orphan_files maintenance: delete version directories
+        that no commit (history or live manifest) references — the debris
+        of writes that crashed before their manifest commit. Only dirs
+        older than ``grace_seconds`` go (a younger unreferenced dir may
+        be another writer mid-flight — the same safety rule that keeps
+        the commit-path pruning away from uncommitted versions). Returns
+        the removed version names."""
+        tdir = self._tdir(name)
+        if not os.path.isdir(tdir):
+            return []
+        known = {h["version"] for h in self.history(name)}
+        cur = self.manifest(name)
+        if cur:
+            known.add(cur["version"])
+        removed = []
+        now = time.time()
+        for v in list(os.listdir(tdir)):
+            full = os.path.join(tdir, v)
+            if (v.startswith("v-") and v not in known
+                    and os.path.isdir(full)
+                    and now - os.path.getmtime(full) > grace_seconds):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(v)
+        return removed
+
     def read_version(self, name: str, version: str) -> DataFrame:
         """Time-travel read of a retained snapshot (read of t VERSION AS
         OF v). Raises if the snapshot's data has been expired."""

@@ -382,3 +382,25 @@ def test_manifest_column_stats_and_file_skipping(spark, store):
     # no stats committed -> falls back to a full filtered read
     store.write("u", df.select("k"))
     assert store.read_where("u", "k", 5).count() == 1
+
+
+def test_vacuum_removes_only_stale_orphans(spark, store):
+    """vacuum deletes crash debris (unreferenced version dirs past the
+    grace age) and NEVER touches committed snapshots or fresh dirs that
+    may be another writer mid-flight."""
+    import time as _t
+
+    df = spark.createDataFrame([(1,)], "id long")
+    m = store.write("t", df)
+    tdir = store._tdir("t")
+    old_orphan = os.path.join(tdir, "v-deadbeef0000")
+    new_orphan = os.path.join(tdir, "v-cafebabe0000")
+    for d in (old_orphan, new_orphan):
+        os.makedirs(d)
+    os.utime(old_orphan, (_t.time() - 7200, _t.time() - 7200))
+    removed = store.vacuum("t", grace_seconds=3600)
+    assert removed == ["v-deadbeef0000"]
+    assert not os.path.isdir(old_orphan)
+    assert os.path.isdir(new_orphan)          # fresh: maybe in-flight
+    assert os.path.isdir(os.path.join(tdir, m["version"]))  # committed
+    assert store.read("t").count() == 1
