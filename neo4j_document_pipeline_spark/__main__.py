@@ -27,7 +27,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
-        "status", "history", "compact", "stream"])
+        "status", "history", "compact", "stream", "vacuum"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -238,6 +238,18 @@ def main(argv=None):
         print(json.dumps({"table": ns.args[0], "version": m["version"],
                           "rows": m["rows"], "n_files": m["n_files"]},
                          indent=1))
+    elif ns.command == "vacuum":
+        # remove_orphan_files analogue: crash debris older than the grace
+        # window, per table (or every table without an argument)
+        if ns.args:
+            names = ns.args
+        elif os.path.isdir(ns.store):
+            names = sorted(os.listdir(ns.store))
+        else:
+            names = []
+        out = {n: store.vacuum(n) for n in names}
+        print(json.dumps({"vacuumed": {k: v for k, v in out.items() if v}
+                          or "nothing to remove"}, indent=1))
     elif ns.command == "drop":
         from neo4j_document_pipeline_spark.operators.admin import drop_all
         print(json.dumps(drop_all(store)))
