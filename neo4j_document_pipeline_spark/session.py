@@ -31,6 +31,10 @@ def build_session(master: str | None = None, app_name: str = "kg-pipeline",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not the deprecated INT96: footer min/max
+        # statistics exist (manifest stats / file skipping need them) and
+        # every modern reader understands them
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",
                 driver_memory or os.environ.get("SPARK_GRAFT_MEM", "16g"))

@@ -130,6 +130,16 @@ class GraphStore:
         the column (range partitioning, sortWithinPartitions, time-ordered
         appends); meaningless on hash-bucketed keys, where every file
         spans the full range."""
+        if partition_by and stats_cols:
+            clash = set(partition_by) & set(stats_cols)
+            if clash:
+                # hive partitioning strips these columns from the data
+                # files — their footer stats can never exist; partition
+                # DIRECTORIES already prune them better than stats could
+                raise ValueError(
+                    f"stats_cols {sorted(clash)} are partition columns: "
+                    "hive layout removes them from data files (partition "
+                    "pruning already covers them)")
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         version = f"v-{uuid.uuid4().hex[:12]}"
@@ -161,8 +171,9 @@ class GraphStore:
             return self.write_bucketed(name, df, bucket_by=m["bucket_by"],
                                        n_buckets=m["n_buckets"], **kw)
         if m.get("partition_by"):
-            return self.write(name, df, partition_by=m["partition_by"], **kw)
-        return self.write(name, df, **kw)
+            return self.write(name, df, partition_by=m["partition_by"],
+                              stats_cols=m.get("stats_cols"), **kw)
+        return self.write(name, df, stats_cols=m.get("stats_cols"), **kw)
 
     def write_bucketed(self, name: str, df: DataFrame, *, bucket_by: str,
                        n_buckets: int = 16, input_fingerprint: str = "",
@@ -330,14 +341,16 @@ class GraphStore:
         data files for ``name``."""
         self._prune_versions(name, keep=keep)
 
-    def vacuum(self, name: str, grace_seconds: int = 3600) -> list[str]:
+    def vacuum(self, name: str, grace_seconds: int = 3 * 86400) -> list[str]:
         """remove_orphan_files maintenance: delete version directories
         that no commit (history or live manifest) references — the debris
         of writes that crashed before their manifest commit. Only dirs
-        older than ``grace_seconds`` go (a younger unreferenced dir may
-        be another writer mid-flight — the same safety rule that keeps
-        the commit-path pruning away from uncommitted versions). Returns
-        the removed version names."""
+        whose ENTIRE TREE is older than ``grace_seconds`` go: an
+        in-flight Spark write keeps touching files under
+        ``_temporary/``, so its newest mtime stays fresh however long
+        the job runs. Default grace is 3 days (Iceberg's
+        remove_orphan_files default, for the same reason). Returns the
+        version names actually removed (verified gone)."""
         tdir = self._tdir(name)
         if not os.path.isdir(tdir):
             return []
@@ -349,11 +362,21 @@ class GraphStore:
         now = time.time()
         for v in list(os.listdir(tdir)):
             full = os.path.join(tdir, v)
-            if (v.startswith("v-") and v not in known
-                    and os.path.isdir(full)
-                    and now - os.path.getmtime(full) > grace_seconds):
+            if not (v.startswith("v-") and v not in known
+                    and os.path.isdir(full)):
+                continue
+            newest = os.path.getmtime(full)
+            for dp, dns, fns in os.walk(full):
+                for entry in dns + fns:
+                    try:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(dp, entry)))
+                    except OSError:
+                        pass
+            if now - newest > grace_seconds:
                 shutil.rmtree(full, ignore_errors=True)
-                removed.append(v)
+                if not os.path.isdir(full):  # report only verified removal
+                    removed.append(v)
         return removed
 
     def read_version(self, name: str, version: str) -> DataFrame:
@@ -406,9 +429,11 @@ class GraphStore:
             # task → one file per value
             pcols = m["partition_by"]
             return self.write(name, df.repartition(*[F.col(c) for c in pcols]),
-                              partition_by=pcols, **kw)
+                              partition_by=pcols,
+                              stats_cols=m.get("stats_cols"), **kw)
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        return self.write(name, df.repartition(n_files), **kw)
+        return self.write(name, df.repartition(n_files),
+                          stats_cols=m.get("stats_cols"), **kw)
 
     @staticmethod
     def _footer_lineage(path: str, version: str,
@@ -447,10 +472,32 @@ class GraphStore:
             return None
 
     @staticmethod
+    def _stat_value(v):
+        """Canonical JSON-safe representation of a footer statistic:
+        temporals → ISO strings (lexicographic order == temporal order),
+        Decimal → float, bytes → utf-8 (None if undecodable). The SAME
+        mapping is applied to read_where probes, so committed bounds and
+        query bounds always compare in one domain."""
+        import datetime
+        import decimal
+        if isinstance(v, bytes):
+            try:
+                return v.decode()
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return v
+
+    @staticmethod
     def _column_bounds(md, stats_cols: list[str]) -> dict:
         """[min, max] per requested column across a file's row groups
-        (parquet footer statistics). Columns without stats are omitted."""
-        name_to_idx = {md.schema.column(i).name: i
+        (parquet footer statistics). Columns without stats are omitted.
+        Columns are matched by full dotted path, so a nested struct leaf
+        never shadows a top-level column of the same name."""
+        name_to_idx = {md.schema.column(i).path: i
                        for i in range(md.num_columns)}
         out = {}
         for col in stats_cols:
@@ -463,13 +510,11 @@ class GraphStore:
                 if st is None or not st.has_min_max:
                     lo = hi = None
                     break
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode(), mx.decode()
-                    except UnicodeDecodeError:
-                        lo = hi = None
-                        break
+                mn = GraphStore._stat_value(st.min)
+                mx = GraphStore._stat_value(st.max)
+                if mn is None or mx is None:
+                    lo = hi = None
+                    break
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
             if lo is not None:
@@ -493,10 +538,13 @@ class GraphStore:
         pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not have_stats:
             return self.read(name).filter(pred)
+        # compare in the committed bound domain (temporals are ISO
+        # strings, Decimals floats) — see _stat_value
+        clo, chi = self._stat_value(lo), self._stat_value(hi)
         keep = []
         for p in parts:
             b = (p.get("stats") or {}).get(col)
-            if b is None or not (b[1] < lo or b[0] > hi):
+            if b is None or not (b[1] < clo or b[0] > chi):
                 keep.append(os.path.join(base, p["file"]))
         if not keep:
             return self.read(name).filter(pred).limit(0)

@@ -404,3 +404,34 @@ def test_vacuum_removes_only_stale_orphans(spark, store):
     assert os.path.isdir(new_orphan)          # fresh: maybe in-flight
     assert os.path.isdir(os.path.join(tdir, m["version"]))  # committed
     assert store.read("t").count() == 1
+
+
+def test_stats_temporal_bounds_and_maintenance_propagation(spark, store):
+    """Timestamp stats commit as ISO strings (JSON-safe, order-preserving),
+    read_where probes with datetime values, compaction keeps the stats,
+    and stats on a hive partition column is a loud error."""
+    import datetime
+
+    df = (spark.range(0, 2000)
+          .withColumn("ts", F.timestamp_seconds(1_700_000_000 + F.col("id") * 60)))
+    m = store.write("ev", df.repartitionByRange(4, "ts"), stats_cols=["ts"],
+                    input_fingerprint="fp")
+    assert all(isinstance(p["stats"]["ts"][0], str) for p in m["partitions"])
+    lo = datetime.datetime(2023, 11, 14, 22, 30, tzinfo=datetime.timezone.utc)
+    hi = lo + datetime.timedelta(hours=2)
+    got = store.read_where("ev", "ts", lo, hi)
+    files = {r["f"] for r in
+             got.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert 0 < len(files) < m["n_files"]
+    expect = store.read("ev").filter(F.col("ts").between(lo, hi)).count()
+    assert got.count() == expect > 0
+    # maintenance rewrites keep the stats (compact + preserving writer)
+    m2 = store.compact("ev")
+    assert m2["stats_cols"] == ["ts"]
+    assert any((p.get("stats") or {}).get("ts") for p in m2["partitions"])
+    m3 = store.write_preserving_layout("ev", store.read("ev"))
+    assert any((p.get("stats") or {}).get("ts") for p in m3["partitions"])
+    # partition column in stats_cols: loud, not silent no-stats
+    with pytest.raises(ValueError):
+        store.write("bad", df.withColumn("d", F.to_date("ts")),
+                    partition_by=["d"], stats_cols=["d"])
