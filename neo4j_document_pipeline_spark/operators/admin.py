@@ -91,6 +91,22 @@ def list_documents(store, limit: int = 100) -> DataFrame:
     )
 
 
+def queue_status(max_concurrent: int = 20) -> dict:
+    """/queue_status (main.py:55-64): live request-slot accounting for
+    the graphrag serving path. ``queued_requests`` is always 0 here —
+    graphrag_many blocks callers at the executor instead of queueing."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        active_query_count)
+    active = active_query_count()
+    return {
+        "success": True,
+        "active_requests": active,
+        "queued_requests": 0,
+        "max_concurrent": max_concurrent,
+        "available_slots": max(0, max_concurrent - active),
+    }
+
+
 def healthz(store) -> dict:
     """/healthz (main.py:109-116): a cheap liveness probe — node count."""
     try:

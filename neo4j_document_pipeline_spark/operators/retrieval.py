@@ -691,6 +691,7 @@ def graphrag(spark: SparkSession, store, question: str,
         if tok_man.get("metrics", {}).get("src_nodes_version") == man.get("version"):
             postings = store.read(f"node_tokens{suffix}")
 
+    _slot_enter()
     try:
         return _graphrag_body(
             spark, store, question, nodes, edges, mentions, documents,
@@ -698,7 +699,31 @@ def graphrag(spark: SparkSession, store, question: str,
             alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
             cfg, fused)
     finally:
+        _slot_exit()
         nodes.unpersist()
+
+
+# live request-slot accounting (main.py:55-64 /queue_status): graphrag
+# calls increment on entry / decrement on exit; admin.queue_status reads it
+_slots_lock = __import__("threading").Lock()
+_active_queries = 0
+
+
+def _slot_enter():
+    global _active_queries
+    with _slots_lock:
+        _active_queries += 1
+
+
+def _slot_exit():
+    global _active_queries
+    with _slots_lock:
+        _active_queries -= 1
+
+
+def active_query_count() -> int:
+    with _slots_lock:
+        return _active_queries
 
 
 def graphrag_many(spark: SparkSession, store, questions: list[str],

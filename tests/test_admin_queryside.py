@@ -160,3 +160,22 @@ def test_debug_search_components(kg):
     assert d["label_counts"].get("Stakeholder", 0) > 0
     assert any(i["name"] == "node_tokens" for i in d["existing_indexes"])
     assert d["vector_hits"] and d["keyword_hits"]
+
+
+def test_queue_status_tracks_inflight_queries(spark, kg):
+    from neo4j_document_pipeline_spark.operators.admin import queue_status
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        _slot_enter, _slot_exit)
+    base = queue_status()
+    assert base["active_requests"] == 0 and base["available_slots"] == 20
+    _slot_enter()
+    try:
+        mid = queue_status(max_concurrent=2)
+        assert mid["active_requests"] == 1 and mid["available_slots"] == 1
+    finally:
+        _slot_exit()
+    assert queue_status()["active_requests"] == 0
+    # a real query leaves the counter balanced even on the happy path
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+    graphrag(spark, kg, "What did Al-Khwarizmi develop?")
+    assert queue_status()["active_requests"] == 0
