@@ -35,6 +35,9 @@ def main():
                     help="time extraction+graph-build only (counts), no parquet writes")
     ap.add_argument("--repeat", type=int, default=3,
                     help="timed repetitions; best run reported (noisy host)")
+    ap.add_argument("--event-log-dir", default=None,
+                    help="write the Spark event log here (for "
+                         "scripts/slot_efficiency.py analysis)")
     args = ap.parse_args()
 
     cores = args.master.split("[")[-1].rstrip("]")
@@ -42,7 +45,7 @@ def main():
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    b = (
         SparkSession.builder.master(args.master)
         .appName(f"kg-ingest-{cores}c")
         .config("spark.sql.shuffle.partitions", str(max(8, cores)))
@@ -51,8 +54,15 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
-        .getOrCreate()
     )
+    if args.event_log_dir:
+        os.makedirs(args.event_log_dir, exist_ok=True)
+        b = (b.config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.dir", args.event_log_dir)
+             # plain JSONL so slot_efficiency.py can parse without a
+             # zstd codec (absent from this environment)
+             .config("spark.eventLog.compress", "false"))
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from neo4j_document_pipeline_spark.operators.graph import build_graph
