@@ -248,3 +248,22 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     assert "cell" in seg and ("IN" in seg.upper() or "In(" in seg), p[:2000]
     rows = topk.collect()
     assert 0 < len(rows) <= 5
+
+
+def test_slot_efficiency_analysis_shape(tmp_path):
+    """scripts/slot_efficiency.py: run the ingest job with event logging
+    and verify the analysis produces sane per-stage efficiencies."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/slot_efficiency.py", "run",
+         "--n-pages", "500", "--cores", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert d["cores"] == 4 and d["stages"]
+    assert 0.0 < d["weighted_mean_efficiency"] <= 1.0
+    for r in d["stages"]:
+        assert 0.0 < r["efficiency"] <= 1.0 and r["tasks"] > 0
