@@ -1,5 +1,7 @@
 """Admin surface + query-side fixture set (FIXTURES.md §4)."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -179,3 +181,47 @@ def test_queue_status_tracks_inflight_queries(spark, kg):
     from neo4j_document_pipeline_spark.operators.retrieval import graphrag
     graphrag(spark, kg, "What did Al-Khwarizmi develop?")
     assert queue_status()["active_requests"] == 0
+
+
+def test_cli_full_surface_integration(spark, tmp_path, capsys):
+    """Capstone: every CLI command against ONE store in a realistic
+    sequence — bucketed+canonicalized ingest, query, admin surfaces,
+    streaming delta, maintenance — with no cross-feature interference."""
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+
+    store = str(tmp_path / "kg")
+
+    def run(*args):
+        main(list(args) + ["--store", store])
+        return capsys.readouterr().out
+
+    run("ingest", "--pages", "synth:60", "--buckets", "4",
+        "--canonicalize", "--keep-versions", "2")
+    out = run("query", "What did Al-Khwarizmi develop?")
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in out
+    assert '"canonical_graph": 1.0' in out
+    assert json.loads(run("stats"))["total_nodes"] > 20
+    assert json.loads(run("schema"))["patterns"]
+    assert "Al-Khwarizmi" in run("search", "khwarizmi")
+    assert run("docs").strip()
+    assert json.loads(run("status"))["success"]
+    assert json.loads(run("status", "nodes"))["state"] == "SUCCESS"
+    hist = json.loads(run("history", "nodes"))
+    assert hist and hist[-1]["rows"] > 0
+    # streaming delta on top of the bucketed+canonical store
+    pages_dir = str(tmp_path / "pages")
+    delta = synth_pages(spark, 66).subtract(synth_pages(spark, 60))
+    delta.write.mode("overwrite").parquet(pages_dir)
+    sout = json.loads(run("stream", "--pages", pages_dir))
+    assert sout["stream"]["tables"]["documents_final"] > 0
+    # maintenance: compact keeps the bucketed layout; vacuum is a no-op
+    cout = json.loads(run("compact", "edges"))
+    assert cout["rows"] > 0
+    assert json.loads(run("vacuum"))["vacuumed"] == "nothing to remove"
+    # the store still answers after the whole sequence (raw fallback is
+    # fine: the stream delta refreshed raw tables past the canonical fp)
+    out2 = run("query", "What did Al-Khwarizmi develop?")
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in out2
+    run("drop")
+    assert json.loads(run("status", "nodes"))["state"] == "PENDING"
