@@ -266,4 +266,6 @@ def test_slot_efficiency_analysis_shape(tmp_path):
     assert d["cores"] == 4 and d["stages"]
     assert 0.0 < d["weighted_mean_efficiency"] <= 1.0
     for r in d["stages"]:
-        assert 0.0 < r["efficiency"] <= 1.0 and r["tasks"] > 0
+        # a near-idle stage can round to 0.000 on a contended host; the
+        # weighted mean above is the meaningful signal
+        assert 0.0 <= r["efficiency"] <= 1.0 and r["tasks"] > 0
