@@ -91,12 +91,17 @@ def list_documents(store, limit: int = 100) -> DataFrame:
     )
 
 
-def queue_status(max_concurrent: int = 20) -> dict:
+def queue_status(max_concurrent: int | None = None) -> dict:
     """/queue_status (main.py:55-64): live request-slot accounting for
     the graphrag serving path. ``queued_requests`` is always 0 here —
-    graphrag_many blocks callers at the executor instead of queueing."""
+    graphrag_many blocks callers at the executor instead of queueing.
+    The default bound comes from the single shared constant
+    (retrieval.MAX_CONCURRENT_QUERIES), so the report can't diverge from
+    graphrag_many's default."""
     from neo4j_document_pipeline_spark.operators.retrieval import (
-        active_query_count)
+        MAX_CONCURRENT_QUERIES, active_query_count)
+    if max_concurrent is None:
+        max_concurrent = MAX_CONCURRENT_QUERIES
     active = active_query_count()
     return {
         "success": True,

@@ -29,6 +29,7 @@ construction — the same rows the reference moves to its API process.
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -651,6 +652,25 @@ def graphrag(spark: SparkSession, store, question: str,
     import time as _time
     timings = {}
     t0 = _time.perf_counter()
+    # slot accounting covers the WHOLE request (the reference acquires
+    # its semaphore at request entry, main.py:35-36) — not just the
+    # final body; everything below is per-request work
+    _slot_enter()
+    nodes = None
+    try:
+        return _graphrag_setup_and_run(
+            spark, store, question, top_k, hops, labels, alpha_vec,
+            beta_kw, use_mmr, use_cross_doc, include_source, cfg, fused,
+            use_canonical, timings, t0)
+    finally:
+        _slot_exit()
+
+
+def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
+                            alpha_vec, beta_kw, use_mmr, use_cross_doc,
+                            include_source, cfg, fused, use_canonical,
+                            timings, t0) -> GraphRagResult:
+    import time as _time
 
     canon = use_canonical
     if canon is None:
@@ -669,43 +689,48 @@ def graphrag(spark: SparkSession, store, question: str,
     timings["canonical_graph"] = 1.0 if canon else 0.0
 
     # nodes is scanned by the vector channel, the phrase verify, and both
-    # endpoint lookups of the facts assembly — persist once per query
+    # endpoint lookups of the facts assembly — persist once per query.
+    # The try starts IMMEDIATELY after the persist so no failure path
+    # (embed, manifest read, postings read, body) can leak the cache.
     nodes = store.read(f"nodes{suffix}").persist()
-    edges = store.read(f"edges{suffix}")
-    mentions = store.read(f"mentions{suffix}")
-    documents = store.read("documents_final")
-
-    qvec = embed_text(question, dim=cfg.embedding_dim, seed=cfg.featurizer_seed).tolist()
-    timings["embed"] = _time.perf_counter() - t0
-
-    # corpus size for IDF comes from the committed manifest — no count() job
-    man = store.manifest(f"nodes{suffix}") or {}
-    n_nodes = man.get("rows")
-
-    # committed inverted index (build_node_tokens): use it only when its
-    # manifest records the CURRENT nodes snapshot — a stale index (e.g.
-    # nodes merged since) silently falls back to in-query tokenization
-    postings = None
-    if store.exists(f"node_tokens{suffix}"):
-        tok_man = store.manifest(f"node_tokens{suffix}") or {}
-        if tok_man.get("metrics", {}).get("src_nodes_version") == man.get("version"):
-            postings = store.read(f"node_tokens{suffix}")
-
-    _slot_enter()
     try:
+        edges = store.read(f"edges{suffix}")
+        mentions = store.read(f"mentions{suffix}")
+        documents = store.read("documents_final")
+
+        qvec = embed_text(question, dim=cfg.embedding_dim,
+                          seed=cfg.featurizer_seed).tolist()
+        timings["embed"] = _time.perf_counter() - t0
+
+        # corpus size for IDF from the committed manifest — no count() job
+        man = store.manifest(f"nodes{suffix}") or {}
+        n_nodes = man.get("rows")
+
+        # committed inverted index (build_node_tokens): use it only when
+        # its manifest records the CURRENT nodes snapshot — a stale index
+        # (e.g. nodes merged since) falls back to in-query tokenization
+        postings = None
+        if store.exists(f"node_tokens{suffix}"):
+            tok_man = store.manifest(f"node_tokens{suffix}") or {}
+            if tok_man.get("metrics", {}).get("src_nodes_version") \
+                    == man.get("version"):
+                postings = store.read(f"node_tokens{suffix}")
+
         return _graphrag_body(
             spark, store, question, nodes, edges, mentions, documents,
             qvec, postings, n_nodes, timings, top_k, hops, labels,
             alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
             cfg, fused)
     finally:
-        _slot_exit()
         nodes.unpersist()
 
 
 # live request-slot accounting (main.py:55-64 /queue_status): graphrag
-# calls increment on entry / decrement on exit; admin.queue_status reads it
-_slots_lock = __import__("threading").Lock()
+# calls increment on entry / decrement on exit; admin.queue_status reads
+# it. MAX_CONCURRENT_QUERIES is the single source of the serving bound
+# (main.py:35) shared by graphrag_many and the status surface.
+MAX_CONCURRENT_QUERIES = 20
+_slots_lock = threading.Lock()
 _active_queries = 0
 
 
@@ -727,7 +752,7 @@ def active_query_count() -> int:
 
 
 def graphrag_many(spark: SparkSession, store, questions: list[str],
-                  max_concurrent: int = 20,
+                  max_concurrent: int | None = None,
                   return_exceptions: bool = True,
                   **kw) -> list:
     """Bounded-concurrency query serving — the analogue of the
@@ -748,6 +773,8 @@ def graphrag_many(spark: SparkSession, store, questions: list[str],
     from concurrent.futures import ThreadPoolExecutor
     if not questions:
         return []
+    if max_concurrent is None:
+        max_concurrent = MAX_CONCURRENT_QUERIES
 
     def one(q):
         try:

@@ -79,10 +79,14 @@ def main():
     # seconds, and proportional to core count) are excluded from the
     # throughput measurement — a cluster's steady-state docs/sec is the
     # north-rule metric, not JVM cold-start.
+    # tagged so event-log analysis (scripts/slot_efficiency.py) can
+    # exclude cold-start stages from the efficiency evidence
+    spark.sparkContext.setJobGroup("warmup", "cold-start warm-up")
     warm = synth_pages(spark, cores * 8, partitions=cores)
     wdocs = pages_to_documents(warm)
     wtrip = chunks_to_triples(documents_to_chunks(wdocs)).localCheckpoint()
     build_graph(wtrip)[1].count()
+    spark.sparkContext.setJobGroup("", "")
 
     def one_run():
         if args.skip_store:

@@ -9,6 +9,7 @@ Verifies (via explain output) that:
 """
 
 import io
+import os
 from contextlib import redirect_stdout
 
 import pytest
@@ -260,7 +261,8 @@ def test_slot_efficiency_analysis_shape(tmp_path):
     out = subprocess.run(
         [sys.executable, "scripts/slot_efficiency.py", "run",
          "--n-pages", "500", "--cores", "4"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=420)
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     d = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert d["cores"] == 4 and d["stages"]
