@@ -207,3 +207,57 @@ def test_default_text_source_prunes_html_from_scan(spark, tmp_path):
         df.explain("formatted")
     read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
     assert read_schema and all("html" not in l for l in read_schema)
+
+
+def test_unicode_pages_survive_full_pipeline(spark, tmp_path):
+    """Common-Crawl reality check: CJK, Arabic (RTL), emoji, combining
+    marks, and NBSP-laced text flow through canonicalize → chunk →
+    extract → graph build → query without crashing, with well-formed
+    tables (extraction may legitimately find no ASCII-pattern triples in
+    non-Latin text — the requirement is graceful handling, not facts)."""
+    import datetime
+
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    ts = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("https://ex.com/cjk", ts, None,
+         "人工智能改变了世界。The Beijing Institute developed quantum "
+         "networks. 东京大学は新しい方法を発表した。", "zh"),
+        ("https://ex.com/rtl", ts, None,
+         "طور الخوارزمي الجبر في بغداد. Al-Khwarizmi developed algebra "
+         "in the ninth century.", "ar"),
+        ("https://ex.com/emoji", ts, None,
+         "The Rocket Team 🚀 launched a satellite 🛰️. Great success! "
+         "The Mission Control celebrated the launch.", "en"),
+        ("https://ex.com/marks", ts, None,
+         "The Institut́ Pasteur published findings. The "
+         "Research Council funded the work.", "fr"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    root = str(tmp_path / "kg")
+    m = run_pipeline(spark, pages, root)
+    assert m["documents"]["rows"] == 4
+    store = GraphStore(root, spark)
+    nodes = store.read("nodes").collect()
+    # Latin-script sentences inside the mixed docs still extract
+    names = {r["name"] for r in nodes}
+    assert any("Al-Khwarizmi" in n for n in names)
+    # every committed name/label is valid non-empty text
+    for r in nodes:
+        assert r["name"].strip() and r["label"].strip()
+    # the read path answers over the mixed-script store
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+    res = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert "algebra" in res.answer
+    # textstats never crash on non-Latin input
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_lang_id, col_quality_score, col_token_count)
+    stats = pages.select(
+        col_token_count(F.col("text")).alias("n"),
+        col_lang_id(F.col("text")).alias("lang"),
+        col_quality_score(F.col("text")).alias("q")).collect()
+    for r in stats:
+        assert r["n"] >= 0 and 0.0 <= r["q"] <= 1.0 and r["lang"]
