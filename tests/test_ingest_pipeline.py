@@ -261,3 +261,39 @@ def test_unicode_pages_survive_full_pipeline(spark, tmp_path):
         col_quality_score(F.col("text")).alias("q")).collect()
     for r in stats:
         assert r["n"] >= 0 and 0.0 <= r["q"] <= 1.0 and r["lang"]
+
+
+def test_degenerate_pages_survive_full_pipeline(spark, tmp_path):
+    """Null text, empty text, whitespace-only, and a single enormous
+    paragraph (forces the token-slice chunk path) must flow through the
+    pipeline without crashing, alongside one normal page."""
+    import datetime
+
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    ts = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    big = ("The Long Council approved the plan. " * 3000).strip()  # >2500 tok
+    rows = [
+        ("https://ex.com/null", ts, None, None, "en"),
+        ("https://ex.com/empty", ts, None, "", "en"),
+        ("https://ex.com/blank", ts, None, "   \n\t  \n", "en"),
+        ("https://ex.com/huge", ts, None, big, "en"),
+        ("https://ex.com/ok", ts, None,
+         "The Science Agency launched the Data Program.", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    root = str(tmp_path / "kg")
+    m = run_pipeline(spark, pages, root)
+    store = GraphStore(root, spark)
+    chunks = store.read("chunks")
+    # the huge doc split into multiple chunks, each within budget
+    huge_doc = store.read("documents").filter(
+        F.col("url") == "https://ex.com/huge").first()["doc_id"]
+    n_huge = chunks.filter(F.col("doc_id") == huge_doc).count()
+    assert n_huge > 1
+    assert chunks.filter(F.col("n_tokens") > 2500).count() == 0
+    # graph tables exist and the normal page extracted
+    names = {r["name"] for r in store.read("nodes").collect()}
+    assert any("Science Agency" in n for n in names)
