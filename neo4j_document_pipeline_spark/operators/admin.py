@@ -212,11 +212,16 @@ def debug_search(store, question: str = "test", k: int = 5) -> dict:
     from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
     from neo4j_document_pipeline_spark.functions.featurizer import embed_text
     from neo4j_document_pipeline_spark.operators.retrieval import (
-        hybrid_candidates, keyword_channel, vector_channel)
+        hybrid_candidates, keyword_channel, serves_canonical,
+        vector_channel)
 
     cfg = DEFAULT_CONFIG
-    nodes = store.read("nodes")
-    nodes_man = store.manifest("nodes") or {}
+    # probe the SAME graph the live query path serves (canonical when
+    # fresh) — a debug surface on a different table set would send
+    # whoever is debugging in the wrong direction
+    suffix = "_canonical" if serves_canonical(store) else ""
+    nodes = store.read(f"nodes{suffix}")
+    nodes_man = store.manifest(f"nodes{suffix}") or {}
     n_nodes = nodes_man.get("rows")
     qvec = embed_text(question, dim=cfg.embedding_dim,
                       seed=cfg.featurizer_seed).tolist()
@@ -227,14 +232,15 @@ def debug_search(store, question: str = "test", k: int = 5) -> dict:
     # exactly the channels a real query would use
     postings, index_stale = None, False
     indexes = []
-    if store.exists("node_tokens"):
-        m = store.manifest("node_tokens") or {}
+    tok_table = f"node_tokens{suffix}"
+    if store.exists(tok_table):
+        m = store.manifest(tok_table) or {}
         src_v = (m.get("metrics") or {}).get("src_nodes_version")
         index_stale = src_v != nodes_man.get("version")
         if not index_stale:
-            postings = store.read("node_tokens")
+            postings = store.read(tok_table)
         indexes.append({
-            "name": "node_tokens", "type": "FULLTEXT-analogue",
+            "name": tok_table, "type": "FULLTEXT-analogue",
             "rows": m.get("rows"), "version": m.get("version"),
             "src_nodes_version": src_v,
             "stale": index_stale,
@@ -249,6 +255,7 @@ def debug_search(store, question: str = "test", k: int = 5) -> dict:
         "success": True,
         "message": "Debug search completed",
         "question": question,
+        "canonical_graph": bool(suffix),
         "existing_labels": sorted(label_counts),
         "existing_indexes": indexes,
         "label_counts": label_counts,

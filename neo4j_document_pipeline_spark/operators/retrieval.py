@@ -666,25 +666,31 @@ def graphrag(spark: SparkSession, store, question: str,
         _slot_exit()
 
 
+def serves_canonical(store, use_canonical: bool | None = None) -> bool:
+    """Whether the read path serves the entity-resolved graph: ALL THREE
+    canonical tables must exist and carry the live raw fingerprint. The
+    pipeline commits them as three independent atomic stages, so a crash
+    between commits can leave e.g. fresh canonical nodes next to a
+    previous resolution's edges — a mixed graph that must fall back to
+    raw, not serve silently. Shared by graphrag and the debug surface so
+    they can never probe different graphs."""
+    if use_canonical is not None:
+        return use_canonical
+    raw_fp = (store.manifest("nodes") or {}).get("input_fingerprint")
+    return bool(raw_fp) and all(
+        store.exists(t) and
+        (store.manifest(t) or {}).get("input_fingerprint") == raw_fp
+        for t in ("nodes_canonical", "edges_canonical",
+                  "mentions_canonical"))
+
+
 def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
                             alpha_vec, beta_kw, use_mmr, use_cross_doc,
                             include_source, cfg, fused, use_canonical,
                             timings, t0) -> GraphRagResult:
     import time as _time
 
-    canon = use_canonical
-    if canon is None:
-        # ALL THREE canonical tables must exist and carry the live raw
-        # fingerprint: the pipeline commits them as three independent
-        # atomic stages, so a crash between commits can leave e.g. fresh
-        # canonical nodes next to a previous resolution's edges — a mixed
-        # graph that must fall back to raw, not serve silently
-        raw_fp = (store.manifest("nodes") or {}).get("input_fingerprint")
-        canon = bool(raw_fp) and all(
-            store.exists(t) and
-            (store.manifest(t) or {}).get("input_fingerprint") == raw_fp
-            for t in ("nodes_canonical", "edges_canonical",
-                      "mentions_canonical"))
+    canon = serves_canonical(store, use_canonical)
     suffix = "_canonical" if canon else ""
     timings["canonical_graph"] = 1.0 if canon else 0.0
 

@@ -85,3 +85,26 @@ def test_stateful_user_counters_stream(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
            for r in got_rows}
     assert got == expected
+
+
+def test_debug_search_probes_same_graph_as_queries(spark, tmp_path):
+    """The debug surface and the live query path must select the SAME
+    graph (canonical while fresh, raw after it goes stale)."""
+    from neo4j_document_pipeline_spark.operators.admin import debug_search
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+    root = str(tmp_path / "kgd")
+    run_pipeline(spark, synth_pages(spark, 60), root,
+                 canonicalize_entities=True)
+    store = GraphStore(root, spark)
+    d = debug_search(store, "What did Al-Khwarizmi develop?")
+    r = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert d["canonical_graph"] is True
+    assert r.timings["canonical_graph"] == 1.0
+    assert any(i["name"] == "node_tokens_canonical"
+               for i in d["existing_indexes"])
+    # stale the canonical set -> both fall back together
+    store.write("nodes", store.read("nodes"), input_fingerprint="fp-x")
+    d2 = debug_search(store, "What did Al-Khwarizmi develop?")
+    r2 = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert d2["canonical_graph"] is False
+    assert r2.timings["canonical_graph"] == 0.0
