@@ -28,6 +28,10 @@ def canon(v):
             return "NaN"
         return f"{round(v, 6):.6f}"
     if isinstance(v, (datetime.datetime,)):
+        if hasattr(v, "to_pydatetime"):
+            # pandas Timestamp raises on naive astimezone(); stdlib datetime
+            # assumes local tz, which is what the fetchall path relied on
+            v = v.to_pydatetime()
         # Spark collect() yields naive datetimes in HOST-LOCAL time while
         # DuckDB (TimeZone=UTC) yields UTC-aware ones: normalize BOTH to
         # naive UTC (astimezone() on a naive value assumes the local tz),
@@ -37,6 +41,8 @@ def canon(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if hasattr(v, "tolist") and getattr(v, "ndim", None) == 1:
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -87,7 +93,12 @@ def main():
         try:
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # fetch through pandas (.df()) like the driver's canonicalizer,
+            # NOT fetchall(): DuckDB HUGEINT aggregates become float64 under
+            # pandas and only this path reveals the resulting hash drift
+            # (round-2 sessionize_events root cause)
+            dpdf = cur.df()
+            drows = [tuple(row) for row in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             bad.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             continue
