@@ -64,6 +64,25 @@ class PipelineConfig:
     # mentions ⋈ nodes equi-joins run with NO shuffle on either side —
     # the storage-partitioned join SURVEY §1.3 calls for at 100 TB.
     store_buckets: int = 0
+    # committed ANN index over node embeddings (the vector-index analogue
+    # of ingestMD.py:669-690): IVF coarse cells the index table is
+    # hive-partitioned by, and how many of them a query probes. nprobe =
+    # ann_cells degrades to exact brute force over the index copy;
+    # smaller nprobe trades recall for scan fraction (~nprobe/ann_cells).
+    ann_cells: int = 16
+    ann_nprobe: int = 8
+    ann_train_iters: int = 3
+    # recall floor: widen the probe set (in centroid-distance order)
+    # until the probed cells cover at least this many index rows — on a
+    # tiny corpus that degrades to an exact full probe, while at design
+    # scale (10^8+ rows/cell) the first cell already covers it and the
+    # scan stays nprobe/ann_cells. Per-cell row counts come from the
+    # index manifest's partition lineage: zero extra jobs.
+    ann_min_probe_rows: int = 1024
+    # build the index only when the nodes table has at least this many
+    # embedded rows — below it a brute-force scan is already one task and
+    # the index would only add a per-ingest training job
+    ann_min_rows: int = 64
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

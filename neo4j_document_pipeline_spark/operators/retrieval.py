@@ -107,17 +107,57 @@ def cosine_score_col(qvec: list[float]) -> F.Column:
 
 
 def vector_channel(nodes: DataFrame, qvec: list[float],
-                   labels: list[str] | None, k_vec: int) -> DataFrame:
-    """Global top-k_vec by cosine (graphutil.py:364-391). Brute-force scan
-    — the ANN-index replacement — stays JVM-side and compiles to a single
-    TakeOrderedAndProject stage: no shuffle, no window.
+                   labels: list[str] | None, k_vec: int,
+                   index: DataFrame | None = None,
+                   centroids: list[list[float]] | None = None,
+                   nprobe: int | None = None,
+                   cell_rows: dict[int, int] | None = None,
+                   min_probe_rows: int | None = None) -> DataFrame:
+    """Global top-k_vec by cosine (graphutil.py:364-391).
 
-    The reference queries a per-label vector index top-k then dedupe-maxes
-    across labels; since the nodes table holds exactly ONE row per
-    entity_id and the per-label cap equals the global limit (both k_vec),
-    that per-label ranking and the dedupe-max are provably no-ops on the
-    result — a k_vec-row output cannot exceed k_vec rows of any label
-    (parity asserted in tests/test_retrieval.py against numpy)."""
+    With ``index`` + ``centroids`` (the committed ``node_vectors`` IVF
+    table from build_node_vectors) the channel probes only the ``nprobe``
+    coarse cells nearest the query — the analogue of the reference's
+    per-label vector indexes (ingestMD.py:669-690, HNSW ANN): the cell
+    column is a hive PARTITION column, so the probe filter becomes
+    partition pruning and the scan touches ~nprobe/n_cells of the data
+    instead of the whole nodes table (the last read-path full scan,
+    round-2 verdict). nprobe == len(centroids) is provably exact —
+    byte-parity-tested vs the brute path. Centroids are global (one
+    coarse quantizer, label filters prune within probed cells via the
+    label partition dirs); a rare label may need a higher nprobe for
+    full recall — the reference sidesteps this with one index per label
+    at the cost of len(labels) index maintenance jobs.
+
+    Without an index: brute-force scan — JVM-side, a single
+    TakeOrderedAndProject stage, no shuffle, no window. The reference
+    queries per-label top-k then dedupe-maxes across labels; since nodes
+    holds ONE row per entity_id and the per-label cap equals the global
+    limit (both k_vec), that ranking and dedupe-max are provably no-ops
+    on the result (parity asserted in tests/test_retrieval.py)."""
+    if index is not None and centroids:
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            _nearest_cells)
+        ranked = _nearest_cells(centroids, qvec, len(centroids))
+        probes = ranked[:max(1, nprobe) if nprobe else len(ranked)]
+        if cell_rows is not None and min_probe_rows:
+            # recall floor: widen the probe set (centroid-distance order)
+            # until it covers >= min_probe_rows index rows — exact full
+            # probe on a tiny corpus, ~nprobe/n_cells scan at design scale
+            got = sum(cell_rows.get(c, 0) for c in probes)
+            for c in ranked[len(probes):]:
+                if got >= min_probe_rows:
+                    break
+                probes.append(c)
+                got += cell_rows.get(c, 0)
+        df = index.filter(F.col("cell").isin(probes))
+        if labels:
+            df = df.filter(F.col("label").isin(labels))
+        return (
+            df.select("entity_id", cosine_score_col(qvec).alias("vec"))
+            .orderBy(F.col("vec").desc(), "entity_id")
+            .limit(k_vec)
+        )
     df = nodes.filter(F.col("embedding").isNotNull())
     if labels:
         df = df.filter(F.col("label").isin(labels))
@@ -126,6 +166,85 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
         .orderBy(F.col("vec").desc(), "entity_id")
         .limit(k_vec)
     )
+
+
+def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       centroids: list[list[float]] | None = None,
+                       ) -> tuple[DataFrame, list[list[float]]]:
+    """Write-time ANN index over node embeddings: (entity_id, label,
+    embedding, cell) where cell is the nearest IVF coarse centroid.
+
+    The committed-table analogue of the reference's per-label vector
+    indexes (ingestMD.py:669-690, graphutil.py:364-391): written
+    hive-partitioned by (label, cell) so a query's cell probes AND label
+    filters both become partition pruning. Pass prior ``centroids`` to
+    re-assign without retraining (incremental batches); otherwise trains
+    a fresh coarse quantizer (distributed Lloyd, operators/similarity.py).
+    Returns (index_df, centroids) — centroids are committed into the
+    manifest so the read path ranks cells driver-side with zero jobs."""
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        ivf_assign, ivf_train)
+    vecs = nodes.filter(F.col("embedding").isNotNull())
+    if centroids is None:
+        centroids = ivf_train(vecs, "entity_id", "embedding",
+                              n_cells=cfg.ann_cells,
+                              iters=cfg.ann_train_iters,
+                              seed=cfg.featurizer_seed)
+    idx = ivf_assign(vecs.select("entity_id", "label", "embedding"),
+                     "embedding", centroids, "cell")
+    return idx, centroids
+
+
+def index_cell_rows(index_manifest: dict | None,
+                    labels: list[str] | None = None) -> dict[int, int]:
+    """Per-cell row counts of the committed node_vectors index, straight
+    from the manifest's per-file partition lineage (paths are hive dirs
+    ``label=<L>/cell=<N>/part-*``) — the zero-job input to the probe-set
+    recall floor. With ``labels``, counts only the matching label
+    directories (the rows a labeled probe can actually return)."""
+    from urllib.parse import unquote
+    out: dict[int, int] = {}
+    lset = set(labels) if labels else None
+    for p in (index_manifest or {}).get("partitions") or []:
+        cell, lab = None, None
+        for seg in str(p.get("file", "")).split("/"):
+            if seg.startswith("cell="):
+                try:
+                    cell = int(seg[5:])
+                except ValueError:
+                    pass
+            elif seg.startswith("label="):
+                lab = unquote(seg[6:])
+        if cell is None:
+            continue
+        if lset is not None and (lab is None or lab not in lset):
+            continue
+        out[cell] = out.get(cell, 0) + int(p.get("rows", 0))
+    return out
+
+
+def index_is_fresh(index_manifest: dict | None,
+                   nodes_manifest: dict | None) -> bool:
+    """Whether a committed read-side index (node_tokens / node_vectors)
+    still describes the live nodes snapshot. Fresh when the index was
+    built FROM the current nodes version, or — so content-identical
+    maintenance rewrites (store.compact) don't knock the read path back
+    to full-corpus scans — when the index's recorded source fingerprint
+    AND row count both match the nodes snapshot (compaction carries the
+    fingerprint and preserves the row count exactly; a content-changing
+    merge commits without a fingerprint, with a new one, or with a
+    different row count — the rows guard closes the transient window
+    where a resumed full run re-merges the same input over a store an
+    incremental batch has touched)."""
+    imet = (index_manifest or {}).get("metrics") or {}
+    nman = nodes_manifest or {}
+    if imet.get("src_nodes_version") \
+            and imet.get("src_nodes_version") == nman.get("version"):
+        return True
+    fp = imet.get("src_nodes_fingerprint")
+    return (bool(fp) and fp == nman.get("input_fingerprint")
+            and imet.get("src_nodes_rows") is not None
+            and imet.get("src_nodes_rows") == nman.get("rows"))
 
 
 def _name_tokens(df: DataFrame) -> DataFrame:
@@ -302,10 +421,18 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
                       alpha_vec: float = 0.6, beta_kw: float = 0.4,
                       cfg: PipelineConfig = DEFAULT_CONFIG,
                       n_nodes: int | None = None,
-                      postings: DataFrame | None = None) -> DataFrame:
+                      postings: DataFrame | None = None,
+                      vec_index: DataFrame | None = None,
+                      vec_centroids: list[list[float]] | None = None,
+                      nprobe: int | None = None,
+                      vec_cell_rows: dict[int, int] | None = None,
+                      min_probe_rows: int | None = None) -> DataFrame:
     """Full-outer channel merge, per-channel max, min-max norm, blended
     score with weights renormalized to sum 1 (graphutil.py:401-447)."""
-    vec = vector_channel(nodes, qvec, labels, k_vec)
+    vec = vector_channel(nodes, qvec, labels, k_vec,
+                         index=vec_index, centroids=vec_centroids,
+                         nprobe=nprobe, cell_rows=vec_cell_rows,
+                         min_probe_rows=min_probe_rows)
     kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes,
                          postings=postings)
     raw = (
@@ -708,25 +835,48 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
                           seed=cfg.featurizer_seed).tolist()
         timings["embed"] = _time.perf_counter() - t0
 
-        # corpus size for IDF from the committed manifest — no count() job
+        # corpus size for IDF from the committed manifest — no count() job.
+        # Labeled queries use the stamped per-label row counts (committed
+        # at graph-build time) so the labeled path skips the count() job
+        # too; a manifest without them (older store) falls back to the
+        # in-query count.
         man = store.manifest(f"nodes{suffix}") or {}
         n_nodes = man.get("rows")
+        if labels:
+            lc = (man.get("metrics") or {}).get("label_counts")
+            n_nodes = (sum(lc.get(l, 0) for l in labels)
+                       if lc is not None else None)
 
         # committed inverted index (build_node_tokens): use it only when
-        # its manifest records the CURRENT nodes snapshot — a stale index
-        # (e.g. nodes merged since) falls back to in-query tokenization
+        # its manifest records the CURRENT nodes snapshot (or carries its
+        # input fingerprint — maintenance rewrites keep it live); a stale
+        # index falls back to in-query tokenization
         postings = None
         if store.exists(f"node_tokens{suffix}"):
-            tok_man = store.manifest(f"node_tokens{suffix}") or {}
-            if tok_man.get("metrics", {}).get("src_nodes_version") \
-                    == man.get("version"):
+            tok_man = store.manifest(f"node_tokens{suffix}")
+            if index_is_fresh(tok_man, man):
                 postings = store.read(f"node_tokens{suffix}")
+
+        # committed ANN index (build_node_vectors): same freshness rule;
+        # serving it replaces the vector channel's full nodes scan with
+        # an nprobe-cell partition-pruned probe + exact rerank
+        vec_index, vec_centroids, vec_cell_rows = None, None, None
+        if store.exists(f"node_vectors{suffix}"):
+            vman = store.manifest(f"node_vectors{suffix}")
+            if index_is_fresh(vman, man):
+                cents = (vman.get("metrics") or {}).get("centroids")
+                if cents:
+                    vec_index = store.read(f"node_vectors{suffix}")
+                    vec_centroids = cents
+                    vec_cell_rows = index_cell_rows(vman, labels)
+        timings["ann_index"] = 1.0 if vec_index is not None else 0.0
 
         return _graphrag_body(
             spark, store, question, nodes, edges, mentions, documents,
             qvec, postings, n_nodes, timings, top_k, hops, labels,
             alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
-            cfg, fused)
+            cfg, fused, vec_index=vec_index, vec_centroids=vec_centroids,
+            vec_cell_rows=vec_cell_rows)
     finally:
         nodes.unpersist()
 
@@ -799,7 +949,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                    documents, qvec, postings, n_nodes, timings, top_k,
                    hops, labels, alpha_vec, beta_kw, use_mmr,
                    use_cross_doc, include_source, cfg,
-                   fused) -> GraphRagResult:
+                   fused, vec_index=None, vec_centroids=None,
+                   vec_cell_rows=None) -> GraphRagResult:
     import time as _time
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
@@ -808,9 +959,13 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
         # interleaves their stages); blend + rank over <= 2k rows happens
         # driver-side, then ONE job fetches attrs + doc titles
         from concurrent.futures import ThreadPoolExecutor
-        vec_df = vector_channel(nodes, qvec, labels, k)
+        vec_df = vector_channel(nodes, qvec, labels, k,
+                                index=vec_index, centroids=vec_centroids,
+                                nprobe=cfg.ann_nprobe,
+                                cell_rows=vec_cell_rows,
+                                min_probe_rows=cfg.ann_min_probe_rows)
         kw_df = keyword_channel(nodes, question, k, labels, cfg,
-                                n_nodes=n_nodes if not labels else None,
+                                n_nodes=n_nodes,
                                 postings=postings)
         with ThreadPoolExecutor(2) as ex:
             fv = ex.submit(vec_df.collect)
@@ -837,12 +992,17 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                                      k_vec=k, k_kw=k,
                                      alpha_vec=alpha_vec, beta_kw=beta_kw,
                                      cfg=cfg,
-                                     # manifest count covers the WHOLE
-                                     # table; with a label filter the IDF
-                                     # corpus is the filtered frame — let
-                                     # the channel count it
-                                     n_nodes=n_nodes if not labels else None,
-                                     postings=postings).cache()
+                                     # n_nodes is already label-aware (the
+                                     # stamped per-label counts); None only
+                                     # when the manifest predates them
+                                     n_nodes=n_nodes,
+                                     postings=postings,
+                                     vec_index=vec_index,
+                                     vec_centroids=vec_centroids,
+                                     nprobe=cfg.ann_nprobe,
+                                     vec_cell_rows=vec_cell_rows,
+                                     min_probe_rows=cfg.ann_min_probe_rows
+                                     ).cache()
         # attach doc titles for diversification / seed-dedup (J1) — scoped
         # to the <=2k candidate ids (broadcast), never an all-mentions
         # aggregate

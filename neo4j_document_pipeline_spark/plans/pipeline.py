@@ -203,17 +203,61 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         for name, fut in futs.items():
             fut.result()
 
-    # FTS inverted index, committed alongside the graph (the Lucene-index
-    # analogue): queries probe this table instead of re-aggregating every
-    # node name. Stamped with the nodes snapshot it was built from so a
-    # stale index is detected (and bypassed) at read time.
+    # Read-side indexes, committed alongside the graph — the analogue of
+    # the reference's post-ingest DDL (name/fulltext/vector indexes,
+    # ingestMD.py:648-702):
+    #   node_tokens  — FTS inverted index (Lucene analogue): queries probe
+    #                  this table instead of re-aggregating node names;
+    #   node_vectors — IVF ANN index (per-label vector-index analogue,
+    #                  ingestMD.py:669-690): (entity_id, label, embedding,
+    #                  cell) hive-partitioned by (label, cell) so a
+    #                  query's nprobe cell probes AND label filters both
+    #                  become partition pruning — replaces the vector
+    #                  channel's full nodes scan;
+    #   label_counts — per-label row counts stamped into the nodes
+    #                  manifest so labeled queries size their IDF corpus
+    #                  without a count() job.
+    # Each index records the nodes snapshot version AND input fingerprint
+    # it was built from: a content-changing merge invalidates it (read
+    # path falls back to scanning), while content-identical maintenance
+    # rewrites (compact) keep it live via the fingerprint.
     from neo4j_document_pipeline_spark.operators.retrieval import (
-        build_node_tokens)
-    nodes_version = (store.manifest("nodes") or {}).get("version")
-    stage("node_tokens",
-          lambda: build_node_tokens(store.read("nodes")),
-          f"{fp}:nodes={nodes_version}",
-          extra_metrics={"src_nodes_version": nodes_version})
+        build_node_tokens, build_node_vectors)
+
+    def commit_read_indexes(suffix: str):
+        src = f"nodes{suffix}"
+        man = store.manifest(src) or {}
+        version = man.get("version")
+        src_fp = man.get("input_fingerprint")
+        if "label_counts" not in (man.get("metrics") or {}):
+            lc = {r["label"]: r["n"] for r in
+                  store.read(src).groupBy("label")
+                  .agg(F.count("*").alias("n")).collect()}
+            store.update_metrics(src, {"label_counts": lc})
+        deps = f"{fp}:{src}={version}"
+        idx_metrics = {"src_nodes_version": version,
+                       "src_nodes_fingerprint": src_fp,
+                       "src_nodes_rows": man.get("rows")}
+        stage(f"node_tokens{suffix}",
+              lambda: build_node_tokens(store.read(src)),
+              deps, extra_metrics=idx_metrics)
+        vname = f"node_vectors{suffix}"
+        if resume and store.is_current(vname, deps):
+            manifests[vname] = {**store.manifest(vname), "skipped": True}
+        elif (man.get("rows") or 0) >= cfg.ann_min_rows:
+            try:
+                idx, centroids = build_node_vectors(store.read(src), cfg)
+            except ValueError:
+                pass  # no embedded rows -> no index; reads brute-force
+            else:
+                manifests[vname] = store.write(
+                    vname, idx, input_fingerprint=deps, stage=vname,
+                    partition_by=["label", "cell"],
+                    extra_metrics={**idx_metrics,
+                                   "centroids": centroids,
+                                   "n_cells": len(centroids)})
+
+    commit_read_indexes("")
 
     if canonicalize_entities:
         from neo4j_document_pipeline_spark.operators.linking import (
@@ -232,14 +276,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         stage("nodes_canonical", lambda: cn, fp, **_bk("entity_id"))
         stage("edges_canonical", lambda: ce, fp, **_bk("src_id"))
         stage("mentions_canonical", lambda: cm, fp, **_bk("entity_id"))
-        # FTS index over the CANONICAL entity names, so the read path
-        # keeps its indexed keyword channel when it serves the canonical
-        # graph (same staleness stamping as the raw index)
-        cn_version = (store.manifest("nodes_canonical") or {}).get("version")
-        stage("node_tokens_canonical",
-              lambda: build_node_tokens(store.read("nodes_canonical")),
-              f"{fp}:nodes_canonical={cn_version}",
-              extra_metrics={"src_nodes_version": cn_version})
+        # FTS + ANN indexes over the CANONICAL entities, so the read path
+        # keeps its indexed channels when it serves the canonical graph
+        # (same staleness stamping as the raw indexes)
+        commit_read_indexes("_canonical")
     return manifests
 
 

@@ -72,14 +72,37 @@ def ingest_increment(store, batch_df: DataFrame,
     nodes_man = store.write_preserving_layout(
         "nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
         stage=stage)
-    # keep the committed FTS inverted index in step with the merged nodes
+    # keep the committed read-side indexes in step with the merged nodes
     # (a stale index is bypassed at read time; rebuilding here keeps the
-    # indexed fast path live across incremental batches)
+    # indexed fast paths live across incremental batches). The ANN index
+    # reuses the previous batch's coarse centroids when present — cells
+    # only re-ASSIGN per batch; training reruns only when no quantizer
+    # exists yet (or the corpus first crosses ann_min_rows).
     from neo4j_document_pipeline_spark.operators.retrieval import (
-        build_node_tokens)
+        build_node_tokens, build_node_vectors)
+    store.update_metrics("nodes", {"label_counts": {
+        r["label"]: r["n"] for r in
+        store.read("nodes").groupBy("label")
+        .agg(F.count("*").alias("n")).collect()}})
+    idx_metrics = {"src_nodes_version": nodes_man["version"],
+                   "src_nodes_fingerprint":
+                       nodes_man.get("input_fingerprint") or None,
+                   "src_nodes_rows": nodes_man.get("rows")}
     store.write("node_tokens", build_node_tokens(store.read("nodes")),
-                stage=stage,
-                extra_metrics={"src_nodes_version": nodes_man["version"]})
+                stage=stage, extra_metrics=idx_metrics)
+    if (nodes_man.get("rows") or 0) >= cfg.ann_min_rows:
+        prior_cents = ((store.manifest("node_vectors") or {})
+                       .get("metrics") or {}).get("centroids")
+        try:
+            vdf, cents = build_node_vectors(store.read("nodes"), cfg,
+                                            centroids=prior_cents)
+        except ValueError:
+            pass  # no embedded rows -> no index; reads brute-force
+        else:
+            store.write("node_vectors", vdf, stage=stage,
+                        partition_by=["label", "cell"],
+                        extra_metrics={**idx_metrics, "centroids": cents,
+                                       "n_cells": len(cents)})
     store.write_preserving_layout(
         "edges",
         store.merge_edges(build_edges(triples, emb, cfg, chunks=chunks),

@@ -271,3 +271,44 @@ def test_slot_efficiency_analysis_shape(tmp_path):
         # a near-idle stage can round to 0.000 on a contended host; the
         # weighted mean above is the meaningful signal
         assert 0.0 <= r["efficiency"] <= 1.0 and r["tasks"] > 0
+
+
+def test_node_vectors_probe_is_partition_pruned(spark, tmp_path):
+    """The committed ANN index is hive-partitioned by (label, cell): a
+    query's nprobe cell filter must become PARTITION pruning (directory
+    skip at scan planning), never a post-scan row filter over the full
+    index — that's the property that replaces the vector channel's
+    full-table scan at 10^9 nodes."""
+    from neo4j_document_pipeline_spark.config import PipelineConfig
+    from neo4j_document_pipeline_spark.functions.featurizer import embed_text
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_vectors, vector_channel)
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    cfg = PipelineConfig(ann_cells=4, ann_train_iters=2)
+    nodes = spark.range(0, 200).selectExpr(
+        "concat('e', id) AS entity_id",
+        "CASE WHEN id % 2 = 0 THEN 'Entity' ELSE 'Goal' END AS label",
+        "transform(sequence(1, 8), j -> cast(hash(id, j) % 97 AS double) / 97.0)"
+        " AS embedding")
+    st = GraphStore(str(tmp_path / "kg"), spark)
+    idx, cents = build_node_vectors(nodes, cfg)
+    st.write("node_vectors", idx, partition_by=["label", "cell"])
+
+    q = embed_text("probe", dim=8).tolist()
+    out = vector_channel(nodes, q, None, 5, index=st.read("node_vectors"),
+                         centroids=cents, nprobe=2)
+    p = plan_of(out)
+    scan = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell" in scan[0], p
+    # the cell probe must NOT appear as a post-scan data filter (a scan
+    # with no PushedFilters line at all is fine — pruning did everything)
+    assert all("cell" not in l
+               for l in p.splitlines() if "PushedFilters" in l), p
+    # labeled probe prunes label directories too
+    out_l = vector_channel(nodes, q, ["Goal"], 5,
+                           index=st.read("node_vectors"),
+                           centroids=cents, nprobe=2)
+    pl = plan_of(out_l)
+    scan_l = [l for l in pl.splitlines() if "PartitionFilters" in l][0]
+    assert "cell" in scan_l and "label" in scan_l, pl

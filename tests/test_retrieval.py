@@ -264,13 +264,19 @@ def test_graphrag_uses_fresh_index_and_detects_stale(spark, kg):
     assert man is not None
     assert man["metrics"]["src_nodes_version"] == kg.manifest("nodes")["version"]
     a1 = graphrag(spark, kg, "What did Al-Khwarizmi develop?").answer
-    # forge staleness: restamp the index with a bogus source version
-    kg.update_metrics("node_tokens", {"src_nodes_version": "v-stale"})
+    # forge staleness: bogus source version AND fingerprint/rows (freshness
+    # falls back to the fingerprint+rows pair for maintenance rewrites)
+    good = {"src_nodes_version": kg.manifest("nodes")["version"],
+            "src_nodes_fingerprint":
+                kg.manifest("node_tokens")["metrics"].get("src_nodes_fingerprint"),
+            "src_nodes_rows": kg.manifest("node_tokens")["metrics"].get("src_nodes_rows")}
+    kg.update_metrics("node_tokens", {"src_nodes_version": "v-stale",
+                                      "src_nodes_fingerprint": "stale",
+                                      "src_nodes_rows": -1})
     try:
         a2 = graphrag(spark, kg, "What did Al-Khwarizmi develop?").answer
     finally:
-        kg.update_metrics("node_tokens",
-                          {"src_nodes_version": kg.manifest("nodes")["version"]})
+        kg.update_metrics("node_tokens", good)
     assert a1 == a2
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in a1
 
@@ -359,3 +365,74 @@ def test_graphrag_many_enforces_bound_and_isolates_failures(monkeypatch):
     with _pytest.raises(RuntimeError):
         R.graphrag_many(None, None, ["boom"], max_concurrent=2,
                         return_exceptions=False)
+
+
+# ---------------------------------------------------------------------------
+# Committed ANN index (node_vectors) — round-3 read-path scale work
+# ---------------------------------------------------------------------------
+
+def test_vector_channel_index_full_probe_is_exact(spark, kg):
+    """IVF index at nprobe == n_cells is provably exact: byte-identical
+    (id, score) list vs the brute-force nodes scan."""
+    nodes = kg.read("nodes")
+    vman = kg.manifest("node_vectors")
+    assert vman is not None, "pipeline should commit the ANN index"
+    cents = vman["metrics"]["centroids"]
+    idx = kg.read("node_vectors")
+    q = embed_text("Who founded the House of Wisdom?", dim=64).tolist()
+    brute = [(r["entity_id"], r["vec"]) for r in
+             vector_channel(nodes, q, None, 12).collect()]
+    probed = [(r["entity_id"], r["vec"]) for r in
+              vector_channel(nodes, q, None, 12, index=idx, centroids=cents,
+                             nprobe=len(cents)).collect()]
+    assert probed == brute
+
+
+def test_graphrag_serves_ann_index_and_falls_back_when_stale(spark, kg):
+    """The default read path serves the committed ANN index (timings flag)
+    and a stale index falls back to the brute scan; at default nprobe the
+    flagship answers agree on this corpus."""
+    r1 = graphrag(spark, kg, "What did Al-Khwarizmi develop?")
+    assert r1.timings.get("ann_index") == 1.0
+    good = dict(kg.manifest("node_vectors")["metrics"])
+    kg.update_metrics("node_vectors", {"src_nodes_version": "v-stale",
+                                       "src_nodes_fingerprint": "stale",
+                                       "src_nodes_rows": -1})
+    try:
+        r2 = graphrag(spark, kg, "What did Al-Khwarizmi develop?")
+    finally:
+        kg.update_metrics("node_vectors", good)
+    assert r2.timings.get("ann_index") == 0.0
+    assert r1.answer == r2.answer
+
+
+def test_compact_keeps_read_indexes_fresh(spark, tmp_path):
+    """ADVICE r2: a content-identical maintenance rewrite (store.compact
+    of nodes) must NOT knock the read path back to full scans — freshness
+    keys on the carried-over fingerprint + row count, not the physical
+    version."""
+    from neo4j_document_pipeline_spark.operators.retrieval import index_is_fresh
+    root = str(tmp_path / "store")
+    run_pipeline(spark, synth_pages(spark, 60), root)
+    store = GraphStore(root, spark)
+    store.compact("nodes")
+    nman = store.manifest("nodes")
+    assert index_is_fresh(store.manifest("node_tokens"), nman)
+    assert index_is_fresh(store.manifest("node_vectors"), nman)
+    r = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert r.timings.get("ann_index") == 1.0
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in r.answer
+
+
+def test_labeled_graphrag_runs_no_count_job(spark, kg, monkeypatch):
+    """Per-label row counts stamped in the nodes manifest size the labeled
+    IDF corpus — the labeled path must never run a count() job."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() job on the labeled read path")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    r = graphrag(spark, kg, "What did Al-Khwarizmi develop?",
+                 labels=["Stakeholder", "Entity"])
+    assert r.answer
