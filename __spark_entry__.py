@@ -308,6 +308,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("score").desc(), "vec_id").limit(10))
     q["ivf_topk_full"] = ivf_topk_full
 
+    # ---- PQ ANN, exact rerank over the full candidate set ----
+    def pq_topk_rerank(spark, sf):
+        """ADC-scored product-quantization search with exact cosine rerank
+        (operators/similarity.py pq_train/pq_encode/pq_topk). With
+        ``candidates`` >= the table size, the rerank stage sees every row,
+        so the top-k provably equals brute-force cosine — the same oracle
+        trick ivf_topk_full uses at full probe."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            pq_encode, pq_topk, pq_train)
+        e = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        books = pq_train(e, "embedding", m=8, k=16, sample=2000, iters=4)
+        enc = pq_encode(e, "embedding", books)
+        out = pq_topk(enc, "vec_id", "pq_code", books, qv, k=50,
+                      candidates=10_000_000, vec_col="embedding")
+        return (out.select("vec_id", F.round("score", 4).alias("score"))
+                .orderBy(F.col("score").desc(), "vec_id").limit(10))
+    q["pq_topk_rerank"] = pq_topk_rerank
+
     # ---- URL normalization (url-level dedup staple) ----
     def url_normalize(spark, sf):
         from neo4j_document_pipeline_spark.functions.textstats import (
@@ -742,6 +762,11 @@ def oracle_sql() -> dict[str, str]:
         # IVF at nprobe == n_cells is exact, so the brute-force cosine SQL
         # is its oracle too
         "ivf_topk_full":
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
+            "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        # PQ with exact rerank over the full candidate set is exact too
+        "pq_topk_rerank":
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
             "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",

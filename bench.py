@@ -100,15 +100,27 @@ def main():
         # fresh store per repetition so every run measures the same work
         pages = synth_pages(spark, N_SYNTH)
 
+        tail_stages = ("node_tokens", "node_vectors", "label_counts")
+        tails: list[float] = []
+
         def ingest_once():
             root = tempfile.mkdtemp(prefix="kg_bench_run_")
             roots.append(root)
-            run_pipeline(spark, pages, root, resume=False)
+            man = run_pipeline(spark, pages, root, resume=False)
+            t = man.get("_timings", {})
+            tails.append(sum(v for k, v in t.items() if k in tail_stages))
 
         timed("kg_ingest_synth", ingest_once)
         store_root = roots[-1]  # populated store for the graphrag step
         extras["synth_docs_per_sec"] = round(
             N_SYNTH / timings["kg_ingest_synth"], 2)
+        # attribution split: the read-index tail (FTS postings + ANN index
+        # + label counts, committed at graph-build time) vs the core write
+        # path — so a draw-over-draw regression is attributable to "added
+        # index stages" vs "got slower"
+        extras["kg_ingest_index_tail_sec"] = round(min(tails), 3)
+        extras["kg_ingest_core_sec"] = round(
+            timings["kg_ingest_synth"] - min(tails), 3)
 
         # 2. canonicalize+chunk+extract over the driver documents table
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

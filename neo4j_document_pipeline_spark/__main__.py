@@ -157,7 +157,8 @@ def main(argv=None):
                                      min_quality=ns.min_quality,
                                      keep_versions=ns.keep_versions)
             print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
-                              for k, m in manifests.items()}, indent=1))
+                              for k, m in manifests.items()
+                              if not k.startswith("_")}, indent=1))
     elif ns.command == "query":
         from neo4j_document_pipeline_spark.operators.retrieval import graphrag
         question = " ".join(ns.args)

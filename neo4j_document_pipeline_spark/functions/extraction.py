@@ -333,14 +333,23 @@ def extract_triples_rules(text: str) -> list[dict[str, Any]]:
 
     Per-sentence passes are memoized (_sentence_triples); this wrapper
     merges them with the original chunk-level first-occurrence dedup, so
-    the output is byte-identical to the unmemoized single pass."""
+    the output is byte-identical to the unmemoized single pass. Emitted
+    triples are COPIES (incl. nested object dicts): the cache returns the
+    same dict objects to every caller, so handing them out directly would
+    let any consumer's in-place mutation silently corrupt the cached
+    results for all later extractions of that sentence."""
     triples: list[dict[str, Any]] = []
     seen: set[tuple] = set()
     for sent in _iter_sentences(text):
         for key, t in _sentence_triples(sent):
             if key not in seen:
                 seen.add(key)
-                triples.append(t)
+                c = dict(t)
+                o = c.get("object")
+                if isinstance(o, dict):
+                    c["object"] = {k: (dict(v) if isinstance(v, dict) else v)
+                                   for k, v in o.items()}
+                triples.append(c)
     return triples
 
 

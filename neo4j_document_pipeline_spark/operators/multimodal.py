@@ -51,9 +51,17 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 # Real decoders (pure stdlib + numpy)
 # ---------------------------------------------------------------------------
 
+class CorruptMediaError(ValueError):
+    """Payload whose format IS recognized (magic matched) but whose body
+    fails to parse — bad data, not a missing codec. Kept distinct so the
+    strict path (deterministic_fake=False) reports corruption instead of
+    misattributing it to an absent external codec."""
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode uncompressed BMP / binary PPM (P6) / PGM (P5) bytes to an
-    (H, W, 3) uint8 array. Raises ValueError on anything else."""
+    (H, W, 3) uint8 array. Raises CorruptMediaError when the magic is
+    recognized but the body is malformed; plain ValueError otherwise."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -63,7 +71,7 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
 
 def _decode_bmp(b: bytes) -> np.ndarray:
     if len(b) < 54:
-        raise ValueError("truncated BMP header")
+        raise CorruptMediaError("truncated BMP header")
     data_off = struct.unpack_from("<I", b, 10)[0]
     hdr_size = struct.unpack_from("<I", b, 14)[0]
     if hdr_size < 40:
@@ -76,12 +84,12 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height <= 0:
-        raise ValueError("empty BMP")
+        raise CorruptMediaError("empty BMP")
     bytes_pp = bpp // 8
     stride = ((width * bytes_pp + 3) // 4) * 4
     need = data_off + stride * height
     if len(b) < need:
-        raise ValueError("truncated BMP pixel data")
+        raise CorruptMediaError("truncated BMP pixel data")
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height,
                          offset=data_off).reshape(height, stride)
     px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
@@ -98,7 +106,7 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     pos, fields = 2, []
     while len(fields) < 3:
         if pos >= len(b):
-            raise ValueError("truncated PNM header")
+            raise CorruptMediaError("truncated PNM header")
         c = b[pos:pos + 1]
         if c == b"#":  # comment to end of line
             nl = b.find(b"\n", pos)
@@ -118,7 +126,7 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     ch = 3 if magic == b"P6" else 1
     n = width * height * ch
     if len(b) < pos + n:
-        raise ValueError("truncated PNM pixel data")
+        raise CorruptMediaError("truncated PNM pixel data")
     px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos) \
         .reshape(height, width, ch)
     if maxval != 255:
@@ -141,6 +149,10 @@ def decode_audio_bytes(payload: bytes) -> tuple[np.ndarray, int]:
                 w.getframerate()
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as e:
+        if payload[:4] == b"RIFF":
+            # the container IS a RIFF/WAVE file — a parse failure here is
+            # bad data, not a missing codec
+            raise CorruptMediaError(f"corrupt WAV payload: {e}") from e
         raise ValueError(f"not a PCM WAV payload: {e}") from e
     if sampwidth == 1:      # unsigned 8-bit
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -186,7 +198,9 @@ def _audio_feature(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
 
 def _decode_any(payload: bytes, kind: str, dim: int) -> tuple[np.ndarray, int] | None:
     """Dispatch to the real decoders; None when the payload needs a codec
-    this environment lacks. n_frames: images 1; audio = ceil(seconds)."""
+    this environment lacks. A RECOGNIZED-but-malformed payload raises
+    CorruptMediaError through (bad data must not be masked as a codec
+    gap). n_frames: images 1; audio = ceil(seconds)."""
     try:
         if kind == "image":
             return _image_feature(decode_image_bytes(payload), dim), 1
@@ -194,6 +208,8 @@ def _decode_any(payload: bytes, kind: str, dim: int) -> tuple[np.ndarray, int] |
             x, rate = decode_audio_bytes(payload)
             secs = x.size / float(rate or 1)
             return _audio_feature(x, rate, dim), max(1, int(np.ceil(secs)))
+    except CorruptMediaError:
+        raise
     except ValueError:
         return None
     return None
@@ -229,9 +245,21 @@ def extract_media_features(df: DataFrame, dim: int = 32, seed: int = 42,
             for lo in range(0, len(pdf), batch_limit):
                 sub = pdf.iloc[lo:lo + batch_limit]
                 feats, frames = [], []
-                for payload, kind in zip(sub["payload"], sub["kind"]):
+                for media_id, payload, kind in zip(
+                        sub["media_id"], sub["payload"], sub["kind"]):
                     raw = bytes(payload or b"")
-                    decoded = _decode_any(raw, kind, dim)
+                    try:
+                        decoded = _decode_any(raw, kind, dim)
+                    except CorruptMediaError as e:
+                        # recognized format, malformed body: strict mode
+                        # surfaces the corruption (NOT a codec gap); fake
+                        # mode degrades to the content-hashed feature like
+                        # any other undecodable payload
+                        if not deterministic_fake:
+                            raise ValueError(
+                                f"corrupt {kind} payload "
+                                f"(media_id={media_id}): {e}") from e
+                        decoded = None
                     if decoded is None:
                         if not deterministic_fake:
                             raise NotImplementedError(

@@ -459,31 +459,60 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
 def mmr_select(cands: list[dict], k: int, lambda_mult: float = 0.7) -> list[dict]:
     """Maximal Marginal Relevance, exact reference algorithm
     (graphutil.py:452-497): greedy argmax of
-    lambda*relevance - (1-lambda)*max_sim_to_selected."""
+    lambda*relevance - (1-lambda)*max_sim_to_selected.
+
+    Implementation is O(n*k*dim) — per-candidate max-sim to the selected
+    set is cached and updated incrementally against only the newest pick
+    (max over a growing set is associative, so this is EXACTLY the
+    reference's recompute; selection order and tie-breaks are identical:
+    first index attaining the maximum wins, as in the reference's strict
+    ``>`` scan). Driver-side ceiling: the adversarial fan-out is
+    n = k_vec + k_kw = 2*max(12, top_k) candidates (main.py:270-271) —
+    at top_k=1000 that's 2000 rows and ~n*k*dim = 1.3e8 multiplies in
+    numpy, well under a second on the driver
+    (tests/test_scale_properties.py::test_mmr_driver_side_ceiling)."""
     if not cands:
         return []
-    embs = [c.get("embedding") for c in cands]
+    import numpy as np
+    n = len(cands)
+    dim = max((len(c["embedding"]) for c in cands
+               if c.get("embedding") is not None), default=0)
+    embs = np.zeros((n, dim or 1))
+    has = np.zeros(n, dtype=bool)
+    for i, c in enumerate(cands):
+        e = c.get("embedding")
+        if e is not None and dim:
+            v = np.asarray(e, dtype=np.float64)
+            embs[i, :v.size] = v  # zero-pad == reference dot semantics
+            has[i] = True
+    norms = np.linalg.norm(embs, axis=1)
+    scores = np.array([float(c["score"]) for c in cands])
+    # a pair's sim is 0.0 when either side is missing or zero-norm
+    # (reference cosine guard, graphutil.py:173-183)
+    valid = has & (norms > 0)
+
+    def pair_sims(s: int) -> np.ndarray:
+        if not valid[s]:
+            return np.zeros(n)
+        denom = np.where(valid, norms * norms[s], 1.0)
+        sims = (embs @ embs[s]) / denom
+        sims[~valid] = 0.0
+        return sims
+
     selected = []
-    rest = list(range(len(cands)))
-    best0 = max(rest, key=lambda i: cands[i]["score"])
+    rest = list(range(n))
+    best0 = max(rest, key=lambda i: scores[i])
     selected.append(best0)
     rest.remove(best0)
-
-    def max_sim(j):
-        if embs[j] is None:
-            return 0.0
-        sims = [cosine(embs[j], embs[i]) if embs[i] is not None else 0.0
-                for i in selected]
-        return max(sims) if sims else 0.0
-
-    while len(selected) < min(k, len(cands)) and rest:
-        best_j, best_val = None, -1e9
-        for j in rest:
-            val = lambda_mult * cands[j]["score"] - (1 - lambda_mult) * max_sim(j)
-            if val > best_val:
-                best_val, best_j = val, j
+    max_sim = pair_sims(best0)
+    while len(selected) < min(k, n) and rest:
+        idx = np.asarray(rest)
+        vals = lambda_mult * scores[idx] - (1 - lambda_mult) * max_sim[idx]
+        best_j = int(idx[int(np.argmax(vals))])  # first max == strict >
         selected.append(best_j)
         rest.remove(best_j)
+        if len(selected) < min(k, n) and rest:
+            np.maximum(max_sim, pair_sims(best_j), out=max_sim)
     return [cands[i] for i in selected]
 
 
@@ -823,9 +852,12 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
 
     # nodes is scanned by the vector channel, the phrase verify, and both
     # endpoint lookups of the facts assembly — persist once per query.
-    # The try starts IMMEDIATELY after the persist so no failure path
-    # (embed, manifest read, postings read, body) can leak the cache.
-    nodes = store.read(f"nodes{suffix}").persist()
+    # Reference-counted: concurrent graphrag calls share the store's
+    # cached DataFrame handle, so only the LAST in-flight query using it
+    # unpersists (a sibling's early exit must not evict the cache under
+    # queries still scanning it). The try starts IMMEDIATELY after the
+    # acquire so no failure path can leak the cache or the refcount.
+    nodes = _persist_acquire(store.read(f"nodes{suffix}"))
     try:
         edges = store.read(f"edges{suffix}")
         mentions = store.read(f"mentions{suffix}")
@@ -878,20 +910,50 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
             cfg, fused, vec_index=vec_index, vec_centroids=vec_centroids,
             vec_cell_rows=vec_cell_rows)
     finally:
-        nodes.unpersist()
+        _persist_release(nodes)
 
 
 # live request-slot accounting (main.py:55-64 /queue_status): graphrag
 # calls increment on entry / decrement on exit; admin.queue_status reads
 # it. MAX_CONCURRENT_QUERIES is the single source of the serving bound
-# (main.py:35) shared by graphrag_many and the status surface.
+# (main.py:35) shared by graphrag_many and the status surface. The bound
+# is ENFORCED by a blocking semaphore, like the reference's 20-slot
+# asyncio gate (main.py:35-36,233) — direct graphrag callers beyond the
+# cap block at entry, so active_requests can never exceed max_concurrent.
+# refcounted persist for DataFrame handles shared across concurrent
+# queries (store._df_cache returns the same object per snapshot):
+# unpersist fires only when the last acquirer releases. Keys are id(df);
+# safe because an entry exists only while an acquirer holds a reference.
+_persist_lock = threading.Lock()
+_persist_refs: dict[int, int] = {}
+
+
+def _persist_acquire(df: DataFrame) -> DataFrame:
+    with _persist_lock:
+        _persist_refs[id(df)] = _persist_refs.get(id(df), 0) + 1
+    df.persist()  # idempotent on an already-persisted frame
+    return df
+
+
+def _persist_release(df: DataFrame) -> None:
+    with _persist_lock:
+        n = _persist_refs.get(id(df), 0) - 1
+        if n > 0:
+            _persist_refs[id(df)] = n
+            return
+        _persist_refs.pop(id(df), None)
+    df.unpersist()
+
+
 MAX_CONCURRENT_QUERIES = 20
 _slots_lock = threading.Lock()
+_slots_sem = threading.BoundedSemaphore(MAX_CONCURRENT_QUERIES)
 _active_queries = 0
 
 
 def _slot_enter():
     global _active_queries
+    _slots_sem.acquire()
     with _slots_lock:
         _active_queries += 1
 
@@ -900,6 +962,7 @@ def _slot_exit():
     global _active_queries
     with _slots_lock:
         _active_queries -= 1
+    _slots_sem.release()
 
 
 def active_query_count() -> int:
@@ -922,10 +985,11 @@ def graphrag_many(spark: SparkSession, store, questions: list[str],
     other answer survives — one bad request must not discard 19 good
     ones. ``return_exceptions=False`` restores fail-fast.
 
-    Perf note: concurrent queries share the store's cached table
-    handles, and a finishing query's unpersist can evict a sibling's
-    nodes cache mid-flight — correctness is unaffected, but that
-    sibling's remaining node scans re-read parquet."""
+    Concurrent queries share the store's cached table handles; the nodes
+    persist is reference-counted (_persist_acquire/_persist_release), so
+    a finishing query never evicts a sibling's cache mid-flight — the
+    unpersist fires when the last in-flight query using the handle
+    exits."""
     from concurrent.futures import ThreadPoolExecutor
     if not questions:
         return []

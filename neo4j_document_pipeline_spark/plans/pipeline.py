@@ -101,15 +101,28 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         sort_keys=True, default=str).encode()).hexdigest()[:16]
     fp = f"{fp}:{cfg_sig}"
 
+    # per-stage wall seconds, returned under manifests["_timings"] so
+    # callers (bench.py) can attribute e.g. the read-index tail without a
+    # second instrumented run; concurrent tail stages overlap, so these
+    # are wall spans, not additive CPU
+    import time as _time
+    stage_secs: dict[str, float] = {}
+    manifests["_timings"] = stage_secs
+
     def stage(name: str, build, deps_fp: str, **write_kw):
-        if resume and store.is_current(name, deps_fp):
-            manifests[name] = {**store.manifest(name), "skipped": True}
+        t0 = _time.perf_counter()
+        try:
+            if resume and store.is_current(name, deps_fp):
+                manifests[name] = {**store.manifest(name), "skipped": True}
+                return store.read(name)
+            df = build()
+            writer = store.write_bucketed if "bucket_by" in write_kw else store.write
+            manifests[name] = writer(name, df, input_fingerprint=deps_fp,
+                                     stage=name, **write_kw)
             return store.read(name)
-        df = build()
-        writer = store.write_bucketed if "bucket_by" in write_kw else store.write
-        manifests[name] = writer(name, df, input_fingerprint=deps_fp,
-                                 stage=name, **write_kw)
-        return store.read(name)
+        finally:
+            stage_secs[name] = round(
+                stage_secs.get(name, 0.0) + _time.perf_counter() - t0, 3)
 
     from pyspark.sql import Observation
 
@@ -229,11 +242,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         man = store.manifest(src) or {}
         version = man.get("version")
         src_fp = man.get("input_fingerprint")
+        t0 = _time.perf_counter()
         if "label_counts" not in (man.get("metrics") or {}):
             lc = {r["label"]: r["n"] for r in
                   store.read(src).groupBy("label")
                   .agg(F.count("*").alias("n")).collect()}
             store.update_metrics(src, {"label_counts": lc})
+        stage_secs[f"label_counts{suffix}"] = round(
+            _time.perf_counter() - t0, 3)
         deps = f"{fp}:{src}={version}"
         idx_metrics = {"src_nodes_version": version,
                        "src_nodes_fingerprint": src_fp,
@@ -242,6 +258,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
               lambda: build_node_tokens(store.read(src)),
               deps, extra_metrics=idx_metrics)
         vname = f"node_vectors{suffix}"
+        t0 = _time.perf_counter()
         if resume and store.is_current(vname, deps):
             manifests[vname] = {**store.manifest(vname), "skipped": True}
         elif (man.get("rows") or 0) >= cfg.ann_min_rows:
@@ -256,6 +273,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                     extra_metrics={**idx_metrics,
                                    "centroids": centroids,
                                    "n_cells": len(centroids)})
+        stage_secs[vname] = round(_time.perf_counter() - t0, 3)
 
     commit_read_indexes("")
 

@@ -118,7 +118,8 @@ def main():
         root = args.store or tempfile.mkdtemp(prefix="kg_scaling_")
         try:
             manifests = run_pipeline(spark, pages, root, resume=False)
-            return {k: m.get("rows") for k, m in manifests.items()}
+            return {k: m.get("rows") for k, m in manifests.items()
+                    if not k.startswith("_")}
         finally:
             if not args.store:
                 shutil.rmtree(root, ignore_errors=True)

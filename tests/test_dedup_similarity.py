@@ -522,3 +522,60 @@ def test_ivfpq_full_probe_equals_brute_force(spark):
               ivfpq_topk(enc, "vec_id", "pq_code", cents, books, q, 5,
                          nprobe=1, vec_col="embedding").collect()]
     assert pruned and pruned[0] == 7
+
+
+def test_corrupt_media_distinct_from_codec_gap(spark):
+    """A recognized-but-truncated payload is CORRUPT data: strict mode
+    (deterministic_fake=False) must report corruption — never the
+    missing-codec message — while fake mode degrades to the hashed
+    feature like any undecodable payload."""
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.multimodal import (
+        CorruptMediaError, decode_image_bytes, encode_bmp)
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    truncated = good[: len(good) - 10]
+    with pytest.raises(CorruptMediaError):
+        decode_image_bytes(truncated)
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(truncated), "image/bmp", 4, 4, 0)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int")
+    try:
+        extract_media_features(media, deterministic_fake=False).collect()
+        raise AssertionError("expected corruption error")
+    except Exception as e:
+        msg = str(e)
+        assert "corrupt" in msg and "external codec" not in msg
+    # fake mode: degrades deterministically instead of failing the job
+    out = extract_media_features(media, deterministic_fake=True).collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 32
+
+
+def test_graphrag_many_refcounted_persist(spark, tmp_path):
+    """Concurrent graphrag calls share the cached nodes handle; the
+    refcounted persist must keep the frame cached until the LAST
+    in-flight query releases it (and fully unpersist afterwards)."""
+    from neo4j_document_pipeline_spark.operators import retrieval as R
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 40), root)
+    store = GraphStore(root, spark)
+    nodes = store.read("nodes")
+    a = R._persist_acquire(nodes)
+    b = R._persist_acquire(store.read("nodes"))
+    assert a is b  # the store hands out one handle per snapshot
+    R._persist_release(a)
+    assert nodes.storageLevel.useMemory  # still cached: b holds a ref
+    R._persist_release(b)
+    assert not nodes.storageLevel.useMemory
+    # end-to-end: a burst of concurrent queries all succeed
+    res = R.graphrag_many(spark, store,
+                          ["What did Al-Khwarizmi develop?"] * 4,
+                          max_concurrent=4)
+    assert all(not isinstance(r, Exception) for r in res)

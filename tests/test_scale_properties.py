@@ -86,3 +86,63 @@ def test_generator_domains_are_zipf_skewed(spark):
               pages.groupBy(host.alias("h")).count().orderBy(F.col("count").desc()).collect()]
     # head domain holds far more than the uniform share
     assert counts[0] > 3 * (3000 / 100)
+
+
+def test_mmr_driver_side_ceiling():
+    """mmr_select at the adversarial fan-out ceiling — n = 2*k_vec = 2000
+    candidates with k_vec = max(12, top_k) at top_k = 1000 (main.py:270) —
+    must stay a sub-second driver-side step (O(n*k*dim) incremental
+    max-sim), and at moderate size must match a literal transcription of
+    the reference's O(n*k^2*dim) recompute exactly."""
+    import random
+    import time
+
+    from neo4j_document_pipeline_spark.functions.featurizer import cosine
+    from neo4j_document_pipeline_spark.operators.retrieval import mmr_select
+
+    def mk(n, dim, seed):
+        rng = random.Random(seed)
+        out = []
+        for i in range(n):
+            emb = None if i % 17 == 0 else \
+                [rng.uniform(-1, 1) for _ in range(dim)]
+            out.append({"entity_id": str(i), "score": rng.random(),
+                        "embedding": emb})
+        return out
+
+    # exact parity vs the reference transcription (incl. None embeddings)
+    cands = mk(200, 32, seed=3)
+
+    def ref_mmr(candidates, k, lam=0.7):
+        embs = [c["embedding"] for c in candidates]
+        sel, rest = [], list(range(len(candidates)))
+        b0 = max(rest, key=lambda i: candidates[i]["score"])
+        sel.append(b0); rest.remove(b0)
+
+        def msim(j):
+            if embs[j] is None:
+                return 0.0
+            sims = [cosine(embs[j], embs[i]) if embs[i] is not None else 0.0
+                    for i in sel]
+            return max(sims) if sims else 0.0
+
+        while len(sel) < min(k, len(candidates)) and rest:
+            bj, bv = None, -1e9
+            for j in rest:
+                v = lam * candidates[j]["score"] - (1 - lam) * msim(j)
+                if v > bv:
+                    bv, bj = v, j
+            sel.append(bj); rest.remove(bj)
+        return [candidates[i]["entity_id"] for i in sel]
+
+    got = [c["entity_id"] for c in mmr_select(cands, 80)]
+    assert got == ref_mmr(cands, 80)
+
+    # ceiling: 2000 candidates, k=1000, dim=64 — bounded driver time
+    big = mk(2000, 64, seed=9)
+    t0 = time.perf_counter()
+    sel = mmr_select(big, 1000)
+    el = time.perf_counter() - t0
+    assert len(sel) == 1000
+    assert len({c["entity_id"] for c in sel}) == 1000
+    assert el < 5.0, f"mmr at ceiling took {el:.1f}s"
