@@ -151,11 +151,24 @@ def main(argv=None):
             cfg = dataclasses.replace(DEFAULT_CONFIG,
                                       store_buckets=ns.buckets) \
                 if ns.buckets else DEFAULT_CONFIG
+            # manifested pages dirs resume off their committed snapshot id
+            # — no content-crc scan of the corpus just to derive the
+            # stage-skip key (plain dirs / synth keep the crc fallback).
+            # langs is passed too (an idempotent re-filter) so the
+            # snapshot-keyed resume signature covers it.
+            from neo4j_document_pipeline_spark.sources.pages import (
+                pages_identity)
+            pfp = pages_identity(ns.pages) \
+                if not (ns.pages.startswith(("synth:", "warc:"))
+                        or ns.pages.endswith((".warc", ".warc.gz"))) else None
             manifests = run_pipeline(spark, pages, ns.store, cfg=cfg,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
                                      min_quality=ns.min_quality,
-                                     keep_versions=ns.keep_versions)
+                                     keep_versions=ns.keep_versions,
+                                     langs=(ns.langs.split(",")
+                                            if ns.langs else None),
+                                     pages_fingerprint=pfp)
             print(json.dumps({k: {kk: m.get(kk) for kk in ("rows", "skipped")}
                               for k, m in manifests.items()
                               if not k.startswith("_")}, indent=1))

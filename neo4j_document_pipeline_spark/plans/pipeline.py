@@ -48,7 +48,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  text_source: str = "text",
                  langs: list[str] | None = None,
                  min_quality: float | None = None,
-                 keep_versions: int = 1) -> dict:
+                 keep_versions: int = 1,
+                 pages_fingerprint: str | None = None) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
 
     ``canonicalize_entities=True`` appends the north-star entity-resolution
@@ -80,7 +81,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  or {}).get("max_warc_ts"))
     if langs:
         pages = pages.filter(F.col("lang").isin(list(langs)))
-    if text_source == "text":
+    if pages_fingerprint is not None:
+        # the input table's own committed snapshot identity (e.g.
+        # sources.pages.pages_identity of a manifested pages dir) keys
+        # resume directly — NO content scan. At 100 TB the crc fallback
+        # below reads the whole text column before any work starts just
+        # to derive the stage-skip key; a snapshot id is O(1).
+        fp = f"src:{pages_fingerprint}"
+    elif text_source == "text":
         fp = fingerprint(pages, ["url", "text"])
     else:
         # html-sourced runs must key resume on html content too (text may
@@ -90,14 +98,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             ["url", "text", "_hcrc"])
     # the resume key must cover EVERY knob that changes stage output, not
     # just the input rows — otherwise re-running with a new min_quality /
-    # text_source / chunk size silently skips stages built under the old
-    # settings (langs is already reflected in the filtered input rows)
+    # text_source / chunk size / langs filter silently skips stages built
+    # under the old settings (under the crc path langs is also reflected
+    # in the filtered rows; under a snapshot key it is covered here only)
     import dataclasses
     import hashlib
     import json as _json
     cfg_sig = hashlib.sha256(_json.dumps(
         {**dataclasses.asdict(cfg), "_text_source": text_source,
-         "_min_quality": min_quality},
+         "_min_quality": min_quality,
+         "_langs": sorted(langs) if langs else None},
         sort_keys=True, default=str).encode()).hexdigest()[:16]
     fp = f"{fp}:{cfg_sig}"
 
@@ -132,7 +142,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         obs = Observation(obs_name)
         return df.observe(obs, *metrics), obs
 
-    docs_src = pages_to_documents(pages, cfg, text_source=text_source)
+    # warc_ts high-water mark rides the documents stage's own action via
+    # a pages-level observe — no separate pass over the pages table
+    # (round-2 verdict item: the old explicit max(warc_ts) agg was a
+    # second, if column-pruned, scan of the input per run)
+    wm_obs = Observation("pages_watermark")
+    pages_wm = pages.observe(wm_obs, F.max("warc_ts").alias("batch_max"))
+
+    docs_src = pages_to_documents(pages_wm, cfg, text_source=text_source)
     if min_quality is not None:
         # gate on the EXTRACTED CANONICAL text for every text_source —
         # the same text ingest_increment gates on, so a page passes or
@@ -182,12 +199,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         .drop("_n")
     )
     # warc_ts high-water mark so `--since-ts auto` works after a full run
-    # too (never regressing a prior watermark); computed BEFORE the stage
-    # write and committed INSIDE the same manifest so no crash window can
-    # lose it
-    batch_max = pages.agg(F.max("warc_ts").alias("m")).first()["m"]
-    wm = max(str(batch_max), prior_wm) if (batch_max and prior_wm) \
-        else (str(batch_max) if batch_max else prior_wm)
+    # too (never regressing a prior watermark); committed INSIDE the
+    # documents_final manifest so no crash window can lose it. Normally
+    # free (collected by the pages observe at the documents action); the
+    # explicit tiny agg runs only in the crash window where documents is
+    # already committed but documents_final is not. On a full-skip resume
+    # neither fires — no job touches the pages table at all.
+    wm = prior_wm
+    if not (resume and store.is_current("documents_final", fp)):
+        if not manifests["documents"].get("skipped"):
+            batch_max = wm_obs.get["batch_max"]
+        else:
+            batch_max = pages.agg(F.max("warc_ts").alias("m")).first()["m"]
+        wm = max(str(batch_max), prior_wm) if (batch_max and prior_wm) \
+            else (str(batch_max) if batch_max else prior_wm)
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -182,6 +182,38 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42,
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def _pages_manifest(path: str) -> dict | None:
+    """Manifest of a GraphStore-managed pages table dir (the snapshot
+    pointer), or None for a plain parquet directory."""
+    import json
+    import os
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            man = json.load(f)
+        if os.path.isdir(os.path.join(path, man["version"])):
+            return man
+    except (OSError, json.JSONDecodeError, KeyError, TypeError):
+        pass
+    return None
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a persisted pages table (parquet; Iceberg would slot in here)."""
+    """Scan a persisted pages table. A GraphStore-managed dir (snapshot
+    manifest present) reads its committed version; a plain parquet dir
+    reads directly (Iceberg would slot in here)."""
+    import os
+    man = _pages_manifest(path)
+    if man:
+        return spark.read.parquet(os.path.join(path, man["version"]))
     return spark.read.parquet(path)
+
+
+def pages_identity(path: str) -> str | None:
+    """Committed-snapshot identity of a manifested pages table — the
+    resume key run_pipeline uses INSTEAD of crc-scanning the whole text
+    column (the Iceberg snapshot-id analogue; round-2 verdict item 3).
+    None for plain parquet dirs, which keep the content-crc fallback."""
+    man = _pages_manifest(path)
+    if man:
+        return f"pages-snap:{man['version']}:{man.get('rows')}"
+    return None

@@ -70,7 +70,9 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     pages = synth_pages(spark, 40).cache()
     root = str(tmp_path / "kg")
     m1 = run_pipeline(spark, pages, root)
-    assert all(not m.get("skipped") for m in m1.values())
+    stages1 = {k: m for k, m in m1.items() if not k.startswith("_")}
+    assert all(not m.get("skipped") for m in stages1.values())
+    assert m1["_timings"]  # per-stage wall timings are reported
     store = GraphStore(root, spark)
     stats = graph_stats(store)
     assert stats["total_nodes"] > 20
@@ -79,7 +81,8 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # re-run with identical input -> every stage skipped, tables unchanged
     nodes_before = sorted(r["entity_id"] for r in store.read("nodes").collect())
     m2 = run_pipeline(spark, pages, root)
-    assert all(m.get("skipped") for m in m2.values())
+    assert all(m.get("skipped") for k, m in m2.items()
+               if not k.startswith("_"))
     nodes_after = sorted(r["entity_id"] for r in store.read("nodes").collect())
     assert nodes_before == nodes_after
 
@@ -435,3 +438,63 @@ def test_stats_temporal_bounds_and_maintenance_propagation(spark, store):
     with pytest.raises(ValueError):
         store.write("bad", df.withColumn("d", F.to_date("ts")),
                     partition_by=["d"], stats_cols=["d"])
+
+
+def test_snapshot_keyed_resume_runs_no_pages_job(spark, tmp_path):
+    """With pages_fingerprint (the input table's committed snapshot id),
+    a fully-resumed run must launch NO job over the pages table at all —
+    the crc content scan AND the watermark pass are both gone. Proven
+    with a trap frame whose evaluation raises: resume must complete
+    without ever computing it."""
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 40).cache()
+    root = str(tmp_path / "kg")
+    m1 = run_pipeline(spark, pages, root, pages_fingerprint="snap-A")
+    assert not m1["documents"].get("skipped")
+    # the observe-riding watermark was still committed on the first run
+    wm = (GraphStore(root, spark).manifest("documents_final")["metrics"]
+          .get("max_warc_ts"))
+    assert wm
+
+    @F.udf("string")
+    def boom(x):
+        raise RuntimeError("pages were scanned on a snapshot-keyed resume")
+
+    trap = spark.range(1).select(
+        boom(F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"))
+    m2 = run_pipeline(spark, trap, root, pages_fingerprint="snap-A")
+    assert all(m.get("skipped") for k, m in m2.items()
+               if not k.startswith("_"))
+    # a NEW snapshot id invalidates resume — the trap IS then computed
+    with pytest.raises(Exception, match="pages were scanned|Job aborted"):
+        run_pipeline(spark, trap, root, pages_fingerprint="snap-B")
+
+
+def test_read_pages_resolves_manifested_dir(spark, tmp_path):
+    """read_pages on a GraphStore-managed pages dir reads the committed
+    snapshot (not stale version dirs); pages_identity tracks the
+    snapshot and returns None for plain parquet dirs."""
+    from neo4j_document_pipeline_spark.sources.pages import (
+        pages_identity, read_pages)
+
+    st2 = GraphStore(str(tmp_path), spark, keep_versions=3)
+    st2.write("pages_tbl2", synth_pages(spark, 10))
+    tdir = str(tmp_path / "pages_tbl2")
+    id1 = pages_identity(tdir)
+    assert id1 and id1.startswith("pages-snap:")
+    assert read_pages(spark, tdir).count() == 10
+    # commit a new snapshot -> identity changes, read follows the pointer
+    st2.write("pages_tbl2", synth_pages(spark, 12))
+    id2 = pages_identity(tdir)
+    assert id2 != id1
+    assert read_pages(spark, tdir).count() == 12
+    # plain parquet dir: no manifest -> None (crc fallback)
+    plain = str(tmp_path / "plain")
+    synth_pages(spark, 5).write.parquet(plain)
+    assert pages_identity(plain) is None
+    assert read_pages(spark, plain).count() == 5
