@@ -589,10 +589,111 @@ class GraphStore:
             return merge_fn(self.read(name), updates)
         return merge_fn(None, updates)
 
+    _BUCKET_FILE_RE = None  # compiled lazily below
+
+    @staticmethod
+    def _bucket_of_file(fname: str) -> int | None:
+        """Bucket id encoded in a Spark bucketed data file name
+        (``part-00000-<uuid>_00003.c000.snappy.parquet`` -> 3)."""
+        import re
+        if GraphStore._BUCKET_FILE_RE is None:
+            GraphStore._BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+\.")
+        m = GraphStore._BUCKET_FILE_RE.search(os.path.basename(fname))
+        return int(m.group(1)) if m else None
+
+    def _merge_write(self, name: str, updates: DataFrame, merge_fn, *,
+                     stage: str = "", extra_metrics: dict | None = None,
+                     input_fingerprint: str = "") -> dict:
+        """MERGE ``updates`` into the committed table and commit the new
+        snapshot — rewriting ONLY the affected bucket files when the
+        table has a bucket layout (the Iceberg ``MERGE INTO`` touch-
+        matching-files-only behavior): an incremental batch whose keys
+        hash into k of N buckets reads and rewrites k files; the other
+        N-k data files are HARDLINKED into the new snapshot unchanged
+        (Iceberg reuses unchanged files by reference; hardlinks are the
+        plain-filesystem equivalent — the data survives expiry of the old
+        version because the link count keeps it alive). Scoping is sound
+        because every merge key contains the bucket key, so all rows of
+        a key live in that key's bucket. Falls back to full merge +
+        layout-preserving rewrite for non-bucketed tables, and whenever
+        any committed file's bucket id can't be derived."""
+        m = self.manifest(name)
+        scoped = bool(m and m.get("bucket_by") and m.get("catalog_table"))
+        files_by = {}
+        if scoped:
+            for p in m.get("partitions") or []:
+                b = self._bucket_of_file(p["file"])
+                if b is None:
+                    scoped = False
+                    break
+                files_by.setdefault(b, []).append(p["file"])
+        if not scoped:
+            return self.write_preserving_layout(
+                name, self._merged(name, updates, merge_fn),
+                stage=stage, extra_metrics=extra_metrics,
+                input_fingerprint=input_fingerprint)
+        key, n = m["bucket_by"], m["n_buckets"]
+        base = os.path.join(self._tdir(name), m["version"])
+        # F.hash is Murmur3(seed 42) — the same function bucketed writes
+        # partition by, so this computes each update key's bucket exactly
+        affected = sorted({
+            r["b"] for r in updates
+            .select(F.pmod(F.hash(F.col(key)), F.lit(n)).alias("b"))
+            .distinct().collect()})
+        aff = set(affected)
+        old_aff = [f for b in affected for f in files_by.get(b, [])]
+        keep = [f for b, fs in files_by.items() if b not in aff for f in fs]
+        existing = (
+            self.spark.read.parquet(*[os.path.join(base, f)
+                                      for f in old_aff])
+            if old_aff else None)
+        merged = merge_fn(existing, updates)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self._tdir(name), version)
+        tbl = self._catalog_table(name, version)
+        # bucketed write of the merged subset: rows hash only into the
+        # affected buckets, so exactly those bucket files are produced
+        (merged.repartition(n, F.col(key))
+         .write.mode("overwrite").format("parquet").option("path", path)
+         .bucketBy(n, key).sortBy(key).saveAsTable(tbl))
+        for f in keep:
+            dst = os.path.join(path, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(os.path.join(base, f), dst)
+            except OSError:
+                shutil.copy2(os.path.join(base, f), dst)
+        return self._commit_snapshot(
+            name, version, path, stage=stage,
+            input_fingerprint=input_fingerprint,
+            extra_metrics={**(extra_metrics or {}),
+                           "merge_scope": "bucket",
+                           "rewritten_buckets": len(affected),
+                           "reused_files": len(keep)},
+            extra_manifest={"bucket_by": key, "n_buckets": n,
+                            "catalog_table": tbl})
+
+    def merge_write_nodes(self, updates: DataFrame, **kw) -> dict:
+        return self._merge_write("nodes", updates, self._nodes_merge_fn(),
+                                 **kw)
+
+    def merge_write_edges(self, updates: DataFrame,
+                          max_sources: int | None = None, **kw) -> dict:
+        return self._merge_write("edges", updates,
+                                 self._edges_merge_fn(max_sources), **kw)
+
+    def merge_write_mentions(self, updates: DataFrame, **kw) -> dict:
+        return self._merge_write("mentions", updates,
+                                 self._mentions_merge_fn(), **kw)
+
     def merge_nodes(self, updates: DataFrame) -> DataFrame:
         """MERGE by entity_id: last write wins for embedding (reference
         overwrites node embedding on match, ingestMD.py:507,511); coalesce
         keeps start/end."""
+        return self._merged("nodes", updates, self._nodes_merge_fn())
+
+    @staticmethod
+    def _nodes_merge_fn():
         def fn(existing, new):
             new = new.withColumn("_src", F.lit(1))
             if existing is None:
@@ -611,7 +712,7 @@ class GraphStore:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_src")
             )
-        return self._merged("nodes", updates, fn)
+        return fn
 
     def merge_edges(self, updates: DataFrame,
                     max_sources: int | None = None) -> DataFrame:
@@ -621,6 +722,11 @@ class GraphStore:
         (ingestMD.py:513-547). ``max_sources`` re-applies the bounded-state
         cap after the union (cfg.max_sources_per_edge) so accumulation
         never regrows past it; lexicographic keep = idempotent."""
+        return self._merged("edges", updates,
+                            self._edges_merge_fn(max_sources))
+
+    @staticmethod
+    def _edges_merge_fn(max_sources: int | None = None):
         merged_sources = F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("sources"))))
         if max_sources:
@@ -656,7 +762,7 @@ class GraphStore:
                         "embedding", "sources", "source_text_full",
                         "created_at", "updated_at")
             )
-        return self._merged("edges", updates, fn)
+        return fn
 
     def merge_documents(self, updates: DataFrame) -> DataFrame:
         """MERGE by doc_id with coalesce-style title/path (first write
@@ -682,11 +788,15 @@ class GraphStore:
         return self._merged("documents_final", updates, fn)
 
     def merge_mentions(self, updates: DataFrame) -> DataFrame:
+        return self._merged("mentions", updates, self._mentions_merge_fn())
+
+    @staticmethod
+    def _mentions_merge_fn():
         def fn(existing, new):
             if existing is None:
                 return new.dropDuplicates(["doc_id", "entity_id"])
             return existing.unionByName(new).dropDuplicates(["doc_id", "entity_id"])
-        return self._merged("mentions", updates, fn)
+        return fn
 
     def merge_embeddings(self, updates: DataFrame) -> DataFrame:
         def fn(existing, new):

@@ -65,13 +65,14 @@ def ingest_increment(store, batch_df: DataFrame,
     emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
     store.write("embeddings_cache", emb, stage=stage)
     emb = store.read("embeddings_cache")
-    # write_preserving_layout: a store built with bucket(N, key) (or any
-    # hive partitioning) keeps that layout across incremental merges —
-    # a plain write here would silently drop the storage-partitioned-join
-    # property the full run committed
-    nodes_man = store.write_preserving_layout(
-        "nodes", store.merge_nodes(build_nodes(triples, emb, cfg)),
-        stage=stage)
+    # merge_write_*: on a bucket(N, key) store this is the Iceberg-MERGE
+    # fast path — only the bucket files the batch's keys hash into are
+    # read and rewritten; untouched bucket files carry into the new
+    # snapshot by hardlink. Non-bucketed stores fall back to the full
+    # merge + layout-preserving rewrite (a plain write would silently
+    # drop the layout the full run committed).
+    nodes_man = store.merge_write_nodes(build_nodes(triples, emb, cfg),
+                                        stage=stage)
     # keep the committed read-side indexes in step with the merged nodes
     # (a stale index is bypassed at read time; rebuilding here keeps the
     # indexed fast paths live across incremental batches). The ANN index
@@ -103,14 +104,10 @@ def ingest_increment(store, batch_df: DataFrame,
                         partition_by=["label", "cell"],
                         extra_metrics={**idx_metrics, "centroids": cents,
                                        "n_cells": len(cents)})
-    store.write_preserving_layout(
-        "edges",
-        store.merge_edges(build_edges(triples, emb, cfg, chunks=chunks),
-                          max_sources=cfg.max_sources_per_edge),
-        stage=stage)
-    store.write_preserving_layout(
-        "mentions", store.merge_mentions(build_mentions(triples)),
-        stage=stage)
+    store.merge_write_edges(build_edges(triples, emb, cfg, chunks=chunks),
+                            max_sources=cfg.max_sources_per_edge,
+                            stage=stage)
+    store.merge_write_mentions(build_mentions(triples), stage=stage)
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (documents.join(n_chunks, "doc_id", "left")
                   .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
