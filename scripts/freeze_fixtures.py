@@ -27,9 +27,20 @@ from neo4j_document_pipeline_spark.functions.text import (
     py_safe_label,
     py_sha256_hex,
 )
+from neo4j_document_pipeline_spark.functions.tokenizer import TOKENIZER
 from neo4j_document_pipeline_spark.sources.pages import _FIXTURE_PATHS, make_text
 
-OUT_DIR = "/root/repo/fixtures/triples"
+# fixture sets are keyed by the ACTIVE tokenizer: chunk boundaries (and
+# therefore doc/chunk hashing of oversized paragraphs) depend on it, so a
+# set frozen under the regex fallback is only valid where tiktoken is
+# absent. On a machine WITH tiktoken, running this script freezes the
+# cl100k set alongside; the golden gate picks whichever matches the
+# installed tokenizer (tests/test_golden_triples.py).
+FIXTURE_DIRS = {
+    "regex_fallback": "/root/repo/fixtures/triples",
+    "cl100k_base": "/root/repo/fixtures/triples_cl100k",
+}
+OUT_DIR = FIXTURE_DIRS.get(TOKENIZER, f"/root/repo/fixtures/triples_{TOKENIZER}")
 N_SYNTH = 120  # covers every family several times over
 
 

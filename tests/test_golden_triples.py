@@ -22,9 +22,23 @@ from neo4j_document_pipeline_spark.operators.ingest import (
     documents_to_chunks,
     pages_to_documents,
 )
+from neo4j_document_pipeline_spark.functions.tokenizer import TOKENIZER
 from neo4j_document_pipeline_spark.sources.pages import _FIXTURE_PATHS, make_text
 
-FIXTURE_DIR = "/root/repo/fixtures/triples"
+# fixture set keyed by the ACTIVE tokenizer (chunk boundaries depend on
+# it): the suite runs against whichever set matches the installed
+# tokenizer — regex-fallback fixtures are committed; a machine with
+# tiktoken freezes fixtures/triples_cl100k via scripts/freeze_fixtures.py
+# once and then runs this same gate under cl100k_base.
+from scripts.freeze_fixtures import FIXTURE_DIRS
+
+FIXTURE_DIR = FIXTURE_DIRS.get(TOKENIZER,
+                               f"/root/repo/fixtures/triples_{TOKENIZER}")
+if not os.path.isdir(FIXTURE_DIR):
+    pytest.skip(
+        f"no golden fixtures frozen for tokenizer {TOKENIZER!r} — run "
+        "`python scripts/freeze_fixtures.py` on this machine first "
+        f"(writes {FIXTURE_DIR})", allow_module_level=True)
 
 
 def load_golden():
