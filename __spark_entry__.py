@@ -463,6 +463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("jaccard", F.round("jaccard", 4))
     q["minhash_near_dups"] = minhash_near_dups
 
+    def ngram_jaccard_exact(spark, sf):
+        """Exhaustive shared-shingle Jaccard (no LSH recall loss) — the
+        all-pairs SQL IS a faithful oracle here, unlike the banded path
+        below its design threshold."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            ngram_jaccard_exact as nje)
+        d = (_t(spark, sf, "documents").select("doc_id", "text")
+             .orderBy("doc_id").limit(500))
+        return nje(d, "doc_id", "text", threshold=0.4) \
+            .withColumn("jaccard", F.round("jaccard", 4))
+    q["ngram_jaccard_exact"] = ngram_jaccard_exact
+
     def simhash_signatures(spark, sf):
         from neo4j_document_pipeline_spark.operators.dedup import (
             simhash_signatures as sigs)
@@ -657,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END AS j "
             "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             "WHERE j >= 0.8",
+        "ngram_jaccard_exact":
+            f"{shingle_cte} "
+            "SELECT id1, id2, round(j, 4) AS jaccard FROM ("
+            "  SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "  CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0 "
+            "  THEN len(list_intersect(a.grams, b.grams))::double "
+            "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END AS j "
+            "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+            "WHERE j >= 0.4",
         "simhash_signatures": simhash_sql,
         "embedding_near_dups": emb_neardup_sql,
         "agg_docs_by_lang":

@@ -72,6 +72,10 @@ class PipelineConfig:
     ann_cells: int = 16
     ann_nprobe: int = 8
     ann_train_iters: int = 3
+    # coarse-quantizer training sample (0 = fully-distributed training):
+    # one pass collects a deterministic sample, Lloyd runs driver-side —
+    # the standard IVF practice at any scale (see similarity.ivf_train)
+    ann_train_sample: int = 65_536
     # recall floor: widen the probe set (in centroid-distance order)
     # until the probed cells cover at least this many index rows — on a
     # tiny corpus that degrades to an exact full probe, while at design

@@ -189,10 +189,15 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
         centroids = ivf_train(vecs, "entity_id", "embedding",
                               n_cells=cfg.ann_cells,
                               iters=cfg.ann_train_iters,
-                              seed=cfg.featurizer_seed)
+                              seed=cfg.featurizer_seed,
+                              train_sample=cfg.ann_train_sample)
     idx = ivf_assign(vecs.select("entity_id", "label", "embedding"),
                      "embedding", centroids, "cell")
-    return idx, centroids
+    # cluster rows by the partition columns so each (label, cell) dir is
+    # written by one task -> one file per dir instead of
+    # input-partitions x dirs tiny files (raise shuffle partitions to
+    # split giant cells at scale)
+    return idx.repartition(F.col("label"), F.col("cell")), centroids
 
 
 def index_cell_rows(index_manifest: dict | None,

@@ -230,20 +230,31 @@ def _train_stats(df: DataFrame, vec_col: str,
 
 def ivf_train(df: DataFrame, id_col: str, vec_col: str,
               n_cells: int = 16, iters: int = 5,
-              seed: int = 42) -> list[list[float]]:
-    """Distributed Lloyd k-means coarse quantizer.
+              seed: int = 42,
+              train_sample: int = 65_536) -> list[list[float]]:
+    """IVF coarse-quantizer training (Lloyd k-means by cosine).
 
-    - init: n_cells rows picked by sha2(id) order (deterministic seeded
-      pseudo-random sample, one small job);
-    - assign+update, small dims (n_cells*dim <= _EXPR_ASSIGN_LIMIT):
-      expression-only argmax over literal centroids + one avg per
-      dimension (map-side partial aggregation) — whole-stage codegen,
-      no Python;
-    - assign+update, large dims: one numpy mapInPandas pass per iteration
-      computing per-partition (cell, sum, count) partials against
-      BROADCAST centroids, reduced driver-side — k*dim floats cross the
-      wire per partition, nothing enters the expression tree.
-    Empty cells keep their previous centroid."""
+    Default path — SAMPLED DRIVER-SIDE training: ONE Spark pass collects
+    a deterministic pseudo-random sample of up to ``train_sample``
+    vectors (sha2 order, TakeOrdered heap — no full sort), then every
+    Lloyd iteration is a local numpy matmul. This is how IVF quantizers
+    are trained at billion scale in practice (a bounded sample
+    characterizes the density; faiss does the same), and it replaces
+    iters+1 cluster jobs with one — on a small nodes table the job
+    overhead of the distributed iterations dominates the entire index
+    build. 64k × 3072 floats ≈ 1.5 GB driver peak at reference dims;
+    lower ``train_sample`` if the driver is tighter.
+
+    ``train_sample=0`` forces the fully-distributed path (training on
+    every row):
+    - small dims (n_cells*dim <= _EXPR_ASSIGN_LIMIT): expression-only
+      argmax over literal centroids + one avg per dimension (map-side
+      partial aggregation), whole-stage codegen, no Python;
+    - large dims: one numpy mapInPandas pass per iteration computing
+      per-partition (cell, sum, count) partials against BROADCAST
+      centroids, reduced driver-side — k*dim floats cross the wire per
+      partition, nothing enters the expression tree.
+    Empty cells keep their previous centroid on every path."""
     head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if head is None or head[0] is None:
         raise ValueError("ivf_train: input has no non-null vectors "
@@ -253,6 +264,23 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
     # crashes centroid seeding, and a null/ragged cell assignment has no
     # cell to update (ivf_assign nulls those rows' cells at query time)
     df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    if train_sample and train_sample > 0:
+        rows = (
+            df.select(F.col(vec_col).alias("v"))
+            .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
+                                     F.lit(str(seed))), 256))
+            .limit(train_sample).collect()
+        )
+        X = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+        cents = X[:n_cells].copy()
+        for _ in range(iters):
+            M = _normed_matrix(cents.tolist())
+            cells = (X @ M.T).argmax(axis=1)  # first-max tie-break,
+            for c in range(len(cents)):       # same as array_position
+                mask = cells == c
+                if mask.any():
+                    cents[c] = X[mask].mean(axis=0)
+        return [list(map(float, c)) for c in cents]
     init = (
         df.select(F.col(vec_col).alias("v"))
         .orderBy(F.sha2(F.concat(F.col("v").cast("string"),

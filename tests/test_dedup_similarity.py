@@ -389,7 +389,17 @@ def test_ivf_at_reference_dimensionality(spark):
         .repartition(8).cache()
     e.count()
     t0 = time.perf_counter()
-    cents = ivf_train(e, "vec_id", "embedding", n_cells=k, iters=2)
+    # train_sample=0 forces the fully-distributed stats path — the one
+    # that melted in round 1 and must keep working at these dims; the
+    # default sampled-driver path is covered by the parity check below
+    cents = ivf_train(e, "vec_id", "embedding", n_cells=k, iters=2,
+                      train_sample=0)
+    sampled = ivf_train(e, "vec_id", "embedding", n_cells=k, iters=2)
+    assert len(sampled) == k and len(sampled[0]) == dim
+    # sample >= table size -> sampled training sees every row, so the
+    # centroids match the distributed result up to float reduction order
+    assert all(abs(a - b) < 1e-6
+               for ca, cb in zip(cents, sampled) for a, b in zip(ca, cb))
     assigned = ivf_assign(e, "embedding", cents)
     counts = assigned.groupBy().agg(
         F.count("*").alias("n"),
@@ -579,3 +589,38 @@ def test_graphrag_many_refcounted_persist(spark, tmp_path):
                           ["What did Al-Khwarizmi develop?"] * 4,
                           max_concurrent=4)
     assert all(not isinstance(r, Exception) for r in res)
+
+
+def test_ngram_jaccard_exact_superset_of_lsh(spark):
+    """The exhaustive shared-shingle path must find every pair the banded
+    LSH path finds at its design threshold (exact candidates are a
+    superset), agree on the jaccard values, and never plan a cartesian
+    product."""
+    import io
+    from contextlib import redirect_stdout
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates, ngram_jaccard_exact)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows = [("a", base), ("b", base + " again"), ("c", base),
+            ("d", "completely different text about spark physical plans"),
+            ("e", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {(r["id1"], r["id2"]): round(r["jaccard"], 6)
+             for r in ngram_jaccard_exact(df, "doc_id", "text",
+                                          threshold=0.8).collect()}
+    lsh = {(r["id1"], r["id2"]): round(r["jaccard"], 6)
+           for r in minhash_near_duplicates(df, "doc_id", "text",
+                                            jaccard_threshold=0.8).collect()}
+    assert set(lsh) <= set(exact)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    assert ("a", "c") in exact and exact[("a", "c")] == 1.0
+    assert not any("d" in k or "e" in k for k in exact)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ngram_jaccard_exact(df, "doc_id", "text").explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
