@@ -475,6 +475,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("jaccard", F.round("jaccard", 4))
     q["ngram_jaccard_exact"] = ngram_jaccard_exact
 
+    def tfidf_name_links(spark, sf):
+        """North-star entity-linking scorer: TF-IDF cosine over
+        normalized-name char-3-gram shingles, EXHAUSTIVE candidates
+        (cos>0 iff a shingle is shared), so all-pairs SQL is a faithful
+        oracle (operators/linking.py::tfidf_cosine_links_exact — the
+        same scoring link_entities(score='tfidf') applies after LSH
+        blocking)."""
+        from neo4j_document_pipeline_spark.operators.linking import (
+            tfidf_cosine_links_exact)
+        p = (_t(spark, sf, "part")
+             .orderBy("p_partkey").limit(300)
+             .select(F.lpad(F.col("p_partkey").cast("string"), 9, "0")
+                     .alias("pid"), "p_name"))
+        return (tfidf_cosine_links_exact(p, "pid", "p_name",
+                                         threshold=0.7)
+                .select("id1", "id2", F.round("sim", 4).alias("sim")))
+    q["tfidf_name_links"] = tfidf_name_links
+
     def simhash_signatures(spark, sf):
         from neo4j_document_pipeline_spark.operators.dedup import (
             simhash_signatures as sigs)
@@ -669,6 +687,27 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END AS j "
             "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             "WHERE j >= 0.8",
+        "tfidf_name_links":
+            "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
+            "  FROM part ORDER BY p_partkey LIMIT 300), "
+            "nk AS (SELECT id, array_to_string(list_transform(list_filter("
+            "  string_split_regex(regexp_replace(lower(p_name), '[^a-z0-9 ]+', ' ', 'g'), ' '), "
+            f"  x -> x <> ''), x -> CASE x {num_case} ELSE x END), ' ') AS k FROM sub), "
+            "s AS (SELECT id, '  ' || k || '  ' AS pad FROM nk WHERE k <> ''), "
+            "g AS (SELECT id, list_distinct(list_transform(range(1, length(pad)-1), "
+            "  i -> substring(pad, i, 3))) AS grams FROM s), "
+            "post AS (SELECT id, unnest(grams) AS shingle FROM g), "
+            "dfreq AS (SELECT shingle, count(*) AS df FROM post GROUP BY shingle), "
+            "w AS (SELECT id, p.shingle, ln(301.0/(df+1.0)) + 1.0 AS w "
+            "  FROM post p JOIN dfreq USING (shingle)), "
+            "norms AS (SELECT id, sum(w*w) AS n2 FROM w GROUP BY id), "
+            "dots AS (SELECT a.id AS id1, b.id AS id2, sum(a.w*b.w) AS dot "
+            "  FROM w a JOIN w b ON a.shingle = b.shingle AND a.id < b.id "
+            "  GROUP BY a.id, b.id) "
+            "SELECT id1, id2, round(sim, 4) AS sim FROM ("
+            "  SELECT id1, id2, dot/sqrt(na.n2*nb.n2) AS sim FROM dots "
+            "  JOIN norms na ON id1 = na.id JOIN norms nb ON id2 = nb.id) "
+            "WHERE sim >= 0.7",
         "ngram_jaccard_exact":
             f"{shingle_cte} "
             "SELECT id1, id2, round(j, 4) AS jaccard FROM ("

@@ -91,10 +91,12 @@ class PipelineConfig:
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16
     lsh_rows_per_band: int = 4             # minhash sig len = bands*rows
-    # entity-linking verification: exact shingle-Jaccard over normalized
-    # names (documented deviation from the north-star's TF-IDF cosine —
-    # exact Jaccard on the same shingles is strictly stronger evidence
-    # than an approximation of it)
+    # entity-linking verification threshold. Two scorers share it
+    # (operators/linking.py::link_entities): 'jaccard' (default) — exact
+    # shingle-Jaccard over normalized names, strictly stronger evidence
+    # than a cosine approximation of the same shingles — and 'tfidf',
+    # the north-star-literal TF-IDF cosine (smooth IDF over the entity
+    # corpus), oracle-checked via tfidf_cosine_links_exact
     link_jaccard_threshold: float = 0.6
 
     labels: tuple = field(default=tuple(DEFAULT_LABELS))

@@ -6,10 +6,14 @@ vs "phase-2") survive as distinct nodes and are only deduped at
 read-format time (graphutil.py:640-674). The north star requires linking
 them at WRITE time: MinHash-LSH candidate blocking + similarity
 verification, then connected components -> canonical entity ids.
-DOCUMENTED DEVIATION from the north-star's "TF-IDF cosine" wording:
-verification is EXACT Jaccard over the same normalized-name shingles the
-signatures hash — strictly stronger evidence than the cosine
-approximation of it, and fully JVM-side (array_intersect/array_union).
+Two verification scorers (``link_entities(score=...)``):
+``'jaccard'`` (default) — EXACT Jaccard over the same normalized-name
+shingles the signatures hash, strictly stronger evidence than a cosine
+approximation of it, fully JVM-side; ``'tfidf'`` — the north-star's
+literal TF-IDF cosine scoring (smooth IDF over the entity corpus, rare
+grams dominate), same candidates and threshold semantics, with an
+exhaustive exact kernel (``tfidf_cosine_links_exact``) that doubles as
+its DuckDB oracle (`tfidf_name_links`).
 
 Design (scale-first):
 - signatures: k=bands*rows minhashes over character-3-gram shingles of
@@ -140,14 +144,82 @@ def candidate_pairs(blocks: DataFrame, id_col: str,
     )
 
 
+def _name_shingles_df(df: DataFrame, id_col: str, name_col: str,
+                      n_shingle: int = 3,
+                      extra_cols: tuple = ()) -> DataFrame:
+    """(id, shingle) posting rows over STRING char n-gram shingles of
+    ``'  ' + normalized(name) + '  '`` — the expression twin of
+    minhash_signatures' shingle construction (which crc32-hashes the
+    same grams for banding); string shingles keep TF-IDF scoring and its
+    SQL oracle hash-free. Distinct per id; names that normalize to
+    nothing yield no rows (no linking evidence)."""
+    from neo4j_document_pipeline_spark.functions.text import (
+        col_normalize_name_for_key)
+    s = F.concat(F.lit("  "), col_normalize_name_for_key(F.col(name_col)),
+                 F.lit("  "))
+    grams = F.when(
+        F.length(s) > 4,  # '    ' == empty normalized name
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n_shingle - 1)),
+            lambda i: s.substr(i, F.lit(n_shingle)))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"), *extra_cols,
+                      F.explode(grams).alias("shingle")))
+
+
+def _tfidf_weighted_postings(posting: DataFrame, n_rows: int):
+    """Attach smooth-IDF weights (ln((1+N)/(1+df)) + 1, sklearn
+    convention) to distinct (id, shingle) postings and return
+    (weighted postings, per-id squared norms). With distinct shingles
+    per id, tf == 1, so the pair dot product is sum of idf^2 over
+    SHARED shingles — all equi-join/agg work."""
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(1.0 + n_rows)) / (F.col("df") + 1.0)) + F.lit(1.0)
+    wpost = posting.join(dfreq, "shingle").withColumn("w", idf) \
+        .select("id", "shingle", "w")
+    norms = wpost.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return wpost, norms
+
+
+def _score_pairs_tfidf(pairs: DataFrame, wpost: DataFrame,
+                       norms: DataFrame) -> DataFrame:
+    """(id1, id2) -> (id1, id2, sim) where sim is the TF-IDF cosine of
+    the two shingle sets (idf^2-weighted overlap / norms)."""
+    w1 = wpost.select(F.col("id").alias("id1"), "shingle",
+                      F.col("w").alias("w1"))
+    w2 = wpost.select(F.col("id").alias("id2"), "shingle",
+                      F.col("w").alias("w2"))
+    dots = (pairs.join(w1, "id1").join(w2, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
+    n1 = norms.select(F.col("id").alias("id1"), F.col("n2").alias("n21"))
+    n2_ = norms.select(F.col("id").alias("id2"), F.col("n2").alias("n22"))
+    return (
+        pairs.join(dots, ["id1", "id2"], "left")
+        .join(n1, "id1").join(n2_, "id2")
+        .withColumn("sim", F.coalesce(F.col("dot"), F.lit(0.0))
+                    / F.sqrt(F.col("n21") * F.col("n22")))
+        .select("id1", "id2", "sim")
+    )
+
+
 def link_entities(nodes: DataFrame,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
-                  jaccard_threshold: float | None = None) -> DataFrame:
+                  jaccard_threshold: float | None = None,
+                  score: str = "jaccard") -> DataFrame:
     """nodes(entity_id,label,name,...) -> verified link edges
     (id1, id2, sim). Blocking is per-label MinHash-LSH over normalized-name
-    shingles; verification is EXACT shingle Jaccard >= threshold, computed
-    JVM-side (array_intersect / array_union) — variants that normalize to
-    the same key ("Phase Two" / "phase-2" -> "phase 2") get sim = 1.0."""
+    shingles. Verification (``score``):
+
+    - ``'jaccard'`` (default): EXACT shingle Jaccard >= threshold,
+      JVM-side (array_intersect / array_union) — variants that normalize
+      to the same key ("Phase Two" / "phase-2" -> "phase 2") get
+      sim = 1.0;
+    - ``'tfidf'``: the north-star-literal TF-IDF cosine over the same
+      normalized-name char-3-gram shingles (smooth IDF over the entity
+      corpus; rare grams dominate, boilerplate grams fade). Same
+      candidates, same threshold semantics; the scoring kernel is
+      oracle-checked standalone via tfidf_cosine_links_exact."""
     if jaccard_threshold is None:
         jaccard_threshold = cfg.link_jaccard_threshold
     base = nodes.select("entity_id", "label", "name")
@@ -155,6 +227,13 @@ def link_entities(nodes: DataFrame,
     blocks = lsh_blocks(sigs, cfg, extra_key="label")
     pairs = candidate_pairs(blocks, "entity_id", cfg,
                             block_cols=("band", "bh", "label"))
+
+    if score == "tfidf":
+        posting = _name_shingles_df(base, "entity_id", "name")
+        n_rows = base.count()
+        wpost, norms = _tfidf_weighted_postings(posting, n_rows)
+        return (_score_pairs_tfidf(pairs, wpost, norms)
+                .filter(F.col("sim") >= F.lit(jaccard_threshold)))
 
     sh = sigs.select("entity_id", "shingles")
     s1 = sh.select(F.col("entity_id").alias("id1"), F.col("shingles").alias("sh1"))
@@ -167,6 +246,35 @@ def link_entities(nodes: DataFrame,
         .filter(F.col("sim") >= F.lit(jaccard_threshold))
         .select("id1", "id2", "sim")
     )
+
+
+def tfidf_cosine_links_exact(df: DataFrame, id_col: str, name_col: str,
+                             threshold: float = 0.6,
+                             label_col: str | None = None) -> DataFrame:
+    """EXACT TF-IDF-cosine linking with EXHAUSTIVE candidates: cosine > 0
+    iff the two names share a shingle, so a shared-shingle inverted join
+    misses no pair (the same exhaustiveness argument as
+    dedup.ngram_jaccard_exact) — which makes the all-pairs SQL a faithful
+    oracle of this scoring kernel. With ``label_col``, only same-label
+    pairs are linked (linking across labels is never correct here) while
+    IDF stays corpus-global. Bounded-subset / audit path; the production
+    LSH-blocked path shares the identical scoring
+    (link_entities(score='tfidf'))."""
+    extra = (F.col(label_col),) if label_col else ()
+    posting = _name_shingles_df(df, id_col, name_col, extra_cols=extra)
+    n_rows = df.count()
+    wpost, norms = _tfidf_weighted_postings(
+        posting.select("id", "shingle").distinct(), n_rows)
+    p1 = posting.select(F.col("id").alias("id1"), "shingle",
+                        *[c.alias("l1") for c in extra])
+    p2 = posting.select(F.col("id").alias("id2"), "shingle",
+                        *[c.alias("l2") for c in extra])
+    cand = p1.join(p2, "shingle").filter(F.col("id1") < F.col("id2"))
+    if label_col:
+        cand = cand.filter(F.col("l1") == F.col("l2"))
+    pairs = cand.select("id1", "id2").distinct()
+    return (_score_pairs_tfidf(pairs, wpost, norms)
+            .filter(F.col("sim") >= F.lit(threshold)))
 
 
 def _canon_sources(max_sources: int | None):

@@ -124,3 +124,28 @@ def test_empty_normalization_names_never_link(spark):
             enumerate(["北京公司", "上海集团", "Ωμέγα", "!!!", "مؤسسة"])]
     nodes = spark.createDataFrame(rows, "entity_id string, label string, name string")
     assert link_entities(nodes).count() == 0
+
+
+def test_tfidf_linking_matches_exact_kernel(spark):
+    """link_entities(score='tfidf') — the north-star-literal TF-IDF
+    cosine scorer behind LSH blocking — must agree with the exhaustive
+    shared-shingle kernel on every pair it emits (same scores), find the
+    same high-similarity pairs on clean data, and respect label scoping."""
+    from neo4j_document_pipeline_spark.operators.linking import (
+        link_entities, tfidf_cosine_links_exact)
+    rows = [("e1", "Entity", "Phase Two"), ("e2", "Entity", "phase-2"),
+            ("e3", "Entity", "Phase Three"), ("e4", "Goal", "Phase Two"),
+            ("e5", "Entity", "Digital Transformation Strategy"),
+            ("e6", "Entity", "digital transformation strategy!"),
+            ("e7", "Entity", "Completely Unrelated"), ("e8", "Entity", "???")]
+    df = spark.createDataFrame(rows,
+                               "entity_id string, label string, name string")
+    lsh = {(r["id1"], r["id2"]): round(r["sim"], 6) for r in
+           link_entities(df, jaccard_threshold=0.9, score="tfidf").collect()}
+    exact = {(r["id1"], r["id2"]): round(r["sim"], 6) for r in
+             tfidf_cosine_links_exact(df, "entity_id", "name", 0.9,
+                                      label_col="label").collect()}
+    assert lsh == exact  # identical normalized names block together
+    assert lsh[("e1", "e2")] == 1.0 and lsh[("e5", "e6")] == 1.0
+    assert ("e1", "e4") not in lsh  # cross-label never linked
+    assert not any("e7" in k or "e8" in k for k in lsh)
