@@ -408,6 +408,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
     q["sessionize_events"] = sessionize_events
 
+    # ---- §2.9: Spark-native session_window sessionization ----
+    def session_window_events(spark, sf):
+        """F.session_window — single hash-agg with in-operator session
+        merge (no per-user sort window); [start, last+gap) boundary
+        semantics, oracled by the gaps-and-islands SQL with diff >= gap
+        starting a new session."""
+        from neo4j_document_pipeline_spark.streaming.ingest import (
+            session_windows)
+        out = session_windows(_t(spark, sf, "events"))
+        return out.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events")
+    q["session_window_events"] = session_window_events
+
     # ---- O4: recency ordering ----
     def recent_orders(spark, sf):
         return (_t(spark, sf, "orders")
@@ -871,6 +887,21 @@ def oracle_sql() -> dict[str, str]:
             "    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 "
             "    THEN 1 ELSE 0 END AS newsess FROM events)) "
             "GROUP BY user_id, session_id",
+        # session_window boundary semantics: an event exactly gap after
+        # the last starts a NEW session (touching windows don't overlap),
+        # hence >= where sessionize_events uses >; end = last_ts + gap
+        "session_window_events":
+            "SELECT user_id, min(epoch_us(ts)) AS start_us, "
+            "max(epoch_us(ts)) + 1800000000 AS end_us, count(*) AS n_events "
+            "FROM ("
+            "  SELECT user_id, ts, CAST(sum(newsess) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM ("
+            "    SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000 "
+            "    THEN 1 ELSE 0 END AS newsess FROM events)) "
+            "GROUP BY user_id, sid",
         "recent_orders":
             "SELECT o_orderkey, o_orderdate FROM orders "
             "ORDER BY o_orderdate DESC, o_orderkey LIMIT 20",

@@ -194,6 +194,30 @@ def stateful_user_counters(events: DataFrame,
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str | None = None) -> DataFrame:
+    """Spark-NATIVE sessionization via F.session_window: one
+    (Object)HashAggregate with in-operator session merging, identical on
+    static frames and streams (a watermark closes sessions for append
+    output) — the scale path next to the lag/sum gaps-and-islands
+    construction (sessionize_events' oracle shape), which needs a
+    per-user ordered window over the whole frame. Boundary semantics:
+    a session spans [first_ts, last_ts + gap); an event exactly ``gap``
+    after the last one starts a NEW session (windows that merely touch
+    do not overlap)."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events")
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window counts with late-data watermark — works on both a

@@ -225,3 +225,51 @@ def test_bucket_scoped_incremental_merge_rewrites_k_files(spark, tmp_path):
     before = sorted(map(str, store.read("nodes").collect()))
     ingest_increment(store, delta, cfg=cfg)
     assert sorted(map(str, store.read("nodes").collect())) == before
+
+
+def test_session_window_stream_emits_closed_sessions(spark, tmp_path):
+    """F.session_window on a stream: with a watermark, a session is
+    emitted (append mode) once the watermark passes its end — later
+    files advance the watermark and flush earlier users' sessions, while
+    still-open sessions stay in state."""
+    import datetime as dt
+
+    from neo4j_document_pipeline_spark.streaming.ingest import session_windows
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "events")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{d}/{name}")
+
+    # user 1: two events 10 min apart -> one session [t0, t0+40min)
+    write("f1", [(1, 1, t0, 1.0),
+                 (2, 1, t0 + dt.timedelta(minutes=10), 1.0)])
+    # much-later events: each batch advances the watermark for the next
+    write("f2", [(3, 2, t0 + dt.timedelta(hours=10), 1.0)])
+    write("f3", [(4, 3, t0 + dt.timedelta(hours=20), 1.0)])
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(d + "/*"))
+    out = session_windows(src, gap="30 minutes", watermark="1 hour")
+    query = (out.writeStream.format("memory").queryName("sess_test")
+             .outputMode("append").trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    rows = {(r["user_id"],
+             r["session_start"].replace(tzinfo=None),
+             r["session_end"].replace(tzinfo=None),
+             r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_test").collect()}
+    # final watermark = 20:00 - 1h = 19:00 — user 1 (end 00:40) and
+    # user 2 (end 10:30) are closed and emitted; user 3's session
+    # (end 20:30) is beyond it and stays open in state
+    assert rows == {
+        (1, t0, t0 + dt.timedelta(minutes=40), 2),
+        (2, t0 + dt.timedelta(hours=10),
+         t0 + dt.timedelta(hours=10, minutes=30), 1),
+    }
+    # static mode over the same files sees ALL sessions
+    static = session_windows(spark.read.parquet(d + "/*"), gap="30 minutes")
+    assert static.count() == 3
