@@ -328,6 +328,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("score").desc(), "vec_id").limit(10))
     q["pq_topk_rerank"] = pq_topk_rerank
 
+    # ---- hyperplane-LSH ANN, all buckets probed (exact) ----
+    def lsh_topk_full(spark, sf):
+        """With n_planes=2 and multiprobe=2 every one of the 4 sign
+        buckets is probed, so the bucketed search degrades to exact
+        cosine — same shared oracle as the other full-probe ANN paths."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            lsh_bucketed_topk)
+        e = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        out = lsh_bucketed_topk(e, "vec_id", "embedding", qv, k=50,
+                                n_planes=2, multiprobe=2)
+        return (out.select("vec_id", F.round("score", 4).alias("score"))
+                .orderBy(F.col("score").desc(), "vec_id").limit(10))
+    q["lsh_topk_full"] = lsh_topk_full
+
+    # ---- pairwise top-k similarity join ----
+    def pairwise_topk(spark, sf):
+        """For each of 50 query vectors, its top-3 most-similar targets
+        from a disjoint 100-vector set (broadcast join + per-left
+        window)."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            pairwise_topk_join)
+        e = _t(spark, sf, "embeddings")
+        left = e.filter(F.col("vec_id") < 50)
+        right = e.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150))
+        out = pairwise_topk_join(left, right, "vec_id", "vec_id",
+                                 "embedding", "embedding", k=3)
+        return out.select("lid", "rid", F.round("score", 4).alias("score"),
+                          "rank")
+    q["pairwise_topk"] = pairwise_topk
+
     # ---- URL normalization (url-level dedup staple) ----
     def url_normalize(spark, sf):
         from neo4j_document_pipeline_spark.functions.textstats import (
@@ -846,6 +878,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
             "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        # hyperplane LSH probing every bucket is exact as well
+        "lsh_topk_full":
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
+            "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        "pairwise_topk":
+            "WITH l AS (SELECT vec_id AS lid, embedding AS lv FROM embeddings "
+            "  WHERE vec_id < 50), "
+            "r AS (SELECT vec_id AS rid, embedding AS rv FROM embeddings "
+            "  WHERE vec_id >= 50 AND vec_id < 150), "
+            "s AS (SELECT lid, rid, list_cosine_similarity(lv, rv) AS sc "
+            "  FROM l CROSS JOIN r), "
+            "k AS (SELECT lid, rid, sc, row_number() OVER ("
+            "  PARTITION BY lid ORDER BY sc DESC, rid) AS rank FROM s) "
+            "SELECT lid, rid, round(sc, 4) AS score, rank FROM k "
+            "WHERE rank <= 3",
         "token_counts":
             f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents",
         "lang_id":
