@@ -720,12 +720,21 @@ def oracle_sql() -> dict[str, str]:
         "  (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) END AS c "
         "  FROM cand) WHERE c >= 0.35")
 
+    # golden fixtures are frozen PER TOKENIZER (chunk boundaries depend
+    # on it): point the oracle at the set matching the ACTIVE tokenizer,
+    # exactly like tests/test_golden_triples.py — a cl100k run must never
+    # compare against regex-fallback-frozen triples
+    from neo4j_document_pipeline_spark.functions.tokenizer import TOKENIZER
+    from scripts.freeze_fixtures import FIXTURE_DIRS
+    fixture_dir = FIXTURE_DIRS.get(
+        TOKENIZER, f"/root/repo/fixtures/triples_{TOKENIZER}")
+
     return {
         "kg_triples_documents":
             "SELECT DISTINCT doc_id, t.subject AS subject, t.predicate AS rel_type, "
             "t.object AS object, t.object_kind AS object_kind "
             "FROM (SELECT doc_id, unnest(triples) AS t "
-            "FROM read_json_auto('/root/repo/fixtures/triples/*.json'))",
+            f"FROM read_json_auto('{fixture_dir}/*.json'))",
         "minhash_near_dups":
             f"{shingle_cte} "
             "SELECT id1, id2, round(j, 4) AS jaccard FROM ("
@@ -746,7 +755,11 @@ def oracle_sql() -> dict[str, str]:
             "  i -> substring(pad, i, 3))) AS grams FROM s), "
             "post AS (SELECT id, unnest(grams) AS shingle FROM g), "
             "dfreq AS (SELECT shingle, count(*) AS df FROM post GROUP BY shingle), "
-            "w AS (SELECT id, p.shingle, ln(301.0/(df+1.0)) + 1.0 AS w "
+            # N derived from the subset itself — at small sfs LIMIT 300
+            # yields fewer rows and the Spark kernel's df.count() must
+            # see the same corpus size (review finding r3)
+            "w AS (SELECT id, p.shingle, "
+            "  ln(((SELECT count(*) FROM sub) + 1.0)/(df+1.0)) + 1.0 AS w "
             "  FROM post p JOIN dfreq USING (shingle)), "
             "norms AS (SELECT id, sum(w*w) AS n2 FROM w GROUP BY id), "
             "dots AS (SELECT a.id AS id1, b.id AS id2, sum(a.w*b.w) AS dot "

@@ -101,14 +101,17 @@ def main():
         pages = synth_pages(spark, N_SYNTH)
 
         tail_stages = ("node_tokens", "node_vectors", "label_counts")
-        tails: list[float] = []
+        reps: list[tuple[float, float]] = []  # (elapsed, tail) per run
 
         def ingest_once():
             root = tempfile.mkdtemp(prefix="kg_bench_run_")
             roots.append(root)
+            t0 = time.perf_counter()
             man = run_pipeline(spark, pages, root, resume=False)
+            el = time.perf_counter() - t0
             t = man.get("_timings", {})
-            tails.append(sum(v for k, v in t.items() if k in tail_stages))
+            reps.append((el, sum(v for k, v in t.items()
+                                 if k in tail_stages)))
 
         timed("kg_ingest_synth", ingest_once)
         store_root = roots[-1]  # populated store for the graphrag step
@@ -117,10 +120,12 @@ def main():
         # attribution split: the read-index tail (FTS postings + ANN index
         # + label counts, committed at graph-build time) vs the core write
         # path — so a draw-over-draw regression is attributable to "added
-        # index stages" vs "got slower"
-        extras["kg_ingest_index_tail_sec"] = round(min(tails), 3)
-        extras["kg_ingest_core_sec"] = round(
-            timings["kg_ingest_synth"] - min(tails), 3)
+        # index stages" vs "got slower". Both numbers come from the SAME
+        # repetition (the fastest one), so tail + core reconstructs a run
+        # that actually happened.
+        best_el, best_tail = min(reps)
+        extras["kg_ingest_index_tail_sec"] = round(best_tail, 3)
+        extras["kg_ingest_core_sec"] = round(best_el - best_tail, 3)
 
         # 2. canonicalize+chunk+extract over the driver documents table
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

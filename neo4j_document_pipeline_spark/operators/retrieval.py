@@ -934,9 +934,13 @@ _persist_refs: dict[int, int] = {}
 
 
 def _persist_acquire(df: DataFrame) -> DataFrame:
+    # persist() INSIDE the lock: if it ran after release, a concurrent
+    # releaser's pending unpersist() could evict the cache a fresh
+    # acquirer just counted on (release/acquire interleave). persist/
+    # unpersist are lazy metadata calls, so holding the lock is cheap.
     with _persist_lock:
         _persist_refs[id(df)] = _persist_refs.get(id(df), 0) + 1
-    df.persist()  # idempotent on an already-persisted frame
+        df.persist()  # idempotent on an already-persisted frame
     return df
 
 
@@ -947,7 +951,7 @@ def _persist_release(df: DataFrame) -> None:
             _persist_refs[id(df)] = n
             return
         _persist_refs.pop(id(df), None)
-    df.unpersist()
+        df.unpersist()
 
 
 MAX_CONCURRENT_QUERIES = 20

@@ -634,28 +634,36 @@ class GraphStore:
                 input_fingerprint=input_fingerprint)
         key, n = m["bucket_by"], m["n_buckets"]
         base = os.path.join(self._tdir(name), m["version"])
-        # F.hash is Murmur3(seed 42) — the same function bucketed writes
-        # partition by, so this computes each update key's bucket exactly
-        affected = sorted({
-            r["b"] for r in updates
-            .select(F.pmod(F.hash(F.col(key)), F.lit(n)).alias("b"))
-            .distinct().collect()})
-        aff = set(affected)
-        old_aff = [f for b in affected for f in files_by.get(b, [])]
-        keep = [f for b, fs in files_by.items() if b not in aff for f in fs]
-        existing = (
-            self.spark.read.parquet(*[os.path.join(base, f)
-                                      for f in old_aff])
-            if old_aff else None)
-        merged = merge_fn(existing, updates)
-        version = f"v-{uuid.uuid4().hex[:12]}"
-        path = os.path.join(self._tdir(name), version)
-        tbl = self._catalog_table(name, version)
-        # bucketed write of the merged subset: rows hash only into the
-        # affected buckets, so exactly those bucket files are produced
-        (merged.repartition(n, F.col(key))
-         .write.mode("overwrite").format("parquet").option("path", path)
-         .bucketBy(n, key).sortBy(key).saveAsTable(tbl))
+        # the updates frame is evaluated twice (bucket probe + merged
+        # write) — persist it so the per-batch update-building work
+        # (build_nodes/build_edges joins+aggs) runs once, not per action
+        updates = updates.persist()
+        try:
+            # F.hash is Murmur3(seed 42) — the same function bucketed
+            # writes partition by: each update key's bucket, exactly
+            affected = sorted({
+                r["b"] for r in updates
+                .select(F.pmod(F.hash(F.col(key)), F.lit(n)).alias("b"))
+                .distinct().collect()})
+            aff = set(affected)
+            old_aff = [f for b in affected for f in files_by.get(b, [])]
+            keep = [f for b, fs in files_by.items()
+                    if b not in aff for f in fs]
+            existing = (
+                self.spark.read.parquet(*[os.path.join(base, f)
+                                          for f in old_aff])
+                if old_aff else None)
+            merged = merge_fn(existing, updates)
+            version = f"v-{uuid.uuid4().hex[:12]}"
+            path = os.path.join(self._tdir(name), version)
+            tbl = self._catalog_table(name, version)
+            # bucketed write of the merged subset: rows hash only into
+            # the affected buckets, so exactly those files are produced
+            (merged.repartition(n, F.col(key))
+             .write.mode("overwrite").format("parquet").option("path", path)
+             .bucketBy(n, key).sortBy(key).saveAsTable(tbl))
+        finally:
+            updates.unpersist()
         for f in keep:
             dst = os.path.join(path, f)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
