@@ -87,6 +87,13 @@ class PipelineConfig:
     # embedded rows — below it a brute-force scan is already one task and
     # the index would only add a per-ingest training job
     ann_min_rows: int = 64
+    # IVFPQ serving (0 = off): store m-byte PQ codes in node_vectors
+    # INSTEAD of full embeddings (m bytes vs 4*dim per row — the
+    # billion-scale memory shape); queries ADC-score the probed cells'
+    # codes and exact-rerank the top candidates against the nodes table.
+    # Requires embedding_dim % ann_pq_m == 0.
+    ann_pq_m: int = 0
+    ann_pq_k: int = 16
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

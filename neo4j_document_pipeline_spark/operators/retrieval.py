@@ -112,7 +112,8 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
                    centroids: list[list[float]] | None = None,
                    nprobe: int | None = None,
                    cell_rows: dict[int, int] | None = None,
-                   min_probe_rows: int | None = None) -> DataFrame:
+                   min_probe_rows: int | None = None,
+                   pq_codebooks=None) -> DataFrame:
     """Global top-k_vec by cosine (graphutil.py:364-391).
 
     With ``index`` + ``centroids`` (the committed ``node_vectors`` IVF
@@ -153,6 +154,28 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
         df = index.filter(F.col("cell").isin(probes))
         if labels:
             df = df.filter(F.col("label").isin(labels))
+        if pq_codebooks is not None:
+            # IVFPQ serving: the index stores m-byte PQ codes instead of
+            # embeddings — ADC-score the probed cells' codes (broadcast
+            # lookup table, Arrow batches), then exact-rerank the top
+            # candidates against the nodes table (a point-lookup join at
+            # scale). The candidate floor mirrors the cell recall floor:
+            # on a small corpus every row survives to the rerank, making
+            # the result exact.
+            import numpy as np
+            from neo4j_document_pipeline_spark.operators.similarity import (
+                pq_topk)
+            books = np.asarray(pq_codebooks)
+            cand_n = max(4 * k_vec, int(min_probe_rows or 0), 64)
+            cand = pq_topk(df, "entity_id", "pq_code", books, qvec,
+                           k=cand_n, candidates=cand_n) \
+                .select("entity_id")
+            return (
+                nodes.join(F.broadcast(cand), "entity_id")
+                .select("entity_id", cosine_score_col(qvec).alias("vec"))
+                .orderBy(F.col("vec").desc(), "entity_id")
+                .limit(k_vec)
+            )
         return (
             df.select("entity_id", cosine_score_col(qvec).alias("vec"))
             .orderBy(F.col("vec").desc(), "entity_id")
@@ -170,20 +193,28 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
 
 def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
                        centroids: list[list[float]] | None = None,
-                       ) -> tuple[DataFrame, list[list[float]]]:
-    """Write-time ANN index over node embeddings: (entity_id, label,
-    embedding, cell) where cell is the nearest IVF coarse centroid.
+                       codebooks=None):
+    """Write-time ANN index over node embeddings, hive-partitioned by
+    (label, cell) — the committed-table analogue of the reference's
+    per-label vector indexes (ingestMD.py:669-690, graphutil.py:364-391):
+    a query's cell probes AND label filters both become partition pruning.
 
-    The committed-table analogue of the reference's per-label vector
-    indexes (ingestMD.py:669-690, graphutil.py:364-391): written
-    hive-partitioned by (label, cell) so a query's cell probes AND label
-    filters both become partition pruning. Pass prior ``centroids`` to
-    re-assign without retraining (incremental batches); otherwise trains
-    a fresh coarse quantizer (distributed Lloyd, operators/similarity.py).
-    Returns (index_df, centroids) — centroids are committed into the
-    manifest so the read path ranks cells driver-side with zero jobs."""
+    Two storage shapes:
+    - default (cfg.ann_pq_m == 0): (entity_id, label, embedding, cell) —
+      probed cells rerank exactly in place;
+    - IVFPQ (cfg.ann_pq_m > 0): (entity_id, label, pq_code, cell) — the
+      full embedding is REPLACED by an m-byte PQ code (m vs 4*dim bytes
+      per row, the billion-scale memory shape); queries ADC-score the
+      probed codes and exact-rerank the winners against the nodes table.
+
+    Pass prior ``centroids``/``codebooks`` to re-assign/re-encode without
+    retraining (incremental batches). Returns (index_df, centroids,
+    codebooks-or-None); centroids and codebooks go into the manifest so
+    the read path ranks cells and builds its ADC lookup table driver-side
+    with zero jobs."""
+    import numpy as np
     from neo4j_document_pipeline_spark.operators.similarity import (
-        ivf_assign, ivf_train)
+        ivf_assign, ivf_train, pq_encode, pq_train)
     vecs = nodes.filter(F.col("embedding").isNotNull())
     if centroids is None:
         centroids = ivf_train(vecs, "entity_id", "embedding",
@@ -191,13 +222,27 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
                               iters=cfg.ann_train_iters,
                               seed=cfg.featurizer_seed,
                               train_sample=cfg.ann_train_sample)
-    idx = ivf_assign(vecs.select("entity_id", "label", "embedding"),
-                     "embedding", centroids, "cell")
+    base = vecs.select("entity_id", "label", "embedding")
+    if cfg.ann_pq_m > 0:
+        if codebooks is None:
+            codebooks = pq_train(vecs, "embedding", m=cfg.ann_pq_m,
+                                 k=cfg.ann_pq_k,
+                                 sample=cfg.ann_train_sample,
+                                 seed=cfg.featurizer_seed)
+        else:
+            codebooks = np.asarray(codebooks)
+        idx = ivf_assign(pq_encode(base, "embedding", codebooks),
+                         "embedding", centroids, "cell") \
+            .select("entity_id", "label", "pq_code", "cell")
+    else:
+        idx = ivf_assign(base, "embedding", centroids, "cell")
+        codebooks = None
     # cluster rows by the partition columns so each (label, cell) dir is
     # written by one task -> one file per dir instead of
     # input-partitions x dirs tiny files (raise shuffle partitions to
     # split giant cells at scale)
-    return idx.repartition(F.col("label"), F.col("cell")), centroids
+    return idx.repartition(F.col("label"), F.col("cell")), centroids, \
+        codebooks
 
 
 def index_cell_rows(index_manifest: dict | None,
@@ -431,13 +476,15 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
                       vec_centroids: list[list[float]] | None = None,
                       nprobe: int | None = None,
                       vec_cell_rows: dict[int, int] | None = None,
-                      min_probe_rows: int | None = None) -> DataFrame:
+                      min_probe_rows: int | None = None,
+                      vec_pq=None) -> DataFrame:
     """Full-outer channel merge, per-channel max, min-max norm, blended
     score with weights renormalized to sum 1 (graphutil.py:401-447)."""
     vec = vector_channel(nodes, qvec, labels, k_vec,
                          index=vec_index, centroids=vec_centroids,
                          nprobe=nprobe, cell_rows=vec_cell_rows,
-                         min_probe_rows=min_probe_rows)
+                         min_probe_rows=min_probe_rows,
+                         pq_codebooks=vec_pq)
     kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes,
                          postings=postings)
     raw = (
@@ -897,15 +944,17 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
         # committed ANN index (build_node_vectors): same freshness rule;
         # serving it replaces the vector channel's full nodes scan with
         # an nprobe-cell partition-pruned probe + exact rerank
-        vec_index, vec_centroids, vec_cell_rows = None, None, None
+        vec_index, vec_centroids, vec_cell_rows, vec_pq = None, None, None, None
         if store.exists(f"node_vectors{suffix}"):
             vman = store.manifest(f"node_vectors{suffix}")
             if index_is_fresh(vman, man):
-                cents = (vman.get("metrics") or {}).get("centroids")
+                vmet = vman.get("metrics") or {}
+                cents = vmet.get("centroids")
                 if cents:
                     vec_index = store.read(f"node_vectors{suffix}")
                     vec_centroids = cents
                     vec_cell_rows = index_cell_rows(vman, labels)
+                    vec_pq = vmet.get("pq_codebooks")
         timings["ann_index"] = 1.0 if vec_index is not None else 0.0
 
         return _graphrag_body(
@@ -913,7 +962,7 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
             qvec, postings, n_nodes, timings, top_k, hops, labels,
             alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
             cfg, fused, vec_index=vec_index, vec_centroids=vec_centroids,
-            vec_cell_rows=vec_cell_rows)
+            vec_cell_rows=vec_cell_rows, vec_pq=vec_pq)
     finally:
         _persist_release(nodes)
 
@@ -1023,7 +1072,7 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                    hops, labels, alpha_vec, beta_kw, use_mmr,
                    use_cross_doc, include_source, cfg,
                    fused, vec_index=None, vec_centroids=None,
-                   vec_cell_rows=None) -> GraphRagResult:
+                   vec_cell_rows=None, vec_pq=None) -> GraphRagResult:
     import time as _time
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
@@ -1036,7 +1085,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                                 index=vec_index, centroids=vec_centroids,
                                 nprobe=cfg.ann_nprobe,
                                 cell_rows=vec_cell_rows,
-                                min_probe_rows=cfg.ann_min_probe_rows)
+                                min_probe_rows=cfg.ann_min_probe_rows,
+                                pq_codebooks=vec_pq)
         kw_df = keyword_channel(nodes, question, k, labels, cfg,
                                 n_nodes=n_nodes,
                                 postings=postings)
@@ -1074,8 +1124,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                                      vec_centroids=vec_centroids,
                                      nprobe=cfg.ann_nprobe,
                                      vec_cell_rows=vec_cell_rows,
-                                     min_probe_rows=cfg.ann_min_probe_rows
-                                     ).cache()
+                                     min_probe_rows=cfg.ann_min_probe_rows,
+                                     vec_pq=vec_pq).cache()
         # attach doc titles for diversification / seed-dedup (J1) — scoped
         # to the <=2k candidate ids (broadcast), never an all-mentions
         # aggregate

@@ -288,14 +288,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             manifests[vname] = {**store.manifest(vname), "skipped": True}
         elif (man.get("rows") or 0) >= cfg.ann_min_rows:
             try:
-                idx, centroids = build_node_vectors(store.read(src), cfg)
+                idx, centroids, books = build_node_vectors(
+                    store.read(src), cfg)
             except ValueError:
                 pass  # no embedded rows -> no index; reads brute-force
             else:
+                pq_meta = ({"pq_codebooks": books.tolist(),
+                            "pq_m": cfg.ann_pq_m}
+                           if books is not None else {})
                 manifests[vname] = store.write(
                     vname, idx, input_fingerprint=deps, stage=vname,
                     partition_by=["label", "cell"],
-                    extra_metrics={**idx_metrics,
+                    extra_metrics={**idx_metrics, **pq_meta,
                                    "centroids": centroids,
                                    "n_cells": len(centroids)})
         stage_secs[vname] = round(_time.perf_counter() - t0, 3)

@@ -92,17 +92,24 @@ def ingest_increment(store, batch_df: DataFrame,
     store.write("node_tokens", build_node_tokens(store.read("nodes")),
                 stage=stage, extra_metrics=idx_metrics)
     if (nodes_man.get("rows") or 0) >= cfg.ann_min_rows:
-        prior_cents = ((store.manifest("node_vectors") or {})
-                       .get("metrics") or {}).get("centroids")
+        prior = ((store.manifest("node_vectors") or {})
+                 .get("metrics") or {})
         try:
-            vdf, cents = build_node_vectors(store.read("nodes"), cfg,
-                                            centroids=prior_cents)
+            vdf, cents, books = build_node_vectors(
+                store.read("nodes"), cfg,
+                centroids=prior.get("centroids"),
+                codebooks=prior.get("pq_codebooks")
+                if cfg.ann_pq_m > 0 else None)
         except ValueError:
             pass  # no embedded rows -> no index; reads brute-force
         else:
+            pq_meta = ({"pq_codebooks": books.tolist(),
+                        "pq_m": cfg.ann_pq_m}
+                       if books is not None else {})
             store.write("node_vectors", vdf, stage=stage,
                         partition_by=["label", "cell"],
-                        extra_metrics={**idx_metrics, "centroids": cents,
+                        extra_metrics={**idx_metrics, **pq_meta,
+                                       "centroids": cents,
                                        "n_cells": len(cents)})
     store.merge_write_edges(build_edges(triples, emb, cfg, chunks=chunks),
                             max_sources=cfg.max_sources_per_edge,

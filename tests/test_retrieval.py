@@ -436,3 +436,31 @@ def test_labeled_graphrag_runs_no_count_job(spark, kg, monkeypatch):
     r = graphrag(spark, kg, "What did Al-Khwarizmi develop?",
                  labels=["Stakeholder", "Entity"])
     assert r.answer
+
+
+def test_ivfpq_index_serving_matches_plain(spark, tmp_path):
+    """cfg.ann_pq_m > 0 stores m-byte PQ codes in node_vectors instead of
+    embeddings; graphrag must serve it (ADC + exact rerank against the
+    nodes table) with answers identical to the plain-IVF index at this
+    scale (the candidate floor covers the whole corpus)."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ann_pq_m=8)
+    root = str(tmp_path / "kg_pq")
+    run_pipeline(spark, synth_pages(spark, 60), root, cfg=cfg)
+    store = GraphStore(root, spark)
+    vman = store.manifest("node_vectors")
+    assert vman["metrics"].get("pq_m") == 8
+    cols = store.read("node_vectors").columns
+    assert "pq_code" in cols and "embedding" not in cols
+    r_pq = graphrag(spark, store, "What did Al-Khwarizmi develop?", cfg=cfg)
+    assert r_pq.timings.get("ann_index") == 1.0
+
+    root2 = str(tmp_path / "kg_plain")
+    run_pipeline(spark, synth_pages(spark, 60), root2)
+    r_plain = graphrag(spark, GraphStore(root2, spark),
+                       "What did Al-Khwarizmi develop?")
+    assert r_pq.answer == r_plain.answer
+    assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in r_pq.answer
