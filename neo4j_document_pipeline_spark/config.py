@@ -94,6 +94,11 @@ class PipelineConfig:
     # Requires embedding_dim % ann_pq_m == 0.
     ann_pq_m: int = 0
     ann_pq_k: int = 16
+    # PQ codebook k-means iterations (per subspace, driver-side over the
+    # shared training sample) — separate from ann_train_iters because the
+    # per-subspace quantizers are much finer than the coarse cells and
+    # need more steps to converge
+    ann_pq_train_iters: int = 8
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

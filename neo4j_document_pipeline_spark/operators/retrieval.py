@@ -126,9 +126,12 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
     round-2 verdict). nprobe == len(centroids) is provably exact —
     byte-parity-tested vs the brute path. Centroids are global (one
     coarse quantizer, label filters prune within probed cells via the
-    label partition dirs); a rare label may need a higher nprobe for
-    full recall — the reference sidesteps this with one index per label
-    at the cost of len(labels) index maintenance jobs.
+    label partition dirs); rare-label recall is protected by the
+    label-aware recall floor — ``cell_rows`` counts only the requested
+    labels' partition rows, so a label with few vectors automatically
+    widens the probe set (up to every cell) until enough of ITS rows
+    are covered. The reference instead maintains one index per label at
+    the cost of len(labels) index maintenance jobs.
 
     Without an index: brute-force scan — JVM-side, a single
     TakeOrderedAndProject stage, no shuffle, no window. The reference
@@ -214,21 +217,46 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     with zero jobs."""
     import numpy as np
     from neo4j_document_pipeline_spark.operators.similarity import (
-        ivf_assign, ivf_train, pq_encode, pq_train)
+        collect_train_sample, ivf_assign, ivf_train, pq_encode, pq_train)
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        NoVectorsError)
     vecs = nodes.filter(F.col("embedding").isNotNull())
+    head = vecs.select("embedding").first()
+    if head is None or head[0] is None:
+        raise NoVectorsError("build_node_vectors: no embedded nodes")
+    dim = len(head[0])  # the DATA's width, not cfg.embedding_dim — the
+    # table may have been built under a different featurizer dim
+    if cfg.ann_pq_m > 0 and dim % cfg.ann_pq_m:
+        # validate BEFORE any training: callers legitimately skip index
+        # builds on empty corpora (NoVectorsError) and must never
+        # swallow a real misconfiguration as that
+        raise ValueError(
+            f"ann_pq_m={cfg.ann_pq_m} must divide embedding_dim={dim}")
+    # one shared deterministic sample feeds BOTH trainers (identical
+    # order/limit/seed — collecting it twice would double the most
+    # expensive index-build step)
+    sample = None
+    if (centroids is None or (cfg.ann_pq_m > 0 and codebooks is None)) \
+            and cfg.ann_train_sample > 0:
+        sample = collect_train_sample(
+            vecs, "embedding", cfg.ann_train_sample,
+            cfg.featurizer_seed, dim)
     if centroids is None:
         centroids = ivf_train(vecs, "entity_id", "embedding",
                               n_cells=cfg.ann_cells,
                               iters=cfg.ann_train_iters,
                               seed=cfg.featurizer_seed,
-                              train_sample=cfg.ann_train_sample)
+                              train_sample=cfg.ann_train_sample,
+                              _sample=sample)
     base = vecs.select("entity_id", "label", "embedding")
     if cfg.ann_pq_m > 0:
         if codebooks is None:
             codebooks = pq_train(vecs, "embedding", m=cfg.ann_pq_m,
                                  k=cfg.ann_pq_k,
                                  sample=cfg.ann_train_sample,
-                                 seed=cfg.featurizer_seed)
+                                 iters=cfg.ann_pq_train_iters,
+                                 seed=cfg.featurizer_seed,
+                                 _sample=sample)
         else:
             codebooks = np.asarray(codebooks)
         idx = ivf_assign(pq_encode(base, "embedding", codebooks),

@@ -117,6 +117,31 @@ def pairwise_topk_join(left: DataFrame, right: DataFrame,
 _EXPR_ASSIGN_LIMIT = 8192
 
 
+class NoVectorsError(ValueError):
+    """Training input has no usable (non-null, well-formed) vectors.
+    Kept distinct from plain ValueError so callers that legitimately
+    skip index builds on empty corpora don't also swallow real
+    misconfigurations (e.g. dim % m != 0)."""
+
+
+def collect_train_sample(df: DataFrame, vec_col: str, n: int,
+                         seed: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random training sample: one TakeOrdered pass
+    over sha2(vector, seed) — shared by the IVF and PQ trainers so an
+    IVFPQ index build collects the (identical) sample once, not twice."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull() & (F.size("v") == dim))
+        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
+                                 F.lit(str(seed))), 256))
+        .limit(n).collect()
+    )
+    if not rows:
+        raise NoVectorsError(
+            f"no non-null vectors of width {dim} in column {vec_col!r}")
+    return np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+
+
 def _normed_matrix(centroids: list[list[float]]) -> np.ndarray:
     """Centroids L2-normalized row-wise (zero rows kept as zero)."""
     arr = np.asarray(centroids, dtype=float)
@@ -231,7 +256,8 @@ def _train_stats(df: DataFrame, vec_col: str,
 def ivf_train(df: DataFrame, id_col: str, vec_col: str,
               n_cells: int = 16, iters: int = 5,
               seed: int = 42,
-              train_sample: int = 65_536) -> list[list[float]]:
+              train_sample: int = 65_536,
+              _sample: np.ndarray | None = None) -> list[list[float]]:
     """IVF coarse-quantizer training (Lloyd k-means by cosine).
 
     Default path — SAMPLED DRIVER-SIDE training: ONE Spark pass collects
@@ -254,24 +280,23 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
       per-partition (cell, sum, count) partials against BROADCAST
       centroids, reduced driver-side — k*dim floats cross the wire per
       partition, nothing enters the expression tree.
-    Empty cells keep their previous centroid on every path."""
+    Empty cells keep their previous centroid on every path.
+
+    ``_sample``: pre-collected (n, dim) training matrix (the
+    collect_train_sample output) — lets an IVFPQ build share ONE sample
+    collection between the IVF and PQ trainers."""
     head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if head is None or head[0] is None:
-        raise ValueError("ivf_train: input has no non-null vectors "
-                         f"in column {vec_col!r}")
+        raise NoVectorsError("ivf_train: input has no non-null vectors "
+                             f"in column {vec_col!r}")
     dim = len(head[0])
     # train only on well-formed vectors: a NULL picked by the init sample
     # crashes centroid seeding, and a null/ragged cell assignment has no
     # cell to update (ivf_assign nulls those rows' cells at query time)
     df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-    if train_sample and train_sample > 0:
-        rows = (
-            df.select(F.col(vec_col).alias("v"))
-            .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
-                                     F.lit(str(seed))), 256))
-            .limit(train_sample).collect()
-        )
-        X = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+    if _sample is not None or (train_sample and train_sample > 0):
+        X = _sample if _sample is not None else \
+            collect_train_sample(df, vec_col, train_sample, seed, dim)
         cents = X[:n_cells].copy()
         for _ in range(iters):
             M = _normed_matrix(cents.tolist())
@@ -359,7 +384,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
              sample: int = 10_000, iters: int = 8,
-             seed: int = 42) -> np.ndarray:
+             seed: int = 42,
+             _sample: np.ndarray | None = None) -> np.ndarray:
     """Train PQ codebooks: split each (L2-normalized) vector into ``m``
     subspaces, k-means each subspace to ``k`` centroids.
 
@@ -371,20 +397,13 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 8, k: int = 256,
     head = df.select(F.col(vec_col).alias("v")) \
         .filter(F.col("v").isNotNull()).first()
     if head is None:
-        raise ValueError(f"pq_train: no non-null vectors in {vec_col!r}")
+        raise NoVectorsError(f"pq_train: no non-null vectors in {vec_col!r}")
     dim = len(head["v"])
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        # width filter: one ragged vector in the sample would crash
-        # np.stack (same guard ivf_train applies)
-        .filter(F.col("v").isNotNull() & (F.size("v") == dim))
-        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
-                                 F.lit(str(seed))), 256))
-        .limit(sample).collect()
-    )
-    X = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+    X = _sample if _sample is not None else \
+        collect_train_sample(df, vec_col, sample, seed, dim)
+    # (X / norms below allocates a fresh array — a shared _sample is safe)
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]

@@ -287,11 +287,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         if resume and store.is_current(vname, deps):
             manifests[vname] = {**store.manifest(vname), "skipped": True}
         elif (man.get("rows") or 0) >= cfg.ann_min_rows:
+            from neo4j_document_pipeline_spark.operators.similarity import (
+                NoVectorsError)
             try:
                 idx, centroids, books = build_node_vectors(
                     store.read(src), cfg)
-            except ValueError:
-                pass  # no embedded rows -> no index; reads brute-force
+            except NoVectorsError:
+                # no embedded rows -> no index; reads brute-force. Real
+                # misconfigurations (e.g. ann_pq_m not dividing the dim)
+                # raise plain ValueError and propagate loudly.
+                pass
             else:
                 pq_meta = ({"pq_codebooks": books.tolist(),
                             "pq_m": cfg.ann_pq_m}

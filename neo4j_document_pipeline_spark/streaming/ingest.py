@@ -92,15 +92,26 @@ def ingest_increment(store, batch_df: DataFrame,
     store.write("node_tokens", build_node_tokens(store.read("nodes")),
                 stage=stage, extra_metrics=idx_metrics)
     if (nodes_man.get("rows") or 0) >= cfg.ann_min_rows:
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            NoVectorsError)
         prior = ((store.manifest("node_vectors") or {})
                  .get("metrics") or {})
+        # reuse the prior quantizers ONLY when they match the current
+        # config shape — a changed ann_cells / ann_pq_m / ann_pq_k must
+        # retrain, never be silently ignored with a wrong manifest stamp
+        prior_cents = prior.get("centroids")
+        if prior_cents is not None and len(prior_cents) != cfg.ann_cells:
+            prior_cents = None
+        prior_books = prior.get("pq_codebooks") if cfg.ann_pq_m > 0 else None
+        if prior_books is not None and (
+                len(prior_books) != cfg.ann_pq_m
+                or len(prior_books[0]) != cfg.ann_pq_k):
+            prior_books = None
         try:
             vdf, cents, books = build_node_vectors(
                 store.read("nodes"), cfg,
-                centroids=prior.get("centroids"),
-                codebooks=prior.get("pq_codebooks")
-                if cfg.ann_pq_m > 0 else None)
-        except ValueError:
+                centroids=prior_cents, codebooks=prior_books)
+        except NoVectorsError:
             pass  # no embedded rows -> no index; reads brute-force
         else:
             pq_meta = ({"pq_codebooks": books.tolist(),
