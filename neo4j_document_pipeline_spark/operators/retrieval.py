@@ -326,11 +326,14 @@ def index_is_fresh(index_manifest: dict | None,
 
 
 def _name_tokens(df: DataFrame) -> DataFrame:
-    """Distinct (entity_id, tok) pairs under the index's alphanumeric
-    normalization — the single tokenization shared by the write-time
-    inverted index and the on-the-fly fallback."""
+    """Distinct (entity_id[, label], tok) pairs under the index's
+    alphanumeric normalization — the single tokenization shared by the
+    write-time inverted index and the on-the-fly fallback. A label
+    column, when present, rides along so the committed index can serve
+    label-filtered queries."""
+    extra = ["label"] if "label" in df.columns else []
     return df.select(
-        "entity_id",
+        "entity_id", *extra,
         F.explode(
             F.array_distinct(F.split(
                 F.lower(F.regexp_replace("name", r"[^A-Za-z0-9]+", " ")), " "))
@@ -349,9 +352,15 @@ def build_node_tokens(nodes: DataFrame) -> DataFrame:
     full-corpus shuffle was the read-path scale-killer flagged in round 1.
 
     df is attached per posting row (count over the tok partition, exact:
-    postings are distinct pairs). Output is shuffled by tok and sorted
+    postings are distinct pairs). When the nodes frame carries a label
+    column, postings carry it too — labeled queries then probe the index
+    and derive their label-scoped document frequencies from the probed
+    rows themselves (keyword_channel), instead of re-tokenizing the
+    filtered corpus per query. Output is shuffled by tok and sorted
     within partitions so parquet row-group stats prune term probes."""
-    toks = _name_tokens(nodes.select("entity_id", "name"))
+    cols = ["entity_id", "name"] + (
+        ["label"] if "label" in nodes.columns else [])
+    toks = _name_tokens(nodes.select(*cols))
     w = Window.partitionBy("tok")
     return (toks.withColumn("df", F.count("*").over(w))
             .sortWithinPartitions("tok"))
@@ -399,9 +408,18 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     single = [t.lower() for t in terms if " " not in t]
     phrases = [t.lower() for t in terms if " " in t]
 
-    # the committed index covers the whole table; a label filter changes
-    # the IDF corpus, so that (rare) path tokenizes in-query
-    use_index = postings is not None and not labels
+    # a LABEL-AWARE committed index (postings carry the label column)
+    # serves labeled queries too: the label filter prunes postings, and
+    # the label-scoped document frequency is just a per-tok count over
+    # the pruned matches (postings are distinct (entity, tok) pairs), so
+    # no full-corpus tokenization happens on any path. An older index
+    # without the label column falls back to in-query tokenization for
+    # labeled queries only.
+    use_index = postings is not None and (
+        not labels or "label" in postings.columns)
+    post = postings
+    if use_index and labels:
+        post = postings.filter(F.col("label").isin(labels))
 
     # IDF denominator: the caller passes the corpus size (one manifest
     # lookup) instead of paying a count() job per query
@@ -423,7 +441,20 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
     if single:
         terms_df = F.broadcast(
             spark.createDataFrame([(t,) for t in single], "tok string"))
-        if use_index:
+        if use_index and labels:
+            matched0 = post.join(terms_df, "tok")
+            # label-scoped df from the probed rows themselves: postings
+            # are distinct (entity, tok) pairs, so a per-tok count over
+            # the label-pruned matches IS the filtered-corpus document
+            # frequency — identical to the fallback's countDistinct
+            # (byte-parity-tested), with no corpus-wide work
+            dfl = matched0.groupBy("tok").agg(F.count("*").alias("df"))
+            matched = (
+                matched0.drop("df").join(F.broadcast(dfl), "tok")
+                .withColumn("idf", idf)
+                .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
+            )
+        elif use_index:
             matched = (
                 postings.join(terms_df, "tok")
                 .withColumn("idf", idf)
@@ -448,7 +479,7 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
         for p in phrases:
             ptoks = sorted({t for t in p.split() if t})
             cand = (
-                postings.filter(F.col("tok").isin(ptoks))
+                post.filter(F.col("tok").isin(ptoks))
                 # postings rows are DISTINCT (tok, entity_id) pairs, so a
                 # plain count equals the distinct-token count without the
                 # two-phase countDistinct expansion

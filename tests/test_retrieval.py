@@ -464,3 +464,37 @@ def test_ivfpq_index_serving_matches_plain(spark, tmp_path):
                        "What did Al-Khwarizmi develop?")
     assert r_pq.answer == r_plain.answer
     assert 'Al-Khwarizmi") -[developed]-> Entity("algebra")' in r_pq.answer
+
+
+def test_labeled_keyword_channel_index_parity(spark, kg):
+    """With the label-aware postings index, LABELED queries probe the
+    index too (label filter + df derived from the pruned matches) and
+    must score byte-identically to the in-query tokenization fallback;
+    an index lacking the label column falls back for labeled queries."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens, keyword_channel)
+    nodes = kg.read("nodes")
+    postings = build_node_tokens(nodes)
+    assert "label" in postings.columns
+    for q, labels in [
+            ("What did Al-Khwarizmi develop?", ["Stakeholder"]),
+            ('What is the "House of Wisdom"?', ["Entity", "Goal"]),
+            ("algebra geometry optics", ["Entity"])]:
+        base = {(r["entity_id"], round(r["kw"], 9))
+                for r in keyword_channel(nodes, q, 50, labels).collect()}
+        fast = {(r["entity_id"], round(r["kw"], 9))
+                for r in keyword_channel(nodes, q, 50, labels,
+                                         postings=postings).collect()}
+        assert fast == base and base, (q, labels)
+    # pre-round-3 index shape (no label column): labeled queries must
+    # quietly use the fallback, not crash or mis-score
+    old_postings = build_node_tokens(nodes.select("entity_id", "name"))
+    assert "label" not in old_postings.columns
+    got = {(r["entity_id"], round(r["kw"], 9))
+           for r in keyword_channel(nodes, "algebra geometry optics", 50,
+                                    ["Entity"],
+                                    postings=old_postings).collect()}
+    want = {(r["entity_id"], round(r["kw"], 9))
+            for r in keyword_channel(nodes, "algebra geometry optics", 50,
+                                     ["Entity"]).collect()}
+    assert got == want and got
