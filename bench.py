@@ -12,7 +12,14 @@ Runs the engine's flagship workloads at $SPARK_GRAFT_SF_DIR (default
   suite over lineitem/orders/events;
 - minhash_dedup: MinHash-LSH near-dup over documents;
 - cosine_topk: brute-force ANN baseline over embeddings;
-- graphrag: one end-to-end read-path query against the just-built KG.
+- graphrag: one end-to-end read-path query against the just-built KG
+  (served by the committed IVF index);
+- graphrag_pq: the same query served by an IVFPQ index (m-byte codes +
+  ADC + exact rerank — the billion-scale memory shape).
+
+The JSON line also carries ``controls_ok``: whether the cheap relational
+control queries landed within ~10% of their committed round-2 medians —
+the quiet-window gate from BASELINE.md's host-noise protocol.
 """
 
 from __future__ import annotations
@@ -153,9 +160,46 @@ def main():
         store = GraphStore(store_root, spark)
         timed("graphrag", lambda: graphrag(
             spark, store, "Who developed algebra and optics?", top_k=10, hops=2))
+
+        # 5b. IVFPQ-served read path — the billion-scale memory shape
+        # (m-byte codes instead of embeddings in node_vectors; ADC over
+        # the probed cells + exact rerank against nodes). Committed here
+        # so any ADC/rerank regression gets its own wall number instead
+        # of hiding inside graphrag.
+        import dataclasses
+
+        from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+        from neo4j_document_pipeline_spark.operators.retrieval import (
+            QUANTIZER_SIDECAR, build_node_vectors, quantizer_manifest_metrics,
+            quantizer_sidecar_bytes, stamp_index_metrics)
+        cfg_pq = dataclasses.replace(DEFAULT_CONFIG, ann_pq_m=8)
+        t0 = time.perf_counter()
+        nman = store.manifest("nodes")
+        idx, cents, books = build_node_vectors(
+            store.read("nodes"), cfg_pq, n_rows=nman["rows"])
+        payload = quantizer_sidecar_bytes(cents, books)
+        store.write("node_vectors", idx, partition_by=["label", "cell"],
+                    extra_files={QUANTIZER_SIDECAR: payload},
+                    extra_metrics={**stamp_index_metrics(nman),
+                                   **quantizer_manifest_metrics(
+                                       payload, len(cents), cfg_pq.ann_pq_m)})
+        extras["ann_pq_build_sec"] = round(time.perf_counter() - t0, 3)
+        timed("graphrag_pq", lambda: graphrag(
+            spark, store, "Who developed algebra and optics?", top_k=10, hops=2))
     finally:
         for root in roots:
             shutil.rmtree(root, ignore_errors=True)
+
+    # host-noise gate (BASELINE.md protocol): the cheap relational
+    # controls must sit near their committed round-2 medians for a draw
+    # to count as a quiet window; a draw with controls_ok=false is a
+    # noisy-host sample, not a regression signal.
+    control_medians = {"pricing_summary": 0.29, "cosine_topk": 0.28,
+                       "minmax_order_price": 0.90}
+    control_ratio = {k: round(timings[k] / v, 3)
+                     for k, v in control_medians.items() if k in timings}
+    controls_ok = bool(control_ratio) and all(
+        r <= 1.10 for r in control_ratio.values())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -166,6 +210,8 @@ def main():
         "sf": SF_NUM,
         "cpus": CPUS,
         "n_synth_pages": N_SYNTH,
+        "controls_ok": controls_ok,
+        "control_ratio": control_ratio,
         **extras,
     }))
 

@@ -85,9 +85,10 @@ def main(argv=None):
     if ns.command == "ingest":
         from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
         from neo4j_document_pipeline_spark.sources.pages import (
-            read_pages, synth_pages)
+            read_pages_resolved, synth_pages)
         if not ns.pages:
             sys.exit("--pages required for ingest")
+        pages_fp = None  # snapshot resume key (manifested dirs only)
         if ns.pages.startswith("synth:"):
             pages = synth_pages(spark, int(ns.pages.split(":", 1)[1]))
         elif ns.pages.startswith("warc:") or ns.pages.endswith((".warc", ".warc.gz")):
@@ -113,7 +114,10 @@ def main(argv=None):
                         if ns.pages.isdigit() else "")
                 sys.exit(f"--pages: no such parquet path {ns.pages!r}; "
                          f"expected a parquet dir or synth:N{hint}")
-            pages = read_pages(spark, ns.pages)
+            # ONE manifest read derives both the scanned version and the
+            # resume key — a concurrent pages commit between two reads
+            # could otherwise key resume on content never ingested
+            pages, pages_fp = read_pages_resolved(spark, ns.pages)
         from pyspark.sql import functions as F
         if ns.langs:
             pages = pages.filter(F.col("lang").isin(ns.langs.split(",")))
@@ -153,14 +157,12 @@ def main(argv=None):
                 if ns.buckets else DEFAULT_CONFIG
             # manifested pages dirs resume off their committed snapshot id
             # — no content-crc scan of the corpus just to derive the
-            # stage-skip key (plain dirs / synth keep the crc fallback).
-            # langs is passed too (an idempotent re-filter) so the
-            # snapshot-keyed resume signature covers it.
-            from neo4j_document_pipeline_spark.sources.pages import (
-                pages_identity)
-            pfp = pages_identity(ns.pages) \
-                if not (ns.pages.startswith(("synth:", "warc:"))
-                        or ns.pages.endswith((".warc", ".warc.gz"))) else None
+            # stage-skip key (plain dirs / synth keep the crc fallback);
+            # the id comes from the SAME manifest read that resolved the
+            # scanned version (read_pages_resolved). langs is passed too
+            # (an idempotent re-filter) so the snapshot-keyed resume
+            # signature covers it.
+            pfp = pages_fp
             manifests = run_pipeline(spark, pages, ns.store, cfg=cfg,
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,

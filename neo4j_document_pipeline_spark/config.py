@@ -66,11 +66,21 @@ class PipelineConfig:
     store_buckets: int = 0
     # committed ANN index over node embeddings (the vector-index analogue
     # of ingestMD.py:669-690): IVF coarse cells the index table is
-    # hive-partitioned by, and how many of them a query probes. nprobe =
-    # ann_cells degrades to exact brute force over the index copy;
-    # smaller nprobe trades recall for scan fraction (~nprobe/ann_cells).
-    ann_cells: int = 16
+    # hive-partitioned by, and how many of them a query probes. 0 (the
+    # default) derives the cell count from the indexed corpus at build
+    # time — ceil(rows / ann_target_cell_rows), clamped — so the probe's
+    # scan fraction (~nprobe/n_cells) SHRINKS as the corpus grows; a
+    # positive value pins an explicit geometry. nprobe >= n_cells
+    # degrades to exact brute force over the index copy; smaller nprobe
+    # trades recall for scan fraction.
+    ann_cells: int = 0
+    ann_target_cell_rows: int = 1024
     ann_nprobe: int = 8
+    # bucket(N, tok) layout of the committed FTS postings (node_tokens):
+    # all postings of a tok land in tok's bucket, which is what lets an
+    # incremental batch MERGE its delta postings by rewriting only the
+    # touched bucket files (df recounts stay exact per bucket)
+    fts_index_buckets: int = 32
     ann_train_iters: int = 3
     # coarse-quantizer training sample (0 = fully-distributed training):
     # one pass collects a deterministic sample, Lloyd runs driver-side —
@@ -110,6 +120,9 @@ class PipelineConfig:
     # the north-star-literal TF-IDF cosine (smooth IDF over the entity
     # corpus), oracle-checked via tfidf_cosine_links_exact
     link_jaccard_threshold: float = 0.6
+    # which of the two scorers the canonicalize pipeline stage verifies
+    # candidates with ('jaccard' | 'tfidf')
+    link_score: str = "jaccard"
 
     labels: tuple = field(default=tuple(DEFAULT_LABELS))
 

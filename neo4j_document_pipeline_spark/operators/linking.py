@@ -206,7 +206,8 @@ def _score_pairs_tfidf(pairs: DataFrame, wpost: DataFrame,
 def link_entities(nodes: DataFrame,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
                   jaccard_threshold: float | None = None,
-                  score: str = "jaccard") -> DataFrame:
+                  score: str = "jaccard",
+                  n_rows: int | None = None) -> DataFrame:
     """nodes(entity_id,label,name,...) -> verified link edges
     (id1, id2, sim). Blocking is per-label MinHash-LSH over normalized-name
     shingles. Verification (``score``):
@@ -219,7 +220,11 @@ def link_entities(nodes: DataFrame,
       normalized-name char-3-gram shingles (smooth IDF over the entity
       corpus; rare grams dominate, boilerplate grams fade). Same
       candidates, same threshold semantics; the scoring kernel is
-      oracle-checked standalone via tfidf_cosine_links_exact."""
+      oracle-checked standalone via tfidf_cosine_links_exact.
+
+    ``n_rows`` sizes the TF-IDF IDF denominator from the caller (the
+    nodes manifest already stamps its row count) so the linking stage
+    runs no count() job; omitted, it falls back to counting."""
     if jaccard_threshold is None:
         jaccard_threshold = cfg.link_jaccard_threshold
     base = nodes.select("entity_id", "label", "name")
@@ -230,7 +235,8 @@ def link_entities(nodes: DataFrame,
 
     if score == "tfidf":
         posting = _name_shingles_df(base, "entity_id", "name")
-        n_rows = base.count()
+        if n_rows is None:
+            n_rows = base.count()
         wpost, norms = _tfidf_weighted_postings(posting, n_rows)
         return (_score_pairs_tfidf(pairs, wpost, norms)
                 .filter(F.col("sim") >= F.lit(jaccard_threshold)))

@@ -185,9 +185,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     if not manifests["triples_raw"].get("skipped"):
         manifests["triples_raw"]["metrics"].update(trip_obs.get)
         store.update_metrics("triples_raw", trip_obs.get)
+    def _bk(key: str) -> dict:
+        """bucket(N, key) layout for the graph tables when enabled — the
+        read path's edges ⋈ nodes / mentions ⋈ nodes equi-joins then
+        need no exchange on either side (storage-partitioned join), and
+        incremental batches MERGE by rewriting only the buckets their
+        keys hash into."""
+        if cfg.store_buckets > 0:
+            return {"bucket_by": key, "n_buckets": cfg.store_buckets}
+        return {}
+
     embeddings = stage(
         "embeddings_cache",
         lambda: store.merge_embeddings(build_embeddings_cache(triples, cfg)), fp,
+        **_bk("key"),
     )
     # the four output tables only depend on (triples, embeddings, chunks):
     # build them CONCURRENTLY — the Spark scheduler interleaves their
@@ -216,14 +227,6 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def _bk(key: str) -> dict:
-        """bucket(N, key) layout for the graph tables when enabled — the
-        read path's edges ⋈ nodes / mentions ⋈ nodes equi-joins then
-        need no exchange on either side (storage-partitioned join)."""
-        if cfg.store_buckets > 0:
-            return {"bucket_by": key, "n_buckets": cfg.store_buckets}
-        return {}
-
     tail = [
         ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)),
          _bk("entity_id")),
@@ -233,7 +236,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         ("mentions", lambda: store.merge_mentions(build_mentions(triples)),
          _bk("entity_id")),
         ("documents_final", lambda: store.merge_documents(docs_final),
-         {"extra_metrics": {"max_warc_ts": wm}} if wm else {}),
+         {**_bk("doc_id"),
+          **({"extra_metrics": {"max_warc_ts": wm}} if wm else {})}),
     ]
     with ThreadPoolExecutor(4) as ex:
         futs = {name: ex.submit(stage, name, build, fp, **kw)
@@ -255,18 +259,19 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     #   label_counts — per-label row counts stamped into the nodes
     #                  manifest so labeled queries size their IDF corpus
     #                  without a count() job.
-    # Each index records the nodes snapshot version AND input fingerprint
-    # it was built from: a content-changing merge invalidates it (read
-    # path falls back to scanning), while content-identical maintenance
-    # rewrites (compact) keep it live via the fingerprint.
+    # Each index records the nodes snapshot (content root) it was built
+    # from: a content-changing merge invalidates it (read path falls
+    # back to scanning), while content-identical maintenance rewrites
+    # (compact) keep it live via the content_root_version lineage flag.
     from neo4j_document_pipeline_spark.operators.retrieval import (
-        build_node_tokens, build_node_vectors)
+        QUANTIZER_SIDECAR, build_node_tokens, build_node_vectors,
+        quantizer_manifest_metrics, quantizer_sidecar_bytes,
+        stamp_index_metrics)
 
     def commit_read_indexes(suffix: str):
         src = f"nodes{suffix}"
         man = store.manifest(src) or {}
         version = man.get("version")
-        src_fp = man.get("input_fingerprint")
         t0 = _time.perf_counter()
         if "label_counts" not in (man.get("metrics") or {}):
             lc = {r["label"]: r["n"] for r in
@@ -276,12 +281,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         stage_secs[f"label_counts{suffix}"] = round(
             _time.perf_counter() - t0, 3)
         deps = f"{fp}:{src}={version}"
-        idx_metrics = {"src_nodes_version": version,
-                       "src_nodes_fingerprint": src_fp,
-                       "src_nodes_rows": man.get("rows")}
+        idx_metrics = stamp_index_metrics(man)
+        # bucket(N, tok): every tok's postings share a bucket file, so
+        # incremental batches later MERGE their delta postings by
+        # rewriting only touched buckets (streaming.ingest)
         stage(f"node_tokens{suffix}",
               lambda: build_node_tokens(store.read(src)),
-              deps, extra_metrics=idx_metrics)
+              deps, extra_metrics=idx_metrics,
+              bucket_by="tok", n_buckets=cfg.fts_index_buckets)
         vname = f"node_vectors{suffix}"
         t0 = _time.perf_counter()
         if resume and store.is_current(vname, deps):
@@ -291,22 +298,23 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                 NoVectorsError)
             try:
                 idx, centroids, books = build_node_vectors(
-                    store.read(src), cfg)
+                    store.read(src), cfg, n_rows=man.get("rows"))
             except NoVectorsError:
                 # no embedded rows -> no index; reads brute-force. Real
                 # misconfigurations (e.g. ann_pq_m not dividing the dim)
                 # raise plain ValueError and propagate loudly.
                 pass
             else:
-                pq_meta = ({"pq_codebooks": books.tolist(),
-                            "pq_m": cfg.ann_pq_m}
-                           if books is not None else {})
+                payload = quantizer_sidecar_bytes(centroids, books)
                 manifests[vname] = store.write(
                     vname, idx, input_fingerprint=deps, stage=vname,
                     partition_by=["label", "cell"],
-                    extra_metrics={**idx_metrics, **pq_meta,
-                                   "centroids": centroids,
-                                   "n_cells": len(centroids)})
+                    extra_files={QUANTIZER_SIDECAR: payload},
+                    extra_metrics={**idx_metrics,
+                                   **quantizer_manifest_metrics(
+                                       payload, len(centroids),
+                                       cfg.ann_pq_m if books is not None
+                                       else 0)})
         stage_secs[vname] = round(_time.perf_counter() - t0, 3)
 
     commit_read_indexes("")
@@ -317,7 +325,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         nodes = store.read("nodes")
         edges = store.read("edges")
         mentions = store.read("mentions")
-        links = link_entities(nodes, cfg)
+        # manifest row count feeds the TF-IDF IDF denominator, so the
+        # linking stage runs no count() job on any scorer
+        links = link_entities(nodes, cfg, score=cfg.link_score,
+                              n_rows=(store.manifest("nodes") or {})
+                              .get("rows"))
         mapping = stage("entity_map",
                         lambda: canonical_map(nodes, links), fp)
         cn, ce, cm = apply_canonicalization(nodes, edges, mentions, mapping,

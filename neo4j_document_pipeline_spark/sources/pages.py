@@ -197,15 +197,28 @@ def _pages_manifest(path: str) -> dict | None:
     return None
 
 
+def read_pages_resolved(spark: SparkSession,
+                        path: str) -> tuple[DataFrame, str | None]:
+    """(DataFrame, snapshot identity | None) from ONE manifest read: the
+    version directory the frame scans IS the version the resume key
+    names. Deriving the two from separate manifest reads (the old
+    read_pages + pages_identity pair) let a concurrent writer commit in
+    between, keying resume on a snapshot whose content was never
+    ingested (round-3 advisory). Plain parquet dirs return identity None
+    (callers fall back to the content-crc resume key)."""
+    import os
+    man = _pages_manifest(path)
+    if man:
+        df = spark.read.parquet(os.path.join(path, man["version"]))
+        return df, f"pages-snap:{man['version']}:{man.get('rows')}"
+    return spark.read.parquet(path), None
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan a persisted pages table. A GraphStore-managed dir (snapshot
     manifest present) reads its committed version; a plain parquet dir
     reads directly (Iceberg would slot in here)."""
-    import os
-    man = _pages_manifest(path)
-    if man:
-        return spark.read.parquet(os.path.join(path, man["version"]))
-    return spark.read.parquet(path)
+    return read_pages_resolved(spark, path)[0]
 
 
 def pages_identity(path: str) -> str | None:

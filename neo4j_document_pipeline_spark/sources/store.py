@@ -119,7 +119,8 @@ class GraphStore:
     def write(self, name: str, df: DataFrame, *, input_fingerprint: str = "",
               stage: str = "", extra_metrics: dict | None = None,
               partition_by: list[str] | None = None,
-              stats_cols: list[str] | None = None) -> dict:
+              stats_cols: list[str] | None = None,
+              extra_files: dict[str, bytes] | None = None) -> dict:
         """Write a new snapshot version and commit it atomically via the
         manifest. Returns the manifest dict (with row count metric).
 
@@ -129,7 +130,13 @@ class GraphStore:
         skipping via ``read_where``). Useful when the layout clusters
         the column (range partitioning, sortWithinPartitions, time-ordered
         appends); meaningless on hash-bucketed keys, where every file
-        spans the full range."""
+        spans the full range.
+
+        ``extra_files``: sidecar payloads (relative name -> bytes) written
+        into the version directory BEFORE the manifest commit, so they are
+        part of the atomic snapshot (Iceberg metadata-file analogue).
+        Names must start with '_' so Spark scans and the partition lineage
+        ignore them."""
         if partition_by and stats_cols:
             clash = set(partition_by) & set(stats_cols)
             if clash:
@@ -148,11 +155,14 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        self._write_extra_files(path, extra_files)
         extra_man = {}
         if partition_by:
             extra_man["partition_by"] = partition_by
         if stats_cols:
             extra_man["stats_cols"] = stats_cols
+        if extra_files:
+            extra_man["sidecar_files"] = sorted(extra_files)
         return self._commit_snapshot(
             name, version, path, stage=stage,
             input_fingerprint=input_fingerprint,
@@ -213,6 +223,20 @@ class GraphStore:
             extra_metrics=extra_metrics,
             extra_manifest={"bucket_by": bucket_by, "n_buckets": n_buckets,
                             "catalog_table": tbl})
+
+    @staticmethod
+    def _write_extra_files(path: str, extra_files: dict[str, bytes] | None):
+        """Drop sidecar payloads into a version dir pre-commit. Underscore
+        names keep them invisible to Spark scans and footer lineage."""
+        for rel, payload in (extra_files or {}).items():
+            if not os.path.basename(rel).startswith("_"):
+                raise ValueError(
+                    f"sidecar file {rel!r} must start with '_' (Spark "
+                    "reads and partition lineage must skip it)")
+            full = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as f:
+                f.write(payload)
 
     def _catalog_table(self, name: str, version: str) -> str:
         """Session-catalog identifier for a bucketed snapshot: unique per
@@ -404,8 +428,14 @@ class GraphStore:
         maintenance action): rewrite the current snapshot into
         ceil(bytes / target_file_mb) files. Content-identical; the input
         fingerprint carries over so stage resume still treats the table
-        as current. Bucketed tables rewrite under the SAME bucket spec
-        (compaction must never silently drop the join layout)."""
+        as current, and ``content_root_version`` records the last
+        content-CHANGING snapshot this rewrite preserves (transitively,
+        so chained compactions keep pointing at the same root) — read-
+        side index freshness keys on it explicitly instead of inferring
+        content-identity from a fingerprint+row-count heuristic that a
+        content-changing same-shape rewrite could satisfy. Bucketed
+        tables rewrite under the SAME bucket spec (compaction must never
+        silently drop the join layout)."""
         m = self.manifest(name)
         if not m:
             raise FileNotFoundError(f"table {name} has no committed snapshot")
@@ -418,11 +448,24 @@ class GraphStore:
             input_fingerprint=m.get("input_fingerprint", ""),
             stage=m.get("stage", name),
             extra_metrics={**(m.get("metrics") or {}),
-                           "compacted_from": m["version"]})
+                           "compacted_from": m["version"],
+                           "content_root_version":
+                               (m.get("metrics") or {}).get(
+                                   "content_root_version") or m["version"]})
+        # sidecar payloads (e.g. the ANN quantizer parquet) are part of
+        # the snapshot — a maintenance rewrite must carry them forward
+        sidecars = {}
+        for rel in m.get("sidecar_files") or []:
+            try:
+                with open(os.path.join(path, rel), "rb") as f:
+                    sidecars[rel] = f.read()
+            except OSError:
+                pass
         if m.get("bucket_by"):
             return self.write_bucketed(
                 name, df, bucket_by=m["bucket_by"],
                 n_buckets=m["n_buckets"], **kw)
+        kw["extra_files"] = sidecars or None
         if m.get("partition_by"):
             # hive-partitioned tables keep their layout: cluster rows by
             # the partition columns so each partition value lands in one
@@ -603,7 +646,8 @@ class GraphStore:
 
     def _merge_write(self, name: str, updates: DataFrame, merge_fn, *,
                      stage: str = "", extra_metrics: dict | None = None,
-                     input_fingerprint: str = "") -> dict:
+                     input_fingerprint: str = "",
+                     metrics_fn=None) -> dict:
         """MERGE ``updates`` into the committed table and commit the new
         snapshot — rewriting ONLY the affected bucket files when the
         table has a bucket layout (the Iceberg ``MERGE INTO`` touch-
@@ -616,7 +660,16 @@ class GraphStore:
         because every merge key contains the bucket key, so all rows of
         a key live in that key's bucket. Falls back to full merge +
         layout-preserving rewrite for non-bucketed tables, and whenever
-        any committed file's bucket id can't be derived."""
+        any committed file's bucket id can't be derived.
+
+        ``metrics_fn(existing, updates) -> dict``: optional delta-scoped
+        metric computation evaluated against the SAME frames the merge
+        reads (on the bucket path ``existing`` covers only the affected
+        buckets — which is sufficient for any metric about the update
+        keys, since a key's prior rows can only live in its own bucket);
+        the result is committed into the snapshot's metrics. This is how
+        callers derive e.g. per-label new-row counts in O(delta) instead
+        of re-aggregating the whole table after the merge."""
         m = self.manifest(name)
         scoped = bool(m and m.get("bucket_by") and m.get("catalog_table"))
         files_by = {}
@@ -628,9 +681,13 @@ class GraphStore:
                     break
                 files_by.setdefault(b, []).append(p["file"])
         if not scoped:
+            existing = self.read(name) if self.exists(name) else None
+            extra = dict(extra_metrics or {})
+            if metrics_fn is not None:
+                extra.update(metrics_fn(existing, updates))
             return self.write_preserving_layout(
-                name, self._merged(name, updates, merge_fn),
-                stage=stage, extra_metrics=extra_metrics,
+                name, merge_fn(existing, updates),
+                stage=stage, extra_metrics=extra,
                 input_fingerprint=input_fingerprint)
         key, n = m["bucket_by"], m["n_buckets"]
         base = os.path.join(self._tdir(name), m["version"])
@@ -654,6 +711,8 @@ class GraphStore:
                                           for f in old_aff])
                 if old_aff else None)
             merged = merge_fn(existing, updates)
+            delta_metrics = metrics_fn(existing, updates) \
+                if metrics_fn is not None else {}
             version = f"v-{uuid.uuid4().hex[:12]}"
             path = os.path.join(self._tdir(name), version)
             tbl = self._catalog_table(name, version)
@@ -674,12 +733,120 @@ class GraphStore:
         return self._commit_snapshot(
             name, version, path, stage=stage,
             input_fingerprint=input_fingerprint,
-            extra_metrics={**(extra_metrics or {}),
+            extra_metrics={**(extra_metrics or {}), **delta_metrics,
                            "merge_scope": "bucket",
                            "rewritten_buckets": len(affected),
                            "reused_files": len(keep)},
             extra_manifest={"bucket_by": key, "n_buckets": n,
                             "catalog_table": tbl})
+
+    @staticmethod
+    def _hive_dir_of_file(fname: str,
+                          partition_by: list[str]) -> tuple | None:
+        """Partition-value tuple encoded in a hive-layout data file path
+        (``label=Goal/cell=3/part-*`` -> ('Goal', '3')), values unquoted.
+        None when any partition column is missing from the path (or holds
+        the hive null sentinel — scoping bails out rather than reason
+        about null-partition encodings)."""
+        from urllib.parse import unquote
+        vals: dict[str, str] = {}
+        for seg in fname.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = unquote(v)
+        out = []
+        for c in partition_by:
+            v = vals.get(c)
+            if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            out.append(v)
+        return tuple(out)
+
+    def merge_write_hive(self, name: str, updates: DataFrame, merge_fn, *,
+                         partition_by: list[str], stage: str = "",
+                         extra_metrics: dict | None = None,
+                         input_fingerprint: str = "",
+                         extra_files: dict[str, bytes] | None = None) -> dict:
+        """MERGE ``updates`` into a hive-partitioned table, rewriting ONLY
+        the partition directories the updates land in and hardlinking
+        every other committed data file into the new snapshot — the
+        partition-dir twin of ``_merge_write``'s bucket scoping (Iceberg
+        MERGE INTO over an identity-partitioned table touches only
+        matching partitions). Soundness requires the caller's invariant
+        that an update key's PRIOR row lives in one of the updates' own
+        partition values (true for the ANN index: an entity's (label,
+        cell) is a pure function of its entity_id under a fixed
+        quantizer — label and embedding derive from the id, see
+        operators/graph.py module docstring — and any quantizer change
+        forces a full rebuild instead of a merge). Falls back to a full
+        merge + partitioned rewrite when the committed snapshot doesn't
+        carry this exact hive layout, any file's partition values can't
+        be parsed, or an update holds a null partition value."""
+        m = self.manifest(name)
+        scoped = bool(m and m.get("partition_by") == list(partition_by)
+                      and not m.get("bucket_by"))
+        files_by: dict[tuple, list[str]] = {}
+        if scoped:
+            for p in m.get("partitions") or []:
+                t = self._hive_dir_of_file(p["file"], list(partition_by))
+                if t is None:
+                    scoped = False
+                    break
+                files_by.setdefault(t, []).append(p["file"])
+        updates = updates.persist()
+        try:
+            if scoped:
+                probe = updates.select(*partition_by).distinct().collect()
+                if any(r[c] is None for r in probe for c in partition_by):
+                    scoped = False
+                else:
+                    affected = {tuple(str(r[c]) for c in partition_by)
+                                for r in probe}
+            if not scoped:
+                existing = self.read(name) if self.exists(name) else None
+                return self.write(
+                    name, merge_fn(existing, updates),
+                    partition_by=list(partition_by), stage=stage,
+                    extra_metrics=extra_metrics,
+                    input_fingerprint=input_fingerprint,
+                    extra_files=extra_files)
+            base = os.path.join(self._tdir(name), m["version"])
+            old_aff = [f for t in affected for f in files_by.get(t, [])]
+            keep = [f for t, fs in files_by.items()
+                    if t not in affected for f in fs]
+            existing = (
+                self.spark.read.option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in old_aff])
+                if old_aff else None)
+            merged = merge_fn(existing, updates)
+            version = f"v-{uuid.uuid4().hex[:12]}"
+            path = os.path.join(self._tdir(name), version)
+            # merged rows carry only affected partition values, so the
+            # partitioned write produces exactly those directories
+            (merged.repartition(*[F.col(c) for c in partition_by])
+             .write.mode("overwrite").partitionBy(*partition_by)
+             .parquet(path))
+            self._write_extra_files(path, extra_files)
+        finally:
+            updates.unpersist()
+        for f in keep:
+            dst = os.path.join(path, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(os.path.join(base, f), dst)
+            except OSError:
+                shutil.copy2(os.path.join(base, f), dst)
+        extra_man: dict = {"partition_by": list(partition_by)}
+        if extra_files:
+            extra_man["sidecar_files"] = sorted(extra_files)
+        return self._commit_snapshot(
+            name, version, path, stage=stage,
+            input_fingerprint=input_fingerprint,
+            extra_metrics={**(extra_metrics or {}),
+                           "merge_scope": "partition",
+                           "rewritten_partitions": len(affected),
+                           "reused_files": len(keep)},
+            extra_manifest=extra_man)
 
     def merge_write_nodes(self, updates: DataFrame, **kw) -> dict:
         return self._merge_write("nodes", updates, self._nodes_merge_fn(),
@@ -693,6 +860,21 @@ class GraphStore:
     def merge_write_mentions(self, updates: DataFrame, **kw) -> dict:
         return self._merge_write("mentions", updates,
                                  self._mentions_merge_fn(), **kw)
+
+    def merge_write_embeddings(self, updates: DataFrame, **kw) -> dict:
+        return self._merge_write("embeddings_cache", updates,
+                                 self._embeddings_merge_fn(), **kw)
+
+    def merge_write_documents(self, updates: DataFrame, **kw) -> dict:
+        return self._merge_write("documents_final", updates,
+                                 self._documents_merge_fn(), **kw)
+
+    def merge_write(self, name: str, updates: DataFrame, merge_fn,
+                    **kw) -> dict:
+        """Public MERGE entry for tables with caller-supplied semantics
+        (e.g. the committed read-side indexes) — bucket-scoped when the
+        table has a bucket layout, full merge otherwise."""
+        return self._merge_write(name, updates, merge_fn, **kw)
 
     def merge_nodes(self, updates: DataFrame) -> DataFrame:
         """MERGE by entity_id: last write wins for embedding (reference
@@ -778,6 +960,11 @@ class GraphStore:
         table. n_chunks takes any non-null value: doc_id is a content
         hash, so the same doc always has the same chunk count — this
         back-fills rows that were committed before their count was known."""
+        return self._merged("documents_final", updates,
+                            self._documents_merge_fn())
+
+    @staticmethod
+    def _documents_merge_fn():
         def fn(existing, new):
             new = new.withColumn("_src", F.lit(1))
             if existing is None:
@@ -793,7 +980,7 @@ class GraphStore:
                 .withColumn("n_chunks", F.col("_nc"))
                 .drop("_rn", "_src", "_nc")
             )
-        return self._merged("documents_final", updates, fn)
+        return fn
 
     def merge_mentions(self, updates: DataFrame) -> DataFrame:
         return self._merged("mentions", updates, self._mentions_merge_fn())
@@ -807,11 +994,18 @@ class GraphStore:
         return fn
 
     def merge_embeddings(self, updates: DataFrame) -> DataFrame:
+        return self._merged("embeddings_cache", updates,
+                            self._embeddings_merge_fn())
+
+    @staticmethod
+    def _embeddings_merge_fn():
+        # embeddings are a pure function of their key, so either side of
+        # a duplicate pair carries the same vector — keep-any is exact
         def fn(existing, new):
             if existing is None:
                 return new.dropDuplicates(["key"])
             return existing.unionByName(new).dropDuplicates(["key"])
-        return self._merged("embeddings_cache", updates, fn)
+        return fn
 
     # ---------- admin (main.py:118-155, clean.py) ----------
 

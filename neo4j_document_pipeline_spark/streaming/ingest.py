@@ -40,12 +40,43 @@ def ingest_increment(store, batch_df: DataFrame,
     recomputes prior pages: each table is union-merged on its identity key
     (idempotent, so re-delivery of the same batch is a no-op).
 
+    EVERY per-batch cost here is O(delta), never O(table), matching how
+    Neo4j updates its Lucene/vector indexes incrementally on MERGE
+    (ingestMD.py:648-702) rather than rebuilding them:
+    - graph tables: bucket-scoped MERGE (only the buckets the batch's
+      keys hash into are rewritten; the rest hardlink forward);
+    - node_tokens FTS: the batch's DELTA postings merge into the
+      bucket(N, tok) index — touched toks' buckets rewrite with exact
+      re-counted document frequencies, untouched buckets carry over;
+    - node_vectors ANN: the batch's embeddings re-ASSIGN against the
+      committed quantizer and only their (label, cell) partition dirs
+      rewrite (an entity's label/embedding are pure functions of its id,
+      so its cell is stable under a fixed quantizer); any quantizer
+      mismatch (dimension, geometry, PQ shape — round-3 advisory) falls
+      back to a full retrain+rebuild instead of committing a wrong index;
+    - label_counts: rolled forward from the merge's own new-rows-per-
+      label delta metric (no recount job), self-healing to a full
+      recount if the rolled total ever disagrees with the committed rows.
+
     The committed max_warc_ts watermark never regresses: re-delivering an
     older batch keeps the prior high-water mark."""
     from neo4j_document_pipeline_spark.operators.graph import (
         build_edges, build_embeddings_cache, build_mentions, build_nodes)
     from neo4j_document_pipeline_spark.operators.ingest import (
         chunks_to_triples, documents_to_chunks, pages_to_documents)
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        QUANTIZER_SIDECAR, _name_tokens, build_node_tokens,
+        build_node_vectors, index_is_fresh, load_quantizers,
+        node_tokens_merge_fn, node_vectors_merge_fn,
+        quantizer_manifest_metrics, quantizer_sidecar_bytes,
+        resolve_ann_cells, stamp_index_metrics)
+
+    def inc_fp(table: str) -> str:
+        # deterministic, job-free increment lineage: the parent snapshot
+        # this merge grew from (round-3 advisory — a falsy fingerprint
+        # broke compact's fingerprint carry-over after increments)
+        parent = (store.manifest(table) or {}).get("version") or "genesis"
+        return f"inc:{stage}:{parent}"
 
     batch_max = batch_df.agg(F.max("warc_ts").alias("m")).first()["m"]
     prev = ((store.manifest("documents_final") or {}).get("metrics") or {}) \
@@ -62,77 +93,159 @@ def ingest_increment(store, batch_df: DataFrame,
     documents = documents.localCheckpoint()
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
-    emb = store.merge_embeddings(build_embeddings_cache(triples, cfg))
-    store.write("embeddings_cache", emb, stage=stage)
-    emb = store.read("embeddings_cache")
     # merge_write_*: on a bucket(N, key) store this is the Iceberg-MERGE
     # fast path — only the bucket files the batch's keys hash into are
     # read and rewritten; untouched bucket files carry into the new
     # snapshot by hardlink. Non-bucketed stores fall back to the full
     # merge + layout-preserving rewrite (a plain write would silently
     # drop the layout the full run committed).
-    nodes_man = store.merge_write_nodes(build_nodes(triples, emb, cfg),
-                                        stage=stage)
-    # keep the committed read-side indexes in step with the merged nodes
-    # (a stale index is bypassed at read time; rebuilding here keeps the
-    # indexed fast paths live across incremental batches). The ANN index
-    # reuses the previous batch's coarse centroids when present — cells
-    # only re-ASSIGN per batch; training reruns only when no quantizer
-    # exists yet (or the corpus first crosses ann_min_rows).
-    from neo4j_document_pipeline_spark.operators.retrieval import (
-        build_node_tokens, build_node_vectors)
-    store.update_metrics("nodes", {"label_counts": {
-        r["label"]: r["n"] for r in
-        store.read("nodes").groupBy("label")
-        .agg(F.count("*").alias("n")).collect()}})
-    idx_metrics = {"src_nodes_version": nodes_man["version"],
-                   "src_nodes_fingerprint":
-                       nodes_man.get("input_fingerprint") or None,
-                   "src_nodes_rows": nodes_man.get("rows")}
-    store.write("node_tokens", build_node_tokens(store.read("nodes")),
-                stage=stage, extra_metrics=idx_metrics)
-    if (nodes_man.get("rows") or 0) >= cfg.ann_min_rows:
+    store.merge_write_embeddings(build_embeddings_cache(triples, cfg),
+                                 stage=stage,
+                                 input_fingerprint=inc_fp("embeddings_cache"))
+    emb = store.read("embeddings_cache")
+    prev_nodes_man = store.manifest("nodes")  # index-freshness baseline
+    # one materialization feeds the data merge AND both index deltas
+    node_updates = build_nodes(triples, emb, cfg).localCheckpoint()
+
+    def _new_label_counts(existing, updates):
+        # evaluated INSIDE the merge against the same affected-bucket
+        # frame it reads: the batch's genuinely-new entities per label,
+        # O(delta + affected buckets)
+        ups = updates.select("entity_id", "label") \
+            .dropDuplicates(["entity_id"])
+        if existing is not None:
+            ups = ups.join(existing.select("entity_id"), "entity_id",
+                           "left_anti")
+        return {"new_rows_by_label": {
+            r["label"]: r["n"] for r in
+            ups.groupBy("label").agg(F.count("*").alias("n")).collect()}}
+
+    nodes_man = store.merge_write_nodes(node_updates, stage=stage,
+                                        input_fingerprint=inc_fp("nodes"),
+                                        metrics_fn=_new_label_counts)
+    prior_lc = ((prev_nodes_man or {}).get("metrics") or {}) \
+        .get("label_counts")
+    new_by = (nodes_man.get("metrics") or {}).get("new_rows_by_label") or {}
+    lc = None
+    if prior_lc is not None:
+        lc = dict(prior_lc)
+        for lab, n in new_by.items():
+            lc[lab] = lc.get(lab, 0) + n
+        if sum(lc.values()) != (nodes_man.get("rows") or 0):
+            lc = None  # inconsistent roll-forward: recount
+    if lc is None:
+        lc = {r["label"]: r["n"] for r in
+              store.read("nodes").groupBy("label")
+              .agg(F.count("*").alias("n")).collect()}
+    store.update_metrics("nodes", {"label_counts": lc})
+    idx_metrics = stamp_index_metrics(store.manifest("nodes"))
+
+    # --- node_tokens FTS: delta-postings MERGE when the committed index
+    # is bucket(N, tok) and fresh w.r.t. the PRE-merge nodes snapshot;
+    # anything else (missing, stale, unbucketed legacy layout) rebuilds.
+    tok_man = store.manifest("node_tokens")
+    if (tok_man is not None and tok_man.get("bucket_by") == "tok"
+            and index_is_fresh(tok_man, prev_nodes_man)):
+        delta_post = _name_tokens(
+            node_updates.select("entity_id", "label", "name"))
+        store.merge_write("node_tokens", delta_post, node_tokens_merge_fn(),
+                          stage=stage, extra_metrics=idx_metrics,
+                          input_fingerprint=inc_fp("node_tokens"))
+    else:
+        store.write_bucketed(
+            "node_tokens", build_node_tokens(store.read("nodes")),
+            bucket_by="tok", n_buckets=cfg.fts_index_buckets,
+            stage=stage, extra_metrics=idx_metrics,
+            input_fingerprint=inc_fp("node_tokens"))
+
+    # --- node_vectors ANN: re-assign ONLY the batch's embeddings against
+    # the committed quantizer and rewrite only their (label, cell)
+    # partitions; full retrain+rebuild when no valid quantizer can be
+    # reused.
+    rows = nodes_man.get("rows") or 0
+    if rows >= cfg.ann_min_rows:
+        import numpy as np
         from neo4j_document_pipeline_spark.operators.similarity import (
             NoVectorsError)
-        prior = ((store.manifest("node_vectors") or {})
-                 .get("metrics") or {})
-        # reuse the prior quantizers ONLY when they match the current
-        # config shape — a changed ann_cells / ann_pq_m / ann_pq_k must
-        # retrain, never be silently ignored with a wrong manifest stamp
-        prior_cents = prior.get("centroids")
-        if prior_cents is not None and len(prior_cents) != cfg.ann_cells:
-            prior_cents = None
-        prior_books = prior.get("pq_codebooks") if cfg.ann_pq_m > 0 else None
-        if prior_books is not None and (
-                len(prior_books) != cfg.ann_pq_m
-                or len(prior_books[0]) != cfg.ann_pq_k):
-            prior_books = None
-        try:
-            vdf, cents, books = build_node_vectors(
-                store.read("nodes"), cfg,
-                centroids=prior_cents, codebooks=prior_books)
-        except NoVectorsError:
-            pass  # no embedded rows -> no index; reads brute-force
+        vman = store.manifest("node_vectors")
+        cents, books = load_quantizers(store, "node_vectors", vman) \
+            if vman else (None, None)
+        reuse = (vman is not None and bool(cents)
+                 and index_is_fresh(vman, prev_nodes_man)
+                 and vman.get("partition_by") == ["label", "cell"])
+        # geometry: explicit config must match exactly; auto geometry
+        # retrains only when the corpus has outgrown the committed cell
+        # count by >2x (geometric growth => amortized O(delta) retrains)
+        if reuse and cfg.ann_cells > 0 and len(cents) != cfg.ann_cells:
+            reuse = False
+        if reuse and cfg.ann_cells == 0 \
+                and 2 * len(cents) < resolve_ann_cells(cfg, rows):
+            reuse = False
+        if cfg.ann_pq_m > 0:
+            if reuse and (books is None or np.asarray(books).shape[:2]
+                          != (cfg.ann_pq_m, cfg.ann_pq_k)):
+                reuse = False
         else:
-            pq_meta = ({"pq_codebooks": books.tolist(),
-                        "pq_m": cfg.ann_pq_m}
-                       if books is not None else {})
-            store.write("node_vectors", vdf, stage=stage,
-                        partition_by=["label", "cell"],
-                        extra_metrics={**idx_metrics, **pq_meta,
-                                       "centroids": cents,
-                                       "n_cells": len(cents)})
+            books = None
+            if reuse and ((vman.get("metrics") or {}).get("pq_m") or 0) > 0:
+                reuse = False  # index stores codes but cfg wants vectors
+        # dimension guard (round-3 advisory): a featurizer-width change
+        # must retrain over the full corpus, never null-assign the delta
+        emb_head = node_updates.filter(F.col("embedding").isNotNull()) \
+            .select("embedding").first()
+        delta_dim = len(emb_head[0]) \
+            if emb_head is not None and emb_head[0] is not None else None
+        if reuse and delta_dim is not None and len(cents[0]) != delta_dim:
+            reuse = False
+        try:
+            if reuse and delta_dim is None:
+                # batch carries no embeddings: index content is already
+                # complete — restamp its source lineage only
+                store.update_metrics("node_vectors", idx_metrics)
+            elif reuse:
+                vdf, cents, books = build_node_vectors(
+                    node_updates, cfg, centroids=cents, codebooks=books)
+                payload = quantizer_sidecar_bytes(cents, books)
+                store.merge_write_hive(
+                    "node_vectors", vdf, node_vectors_merge_fn(),
+                    partition_by=["label", "cell"], stage=stage,
+                    extra_files={QUANTIZER_SIDECAR: payload},
+                    extra_metrics={**idx_metrics,
+                                   **quantizer_manifest_metrics(
+                                       payload, len(cents),
+                                       cfg.ann_pq_m if books is not None
+                                       else 0)},
+                    input_fingerprint=inc_fp("node_vectors"))
+            else:
+                vdf, cents, books = build_node_vectors(
+                    store.read("nodes"), cfg, n_rows=rows)
+                payload = quantizer_sidecar_bytes(cents, books)
+                store.write(
+                    "node_vectors", vdf, stage=stage,
+                    partition_by=["label", "cell"],
+                    extra_files={QUANTIZER_SIDECAR: payload},
+                    extra_metrics={**idx_metrics,
+                                   **quantizer_manifest_metrics(
+                                       payload, len(cents),
+                                       cfg.ann_pq_m if books is not None
+                                       else 0)},
+                    input_fingerprint=inc_fp("node_vectors"))
+        except NoVectorsError:
+            pass  # no embedded rows anywhere -> no index; reads brute-force
     store.merge_write_edges(build_edges(triples, emb, cfg, chunks=chunks),
                             max_sources=cfg.max_sources_per_edge,
-                            stage=stage)
-    store.merge_write_mentions(build_mentions(triples), stage=stage)
+                            stage=stage,
+                            input_fingerprint=inc_fp("edges"))
+    store.merge_write_mentions(build_mentions(triples), stage=stage,
+                               input_fingerprint=inc_fp("mentions"))
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (documents.join(n_chunks, "doc_id", "left")
                   .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
                   .drop("_n"))
-    store.write("documents_final", store.merge_documents(docs_final),
-                stage=stage,
-                extra_metrics={"max_warc_ts": max_ts})
+    store.merge_write_documents(
+        docs_final, stage=stage,
+        extra_metrics={"max_warc_ts": max_ts},
+        input_fingerprint=inc_fp("documents_final"))
 
 
 def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,

@@ -374,10 +374,16 @@ def test_graphrag_many_enforces_bound_and_isolates_failures(monkeypatch):
 def test_vector_channel_index_full_probe_is_exact(spark, kg):
     """IVF index at nprobe == n_cells is provably exact: byte-identical
     (id, score) list vs the brute-force nodes scan."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        load_quantizers)
     nodes = kg.read("nodes")
     vman = kg.manifest("node_vectors")
     assert vman is not None, "pipeline should commit the ANN index"
-    cents = vman["metrics"]["centroids"]
+    # quantizers live in the parquet sidecar; the manifest stays O(KB)
+    assert vman["metrics"].get("quantizer_file")
+    assert "centroids" not in vman["metrics"]
+    cents, _ = load_quantizers(kg, "node_vectors", vman)
+    assert len(cents) == vman["metrics"]["n_cells"]
     idx = kg.read("node_vectors")
     q = embed_text("Who founded the House of Wisdom?", dim=64).tolist()
     brute = [(r["entity_id"], r["vec"]) for r in
@@ -498,3 +504,109 @@ def test_labeled_keyword_channel_index_parity(spark, kg):
             for r in keyword_channel(nodes, "algebra geometry optics", 50,
                                      ["Entity"]).collect()}
     assert got == want and got
+
+
+def test_ann_geometry_scales_with_corpus():
+    """Round-4 verdict item 2: auto cell geometry grows linearly with the
+    indexed corpus (10x rows -> 10x cells, clamped), so the probe's scan
+    fraction shrinks instead of staying a fixed 50%."""
+    from neo4j_document_pipeline_spark.config import PipelineConfig
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        resolve_ann_cells)
+    cfg = PipelineConfig()  # ann_cells=0 -> auto
+    t = cfg.ann_target_cell_rows
+    assert resolve_ann_cells(cfg, 100 * t) == 100
+    assert resolve_ann_cells(cfg, 1000 * t) == 1000  # 10x rows -> 10x cells
+    assert resolve_ann_cells(cfg, 10) == 4            # floor clamp
+    assert resolve_ann_cells(cfg, 10**12) == 65_536   # ceiling clamp
+    import dataclasses
+    pinned = dataclasses.replace(cfg, ann_cells=16)
+    assert resolve_ann_cells(pinned, 10**9) == 16     # explicit override
+
+
+def test_quantizer_sidecar_roundtrip_and_hash_guard(tmp_path):
+    """Centroids + PQ codebooks survive the parquet sidecar byte-exactly;
+    a corrupted payload fails its content hash instead of loading."""
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        _load_quantizer_file, quantizer_manifest_metrics,
+        quantizer_sidecar_bytes)
+    cents = [[0.1 * i + 0.01 * j for j in range(8)] for i in range(5)]
+    books = np.arange(3 * 4 * 2, dtype=float).reshape(3, 4, 2) / 7.0
+    payload = quantizer_sidecar_bytes(cents, books)
+    met = quantizer_manifest_metrics(payload, len(cents), pq_m=3)
+    p = tmp_path / "_quantizer.parquet"
+    p.write_bytes(payload)
+    c2, b2 = _load_quantizer_file(str(p), met["quantizer_sha256"])
+    assert c2 == cents
+    assert np.array_equal(b2, books)
+    assert met["n_cells"] == 5 and met["pq_m"] == 3
+    p.write_bytes(payload[:-3] + b"xyz")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _load_quantizer_file(str(p), met["quantizer_sha256"])
+
+
+def test_index_freshness_survives_chained_compactions(spark, tmp_path):
+    """index_is_fresh keys on the explicit content_root_version lineage
+    flag: indexes stay live through compact -> compact chains AND when
+    the index was built over an already-compacted nodes snapshot — while
+    a same-shape content-CHANGING rewrite (old fingerprint, same row
+    count) correctly invalidates them (round-3 advisory)."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        index_is_fresh)
+    root = str(tmp_path / "store")
+    run_pipeline(spark, synth_pages(spark, 60), root)
+    store = GraphStore(root, spark)
+    store.compact("nodes")
+    store.compact("nodes")  # chained: root must carry transitively
+    nman = store.manifest("nodes")
+    assert index_is_fresh(store.manifest("node_tokens"), nman)
+    assert index_is_fresh(store.manifest("node_vectors"), nman)
+    r = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert r.timings.get("ann_index") == 1.0
+    # index built OVER a compacted snapshot stays fresh after ANOTHER
+    # compaction (src records the content root, not the physical version)
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_tokens, stamp_index_metrics)
+    store.write_bucketed("node_tokens",
+                         build_node_tokens(store.read("nodes")),
+                         bucket_by="tok", n_buckets=8,
+                         extra_metrics=stamp_index_metrics(
+                             store.manifest("nodes")))
+    store.compact("nodes")
+    assert index_is_fresh(store.manifest("node_tokens"),
+                          store.manifest("nodes"))
+    # content-CHANGING rewrite carrying the old fingerprint and an
+    # unchanged row count: the old heuristic marked indexes fresh; the
+    # lineage flag must not
+    m = store.manifest("nodes")
+    store.write_preserving_layout(
+        "nodes", store.read("nodes"),
+        input_fingerprint=m.get("input_fingerprint", ""))
+    assert store.manifest("nodes")["rows"] == m["rows"]
+    assert not index_is_fresh(store.manifest("node_tokens"),
+                              store.manifest("nodes"))
+    assert not index_is_fresh(store.manifest("node_vectors"),
+                              store.manifest("nodes"))
+
+
+def test_compact_carries_quantizer_sidecar(spark, tmp_path):
+    """store.compact of node_vectors must carry the quantizer sidecar
+    into the rewritten snapshot — the served ANN index keeps ranking
+    cells driver-side after maintenance."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        load_quantizers)
+    root = str(tmp_path / "store")
+    run_pipeline(spark, synth_pages(spark, 60), root)
+    store = GraphStore(root, spark)
+    cents0, _ = load_quantizers(store, "node_vectors")
+    assert cents0
+    store.compact("node_vectors")
+    m = store.manifest("node_vectors")
+    assert m.get("sidecar_files") == ["_quantizer.parquet"]
+    cents1, _ = load_quantizers(store, "node_vectors")
+    assert cents1 == cents0
+    r = graphrag(spark, store, "What did Al-Khwarizmi develop?")
+    assert r.timings.get("ann_index") == 1.0

@@ -273,3 +273,101 @@ def test_session_window_stream_emits_closed_sessions(spark, tmp_path):
     # static mode over the same files sees ALL sessions
     static = session_windows(spark.read.parquet(d + "/*"), gap="30 minutes")
     assert static.count() == 3
+
+
+def test_incremental_index_tail_is_o_delta(spark, tmp_path, monkeypatch):
+    """Round-4 north item: the incremental READ-INDEX tail must be
+    O(delta) like the data merges — an incremental batch (a) runs NO job
+    over the full nodes table (trap on store.read('nodes')), (b) MERGES
+    its delta postings into the bucket(N, tok) node_tokens index
+    rewriting only touched buckets, (c) re-assigns only its own
+    embeddings and rewrites only their (label, cell) node_vectors
+    partitions (hardlinking the rest), and (d) rolls label_counts
+    forward from the merge's own delta metric — while staying exactly
+    index-parity with a full rebuild over the union."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        ingest_increment)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, store_buckets=8)
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 30), root, cfg=cfg)
+    store = GraphStore(root, spark)
+    tok_before = {p["file"]: p["rows"]
+                  for p in store.manifest("node_tokens")["partitions"]}
+    vec_before = {p["file"] for p in store.manifest("node_vectors")["partitions"]}
+    delta = synth_pages(spark, 34).subtract(synth_pages(spark, 30))
+
+    real_read = GraphStore.read
+
+    def trap_read(self, name):
+        assert name != "nodes", \
+            "incremental index tail read the FULL nodes table"
+        return real_read(self, name)
+
+    monkeypatch.setattr(GraphStore, "read", trap_read)
+    try:
+        ingest_increment(store, delta, cfg=cfg)
+    finally:
+        monkeypatch.setattr(GraphStore, "read", real_read)
+
+    # (b) bucket-scoped postings merge: <= k rewritten files, others
+    # carried by hardlink (present in both snapshots)
+    tm = store.manifest("node_tokens")
+    assert tm["metrics"].get("merge_scope") == "bucket"
+    k = tm["metrics"]["rewritten_buckets"]
+    tok_after = {p["file"] for p in tm["partitions"]}
+    assert len(tok_after - set(tok_before)) <= k
+    assert tm["metrics"]["reused_files"] == len(tok_after & set(tok_before))
+    # (c) partition-scoped ANN merge
+    vm = store.manifest("node_vectors")
+    assert vm["metrics"].get("merge_scope") == "partition"
+    c = vm["metrics"]["rewritten_partitions"]
+    vec_after = {p["file"] for p in vm["partitions"]}
+    # every fresh file lies in one of the c rewritten partition dirs
+    fresh_dirs = {f.rsplit("/", 1)[0] for f in (vec_after - vec_before)}
+    assert len(fresh_dirs) <= c
+    assert vm["metrics"]["reused_files"] == len(vec_after & vec_before)
+    # (d) label_counts rolled forward, consistent with committed rows
+    nm = store.manifest("nodes")
+    assert sum(nm["metrics"]["label_counts"].values()) == nm["rows"]
+
+    # exact index parity vs a full rebuild over the union
+    root_full = str(tmp_path / "full")
+    run_pipeline(spark, synth_pages(spark, 34), root_full, cfg=cfg)
+    full = GraphStore(root_full, spark)
+    tok = lambda s: sorted(
+        (r["tok"], r["entity_id"], r["label"], r["df"])
+        for r in s.read("node_tokens").collect())
+    assert tok(full) == tok(store)
+    vec_ids = lambda s: sorted(
+        r["entity_id"] for r in s.read("node_vectors").collect())
+    assert vec_ids(full) == vec_ids(store)
+    assert full.manifest("nodes")["metrics"]["label_counts"] == \
+        nm["metrics"]["label_counts"]
+
+
+def test_streamed_store_serves_fresh_indexes(spark, tmp_path):
+    """After a foreachBatch stream run, the committed FTS and ANN
+    indexes must be LIVE (graphrag probes them, no fallback) and answer
+    identically to a batch-built store over the same pages."""
+    from neo4j_document_pipeline_spark.operators.retrieval import graphrag
+
+    pages = synth_pages(spark, 40).cache()
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(5).write.parquet(pages_dir)
+    stream_root = str(tmp_path / "stream_store")
+    q = start_ingest_stream(spark, pages_dir, stream_root,
+                            str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    s = GraphStore(stream_root, spark)
+    r = graphrag(spark, s, "What did Al-Khwarizmi develop?")
+    assert r.timings.get("ann_index") == 1.0, \
+        "streamed store fell back to the brute vector scan"
+    batch_root = str(tmp_path / "batch_store")
+    run_pipeline(spark, spark.read.parquet(pages_dir), batch_root)
+    rb = graphrag(spark, GraphStore(batch_root, spark),
+                  "What did Al-Khwarizmi develop?")
+    assert r.answer == rb.answer
