@@ -193,13 +193,18 @@ def main():
     # host-noise gate (BASELINE.md protocol): the cheap relational
     # controls must sit near their committed round-2 medians for a draw
     # to count as a quiet window; a draw with controls_ok=false is a
-    # noisy-host sample, not a regression signal.
+    # noisy-host sample, not a regression signal. The medians are only
+    # meaningful at the committed protocol point (sf0.1 / 32 cpus) —
+    # other scales/rigs report controls_ok=null rather than mislabeling
+    # every draw noisy.
     control_medians = {"pricing_summary": 0.29, "cosine_topk": 0.28,
                        "minmax_order_price": 0.90}
     control_ratio = {k: round(timings[k] / v, 3)
                      for k, v in control_medians.items() if k in timings}
-    controls_ok = bool(control_ratio) and all(
-        r <= 1.10 for r in control_ratio.values())
+    if SF_NUM == 0.1 and CPUS == 32 and control_ratio:
+        controls_ok = all(r <= 1.10 for r in control_ratio.values())
+    else:
+        controls_ok = None
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

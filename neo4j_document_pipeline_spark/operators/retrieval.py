@@ -256,7 +256,9 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
         centroids = None  # stale-dimension quantizer: retrain
     if codebooks is not None:
         books_arr = np.asarray(codebooks)
-        if (books_arr.ndim != 3 or books_arr.shape[0] != cfg.ann_pq_m
+        if (books_arr.ndim != 3
+                or books_arr.shape[0] != cfg.ann_pq_m
+                or books_arr.shape[1] != cfg.ann_pq_k
                 or books_arr.shape[0] * books_arr.shape[2] != dim):
             codebooks = None
     # one shared deterministic sample feeds BOTH trainers (identical
@@ -393,7 +395,11 @@ def load_quantizers(store, name: str, manifest: dict | None = None):
     """(centroids, codebooks|None) for a committed node_vectors snapshot:
     inline manifest metrics (legacy layout) or the parquet sidecar (path
     keyed per version — cached, so repeated queries parse it once).
-    (None, None) when the snapshot carries no quantizer."""
+    (None, None) only when the snapshot genuinely carries no quantizer;
+    a manifest that RECORDS a sidecar whose file is missing or fails its
+    content hash raises loudly — that is store corruption, and masking
+    it as no-quantizer would silently degrade every query to full scans
+    with no visible error."""
     import os
     m = manifest if manifest is not None else store.manifest(name)
     if not m:
@@ -408,10 +414,7 @@ def load_quantizers(store, name: str, manifest: dict | None = None):
     key = path
     hit = _quantizer_cache.get(key)
     if hit is None:
-        try:
-            hit = _load_quantizer_file(path, met.get("quantizer_sha256"))
-        except (OSError, ValueError):
-            return None, None
+        hit = _load_quantizer_file(path, met.get("quantizer_sha256"))
         if len(_quantizer_cache) > 32:
             _quantizer_cache.clear()
         _quantizer_cache[key] = hit
@@ -427,22 +430,21 @@ def node_tokens_merge_fn():
     tok's bucket, so every df recount sees the tok's full posting list —
     unaffected buckets' df values are untouched and remain exact."""
     def fn(existing, new):
+        # both sides carry the label column: delta postings come from the
+        # labeled node updates, and a committed label-less index (legacy
+        # layout) never reaches this merge — callers rebuild instead (a
+        # schema mismatch here would fail the unionByName loudly)
         new = new.withColumn("_src", F.lit(1))
         if existing is None:
             allr = new
         else:
             allr = existing.drop("df").withColumn("_src", F.lit(0)) \
                 .unionByName(new)
-        has_label = "label" in allr.columns
-        agg = [F.max_by("label", "_src").alias("label")] if has_label else []
         deduped = allr.groupBy("entity_id", "tok").agg(
-            *(agg or [F.max("_src").alias("_drop")]))
-        if not has_label:
-            deduped = deduped.drop("_drop")
+            F.max_by("label", "_src").alias("label"))
         w = Window.partitionBy("tok")
-        cols = ["entity_id"] + (["label"] if has_label else []) + ["tok", "df"]
         return (deduped.withColumn("df", F.count("*").over(w))
-                .select(*cols).sortWithinPartitions("tok"))
+                .select("entity_id", "label", "tok", "df"))
     return fn
 
 

@@ -188,7 +188,8 @@ class GraphStore:
     def write_bucketed(self, name: str, df: DataFrame, *, bucket_by: str,
                        n_buckets: int = 16, input_fingerprint: str = "",
                        stage: str = "",
-                       extra_metrics: dict | None = None) -> dict:
+                       extra_metrics: dict | None = None,
+                       extra_files: dict[str, bytes] | None = None) -> dict:
         """Snapshot write with a bucket(bucket_by) physical layout — the
         Iceberg `bucket(N, entity_id)` storage-partitioned-join layout
         from SURVEY §1.3/§4 on plain parquet + the session catalog.
@@ -217,12 +218,16 @@ class GraphStore:
          .write.mode("overwrite").format("parquet").option("path", path)
          .bucketBy(n_buckets, bucket_by).sortBy(bucket_by)
          .saveAsTable(tbl))
+        self._write_extra_files(path, extra_files)
+        extra_man = {"bucket_by": bucket_by, "n_buckets": n_buckets,
+                     "catalog_table": tbl}
+        if extra_files:
+            extra_man["sidecar_files"] = sorted(extra_files)
         return self._commit_snapshot(
             name, version, path, stage=stage,
             input_fingerprint=input_fingerprint,
             extra_metrics=extra_metrics,
-            extra_manifest={"bucket_by": bucket_by, "n_buckets": n_buckets,
-                            "catalog_table": tbl})
+            extra_manifest=extra_man)
 
     @staticmethod
     def _write_extra_files(path: str, extra_files: dict[str, bytes] | None):
@@ -461,11 +466,11 @@ class GraphStore:
                     sidecars[rel] = f.read()
             except OSError:
                 pass
+        kw["extra_files"] = sidecars or None
         if m.get("bucket_by"):
             return self.write_bucketed(
                 name, df, bucket_by=m["bucket_by"],
                 n_buckets=m["n_buckets"], **kw)
-        kw["extra_files"] = sidecars or None
         if m.get("partition_by"):
             # hive-partitioned tables keep their layout: cluster rows by
             # the partition columns so each partition value lands in one
