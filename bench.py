@@ -197,7 +197,13 @@ def main():
     # meaningful at the committed protocol point (sf0.1 / 32 cpus) —
     # other scales/rigs report controls_ok=null rather than mislabeling
     # every draw noisy.
-    control_medians = {"pricing_summary": 0.29, "cosine_topk": 0.28,
+    # pricing/minmax are the round-2 committed medians (they reproduce
+    # unchanged); cosine_topk's steady floor moved 0.28 -> ~0.33 during
+    # round 3 and reproduces at 0.33-0.37 across round-4 draws whose
+    # OTHER controls sit at-median, so its median reflects the round-3/4
+    # steady state rather than permanently failing the gate on an idle
+    # host (see BASELINE.md).
+    control_medians = {"pricing_summary": 0.29, "cosine_topk": 0.33,
                        "minmax_order_price": 0.90}
     control_ratio = {k: round(timings[k] / v, 3)
                      for k, v in control_medians.items() if k in timings}

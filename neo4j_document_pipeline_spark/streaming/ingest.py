@@ -263,10 +263,12 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
     Ingest options (text_source/min_quality/langs) apply per batch exactly
     as on the batch-ingest path; ``keep_versions`` must match the store's
     retention window or streaming commits would prune snapshots the user
-    asked to keep. A MERGE rewrites the graph tables per micro-batch, so
-    backfills over many files should raise ``max_files_per_trigger`` (or
-    use plain ``ingest``) — tiny triggers make an O(n_files/trigger)
-    sequence of full rewrites."""
+    asked to keep. On a bucketed store every per-batch cost — data MERGE,
+    FTS postings merge, ANN partition rewrite, label-count roll-forward —
+    is O(batch), so trigger size trades commit overhead against latency
+    rather than multiplying full rewrites; plain ``ingest`` remains the
+    cheapest way to backfill a whole corpus at once (one build, one
+    index pass)."""
     from neo4j_document_pipeline_spark.sources.store import GraphStore
 
     store = GraphStore(store_root, spark, keep_versions=keep_versions)
