@@ -308,6 +308,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("score").desc(), "vec_id").limit(10))
     q["ivf_topk_full"] = ivf_topk_full
 
+    # ---- per-label IVF quantizers, labeled full probe (exact) ----
+    def ivf_label_topk(spark, sf):
+        """Per-label coarse quantizers (cfg.ann_per_label — the
+        reference's one-vector-index-per-label, ingestMD.py:669-690):
+        labels are synthesized as vec_id % 3, each label trains its own
+        k-means cells (one stratified sample pass), and a labeled query
+        ranks/probes ONLY its label's cell range. Probing every cell of
+        the label is exact, so the brute within-label cosine SQL is the
+        oracle. Same rounded-score re-order trick as ivf_topk_full."""
+        from neo4j_document_pipeline_spark.config import PipelineConfig
+        from neo4j_document_pipeline_spark.operators.retrieval import (
+            build_node_vectors, vector_channel)
+        e = _t(spark, sf, "embeddings")
+        nodes = e.select(
+            F.col("vec_id").cast("string").alias("entity_id"),
+            F.pmod(F.col("vec_id"), F.lit(3)).cast("string").alias("label"),
+            "embedding")
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cfg = PipelineConfig(ann_per_label=True, ann_target_cell_rows=256,
+                             ann_train_iters=2, ann_label_train_sample=512)
+        idx, cents, _, ranges = build_node_vectors(nodes, cfg)
+        off, n = ranges["1"]
+        out = vector_channel(nodes, qv, ["1"], 50, index=idx,
+                             centroids=cents, nprobe=len(cents),
+                             allowed_cells=set(range(off, off + n)))
+        return (out.select(F.col("entity_id").cast("bigint").alias("vec_id"),
+                           F.round("vec", 4).alias("score"))
+                .orderBy(F.col("score").desc(), "vec_id").limit(10))
+    q["ivf_label_topk"] = ivf_label_topk
+
     # ---- PQ ANN, exact rerank over the full candidate set ----
     def pq_topk_rerank(spark, sf):
         """ADC-scored product-quantization search with exact cosine rerank
@@ -886,6 +917,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
             "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10",
+        # per-label IVF probing every cell of the queried label is exact
+        # within that label
+        "ivf_label_topk":
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "
+            "FROM embeddings WHERE vec_id % 3 = 1 "
+            "ORDER BY score DESC, vec_id LIMIT 10",
         # PQ with exact rerank over the full candidate set is exact too
         "pq_topk_rerank":
             "SELECT vec_id, round(list_cosine_similarity(embedding, "

@@ -175,7 +175,7 @@ def main():
         cfg_pq = dataclasses.replace(DEFAULT_CONFIG, ann_pq_m=8)
         t0 = time.perf_counter()
         nman = store.manifest("nodes")
-        idx, cents, books = build_node_vectors(
+        idx, cents, books, _ = build_node_vectors(
             store.read("nodes"), cfg_pq, n_rows=nman["rows"])
         payload = quantizer_sidecar_bytes(cents, books)
         store.write("node_vectors", idx, partition_by=["label", "cell"],

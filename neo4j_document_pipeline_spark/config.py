@@ -109,6 +109,20 @@ class PipelineConfig:
     # per-subspace quantizers are much finer than the coarse cells and
     # need more steps to converge
     ann_pq_train_iters: int = 8
+    # per-label coarse quantizers (the reference maintains one vector
+    # index PER LABEL, ingestMD.py:669-690). False (default): ONE global
+    # quantizer — rare-label recall is protected by the label-aware probe
+    # floor (ann_min_probe_rows). True: a k-means per label, trained from
+    # ONE stratified sample pass (not len(labels) jobs) with each label's
+    # cell count derived from ITS row count; cell ids are allocated as
+    # contiguous ranges of one flat cell space, so the (label, cell)
+    # partition layout, probe machinery, and sidecar format are
+    # unchanged, and a labeled query ranks only its labels' cells.
+    ann_per_label: bool = False
+    # per-label training sample cap (the stratified pass collects <= this
+    # many vectors per label driver-side; a smaller label trains on all
+    # its rows). Bounded memory: labels x cap x dim floats.
+    ann_label_train_sample: int = 8192
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

@@ -113,7 +113,8 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
                    nprobe: int | None = None,
                    cell_rows: dict[int, int] | None = None,
                    min_probe_rows: int | None = None,
-                   pq_codebooks=None) -> DataFrame:
+                   pq_codebooks=None,
+                   allowed_cells: set[int] | None = None) -> DataFrame:
     """Global top-k_vec by cosine (graphutil.py:364-391).
 
     With ``index`` + ``centroids`` (the committed ``node_vectors`` IVF
@@ -143,6 +144,18 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
         from neo4j_document_pipeline_spark.operators.similarity import (
             _nearest_cells)
         ranked = _nearest_cells(centroids, qvec, len(centroids))
+        if allowed_cells is not None:
+            # per-label quantizers: a labeled query competes only within
+            # the requested labels' cell ranges — the reference's
+            # per-label index probe, expressed as an id filter over the
+            # flat ranking (cell ids are label-scoped by construction)
+            ranked = [c for c in ranked if c in allowed_cells]
+            if not ranked:
+                # requested labels own no cells => no embedded rows of
+                # those labels in a fresh index; empty is exact
+                return (index.filter(F.lit(False))
+                        .select("entity_id",
+                                F.lit(0.0).alias("vec")))
         probes = ranked[:max(1, nprobe) if nprobe else len(ranked)]
         if cell_rows is not None and min_probe_rows:
             # recall floor: widen the probe set (centroid-distance order)
@@ -207,9 +220,114 @@ def resolve_ann_cells(cfg: PipelineConfig, n_rows: int) -> int:
                       -(-int(n_rows) // max(1, cfg.ann_target_cell_rows))))
 
 
+def _train_per_label_quantizer(vecs: DataFrame, cfg: PipelineConfig,
+                               dim: int,
+                               only_labels: set[str] | None = None):
+    """Train one k-means per label from a SINGLE stratified sample pass:
+    a deterministic hash filter keeps ~2x each label's sample cap (labels
+    at or under the cap keep every row), one bounded collect brings the
+    survivors driver-side, and Lloyd runs per label over its slice. Cell
+    ids are handed out as contiguous ranges in sorted-label order so the
+    flat centroid list + ``{label: [offset, n]}`` map fully describe the
+    quantizer. Per-label cell counts come from each label's OWN row count
+    (resolve_ann_cells), which is what gives rare labels dedicated cells
+    — the recall property the reference buys with per-label indexes.
+    Returns (flat_centroids, label_ranges)."""
+    import numpy as np
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        NoVectorsError, lloyd_kmeans)
+    base = vecs.filter(F.size("embedding") == dim)
+    if only_labels is not None:
+        base = base.filter(F.col("label").isin(sorted(only_labels)))
+    counts = {r["label"]: r["n"] for r in
+              base.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    if not counts:
+        raise NoVectorsError(
+            "per-label quantizer: no embedded rows to train on")
+    cap = max(1, cfg.ann_label_train_sample)
+    MOD = 1_000_000
+    thresh = {lab: min(MOD, -(-2 * cap * MOD // max(1, n)))
+              for lab, n in counts.items()}
+    tmap = F.create_map(*[x for lab in sorted(counts)
+                          for x in (F.lit(lab), F.lit(thresh[lab]))])
+    rows = (
+        base.select("label", F.col("embedding").alias("v"))
+        .withColumn("_h", F.pmod(
+            F.xxhash64(F.col("v").cast("string"),
+                       F.lit(str(cfg.featurizer_seed))), F.lit(MOD)))
+        .filter(F.col("_h") < F.element_at(tmap, F.col("label")))
+        # deterministic bounded collect (TakeOrdered heap): expected size
+        # ~2*cap per label; the hard limit only bites under pathological
+        # hash skew, and the per-label fallback below repairs that
+        .orderBy("_h", "label")
+        .limit(4 * cap * len(counts))
+        .collect()
+    )
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r["label"], []).append((r["_h"], r["v"]))
+    cents: list[list[float]] = []
+    ranges: dict[str, list[int]] = {}
+    for lab in sorted(counts):
+        got = sorted(per.get(lab, []),
+                     key=lambda t: (t[0], tuple(t[1])))[:cap]
+        if not got:
+            # the probabilistic filter missed every row of this label
+            # (astronomically unlikely; possible only under extreme hash
+            # skew) — exact per-label TakeOrdered fallback, loud in cost
+            # but never in correctness
+            got = [(0, r["v"]) for r in
+                   base.filter(F.col("label") == lab)
+                   .select(F.col("embedding").alias("v"))
+                   .orderBy(F.sha2(F.concat(
+                       F.col("v").cast("string"),
+                       F.lit(str(cfg.featurizer_seed))), 256))
+                   .limit(cap).collect()]
+        X = np.stack([np.asarray(v, dtype=float) for _, v in got])
+        n_cells = min(resolve_ann_cells(cfg, counts[lab]), len(X))
+        cl = lloyd_kmeans(X, n_cells, cfg.ann_train_iters)
+        ranges[lab] = [len(cents), len(cl)]
+        cents.extend(cl)
+    return cents, ranges
+
+
+def _extend_per_label_quantizer(vecs: DataFrame, cfg: PipelineConfig,
+                                dim: int,
+                                centroids: list[list[float]],
+                                label_ranges: dict[str, list[int]]):
+    """Incremental-reuse companion of _train_per_label_quantizer: labels
+    present in the (delta) data but absent from the committed quantizer
+    get their cells trained from the delta and APPENDED to the flat list;
+    existing labels' slices are byte-identical, so rows already committed
+    never re-assign and partition-scoped merges stay sound."""
+    ranges = {str(k): [int(v[0]), int(v[1])]
+              for k, v in label_ranges.items()}
+    have = set(ranges)
+    new_labels = {r["label"] for r in
+                  vecs.select("label").distinct().collect()} - have
+    if not new_labels:
+        return centroids, ranges
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        NoVectorsError)
+    try:
+        add_cents, add_ranges = _train_per_label_quantizer(
+            vecs, cfg, dim, only_labels=new_labels)
+    except NoVectorsError:
+        # every row of the new labels is ragged (width != the index
+        # dim): nothing trainable — those rows null-assign to the
+        # default partition exactly as the global path treats them
+        return centroids, ranges
+    off = len(centroids)
+    centroids = list(centroids) + add_cents
+    for lab, (o, n) in add_ranges.items():
+        ranges[lab] = [o + off, n]
+    return centroids, ranges
+
+
 def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
                        centroids: list[list[float]] | None = None,
-                       codebooks=None, n_rows: int | None = None):
+                       codebooks=None, n_rows: int | None = None,
+                       label_ranges: dict[str, list[int]] | None = None):
     """Write-time ANN index over node embeddings, hive-partitioned by
     (label, cell) — the committed-table analogue of the reference's
     per-label vector indexes (ingestMD.py:669-690, graphutil.py:364-391):
@@ -230,13 +348,30 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     default partition, round-3 advisory). ``n_rows`` (the indexed corpus
     size, normally one manifest lookup) sizes the auto cell geometry;
     without it a count() job runs. Returns (index_df, centroids,
-    codebooks-or-None); the quantizers go into a parquet SIDECAR next to
-    the index (see quantizer_sidecar_bytes) so the read path ranks cells
-    and builds its ADC lookup table driver-side with zero jobs — and the
-    manifest JSON stays O(KB) however many cells the corpus needs."""
+    codebooks-or-None, label_ranges-or-None); the quantizers go into a
+    parquet SIDECAR next to the index (see quantizer_sidecar_bytes) so
+    the read path ranks cells and builds its ADC lookup table driver-side
+    with zero jobs — and the manifest JSON stays O(KB) however many cells
+    the corpus needs.
+
+    With ``cfg.ann_per_label`` (reference parity: one vector index per
+    label, ingestMD.py:669-690) the coarse quantizer is trained PER
+    LABEL — each label's k-means runs over ONE stratified sample pass
+    (not len(labels) jobs), its cell count derived from ITS row count —
+    and the cells are allocated as contiguous ranges of one flat id
+    space (``label_ranges[label] = [offset, n]``), so the (label, cell)
+    partition layout, sidecar format, and flat probe machinery are
+    untouched while a labeled query ranks only its labels' cells. PQ
+    codebooks stay GLOBAL (subspace quantizers characterize coordinate
+    density, not label structure — faiss shares them the same way). On
+    the reuse path, pass the committed ``label_ranges`` alongside
+    ``centroids``; labels the quantizer doesn't cover yet get their
+    cells trained from the batch and APPENDED (existing labels' slices
+    never move, so partition-scoped merges stay sound)."""
     import numpy as np
     from neo4j_document_pipeline_spark.operators.similarity import (
-        collect_train_sample, ivf_assign, ivf_train, pq_encode, pq_train)
+        collect_train_sample, ivf_assign, ivf_assign_ranges, ivf_train,
+        pq_encode, pq_train)
     from neo4j_document_pipeline_spark.operators.similarity import (
         NoVectorsError)
     vecs = nodes.filter(F.col("embedding").isNotNull())
@@ -254,6 +389,14 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     if centroids is not None and (
             not centroids or len(centroids[0]) != dim):
         centroids = None  # stale-dimension quantizer: retrain
+    if cfg.ann_per_label and centroids is not None and not label_ranges:
+        centroids = None  # a flat global quantizer can't serve the
+        # per-label layout (no label->slice map): retrain per label
+    if not cfg.ann_per_label:
+        label_ranges = None  # cfg toggled off: the global trainer owns
+        # the whole id space (reuse checks upstream rebuild on toggle)
+    if centroids is None:
+        label_ranges = None  # slices die with their centroids
     if codebooks is not None:
         books_arr = np.asarray(codebooks)
         if (books_arr.ndim != 3
@@ -265,12 +408,20 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     # order/limit/seed — collecting it twice would double the most
     # expensive index-build step)
     sample = None
-    if (centroids is None or (cfg.ann_pq_m > 0 and codebooks is None)) \
+    if ((centroids is None and not cfg.ann_per_label)
+            or (cfg.ann_pq_m > 0 and codebooks is None)) \
             and cfg.ann_train_sample > 0:
         sample = collect_train_sample(
             vecs, "embedding", cfg.ann_train_sample,
             cfg.featurizer_seed, dim)
-    if centroids is None:
+    if cfg.ann_per_label:
+        if centroids is None:
+            centroids, label_ranges = _train_per_label_quantizer(
+                vecs, cfg, dim)
+        else:
+            centroids, label_ranges = _extend_per_label_quantizer(
+                vecs, cfg, dim, centroids, label_ranges)
+    elif centroids is None:
         n_cells = resolve_ann_cells(
             cfg, n_rows if n_rows is not None else vecs.count())
         centroids = ivf_train(vecs, "entity_id", "embedding",
@@ -290,18 +441,26 @@ def build_node_vectors(nodes: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
                                  _sample=sample)
         else:
             codebooks = np.asarray(codebooks)
-        idx = ivf_assign(pq_encode(base, "embedding", codebooks),
-                         "embedding", centroids, "cell") \
-            .select("entity_id", "label", "pq_code", "cell")
+        enc = pq_encode(base, "embedding", codebooks)
+        if label_ranges is not None:
+            assigned = ivf_assign_ranges(enc, "embedding", centroids,
+                                         label_ranges)
+        else:
+            assigned = ivf_assign(enc, "embedding", centroids, "cell")
+        idx = assigned.select("entity_id", "label", "pq_code", "cell")
     else:
-        idx = ivf_assign(base, "embedding", centroids, "cell")
+        if label_ranges is not None:
+            idx = ivf_assign_ranges(base, "embedding", centroids,
+                                    label_ranges)
+        else:
+            idx = ivf_assign(base, "embedding", centroids, "cell")
         codebooks = None
     # cluster rows by the partition columns so each (label, cell) dir is
     # written by one task -> one file per dir instead of
     # input-partitions x dirs tiny files (raise shuffle partitions to
     # split giant cells at scale)
     return idx.repartition(F.col("label"), F.col("cell")), centroids, \
-        codebooks
+        codebooks, label_ranges
 
 
 QUANTIZER_SIDECAR = "_quantizer.parquet"
@@ -344,15 +503,22 @@ def quantizer_sidecar_bytes(centroids, codebooks=None) -> bytes:
 
 
 def quantizer_manifest_metrics(payload: bytes, n_cells: int,
-                               pq_m: int = 0) -> dict:
+                               pq_m: int = 0,
+                               label_cells: dict[str, list[int]] | None
+                               = None) -> dict:
     """The O(KB) manifest stamp for a quantizer sidecar: name + sha256 +
-    shape counts (Iceberg's metadata-file-by-reference pattern)."""
+    shape counts (Iceberg's metadata-file-by-reference pattern).
+    ``label_cells`` (per-label quantizers) maps label -> [offset, n] into
+    the flat centroid list — a handful of ints per label, so the manifest
+    stays small for any realistic label universe."""
     import hashlib
     out = {"quantizer_file": QUANTIZER_SIDECAR,
            "quantizer_sha256": hashlib.sha256(payload).hexdigest(),
            "n_cells": n_cells}
     if pq_m:
         out["pq_m"] = pq_m
+    if label_cells is not None:
+        out["label_cells"] = label_cells
     return out
 
 
@@ -747,14 +913,16 @@ def hybrid_candidates(nodes: DataFrame, question: str, qvec: list[float],
                       nprobe: int | None = None,
                       vec_cell_rows: dict[int, int] | None = None,
                       min_probe_rows: int | None = None,
-                      vec_pq=None) -> DataFrame:
+                      vec_pq=None,
+                      vec_allowed: set[int] | None = None) -> DataFrame:
     """Full-outer channel merge, per-channel max, min-max norm, blended
     score with weights renormalized to sum 1 (graphutil.py:401-447)."""
     vec = vector_channel(nodes, qvec, labels, k_vec,
                          index=vec_index, centroids=vec_centroids,
                          nprobe=nprobe, cell_rows=vec_cell_rows,
                          min_probe_rows=min_probe_rows,
-                         pq_codebooks=vec_pq)
+                         pq_codebooks=vec_pq,
+                         allowed_cells=vec_allowed)
     kw = keyword_channel(nodes, question, k_kw, labels, cfg, n_nodes=n_nodes,
                          postings=postings)
     raw = (
@@ -1215,6 +1383,7 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
         # serving it replaces the vector channel's full nodes scan with
         # an nprobe-cell partition-pruned probe + exact rerank
         vec_index, vec_centroids, vec_cell_rows, vec_pq = None, None, None, None
+        vec_allowed = None
         if store.exists(f"node_vectors{suffix}"):
             vman = store.manifest(f"node_vectors{suffix}")
             if index_is_fresh(vman, man):
@@ -1225,6 +1394,18 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
                     vec_centroids = cents
                     vec_cell_rows = index_cell_rows(vman, labels)
                     vec_pq = books
+                    # per-label quantizers: restrict the cell ranking to
+                    # the requested labels' ranges (manifest label_cells
+                    # — zero extra jobs, like the cell-rows lineage)
+                    lcells = (vman.get("metrics") or {}).get("label_cells")
+                    if labels and lcells:
+                        vec_allowed = set()
+                        for lab in labels:
+                            off_n = lcells.get(lab)
+                            if off_n:
+                                vec_allowed.update(
+                                    range(int(off_n[0]),
+                                          int(off_n[0]) + int(off_n[1])))
         timings["ann_index"] = 1.0 if vec_index is not None else 0.0
 
         return _graphrag_body(
@@ -1232,7 +1413,8 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
             qvec, postings, n_nodes, timings, top_k, hops, labels,
             alpha_vec, beta_kw, use_mmr, use_cross_doc, include_source,
             cfg, fused, vec_index=vec_index, vec_centroids=vec_centroids,
-            vec_cell_rows=vec_cell_rows, vec_pq=vec_pq)
+            vec_cell_rows=vec_cell_rows, vec_pq=vec_pq,
+            vec_allowed=vec_allowed)
     finally:
         _persist_release(nodes)
 
@@ -1342,7 +1524,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                    hops, labels, alpha_vec, beta_kw, use_mmr,
                    use_cross_doc, include_source, cfg,
                    fused, vec_index=None, vec_centroids=None,
-                   vec_cell_rows=None, vec_pq=None) -> GraphRagResult:
+                   vec_cell_rows=None, vec_pq=None,
+                   vec_allowed=None) -> GraphRagResult:
     import time as _time
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
@@ -1356,7 +1539,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                                 nprobe=cfg.ann_nprobe,
                                 cell_rows=vec_cell_rows,
                                 min_probe_rows=cfg.ann_min_probe_rows,
-                                pq_codebooks=vec_pq)
+                                pq_codebooks=vec_pq,
+                                allowed_cells=vec_allowed)
         kw_df = keyword_channel(nodes, question, k, labels, cfg,
                                 n_nodes=n_nodes,
                                 postings=postings)
@@ -1395,7 +1579,8 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                                      nprobe=cfg.ann_nprobe,
                                      vec_cell_rows=vec_cell_rows,
                                      min_probe_rows=cfg.ann_min_probe_rows,
-                                     vec_pq=vec_pq).cache()
+                                     vec_pq=vec_pq,
+                                     vec_allowed=vec_allowed).cache()
         # attach doc titles for diversification / seed-dedup (J1) — scoped
         # to the <=2k candidate ids (broadcast), never an all-mentions
         # aggregate

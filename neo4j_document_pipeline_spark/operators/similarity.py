@@ -142,6 +142,26 @@ def collect_train_sample(df: DataFrame, vec_col: str, n: int,
     return np.stack([np.asarray(r["v"], dtype=float) for r in rows])
 
 
+def lloyd_kmeans(X: np.ndarray, n_cells: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd k-means by cosine over a pre-collected (n, dim)
+    sample: deterministic first-n seeding, first-max tie-break (the same
+    argmax array_position uses), empty cells keep their centroid. Shared
+    by ivf_train's sampled path and the per-label quantizer trainer
+    (retrieval.build_node_vectors with cfg.ann_per_label — one call per
+    label over one stratified sample). Returns min(n_cells, len(X))
+    centroids — a sample smaller than the requested cell count cannot
+    seed more distinct cells than it has points."""
+    cents = X[:n_cells].copy()
+    for _ in range(iters):
+        M = _normed_matrix(cents.tolist())
+        cells = (X @ M.T).argmax(axis=1)
+        for c in range(len(cents)):
+            mask = cells == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    return [list(map(float, c)) for c in cents]
+
+
 def _normed_matrix(centroids: list[list[float]]) -> np.ndarray:
     """Centroids L2-normalized row-wise (zero rows kept as zero)."""
     arr = np.asarray(centroids, dtype=float)
@@ -200,6 +220,57 @@ def _assign_cells_pandas(df: DataFrame, vec_col: str,
             if ok:
                 V = np.stack([vals[i] for i in ok])
                 cells[ok] = (V @ mat.T).argmax(axis=1).astype("int32")
+            pdf[cell_col] = cells
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def ivf_assign_ranges(df: DataFrame, vec_col: str,
+                      centroids: list[list[float]],
+                      label_ranges: dict[str, tuple[int, int]],
+                      cell_col: str = "cell",
+                      label_col: str = "label") -> DataFrame:
+    """Nearest-centroid assignment under PER-LABEL quantizers: each label
+    owns a contiguous slice [offset, offset+n) of the flat centroid list
+    (``label_ranges[label] = (offset, n)``), and a row competes only
+    within its own label's cells — so the emitted cell id is globally
+    unique AND label-scoped, keeping the (label, cell) partition layout
+    and the flat probe machinery unchanged. One broadcast numpy matmul
+    over Arrow batches, sliced per label inside each batch; rows whose
+    label has no cells or whose vector is null/ragged get a null cell
+    (callers must only feed labels the quantizer covers — build appends
+    cells for new labels before assigning)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    M = _normed_matrix(centroids)
+    ranges = {str(k): (int(v[0]), int(v[1]))
+              for k, v in label_ranges.items()}
+    bc = df.sparkSession.sparkContext.broadcast((M, ranges))
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(cell_col, IntegerType())])
+
+    def gen(batches):
+        mat, rng = bc.value
+        dim = mat.shape[1]
+        for pdf in batches:
+            cells = pd.array([pd.NA] * len(pdf), dtype="Int32")
+            vals = [None if v is None else np.asarray(v, dtype=float)
+                    for v in pdf[vec_col]]
+            labs = pdf[label_col].tolist()
+            by_label: dict[str, list[int]] = {}
+            for i, v in enumerate(vals):
+                if (v is not None and v.ndim == 1 and v.size == dim
+                        and labs[i] in rng):
+                    by_label.setdefault(labs[i], []).append(i)
+            for lab, idxs in by_label.items():
+                off, n = rng[lab]
+                if n <= 0:
+                    continue
+                V = np.stack([vals[i] for i in idxs])
+                local = (V @ mat[off:off + n].T).argmax(axis=1)
+                cells[idxs] = (local + off).astype("int32")
             pdf[cell_col] = cells
             yield pdf
 
@@ -297,15 +368,7 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
     if _sample is not None or (train_sample and train_sample > 0):
         X = _sample if _sample is not None else \
             collect_train_sample(df, vec_col, train_sample, seed, dim)
-        cents = X[:n_cells].copy()
-        for _ in range(iters):
-            M = _normed_matrix(cents.tolist())
-            cells = (X @ M.T).argmax(axis=1)  # first-max tie-break,
-            for c in range(len(cents)):       # same as array_position
-                mask = cells == c
-                if mask.any():
-                    cents[c] = X[mask].mean(axis=0)
-        return [list(map(float, c)) for c in cents]
+        return lloyd_kmeans(X, n_cells, iters)
     init = (
         df.select(F.col(vec_col).alias("v"))
         .orderBy(F.sha2(F.concat(F.col("v").cast("string"),

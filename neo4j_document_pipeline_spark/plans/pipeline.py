@@ -297,7 +297,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             from neo4j_document_pipeline_spark.operators.similarity import (
                 NoVectorsError)
             try:
-                idx, centroids, books = build_node_vectors(
+                idx, centroids, books, ranges = build_node_vectors(
                     store.read(src), cfg, n_rows=man.get("rows"))
             except NoVectorsError:
                 # no embedded rows -> no index; reads brute-force. Real
@@ -314,7 +314,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                                    **quantizer_manifest_metrics(
                                        payload, len(centroids),
                                        cfg.ann_pq_m if books is not None
-                                       else 0)})
+                                       else 0, label_cells=ranges)})
         stage_secs[vname] = round(_time.perf_counter() - t0, 3)
 
     commit_read_indexes("")

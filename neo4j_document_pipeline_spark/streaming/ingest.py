@@ -170,9 +170,15 @@ def ingest_increment(store, batch_df: DataFrame,
         vman = store.manifest("node_vectors")
         cents, books = load_quantizers(store, "node_vectors", vman) \
             if vman else (None, None)
+        prior_ranges = ((vman or {}).get("metrics") or {}) \
+            .get("label_cells")
         reuse = (vman is not None and bool(cents)
                  and index_is_fresh(vman, prev_nodes_man)
-                 and vman.get("partition_by") == ["label", "cell"])
+                 and vman.get("partition_by") == ["label", "cell"]
+                 # quantizer SHAPE must match the config: a global index
+                 # can't serve per-label probes and vice versa — a
+                 # toggle between batches forces a full rebuild
+                 and bool(prior_ranges) == bool(cfg.ann_per_label))
         # geometry: explicit config must match exactly; auto geometry
         # retrains only when the corpus has outgrown the committed cell
         # count by >2x (geometric growth => amortized O(delta) retrains)
@@ -203,8 +209,13 @@ def ingest_increment(store, batch_df: DataFrame,
                 # complete — restamp its source lineage only
                 store.update_metrics("node_vectors", idx_metrics)
             elif reuse:
-                vdf, cents, books = build_node_vectors(
-                    node_updates, cfg, centroids=cents, codebooks=books)
+                # per-label quantizers: labels new to this batch get
+                # their cells trained from the delta and APPENDED inside
+                # build_node_vectors — existing labels' slices never
+                # move, so the partition-scoped merge below stays sound
+                vdf, cents, books, ranges = build_node_vectors(
+                    node_updates, cfg, centroids=cents, codebooks=books,
+                    label_ranges=prior_ranges)
                 payload = quantizer_sidecar_bytes(cents, books)
                 store.merge_write_hive(
                     "node_vectors", vdf, node_vectors_merge_fn(),
@@ -214,10 +225,10 @@ def ingest_increment(store, batch_df: DataFrame,
                                    **quantizer_manifest_metrics(
                                        payload, len(cents),
                                        cfg.ann_pq_m if books is not None
-                                       else 0)},
+                                       else 0, label_cells=ranges)},
                     input_fingerprint=inc_fp("node_vectors"))
             else:
-                vdf, cents, books = build_node_vectors(
+                vdf, cents, books, ranges = build_node_vectors(
                     store.read("nodes"), cfg, n_rows=rows)
                 payload = quantizer_sidecar_bytes(cents, books)
                 store.write(
@@ -228,7 +239,7 @@ def ingest_increment(store, batch_df: DataFrame,
                                    **quantizer_manifest_metrics(
                                        payload, len(cents),
                                        cfg.ann_pq_m if books is not None
-                                       else 0)},
+                                       else 0, label_cells=ranges)},
                     input_fingerprint=inc_fp("node_vectors"))
         except NoVectorsError:
             pass  # no embedded rows anywhere -> no index; reads brute-force

@@ -292,7 +292,7 @@ def test_node_vectors_probe_is_partition_pruned(spark, tmp_path):
         "transform(sequence(1, 8), j -> cast(hash(id, j) % 97 AS double) / 97.0)"
         " AS embedding")
     st = GraphStore(str(tmp_path / "kg"), spark)
-    idx, cents, _ = build_node_vectors(nodes, cfg)
+    idx, cents, _, _ = build_node_vectors(nodes, cfg)
     st.write("node_vectors", idx, partition_by=["label", "cell"])
 
     q = embed_text("probe", dim=8).tolist()
