@@ -62,6 +62,12 @@ def main(argv=None):
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop pages below this [0,1] heuristic quality "
                          "score before extraction")
+    ap.add_argument("--ann-per-label", action="store_true",
+                    help="train one ANN coarse quantizer PER LABEL (the "
+                         "reference's one-vector-index-per-label); labeled "
+                         "queries then probe only their labels' cells. "
+                         "Default: one global quantizer with a label-aware "
+                         "probe floor")
     ap.add_argument("--incremental", action="store_true",
                     help="MERGE this batch into the existing store instead "
                          "of recomputing staged tables (delta ingest)")
@@ -131,6 +137,14 @@ def main(argv=None):
                 # arrive late; the MERGE is idempotent so re-processing the
                 # watermark second is safe, dropping latecomers is not
                 pages = pages.filter(F.col("warc_ts") >= F.lit(since).cast("timestamp"))
+        import dataclasses
+
+        from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+        cfg = DEFAULT_CONFIG
+        if ns.buckets:
+            cfg = dataclasses.replace(cfg, store_buckets=ns.buckets)
+        if ns.ann_per_label:
+            cfg = dataclasses.replace(cfg, ann_per_label=True)
         if ns.incremental or ns.since_ts:
             from neo4j_document_pipeline_spark.streaming.ingest import (
                 ingest_increment)
@@ -140,7 +154,8 @@ def main(argv=None):
             if pages.isEmpty():
                 print(json.dumps({"increment": {"rows": 0, "note": "no new pages"}}))
             else:
-                ingest_increment(store, pages, stage="cli-increment",
+                ingest_increment(store, pages, cfg=cfg,
+                                 stage="cli-increment",
                                  text_source=ns.text_source,
                                  min_quality=ns.min_quality)
                 print(json.dumps({"increment": {
@@ -148,13 +163,8 @@ def main(argv=None):
                     for k in ("nodes", "edges", "mentions", "documents_final")}},
                     indent=1))
         else:
-            # langs already applied above (shared with the incremental path)
-            import dataclasses
-
-            from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
-            cfg = dataclasses.replace(DEFAULT_CONFIG,
-                                      store_buckets=ns.buckets) \
-                if ns.buckets else DEFAULT_CONFIG
+            # langs already applied above (shared with the incremental
+            # path, as is cfg)
             # manifested pages dirs resume off their committed snapshot id
             # — no content-crc scan of the corpus just to derive the
             # stage-skip key (plain dirs / synth keep the crc fallback);

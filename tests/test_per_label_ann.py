@@ -200,3 +200,24 @@ def test_per_label_incremental_full_equals_full_plus_delta(spark, tmp_path):
     rf = graphrag(spark, GraphStore(full_root, spark), q, cfg=cfg)
     assert ri.timings.get("ann_index") == 1.0
     assert ri.answer == rf.answer
+
+
+def test_cli_ann_per_label_flag(spark, tmp_path, capsys):
+    """--ann-per-label reaches both CLI ingest paths: the full pipeline
+    commits a per-label quantizer (manifest label_cells) and a later
+    --incremental batch under the same flag reuses it (existing labels'
+    slices never move)."""
+    from neo4j_document_pipeline_spark.__main__ import main
+    root = str(tmp_path / "kg")
+    main(["ingest", "--store", root, "--pages", "synth:20",
+          "--ann-per-label"])
+    capsys.readouterr()
+    st = GraphStore(root, spark)
+    lc0 = (st.manifest("node_vectors")["metrics"] or {})["label_cells"]
+    assert lc0  # per-label quantizer committed, not the global one
+    main(["ingest", "--store", root, "--pages", "synth:26",
+          "--incremental", "--ann-per-label"])
+    capsys.readouterr()
+    lc1 = (st.manifest("node_vectors")["metrics"] or {})["label_cells"]
+    for lab, span in lc0.items():
+        assert lc1[lab] == span, lab
