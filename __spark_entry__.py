@@ -640,6 +640,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(edges).withColumnRenamed("id", "node")
     q["connected_components_demo"] = connected_components_demo
 
+    def pagerank_parts(spark, sf):
+        """5-iteration PageRank over the part co-purchase graph (parts
+        sharing an order). Ids are zero-padded so the operator's string
+        least/greatest canonicalization matches the oracle's numeric
+        one; the symmetrized graph has no dangling nodes, so 5 unrolled
+        CTE iterations in DuckDB compute the identical power method."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            pagerank)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v")))
+        return (pagerank(edges, damping=0.85, iters=5)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("rank", 6).alias("rank")))
+    q["pagerank_parts"] = pagerank_parts
+
+    def triangle_parts(spark, sf):
+        """Degree-oriented triangle count of the same co-purchase graph
+        — the wedge join is bounded by the orientation, the oracle is
+        the canonical a<b<c triple join."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            triangle_count)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("u"),
+                         F.col("b.l_partkey").cast("string").alias("v")))
+        return triangle_count(edges)
+    q["triangle_parts"] = triangle_parts
+
     # ---- A5: unique-text union across channels ----
     def unique_texts_union(spark, sf):
         p = _t(spark, sf, "part").select(F.col("p_name").alias("txt"))
@@ -1019,6 +1054,43 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT reach.node, e.v FROM reach JOIN edges2 e ON reach.r = e.u "
             "  WHERE e.v <> reach.node) "
             "SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node",
+        # 5 unrolled power-method iterations; the symmetrized co-purchase
+        # graph has no dangling nodes, so each step is exactly
+        # (1-d)/N + d * sum_nbr rank/deg — identical to the operator
+        "pagerank_parts":
+            "WITH pairs AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+            "e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),"
+            "deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),"
+            "nn AS (SELECT count(*) AS n FROM deg),"
+            "r0 AS (SELECT u AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),"
+            "r1 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
+            "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
+            "       JOIN r0 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v),"
+            "r2 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
+            "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
+            "       JOIN r1 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v),"
+            "r3 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
+            "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
+            "       JOIN r2 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v),"
+            "r4 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
+            "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
+            "       JOIN r3 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v),"
+            "r5 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
+            "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
+            "       JOIN r4 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v)"
+            "SELECT id AS part_id, round(rank, 6) AS rank FROM r5",
+        # canonical a<b<c triple join counts each triangle exactly once
+        "triangle_parts":
+            "WITH pairs AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+            "SELECT count(*) AS triangles FROM pairs e1"
+            " JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v"
+            " JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v",
         "unique_texts_union":
             "SELECT txt FROM (SELECT p_name AS txt FROM part "
             "UNION ALL SELECT s_name FROM supplier "
