@@ -13,6 +13,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark history --store <dir> TABLE # snapshot log
     python -m neo4j_document_pipeline_spark compact --store <dir> TABLE # OPTIMIZE small files
     python -m neo4j_document_pipeline_spark stream --store <dir> --pages <parquet-dir>  # drain new files (availableNow)
+    python -m neo4j_document_pipeline_spark pagerank --store <dir> [--iters N --limit K]  # entity importance
+    python -m neo4j_document_pipeline_spark triangles --store <dir>     # KG clustering signal
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
-        "status", "history", "compact", "stream", "vacuum"])
+        "status", "history", "compact", "stream", "vacuum",
+        "pagerank", "triangles"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -77,6 +80,8 @@ def main(argv=None):
                          "max_warc_ts (implies --incremental)")
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="pagerank power-method iterations")
     ns, unknown = ap.parse_known_args(argv)
     # argparse won't interleave optionals with a greedy positional list;
     # treat leftover non-flag tokens (the question / search value) as args
@@ -210,6 +215,30 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.operators.admin import list_documents
         for r in list_documents(store, limit=ns.limit).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "pagerank":
+        # entity importance over the committed KG edge list (seed
+        # prioritization / extraction-quality weighting); joins names
+        # back from nodes for a readable top-N
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            pagerank)
+        from pyspark.sql import functions as F
+        edges = store.read("edges").select(
+            F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        ranks = pagerank(edges, iters=ns.iters)
+        nodes = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "label", "name")
+        top = (ranks.join(nodes, "id", "left")
+               .orderBy(F.col("rank").desc(), "id").limit(ns.limit))
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "triangles":
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            triangle_count)
+        from pyspark.sql import functions as F
+        edges = store.read("edges").select(
+            F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        print(json.dumps(
+            {"triangles": triangle_count(edges).first()["triangles"]}))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

@@ -116,3 +116,25 @@ def test_triangle_count_matches_brute_force(spark):
     assert want > 0  # density sanity: the fixture actually has triangles
     got = triangle_count(_edges(spark, pairs)).first()["triangles"]
     assert got == want
+
+
+def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
+    """The analytics commands run over a committed store and emit
+    JSON: pagerank joins names back from nodes, ranks sum to ~1 over
+    the full vertex set, triangles returns one integer row."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 15), root)
+    main(["pagerank", "--store", root, "--limit", "5", "--iters", "5"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5
+    assert all({"id", "rank", "label", "name"} <= set(r) for r in rows)
+    assert rows == sorted(rows, key=lambda r: -r["rank"])
+    main(["triangles", "--store", root])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert isinstance(out["triangles"], int) and out["triangles"] >= 0
