@@ -25,6 +25,30 @@ import os
 import sys
 
 
+def _cfg_from_args(ns):
+    """One PipelineConfig for every command that ingests (ingest full +
+    incremental, stream) — a flag honored on one path but silently
+    dropped on another is destructive: a stream drain under the default
+    config would rebuild a --ann-per-label store's index as global."""
+    import dataclasses
+
+    from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
+    cfg = DEFAULT_CONFIG
+    if ns.buckets:
+        cfg = dataclasses.replace(cfg, store_buckets=ns.buckets)
+    if ns.ann_per_label:
+        cfg = dataclasses.replace(cfg, ann_per_label=True)
+    return cfg
+
+
+def _kg_edges(store):
+    """The committed KG edge list projected to the (u, v) shape the
+    graph-analytics operators take."""
+    from pyspark.sql import functions as F
+    return store.read("edges").select(
+        F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
@@ -142,14 +166,7 @@ def main(argv=None):
                 # arrive late; the MERGE is idempotent so re-processing the
                 # watermark second is safe, dropping latecomers is not
                 pages = pages.filter(F.col("warc_ts") >= F.lit(since).cast("timestamp"))
-        import dataclasses
-
-        from neo4j_document_pipeline_spark.config import DEFAULT_CONFIG
-        cfg = DEFAULT_CONFIG
-        if ns.buckets:
-            cfg = dataclasses.replace(cfg, store_buckets=ns.buckets)
-        if ns.ann_per_label:
-            cfg = dataclasses.replace(cfg, ann_per_label=True)
+        cfg = _cfg_from_args(ns)
         if ns.incremental or ns.since_ts:
             from neo4j_document_pipeline_spark.streaming.ingest import (
                 ingest_increment)
@@ -222,9 +239,7 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             pagerank)
         from pyspark.sql import functions as F
-        edges = store.read("edges").select(
-            F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
-        ranks = pagerank(edges, iters=ns.iters)
+        ranks = pagerank(_kg_edges(store), iters=ns.iters)
         nodes = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         top = (ranks.join(nodes, "id", "left")
@@ -234,11 +249,9 @@ def main(argv=None):
     elif ns.command == "triangles":
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             triangle_count)
-        from pyspark.sql import functions as F
-        edges = store.read("edges").select(
-            F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         print(json.dumps(
-            {"triangles": triangle_count(edges).first()["triangles"]}))
+            {"triangles": triangle_count(_kg_edges(store))
+             .first()["triangles"]}))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (
@@ -266,7 +279,7 @@ def main(argv=None):
             sys.exit(f"no such parquet path {ns.pages!r}")
         ckpt = ns.checkpoint or os.path.join(ns.store, "_stream_checkpoint")
         q = start_ingest_stream(
-            spark, ns.pages, ns.store, ckpt,
+            spark, ns.pages, ns.store, ckpt, cfg=_cfg_from_args(ns),
             text_source=ns.text_source, min_quality=ns.min_quality,
             langs=ns.langs.split(",") if ns.langs else None,
             keep_versions=ns.keep_versions,

@@ -121,8 +121,15 @@ class PipelineConfig:
     ann_per_label: bool = False
     # per-label training sample cap (the stratified pass collects <= this
     # many vectors per label driver-side; a smaller label trains on all
-    # its rows). Bounded memory: labels x cap x dim floats.
+    # its rows).
     ann_label_train_sample: int = 8192
+    # TOTAL driver-side row budget for the stratified pass across ALL
+    # labels — without it, memory would scale with label cardinality
+    # (labels x cap x dim floats). The effective per-label cap is
+    # min(ann_label_train_sample, budget / n_labels), floored at 256 so
+    # extreme label universes still train usable quantizers (the floor,
+    # not the budget, then bounds memory at 256 x labels x dim).
+    ann_label_train_budget: int = 65_536
     salt_buckets: int = 8                  # skew salting factor for head keys
     broadcast_threshold_rows: int = 100_000
     lsh_bands: int = 16

@@ -83,6 +83,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     e = e.join(deg, "u").localCheckpoint()
     verts = verts.localCheckpoint()
+    sinks = None
+    if directed:
+        # the zero-out-degree set is static: derive it ONCE from the
+        # checkpointed edge side so the per-iteration dangling-mass
+        # scalar joins two materialized tables instead of re-scanning
+        # and re-aggregating the full edge list every iteration
+        sinks = verts.join(e.select(F.col("u").alias("id")).distinct(),
+                           "id", "left_anti").localCheckpoint()
     n = verts.count()
     if n == 0:
         return verts.select("id", F.lit(0.0).alias("rank"))
@@ -97,10 +105,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
         if directed:
             # dangling mass: rank stranded on zero-outdegree nodes this
             # iteration, redistributed uniformly. ONE scalar aggregate
-            # over the rank table (broadcast back as a literal).
+            # over two checkpointed O(V) tables (broadcast back as a
+            # literal) — the sink SET never changes, only its rank mass.
             dang = (
-                ranks.join(deg.withColumnRenamed("u", "id"), "id",
-                           "left_anti")
+                ranks.join(sinks, "id")
                 .agg(F.sum("rank")).first()[0]
             ) or 0.0
         else:

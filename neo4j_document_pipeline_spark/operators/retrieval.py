@@ -244,33 +244,45 @@ def _train_per_label_quantizer(vecs: DataFrame, cfg: PipelineConfig,
     if not counts:
         raise NoVectorsError(
             "per-label quantizer: no embedded rows to train on")
-    cap = max(1, cfg.ann_label_train_sample)
+    # effective per-label cap: the configured cap, shrunk so the TOTAL
+    # collect stays near ann_label_train_budget however many labels the
+    # corpus has (floored at 256 per label — on extreme label universes
+    # the floor, not the budget, bounds memory)
+    budget = max(1, cfg.ann_label_train_budget)
+    cap = max(256, min(max(1, cfg.ann_label_train_sample),
+                       budget // len(counts)))
     MOD = 1_000_000
     thresh = {lab: min(MOD, -(-2 * cap * MOD // max(1, n)))
               for lab, n in counts.items()}
     tmap = F.create_map(*[x for lab in sorted(counts)
                           for x in (F.lit(lab), F.lit(thresh[lab]))])
     rows = (
-        base.select("label", F.col("embedding").alias("v"))
+        # hash the ROW KEY, not the vector: duplicate embeddings (webtext
+        # boilerplate) would pass/fail the threshold together, flooding
+        # the TakeOrdered heap with one value and starving other labels'
+        # samples — id hashes keep survivors uniform per row
+        base.select("label", F.col("embedding").alias("v"),
+                    F.col("entity_id").alias("_k"))
         .withColumn("_h", F.pmod(
-            F.xxhash64(F.col("v").cast("string"),
+            F.xxhash64(F.col("_k"),
                        F.lit(str(cfg.featurizer_seed))), F.lit(MOD)))
         .filter(F.col("_h") < F.element_at(tmap, F.col("label")))
         # deterministic bounded collect (TakeOrdered heap): expected size
         # ~2*cap per label; the hard limit only bites under pathological
         # hash skew, and the per-label fallback below repairs that
-        .orderBy("_h", "label")
+        .orderBy("_h", "_k")
         .limit(4 * cap * len(counts))
         .collect()
     )
     per: dict[str, list] = {}
     for r in rows:
-        per.setdefault(r["label"], []).append((r["_h"], r["v"]))
+        per.setdefault(r["label"], []).append((r["_h"], r["_k"], r["v"]))
     cents: list[list[float]] = []
     ranges: dict[str, list[int]] = {}
     for lab in sorted(counts):
-        got = sorted(per.get(lab, []),
-                     key=lambda t: (t[0], tuple(t[1])))[:cap]
+        got = [(h, v) for h, _, v in
+               sorted(per.get(lab, []),
+                      key=lambda t: (t[0], t[1]))[:cap]]
         if not got:
             # the probabilistic filter missed every row of this label
             # (astronomically unlikely; possible only under extreme hash

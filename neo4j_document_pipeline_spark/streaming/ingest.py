@@ -181,10 +181,30 @@ def ingest_increment(store, batch_df: DataFrame,
                  and bool(prior_ranges) == bool(cfg.ann_per_label))
         # geometry: explicit config must match exactly; auto geometry
         # retrains only when the corpus has outgrown the committed cell
-        # count by >2x (geometric growth => amortized O(delta) retrains)
-        if reuse and cfg.ann_cells > 0 and len(cents) != cfg.ann_cells:
+        # count by >2x (geometric growth => amortized O(delta) retrains).
+        # Per-label quantizers are judged PER LABEL — the committed total
+        # is a sum over labels, so comparing it to the global geometry
+        # would either rebuild every batch (explicit ann_cells) or let a
+        # hot label outgrow its own cells forever (auto, the floor-
+        # inflated total masks the one label that grew 100x).
+        if reuse and cfg.ann_per_label and prior_ranges:
+            for lab, off_n in prior_ranges.items():
+                n_lab = int(off_n[1])
+                if cfg.ann_cells > 0:
+                    # a label may hold FEWER cells than the explicit
+                    # count (trained on fewer sample points), never more
+                    if n_lab > cfg.ann_cells:
+                        reuse = False
+                        break
+                else:
+                    lab_rows = lc.get(lab) or 0
+                    if lab_rows and 2 * n_lab < resolve_ann_cells(
+                            cfg, lab_rows):
+                        reuse = False
+                        break
+        elif reuse and cfg.ann_cells > 0 and len(cents) != cfg.ann_cells:
             reuse = False
-        if reuse and cfg.ann_cells == 0 \
+        elif reuse and cfg.ann_cells == 0 \
                 and 2 * len(cents) < resolve_ann_cells(cfg, rows):
             reuse = False
         if cfg.ann_pq_m > 0:

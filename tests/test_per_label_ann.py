@@ -221,3 +221,56 @@ def test_cli_ann_per_label_flag(spark, tmp_path, capsys):
     lc1 = (st.manifest("node_vectors")["metrics"] or {})["label_cells"]
     for lab, span in lc0.items():
         assert lc1[lab] == span, lab
+
+
+def test_per_label_explicit_cells_reuses_on_increment(spark, tmp_path):
+    """Explicit geometry (ann_cells>0) under per-label quantizers: the
+    committed TOTAL is a sum over labels, so the reuse check must judge
+    each label's own slice — comparing the total to ann_cells would
+    full-rebuild the index on every batch. Reuse is proven by the
+    committed centroid prefix surviving the increment byte-identically
+    (a rebuild retrains from the grown corpus and moves it)."""
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        load_quantizers)
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        ingest_increment)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, ann_per_label=True,
+                              ann_cells=4)
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 20), root, cfg=cfg)
+    store = GraphStore(root, spark)
+    v0 = store.manifest("node_vectors")
+    cents0, _ = load_quantizers(store, "node_vectors", v0)
+    lc0 = v0["metrics"]["label_cells"]
+    delta = synth_pages(spark, 26).subtract(synth_pages(spark, 20))
+    ingest_increment(store, delta, cfg=cfg)
+    v1 = store.manifest("node_vectors")
+    cents1, _ = load_quantizers(store, "node_vectors", v1)
+    lc1 = v1["metrics"]["label_cells"]
+    for lab, span in lc0.items():
+        assert lc1[lab] == span, lab
+    assert cents1[:len(cents0)] == cents0  # reused, not retrained
+
+
+def test_cli_stream_carries_ann_per_label_cfg(tmp_path, monkeypatch):
+    """The stream command must hand the SAME config to the increment
+    path as ingest does — a drain under DEFAULT_CONFIG would rebuild a
+    --ann-per-label store's committed per-label index as a global one."""
+    import neo4j_document_pipeline_spark.streaming.ingest as si
+    from neo4j_document_pipeline_spark.__main__ import main
+    got = {}
+
+    class _Q:
+        def awaitTermination(self):
+            return None
+
+    def fake_stream(spark, pages_dir, store_root, ckpt, cfg=None, **kw):
+        got["cfg"] = cfg
+        return _Q()
+
+    monkeypatch.setattr(si, "start_ingest_stream", fake_stream)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    main(["stream", "--store", str(tmp_path / "kg"), "--pages",
+          str(pages), "--ann-per-label"])
+    assert got["cfg"] is not None and got["cfg"].ann_per_label
