@@ -186,6 +186,27 @@ def main():
         extras["ann_pq_build_sec"] = round(time.perf_counter() - t0, 3)
         timed("graphrag_pq", lambda: graphrag(
             spark, store, "Who developed algebra and optics?", top_k=10, hops=2))
+
+        # 5c. per-label-quantizer-served LABELED read path (round 4's
+        # reference-parity index-per-label layout): one k-means per
+        # label, labeled queries rank/probe only their labels' cell
+        # ranges. Its own wall number so per-label probe regressions
+        # don't hide inside graphrag either.
+        cfg_pl = dataclasses.replace(DEFAULT_CONFIG, ann_per_label=True)
+        t0 = time.perf_counter()
+        idx, cents, _, ranges = build_node_vectors(
+            store.read("nodes"), cfg_pl, n_rows=nman["rows"])
+        payload = quantizer_sidecar_bytes(cents, None)
+        store.write("node_vectors", idx, partition_by=["label", "cell"],
+                    extra_files={QUANTIZER_SIDECAR: payload},
+                    extra_metrics={**stamp_index_metrics(nman),
+                                   **quantizer_manifest_metrics(
+                                       payload, len(cents),
+                                       label_cells=ranges)})
+        extras["ann_label_build_sec"] = round(time.perf_counter() - t0, 3)
+        timed("graphrag_label", lambda: graphrag(
+            spark, store, "Who developed algebra and optics?", top_k=10,
+            hops=2, labels=["Stakeholder", "Entity"], cfg=cfg_pl))
     finally:
         for root in roots:
             shutil.rmtree(root, ignore_errors=True)
