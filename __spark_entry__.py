@@ -660,6 +660,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("rank", 6).alias("rank")))
     q["pagerank_parts"] = pagerank_parts
 
+    def pagerank_seeded_parts(spark, sf):
+        """Weighted + personalized PageRank over the same co-purchase
+        graph: edge weight = number of shared orders (parallel
+        duplicates SUM in the operator, count(*) in the oracle),
+        teleport restricted to parts with id <= 50 (the operator keeps
+        only seeds present in the graph; the oracle's seed-count CTE
+        does the same). Symmetrized graph => no dangling mass, so 5
+        unrolled CTE iterations of r = 0.15*tele + 0.85*sum(r*w/wout)
+        are the identical computation."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            pagerank)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v"),
+                         F.lit(1.0).alias("w")))
+        seeds = [str(i).zfill(9) for i in range(0, 51)]
+        return (pagerank(edges, damping=0.85, iters=5,
+                         weight_col="w", seeds=seeds)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("rank", 6).alias("rank")))
+    q["pagerank_seeded_parts"] = pagerank_seeded_parts
+
     def triangle_parts(spark, sf):
         """Degree-oriented triangle count of the same co-purchase graph
         — the wedge join is bounded by the orientation, the oracle is
@@ -1081,6 +1107,56 @@ def oracle_sql() -> dict[str, str]:
             "r5 AS (SELECT e.v AS id, 0.15 / (SELECT n FROM nn)"
             "       + 0.85 * sum(r.rank / deg.d) AS rank FROM e"
             "       JOIN r4 r ON e.u = r.id JOIN deg ON e.u = deg.u GROUP BY e.v)"
+            "SELECT id AS part_id, round(rank, 6) AS rank FROM r5",
+        # weighted personalized variant: w(u,v) = shared-order count,
+        # teleport uniform over present parts with id <= 50; symmetrized
+        # graph => no dangling, so each unrolled step is exactly
+        # 0.15*tele + 0.85*sum(rank*w/wout)
+        "pagerank_seeded_parts":
+            "WITH pairs AS ("
+            "  SELECT a.l_partkey AS u, b.l_partkey AS v,"
+            "         CAST(count(*) AS DOUBLE) AS w"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  GROUP BY 1, 2),"
+            "e AS (SELECT u, v, w FROM pairs"
+            "      UNION ALL SELECT v, u, w FROM pairs),"
+            "wout AS (SELECT u, sum(w) AS d FROM e GROUP BY u),"
+            "ns AS (SELECT count(*) AS n FROM wout WHERE u <= 50),"
+            "tele AS (SELECT u AS id, CASE WHEN u <= 50"
+            "         THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS t"
+            "         FROM wout),"
+            "r0 AS (SELECT id, t AS rank FROM tele),"
+            "i1 AS (SELECT e.v AS id, sum(r.rank * e.w / wout.d) AS f"
+            "       FROM e JOIN r0 r ON e.u = r.id"
+            "       JOIN wout ON e.u = wout.u GROUP BY e.v),"
+            "r1 AS (SELECT tele.id, 0.15 * tele.t"
+            "       + 0.85 * coalesce(i1.f, 0) AS rank"
+            "       FROM tele LEFT JOIN i1 ON tele.id = i1.id),"
+            "i2 AS (SELECT e.v AS id, sum(r.rank * e.w / wout.d) AS f"
+            "       FROM e JOIN r1 r ON e.u = r.id"
+            "       JOIN wout ON e.u = wout.u GROUP BY e.v),"
+            "r2 AS (SELECT tele.id, 0.15 * tele.t"
+            "       + 0.85 * coalesce(i2.f, 0) AS rank"
+            "       FROM tele LEFT JOIN i2 ON tele.id = i2.id),"
+            "i3 AS (SELECT e.v AS id, sum(r.rank * e.w / wout.d) AS f"
+            "       FROM e JOIN r2 r ON e.u = r.id"
+            "       JOIN wout ON e.u = wout.u GROUP BY e.v),"
+            "r3 AS (SELECT tele.id, 0.15 * tele.t"
+            "       + 0.85 * coalesce(i3.f, 0) AS rank"
+            "       FROM tele LEFT JOIN i3 ON tele.id = i3.id),"
+            "i4 AS (SELECT e.v AS id, sum(r.rank * e.w / wout.d) AS f"
+            "       FROM e JOIN r3 r ON e.u = r.id"
+            "       JOIN wout ON e.u = wout.u GROUP BY e.v),"
+            "r4 AS (SELECT tele.id, 0.15 * tele.t"
+            "       + 0.85 * coalesce(i4.f, 0) AS rank"
+            "       FROM tele LEFT JOIN i4 ON tele.id = i4.id),"
+            "i5 AS (SELECT e.v AS id, sum(r.rank * e.w / wout.d) AS f"
+            "       FROM e JOIN r4 r ON e.u = r.id"
+            "       JOIN wout ON e.u = wout.u GROUP BY e.v),"
+            "r5 AS (SELECT tele.id, 0.15 * tele.t"
+            "       + 0.85 * coalesce(i5.f, 0) AS rank"
+            "       FROM tele LEFT JOIN i5 ON tele.id = i5.id)"
             "SELECT id AS part_id, round(rank, 6) AS rank FROM r5",
         # canonical a<b<c triple join counts each triangle exactly once
         "triangle_parts":

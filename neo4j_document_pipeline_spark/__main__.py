@@ -41,12 +41,35 @@ def _cfg_from_args(ns):
     return cfg
 
 
-def _kg_edges(store):
-    """The committed KG edge list projected to the (u, v) shape the
-    graph-analytics operators take."""
+def _kg_edges(store, weighted=False):
+    """The committed KG edge list projected to the (u, v[, w]) shape the
+    graph-analytics operators take; ``weighted`` attaches the supporting-
+    document count (size of the accumulated sources set) as edge weight —
+    an edge asserted by 40 documents should pull 40x the rank of a
+    single-mention one."""
     from pyspark.sql import functions as F
-    return store.read("edges").select(
-        F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+    e = store.read("edges")
+    cols = [F.col("src_id").alias("u"), F.col("dst_id").alias("v")]
+    if weighted:
+        cols.append(F.greatest(F.size("sources"), F.lit(1))
+                    .cast("double").alias("w"))
+    return e.select(*cols)
+
+
+def _resolve_seed_ids(store, names):
+    """Map user-facing entity names to node ids for personalized
+    pagerank (ids are content hashes, not typeable). Normalized-name
+    match, same normalization the MERGE key uses."""
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.functions.text import (
+        col_normalize_name_for_key, py_normalize_name_for_key)
+    want = sorted({py_normalize_name_for_key(n) for n in names} - {""})
+    rows = (store.read("nodes")
+            .filter(col_normalize_name_for_key(F.col("name"))
+                    .isin(want))
+            .select("entity_id").collect())
+    return [r["entity_id"] for r in rows]
 
 
 def main(argv=None):
@@ -106,6 +129,13 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=25)
     ap.add_argument("--iters", type=int, default=10,
                     help="pagerank power-method iterations")
+    ap.add_argument("--weighted", action="store_true",
+                    help="pagerank: weight edges by their supporting-"
+                         "document count (size of the sources set)")
+    ap.add_argument("--seeds", default=None,
+                    help="pagerank: comma-separated entity NAMES — "
+                         "restrict teleport to these nodes (personalized "
+                         "pagerank relative to the seed entities)")
     ns, unknown = ap.parse_known_args(argv)
     # argparse won't interleave optionals with a greedy positional list;
     # treat leftover non-flag tokens (the question / search value) as args
@@ -239,7 +269,15 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             pagerank)
         from pyspark.sql import functions as F
-        ranks = pagerank(_kg_edges(store), iters=ns.iters)
+        seeds = None
+        if ns.seeds:
+            seeds = _resolve_seed_ids(store, ns.seeds.split(","))
+            if not seeds:
+                sys.exit(f"--seeds: no entity named any of {ns.seeds!r}")
+        ranks = pagerank(_kg_edges(store, weighted=ns.weighted),
+                         iters=ns.iters,
+                         weight_col="w" if ns.weighted else None,
+                         seeds=seeds)
         nodes = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         top = (ranks.join(nodes, "id", "left")

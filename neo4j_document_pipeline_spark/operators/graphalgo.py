@@ -48,16 +48,26 @@ def _undirected(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
-             directed: bool = False) -> DataFrame:
+             directed: bool = False, weight_col: str | None = None,
+             seeds: list[str] | None = None) -> DataFrame:
     """Fixed-iteration PageRank over edges(u string, v string) ->
     (id string, rank double).
 
-    Power method with uniform teleport: r_{t+1}(v) = (1-d)/N +
-    d * (sum_{u->v} r_t(u)/outdeg(u) + dangling_t/N) where dangling_t is
-    the rank mass sitting on zero-out-degree nodes (redistributed
-    uniformly — the standard web-graph treatment). ``directed=False``
-    (default, the KG edge list is logically undirected) symmetrizes the
-    edge set first, which also guarantees no dangling nodes.
+    Power method with teleport distribution ``tele``: r_{t+1}(v) =
+    (1-d)*tele(v) + d * (sum_{u->v} r_t(u)*w(u,v)/wout(u) +
+    dangling_t*tele(v)) — uniform tele = 1/N is classic PageRank;
+    ``seeds`` restricts tele to a uniform distribution over the given
+    node ids (personalized PageRank, the ranking a KG retrieval path
+    wants relative to its query's seed entities). Dangling mass (rank on
+    zero-out-degree nodes) redistributes along tele, the standard
+    treatment for both variants. ``directed=False`` (default, the KG
+    edge list is logically undirected) symmetrizes the edge set first,
+    which also guarantees no dangling nodes.
+
+    ``weight_col`` makes edges weighted (e.g. the KG's per-edge source
+    counts): parallel/reversed duplicates SUM their weights (unweighted
+    edges dedupe to a simple graph), and contributions are
+    rank * w / sum-of-outgoing-w.
 
     Fixed ``iters`` rather than convergence-test-per-iteration keeps the
     job count deterministic (one shuffle per iteration; a convergence
@@ -66,21 +76,35 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
     the same edge set always yields the same ranks (sums are
     order-insensitive up to float rounding; oracle compares at 6dp).
     """
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
     if directed:
-        e = (edges.select(F.col("u").cast("string"),
-                          F.col("v").cast("string"))
-             .filter(F.col("u") != F.col("v")).distinct())
+        raw = (edges.select(F.col("u").cast("string"),
+                            F.col("v").cast("string"), w.alias("w"))
+               .filter(F.col("u") != F.col("v")))
+        e = (raw.groupBy("u", "v").agg(F.sum("w").alias("w"))
+             if weight_col else
+             raw.drop("w").distinct().withColumn("w", F.lit(1.0)))
         verts = (e.select(F.col("u").alias("id"))
                  .union(e.select(F.col("v").alias("id"))).distinct())
     else:
-        und = _undirected(edges)
+        raw = (edges.select(
+            F.least(F.col("u").cast("string"),
+                    F.col("v").cast("string")).alias("u"),
+            F.greatest(F.col("u").cast("string"),
+                       F.col("v").cast("string")).alias("v"),
+            w.alias("w"))
+            .filter(F.col("u") != F.col("v")))
+        und = (raw.groupBy("u", "v").agg(F.sum("w").alias("w"))
+               if weight_col else
+               raw.drop("w").distinct().withColumn("w", F.lit(1.0)))
         e = und.union(und.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
+                                 F.col("u").alias("v"), "w"))
         verts = e.select(F.col("u").alias("id")).distinct()
     # one partitioning of the (static) edge side, reused every iteration;
     # localCheckpoint materializes it so iterations never rescan the
-    # source. outdeg rides along to turn rank into per-edge contribution.
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # source. wout rides along to turn rank into per-edge contribution.
+    deg = e.groupBy("u").agg(F.sum("w").alias("wout"))
     e = e.join(deg, "u").localCheckpoint()
     verts = verts.localCheckpoint()
     sinks = None
@@ -94,17 +118,30 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
     n = verts.count()
     if n == 0:
         return verts.select("id", F.lit(0.0).alias("rank"))
-    ranks = verts.select("id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
-    base = (1.0 - damping) / n
+    if seeds is not None:
+        sset = sorted({str(s) for s in seeds})
+        # |S| counts only seeds that exist in the graph, so tele still
+        # sums to 1 when callers pass ids the corpus doesn't contain
+        n_seed = verts.filter(F.col("id").isin(sset)).count()
+        if n_seed == 0:
+            raise ValueError("personalized pagerank: no seed id exists "
+                             "in the edge set")
+        tele = F.when(F.col("id").isin(sset),
+                      F.lit(1.0 / n_seed)).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / float(n))
+    verts = verts.select("id", tele.alias("tele"))
+    ranks = verts.select("id", F.col("tele").alias("rank"))
     for _ in range(max(0, int(iters))):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout"))
+                 .alias("inflow"))
         )
         if directed:
             # dangling mass: rank stranded on zero-outdegree nodes this
-            # iteration, redistributed uniformly. ONE scalar aggregate
+            # iteration, redistributed along tele. ONE scalar aggregate
             # over two checkpointed O(V) tables (broadcast back as a
             # literal) — the sink SET never changes, only its rank mass.
             dang = (
@@ -117,10 +154,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
             verts.join(contrib, "id", "left")
             .select(
                 "id",
-                (F.lit(base)
+                (F.col("tele")
+                 * F.lit(1.0 - damping + damping * dang)
                  + F.lit(damping)
-                 * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                    + F.lit(dang / n))).alias("rank"))
+                 * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"))
             .localCheckpoint()  # truncate lineage: plan depth stays O(1)
         )
     return ranks

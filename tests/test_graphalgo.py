@@ -15,28 +15,44 @@ def _edges(spark, pairs):
         [(str(a), str(b)) for a, b in pairs], "u string, v string")
 
 
-def _np_pagerank(pairs, damping=0.85, iters=5, directed=False):
-    """Dense-matrix power iteration with uniform dangling redistribution
-    — the definition the operator implements."""
+def _np_pagerank(pairs, damping=0.85, iters=5, directed=False,
+                 weights=None, seeds=None):
+    """Dense power iteration with dangling redistribution along the
+    teleport vector — the definition the operator implements. ``weights``
+    aligns with ``pairs`` (parallel edges sum; unweighted dedupes to a
+    simple graph); ``seeds`` restricts teleport to the seed set."""
+    agg = {}
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue
+        key = (a, b) if directed else (min(a, b), max(a, b))
+        if weights is None:
+            agg[key] = 1.0
+        else:
+            agg[key] = agg.get(key, 0.0) + float(weights[i])
+    epairs = [(a, b, w) for (a, b), w in agg.items()]
     if not directed:
-        und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
-        pairs = list(und) + [(b, a) for a, b in und]
-    else:
-        pairs = list({(a, b) for a, b in pairs if a != b})
-    ids = sorted({x for p in pairs for x in p})
+        epairs = epairs + [(b, a, w) for a, b, w in epairs]
+    ids = sorted({x for a, b, _ in epairs for x in (a, b)})
     pos = {x: i for i, x in enumerate(ids)}
     n = len(ids)
-    out = np.zeros(n)
-    for a, _ in pairs:
-        out[pos[a]] += 1
-    r = np.full(n, 1.0 / n)
+    wout = np.zeros(n)
+    for a, _, w in epairs:
+        wout[pos[a]] += w
+    if seeds is None:
+        tele = np.full(n, 1.0 / n)
+    else:
+        present = sorted({s for s in seeds if s in pos})
+        tele = np.zeros(n)
+        for s in present:
+            tele[pos[s]] = 1.0 / len(present)
+    r = tele.copy()
     for _ in range(iters):
-        nxt = np.full(n, (1 - damping) / n)
-        dang = r[out == 0].sum()
-        for a, b in pairs:
-            nxt[pos[b]] += damping * r[pos[a]] / out[pos[a]]
-        nxt += damping * dang / n
-        r = nxt
+        nxt = np.zeros(n)
+        dang = r[wout == 0].sum()
+        for a, b, w in epairs:
+            nxt[pos[b]] += r[pos[a]] * w / wout[pos[a]]
+        r = (1 - damping) * tele + damping * (nxt + dang * tele)
     return {ids[i]: r[i] for i in range(n)}
 
 
@@ -75,6 +91,79 @@ def test_pagerank_directed_dangling_redistribution(spark):
     assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-9)
     by = {r["id"]: r["rank"] for r in rows}
     assert by["b"] == max(by.values())  # everything points at b
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """weight_col: parallel/reversed duplicates SUM, contributions are
+    rank*w/wout — parity vs the dense model, both orientations."""
+    rng = np.random.RandomState(13)
+    pairs = [(f"n{rng.randint(0, 20)}", f"n{rng.randint(0, 20)}")
+             for _ in range(90)]
+    weights = [float(rng.randint(1, 6)) for _ in pairs]
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "u string, v string, w double")
+    for directed in (False, True):
+        want = _np_pagerank(pairs, iters=5, directed=directed,
+                            weights=weights)
+        got = {r["id"]: r["rank"] for r in
+               pagerank(df, iters=5, directed=directed,
+                        weight_col="w").collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_pagerank_weighted_pull(spark):
+    # b and c are symmetric around a except b's edge weighs 3x more:
+    # the heavier edge pulls strictly more rank
+    df = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0)],
+        "u string, v string, w double")
+    by = {r["id"]: r["rank"]
+          for r in pagerank(df, iters=10, weight_col="w").collect()}
+    assert sum(by.values()) == pytest.approx(1.0, abs=1e-9)
+    assert by["b"] > by["c"]
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """seeds: teleport (and dangling mass) restricted to the seed set —
+    parity vs the dense model on a directed graph WITH a sink, so the
+    dangling-along-tele branch is exercised."""
+    rng = np.random.RandomState(17)
+    pairs = [(f"n{rng.randint(0, 15)}", f"n{rng.randint(0, 15)}")
+             for _ in range(40)]
+    pairs += [("n3", "sink"), ("n7", "sink")]  # guaranteed sink
+    seeds = ["n3", "n7", "ghost"]  # absent ids don't dilute teleport
+    for directed in (False, True):
+        want = _np_pagerank(pairs, iters=6, directed=directed,
+                            seeds=seeds)
+        got = {r["id"]: r["rank"] for r in
+               pagerank(_edges(spark, pairs), iters=6, directed=directed,
+                        seeds=seeds).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), k
+        # mass conserved: sinks recirculate along tele, never vanish
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_locality(spark):
+    # two cliques bridged by one edge: seeding inside clique 1 must rank
+    # every clique-1 node above every clique-2 node
+    c1 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    c2 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    by = {r["id"]: r["rank"]
+          for r in pagerank(_edges(spark, c1 + c2 + [("d", "w")]),
+                            iters=10, seeds=["a"]).collect()}
+    assert min(by[k] for k in "abcd") > max(by[k] for k in "wxyz")
+    # unseeded-but-reachable nodes still get rank only via link flow
+    assert by["z"] > 0
+
+
+def test_personalized_pagerank_no_seed_in_graph(spark):
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(_edges(spark, [("a", "b")]), seeds=["zzz"])
 
 
 def test_pagerank_empty_edges(spark):
@@ -138,3 +227,21 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     main(["triangles", "--store", root])
     out = json.loads(capsys.readouterr().out.strip())
     assert isinstance(out["triangles"], int) and out["triangles"] >= 0
+    # weighted + personalized: seed by entity NAME (resolved through the
+    # same normalization the MERGE key uses), teleport restricted to it
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    store = GraphStore(root, spark)
+    seed = (store.read("edges").select("src_id").limit(1)
+            .join(store.read("nodes").withColumnRenamed(
+                "entity_id", "src_id"), "src_id")
+            .first())["name"]
+    main(["pagerank", "--store", root, "--limit", "5", "--iters", "5",
+          "--weighted", "--seeds", f"{seed.upper()} ,{seed}"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows == sorted(rows, key=lambda r: -r["rank"])
+    # the seed entity holds teleport mass, so it must rank in the top-5
+    # of its own personalized ranking on a 15-doc graph
+    assert any(r["name"] == seed for r in rows)
+    with pytest.raises(SystemExit, match="no entity named"):
+        main(["pagerank", "--store", root, "--seeds", "zz-no-such-ent"])
