@@ -686,6 +686,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("rank", 6).alias("rank")))
     q["pagerank_seeded_parts"] = pagerank_seeded_parts
 
+    def node_similarity_parts(spark, sf):
+        """Shared-neighbor Jaccard over a bounded co-purchase graph
+        (orders < 400 keep the exact pair set oracle-sized): candidate
+        pairs from the wedge join, intersection = wedge count, union
+        from true degrees. Zero-padding makes the operator's string
+        canonicalization match the oracle's numeric one."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            node_similarity)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 400)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v")))
+        return (node_similarity(edges, min_sim=0.25)
+                .select(F.col("a").cast("bigint").alias("part_a"),
+                        F.col("b").cast("bigint").alias("part_b"),
+                        "shared",
+                        F.round("jaccard", 6).alias("jaccard")))
+    q["node_similarity_parts"] = node_similarity_parts
+
     def triangle_parts(spark, sf):
         """Degree-oriented triangle count of the same co-purchase graph
         — the wedge join is bounded by the orientation, the oracle is
@@ -1158,6 +1182,26 @@ def oracle_sql() -> dict[str, str]:
             "       + 0.85 * coalesce(i5.f, 0) AS rank"
             "       FROM tele LEFT JOIN i5 ON tele.id = i5.id)"
             "SELECT id AS part_id, round(rank, 6) AS rank FROM r5",
+        # shared-neighbor Jaccard: wedge-join candidates, true-degree
+        # unions — identical float ops, so the 0.25 threshold and 6dp
+        # rounding agree with the operator
+        "node_similarity_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 400),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),"
+            "sh AS (SELECT x.node AS a, y.node AS b, count(*) AS shared"
+            "       FROM adj x JOIN adj y"
+            "       ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)"
+            "SELECT sh.a AS part_a, sh.b AS part_b, sh.shared,"
+            " round(sh.shared / (da.d + db.d - sh.shared), 6) AS jaccard"
+            " FROM sh JOIN deg da ON sh.a = da.node"
+            " JOIN deg db ON sh.b = db.node"
+            " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
         # canonical a<b<c triple join counts each triangle exactly once
         "triangle_parts":
             "WITH pairs AS ("

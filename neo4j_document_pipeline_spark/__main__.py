@@ -15,6 +15,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark stream --store <dir> --pages <parquet-dir>  # drain new files (availableNow)
     python -m neo4j_document_pipeline_spark pagerank --store <dir> [--iters N --limit K]  # entity importance
     python -m neo4j_document_pipeline_spark triangles --store <dir>     # KG clustering signal
+    python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
 """
 
 from __future__ import annotations
@@ -77,7 +78,7 @@ def main(argv=None):
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
-        "pagerank", "triangles"])
+        "pagerank", "triangles", "similar"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -136,6 +137,11 @@ def main(argv=None):
                     help="pagerank: comma-separated entity NAMES — "
                          "restrict teleport to these nodes (personalized "
                          "pagerank relative to the seed entities)")
+    ap.add_argument("--min-sim", type=float, default=0.1,
+                    help="similar: drop pairs below this Jaccard")
+    ap.add_argument("--sim-topk", type=int, default=None,
+                    help="similar: keep each entity's k best partners "
+                         "before the global --limit")
     ns, unknown = ap.parse_known_args(argv)
     # argparse won't interleave optionals with a greedy positional list;
     # treat leftover non-flag tokens (the question / search value) as args
@@ -290,6 +296,28 @@ def main(argv=None):
         print(json.dumps(
             {"triangles": triangle_count(_kg_edges(store))
              .first()["triangles"]}))
+    elif ns.command == "similar":
+        # structurally-similar entity pairs (shared-neighbor Jaccard) —
+        # duplicate-entity candidates whose NAMES the linking stage's
+        # MinHash/TF-IDF blocking wouldn't pair
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            node_similarity)
+        sim = node_similarity(_kg_edges(store), min_sim=ns.min_sim,
+                              top_k=ns.sim_topk)
+        names = store.read("nodes").select("entity_id", "name")
+        top = (sim
+               .join(names.select(F.col("entity_id").alias("a"),
+                                  F.col("name").alias("name_a")), "a")
+               .join(names.select(F.col("entity_id").alias("b"),
+                                  F.col("name").alias("name_b")), "b")
+               .select("name_a", "name_b", "shared",
+                       F.round("jaccard", 6).alias("jaccard"))
+               .orderBy(F.col("jaccard").desc(), "name_a", "name_b")
+               .limit(ns.limit))
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

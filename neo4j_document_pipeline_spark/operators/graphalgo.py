@@ -1,5 +1,6 @@
-"""Iterative graph analytics over the KG edge list — PageRank and
-triangle counting, pure DataFrame ops (no GraphFrames dependency).
+"""Iterative graph analytics over the KG edge list — PageRank, triangle
+counting, and neighbor-set Jaccard node similarity, pure DataFrame ops
+(no GraphFrames dependency).
 
 The reference exposes no graph analytics beyond traversal (its Cypher
 surface could run them, but no endpoint does); these are the
@@ -161,6 +162,91 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
             .localCheckpoint()  # truncate lineage: plan depth stays O(1)
         )
     return ranks
+
+
+def node_similarity(edges: DataFrame, min_sim: float = 0.0,
+                    top_k: int | None = None,
+                    max_degree: int | None = None) -> DataFrame:
+    """Jaccard similarity over neighbor sets (the Neo4j GDS
+    ``nodeSimilarity`` analogue the reference's graph never exposes):
+    every pair (a, b), a < b, sharing at least one neighbor, scored
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| -> (a string, b string,
+    shared bigint, jaccard double).
+
+    Two entities whose KG neighborhoods overlap heavily are duplicate-
+    entity candidates even when their NAMES diverge — the structural
+    complement to ``operators/linking.py``'s name-based MinHash/TF-IDF
+    blocking.
+
+    Shape: candidate pairs come from a wedge join through shared
+    neighbors (only co-neighbors ever meet — never all-pairs), the
+    intersection size is the wedge count per pair (one shuffle), and
+    the union size is da + db - shared from a broadcast-joined degree
+    table. All JVM-side equi-joins + hash aggregates.
+
+    Scale: a neighbor of degree d generates C(d, 2) wedges, so power-law
+    hubs dominate the wedge volume (the same curse-of-the-last-reducer
+    as triangles, but here the hub CENTER can't be oriented away).
+    ``max_degree`` drops wedge centers above the cutoff — pairs whose
+    only shared neighbors are dropped hubs disappear and pairs sharing a
+    dropped hub undercount it in ``shared`` (degrees/unions stay exact).
+    That's the approximation GDS's degree cutoff makes, appropriate
+    because a shared ultra-hub ("mentioned by Wikipedia") carries no
+    similarity signal anyway. Default None = exact.
+
+    ``min_sim`` filters pairs below the threshold; ``top_k`` keeps each
+    node's k best pairs (by jaccard desc, partner id asc — deterministic
+    under ties), counting the pair for BOTH endpoints the way GDS does.
+    """
+    und = _undirected(edges)
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")) \
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    # true degrees FIRST (exact unions even when the wedge set is capped)
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    wedge_src = adj
+    if max_degree is not None:
+        hubs = deg.filter(F.col("d") > int(max_degree)) \
+            .select(F.col("node").alias("nbr"))
+        wedge_src = adj.join(hubs, "nbr", "left_anti")
+    wedge_src = wedge_src.localCheckpoint()
+    shared = (
+        wedge_src.alias("x")
+        .join(wedge_src.alias("y"),
+              (F.col("x.nbr") == F.col("y.nbr"))
+              & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared
+        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
+              "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
+              "b")
+        .select(
+            "a", "b", "shared",
+            (F.col("shared")
+             / (F.col("da") + F.col("db") - F.col("shared")))
+            .alias("jaccard"))
+    )
+    if min_sim > 0.0:
+        out = out.filter(F.col("jaccard") >= float(min_sim))
+    if top_k is not None:
+        from pyspark.sql import Window
+        out = out.localCheckpoint()  # rank both orientations of ONE scoring
+        ranked = (
+            out.select(F.col("a").alias("node"), F.col("b").alias("other"),
+                       "a", "b", "shared", "jaccard")
+            .union(out.select(F.col("b").alias("node"),
+                              F.col("a").alias("other"),
+                              "a", "b", "shared", "jaccard"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("jaccard").desc(), F.col("other").asc())
+        out = (ranked.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= int(top_k))
+               .select("a", "b", "shared", "jaccard").distinct())
+    return out
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from neo4j_document_pipeline_spark.operators.graphalgo import (
+    node_similarity,
     pagerank,
     triangle_count,
 )
@@ -207,6 +208,93 @@ def test_triangle_count_matches_brute_force(spark):
     assert got == want
 
 
+def _brute_node_similarity(pairs, min_sim=0.0, max_degree=None):
+    und = {frozenset((a, b)) for a, b in pairs if a != b}
+    nbrs = {}
+    for e in und:
+        a, b = sorted(e)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    centers = {n for n in nbrs
+               if max_degree is None or len(nbrs[n]) <= max_degree}
+    out = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a >= b:
+                continue
+            shared = len(nbrs[a] & nbrs[b] & centers)
+            if shared == 0:
+                continue
+            j = shared / (len(nbrs[a]) + len(nbrs[b]) - shared)
+            if j >= min_sim:
+                out[(a, b)] = (shared, j)
+    return out
+
+
+def test_node_similarity_matches_brute_force(spark):
+    rng = np.random.RandomState(7)
+    pairs = [(f"n{rng.randint(0, 18)}", f"n{rng.randint(0, 18)}")
+             for _ in range(70)]
+    for min_sim in (0.0, 0.3):
+        want = _brute_node_similarity(pairs, min_sim=min_sim)
+        got = {(r["a"], r["b"]): (r["shared"], r["jaccard"])
+               for r in node_similarity(_edges(spark, pairs),
+                                        min_sim=min_sim).collect()}
+        assert set(got) == set(want)
+        for k, (s, j) in want.items():
+            assert got[k][0] == s
+            assert got[k][1] == pytest.approx(j, abs=1e-12)
+
+
+def test_node_similarity_known_values(spark):
+    # a and b both link {x, y}; a also links z: J(a,b) = 2/3,
+    # twins x and y share {a, b} exactly: J(x,y) = 1.0
+    pairs = [("a", "x"), ("a", "y"), ("a", "z"),
+             ("b", "x"), ("b", "y")]
+    by = {(r["a"], r["b"]): r for r in
+          node_similarity(_edges(spark, pairs)).collect()}
+    assert by[("a", "b")]["jaccard"] == pytest.approx(2 / 3)
+    assert by[("x", "y")]["jaccard"] == pytest.approx(1.0)
+    assert by[("x", "y")]["shared"] == 2
+
+
+def test_node_similarity_top_k(spark):
+    # y's best partner is its twin x (J=1); top_k=1 keeps a pair if it
+    # is EITHER endpoint's best, so (a,b) survives via both endpoints
+    pairs = [("a", "x"), ("a", "y"), ("a", "z"),
+             ("b", "x"), ("b", "y")]
+    full = node_similarity(_edges(spark, pairs)).collect()
+    kept = {(r["a"], r["b"]) for r in
+            node_similarity(_edges(spark, pairs), top_k=1).collect()}
+    assert ("x", "y") in kept
+    assert len(kept) < len(full)  # top-k actually prunes
+    best = {}  # every node's single best (jaccard desc, partner asc)
+    for r in full:
+        for n, o in ((r["a"], r["b"]), (r["b"], r["a"])):
+            cur = best.get(n)
+            if cur is None or (-r["jaccard"], o) < (-cur[0], cur[1]):
+                best[n] = (r["jaccard"], o)
+    want = {tuple(sorted((n, o))) for n, (_, o) in best.items()}
+    assert kept == want
+
+
+def test_node_similarity_max_degree(spark):
+    # hub h is everyone's neighbor; with the hub dropped as a wedge
+    # center, only pairs with a NON-hub shared neighbor survive, and
+    # their unions still use true degrees
+    spokes = [(f"s{i}", "h") for i in range(6)]
+    extra = [("s0", "q"), ("s1", "q")]
+    got = {(r["a"], r["b"]): r for r in
+           node_similarity(_edges(spark, spokes + extra),
+                           max_degree=3).collect()}
+    want = _brute_node_similarity(spokes + extra, max_degree=3)
+    assert set(got) == set(want)
+    # s0 and s1 share {h, q} but h is capped away: shared=1, and the
+    # union is still |{h,q}| + |{h,q}| - 1 = 3 (true degrees)
+    assert got[("s0", "s1")]["shared"] == 1
+    assert got[("s0", "s1")]["jaccard"] == pytest.approx(1 / 3)
+
+
 def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     """The analytics commands run over a committed store and emit
     JSON: pagerank joins names back from nodes, ranks sum to ~1 over
@@ -245,3 +333,14 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert any(r["name"] == seed for r in rows)
     with pytest.raises(SystemExit, match="no entity named"):
         main(["pagerank", "--store", root, "--seeds", "zz-no-such-ent"])
+    # similar: structural duplicate-entity candidates, names joined back,
+    # jaccard-descending, honors min-sim
+    main(["similar", "--store", root, "--limit", "10",
+          "--min-sim", "0.2", "--sim-topk", "3"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows, "synth KG has co-neighbor entity pairs"
+    assert all({"name_a", "name_b", "shared", "jaccard"} <= set(r)
+               for r in rows)
+    assert all(r["jaccard"] >= 0.2 for r in rows)
+    assert rows == sorted(rows, key=lambda r: -r["jaccard"])
