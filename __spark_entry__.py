@@ -710,6 +710,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 6).alias("jaccard")))
     q["node_similarity_parts"] = node_similarity_parts
 
+    def bfs_parts(spark, sf):
+        """Multi-source BFS hop distances from parts 0-4 over a bounded
+        co-purchase graph: every node settled once at its minimum hop.
+        Oracle = recursive CTE with UNION dedupe; min(dist) per node is
+        the same BFS distance because shorter walks always appear."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            bfs_distances)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 300)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("u"),
+                         F.col("b.l_partkey").cast("string").alias("v")))
+        return (bfs_distances(edges, [str(i) for i in range(5)],
+                              max_hops=3)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        "dist"))
+    q["bfs_parts"] = bfs_parts
+
     def triangle_parts(spark, sf):
         """Degree-oriented triangle count of the same co-purchase graph
         — the wedge join is bounded by the orientation, the oracle is
@@ -1182,6 +1203,24 @@ def oracle_sql() -> dict[str, str]:
             "       + 0.85 * coalesce(i5.f, 0) AS rank"
             "       FROM tele LEFT JOIN i5 ON tele.id = i5.id)"
             "SELECT id AS part_id, round(rank, 6) AS rank FROM r5",
+        # BFS via recursive CTE: UNION dedupes (id, dist) rows, the
+        # dist < 3 bound terminates, min(dist) = hop distance; seeds
+        # appear at dist 0 whether or not they touch the subgraph
+        "bfs_parts":
+            "WITH RECURSIVE base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "e AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),"
+            "seeds(id) AS (VALUES (0), (1), (2), (3), (4)),"
+            "walk AS ("
+            "  SELECT CAST(id AS BIGINT) AS id, 0 AS dist FROM seeds"
+            "  UNION"
+            "  SELECT e.v, walk.dist + 1 FROM walk"
+            "  JOIN e ON walk.id = e.u WHERE walk.dist < 3)"
+            "SELECT id AS part_id, CAST(min(dist) AS INT) AS dist"
+            " FROM walk GROUP BY id",
         # shared-neighbor Jaccard: wedge-join candidates, true-degree
         # unions — identical float ops, so the 0.25 threshold and 6dp
         # rounding agree with the operator

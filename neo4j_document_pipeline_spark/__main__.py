@@ -16,6 +16,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark pagerank --store <dir> [--iters N --limit K]  # entity importance
     python -m neo4j_document_pipeline_spark triangles --store <dir>     # KG clustering signal
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
+    python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
+    python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N]  # BFS neighborhood
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def main(argv=None):
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
-        "pagerank", "triangles", "similar"])
+        "pagerank", "triangles", "similar", "entity-groups", "reach"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -134,14 +136,19 @@ def main(argv=None):
                     help="pagerank: weight edges by their supporting-"
                          "document count (size of the sources set)")
     ap.add_argument("--seeds", default=None,
-                    help="pagerank: comma-separated entity NAMES — "
-                         "restrict teleport to these nodes (personalized "
-                         "pagerank relative to the seed entities)")
+                    help="pagerank/reach: comma-separated entity NAMES — "
+                         "pagerank restricts teleport to them "
+                         "(personalized); reach walks outward from them")
     ap.add_argument("--min-sim", type=float, default=0.1,
                     help="similar: drop pairs below this Jaccard")
     ap.add_argument("--sim-topk", type=int, default=None,
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
+    ap.add_argument("--metric", default="jaccard",
+                    choices=["jaccard", "overlap", "cosine"],
+                    help="similar: neighbor-set similarity metric "
+                         "(overlap scores containment 1.0 — sub-entity "
+                         "detection)")
     ns, unknown = ap.parse_known_args(argv)
     # argparse won't interleave optionals with a greedy positional list;
     # treat leftover non-flag tokens (the question / search value) as args
@@ -305,7 +312,7 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
         sim = node_similarity(_kg_edges(store), min_sim=ns.min_sim,
-                              top_k=ns.sim_topk)
+                              top_k=ns.sim_topk, metric=ns.metric)
         names = store.read("nodes").select("entity_id", "name")
         top = (sim
                .join(names.select(F.col("entity_id").alias("a"),
@@ -318,6 +325,55 @@ def main(argv=None):
                .limit(ns.limit))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "reach":
+        # "what's within --hops of these entities" — multi-source BFS
+        # over the committed KG, names joined back, nearest first
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            bfs_distances)
+        if not ns.seeds:
+            sys.exit("reach: --seeds is required (entity names)")
+        ids = _resolve_seed_ids(store, ns.seeds.split(","))
+        if not ids:
+            sys.exit(f"--seeds: no entity named any of {ns.seeds!r}")
+        dist = bfs_distances(_kg_edges(store), ids, max_hops=ns.hops)
+        nodes = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "label", "name")
+        out = (dist.join(nodes, "id", "left")
+               .orderBy("dist", "name", "id").limit(ns.limit))
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "entity-groups":
+        # composition: similarity pairs above the threshold are edges of
+        # a duplicate-candidate graph; connected components turn them
+        # into entity GROUPS ("these are likely the same thing") — the
+        # structural twin of the canonicalize stage's name-based
+        # link→components flow
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.components import (
+            connected_components)
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            node_similarity)
+        sim = node_similarity(_kg_edges(store), min_sim=ns.min_sim,
+                              top_k=ns.sim_topk, metric=ns.metric)
+        comp = connected_components(
+            sim.select(F.col("a").alias("u"), F.col("b").alias("v")))
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        groups = (comp.join(names, "id")
+                  .groupBy("component")
+                  .agg(F.sort_array(F.collect_list("name"))
+                       .alias("members"),
+                       F.count("*").alias("n"))
+                  .filter(F.col("n") >= 2)
+                  .orderBy(F.col("n").desc(), "component")
+                  .limit(ns.limit))
+        for r in groups.collect():
+            print(json.dumps(
+                {"group": r["component"], "n": r["n"],
+                 "members": list(r["members"])}))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

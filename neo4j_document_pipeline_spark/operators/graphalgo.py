@@ -1,6 +1,6 @@
 """Iterative graph analytics over the KG edge list — PageRank, triangle
-counting, and neighbor-set Jaccard node similarity, pure DataFrame ops
-(no GraphFrames dependency).
+counting, neighbor-set node similarity, and multi-source BFS distances,
+pure DataFrame ops (no GraphFrames dependency).
 
 The reference exposes no graph analytics beyond traversal (its Cypher
 surface could run them, but no endpoint does); these are the
@@ -166,12 +166,23 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
 
 def node_similarity(edges: DataFrame, min_sim: float = 0.0,
                     top_k: int | None = None,
-                    max_degree: int | None = None) -> DataFrame:
-    """Jaccard similarity over neighbor sets (the Neo4j GDS
-    ``nodeSimilarity`` analogue the reference's graph never exposes):
-    every pair (a, b), a < b, sharing at least one neighbor, scored
-    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| -> (a string, b string,
-    shared bigint, jaccard double).
+                    max_degree: int | None = None,
+                    metric: str = "jaccard") -> DataFrame:
+    """Neighbor-set similarity (the Neo4j GDS ``nodeSimilarity``
+    analogue the reference's graph never exposes): every pair (a, b),
+    a < b, sharing at least one neighbor, scored by ``metric`` ->
+    (a string, b string, shared bigint, jaccard double).
+
+    Metrics (all from the same shared-count + true degrees, so the
+    choice costs nothing extra; the output column keeps the name
+    ``jaccard`` for a stable driver schema):
+
+    - ``jaccard``  |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (default)
+    - ``overlap``  |N(a) ∩ N(b)| / min(|N(a)|, |N(b)|) — 1.0 whenever
+      one neighborhood CONTAINS the other, the right score for
+      sub-entity detection ("Al-Khwarizmi" vs "Al-Khwarizmi the elder")
+    - ``cosine``   |N(a) ∩ N(b)| / sqrt(|N(a)| · |N(b)|) — degree-
+      normalized, less punishing when one side is a rich hub
 
     Two entities whose KG neighborhoods overlap heavily are duplicate-
     entity candidates even when their NAMES diverge — the structural
@@ -198,6 +209,8 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
     node's k best pairs (by jaccard desc, partner id asc — deterministic
     under ties), counting the pair for BOTH endpoints the way GDS does.
     """
+    if metric not in ("jaccard", "overlap", "cosine"):
+        raise ValueError(f"unknown node-similarity metric {metric!r}")
     und = _undirected(edges)
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")) \
         .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -225,8 +238,11 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
               "b")
         .select(
             "a", "b", "shared",
-            (F.col("shared")
-             / (F.col("da") + F.col("db") - F.col("shared")))
+            (F.col("shared") / (
+                F.least("da", "db") if metric == "overlap"
+                else F.sqrt(F.col("da") * F.col("db"))
+                if metric == "cosine"
+                else F.col("da") + F.col("db") - F.col("shared")))
             .alias("jaccard"))
     )
     if min_sim > 0.0:
@@ -247,6 +263,53 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
                .filter(F.col("rk") <= int(top_k))
                .select("a", "b", "shared", "jaccard").distinct())
     return out
+
+
+def bfs_distances(edges: DataFrame, sources: list[str],
+                  max_hops: int = 3, directed: bool = False) -> DataFrame:
+    """Multi-source BFS hop distance -> (id string, dist int): every
+    given source at dist 0 (present in the graph or not), every node
+    reachable within ``max_hops`` at its MINIMUM hop count. The general
+    form of the retrieval path's fixed 1-3 hop expansion
+    (`operators/retrieval.py`): "how far is everything from these
+    entities", for proximity scoring and neighborhood exports.
+
+    Level-synchronous frontier expansion, the scalable BFS shape: one
+    equi-join per hop (frontier ⋈ edges), an anti-join against the
+    visited set so each node is settled exactly once (which is what
+    makes dist minimal), localCheckpoint per level so the plan stays
+    O(1) deep. Frontier size is bounded by |V|; there is never a
+    paths-style blowup. The per-hop isEmpty probe short-circuits
+    exhausted graphs at one cheap job per level, bounded by max_hops.
+    """
+    spark = edges.sparkSession
+    if directed:
+        e = (edges.select(F.col("u").cast("string"),
+                          F.col("v").cast("string"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    else:
+        und = _undirected(edges)
+        e = und.union(und.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    e = e.localCheckpoint()
+    frontier = spark.createDataFrame(
+        [(str(s),) for s in sorted({str(s) for s in sources})],
+        "id string").localCheckpoint()
+    visited = frontier.select("id", F.lit(0).cast("int").alias("dist"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id")).distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.select("id", F.lit(h).cast("int").alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

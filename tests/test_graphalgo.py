@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from neo4j_document_pipeline_spark.operators.graphalgo import (
+    bfs_distances,
     node_similarity,
     pagerank,
     triangle_count,
@@ -173,6 +174,53 @@ def test_pagerank_empty_edges(spark):
     assert [f.name for f in out.schema.fields] == ["id", "rank"]
 
 
+def _brute_bfs(pairs, sources, max_hops, directed=False):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        frontier = {v for u in frontier for v in adj.get(u, ())
+                    if v not in dist}
+        for v in frontier:
+            dist[v] = h
+    return dist
+
+
+def test_bfs_distances_matches_brute_force(spark):
+    rng = np.random.RandomState(23)
+    pairs = [(f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}")
+             for _ in range(50)]
+    sources = ["n0", "n7", "ghost"]  # absent source still emitted at 0
+    for directed in (False, True):
+        for max_hops in (1, 3):
+            want = _brute_bfs(pairs, sources, max_hops, directed)
+            got = {r["id"]: r["dist"] for r in
+                   bfs_distances(_edges(spark, pairs), sources,
+                                 max_hops=max_hops,
+                                 directed=directed).collect()}
+            assert got == want, (directed, max_hops)
+
+
+def test_bfs_distances_path_graph(spark):
+    # a-b-c-d-e: distances from a are the hop indices; max_hops clips
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = {r["id"]: r["dist"] for r in
+           bfs_distances(_edges(spark, pairs), ["a"],
+                         max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+    # directed edges don't walk backwards
+    got = {r["id"]: r["dist"] for r in
+           bfs_distances(_edges(spark, pairs), ["c"], max_hops=9,
+                         directed=True).collect()}
+    assert got == {"c": 0, "d": 1, "e": 2}
+
+
 def _brute_triangles(pairs):
     und = {frozenset((a, b)) for a, b in pairs if a != b}
     ids = sorted({x for e in und for x in e})
@@ -278,6 +326,21 @@ def test_node_similarity_top_k(spark):
     assert kept == want
 
 
+def test_node_similarity_metrics(spark):
+    # N(a)={x,y,z} ⊇ N(b)={x,y}: shared=2 — jaccard 2/3, overlap 1.0
+    # (containment), cosine 2/sqrt(6)
+    pairs = [("a", "x"), ("a", "y"), ("a", "z"),
+             ("b", "x"), ("b", "y")]
+    want = {"jaccard": 2 / 3, "overlap": 1.0, "cosine": 2 / 6 ** 0.5}
+    for metric, val in want.items():
+        by = {(r["a"], r["b"]): r["jaccard"] for r in
+              node_similarity(_edges(spark, pairs),
+                              metric=metric).collect()}
+        assert by[("a", "b")] == pytest.approx(val), metric
+    with pytest.raises(ValueError, match="metric"):
+        node_similarity(_edges(spark, pairs), metric="dice")
+
+
 def test_node_similarity_max_degree(spark):
     # hub h is everyone's neighbor; with the hub dropped as a wedge
     # center, only pairs with a NON-hub shared neighbor survive, and
@@ -344,3 +407,23 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
                for r in rows)
     assert all(r["jaccard"] >= 0.2 for r in rows)
     assert rows == sorted(rows, key=lambda r: -r["jaccard"])
+    # entity-groups: similarity edges -> connected components -> named
+    # clusters of likely-duplicate entities, largest first
+    main(["entity-groups", "--store", root, "--limit", "10",
+          "--min-sim", "0.5"])
+    grp = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert grp, "synth KG has structural duplicate groups"
+    assert all(g["n"] == len(g["members"]) >= 2 for g in grp)
+    assert [g["n"] for g in grp] == sorted(
+        [g["n"] for g in grp], reverse=True)
+    # reach: BFS neighborhood of a seed entity, nearest first, seed at 0
+    main(["reach", "--store", root, "--seeds", seed, "--hops", "2",
+          "--limit", "50"])
+    near = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert near and near[0]["dist"] == 0 and near[0]["name"] == seed
+    assert {r["dist"] for r in near} <= {0, 1, 2}
+    assert [r["dist"] for r in near] == sorted(r["dist"] for r in near)
+    with pytest.raises(SystemExit, match="no entity named"):
+        main(["reach", "--store", root, "--seeds", "zz-no-such-ent"])
