@@ -18,6 +18,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N]  # BFS neighborhood
+    python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
 """
 
 from __future__ import annotations
@@ -80,7 +81,8 @@ def main(argv=None):
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
-        "pagerank", "triangles", "similar", "entity-groups", "reach"])
+        "pagerank", "triangles", "similar", "entity-groups", "reach",
+        "export"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -144,6 +146,9 @@ def main(argv=None):
     ap.add_argument("--sim-topk", type=int, default=None,
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
+    ap.add_argument("--out", default=None,
+                    help="export: output directory for the neo4j-admin "
+                         "bulk-import CSVs")
     ap.add_argument("--metric", default="jaccard",
                     choices=["jaccard", "overlap", "cosine"],
                     help="similar: neighbor-set similarity metric "
@@ -325,6 +330,14 @@ def main(argv=None):
                .limit(ns.limit))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "export":
+        # neo4j-admin bulk-import CSVs of the committed KG — the
+        # migration path back INTO a real Neo4j
+        from neo4j_document_pipeline_spark.sources.neo4j_export import (
+            export_neo4j_admin)
+        if not ns.out:
+            sys.exit("export: --out is required")
+        print(json.dumps(export_neo4j_admin(store, ns.out), indent=1))
     elif ns.command == "reach":
         # "what's within --hops of these entities" — multi-source BFS
         # over the committed KG, names joined back, nearest first
