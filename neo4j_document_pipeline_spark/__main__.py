@@ -292,10 +292,15 @@ def main(argv=None):
             seeds = _resolve_seed_ids(store, ns.seeds.split(","))
             if not seeds:
                 sys.exit(f"--seeds: no entity named any of {ns.seeds!r}")
-        ranks = pagerank(_kg_edges(store, weighted=ns.weighted),
-                         iters=ns.iters,
-                         weight_col="w" if ns.weighted else None,
-                         seeds=seeds)
+        try:
+            ranks = pagerank(_kg_edges(store, weighted=ns.weighted),
+                             iters=ns.iters,
+                             weight_col="w" if ns.weighted else None,
+                             seeds=seeds)
+        except ValueError as exc:
+            # names resolved to nodes, but none of them touches a usable
+            # edge (e.g. only self-loops after canonicalize)
+            sys.exit(f"--seeds: {exc}")
         nodes = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         top = (ranks.join(nodes, "id", "left")

@@ -33,18 +33,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _undirected(edges: DataFrame) -> DataFrame:
-    """Canonical undirected simple edge set from (u, v) string pairs:
-    self-loops dropped, both orientations collapsed to (min, max),
-    duplicates removed."""
+def _undirected(edges: DataFrame,
+                weight_col: str | None = None) -> DataFrame:
+    """Canonical undirected edge set from (u, v) string pairs:
+    self-loops dropped, both orientations collapsed to (min, max).
+    Unweighted: duplicates removed (simple graph). With ``weight_col``:
+    parallel/reversed duplicates SUM into one (u, v, w) row — null and
+    non-positive weights are dropped first (a zero-weight edge is no
+    edge; silently keeping them would null out rank contributions and
+    destroy probability mass downstream)."""
+    if weight_col is None:
+        return (
+            edges.select(
+                F.least(F.col("u").cast("string"),
+                        F.col("v").cast("string")).alias("u"),
+                F.greatest(F.col("u").cast("string"),
+                           F.col("v").cast("string")).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     return (
         edges.select(
             F.least(F.col("u").cast("string"),
                     F.col("v").cast("string")).alias("u"),
             F.greatest(F.col("u").cast("string"),
-                       F.col("v").cast("string")).alias("v"))
+                       F.col("v").cast("string")).alias("v"),
+            F.col(weight_col).cast("double").alias("w"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("u", "v").agg(F.sum("w").alias("w"))
     )
 
 
@@ -68,7 +85,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
     ``weight_col`` makes edges weighted (e.g. the KG's per-edge source
     counts): parallel/reversed duplicates SUM their weights (unweighted
     edges dedupe to a simple graph), and contributions are
-    rank * w / sum-of-outgoing-w.
+    rank * w / sum-of-outgoing-w. Null and non-positive weights are
+    DROPPED edge-wise (a zero-weight edge is no edge) — a node that
+    loses every out-edge this way is an ordinary sink, covered by the
+    dangling redistribution, so rank mass always sums to 1.
 
     Fixed ``iters`` rather than convergence-test-per-iteration keeps the
     job count deterministic (one shuffle per iteration; a convergence
@@ -77,28 +97,22 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
     the same edge set always yields the same ranks (sums are
     order-insensitive up to float rounding; oracle compares at 6dp).
     """
-    w = (F.col(weight_col).cast("double") if weight_col
-         else F.lit(1.0))
     if directed:
         raw = (edges.select(F.col("u").cast("string"),
-                            F.col("v").cast("string"), w.alias("w"))
+                            F.col("v").cast("string"),
+                            (F.col(weight_col).cast("double")
+                             if weight_col else F.lit(1.0)).alias("w"))
                .filter(F.col("u") != F.col("v")))
-        e = (raw.groupBy("u", "v").agg(F.sum("w").alias("w"))
+        e = (raw.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+             .groupBy("u", "v").agg(F.sum("w").alias("w"))
              if weight_col else
              raw.drop("w").distinct().withColumn("w", F.lit(1.0)))
         verts = (e.select(F.col("u").alias("id"))
                  .union(e.select(F.col("v").alias("id"))).distinct())
     else:
-        raw = (edges.select(
-            F.least(F.col("u").cast("string"),
-                    F.col("v").cast("string")).alias("u"),
-            F.greatest(F.col("u").cast("string"),
-                       F.col("v").cast("string")).alias("v"),
-            w.alias("w"))
-            .filter(F.col("u") != F.col("v")))
-        und = (raw.groupBy("u", "v").agg(F.sum("w").alias("w"))
-               if weight_col else
-               raw.drop("w").distinct().withColumn("w", F.lit(1.0)))
+        und = _undirected(edges, weight_col)
+        if weight_col is None:
+            und = und.withColumn("w", F.lit(1.0))
         e = und.union(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v"), "w"))
         verts = e.select(F.col("u").alias("id")).distinct()

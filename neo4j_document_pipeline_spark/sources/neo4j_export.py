@@ -35,14 +35,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # RFC-4180: quote with '"', escape by doubling the quote. Spark's csv
-# default escape is backslash, which neo4j-admin does not understand.
+# default escape is backslash, which neo4j-admin does not understand —
+# and its writer TRIMS leading/trailing whitespace by default, which
+# would silently corrupt text properties; both overridden here.
 _CSV_OPTS = {"header": "false", "quote": '"', "escape": '"',
-             "emptyValue": "", "nullValue": ""}
+             "emptyValue": "", "nullValue": "",
+             "ignoreLeadingWhiteSpace": "false",
+             "ignoreTrailingWhiteSpace": "false"}
 ARRAY_DELIM = ";"
 
 
 def _arr(col: str) -> F.Column:
-    """';'-joined array cell (neo4j --array-delimiter), null -> empty."""
+    """';'-joined array cell (neo4j --array-delimiter), null -> empty.
+    Disclosed limitation: an EMPTY array also renders as an empty cell,
+    which neo4j-admin imports as a missing property — the CSV contract
+    has no distinct spelling for []; post-migration Cypher should use
+    `coalesce(r.sources, [])` where the distinction matters."""
     return F.when(F.col(col).isNull(), F.lit(None)).otherwise(
         F.array_join(F.transform(F.col(col),
                                  lambda x: x.cast("string")),
@@ -50,8 +58,11 @@ def _arr(col: str) -> F.Column:
 
 
 def _ts(col: str) -> F.Column:
-    # neo4j `datetime` accepts ISO-8601; stored timestamps are UTC
-    return F.date_format(F.col(col), "yyyy-MM-dd'T'HH:mm:ss")
+    # ISO-8601 WITH zone offset (XXX renders 'Z' at UTC): date_format
+    # renders wall-clock in spark.sql.session.timeZone, so the offset is
+    # what keeps the instant correct when a caller's session isn't UTC —
+    # neo4j `datetime` parses the offset form directly
+    return F.date_format(F.col(col), "yyyy-MM-dd'T'HH:mm:ssXXX")
 
 
 def _write(df: DataFrame, out_dir: str, name: str, header: str) -> int:
@@ -105,12 +116,15 @@ def export_neo4j_admin(store, out_dir: str) -> dict:
         F.col("src_id"), F.col("dst_id"), F.col("rel_type"),
         F.col("term"), F.col("count"),
         _arr("sources").alias("sources"),
+        _arr("embedding").alias("embedding"),
+        F.col("source_text_full"),
         _ts("created_at").alias("created_at"),
         _ts("updated_at").alias("updated_at"))
     counts["relates"] = _write(
         edges, out_dir, "relates",
         ":START_ID(Entity),:END_ID(Entity),:TYPE,term,count:int,"
-        "sources:string[],created_at:datetime,updated_at:datetime")
+        "sources:string[],embedding:float[],source_text_full,"
+        "created_at:datetime,updated_at:datetime")
 
     mentions = store.read("mentions").select(
         F.col("doc_id"), F.col("entity_id"),
@@ -125,6 +139,7 @@ def export_neo4j_admin(store, out_dir: str) -> dict:
         "# database (neo4j-admin ships with Neo4j; DB must not exist)\n"
         "neo4j-admin database import full \\\n"
         f"  --array-delimiter='{ARRAY_DELIM}' \\\n"
+        "  --multiline-fields=true \\\n"
         "  --nodes=entities.header.csv,entities/part-.*\\.csv \\\n"
         "  --nodes=Document=documents.header.csv,documents/part-.*\\.csv \\\n"
         "  --relationships=relates.header.csv,relates/part-.*\\.csv \\\n"

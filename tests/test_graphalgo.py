@@ -128,6 +128,29 @@ def test_pagerank_weighted_pull(spark):
     assert by["b"] > by["c"]
 
 
+def test_pagerank_weighted_drops_null_and_nonpositive(spark):
+    """Null/zero/negative weights are dropped edge-wise — the result
+    equals the graph without those edges, and mass still sums to 1
+    (silently keeping them would null contributions and leak mass)."""
+    dirty = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0),
+         ("a", "c", 0.0), ("c", "d", -3.0), ("a", "d", None)],
+        "u string, v string, w double")
+    clean = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0)],
+        "u string, v string, w double")
+    for directed in (False, True):
+        got = {r["id"]: r["rank"] for r in
+               pagerank(dirty, iters=4, directed=directed,
+                        weight_col="w").collect()}
+        want = {r["id"]: r["rank"] for r in
+                pagerank(clean, iters=4, directed=directed,
+                         weight_col="w").collect()}
+        assert got == want  # d (and its edges) gone entirely
+        assert "d" not in got
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_personalized_pagerank_matches_numpy(spark):
     """seeds: teleport (and dangling mass) restricted to the seed set —
     parity vs the dense model on a directed graph WITH a sink, so the

@@ -57,6 +57,9 @@ def test_export_layout_and_counts(exported):
         assert all(len(r) == width for r in rows), name
     sh = open(os.path.join(out, "import.sh"), encoding="utf-8").read()
     assert "neo4j-admin database import full" in sh
+    # Spark's RFC-4180 writer may quote embedded newlines; the importer
+    # rejects them unless told otherwise
+    assert "--multiline-fields=true" in sh
     assert os.access(os.path.join(out, "import.sh"), os.X_OK)
 
 
@@ -68,6 +71,10 @@ def test_export_headers_follow_import_contract(exported):
     assert _header(out, "relates").startswith(
         ":START_ID(Entity),:END_ID(Entity),:TYPE,")
     assert "sources:string[]" in _header(out, "relates")
+    # full reference-parity property set (rel.embedding /
+    # rel.source_text_full are MERGE-set by the reference too)
+    assert "embedding:float[]" in _header(out, "relates")
+    assert "source_text_full" in _header(out, "relates")
     assert _header(out, "mentions") == \
         ":START_ID(Document),:END_ID(Entity),:TYPE"
 
@@ -99,13 +106,21 @@ def test_export_edges_values_roundtrip(exported):
     hdr = _header(out, "relates").split(",")
     i_src, i_cnt = hdr.index("sources:string[]"), hdr.index("count:int")
     i_ts = hdr.index("created_at:datetime")
+    i_emb = hdr.index("embedding:float[]")
+    i_txt = hdr.index("source_text_full")
     for r in got:
         w = want[(r[0], r[1], r[2], r[3])]
         assert sorted(r[i_src].split(";")) == sorted(w["sources"])
         # empty cell = null (the neo4j-admin convention)
         assert (int(r[i_cnt]) if r[i_cnt] else None) == w["count"]
-        # ISO-8601, second precision — what neo4j `datetime` parses
-        assert r[i_ts] == w["created_at"].strftime("%Y-%m-%dT%H:%M:%S")
+        # ISO-8601 WITH zone offset (UTC session renders 'Z'): the
+        # instant survives any exporting session timezone
+        assert r[i_ts] == \
+            w["created_at"].strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+        if w["embedding"] is not None:
+            assert [float(x) for x in r[i_emb].split(";")] == \
+                pytest.approx(list(w["embedding"]))
+        assert r[i_txt] == (w["source_text_full"] or "")
 
 
 def test_export_mentions_literal_type(exported):
