@@ -146,6 +146,9 @@ def main(argv=None):
     ap.add_argument("--sim-topk", type=int, default=None,
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
+    ap.add_argument("--degrees", action="store_true",
+                    help="stats: print the degree histogram / skew "
+                         "diagnostic instead of the endpoint stats")
     ap.add_argument("--out", default=None,
                     help="export: output directory for the neo4j-admin "
                          "bulk-import CSVs")
@@ -266,8 +269,13 @@ def main(argv=None):
                           "timings": {k: round(v, 3) for k, v in res.timings.items()}},
                          indent=1, default=str))
     elif ns.command == "stats":
-        from neo4j_document_pipeline_spark.operators.admin import graph_stats
-        print(json.dumps(graph_stats(store), indent=1))
+        from neo4j_document_pipeline_spark.operators.admin import (
+            degree_histogram, graph_stats)
+        if ns.degrees:
+            # skew diagnostic: log2 degree buckets + quantiles
+            print(json.dumps(degree_histogram(store), indent=1))
+        else:
+            print(json.dumps(graph_stats(store), indent=1))
     elif ns.command == "schema":
         from neo4j_document_pipeline_spark.operators.admin import graph_schema
         print(json.dumps(graph_schema(store), indent=1))

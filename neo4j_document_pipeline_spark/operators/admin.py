@@ -40,6 +40,44 @@ def graph_stats(store) -> dict:
     }
 
 
+def degree_histogram(store) -> dict:
+    """Log2-bucketed degree distribution + skew quantiles of the KG —
+    beyond-reference: the diagnostic that says whether joins/aggs over
+    this graph need the salting / AQE-skew paths (`operators/skew.py`).
+    A webtext entity graph is power-law; this quantifies HOW power-law
+    (p99/median ratio, max-degree hub) before a 100-TB run commits to a
+    partitioning. Two jobs over the O(V) degree table: one scalar agg
+    (quantiles via percentile_approx — exact quantiles would sort the
+    world for a diagnostic), one tiny hash agg for the buckets."""
+    edges = store.read("edges")
+    deg = (
+        edges.select(F.col("src_id").alias("entity_id"))
+        .union(edges.select(F.col("dst_id").alias("entity_id")))
+        .groupBy("entity_id").agg(F.count("*").alias("d"))
+    ).localCheckpoint()  # two consumers, one shuffle
+    row = deg.agg(
+        F.count("*").alias("n"),
+        F.max("d").alias("dmax"),
+        F.avg("d").alias("dmean"),
+        F.percentile_approx("d", [0.5, 0.9, 0.99]).alias("q"),
+    ).first()
+    if row["n"] == 0:
+        return {"nodes_with_edges": 0, "max_degree": 0,
+                "mean_degree": 0.0, "p50": 0, "p90": 0, "p99": 0,
+                "histogram": {}}
+    hist = (deg.groupBy(F.floor(F.log2("d")).cast("int").alias("b"))
+            .count().collect())
+    return {
+        "nodes_with_edges": row["n"],
+        "max_degree": row["dmax"],
+        "mean_degree": round(float(row["dmean"]), 3),
+        "p50": row["q"][0], "p90": row["q"][1], "p99": row["q"][2],
+        # bucket key = the bucket's lower bound: degree in [2^b, 2^(b+1))
+        "histogram": {str(2 ** r["b"]): r["count"]
+                      for r in sorted(hist, key=lambda r: r["b"])},
+    }
+
+
 def graph_schema(store) -> dict:
     """/graph/schema (main.py:656-726): observed (src_label, rel_type,
     dst_label) patterns with counts."""

@@ -35,6 +35,37 @@ def test_graph_stats(kg):
     assert s["most_connected"][0]["degree"] >= s["most_connected"][-1]["degree"]
 
 
+def test_degree_histogram(kg):
+    from neo4j_document_pipeline_spark.operators.admin import (
+        degree_histogram)
+    h = degree_histogram(kg)
+    # buckets partition the degree-table rows exactly
+    assert sum(h["histogram"].values()) == h["nodes_with_edges"] > 0
+    # the top hub agrees with graph_stats' most_connected
+    assert h["max_degree"] == graph_stats(kg)["most_connected"][0]["degree"]
+    assert 1 <= h["p50"] <= h["p90"] <= h["p99"] <= h["max_degree"]
+    assert h["mean_degree"] >= 1.0
+    # bucket keys are the powers-of-two lower bounds
+    assert all(int(k) & (int(k) - 1) == 0 for k in h["histogram"])
+    # the hub's bucket exists: 2^floor(log2(dmax)) is a key
+    top = 1 << (h["max_degree"].bit_length() - 1)
+    assert str(top) in h["histogram"]
+
+
+def test_degree_histogram_empty_graph(spark):
+    from neo4j_document_pipeline_spark.operators.admin import (
+        degree_histogram)
+
+    class _EdgelessStore:
+        def read(self, table):
+            assert table == "edges"
+            return spark.createDataFrame(
+                [], "src_id string, dst_id string")
+
+    h = degree_histogram(_EdgelessStore())
+    assert h["nodes_with_edges"] == 0 and h["histogram"] == {}
+
+
 def test_graph_schema(kg):
     s = graph_schema(kg)
     pats = {(p["from"], p["rel"], p["to"]) for p in s["patterns"]}
