@@ -731,6 +731,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def k_core_parts(spark, sf):
+        """3-core of the bounded co-purchase graph. NO SQL oracle by
+        design: k-core peeling is an anti-monotone DELETION fixpoint
+        (each round removes nodes and recomputes degrees), which
+        recursive CTEs — monotone accumulation only — cannot express
+        (contrast connected_components_demo, whose transitive closure
+        is monotone). Driver records the weaker rows-only check;
+        correctness is proven by the brute-force peeling parity pytest
+        (tests/test_graphalgo.py::test_k_core_matches_brute_force)."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            k_core)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 400)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("u"),
+                         F.col("b.l_partkey").cast("string").alias("v")))
+        return (k_core(edges, k=3)
+                .select(F.col("id").cast("bigint").alias("part_id")))
+    q["k_core_parts"] = k_core_parts
+
     def triangle_parts(spark, sf):
         """Degree-oriented triangle count of the same co-purchase graph
         — the wedge join is bounded by the orientation, the oracle is

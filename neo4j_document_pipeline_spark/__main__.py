@@ -18,6 +18,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N]  # BFS neighborhood
+    python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
 """
 
@@ -82,7 +83,7 @@ def main(argv=None):
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "triangles", "similar", "entity-groups", "reach",
-        "export"])
+        "kcore", "export"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -146,6 +147,8 @@ def main(argv=None):
     ap.add_argument("--sim-topk", type=int, default=None,
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
+    ap.add_argument("--k", type=int, default=2,
+                    help="kcore: minimum surviving degree")
     ap.add_argument("--degrees", action="store_true",
                     help="stats: print the degree histogram / skew "
                          "diagnostic instead of the endpoint stats")
@@ -342,6 +345,20 @@ def main(argv=None):
                .orderBy(F.col("jaccard").desc(), "name_a", "name_b")
                .limit(ns.limit))
         for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "kcore":
+        # dense nucleus of the KG: entities surviving k-core peeling
+        # (boilerplate/link-farm neighborhoods survive high k)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            k_core)
+        core = k_core(_kg_edges(store), k=ns.k)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "label", "name")
+        out = (core.join(names, "id", "left")
+               .orderBy("name", "id").limit(ns.limit))
+        for r in out.collect():
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "export":
         # neo4j-admin bulk-import CSVs of the committed KG — the

@@ -6,6 +6,7 @@ import pytest
 
 from neo4j_document_pipeline_spark.operators.graphalgo import (
     bfs_distances,
+    k_core,
     node_similarity,
     pagerank,
     triangle_count,
@@ -244,6 +245,50 @@ def test_bfs_distances_path_graph(spark):
     assert got == {"c": 0, "d": 1, "e": 2}
 
 
+def _brute_k_core(pairs, k):
+    und = {frozenset((a, b)) for a, b in pairs if a != b}
+    while True:
+        deg = {}
+        for e in und:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        low = {n for n, d in deg.items() if d < k}
+        if not low:
+            return set(deg)
+        und = {e for e in und if not (e & low)}
+
+
+def test_k_core_known_graphs(spark):
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    # K4 with a pendant chain: the chain peels away at k=2, the clique
+    # survives up to k=3, nothing survives k=4
+    g = k4 + [("d", "p"), ("p", "q")]
+    assert {r["id"] for r in k_core(_edges(spark, g), 2).collect()} \
+        == set("abcd")
+    assert {r["id"] for r in k_core(_edges(spark, g), 3).collect()} \
+        == set("abcd")
+    assert k_core(_edges(spark, g), 4).collect() == []
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(_edges(spark, g), 0)
+
+
+def test_k_core_matches_brute_force(spark):
+    rng = np.random.RandomState(29)
+    pairs = [(f"n{rng.randint(0, 22)}", f"n{rng.randint(0, 22)}")
+             for _ in range(80)]
+    for k in (1, 2, 3, 4):
+        want = _brute_k_core(pairs, k)
+        got = {r["id"] for r in k_core(_edges(spark, pairs), k).collect()}
+        assert got == want, k
+
+
+def test_k_core_max_iters_is_loud(spark):
+    # a path graph peels one layer per round: 2 rounds can't finish
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(8)]
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(_edges(spark, chain), 2, max_iters=2)
+
+
 def _brute_triangles(pairs):
     und = {frozenset((a, b)) for a, b in pairs if a != b}
     ids = sorted({x for e in und for x in e})
@@ -440,6 +485,16 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert all(g["n"] == len(g["members"]) >= 2 for g in grp)
     assert [g["n"] for g in grp] == sorted(
         [g["n"] for g in grp], reverse=True)
+    # kcore: the k=1 core over a committed store is every entity that
+    # touches an edge (peeling only drops isolated nodes)
+    main(["kcore", "--store", root, "--k", "1", "--limit", "500"])
+    core = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    n_endpoints = (store.read("edges").select("src_id")
+                   .union(store.read("edges").select("dst_id"))
+                   .distinct().count())
+    assert len(core) == n_endpoints > 0
+    assert all({"id", "label", "name"} <= set(r) for r in core)
     # reach: BFS neighborhood of a seed entity, nearest first, seed at 0
     main(["reach", "--store", root, "--seeds", seed, "--hops", "2",
           "--limit", "50"])
