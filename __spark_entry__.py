@@ -710,6 +710,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 6).alias("jaccard")))
     q["node_similarity_parts"] = node_similarity_parts
 
+    def node_similarity_weighted_parts(spark, sf):
+        """Weighted node similarity over the same bounded co-purchase
+        graph: each co-order occurrence carries weight 1 and the
+        operator's duplicate-summing canonicalization turns them into
+        co-purchase counts, so the oracle's edge weight is a plain
+        count(*) GROUP BY. Weighted Jaccard = Σmin / (Σa + Σb − Σmin)."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            node_similarity)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 400)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v"),
+                         F.lit(1.0).alias("w")))
+        return (node_similarity(edges, min_sim=0.25, weight_col="w")
+                .select(F.col("a").cast("bigint").alias("part_a"),
+                        F.col("b").cast("bigint").alias("part_b"),
+                        "shared",
+                        F.round("jaccard", 6).alias("wjaccard")))
+    q["node_similarity_weighted_parts"] = node_similarity_weighted_parts
+
+    def node_similarity_metric_parts(spark, sf):
+        """The other two GDS similarity metrics over the unweighted
+        co-purchase graph, joined into one row per pair: overlap
+        (containment — 1.0 when one neighborhood swallows the other)
+        and cosine (degree-normalized). Both come from the same wedge
+        kernel, so the oracle recomputes each denominator in SQL."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            node_similarity)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 400)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v")))
+        ov = (node_similarity(edges, metric="overlap")
+              .select("a", "b", "shared",
+                      F.col("jaccard").alias("overlap")))
+        co = (node_similarity(edges, metric="cosine")
+              .select("a", "b", F.col("jaccard").alias("cosine")))
+        return (ov.join(co, ["a", "b"])
+                .filter(F.col("overlap") >= 0.5)
+                .select(F.col("a").cast("bigint").alias("part_a"),
+                        F.col("b").cast("bigint").alias("part_b"),
+                        "shared",
+                        F.round("overlap", 6).alias("overlap"),
+                        F.round("cosine", 6).alias("cosine")))
+    q["node_similarity_metric_parts"] = node_similarity_metric_parts
+
     def bfs_parts(spark, sf):
         """Multi-source BFS hop distances from parts 0-4 over a bounded
         co-purchase graph: every node settled once at its minimum hop.
@@ -1264,6 +1320,43 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "node_similarity_weighted_parts":
+            "WITH base AS ("
+            "  SELECT a.l_partkey AS u, b.l_partkey AS v,"
+            "         CAST(count(*) AS DOUBLE) AS w"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 400 GROUP BY 1, 2),"
+            "adj AS (SELECT u AS node, v AS nbr, w FROM base"
+            "        UNION ALL SELECT v, u, w FROM base),"
+            "sums AS (SELECT node, sum(w) AS sw FROM adj GROUP BY node),"
+            "sh AS (SELECT x.node AS a, y.node AS b, count(*) AS shared,"
+            "              sum(least(x.w, y.w)) AS imin"
+            "       FROM adj x JOIN adj y"
+            "       ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)"
+            "SELECT sh.a AS part_a, sh.b AS part_b, sh.shared,"
+            " round(sh.imin / (sa.sw + sb.sw - sh.imin), 6) AS wjaccard"
+            " FROM sh JOIN sums sa ON sh.a = sa.node"
+            " JOIN sums sb ON sh.b = sb.node"
+            " WHERE sh.imin / (sa.sw + sb.sw - sh.imin) >= 0.25",
+        "node_similarity_metric_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 400),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),"
+            "sh AS (SELECT x.node AS a, y.node AS b, count(*) AS shared"
+            "       FROM adj x JOIN adj y"
+            "       ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2)"
+            "SELECT sh.a AS part_a, sh.b AS part_b, sh.shared,"
+            " round(sh.shared / least(da.d, db.d), 6) AS overlap,"
+            " round(sh.shared / sqrt(da.d * db.d), 6) AS cosine"
+            " FROM sh JOIN deg da ON sh.a = da.node"
+            " JOIN deg db ON sh.b = db.node"
+            " WHERE sh.shared / least(da.d, db.d) >= 0.5",
         # canonical a<b<c triple join counts each triangle exactly once
         "triangle_parts":
             "WITH pairs AS ("

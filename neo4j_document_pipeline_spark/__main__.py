@@ -136,8 +136,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10,
                     help="pagerank power-method iterations")
     ap.add_argument("--weighted", action="store_true",
-                    help="pagerank: weight edges by their supporting-"
-                         "document count (size of the sources set)")
+                    help="pagerank/similar/entity-groups: weight edges "
+                         "by their supporting-document count (size of "
+                         "the sources set)")
     ap.add_argument("--seeds", default=None,
                     help="pagerank/reach: comma-separated entity NAMES — "
                          "pagerank restricts teleport to them "
@@ -332,8 +333,10 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
-        sim = node_similarity(_kg_edges(store), min_sim=ns.min_sim,
-                              top_k=ns.sim_topk, metric=ns.metric)
+        sim = node_similarity(_kg_edges(store, weighted=ns.weighted),
+                              min_sim=ns.min_sim,
+                              top_k=ns.sim_topk, metric=ns.metric,
+                              weight_col="w" if ns.weighted else None)
         names = store.read("nodes").select("entity_id", "name")
         top = (sim
                .join(names.select(F.col("entity_id").alias("a"),
@@ -399,8 +402,10 @@ def main(argv=None):
             connected_components)
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
-        sim = node_similarity(_kg_edges(store), min_sim=ns.min_sim,
-                              top_k=ns.sim_topk, metric=ns.metric)
+        sim = node_similarity(_kg_edges(store, weighted=ns.weighted),
+                              min_sim=ns.min_sim,
+                              top_k=ns.sim_topk, metric=ns.metric,
+                              weight_col="w" if ns.weighted else None)
         comp = connected_components(
             sim.select(F.col("a").alias("u"), F.col("b").alias("v")))
         names = store.read("nodes").select(

@@ -181,22 +181,35 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
 def node_similarity(edges: DataFrame, min_sim: float = 0.0,
                     top_k: int | None = None,
                     max_degree: int | None = None,
-                    metric: str = "jaccard") -> DataFrame:
+                    metric: str = "jaccard",
+                    weight_col: str | None = None) -> DataFrame:
     """Neighbor-set similarity (the Neo4j GDS ``nodeSimilarity``
     analogue the reference's graph never exposes): every pair (a, b),
     a < b, sharing at least one neighbor, scored by ``metric`` ->
     (a string, b string, shared bigint, jaccard double).
 
-    Metrics (all from the same shared-count + true degrees, so the
-    choice costs nothing extra; the output column keeps the name
-    ``jaccard`` for a stable driver schema):
+    Metrics (all from the same wedge aggregate + true per-node sums, so
+    the choice costs nothing extra; the output column keeps the name
+    ``jaccard`` for a stable driver schema). Unweighted (default,
+    ``weight_col=None``) every edge weighs 1 and these reduce to the
+    classic set formulas:
 
-    - ``jaccard``  |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (default)
-    - ``overlap``  |N(a) ∩ N(b)| / min(|N(a)|, |N(b)|) — 1.0 whenever
+    - ``jaccard``  Σ_n min(wa_n, wb_n) / Σ_n max(wa_n, wb_n)
+      (unweighted: |N(a) ∩ N(b)| / |N(a) ∪ N(b)|); Σmax over the union
+      = Σwa + Σwb − Σmin, so no second pass is needed
+    - ``overlap``  Σ_n min(wa_n, wb_n) / min(Σwa, Σwb) — 1.0 whenever
       one neighborhood CONTAINS the other, the right score for
       sub-entity detection ("Al-Khwarizmi" vs "Al-Khwarizmi the elder")
-    - ``cosine``   |N(a) ∩ N(b)| / sqrt(|N(a)| · |N(b)|) — degree-
-      normalized, less punishing when one side is a rich hub
+    - ``cosine``   Σ_n wa_n·wb_n / sqrt(Σwa² · Σwb²) — the true vector
+      cosine over neighbor-weight vectors (unweighted this is
+      shared / sqrt(|N(a)|·|N(b)|)), less punishing for rich hubs
+
+    With ``weight_col`` set (the GDS relationship-weight analogue), an
+    edge's weight is its neighbor-vector entry — in the KG CLI the
+    supporting-document count, so two entities co-cited by the same
+    heavily-attested neighbors score higher than ones sharing only
+    single-mention edges. Parallel/reversed duplicate edges SUM; null /
+    non-positive weights are dropped edge-wise (``_undirected``).
 
     Two entities whose KG neighborhoods overlap heavily are duplicate-
     entity candidates even when their NAMES diverge — the structural
@@ -205,19 +218,20 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
 
     Shape: candidate pairs come from a wedge join through shared
     neighbors (only co-neighbors ever meet — never all-pairs), the
-    intersection size is the wedge count per pair (one shuffle), and
-    the union size is da + db - shared from a broadcast-joined degree
-    table. All JVM-side equi-joins + hash aggregates.
+    per-pair intersection terms (count, Σmin, Σproduct) ride ONE wedge
+    hash-aggregate, and denominators come from a per-node sums table
+    joined back. All JVM-side equi-joins + hash aggregates.
 
     Scale: a neighbor of degree d generates C(d, 2) wedges, so power-law
     hubs dominate the wedge volume (the same curse-of-the-last-reducer
     as triangles, but here the hub CENTER can't be oriented away).
-    ``max_degree`` drops wedge centers above the cutoff — pairs whose
-    only shared neighbors are dropped hubs disappear and pairs sharing a
-    dropped hub undercount it in ``shared`` (degrees/unions stay exact).
-    That's the approximation GDS's degree cutoff makes, appropriate
-    because a shared ultra-hub ("mentioned by Wikipedia") carries no
-    similarity signal anyway. Default None = exact.
+    ``max_degree`` drops wedge centers above the cutoff (by neighbor
+    COUNT, weighted or not) — pairs whose only shared neighbors are
+    dropped hubs disappear and pairs sharing a dropped hub undercount it
+    in the intersection (per-node sums stay exact). That's the
+    approximation GDS's degree cutoff makes, appropriate because a
+    shared ultra-hub ("mentioned by Wikipedia") carries no similarity
+    signal anyway. Default None = exact.
 
     ``min_sim`` filters pairs below the threshold; ``top_k`` keeps each
     node's k best pairs (by jaccard desc, partner id asc — deterministic
@@ -225,11 +239,20 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
     """
     if metric not in ("jaccard", "overlap", "cosine"):
         raise ValueError(f"unknown node-similarity metric {metric!r}")
-    und = _undirected(edges)
-    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")) \
-        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-    # true degrees FIRST (exact unions even when the wedge set is capped)
-    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    und = _undirected(edges, weight_col)
+    if weight_col is None:
+        und = und.withColumn("w", F.lit(1.0))
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr"),
+                     "w") \
+        .union(und.select(F.col("v").alias("node"),
+                          F.col("u").alias("nbr"), "w"))
+    # true per-node sums FIRST (exact denominators even when the wedge
+    # set is capped): count degree for the hub cutoff, Σw for
+    # jaccard/overlap, Σw² for cosine
+    deg = adj.groupBy("node").agg(
+        F.count("*").alias("d"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sw2"))
     wedge_src = adj
     if max_degree is not None:
         hubs = deg.filter(F.col("d") > int(max_degree)) \
@@ -242,21 +265,23 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
               (F.col("x.nbr") == F.col("y.nbr"))
               & (F.col("x.node") < F.col("y.node")))
         .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("shared"),
+             F.sum(F.least("x.w", "y.w")).alias("imin"),
+             F.sum(F.col("x.w") * F.col("y.w")).alias("iprod"))
     )
     out = (
         shared
-        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
-              "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
-              "b")
+        .join(deg.select(F.col("node").alias("a"), F.col("sw").alias("sa"),
+                         F.col("sw2").alias("s2a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("sw").alias("sb"),
+                         F.col("sw2").alias("s2b")), "b")
         .select(
             "a", "b", "shared",
-            (F.col("shared") / (
-                F.least("da", "db") if metric == "overlap"
-                else F.sqrt(F.col("da") * F.col("db"))
-                if metric == "cosine"
-                else F.col("da") + F.col("db") - F.col("shared")))
+            (F.col("imin") / F.least("sa", "sb") if metric == "overlap"
+             else F.col("iprod") / F.sqrt(F.col("s2a") * F.col("s2b"))
+             if metric == "cosine"
+             else F.col("imin")
+             / (F.col("sa") + F.col("sb") - F.col("imin")))
             .alias("jaccard"))
     )
     if min_sim > 0.0:

@@ -426,6 +426,89 @@ def test_node_similarity_max_degree(spark):
     assert got[("s0", "s1")]["jaccard"] == pytest.approx(1 / 3)
 
 
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(str(a), str(b), None if w is None else float(w))
+         for a, b, w in triples], "u string, v string, w double")
+
+
+def _brute_weighted_similarity(triples, metric):
+    """Weighted neighbor-vector similarity over summed undirected
+    weights — the definition node_similarity(weight_col=...) implements;
+    null / non-positive weights drop edge-wise first."""
+    import math
+    agg = {}
+    for a, b, w in triples:
+        if a == b or w is None or w <= 0:
+            continue
+        k = (min(a, b), max(a, b))
+        agg[k] = agg.get(k, 0.0) + float(w)
+    nbrs = {}
+    for (a, b), w in agg.items():
+        nbrs.setdefault(a, {})[b] = w
+        nbrs.setdefault(b, {})[a] = w
+    out = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a >= b:
+                continue
+            common = set(nbrs[a]) & set(nbrs[b])
+            if not common:
+                continue
+            imin = sum(min(nbrs[a][n], nbrs[b][n]) for n in common)
+            iprod = sum(nbrs[a][n] * nbrs[b][n] for n in common)
+            sa = sum(nbrs[a].values())
+            sb = sum(nbrs[b].values())
+            if metric == "jaccard":
+                val = imin / (sa + sb - imin)
+            elif metric == "overlap":
+                val = imin / min(sa, sb)
+            else:
+                s2a = sum(w * w for w in nbrs[a].values())
+                s2b = sum(w * w for w in nbrs[b].values())
+                val = iprod / math.sqrt(s2a * s2b)
+            out[(a, b)] = (len(common), val)
+    return out
+
+
+def test_node_similarity_weighted_matches_brute_force(spark):
+    # random weighted multigraph with parallel/reversed duplicates
+    # (weights SUM), plus null and zero weights (dropped edge-wise)
+    rng = np.random.RandomState(11)
+    triples = []
+    for _ in range(80):
+        a, b = f"n{rng.randint(0, 15)}", f"n{rng.randint(0, 15)}"
+        w = rng.choice([None, 0.0, 0.5, 1.0, 2.5, 4.0])
+        triples.append((a, b, w))
+    for metric in ("jaccard", "overlap", "cosine"):
+        want = _brute_weighted_similarity(triples, metric)
+        got = {(r["a"], r["b"]): (r["shared"], r["jaccard"])
+               for r in node_similarity(_wedges(spark, triples),
+                                        metric=metric,
+                                        weight_col="w").collect()}
+        assert set(got) == set(want), metric
+        for k, (s, j) in want.items():
+            assert got[k][0] == s, (metric, k)
+            assert got[k][1] == pytest.approx(j, abs=1e-12), (metric, k)
+
+
+def test_node_similarity_weighted_known_values(spark):
+    # a: {x:3, y:1}, b: {x:1, y:1, z:2} — Σmin = 1+1 = 2,
+    # Σmax = Σa + Σb − Σmin = 4 + 4 − 2 = 6 → weighted J = 1/3
+    # (unweighted J would be 2/4 = 0.5: the heavy a—x edge has no
+    # light counterpart on b, so weighting PENALIZES the pair);
+    # overlap = 2/min(4,4) = 0.5; cosine = (3+1)/sqrt(10·6)
+    triples = [("a", "x", 3.0), ("a", "y", 1.0),
+               ("b", "x", 1.0), ("b", "y", 1.0), ("b", "z", 2.0)]
+    for metric, val in (("jaccard", 1 / 3), ("overlap", 0.5),
+                        ("cosine", 4 / (60 ** 0.5))):
+        by = {(r["a"], r["b"]): r for r in
+              node_similarity(_wedges(spark, triples), metric=metric,
+                              weight_col="w").collect()}
+        assert by[("a", "b")]["jaccard"] == pytest.approx(val), metric
+        assert by[("a", "b")]["shared"] == 2
+
+
 def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     """The analytics commands run over a committed store and emit
     JSON: pagerank joins names back from nodes, ranks sum to ~1 over
@@ -475,6 +558,13 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
                for r in rows)
     assert all(r["jaccard"] >= 0.2 for r in rows)
     assert rows == sorted(rows, key=lambda r: -r["jaccard"])
+    # similar --weighted: same surface with supporting-document-count
+    # edge weights (weighted Jaccard Σmin/Σmax); scores stay in (0, 1]
+    main(["similar", "--store", root, "--limit", "10",
+          "--min-sim", "0.2", "--weighted"])
+    wrows = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert wrows and all(0.2 <= r["jaccard"] <= 1.0 for r in wrows)
     # entity-groups: similarity edges -> connected components -> named
     # clusters of likely-duplicate entities, largest first
     main(["entity-groups", "--store", root, "--limit", "10",
