@@ -766,6 +766,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("cosine", 6).alias("cosine")))
     q["node_similarity_metric_parts"] = node_similarity_metric_parts
 
+    def lpa_parts(spark, sf):
+        """Deterministic synchronous label propagation (3 rounds) over
+        the bounded co-purchase graph: each round every part adopts its
+        neighbors' most frequent label, smallest label on ties — exactly
+        replayable in SQL as three unrolled join+argmax CTEs. Zero-pad
+        makes the operator's string tie-break match numeric order."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            label_propagation)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 300)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(pad("a.l_partkey").alias("u"),
+                         pad("b.l_partkey").alias("v")))
+        return (label_propagation(edges, iters=3)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.col("community").cast("bigint")
+                        .alias("community")))
+    q["lpa_parts"] = lpa_parts
+
     def bfs_parts(spark, sf):
         """Multi-source BFS hop distances from parts 0-4 over a bounded
         co-purchase graph: every node settled once at its minimum hop.
@@ -1320,6 +1343,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "lpa_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"
+            "c1 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c1) WHERE rk = 1),"
+            "c2 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c2) WHERE rk = 1),"
+            "c3 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l2 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c3) WHERE rk = 1)"
+            "SELECT node AS part_id, lbl AS community FROM l3",
         "node_similarity_weighted_parts":
             "WITH base AS ("
             "  SELECT a.l_partkey AS u, b.l_partkey AS v,"

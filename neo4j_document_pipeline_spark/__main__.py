@@ -17,6 +17,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark triangles --store <dir>     # KG clustering signal
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
+    python -m neo4j_document_pipeline_spark communities --store <dir> [--iters N]  # label-propagation topic clusters
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N]  # BFS neighborhood
     python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
@@ -82,7 +83,8 @@ def main(argv=None):
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
-        "pagerank", "triangles", "similar", "entity-groups", "reach",
+        "pagerank", "triangles", "similar", "entity-groups",
+        "communities", "reach",
         "kcore", "export"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
@@ -421,6 +423,30 @@ def main(argv=None):
         for r in groups.collect():
             print(json.dumps(
                 {"group": r["component"], "n": r["n"],
+                 "members": list(r["members"])}))
+    elif ns.command == "communities":
+        # unsupervised topic/boilerplate clusters by deterministic
+        # synchronous label propagation — coarser than entity-groups
+        # (which needs heavy pairwise overlap), finer than one blob per
+        # connected component
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            label_propagation)
+        labels = label_propagation(_kg_edges(store), iters=ns.iters)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        groups = (labels.join(names, "id")
+                  .groupBy("community")
+                  .agg(F.sort_array(F.collect_list("name"))
+                       .alias("members"),
+                       F.count("*").alias("n"))
+                  .filter(F.col("n") >= 2)
+                  .orderBy(F.col("n").desc(), "community")
+                  .limit(ns.limit))
+        for r in groups.collect():
+            print(json.dumps(
+                {"community": r["community"], "n": r["n"],
                  "members": list(r["members"])}))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status

@@ -435,3 +435,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         und.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"])
     return closed.agg(F.count("*").alias("triangles"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (the
+    Neo4j GDS ``labelPropagation`` analogue; Raghavan et al. 2007) ->
+    (id string, community string). Communities are the coarse
+    topic/boilerplate clusters of a webtext KG — the unsupervised
+    grouping PageRank (importance) and node_similarity (pairwise
+    duplicates) don't give.
+
+    DETERMINISTIC variant: every node starts labeled with its own id;
+    each round every node simultaneously adopts the most frequent label
+    among its NEIGHBORS (itself excluded), ties broken by the smallest
+    label — so identical inputs always yield identical communities,
+    which is what lets a SQL oracle replay the rounds exactly (classic
+    LPA breaks ties randomly and is run-to-run unstable). Community ids
+    are the surviving seed node ids.
+
+    Shape: one equi-join (adjacency ⋈ labels on nbr) plus one hash
+    aggregate per round — the label pick is a single map-combinable
+    ``min(struct(-count, label))``, not a window sort. The adjacency is
+    partitioned and localCheckpoint-ed ONCE; the labels frame (O(V))
+    is re-checkpointed per round so the plan stays O(1) deep. That is
+    LPA's Pregel shape on DataFrames: at 10^9 edges each round is one
+    shuffle of the (node, nbr_label) stream.
+
+    Fixed ``iters`` rounds, no convergence probe (a stability check
+    would cost an extra join-and-count job per round; on power-law
+    graphs LPA is within noise of its fixpoint in ~5 rounds). Synchronous
+    updates can 2-cycle on bipartite structures — with fixed rounds and
+    deterministic ties the output is still stable and oracle-checkable.
+    """
+    if iters < 1:
+        raise ValueError("label_propagation: iters must be >= 1")
+    und = _undirected(edges)
+    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .union(und.select(F.col("v").alias("node"),
+                             F.col("u").alias("nbr")))
+           .localCheckpoint())
+    labels = adj.select(F.col("node").alias("id"),
+                        F.col("node").alias("lbl")).distinct() \
+        .localCheckpoint()
+    for _ in range(iters):
+        nbr_lbl = adj.join(
+            labels.select(F.col("id").alias("nbr"), "lbl"), "nbr")
+        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("lbl").alias("lbl"))).alias("pick"))
+            .select(F.col("node").alias("id"),
+                    F.col("pick.lbl").alias("lbl"))
+            .localCheckpoint())
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -509,6 +509,58 @@ def test_node_similarity_weighted_known_values(spark):
         assert by[("a", "b")]["shared"] == 2
 
 
+def _brute_lpa(pairs, iters):
+    """Synchronous deterministic LPA: most frequent neighbor label,
+    smallest label on ties — the definition label_propagation implements."""
+    und = {frozenset((a, b)) for a, b in pairs if a != b}
+    nbrs = {}
+    for e in und:
+        a, b = sorted(e)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n in nbrs:
+            counts = {}
+            for m in nbrs[n]:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            new[n] = min(counts, key=lambda x: (-counts[x], x))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation)
+    rng = np.random.RandomState(23)
+    pairs = [(f"n{rng.randint(0, 20)}", f"n{rng.randint(0, 20)}")
+             for _ in range(60)]
+    for iters in (1, 3, 5):
+        want = _brute_lpa(pairs, iters)
+        got = {r["id"]: r["community"] for r in
+               label_propagation(_edges(spark, pairs),
+                                 iters=iters).collect()}
+        assert got == want, iters
+
+
+def test_label_propagation_separates_bridged_triangles(spark):
+    # two triangles joined by one bridge edge settle into one community
+    # per triangle after a few rounds (hand-simulated: labels converge
+    # to each side's min id; the bridge is too thin to merge them)
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation)
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),   # triangle 1
+             ("c", "d"),                           # bridge
+             ("d", "e"), ("e", "f"), ("d", "f")]   # triangle 2
+    got = {r["id"]: r["community"] for r in
+           label_propagation(_edges(spark, pairs), iters=4).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == got["e"] == got["f"] == "c"
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(_edges(spark, pairs), iters=0)
+
+
 def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     """The analytics commands run over a committed store and emit
     JSON: pagerank joins names back from nodes, ranks sum to ~1 over
@@ -575,6 +627,16 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert all(g["n"] == len(g["members"]) >= 2 for g in grp)
     assert [g["n"] for g in grp] == sorted(
         [g["n"] for g in grp], reverse=True)
+    # communities: label-propagation clusters, largest first, each a
+    # community id + its member names
+    main(["communities", "--store", root, "--limit", "10",
+          "--iters", "4"])
+    com = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert com, "synth KG has multi-entity communities"
+    assert all(c["n"] == len(c["members"]) >= 2 for c in com)
+    assert [c["n"] for c in com] == sorted(
+        [c["n"] for c in com], reverse=True)
     # kcore: the k=1 core over a committed store is every entity that
     # touches an edge (peeling only drops isolated nodes)
     main(["kcore", "--store", root, "--k", "1", "--limit", "500"])
