@@ -810,6 +810,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def shortest_path_parts(spark, sf):
+        """Hop-bounded weighted shortest distances from parts 0-4 over
+        the co-purchase graph, edge weight a deterministic function of
+        the endpoints ((u+v)%7+1, exact small integers so float minima
+        agree bit-for-bit). Oracle = three unrolled Bellman-Ford
+        relaxation rounds (relax-all == the operator's frontier form)."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            shortest_paths)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 300)
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("u"),
+                         F.col("b.l_partkey").cast("string").alias("v"),
+                         ((F.col("a.l_partkey") + F.col("b.l_partkey"))
+                          % 7 + 1).cast("double").alias("w")))
+        return (shortest_paths(edges, [str(i) for i in range(5)],
+                               max_hops=3)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("dist", 6).alias("dist")))
+    q["shortest_path_parts"] = shortest_path_parts
+
     def k_core_parts(spark, sf):
         """3-core of the bounded co-purchase graph. NO SQL oracle by
         design: k-core peeling is an anti-monotone DELETION fixpoint
@@ -1343,6 +1367,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "shortest_path_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v,"
+            "    CAST((a.l_partkey + b.l_partkey) % 7 + 1 AS DOUBLE) AS w"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "e AS (SELECT u, v, w FROM base"
+            "      UNION ALL SELECT v, u, w FROM base),"
+            "d0 AS (SELECT CAST(id AS BIGINT) AS id,"
+            "       CAST(0 AS DOUBLE) AS d"
+            "       FROM (VALUES (0), (1), (2), (3), (4)) AS s(id)),"
+            "r1 AS (SELECT e.v AS id, min(d0.d + e.w) AS d FROM e"
+            "       JOIN d0 ON e.u = d0.id GROUP BY 1),"
+            "d1 AS (SELECT id, min(d) AS d FROM"
+            "       (SELECT * FROM d0 UNION ALL SELECT * FROM r1)"
+            "       GROUP BY id),"
+            "r2 AS (SELECT e.v AS id, min(d1.d + e.w) AS d FROM e"
+            "       JOIN d1 ON e.u = d1.id GROUP BY 1),"
+            "d2 AS (SELECT id, min(d) AS d FROM"
+            "       (SELECT * FROM d1 UNION ALL SELECT * FROM r2)"
+            "       GROUP BY id),"
+            "r3 AS (SELECT e.v AS id, min(d2.d + e.w) AS d FROM e"
+            "       JOIN d2 ON e.u = d2.id GROUP BY 1),"
+            "d3 AS (SELECT id, min(d) AS d FROM"
+            "       (SELECT * FROM d2 UNION ALL SELECT * FROM r3)"
+            "       GROUP BY id)"
+            "SELECT id AS part_id, round(d, 6) AS dist FROM d3",
         "lpa_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"

@@ -18,7 +18,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
     python -m neo4j_document_pipeline_spark communities --store <dir> [--iters N]  # label-propagation topic clusters
-    python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N]  # BFS neighborhood
+    python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N --weighted]  # BFS / weighted proximity
     python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
 """
@@ -138,9 +138,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10,
                     help="pagerank power-method iterations")
     ap.add_argument("--weighted", action="store_true",
-                    help="pagerank/similar/entity-groups: weight edges "
-                         "by their supporting-document count (size of "
-                         "the sources set)")
+                    help="pagerank/similar/entity-groups/reach: weight "
+                         "edges by their supporting-document count "
+                         "(size of the sources set; reach uses 1/count "
+                         "as edge length)")
     ap.add_argument("--seeds", default=None,
                     help="pagerank/reach: comma-separated entity NAMES — "
                          "pagerank restricts teleport to them "
@@ -375,17 +376,26 @@ def main(argv=None):
         print(json.dumps(export_neo4j_admin(store, ns.out), indent=1))
     elif ns.command == "reach":
         # "what's within --hops of these entities" — multi-source BFS
-        # over the committed KG, names joined back, nearest first
+        # over the committed KG, names joined back, nearest first.
+        # --weighted swaps hop count for attestation-weighted proximity:
+        # edge length 1/supporting-document-count, so a 2-hop path over
+        # heavily-attested edges can outrank a single-mention direct edge
         from pyspark.sql import functions as F
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
-            bfs_distances)
+            bfs_distances, shortest_paths)
         if not ns.seeds:
             sys.exit("reach: --seeds is required (entity names)")
         ids = _resolve_seed_ids(store, ns.seeds.split(","))
         if not ids:
             sys.exit(f"--seeds: no entity named any of {ns.seeds!r}")
-        dist = bfs_distances(_kg_edges(store), ids, max_hops=ns.hops)
+        if ns.weighted:
+            e = _kg_edges(store, weighted=True).withColumn(
+                "w", F.lit(1.0) / F.col("w"))
+            dist = (shortest_paths(e, ids, max_hops=ns.hops)
+                    .withColumn("dist", F.round("dist", 6)))
+        else:
+            dist = bfs_distances(_kg_edges(store), ids, max_hops=ns.hops)
         nodes = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         out = (dist.join(nodes, "id", "left")

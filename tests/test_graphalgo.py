@@ -509,6 +509,67 @@ def test_node_similarity_weighted_known_values(spark):
         assert by[("a", "b")]["shared"] == 2
 
 
+def _brute_shortest_paths(triples, sources, max_hops, directed=False):
+    """Hop-bounded Bellman-Ford over min-combined positive weights —
+    the definition shortest_paths implements."""
+    inf = float("inf")
+    ew = {}
+    for a, b, w in triples:
+        if a == b or w is None or w <= 0:
+            continue
+        for k in ([(a, b)] if directed else [(a, b), (b, a)]):
+            ew[k] = min(ew.get(k, inf), float(w))
+    dist = {s: 0.0 for s in set(sources)}
+    for _ in range(max_hops):
+        new = dict(dist)
+        for (a, b), w in ew.items():
+            if a in dist and dist[a] + w < new.get(b, inf):
+                new[b] = dist[a] + w
+        dist = new
+    return dist
+
+
+def test_shortest_paths_matches_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        shortest_paths)
+    rng = np.random.RandomState(31)
+    triples = []
+    for _ in range(70):
+        a, b = f"n{rng.randint(0, 16)}", f"n{rng.randint(0, 16)}"
+        w = rng.choice([None, 0.0, 0.5, 1.0, 2.0, 7.5])
+        triples.append((a, b, w))
+    for directed in (False, True):
+        for hops in (1, 2, 4):
+            want = _brute_shortest_paths(triples, ["n0", "n3"], hops,
+                                         directed=directed)
+            got = {r["id"]: r["dist"] for r in
+                   shortest_paths(_wedges(spark, triples), ["n0", "n3"],
+                                  max_hops=hops,
+                                  directed=directed).collect()}
+            assert set(got) == set(want), (directed, hops)
+            for k, d in want.items():
+                assert got[k] == pytest.approx(d, abs=1e-12), \
+                    (directed, hops, k)
+
+
+def test_shortest_paths_weighted_detour_wins(spark):
+    # direct a—b costs 5; the 2-hop detour a—c—b costs 2: with 1 hop
+    # allowed b sits at 5, with 2 hops the detour takes over. A source
+    # missing from the graph still reports dist 0 (mirrors BFS).
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        shortest_paths)
+    triples = [("a", "b", 5.0), ("a", "c", 1.0), ("c", "b", 1.0)]
+    one = {r["id"]: r["dist"] for r in
+           shortest_paths(_wedges(spark, triples), ["a"],
+                          max_hops=1).collect()}
+    assert one == {"a": 0.0, "b": 5.0, "c": 1.0}
+    two = {r["id"]: r["dist"] for r in
+           shortest_paths(_wedges(spark, triples), ["a", "ghost"],
+                          max_hops=2).collect()}
+    assert two["b"] == pytest.approx(2.0)
+    assert two["ghost"] == 0.0
+
+
 def _brute_lpa(pairs, iters):
     """Synchronous deterministic LPA: most frequent neighbor label,
     smallest label on ties — the definition label_propagation implements."""
@@ -657,3 +718,13 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert [r["dist"] for r in near] == sorted(r["dist"] for r in near)
     with pytest.raises(SystemExit, match="no entity named"):
         main(["reach", "--store", root, "--seeds", "zz-no-such-ent"])
+    # reach --weighted: attestation-weighted proximity (edge length
+    # 1/source-count) — seed still at 0, distances non-decreasing
+    main(["reach", "--store", root, "--seeds", seed, "--hops", "2",
+          "--weighted", "--limit", "50"])
+    wnear = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert wnear and wnear[0]["dist"] == 0.0 and wnear[0]["name"] == seed
+    assert [r["dist"] for r in wnear] == sorted(
+        r["dist"] for r in wnear)
+    assert all(r["dist"] >= 0.0 for r in wnear)
