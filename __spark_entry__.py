@@ -28,6 +28,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _copurchase_edges(spark, sf, max_orderkey=None, pad=False,
+                      weight=None):
+    """The co-purchase part graph (parts sharing an order) every
+    graph-analytics oracle runs on — built ONCE here so the padding
+    decision can't drift between queries. ``pad`` zero-pads ids to 9
+    digits so operator-side STRING orderings (least/greatest
+    canonicalization, similarity pair order a<b, LPA label tie-breaks)
+    match the oracle's numeric ones — required whenever the oracle
+    depends on an ordering; plain casts suffice when ids are only join
+    keys (BFS, k-core, shortest paths, triangles). ``weight``: None,
+    "one" (each co-order occurrence weighs 1.0 — the operators'
+    duplicate-summing canonicalization turns that into co-purchase
+    counts, count(*) in the oracles), or "endpoint" ((u+v)%7+1:
+    deterministic exact-integer weights for the shortest-path oracle,
+    identical parallel duplicates so min-combine is trivial)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    if max_orderkey is not None:
+        li = li.filter(F.col("l_orderkey") < max_orderkey)
+    a, b = li.alias("a"), li.alias("b")
+    if pad:
+        pk = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
+    else:
+        pk = lambda c: F.col(c).cast("string")  # noqa: E731
+    cols = [pk("a.l_partkey").alias("u"), pk("b.l_partkey").alias("v")]
+    if weight == "one":
+        cols.append(F.lit(1.0).alias("w"))
+    elif weight == "endpoint":
+        cols.append(((F.col("a.l_partkey") + F.col("b.l_partkey")) % 7 + 1)
+                    .cast("double").alias("w"))
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(*cols))
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------
@@ -648,13 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         CTE iterations in DuckDB compute the identical power method."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             pagerank)
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v")))
+        edges = _copurchase_edges(spark, sf, pad=True)
         return (pagerank(edges, damping=0.85, iters=5)
                 .select(F.col("id").cast("bigint").alias("part_id"),
                         F.round("rank", 6).alias("rank")))
@@ -671,14 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         are the identical computation."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             pagerank)
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v"),
-                         F.lit(1.0).alias("w")))
+        edges = _copurchase_edges(spark, sf, pad=True, weight="one")
         seeds = [str(i).zfill(9) for i in range(0, 51)]
         return (pagerank(edges, damping=0.85, iters=5,
                          weight_col="w", seeds=seeds)
@@ -694,15 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canonicalization match the oracle's numeric one."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 400)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=400, pad=True)
         return (node_similarity(edges, min_sim=0.25)
                 .select(F.col("a").cast("bigint").alias("part_a"),
                         F.col("b").cast("bigint").alias("part_b"),
@@ -718,16 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         count(*) GROUP BY. Weighted Jaccard = Σmin / (Σa + Σb − Σmin)."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 400)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v"),
-                         F.lit(1.0).alias("w")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=400, pad=True,
+                                  weight="one")
         return (node_similarity(edges, min_sim=0.25, weight_col="w")
                 .select(F.col("a").cast("bigint").alias("part_a"),
                         F.col("b").cast("bigint").alias("part_b"),
@@ -737,27 +742,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def node_similarity_metric_parts(spark, sf):
         """The other two GDS similarity metrics over the unweighted
-        co-purchase graph, joined into one row per pair: overlap
+        co-purchase graph in ONE wedge pass (metric="all"): overlap
         (containment — 1.0 when one neighborhood swallows the other)
-        and cosine (degree-normalized). Both come from the same wedge
-        kernel, so the oracle recomputes each denominator in SQL."""
+        and cosine (degree-normalized) side by side; the oracle
+        recomputes each denominator in SQL from the same kernel."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             node_similarity)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 400)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v")))
-        ov = (node_similarity(edges, metric="overlap")
-              .select("a", "b", "shared",
-                      F.col("jaccard").alias("overlap")))
-        co = (node_similarity(edges, metric="cosine")
-              .select("a", "b", F.col("jaccard").alias("cosine")))
-        return (ov.join(co, ["a", "b"])
+        edges = _copurchase_edges(spark, sf, max_orderkey=400, pad=True)
+        return (node_similarity(edges, metric="all")
                 .filter(F.col("overlap") >= 0.5)
                 .select(F.col("a").cast("bigint").alias("part_a"),
                         F.col("b").cast("bigint").alias("part_b"),
@@ -774,15 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         makes the operator's string tie-break match numeric order."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             label_propagation)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 300)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        pad = lambda c: F.lpad(F.col(c).cast("string"), 9, "0")  # noqa: E731
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(pad("a.l_partkey").alias("u"),
-                         pad("b.l_partkey").alias("v")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
         return (label_propagation(edges, iters=3)
                 .select(F.col("id").cast("bigint").alias("part_id"),
                         F.col("community").cast("bigint")
@@ -796,14 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the same BFS distance because shorter walks always appear."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             bfs_distances)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 300)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(F.col("a.l_partkey").cast("string").alias("u"),
-                         F.col("b.l_partkey").cast("string").alias("v")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
         return (bfs_distances(edges, [str(i) for i in range(5)],
                               max_hops=3)
                 .select(F.col("id").cast("bigint").alias("part_id"),
@@ -818,16 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relaxation rounds (relax-all == the operator's frontier form)."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             shortest_paths)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 300)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(F.col("a.l_partkey").cast("string").alias("u"),
-                         F.col("b.l_partkey").cast("string").alias("v"),
-                         ((F.col("a.l_partkey") + F.col("b.l_partkey"))
-                          % 7 + 1).cast("double").alias("w")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=300,
+                                  weight="endpoint")
         return (shortest_paths(edges, [str(i) for i in range(5)],
                                max_hops=3)
                 .select(F.col("id").cast("bigint").alias("part_id"),
@@ -845,14 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (tests/test_graphalgo.py::test_k_core_matches_brute_force)."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             k_core)
-        li = (_t(spark, sf, "lineitem")
-              .filter(F.col("l_orderkey") < 400)
-              .select("l_orderkey", "l_partkey"))
-        a, b = li.alias("a"), li.alias("b")
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(F.col("a.l_partkey").cast("string").alias("u"),
-                         F.col("b.l_partkey").cast("string").alias("v")))
+        edges = _copurchase_edges(spark, sf, max_orderkey=400)
         return (k_core(edges, k=3)
                 .select(F.col("id").cast("bigint").alias("part_id")))
     q["k_core_parts"] = k_core_parts
@@ -863,13 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the canonical a<b<c triple join."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             triangle_count)
-        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
-        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                 .select(F.col("a.l_partkey").cast("string").alias("u"),
-                         F.col("b.l_partkey").cast("string").alias("v")))
-        return triangle_count(edges)
+        return triangle_count(_copurchase_edges(spark, sf))
     q["triangle_parts"] = triangle_parts
 
     # ---- A5: unique-text union across channels ----

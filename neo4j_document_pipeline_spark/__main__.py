@@ -136,7 +136,8 @@ def main(argv=None):
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
     ap.add_argument("--iters", type=int, default=10,
-                    help="pagerank power-method iterations")
+                    help="pagerank power-method iterations / "
+                         "communities label-propagation rounds")
     ap.add_argument("--weighted", action="store_true",
                     help="pagerank/similar/entity-groups/reach: weight "
                          "edges by their supporting-document count "

@@ -197,9 +197,15 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
     - ``jaccard``  Σ_n min(wa_n, wb_n) / Σ_n max(wa_n, wb_n)
       (unweighted: |N(a) ∩ N(b)| / |N(a) ∪ N(b)|); Σmax over the union
       = Σwa + Σwb − Σmin, so no second pass is needed
-    - ``overlap``  Σ_n min(wa_n, wb_n) / min(Σwa, Σwb) — 1.0 whenever
-      one neighborhood CONTAINS the other, the right score for
-      sub-entity detection ("Al-Khwarizmi" vs "Al-Khwarizmi the elder")
+    - ``overlap``  Σ_n min(wa_n, wb_n) / min(Σwa, Σwb) — unweighted this
+      is 1.0 whenever one neighborhood CONTAINS the other, the right
+      score for sub-entity detection ("Al-Khwarizmi" vs "Al-Khwarizmi
+      the elder"); WEIGHTED, set containment alone doesn't pin it at
+      1.0 (that needs the smaller-sum side's weights entry-wise ≤ the
+      other's), so tune ``min_sim`` against the unweighted run first
+    - ``all``      one pass, all three: extra ``overlap`` and
+      ``cosine`` columns alongside ``jaccard`` (which stays the
+      Jaccard score and is what ``min_sim``/``top_k`` act on)
     - ``cosine``   Σ_n wa_n·wb_n / sqrt(Σwa² · Σwb²) — the true vector
       cosine over neighbor-weight vectors (unweighted this is
       shared / sqrt(|N(a)|·|N(b)|)), less punishing for rich hubs
@@ -237,7 +243,7 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
     node's k best pairs (by jaccard desc, partner id asc — deterministic
     under ties), counting the pair for BOTH endpoints the way GDS does.
     """
-    if metric not in ("jaccard", "overlap", "cosine"):
+    if metric not in ("jaccard", "overlap", "cosine", "all"):
         raise ValueError(f"unknown node-similarity metric {metric!r}")
     und = _undirected(edges, weight_col)
     if weight_col is None:
@@ -275,15 +281,21 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
                          F.col("sw2").alias("s2a")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("sw").alias("sb"),
                          F.col("sw2").alias("s2b")), "b")
-        .select(
-            "a", "b", "shared",
-            (F.col("imin") / F.least("sa", "sb") if metric == "overlap"
-             else F.col("iprod") / F.sqrt(F.col("s2a") * F.col("s2b"))
-             if metric == "cosine"
-             else F.col("imin")
-             / (F.col("sa") + F.col("sb") - F.col("imin")))
-            .alias("jaccard"))
     )
+    jac = (F.col("imin")
+           / (F.col("sa") + F.col("sb") - F.col("imin"))).alias("jaccard")
+    ovl = (F.col("imin") / F.least("sa", "sb")).alias("overlap")
+    cos = (F.col("iprod")
+           / F.sqrt(F.col("s2a") * F.col("s2b"))).alias("cosine")
+    if metric == "all":
+        out = out.select("a", "b", "shared", jac, ovl, cos)
+    else:
+        out = out.select(
+            "a", "b", "shared",
+            (ovl if metric == "overlap"
+             else cos if metric == "cosine" else jac).alias("jaccard"))
+    cols = ["a", "b", "shared", "jaccard"] + (
+        ["overlap", "cosine"] if metric == "all" else [])
     if min_sim > 0.0:
         out = out.filter(F.col("jaccard") >= float(min_sim))
     if top_k is not None:
@@ -291,16 +303,15 @@ def node_similarity(edges: DataFrame, min_sim: float = 0.0,
         out = out.localCheckpoint()  # rank both orientations of ONE scoring
         ranked = (
             out.select(F.col("a").alias("node"), F.col("b").alias("other"),
-                       "a", "b", "shared", "jaccard")
+                       *cols)
             .union(out.select(F.col("b").alias("node"),
-                              F.col("a").alias("other"),
-                              "a", "b", "shared", "jaccard"))
+                              F.col("a").alias("other"), *cols))
         )
         w = Window.partitionBy("node").orderBy(
             F.col("jaccard").desc(), F.col("other").asc())
         out = (ranked.withColumn("rk", F.row_number().over(w))
                .filter(F.col("rk") <= int(top_k))
-               .select("a", "b", "shared", "jaccard").distinct())
+               .select(*cols).distinct())
     return out
 
 

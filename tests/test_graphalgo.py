@@ -405,6 +405,17 @@ def test_node_similarity_metrics(spark):
               node_similarity(_edges(spark, pairs),
                               metric=metric).collect()}
         assert by[("a", "b")] == pytest.approx(val), metric
+    # metric="all" computes the three scores in ONE wedge pass and each
+    # column equals its single-metric run
+    allm = {(r["a"], r["b"]): r for r in
+            node_similarity(_edges(spark, pairs), metric="all").collect()}
+    assert allm[("a", "b")]["jaccard"] == pytest.approx(2 / 3)
+    assert allm[("a", "b")]["overlap"] == pytest.approx(1.0)
+    assert allm[("a", "b")]["cosine"] == pytest.approx(2 / 6 ** 0.5)
+    # top_k keeps the extra metric columns
+    topk = node_similarity(_edges(spark, pairs), metric="all",
+                           top_k=1).columns
+    assert topk == ["a", "b", "shared", "jaccard", "overlap", "cosine"]
     with pytest.raises(ValueError, match="metric"):
         node_similarity(_edges(spark, pairs), metric="dice")
 
