@@ -787,6 +787,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def npmi_parts(spark, sf):
+        """NPMI collocation strength of part pairs over orders as
+        contexts: lift is exact integer-ratio arithmetic (bit-stable
+        across engines); npmi's ln() agrees within ulps, absorbed by
+        6dp rounding. Zero-padding keeps the pair orientation (a < b on
+        strings) equal to the oracle's numeric one."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            npmi_pairs)
+        occ = (_t(spark, sf, "lineitem")
+               .filter(F.col("l_orderkey") < 400)
+               .select(F.col("l_orderkey").cast("string").alias("ctx"),
+                       F.lpad(F.col("l_partkey").cast("string"), 9, "0")
+                       .alias("item")))
+        return (npmi_pairs(occ, min_pairs=1)
+                .select(F.col("a").cast("bigint").alias("part_a"),
+                        F.col("b").cast("bigint").alias("part_b"),
+                        "n_pair",
+                        F.round("lift", 6).alias("lift"),
+                        F.round("npmi", 6).alias("npmi")))
+    q["npmi_parts"] = npmi_parts
+
     def shortest_path_parts(spark, sf):
         """Hop-bounded weighted shortest distances from parts 0-4 over
         the co-purchase graph, edge weight a deterministic function of
@@ -1323,6 +1344,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "npmi_parts":
+            "WITH occ AS ("
+            "  SELECT DISTINCT l_orderkey AS ctx, l_partkey AS item"
+            "  FROM lineitem WHERE l_orderkey < 400),"
+            "nn AS (SELECT count(DISTINCT ctx) AS n FROM occ),"
+            "ci AS (SELECT item, count(*) AS c FROM occ GROUP BY item),"
+            "pr AS (SELECT x.item AS a, y.item AS b, count(*) AS n_pair"
+            "       FROM occ x JOIN occ y"
+            "       ON x.ctx = y.ctx AND x.item < y.item GROUP BY 1, 2)"
+            "SELECT pr.a AS part_a, pr.b AS part_b, pr.n_pair,"
+            " round(pr.n_pair * nn.n / (ca.c * cb.c), 6) AS lift,"
+            " round(CASE WHEN pr.n_pair = nn.n THEN 1.0"
+            "  ELSE ln(pr.n_pair * nn.n / (ca.c * cb.c))"
+            "   / -ln(pr.n_pair / CAST(nn.n AS DOUBLE)) END, 6) AS npmi"
+            " FROM pr CROSS JOIN nn"
+            " JOIN ci ca ON pr.a = ca.item"
+            " JOIN ci cb ON pr.b = cb.item",
         "shortest_path_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v,"

@@ -18,6 +18,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
     python -m neo4j_document_pipeline_spark communities --store <dir> [--iters N]  # label-propagation topic clusters
+    python -m neo4j_document_pipeline_spark collocations --store <dir> [--min-count N]  # NPMI entity association
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N --weighted]  # BFS / weighted proximity
     python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
@@ -84,7 +85,7 @@ def main(argv=None):
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "triangles", "similar", "entity-groups",
-        "communities", "reach",
+        "communities", "collocations", "reach",
         "kcore", "export"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
@@ -154,6 +155,13 @@ def main(argv=None):
                          "before the global --limit")
     ap.add_argument("--k", type=int, default=2,
                     help="kcore: minimum surviving degree")
+    ap.add_argument("--min-count", type=int, default=2,
+                    help="collocations: keep pairs co-occurring in at "
+                         "least this many documents")
+    ap.add_argument("--max-ctx", type=int, default=None,
+                    help="collocations: ignore documents mentioning "
+                         "more than this many entities (boilerplate "
+                         "cutoff)")
     ap.add_argument("--degrees", action="store_true",
                     help="stats: print the degree histogram / skew "
                          "diagnostic instead of the endpoint stats")
@@ -459,6 +467,33 @@ def main(argv=None):
             print(json.dumps(
                 {"community": r["community"], "n": r["n"],
                  "members": list(r["members"])}))
+    elif ns.command == "collocations":
+        # "which entities co-occur in documents more than chance" — NPMI
+        # over the mentions table: association strength, the signal for
+        # relation discovery / edge-confidence weighting that neighbor
+        # overlap (similar) and cluster membership (communities) miss
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            npmi_pairs)
+        occ = store.read("mentions").select(
+            F.col("doc_id").alias("ctx"),
+            F.col("entity_id").alias("item"))
+        sc = npmi_pairs(occ, min_pairs=ns.min_count,
+                        max_ctx_size=ns.max_ctx)
+        names = store.read("nodes").select("entity_id", "name")
+        top = (sc
+               .join(names.select(F.col("entity_id").alias("a"),
+                                  F.col("name").alias("name_a")), "a")
+               .join(names.select(F.col("entity_id").alias("b"),
+                                  F.col("name").alias("name_b")), "b")
+               .select("name_a", "name_b", "n_pair",
+                       F.round("lift", 6).alias("lift"),
+                       F.round("npmi", 6).alias("npmi"))
+               .orderBy(F.col("npmi").desc(), "name_a", "name_b")
+               .limit(ns.limit))
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

@@ -556,3 +556,71 @@ def shortest_paths(edges: DataFrame, sources: list[str],
                 .agg(F.min("dist").alias("dist")).localCheckpoint())
         frontier = improved
     return dist
+
+
+def npmi_pairs(occurrences: DataFrame, min_pairs: int = 1,
+               max_ctx_size: int | None = None) -> DataFrame:
+    """Pointwise mutual information collocation scoring over
+    (ctx string, item string) occurrence pairs -> (a string, b string,
+    n_pair bigint, lift double, npmi double), one row per unordered item
+    pair co-occurring in >= ``min_pairs`` contexts. For the KG the
+    contexts are documents and the items entities (the mentions table),
+    so npmi is ASSOCIATION strength — "how much more often do these two
+    entities appear in the same document than chance" — the classic
+    webtext collocation signal (word2phrase-style phrase mining, edge
+    confidence weighting) that degree-based similarity can't give:
+    node_similarity asks "do they share neighbors", npmi asks "is their
+    co-occurrence itself surprising".
+
+    With p(x) = contexts containing x / n: lift = p(a,b)/(p(a)p(b))
+    (exact integer arithmetic in doubles — bit-stable), pmi = ln(lift),
+    npmi = pmi / -ln(p(a,b)) in [-1, 1] (Bouma 2009), with npmi = 1 by
+    convention when the pair occurs in EVERY context (pmi/-ln both 0).
+
+    Shape: dedupe occurrences, one self-join WITHIN ctx for pair counts
+    (the only shuffle that grows quadratically — in each context of k
+    items it emits C(k,2) pairs), two joins against the per-item count
+    table. ``max_ctx_size`` drops whole contexts above the cutoff — a
+    boilerplate page mentioning 500 entities contributes 125k pairs of
+    pure noise; dropping it bounds the join at C(cutoff,2) per context.
+    n and the per-item counts are computed over the SURVIVING contexts
+    so the probability space stays coherent after the cutoff.
+    """
+    occ = (occurrences.select(F.col("ctx").cast("string"),
+                              F.col("item").cast("string"))
+           .na.drop().distinct())
+    if max_ctx_size is not None:
+        big = (occ.groupBy("ctx").agg(F.count("*").alias("k"))
+               .filter(F.col("k") > int(max_ctx_size)).select("ctx"))
+        occ = occ.join(big, "ctx", "left_anti")
+    occ = occ.localCheckpoint()
+    n = occ.select("ctx").distinct().count()
+    if n == 0:
+        return occ.sparkSession.createDataFrame(
+            [], "a string, b string, n_pair bigint, lift double, "
+                "npmi double")
+    c_item = occ.groupBy("item").agg(F.count("*").alias("c"))
+    pairs = (
+        occ.alias("x")
+        .join(occ.alias("y"), (F.col("x.ctx") == F.col("y.ctx"))
+              & (F.col("x.item") < F.col("y.item")))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count("*").alias("n_pair"))
+    )
+    if min_pairs > 1:
+        pairs = pairs.filter(F.col("n_pair") >= int(min_pairs))
+    scored = (
+        pairs
+        .join(c_item.select(F.col("item").alias("a"),
+                            F.col("c").alias("ca")), "a")
+        .join(c_item.select(F.col("item").alias("b"),
+                            F.col("c").alias("cb")), "b")
+        .withColumn("lift", F.col("n_pair") * F.lit(float(n))
+                    / (F.col("ca") * F.col("cb")))
+        .withColumn(
+            "npmi",
+            F.when(F.col("n_pair") == n, F.lit(1.0))
+            .otherwise(F.log("lift")
+                       / -F.log(F.col("n_pair") / F.lit(float(n)))))
+    )
+    return scored.select("a", "b", "n_pair", "lift", "npmi")

@@ -633,6 +633,76 @@ def test_label_propagation_separates_bridged_triangles(spark):
         label_propagation(_edges(spark, pairs), iters=0)
 
 
+def _brute_npmi(occ, min_pairs=1, max_ctx=None):
+    import math
+    ctxs = {}
+    for c, i in occ:
+        ctxs.setdefault(c, set()).add(i)
+    if max_ctx is not None:
+        ctxs = {c: s for c, s in ctxs.items() if len(s) <= max_ctx}
+    n = len(ctxs)
+    cnt, pair = {}, {}
+    for s in ctxs.values():
+        for i in s:
+            cnt[i] = cnt.get(i, 0) + 1
+        for a in s:
+            for b in s:
+                if a < b:
+                    pair[(a, b)] = pair.get((a, b), 0) + 1
+    out = {}
+    for (a, b), cp in pair.items():
+        if cp < min_pairs:
+            continue
+        lift = cp * n / (cnt[a] * cnt[b])
+        npmi = 1.0 if cp == n else math.log(lift) / (-math.log(cp / n))
+        out[(a, b)] = (cp, lift, npmi)
+    return out
+
+
+def test_npmi_pairs_matches_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        npmi_pairs)
+    rng = np.random.RandomState(41)
+    occ = [(f"d{rng.randint(0, 12)}", f"e{rng.randint(0, 10)}")
+           for _ in range(120)]
+    df = spark.createDataFrame(occ, "ctx string, item string")
+    for min_pairs, max_ctx in ((1, None), (2, None), (1, 4)):
+        want = _brute_npmi(occ, min_pairs=min_pairs, max_ctx=max_ctx)
+        got = {(r["a"], r["b"]): (r["n_pair"], r["lift"], r["npmi"])
+               for r in npmi_pairs(df, min_pairs=min_pairs,
+                                   max_ctx_size=max_ctx).collect()}
+        assert set(got) == set(want), (min_pairs, max_ctx)
+        for k, (cp, lift, npmi) in want.items():
+            assert got[k][0] == cp
+            assert got[k][1] == pytest.approx(lift, rel=1e-12)
+            assert got[k][2] == pytest.approx(npmi, rel=1e-12)
+
+
+def test_npmi_pairs_known_values(spark):
+    # 4 docs: {a,b}, {a,b}, {a}, {b} — c_a=c_b=3, c_ab=2:
+    # lift = 2·4/9, npmi = ln(8/9)/ln(2) (negative: a and b co-occur
+    # LESS than their marginals predict). x,y in every doc → npmi = 1.
+    import math
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        npmi_pairs)
+    occ = [("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+           ("d3", "a"), ("d4", "b")]
+    occ += [(d, i) for d in ("d1", "d2", "d3", "d4") for i in ("x", "y")]
+    df = spark.createDataFrame(occ, "ctx string, item string")
+    by = {(r["a"], r["b"]): r for r in npmi_pairs(df).collect()}
+    assert by[("a", "b")]["lift"] == pytest.approx(8 / 9)
+    assert by[("a", "b")]["npmi"] == pytest.approx(
+        math.log(8 / 9) / math.log(2))
+    assert by[("a", "b")]["npmi"] < 0
+    assert by[("x", "y")]["npmi"] == 1.0 and by[("x", "y")]["n_pair"] == 4
+    # empty input -> empty, stable schema
+    empty = npmi_pairs(spark.createDataFrame(
+        [], "ctx string, item string"))
+    assert empty.columns == ["a", "b", "n_pair", "lift", "npmi"]
+    assert empty.count() == 0
+
+
 def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     """The analytics commands run over a committed store and emit
     JSON: pagerank joins names back from nodes, ranks sum to ~1 over
@@ -709,6 +779,17 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert all(c["n"] == len(c["members"]) >= 2 for c in com)
     assert [c["n"] for c in com] == sorted(
         [c["n"] for c in com], reverse=True)
+    # collocations: NPMI association over the mentions table — scores
+    # bounded in [-1, 1], npmi-descending, co-occurrence counts >= min
+    main(["collocations", "--store", root, "--limit", "10",
+          "--min-count", "2"])
+    col = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert col, "synth KG has repeated co-mentions"
+    assert all(-1.0 <= r["npmi"] <= 1.0 and r["n_pair"] >= 2
+               for r in col)
+    assert [r["npmi"] for r in col] == sorted(
+        (r["npmi"] for r in col), reverse=True)
     # kcore: the k=1 core over a committed store is every entity that
     # touches an edge (peeling only drops isolated nodes)
     main(["kcore", "--store", root, "--k", "1", "--limit", "500"])
