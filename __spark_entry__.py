@@ -787,6 +787,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def hits_parts(spark, sf):
+        """2-iteration HITS over the co-purchase graph oriented
+        low-part -> high-part (a real direction both engines derive
+        from the same numeric comparison, no padding needed — ids are
+        only join keys here). Oracle unrolls both half-steps per
+        iteration with an explicit L2-norm scalar CTE; 6dp rounding
+        absorbs float-sum ordering ulps."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            hits)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
+        return (hits(edges, iters=2)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("hub", 6).alias("hub"),
+                        F.round("auth", 6).alias("auth")))
+    q["hits_parts"] = hits_parts
+
     def npmi_parts(spark, sf):
         """NPMI collocation strength of part pairs over orders as
         contexts: lift is exact integer-ratio arithmetic (bit-stable
@@ -1344,6 +1360,44 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "hits_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "verts AS (SELECT u AS id FROM base"
+            "          UNION SELECT v FROM base),"
+            "nn AS (SELECT count(*) AS n FROM verts),"
+            "s0 AS (SELECT id, 1/sqrt(nn.n) AS hub, 1/sqrt(nn.n) AS auth"
+            "       FROM verts CROSS JOIN nn),"
+            "a1r AS (SELECT e.v AS id, sum(s.hub) AS x FROM base e"
+            "        JOIN s0 s ON e.u = s.id GROUP BY 1),"
+            "a1m AS (SELECT verts.id, coalesce(a1r.x, 0) AS x"
+            "        FROM verts LEFT JOIN a1r ON verts.id = a1r.id),"
+            "a1z AS (SELECT sqrt(sum(x*x)) AS z FROM a1m),"
+            "a1 AS (SELECT id, x / z AS auth FROM a1m CROSS JOIN a1z),"
+            "h1r AS (SELECT e.u AS id, sum(a.auth) AS x FROM base e"
+            "        JOIN a1 a ON e.v = a.id GROUP BY 1),"
+            "h1m AS (SELECT verts.id, coalesce(h1r.x, 0) AS x"
+            "        FROM verts LEFT JOIN h1r ON verts.id = h1r.id),"
+            "h1z AS (SELECT sqrt(sum(x*x)) AS z FROM h1m),"
+            "h1 AS (SELECT id, x / z AS hub FROM h1m CROSS JOIN h1z),"
+            "a2r AS (SELECT e.v AS id, sum(s.hub) AS x FROM base e"
+            "        JOIN h1 s ON e.u = s.id GROUP BY 1),"
+            "a2m AS (SELECT verts.id, coalesce(a2r.x, 0) AS x"
+            "        FROM verts LEFT JOIN a2r ON verts.id = a2r.id),"
+            "a2z AS (SELECT sqrt(sum(x*x)) AS z FROM a2m),"
+            "a2 AS (SELECT id, x / z AS auth FROM a2m CROSS JOIN a2z),"
+            "h2r AS (SELECT e.u AS id, sum(a.auth) AS x FROM base e"
+            "        JOIN a2 a ON e.v = a.id GROUP BY 1),"
+            "h2m AS (SELECT verts.id, coalesce(h2r.x, 0) AS x"
+            "        FROM verts LEFT JOIN h2r ON verts.id = h2r.id),"
+            "h2z AS (SELECT sqrt(sum(x*x)) AS z FROM h2m),"
+            "h2 AS (SELECT id, x / z AS hub FROM h2m CROSS JOIN h2z)"
+            "SELECT h2.id AS part_id, round(h2.hub, 6) AS hub,"
+            " round(a2.auth, 6) AS auth"
+            " FROM h2 JOIN a2 ON h2.id = a2.id",
         "npmi_parts":
             "WITH occ AS ("
             "  SELECT DISTINCT l_orderkey AS ctx, l_partkey AS item"

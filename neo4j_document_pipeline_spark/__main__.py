@@ -14,6 +14,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark compact --store <dir> TABLE # OPTIMIZE small files
     python -m neo4j_document_pipeline_spark stream --store <dir> --pages <parquet-dir>  # drain new files (availableNow)
     python -m neo4j_document_pipeline_spark pagerank --store <dir> [--iters N --limit K]  # entity importance
+    python -m neo4j_document_pipeline_spark hits --store <dir> [--iters N]  # hubs vs authorities (directed)
     python -m neo4j_document_pipeline_spark triangles --store <dir>     # KG clustering signal
     python -m neo4j_document_pipeline_spark similar --store <dir> [--min-sim J --sim-topk K]  # duplicate-entity candidates
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
@@ -84,7 +85,7 @@ def main(argv=None):
     ap.add_argument("command", choices=[
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
-        "pagerank", "triangles", "similar", "entity-groups",
+        "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "reach",
         "kcore", "export"])
     ap.add_argument("args", nargs="*")
@@ -137,7 +138,7 @@ def main(argv=None):
     ap.add_argument("--label", default=None)
     ap.add_argument("--limit", type=int, default=25)
     ap.add_argument("--iters", type=int, default=10,
-                    help="pagerank power-method iterations / "
+                    help="pagerank/hits power-method iterations / "
                          "communities label-propagation rounds")
     ap.add_argument("--weighted", action="store_true",
                     help="pagerank/similar/entity-groups/reach: weight "
@@ -329,6 +330,24 @@ def main(argv=None):
             F.col("entity_id").alias("id"), "label", "name")
         top = (ranks.join(nodes, "id", "left")
                .orderBy(F.col("rank").desc(), "id").limit(ns.limit))
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "hits":
+        # hubs vs authorities over the DIRECTED subject->object edges:
+        # authorities are what the corpus asserts facts ABOUT, hubs are
+        # the fact-asserting aggregators — pagerank folds both into one
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            hits)
+        sc = hits(_kg_edges(store), iters=ns.iters)
+        nodes = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "label", "name")
+        top = (sc.join(nodes, "id", "left")
+               .select("name", "label",
+                       F.round("hub", 6).alias("hub"),
+                       F.round("auth", 6).alias("auth"))
+               .orderBy(F.col("auth").desc(), "name").limit(ns.limit))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "triangles":

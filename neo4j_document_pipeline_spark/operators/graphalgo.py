@@ -624,3 +624,69 @@ def npmi_pairs(occurrences: DataFrame, min_pairs: int = 1,
                        / -F.log(F.col("n_pair") / F.lit(float(n)))))
     )
     return scored.select("a", "b", "n_pair", "lift", "npmi")
+
+
+def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Hubs & authorities (Kleinberg's HITS) over DIRECTED edges
+    (u string, v string) -> (id string, hub double, auth double),
+    L2-normalized. The directed complement of PageRank for a KG whose
+    edges carry direction (subject -> object): a high-AUTHORITY entity
+    is one many distinct subjects assert facts about (the things the
+    corpus is about); a high-HUB entity asserts facts about many
+    authorities (aggregator / index pages in webtext, survey-style
+    documents' subjects). PageRank mixes both into one score; HITS
+    separates them.
+
+    Power iteration on the unweighted adjacency: auth = L2-normalize
+    (Σ_incoming hub), then hub = L2-normalize(Σ_outgoing auth) — each
+    half-step is ONE equi-join + hash aggregate shuffle plus a scalar
+    L2-norm agg, the same per-iteration shape as pagerank; scores frame
+    is localCheckpoint-ed per iteration so the plan stays O(1) deep.
+    Self-loops and duplicate edges are dropped (simple directed graph).
+    Nodes with no in-edges get auth 0 (resp. hub 0 for no out-edges);
+    both vectors start uniform, the classic initialization, and fixed
+    ``iters`` keeps the job count deterministic (HITS converges
+    geometrically to the principal eigenvectors of A^T A / A A^T).
+    """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    e = (edges.select(F.col("u").cast("string"),
+                      F.col("v").cast("string"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    verts = (e.select(F.col("u").alias("id"))
+             .union(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint())
+    n = verts.count()
+    if n == 0:
+        return verts.select("id", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    init = 1.0 / (float(n) ** 0.5)
+    scores = verts.select("id", F.lit(init).alias("hub"),
+                          F.lit(init).alias("auth"))
+
+    def _half(src_col, out_name, join_on, group_on):
+        # one join + one agg: new score(x) = Σ counterpart over edges
+        contrib = (
+            e.join(scores.select(F.col("id").alias(join_on),
+                                 F.col(src_col).alias("s")), join_on)
+            .groupBy(F.col(group_on).alias("id"))
+            .agg(F.sum("s").alias(out_name)))
+        merged = (verts.join(contrib, "id", "left")
+                  .na.fill({out_name: 0.0}))
+        norm = merged.agg(
+            F.sqrt(F.sum(F.col(out_name) * F.col(out_name)))
+            .alias("z")).first()["z"]
+        if not norm or norm <= 0.0:
+            return merged.select("id", F.lit(0.0).alias(out_name))
+        return merged.select(
+            "id", (F.col(out_name) / F.lit(float(norm))).alias(out_name))
+
+    for _ in range(iters):
+        auth = _half("hub", "auth", "u", "v")
+        scores = (scores.select("id", "hub")
+                  .join(auth, "id").localCheckpoint())
+        hub = _half("auth", "hub", "v", "u")
+        scores = (scores.select("id", "auth")
+                  .join(hub, "id")
+                  .select("id", "hub", "auth").localCheckpoint())
+    return scores

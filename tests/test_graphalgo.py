@@ -633,6 +633,59 @@ def test_label_propagation_separates_bridged_triangles(spark):
         label_propagation(_edges(spark, pairs), iters=0)
 
 
+def _np_hits(pairs, iters):
+    """Dense HITS power iteration with L2 normalization per half-step —
+    the definition hits() implements (uniform init, fixed rounds)."""
+    e = {(a, b) for a, b in pairs if a != b}
+    ids = sorted({x for p in e for x in p})
+    pos = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in e:
+        A[pos[a], pos[b]] = 1.0
+    h = np.full(n, 1 / np.sqrt(n))
+    a_ = np.full(n, 1 / np.sqrt(n))
+    for _ in range(iters):
+        a_ = A.T @ h
+        na = np.linalg.norm(a_)
+        a_ = a_ / na if na > 0 else a_ * 0
+        h = A @ a_
+        nh = np.linalg.norm(h)
+        h = h / nh if nh > 0 else h * 0
+    return {ids[i]: (h[i], a_[i]) for i in range(n)}
+
+
+def test_hits_matches_numpy(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import hits
+    rng = np.random.RandomState(47)
+    pairs = [(f"n{rng.randint(0, 14)}", f"n{rng.randint(0, 14)}")
+             for _ in range(50)]
+    for iters in (1, 3):
+        want = _np_hits(pairs, iters)
+        got = {r["id"]: (r["hub"], r["auth"]) for r in
+               hits(_edges(spark, pairs), iters=iters).collect()}
+        assert set(got) == set(want), iters
+        for k, (hb, au) in want.items():
+            assert got[k][0] == pytest.approx(hb, abs=1e-9), (iters, k)
+            assert got[k][1] == pytest.approx(au, abs=1e-9), (iters, k)
+
+
+def test_hits_star_structure(spark):
+    # pure in-star s0..s2 -> c: c is THE authority (auth 1), the spokes
+    # are equal hubs (1/sqrt(3)) with zero authority, c has zero hub
+    from neo4j_document_pipeline_spark.operators.graphalgo import hits
+    pairs = [("s0", "c"), ("s1", "c"), ("s2", "c")]
+    by = {r["id"]: r for r in hits(_edges(spark, pairs),
+                                   iters=3).collect()}
+    assert by["c"]["auth"] == pytest.approx(1.0)
+    assert by["c"]["hub"] == pytest.approx(0.0)
+    for s in ("s0", "s1", "s2"):
+        assert by[s]["hub"] == pytest.approx(1 / 3 ** 0.5)
+        assert by[s]["auth"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="iters"):
+        hits(_edges(spark, pairs), iters=0)
+
+
 def _brute_npmi(occ, min_pairs=1, max_ctx=None):
     import math
     ctxs = {}
@@ -723,6 +776,14 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     main(["triangles", "--store", root])
     out = json.loads(capsys.readouterr().out.strip())
     assert isinstance(out["triangles"], int) and out["triangles"] >= 0
+    # hits: authority-descending hub/auth scores, both L2-bounded
+    main(["hits", "--store", root, "--limit", "5", "--iters", "3"])
+    hrows = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert hrows and all(0.0 <= r["auth"] <= 1.0
+                         and 0.0 <= r["hub"] <= 1.0 for r in hrows)
+    assert [r["auth"] for r in hrows] == sorted(
+        (r["auth"] for r in hrows), reverse=True)
     # weighted + personalized: seed by entity NAME (resolved through the
     # same normalization the MERGE key uses), teleport restricted to it
     from neo4j_document_pipeline_spark.sources.store import GraphStore
