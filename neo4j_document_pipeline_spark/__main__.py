@@ -344,10 +344,13 @@ def main(argv=None):
         nodes = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         top = (sc.join(nodes, "id", "left")
+               # unique id as the last sort key: zero-auth tie groups
+               # are guaranteed (every no-in-edge node), names can dupe
+               .orderBy(F.col("auth").desc(), "name", "id")
+               .limit(ns.limit)
                .select("name", "label",
                        F.round("hub", 6).alias("hub"),
-                       F.round("auth", 6).alias("auth"))
-               .orderBy(F.col("auth").desc(), "name").limit(ns.limit))
+                       F.round("auth", 6).alias("auth")))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "triangles":
@@ -506,11 +509,14 @@ def main(argv=None):
                                   F.col("name").alias("name_a")), "a")
                .join(names.select(F.col("entity_id").alias("b"),
                                   F.col("name").alias("name_b")), "b")
+               # entity ids as final sort keys: distinct pairs can share
+               # display names (duplicate-name entities are expected)
+               .orderBy(F.col("npmi").desc(), "name_a", "name_b",
+                        "a", "b")
+               .limit(ns.limit)
                .select("name_a", "name_b", "n_pair",
                        F.round("lift", 6).alias("lift"),
-                       F.round("npmi", 6).alias("npmi"))
-               .orderBy(F.col("npmi").desc(), "name_a", "name_b")
-               .limit(ns.limit))
+                       F.round("npmi", 6).alias("npmi")))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":

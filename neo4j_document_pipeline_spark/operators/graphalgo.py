@@ -671,8 +671,10 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
                                  F.col(src_col).alias("s")), join_on)
             .groupBy(F.col(group_on).alias("id"))
             .agg(F.sum("s").alias(out_name)))
+        # materialize BEFORE the norm action: the scalar agg and the
+        # returned frame would otherwise each re-run the O(E) join
         merged = (verts.join(contrib, "id", "left")
-                  .na.fill({out_name: 0.0}))
+                  .na.fill({out_name: 0.0})).localCheckpoint()
         norm = merged.agg(
             F.sqrt(F.sum(F.col(out_name) * F.col(out_name)))
             .alias("z")).first()["z"]
