@@ -312,3 +312,38 @@ def test_node_vectors_probe_is_partition_pruned(spark, tmp_path):
     pl = plan_of(out_l)
     scan_l = [l for l in pl.splitlines() if "PartitionFilters" in l][0]
     assert "cell" in scan_l and "label" in scan_l, pl
+
+
+def test_analytics_joins_are_equi_joins(spark):
+    """The analytics operators' quadratic-risk steps (similarity wedge
+    join, NPMI within-context pair join, triangle closing probe, HITS
+    half-step contribution joins) must plan as hash/sort-merge EQUI
+    joins — a BroadcastNestedLoopJoin or CartesianProduct here is the
+    difference between O(m^1.5)-bounded work and a cluster-killing
+    cross product at web scale."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        hits,
+        node_similarity,
+        npmi_pairs,
+        triangle_count,
+    )
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_orderkey") < 200)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").cast("string").alias("u"),
+                     F.col("b.l_partkey").cast("string").alias("v")))
+    occ = li.select(F.col("l_orderkey").cast("string").alias("ctx"),
+                    F.col("l_partkey").cast("string").alias("item"))
+    frames = {
+        "node_similarity": node_similarity(edges, metric="all"),
+        "npmi_pairs": npmi_pairs(occ),
+        "triangle_count": triangle_count(edges),
+        "hits": hits(edges, iters=1),
+    }
+    for name, df in frames.items():
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
