@@ -830,6 +830,12 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert all(g["n"] == len(g["members"]) >= 2 for g in grp)
     assert [g["n"] for g in grp] == sorted(
         [g["n"] for g in grp], reverse=True)
+    # entity-groups --weighted: same surface over weighted similarity
+    main(["entity-groups", "--store", root, "--limit", "10",
+          "--min-sim", "0.5", "--weighted"])
+    wgrp = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert all(g["n"] == len(g["members"]) >= 2 for g in wgrp)
     # communities: label-propagation clusters, largest first, each a
     # community id + its member names
     main(["communities", "--store", root, "--limit", "10",
