@@ -773,6 +773,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("community")))
     q["lpa_parts"] = lpa_parts
 
+    def lpa_weighted_parts(spark, sf):
+        """Weighted LPA (2 rounds): votes are summed co-purchase counts
+        (exact integers in doubles, so the max-weight/min-label
+        tie-break is identical across engines). The weights emerge from
+        the operator's duplicate-summing canonicalization; the oracle
+        builds them as count(*) GROUP BY."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            label_propagation)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True,
+                                  weight="one")
+        return (label_propagation(edges, iters=2, weight_col="w")
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.col("community").cast("bigint")
+                        .alias("community")))
+    q["lpa_weighted_parts"] = lpa_weighted_parts
+
     def bfs_parts(spark, sf):
         """Multi-source BFS hop distances from parts 0-4 over a bounded
         co-purchase graph: every node settled once at its minimum hop.
@@ -1468,6 +1484,27 @@ def oracle_sql() -> dict[str, str]:
             "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
             "       FROM c3) WHERE rk = 1)"
             "SELECT node AS part_id, lbl AS community FROM l3",
+        "lpa_weighted_parts":
+            "WITH base AS ("
+            "  SELECT a.l_partkey AS u, b.l_partkey AS v,"
+            "         CAST(count(*) AS DOUBLE) AS w"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300 GROUP BY 1, 2),"
+            "adj AS (SELECT u AS node, v AS nbr, w FROM base"
+            "        UNION ALL SELECT v, u, w FROM base),"
+            "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"
+            "c1 AS (SELECT a.node, l.lbl, sum(a.w) AS c FROM adj a"
+            "       JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c1) WHERE rk = 1),"
+            "c2 AS (SELECT a.node, l.lbl, sum(a.w) AS c FROM adj a"
+            "       JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c2) WHERE rk = 1)"
+            "SELECT node AS part_id, lbl AS community FROM l2",
         "node_similarity_weighted_parts":
             "WITH base AS ("
             "  SELECT a.l_partkey AS u, b.l_partkey AS v,"

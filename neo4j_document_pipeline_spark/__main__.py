@@ -141,10 +141,10 @@ def main(argv=None):
                     help="pagerank/hits power-method iterations / "
                          "communities label-propagation rounds")
     ap.add_argument("--weighted", action="store_true",
-                    help="pagerank/similar/entity-groups/reach: weight "
-                         "edges by their supporting-document count "
-                         "(size of the sources set; reach uses 1/count "
-                         "as edge length)")
+                    help="pagerank/similar/entity-groups/communities/"
+                         "reach: weight edges by their supporting-"
+                         "document count (size of the sources set; "
+                         "reach uses 1/count as edge length)")
     ap.add_argument("--seeds", default=None,
                     help="pagerank/reach: comma-separated entity NAMES — "
                          "pagerank restricts teleport to them "
@@ -474,7 +474,9 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             label_propagation)
-        labels = label_propagation(_kg_edges(store), iters=ns.iters)
+        labels = label_propagation(
+            _kg_edges(store, weighted=ns.weighted), iters=ns.iters,
+            weight_col="w" if ns.weighted else None)
         names = store.read("nodes").select(
             F.col("entity_id").alias("id"), "name")
         groups = (labels.join(names, "id")

@@ -448,7 +448,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count("*").alias("triangles"))
 
 
-def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+def label_propagation(edges: DataFrame, iters: int = 5,
+                      weight_col: str | None = None) -> DataFrame:
     """Community detection by synchronous label propagation (the
     Neo4j GDS ``labelPropagation`` analogue; Raghavan et al. 2007) ->
     (id string, community string). Communities are the coarse
@@ -463,6 +464,18 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     which is what lets a SQL oracle replay the rounds exactly (classic
     LPA breaks ties randomly and is run-to-run unstable). Community ids
     are the surviving seed node ids.
+
+    ``weight_col`` makes the vote weighted (the GDS relationship-weight
+    analogue): a node adopts the label with the largest SUMMED edge
+    weight into it — in the KG CLI the supporting-document count, so a
+    heavily-attested neighborhood out-votes a larger set of
+    single-mention edges. Parallel/reversed duplicates SUM, null /
+    non-positive weights drop edge-wise (``_undirected``); unweighted
+    is the same code path with w=1, so results are identical by
+    construction. Determinism note: ties are broken on the float sums —
+    exact for integer-valued (or binary-fraction) weights; arbitrary
+    floats can resolve mathematically-equal ties either way across
+    summation orders.
 
     Shape: one equi-join (adjacency ⋈ labels on nbr) plus one hash
     aggregate per round — the label pick is a single map-combinable
@@ -480,10 +493,13 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     """
     if iters < 1:
         raise ValueError("label_propagation: iters must be >= 1")
-    und = _undirected(edges)
-    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    und = _undirected(edges, weight_col)
+    if weight_col is None:
+        und = und.withColumn("w", F.lit(1.0))
+    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"),
+                      "w")
            .union(und.select(F.col("v").alias("node"),
-                             F.col("u").alias("nbr")))
+                             F.col("u").alias("nbr"), "w"))
            .localCheckpoint())
     labels = adj.select(F.col("node").alias("id"),
                         F.col("node").alias("lbl")).distinct() \
@@ -491,7 +507,7 @@ def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
     for _ in range(iters):
         nbr_lbl = adj.join(
             labels.select(F.col("id").alias("nbr"), "lbl"), "nbr")
-        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.sum("w").alias("c"))
         labels = (
             cnt.groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),

@@ -616,6 +616,70 @@ def test_label_propagation_matches_brute_force(spark):
         assert got == want, iters
 
 
+def _brute_weighted_lpa(triples, iters):
+    """Weighted synchronous LPA: adopt the label with the largest
+    summed edge weight, smallest label on ties."""
+    agg = {}
+    for a, b, w in triples:
+        if a == b or w is None or w <= 0:
+            continue
+        k = (min(a, b), max(a, b))
+        agg[k] = agg.get(k, 0.0) + float(w)
+    nbrs = {}
+    for (a, b), w in agg.items():
+        nbrs.setdefault(a, {})[b] = w
+        nbrs.setdefault(b, {})[a] = w
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n in nbrs:
+            votes = {}
+            for m, w in nbrs[n].items():
+                votes[lbl[m]] = votes.get(lbl[m], 0.0) + w
+            new[n] = min(votes, key=lambda x: (-votes[x], x))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_weighted_matches_brute_force(spark):
+    # binary-fraction weights keep the float sums exact, so the
+    # min-label tie-break is well-defined on both sides
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation)
+    rng = np.random.RandomState(53)
+    triples = []
+    for _ in range(70):
+        a, b = f"n{rng.randint(0, 16)}", f"n{rng.randint(0, 16)}"
+        w = rng.choice([None, 0.0, 0.5, 1.0, 2.0, 4.0])
+        triples.append((a, b, w))
+    for iters in (1, 3):
+        want = _brute_weighted_lpa(triples, iters)
+        got = {r["id"]: r["community"] for r in
+               label_propagation(_wedges(spark, triples), iters=iters,
+                                 weight_col="w").collect()}
+        assert got == want, iters
+
+
+def test_label_propagation_weighted_pull(spark):
+    # b's neighbors: a (weight 9) vs x,y (weight 1 each, both labeled
+    # differently) — after one round b adopts a's label on WEIGHT even
+    # though the unweighted majority vote has no single winner below it
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation)
+    triples = [("a", "b", 9.0), ("b", "x", 1.0), ("b", "y", 1.0)]
+    got = {r["id"]: r["community"] for r in
+           label_propagation(_wedges(spark, triples), iters=1,
+                             weight_col="w").collect()}
+    assert got["b"] == "a"
+    # unweighted, the same graph ties at 1 vote each -> min label "a"
+    # still wins; drop the heavy edge's weight to 1 and flip x's to 9
+    flip = [("a", "b", 1.0), ("b", "x", 9.0), ("b", "y", 1.0)]
+    got2 = {r["id"]: r["community"] for r in
+            label_propagation(_wedges(spark, flip), iters=1,
+                              weight_col="w").collect()}
+    assert got2["b"] == "x"
+
+
 def test_label_propagation_separates_bridged_triangles(spark):
     # two triangles joined by one bridge edge settle into one community
     # per triangle after a few rounds (hand-simulated: labels converge
@@ -846,6 +910,12 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
     assert all(c["n"] == len(c["members"]) >= 2 for c in com)
     assert [c["n"] for c in com] == sorted(
         [c["n"] for c in com], reverse=True)
+    # communities --weighted: attestation-weighted votes, same contract
+    main(["communities", "--store", root, "--limit", "10",
+          "--iters", "4", "--weighted"])
+    wcom = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert all(c["n"] == len(c["members"]) >= 2 for c in wcom)
     # collocations: NPMI association over the mentions table — scores
     # bounded in [-1, 1], npmi-descending, co-occurrence counts >= min
     main(["collocations", "--store", root, "--limit", "10",
