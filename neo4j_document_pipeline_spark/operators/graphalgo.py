@@ -60,7 +60,8 @@ def _undirected(edges: DataFrame,
                        F.col("v").cast("string")).alias("v"),
             F.col(weight_col).cast("double").alias("w"))
         .filter(F.col("u") != F.col("v"))
-        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .filter(F.col("w").isNotNull() & ~F.isnan("w")
+                & (F.col("w") > 0))
         .groupBy("u", "v").agg(F.sum("w").alias("w"))
     )
 
@@ -103,7 +104,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5,
                             (F.col(weight_col).cast("double")
                              if weight_col else F.lit(1.0)).alias("w"))
                .filter(F.col("u") != F.col("v")))
-        e = (raw.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        e = (raw.filter(F.col("w").isNotNull() & ~F.isnan("w")
+                & (F.col("w") > 0))
              .groupBy("u", "v").agg(F.sum("w").alias("w"))
              if weight_col else
              raw.drop("w").distinct().withColumn("w", F.lit(1.0)))
@@ -494,20 +496,23 @@ def label_propagation(edges: DataFrame, iters: int = 5,
     if iters < 1:
         raise ValueError("label_propagation: iters must be >= 1")
     und = _undirected(edges, weight_col)
-    if weight_col is None:
-        und = und.withColumn("w", F.lit(1.0))
+    # unweighted keeps the count(*) vote (no constant w column riding
+    # every adjacency checkpoint + per-round shuffle); weighted sums —
+    # identical results when all weights are 1 by construction
+    wcols = ["w"] if weight_col is not None else []
     adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nbr"),
-                      "w")
+                      *wcols)
            .union(und.select(F.col("v").alias("node"),
-                             F.col("u").alias("nbr"), "w"))
+                             F.col("u").alias("nbr"), *wcols))
            .localCheckpoint())
     labels = adj.select(F.col("node").alias("id"),
                         F.col("node").alias("lbl")).distinct() \
         .localCheckpoint()
+    vote = F.sum("w") if weight_col is not None else F.count("*")
     for _ in range(iters):
         nbr_lbl = adj.join(
             labels.select(F.col("id").alias("nbr"), "lbl"), "nbr")
-        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.sum("w").alias("c"))
+        cnt = nbr_lbl.groupBy("node", "lbl").agg(vote.alias("c"))
         labels = (
             cnt.groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
@@ -547,7 +552,8 @@ def shortest_paths(edges: DataFrame, sources: list[str],
                         F.col("v").cast("string"),
                         F.col(weight_col).cast("double").alias("w"))
            .filter(F.col("u") != F.col("v"))
-           .filter(F.col("w").isNotNull() & (F.col("w") > 0)))
+           .filter(F.col("w").isNotNull() & ~F.isnan("w")
+                & (F.col("w") > 0)))
     if not directed:
         raw = raw.union(raw.select(F.col("v").alias("u"),
                                    F.col("u").alias("v"), "w"))

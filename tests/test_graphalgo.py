@@ -581,6 +581,41 @@ def test_shortest_paths_weighted_detour_wins(spark):
     assert two["ghost"] == 0.0
 
 
+def test_weighted_ops_drop_nan_weights(spark):
+    # NaN > 0 is TRUE in Spark's ordering, so the weighted filters must
+    # drop NaN explicitly — otherwise one NaN edge poisons every sum it
+    # touches (vote counts, rank mass, Σmin). Dirty == clean, for every
+    # weighted operator, directed and undirected.
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation,
+        node_similarity,
+        pagerank,
+        shortest_paths,
+    )
+    nan = float("nan")
+    dirty = [("a", "b", 1.0), ("a", "b", nan), ("b", "c", 2.0),
+             ("a", "c", 1.0), ("c", "d", nan)]
+    clean = [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 1.0)]
+    ops = [
+        lambda df: sorted((r["id"], round(r["rank"], 12)) for r in
+                          pagerank(df, weight_col="w").collect()),
+        lambda df: sorted((r["id"], round(r["rank"], 12)) for r in
+                          pagerank(df, weight_col="w",
+                                   directed=True).collect()),
+        lambda df: sorted((r["a"], r["b"], round(r["jaccard"], 12))
+                          for r in node_similarity(
+                              df, weight_col="w").collect()),
+        lambda df: sorted((r["id"], r["community"]) for r in
+                          label_propagation(df, iters=2,
+                                            weight_col="w").collect()),
+        lambda df: sorted((r["id"], r["dist"]) for r in
+                          shortest_paths(df, ["a"],
+                                         max_hops=3).collect()),
+    ]
+    for i, op in enumerate(ops):
+        assert op(_wedges(spark, dirty)) == op(_wedges(spark, clean)), i
+
+
 def _brute_lpa(pairs, iters):
     """Synchronous deterministic LPA: most frequent neighbor label,
     smallest label on ties — the definition label_propagation implements."""
@@ -915,6 +950,7 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
           "--iters", "4", "--weighted"])
     wcom = [json.loads(line) for line in
             capsys.readouterr().out.strip().splitlines()]
+    assert wcom, "weighted communities must produce clusters too"
     assert all(c["n"] == len(c["members"]) >= 2 for c in wcom)
     # collocations: NPMI association over the mentions table — scores
     # bounded in [-1, 1], npmi-descending, co-occurrence counts >= min
