@@ -803,6 +803,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def link_prediction_parts(spark, sf):
+        """KG-completion candidates over the bounded co-purchase graph:
+        non-adjacent pairs with >= 2 shared neighbors, scored by
+        common count, Adamic-Adar (1/ln(center degree) — a wedge
+        center's degree is always >= 2 so ln never hits 0), and
+        preferential attachment. Zero-pad keeps pair orientation
+        consistent; ln ulps are absorbed by 6dp rounding."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            link_prediction)
+        edges = _copurchase_edges(spark, sf, max_orderkey=400, pad=True)
+        return (link_prediction(edges, min_common=2)
+                .select(F.col("a").cast("bigint").alias("part_a"),
+                        F.col("b").cast("bigint").alias("part_b"),
+                        "common",
+                        F.round("adamic_adar", 6).alias("adamic_adar"),
+                        "pref_attach"))
+    q["link_prediction_parts"] = link_prediction_parts
+
     def hits_parts(spark, sf):
         """2-iteration HITS over the co-purchase graph oriented
         low-part -> high-part (a real direction both engines derive
@@ -1376,6 +1394,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM sh JOIN deg da ON sh.a = da.node"
             " JOIN deg db ON sh.b = db.node"
             " WHERE sh.shared / (da.d + db.d - sh.shared) >= 0.25",
+        "link_prediction_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 400),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),"
+            "w AS (SELECT a.node, a.nbr, dn.d AS dn FROM adj a"
+            "      JOIN deg dn ON a.nbr = dn.node),"
+            "cand AS (SELECT x.node AS a, y.node AS b,"
+            "         count(*) AS common,"
+            "         sum(1.0 / ln(x.dn)) AS aa"
+            "         FROM w x JOIN w y"
+            "         ON x.nbr = y.nbr AND x.node < y.node"
+            "         GROUP BY 1, 2 HAVING count(*) >= 2),"
+            "missing AS (SELECT cand.* FROM cand"
+            "            LEFT JOIN base ON cand.a = base.u"
+            "            AND cand.b = base.v WHERE base.u IS NULL)"
+            "SELECT m.a AS part_a, m.b AS part_b, m.common,"
+            " round(m.aa, 6) AS adamic_adar,"
+            " da.d * db.d AS pref_attach"
+            " FROM missing m JOIN deg da ON m.a = da.node"
+            " JOIN deg db ON m.b = db.node",
         "hits_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"

@@ -20,6 +20,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark entity-groups --store <dir> [--min-sim J]  # similarity -> components clusters
     python -m neo4j_document_pipeline_spark communities --store <dir> [--iters N]  # label-propagation topic clusters
     python -m neo4j_document_pipeline_spark collocations --store <dir> [--min-count N]  # NPMI entity association
+    python -m neo4j_document_pipeline_spark suggest --store <dir> [--min-count N]  # missing-edge candidates (KG completion)
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N --weighted]  # BFS / weighted proximity
     python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
@@ -86,7 +87,7 @@ def main(argv=None):
         "ingest", "query", "stats", "schema", "search", "docs", "drop",
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "hits", "triangles", "similar", "entity-groups",
-        "communities", "collocations", "reach",
+        "communities", "collocations", "suggest", "reach",
         "kcore", "export"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
@@ -158,7 +159,8 @@ def main(argv=None):
                     help="kcore: minimum surviving degree")
     ap.add_argument("--min-count", type=int, default=2,
                     help="collocations: keep pairs co-occurring in at "
-                         "least this many documents")
+                         "least this many documents / suggest: require "
+                         "at least this many shared neighbors")
     ap.add_argument("--max-ctx", type=int, default=None,
                     help="collocations: ignore documents mentioning "
                          "more than this many entities (boilerplate "
@@ -519,6 +521,29 @@ def main(argv=None):
                .select("name_a", "name_b", "n_pair",
                        F.round("lift", 6).alias("lift"),
                        F.round("npmi", 6).alias("npmi")))
+        for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "suggest":
+        # KG completion: non-adjacent entity pairs whose shared
+        # neighborhoods say "probably related" — ranked by Adamic-Adar
+        # (shared RARE neighbors beat shared hubs)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            link_prediction)
+        lp = link_prediction(_kg_edges(store), min_common=ns.min_count)
+        names = store.read("nodes").select("entity_id", "name")
+        top = (lp
+               .join(names.select(F.col("entity_id").alias("a"),
+                                  F.col("name").alias("name_a")), "a")
+               .join(names.select(F.col("entity_id").alias("b"),
+                                  F.col("name").alias("name_b")), "b")
+               .orderBy(F.col("adamic_adar").desc(), "name_a", "name_b",
+                        "a", "b")
+               .limit(ns.limit)
+               .select("name_a", "name_b", "common",
+                       F.round("adamic_adar", 6).alias("adamic_adar"),
+                       "pref_attach"))
         for r in top.collect():
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":

@@ -732,6 +732,67 @@ def test_label_propagation_separates_bridged_triangles(spark):
         label_propagation(_edges(spark, pairs), iters=0)
 
 
+def _brute_link_prediction(pairs, min_common=1):
+    import math
+    und = {frozenset((a, b)) for a, b in pairs if a != b}
+    nbrs = {}
+    for e in und:
+        a, b = sorted(e)
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a >= b or frozenset((a, b)) in und:
+                continue
+            shared = nbrs[a] & nbrs[b]
+            if len(shared) < min_common:
+                continue
+            aa = sum(1.0 / math.log(len(nbrs[n])) for n in shared)
+            out[(a, b)] = (len(shared), aa,
+                           len(nbrs[a]) * len(nbrs[b]))
+    return out
+
+
+def test_link_prediction_matches_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        link_prediction)
+    rng = np.random.RandomState(59)
+    pairs = [(f"n{rng.randint(0, 16)}", f"n{rng.randint(0, 16)}")
+             for _ in range(60)]
+    for min_common in (1, 2):
+        want = _brute_link_prediction(pairs, min_common=min_common)
+        got = {(r["a"], r["b"]):
+               (r["common"], r["adamic_adar"], r["pref_attach"])
+               for r in link_prediction(
+                   _edges(spark, pairs),
+                   min_common=min_common).collect()}
+        assert set(got) == set(want), min_common
+        for k, (c, aa, pa) in want.items():
+            assert got[k][0] == c and got[k][2] == pa, k
+            assert got[k][1] == pytest.approx(aa, rel=1e-12), k
+
+
+def test_link_prediction_known_values(spark):
+    # a and b both link hub h (deg 3) and rare r (deg 2) but not each
+    # other: common=2, adamic_adar = 1/ln(3) + 1/ln(2), pref = 2·2.
+    # The EXISTING edge (a, h) must not appear as a prediction.
+    import math
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        link_prediction)
+    pairs = [("a", "h"), ("b", "h"), ("c", "h"),
+             ("a", "r"), ("b", "r")]
+    got = {(r["a"], r["b"]): r for r in
+           link_prediction(_edges(spark, pairs)).collect()}
+    assert ("a", "h") not in got and ("h", "a") not in got
+    ab = got[("a", "b")]
+    assert ab["common"] == 2
+    assert ab["adamic_adar"] == pytest.approx(
+        1 / math.log(3) + 1 / math.log(2))
+    assert ab["pref_attach"] == 4
+
+
 def _np_hits(pairs, iters):
     """Dense HITS power iteration with L2 normalization per half-step —
     the definition hits() implements (uniform init, fixed rounds)."""
@@ -963,6 +1024,23 @@ def test_cli_pagerank_and_triangles(spark, tmp_path, capsys):
                for r in col)
     assert [r["npmi"] for r in col] == sorted(
         (r["npmi"] for r in col), reverse=True)
+    # suggest: missing-edge candidates — Adamic-Adar-descending, none
+    # of the suggested pairs may already be an edge
+    main(["suggest", "--store", root, "--limit", "10",
+          "--min-count", "1"])
+    sug = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sug, "synth KG has non-adjacent co-neighbor pairs"
+    assert all(r["common"] >= 1 and r["adamic_adar"] > 0 for r in sug)
+    assert [r["adamic_adar"] for r in sug] == sorted(
+        (r["adamic_adar"] for r in sug), reverse=True)
+    existing = {frozenset((r["src_id"], r["dst_id"])) for r in
+                store.read("edges").select("src_id", "dst_id").collect()}
+    names2id = {r["name"]: r["entity_id"] for r in
+                store.read("nodes").select("entity_id", "name").collect()}
+    for r in sug:
+        pair = frozenset((names2id[r["name_a"]], names2id[r["name_b"]]))
+        assert pair not in existing, r
     # kcore: the k=1 core over a committed store is every entity that
     # touches an edge (peeling only drops isolated nodes)
     main(["kcore", "--store", root, "--k", "1", "--limit", "500"])
