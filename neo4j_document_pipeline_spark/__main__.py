@@ -81,6 +81,15 @@ def _resolve_seed_ids(store, names):
     return [r["entity_id"] for r in rows]
 
 
+def _int_or_none(s):
+    """argparse type for bounded-by-default knobs with a 'none' escape
+    hatch (--max-ctx none disables the collocations boilerplate cutoff;
+    --max-degree none makes suggest exact)."""
+    if isinstance(s, str) and s.strip().lower() in ("none", "off", ""):
+        return None
+    return int(s)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="neo4j_document_pipeline_spark")
     ap.add_argument("command", choices=[
@@ -161,10 +170,17 @@ def main(argv=None):
                     help="collocations: keep pairs co-occurring in at "
                          "least this many documents / suggest: require "
                          "at least this many shared neighbors")
-    ap.add_argument("--max-ctx", type=int, default=None,
+    ap.add_argument("--max-ctx", type=_int_or_none, default=256,
                     help="collocations: ignore documents mentioning "
                          "more than this many entities (boilerplate "
-                         "cutoff)")
+                         "cutoff; one unbounded 10k-entity document "
+                         "alone contributes ~5e7 pairs). Default 256; "
+                         "pass 'none' to disable")
+    ap.add_argument("--max-degree", type=_int_or_none, default=1000,
+                    help="suggest: drop wedge centers above this degree "
+                         "before the candidate self-join (ultra-hubs "
+                         "carry ~0 Adamic-Adar signal but C(d,2) cost). "
+                         "Default 1000; pass 'none' to disable")
     ap.add_argument("--degrees", action="store_true",
                     help="stats: print the degree histogram / skew "
                          "diagnostic instead of the endpoint stats")
@@ -531,7 +547,8 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             link_prediction)
-        lp = link_prediction(_kg_edges(store), min_common=ns.min_count)
+        lp = link_prediction(_kg_edges(store), min_common=ns.min_count,
+                             max_degree=ns.max_degree)
         names = store.read("nodes").select("entity_id", "name")
         top = (lp
                .join(names.select(F.col("entity_id").alias("a"),

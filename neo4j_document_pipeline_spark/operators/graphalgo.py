@@ -716,7 +716,8 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     return scores
 
 
-def link_prediction(edges: DataFrame, min_common: int = 1) -> DataFrame:
+def link_prediction(edges: DataFrame, min_common: int = 1,
+                    max_degree: int | None = None) -> DataFrame:
     """Missing-edge candidate scoring (the GDS link-prediction family)
     over an undirected edge list -> (a string, b string, common bigint,
     adamic_adar double, pref_attach bigint): every NON-ADJACENT pair
@@ -738,10 +739,22 @@ def link_prediction(edges: DataFrame, min_common: int = 1) -> DataFrame:
     only, never all-pairs) with the CENTER's degree joined in before
     the aggregate (a wedge center always has degree >= 2, so ln(deg)
     is never 0), one left_anti against the canonical edge set, then
-    two broadcast-size degree joins. All JVM equi-joins; power-law hub
-    centers dominate wedge volume exactly as in similarity — cap with
-    a pre-filter on the adjacency if needed (same trade-off as
-    ``node_similarity(max_degree=...)``).
+    two broadcast-size degree joins. All JVM equi-joins.
+
+    Scale: a wedge center of degree d generates C(d, 2) candidate
+    pairs, so one power-law ultra-hub ("mentioned by everything",
+    degree 10^5) alone contributes ~5·10^9 pairs. ``max_degree`` drops
+    wedge CENTERS above the cutoff before the self-join — the same
+    approximation as ``node_similarity(max_degree=...)``, and here it
+    costs even less signal: Adamic-Adar already discounts a shared hub
+    of degree d to 1/ln(d) ≈ 0, and ``common`` through an ultra-hub is
+    noise, not evidence of a missing edge. Endpoint degrees (``da``,
+    ``db``, and the center's ``dn`` inside Adamic-Adar) stay EXACT —
+    only the candidate-generating wedge set is pruned, so surviving
+    pairs keep their true pref_attach and per-center AA terms. Pairs
+    whose ONLY shared neighbors are dropped hubs disappear; pairs also
+    sharing a low-degree neighbor undercount the hub's ~0 AA term.
+    Default None = exact.
     """
     und = _undirected(edges).localCheckpoint()
     adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")) \
@@ -749,8 +762,10 @@ def link_prediction(edges: DataFrame, min_common: int = 1) -> DataFrame:
                           F.col("u").alias("nbr")))
     deg = adj.groupBy("node").agg(F.count("*").alias("d"))
     wedge_src = adj.join(deg.select(F.col("node").alias("nbr"),
-                                    F.col("d").alias("dn")), "nbr") \
-        .localCheckpoint()
+                                    F.col("d").alias("dn")), "nbr")
+    if max_degree is not None:
+        wedge_src = wedge_src.filter(F.col("dn") <= int(max_degree))
+    wedge_src = wedge_src.localCheckpoint()
     cand = (
         wedge_src.alias("x")
         .join(wedge_src.alias("y"),
