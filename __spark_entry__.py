@@ -875,18 +875,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shortest_path_parts"] = shortest_path_parts
 
     def k_core_parts(spark, sf):
-        """3-core of the bounded co-purchase graph. NO SQL oracle by
-        design: k-core peeling is an anti-monotone DELETION fixpoint
-        (each round removes nodes and recomputes degrees), which
-        recursive CTEs — monotone accumulation only — cannot express
-        (contrast connected_components_demo, whose transitive closure
-        is monotone). Driver records the weaker rows-only check;
-        correctness is proven by the brute-force peeling parity pytest
-        (tests/test_graphalgo.py::test_k_core_matches_brute_force)."""
+        """3-core of the bounded co-purchase graph. k-core peeling is an
+        anti-monotone DELETION fixpoint, which recursive CTEs (monotone
+        accumulation only) cannot express in general — but a BOUNDED
+        number of rounds can be unrolled, and on this subgraph peeling
+        provably converges within 3 rounds at every shipped sf (0/2/1
+        rounds at sf 0.001/0.01/0.1). Both sides assert that bound
+        loudly rather than silently truncating: the operator runs with
+        max_iters=4 (3 peels + the empty-low confirmation — it RAISES
+        if a 4th peel would be needed), and the oracle unrolls 3 peel
+        rounds then returns ZERO rows (a loud hash/row mismatch) unless
+        the post-round-3 low set is empty. Full brute-force peeling
+        parity also in tests/test_graphalgo.py::
+        test_k_core_matches_brute_force."""
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             k_core)
         edges = _copurchase_edges(spark, sf, max_orderkey=400)
-        return (k_core(edges, k=3)
+        return (k_core(edges, k=3, max_iters=4)
                 .select(F.col("id").cast("bigint").alias("part_id")))
     q["k_core_parts"] = k_core_parts
 
@@ -980,6 +985,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id AS id, coalesce(CASE WHEN s >= 9223372036854775808::HUGEINT "
         "THEN (s - 18446744073709551616::HUGEINT)::BIGINT ELSE s::BIGINT END, 0) AS simhash "
         "FROM d LEFT JOIN sig USING (doc_id)")
+
+    # k-core: 3 unrolled peel rounds (enough at every shipped sf — see
+    # k_core_parts docstring) + a loud convergence guard: if the low set
+    # after round 3 is non-empty the oracle returns ZERO rows, forcing a
+    # row-count mismatch instead of silently blessing a half-peeled set
+    kcore_rounds = []
+    for r in range(1, 4):
+        p = f"e{r - 1}"
+        kcore_rounds.append(
+            f"low{r} AS (SELECT id FROM (SELECT u AS id FROM {p} "
+            f"UNION ALL SELECT v FROM {p}) GROUP BY id "
+            f"HAVING count(*) < 3), "
+            f"e{r} AS (SELECT u, v FROM {p} "
+            f"WHERE u NOT IN (SELECT id FROM low{r}) "
+            f"AND v NOT IN (SELECT id FROM low{r}))")
+    kcore_sql = (
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_orderkey < 400), "
+        "e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        + ", ".join(kcore_rounds) + ", "
+        "low4 AS (SELECT id FROM (SELECT u AS id FROM e3 "
+        "UNION ALL SELECT v FROM e3) GROUP BY id "
+        "HAVING count(*) < 3) "
+        "SELECT DISTINCT id AS part_id FROM "
+        "(SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3) "
+        "WHERE (SELECT count(*) FROM low4) = 0")
 
     # embedding near-dup: the SAME seeded hyperplanes the engine uses
     # (np.random.RandomState(42), 12 planes x dim 64), two 6-bit sign
@@ -1474,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM pr CROSS JOIN nn"
             " JOIN ci ca ON pr.a = ca.item"
             " JOIN ci cb ON pr.b = cb.item",
+        "k_core_parts": kcore_sql,
         "shortest_path_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v,"

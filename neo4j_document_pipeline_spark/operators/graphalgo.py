@@ -661,9 +661,14 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
 
     Power iteration on the unweighted adjacency: auth = L2-normalize
     (Σ_incoming hub), then hub = L2-normalize(Σ_outgoing auth) — each
-    half-step is ONE equi-join + hash aggregate shuffle plus a scalar
-    L2-norm agg, the same per-iteration shape as pagerank; scores frame
-    is localCheckpoint-ed per iteration so the plan stays O(1) deep.
+    half-step is ONE equi-join + hash aggregate shuffle, with the
+    scalar L2 norm folded INTO the half-step's plan as a broadcast
+    cross-join of the 1-row norm aggregate (both branches hang off the
+    same exchange, so ReuseExchange runs the O(E) join once and no
+    separate driver action fetches the norm). The ONLY action per
+    half-step is the scores localCheckpoint that keeps the iterative
+    plan O(1) deep — 2 driver barriers per iteration, the same shape
+    as pagerank.
     Self-loops and duplicate edges are dropped (simple directed graph).
     Nodes with no in-edges get auth 0 (resp. hub 0 for no out-edges);
     both vectors start uniform, the classic initialization, and fixed
@@ -693,17 +698,20 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
                                  F.col(src_col).alias("s")), join_on)
             .groupBy(F.col(group_on).alias("id"))
             .agg(F.sum("s").alias(out_name)))
-        # materialize BEFORE the norm action: the scalar agg and the
-        # returned frame would otherwise each re-run the O(E) join
         merged = (verts.join(contrib, "id", "left")
-                  .na.fill({out_name: 0.0})).localCheckpoint()
-        norm = merged.agg(
+                  .na.fill({out_name: 0.0}))
+        # the L2 norm stays IN the plan: a 1-row agg broadcast back
+        # onto the same frame — no .first() round-trip, and the shared
+        # merged subtree's exchanges are reused, not recomputed
+        norm_df = merged.agg(
             F.sqrt(F.sum(F.col(out_name) * F.col(out_name)))
-            .alias("z")).first()["z"]
-        if not norm or norm <= 0.0:
-            return merged.select("id", F.lit(0.0).alias(out_name))
-        return merged.select(
-            "id", (F.col(out_name) / F.lit(float(norm))).alias(out_name))
+            .alias("_z"))
+        return (merged.crossJoin(F.broadcast(norm_df))
+                .select("id",
+                        F.when(F.col("_z").isNull() | (F.col("_z") <= 0.0),
+                               F.lit(0.0))
+                        .otherwise(F.col(out_name) / F.col("_z"))
+                        .alias(out_name)))
 
     for _ in range(iters):
         auth = _half("hub", "auth", "u", "v")

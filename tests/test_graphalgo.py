@@ -905,6 +905,42 @@ def test_hits_star_structure(spark):
         hits(_edges(spark, pairs), iters=0)
 
 
+def test_hits_one_action_per_half_step(spark, monkeypatch):
+    """The L2 norm lives INSIDE each half-step's plan (broadcast 1-row
+    agg), so an iteration costs exactly 2 driver actions — the two
+    scores localCheckpoints — not 4: no .first()/.collect()/.count()
+    anywhere in the loop, and setup is exactly 3 actions (edges +
+    verts checkpoints, the vertex count)."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base; instances are classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import hits
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = _edges(spark, pairs)  # build BEFORE counting
+    calls = {"action": 0}
+
+    def counting(name):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, **kw):
+            calls["action"] += 1
+            return orig(self, *a, **kw)
+        return wrapper
+
+    for name in ("localCheckpoint", "first", "collect", "count",
+                 "head", "take"):
+        monkeypatch.setattr(DataFrame, name, counting(name))
+    for iters in (1, 3):
+        calls["action"] = 0
+        result = hits(edges, iters=iters)
+        assert calls["action"] == 3 + 2 * iters, iters
+    # and the deferred in-plan norm still normalizes correctly
+    monkeypatch.undo()
+    sq = sum(r["auth"] ** 2 for r in result.collect())
+    assert sq == pytest.approx(1.0)
+
+
 def _brute_npmi(occ, min_pairs=1, max_ctx=None):
     import math
     ctxs = {}
