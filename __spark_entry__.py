@@ -521,6 +521,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_events")
     q["session_window_events"] = session_window_events
 
+    # ---- §2.9: stream-stream interval join (attribution) ----
+    def attributed_clicks(spark, sf):
+        """Each click paired with every same-user view in the preceding
+        12 hours — the watermark-bounded stream-stream join shape
+        (streaming/ingest.attribution_pairs), run here on the static
+        frame (identical plan semantics; the streaming side is covered
+        by tests/test_streaming.py). Timestamps exported as epoch
+        micros so the compare is timezone-free."""
+        from neo4j_document_pipeline_spark.streaming.ingest import (
+            attribution_pairs)
+        out = attribution_pairs(_t(spark, sf, "events"),
+                                max_delay="12 hours")
+        return out.select(
+            "user_id", "trig_id",
+            F.unix_micros("trig_ts").alias("trig_us"),
+            "base_id", F.unix_micros("base_ts").alias("base_us"))
+    q["attributed_clicks"] = attributed_clicks
+
+    # ---- §2.9: watermarked exactly-once dedup ----
+    def dedup_event_replay(spark, sf):
+        """At-least-once delivery simulated by replaying the whole
+        events table once; dedup_event_stream collapses the re-delivery
+        (event_id key), so the per-type stats equal the clean table's.
+        The streaming path (dropDuplicatesWithinWatermark, bounded
+        state) is exercised in tests/test_streaming.py."""
+        from neo4j_document_pipeline_spark.streaming.ingest import (
+            dedup_event_stream)
+        e = _t(spark, sf, "events")
+        out = dedup_event_stream(e.unionByName(e))
+        return out.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.sum("value"), 4).alias("v"))
+    q["dedup_event_replay"] = dedup_event_replay
+
     # ---- O4: recency ordering ----
     def recent_orders(spark, sf):
         return (_t(spark, sf, "orders")
@@ -1293,6 +1328,20 @@ def oracle_sql() -> dict[str, str]:
             "    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000 "
             "    THEN 1 ELSE 0 END AS newsess FROM events)) "
             "GROUP BY user_id, sid",
+        "attributed_clicks":
+            "SELECT t.user_id, t.event_id AS trig_id, "
+            "epoch_us(t.ts) AS trig_us, "
+            "b.event_id AS base_id, epoch_us(b.ts) AS base_us "
+            "FROM events t JOIN events b ON t.user_id = b.user_id "
+            "AND t.event_type = 'click' AND b.event_type = 'view' "
+            "AND b.ts <= t.ts "
+            "AND epoch_us(t.ts) - epoch_us(b.ts) < 43200000000",
+        "dedup_event_replay":
+            # the replayed duplicates collapse on event_id, so the
+            # deduped stats are exactly the clean table's
+            "SELECT event_type, count(*) AS n, "
+            "count(DISTINCT user_id) AS users, "
+            "round(sum(value), 4) AS v FROM events GROUP BY event_type",
         "recent_orders":
             "SELECT o_orderkey, o_orderdate FROM orders "
             "ORDER BY o_orderdate DESC, o_orderkey LIMIT 20",

@@ -382,6 +382,70 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def attribution_pairs(events: DataFrame, base_type: str = "view",
+                      trigger_type: str = "click",
+                      max_delay: str = "10 minutes",
+                      watermark: str | None = None) -> DataFrame:
+    """Stream-stream INTERVAL join (the attribution shape): every
+    ``trigger_type`` event paired with each same-user ``base_type``
+    event in its preceding ``max_delay`` window — base_ts <= trig_ts <
+    base_ts + max_delay -> (user_id, trig_id, trig_ts, base_id,
+    base_ts). The classic click-to-view attribution / funnel-stitching
+    operator the windowed aggregations can't express (it correlates
+    TWO event subsets row-to-row, not one stream to itself by key).
+
+    Same plan on a static frame and a stream. Streaming: pass
+    ``watermark`` — Spark requires a watermark on both sides plus the
+    time-range join condition exactly so it can BOUND the join state
+    (a view's state row is dropped once the watermark passes base_ts +
+    max_delay; an unbounded stream-stream join would hold both sides
+    forever). Inner join, so results are deterministic across
+    micro-batch boundaries: each qualifying pair is emitted exactly
+    once, whenever both sides have arrived.
+
+    Scale: the join is an equi-join on user_id with a range predicate —
+    state per user is bounded by events inside one max_delay window, so
+    skewed users are bounded by their event RATE, not history length."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    base = e.filter(F.col("event_type") == base_type)
+    trig = e.filter(F.col("event_type") == trigger_type)
+    if watermark:
+        base = base.withWatermark("ts", watermark)
+        trig = trig.withWatermark("ts", watermark)
+    b = base.select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("base_id"),
+                    F.col("ts").alias("base_ts"))
+    t = trig.select("user_id", F.col("event_id").alias("trig_id"),
+                    F.col("ts").alias("trig_ts"))
+    return (t.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("base_ts") <= F.col("trig_ts"))
+        & (F.col("trig_ts")
+           < F.col("base_ts") + F.expr(f"INTERVAL {max_delay}")))
+        .select("user_id", "trig_id", "trig_ts", "base_id", "base_ts"))
+
+
+def dedup_event_stream(events: DataFrame, keys: list[str] | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event delivery from an at-least-once source: drop
+    re-delivered events by ``keys`` (default event_id). On a stream
+    this is dropDuplicatesWithinWatermark — the state row for a key is
+    released once the watermark passes its event time, so dedup state
+    is bounded by the re-delivery horizon (``watermark``) instead of
+    growing with the whole stream's key cardinality (plain
+    dropDuplicates on a stream never evicts). On a static frame the
+    same call reduces to an ordinary dropDuplicates over the keys.
+    Duplicates are assumed byte-identical re-deliveries (the Kafka /
+    file-redeliver case), so which copy survives is immaterial."""
+    keys = list(keys or ["event_id"])
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        return (e.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return e.dropDuplicates(keys)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window counts with late-data watermark — works on both a

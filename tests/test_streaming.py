@@ -275,6 +275,80 @@ def test_session_window_stream_emits_closed_sessions(spark, tmp_path):
     assert static.count() == 3
 
 
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join: the watermarked streaming run over
+    the real events table emits exactly the batch pair set (inner join
+    => every qualifying pair exactly once, regardless of micro-batch
+    boundaries)."""
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        attribution_pairs)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = {(r["user_id"], r["trig_id"], r["base_id"]) for r in
+             attribution_pairs(events, max_delay="12 hours").collect()}
+    assert batch, "sf0.001 has click-after-view pairs inside 12h"
+
+    # deliver in event-time order (the realistic stream): out-of-order
+    # delivery beyond the watermark is DESIGNED to be dropped, so a
+    # random file order would legitimately lose matches
+    d = str(tmp_path / "events")
+    ordered = events.orderBy("ts").collect()
+    chunk = (len(ordered) + 3) // 4
+    for i in range(4):
+        spark.createDataFrame(ordered[i * chunk:(i + 1) * chunk],
+                              events.schema).coalesce(1) \
+            .write.parquet(f"{d}/f{i}")
+    stream = spark.readStream.schema(events.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(d + "/*")
+    out = attribution_pairs(stream, max_delay="12 hours",
+                            watermark="24 hours")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("attr_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "attribution stream did not finish"
+    got = {(r["user_id"], r["trig_id"], r["base_id"]) for r in
+           spark.sql("SELECT * FROM attr_out").collect()}
+    assert got == batch
+
+
+def test_dedup_event_stream_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses at-least-once
+    re-deliveries across micro-batches: each event_id survives exactly
+    once, and the static branch of the same operator is a plain
+    dropDuplicates."""
+    import datetime as dt
+
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        dedup_event_stream)
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    a = (1, t0, 7, "view", 1.0)
+    b = (2, t0 + dt.timedelta(minutes=5), 7, "click", 2.0)
+    c = (3, t0 + dt.timedelta(minutes=9), 8, "view", 3.0)
+    d = (4, t0 + dt.timedelta(hours=6), 9, "error", 4.0)
+    files = [[a, b], [a, c], [c, d, d]]  # a and c re-delivered later,
+    # d duplicated inside one batch
+    root = str(tmp_path / "events")
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{root}/f{i}")
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(root + "/*")
+    out = dedup_event_stream(stream, watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "dedup stream did not finish"
+    got = sorted((r["event_id"], r["value"]) for r in
+                 spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # static branch: same operator, ordinary dropDuplicates
+    flat = spark.createDataFrame(
+        [r for rows in files for r in rows], schema)
+    static = dedup_event_stream(flat)
+    assert not static.isStreaming
+    assert sorted(r["event_id"] for r in static.collect()) == [1, 2, 3, 4]
+
+
 def test_incremental_index_tail_is_o_delta(spark, tmp_path, monkeypatch):
     """Round-4 north item: the incremental READ-INDEX tail must be
     O(delta) like the data merges — an incremental batch (a) runs NO job
