@@ -443,6 +443,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", col_token_count(F.col("text")).alias("n_tok"))
     q["token_counts"] = token_counts
 
+    # ---- training-data export: reproducible stratified sampling ----
+    def stratified_sample_docs(spark, sf):
+        """Corpus-mixing downsample: per-language keep rates applied via
+        a sha256 hash threshold (operators/sampling.py) — a pure
+        function of the data, so the sample is identical across
+        partitionings, cluster sizes, and re-runs (df.sample(seed) is
+        none of those). Oracle computes the IDENTICAL hash draw."""
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            stratified_sample)
+        d = _t(spark, sf, "documents")
+        return stratified_sample(
+            d, {"en": 0.5, "zh": 0.9, "de": 0.25}, "lang",
+            default_rate=0.1).select("doc_id", "lang")
+    q["stratified_sample_docs"] = stratified_sample_docs
+
+    # ---- training-data export: token-budget shard packing ----
+    def token_shard_docs(spark, sf):
+        """Documents packed into ~4096-token shards in doc_id order via
+        the distributed prefix sum (operators/sampling.py token_shards
+        — range shuffle + per-partition offsets + one narrow pass, NO
+        global-window sort). Oracle is the global-window SQL form of
+        the same prefix sum."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            token_shards)
+        d = _t(spark, sf, "documents").select(
+            "doc_id", col_token_count(F.col("text")).alias("n_tok"))
+        return token_shards(d, budget=4096)
+    q["token_shard_docs"] = token_shard_docs
+
     # ---- textstats: language id (engine function) ----
     def lang_id(spark, sf):
         from neo4j_document_pipeline_spark.functions.textstats import (
@@ -1274,6 +1305,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 3",
         "token_counts":
             f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents",
+        "stratified_sample_docs":
+            # the IDENTICAL hash draw the engine computes: first 8 hex
+            # digits of sha256('v1:'||doc_id) over 2^32
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, "
+            "  ('0x' || substr(sha256('v1:' || doc_id), 1, 8))::UBIGINT "
+            "   / 4294967296.0 AS u FROM documents) "
+            "WHERE u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 "
+            "WHEN 'de' THEN 0.25 ELSE 0.1 END)",
+        "token_shard_docs":
+            # global-window form of the distributed prefix sum: a doc
+            # starts in the shard its PRECEDING total fills into
+            "SELECT doc_id, n_tok, CAST(floor("
+            "(sum(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)"
+            " / 4096.0) AS BIGINT) AS shard_id "
+            f"FROM (SELECT doc_id, len({_SQL_TOKENS}) AS n_tok "
+            "FROM documents)",
         "lang_id":
             f"SELECT doc_id, CASE WHEN en >= ms AND en > 0 THEN 'en' "
             "WHEN ms > en THEN 'ms' ELSE 'unknown' END AS lang_pred FROM ("

@@ -1,0 +1,131 @@
+"""Training-data export operators: reproducible sampling and
+token-budget shard packing.
+
+The reference pipeline's end product is a corpus (documents + entities
+feeding retrieval); exporting a TRAINING corpus at 100 TB needs two
+more primitives on top of the dedup/quality gates:
+
+- a sample that is a pure function of the data (``stratified_sample``)
+  — ``DataFrame.sample(seed=...)`` is partitioning-dependent, so the
+  "same" seed yields a different corpus after a repartition, a
+  compaction, or a cluster-size change; a hash threshold keeps the
+  selection stable across all of those and lets two teams draw
+  IDENTICAL subsets from independent scans;
+- deterministic packing of documents into ~fixed-token shards
+  (``token_shards``) — the unit of training-data delivery — without a
+  global-window prefix sum (a single-partition sort would be the
+  classic 100-TB scale-killer; this uses the textbook distributed
+  prefix sum: per-partition totals -> driver-side offsets -> local
+  cumsum).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^32: the hash-threshold denominator — 8 hex digits of sha256 give a
+# uniform 32-bit integer, so u = int(hex8) / 2^32 is uniform on [0, 1)
+_HASH_DENOM = float(1 << 32)
+
+
+def uniform_hash_col(id_col, salt: str):
+    """Deterministic uniform [0, 1) draw per id: the first 8 hex digits
+    of sha256('<salt>:<id>') over 2^32. JVM-side (sha2 + conv), exactly
+    reproducible in any engine with sha256 (the DuckDB oracle computes
+    the identical expression), independent of partitioning, cluster
+    size, and row order. Change ``salt`` to draw an independent sample
+    from the same corpus (holdout vs train splits)."""
+    h = F.sha2(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")),
+               256)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(_HASH_DENOM))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "v1") -> DataFrame:
+    """Reproducible stratified Bernoulli sample: keep a row iff its
+    uniform hash draw (``uniform_hash_col``) is below its stratum's
+    rate — e.g. ``rates={"en": 0.5, "zh": 0.9}`` downsamples dominant
+    languages while keeping rare ones, the standard corpus-mixing move.
+    Strata absent from ``rates`` fall back to ``default_rate`` (0.0 =
+    drop, the loud default: an unlisted stratum in a mixing recipe is
+    a bug, not "keep everything").
+
+    Scale: a narrow projection + filter — no shuffle, no sampling jobs;
+    the filter pushes past column pruning like any other predicate, and
+    re-running it on any re-partitioning of the same rows selects the
+    SAME sample (asserted in tests)."""
+    for s, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"stratified_sample: rate {r!r} for "
+                             f"stratum {s!r} outside [0, 1]")
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError("stratified_sample: default_rate outside [0, 1]")
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))) \
+            .otherwise(rate)
+    return df.filter(uniform_hash_col(id_col, salt) < rate)
+
+
+def token_shards(df: DataFrame, budget: int, tokens_col: str = "n_tok",
+                 order_col: str = "doc_id",
+                 n_partitions: int | None = None) -> DataFrame:
+    """Pack consecutive documents (by ``order_col``) into token-budget
+    shards: with cum(i) the running sum of ``tokens_col`` in order,
+    shard_id(i) = floor((cum(i) - tokens_i) / budget) — a document
+    starts in the shard its PRECEDING total fills into, so every shard
+    holds ~``budget`` tokens (an oversized document simply spans its
+    own shard ids). The export planner for "write the corpus as N-token
+    training shards".
+
+    Shape — the distributed prefix sum, NOT a global window (a
+    single-partition ORDER BY window is the 100-TB scale-killer this
+    replaces):
+      1. range-repartition + in-partition sort by ``order_col``
+         (localCheckpoint pins the partitioning so both passes see the
+         same layout),
+      2. per-partition token totals — one tiny agg (n_partitions rows)
+         collected to the driver and turned into per-partition OFFSETS,
+      3. one mapInPandas pass: local cumsum + broadcast offset, carry
+         maintained across Arrow batches within each partition.
+    Total cost: one range shuffle + one O(n_partitions) collect + one
+    narrow pass. The oracle is the global-window SQL over the same
+    ordering (exact parity — the prefix sum is associative)."""
+    if budget <= 0:
+        raise ValueError("token_shards: budget must be positive")
+    spark = df.sparkSession
+    n = int(n_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (df.repartitionByRange(n, F.col(order_col))
+         .sortWithinPartitions(order_col)
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint())
+    totals = {r["_pid"]: r["t"] for r in
+              d.groupBy("_pid")
+              .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += int(totals.get(pid) or 0)
+    out_schema = d.drop("_pid").schema.add("shard_id", "long")
+
+    def pack(it):
+        carry = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = offsets[int(pdf["_pid"].iloc[0])]
+            toks = pdf[tokens_col].astype("int64")
+            ends = toks.cumsum() + carry
+            starts = ends - toks
+            carry = int(ends.iloc[-1])
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["shard_id"] = (starts // budget).astype("int64")
+            yield pdf
+
+    return d.mapInPandas(pack, out_schema)

@@ -1,0 +1,117 @@
+"""Training-data export operators: reproducible stratified sampling +
+token-budget shard packing (operators/sampling.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.operators.sampling import (
+    stratified_sample,
+    token_shards,
+    uniform_hash_col,
+)
+
+
+def _docs(spark, n=400):
+    langs = ["en", "zh", "de", "fr"]
+    rows = [(i, langs[i % 4], 10 + (i * 37) % 90) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long")
+
+
+def test_uniform_hash_draw_is_uniform_and_salted(spark):
+    d = _docs(spark, 2000).select(
+        uniform_hash_col("doc_id", "v1").alias("u"),
+        uniform_hash_col("doc_id", "v2").alias("u2"))
+    rows = d.collect()
+    us = np.array([r["u"] for r in rows])
+    assert 0.0 <= us.min() and us.max() < 1.0
+    assert abs(us.mean() - 0.5) < 0.03  # 2000 draws: mean within ~3σ
+    # independent salts draw independent samples
+    both = sum(1 for r in rows if r["u"] < 0.3 and r["u2"] < 0.3)
+    assert 0.09 * 2000 * 0.5 < both < 0.09 * 2000 * 2.0
+
+
+def test_stratified_sample_rates_and_default(spark):
+    d = _docs(spark)
+    got = stratified_sample(d, {"en": 1.0, "zh": 0.0}, "lang",
+                            default_rate=0.0).collect()
+    assert {r["lang"] for r in got} == {"en"}
+    assert len(got) == 100  # rate 1.0 keeps every en row
+    # unlisted strata follow default_rate
+    all_de = stratified_sample(d, {"en": 0.0, "zh": 0.0, "fr": 0.0},
+                               "lang", default_rate=1.0).collect()
+    assert {r["lang"] for r in all_de} == {"de"}
+    # fractional rate lands near its binomial expectation
+    half = stratified_sample(d, {"en": 0.5}, "lang").count()
+    assert 30 <= half <= 70  # 100 en rows at p=.5, ±4σ
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(d, {"en": 1.5}, "lang")
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(d, {"en": 0.5}, "lang", default_rate=-0.1)
+
+
+def test_stratified_sample_stable_across_partitionings(spark):
+    """The selection is a pure function of the data: any repartitioning
+    of the same rows yields the IDENTICAL sample (the property
+    df.sample(seed) does NOT have)."""
+    d = _docs(spark)
+    base = {r["doc_id"] for r in
+            stratified_sample(d, {"en": 0.4, "zh": 0.7}, "lang",
+                              default_rate=0.2).collect()}
+    for reshaped in (d.repartition(7), d.repartition(1),
+                     d.orderBy(F.col("doc_id").desc())):
+        got = {r["doc_id"] for r in
+               stratified_sample(reshaped, {"en": 0.4, "zh": 0.7},
+                                 "lang", default_rate=0.2).collect()}
+        assert got == base
+    assert base  # non-degenerate fixture
+
+
+def _brute_shards(rows, budget):
+    out, cum = {}, 0
+    for doc_id, n_tok in sorted(rows):
+        out[doc_id] = cum // budget
+        cum += n_tok
+    return out
+
+
+def test_token_shards_matches_global_prefix_sum(spark):
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(rng.randint(1, 900))) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    for budget, n_parts in ((1000, 8), (4096, 3), (250, 32)):
+        want = _brute_shards(rows, budget)
+        got = {r["doc_id"]: r["shard_id"] for r in
+               token_shards(d.repartition(5), budget,
+                            n_partitions=n_parts).collect()}
+        assert got == want, (budget, n_parts)
+    # oversized documents span their own shard ids without breaking
+    # the packing of what follows
+    big = [(0, 50), (1, 10_000), (2, 50)]
+    got = {r["doc_id"]: r["shard_id"] for r in
+           token_shards(spark.createDataFrame(
+               big, "doc_id long, n_tok long"), 100).collect()}
+    assert got == _brute_shards(big, 100)
+    assert got[1] == 0 and got[2] == 100  # doc 2 lands after the giant
+    with pytest.raises(ValueError, match="budget"):
+        token_shards(d, 0)
+
+
+def test_token_shards_carry_across_arrow_batches(spark):
+    """The in-partition cumsum carry survives Arrow batch boundaries:
+    force tiny batches so every partition spans several."""
+    rows = [(int(i), 7) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10")
+    try:
+        got = {r["doc_id"]: r["shard_id"] for r in
+               token_shards(d, 100, n_partitions=4).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == _brute_shards(rows, 100)
