@@ -84,10 +84,17 @@ def _resolve_seed_ids(store, names):
 def _int_or_none(s):
     """argparse type for bounded-by-default knobs with a 'none' escape
     hatch (--max-ctx none disables the collocations boilerplate cutoff;
-    --max-degree none makes suggest exact)."""
+    --max-degree none makes suggest exact). 0 / negatives are rejected
+    loudly — they would silently empty the result (every degree and
+    context size is >= 1), which is never what a typo meant."""
+    import argparse
     if isinstance(s, str) and s.strip().lower() in ("none", "off", ""):
         return None
-    return int(s)
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(
+            f"expected a positive bound or 'none', got {v}")
+    return v
 
 
 def main(argv=None):

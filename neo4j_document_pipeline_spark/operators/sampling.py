@@ -96,6 +96,9 @@ def token_shards(df: DataFrame, budget: int, tokens_col: str = "n_tok",
     ordering (exact parity — the prefix sum is associative)."""
     if budget <= 0:
         raise ValueError("token_shards: budget must be positive")
+    if "_pid" in df.columns:
+        raise ValueError("token_shards: input must not carry a _pid "
+                         "column (reserved for the partition stamp)")
     spark = df.sparkSession
     n = int(n_partitions
             or spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -103,10 +106,28 @@ def token_shards(df: DataFrame, budget: int, tokens_col: str = "n_tok",
          .sortWithinPartitions(order_col)
          .withColumn("_pid", F.spark_partition_id())
          .localCheckpoint())
-    totals = {r["_pid"]: r["t"] for r in
-              d.groupBy("_pid")
-              .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
-              .collect()}
+    # per-partition totals + the two loud-input checks, ONE tiny agg:
+    # null token counts would corrupt the offsets (F.sum skips them,
+    # pandas cumsum can't), and duplicate order keys make "consecutive"
+    # ill-defined (ties sort arbitrarily, so packing would vary run to
+    # run — on both engines). Equal keys are range-partitioned into ONE
+    # partition, so summed per-partition distincts equal the global
+    # distinct count.
+    stats = (d.groupBy("_pid")
+             .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"),
+                  F.count("*").alias("rows"),
+                  F.sum(F.col(tokens_col).isNull().cast("long"))
+                  .alias("nulls"),
+                  F.countDistinct(order_col).alias("keys"))
+             .collect())
+    if sum(r["nulls"] for r in stats):
+        raise ValueError(f"token_shards: {tokens_col} contains nulls — "
+                         "fill or drop them first (a null has no width)")
+    if sum(r["keys"] for r in stats) != sum(r["rows"] for r in stats):
+        raise ValueError(f"token_shards: {order_col} must be unique — "
+                         "ties make the packing order (and therefore "
+                         "shard ids) nondeterministic")
+    totals = {r["_pid"]: r["t"] for r in stats}
     offsets, acc = {}, 0
     for pid in range(n):
         offsets[pid] = acc

@@ -583,10 +583,15 @@ def test_probe_scan_fraction_shrinks_at_10x(spark, tmp_path):
     # case) — holds at BOTH scales
     for probes, cell_rows, n_cells in ((probes1, cr1, nc1),
                                        (probes10, cr10, nc10)):
-        min_cell = min(cell_rows[c] for c in probes)
-        bound = cfg.ann_nprobe + math.ceil(
+        # kmeans can leave a cell empty (no partition dir, no
+        # cell_rows entry): it contributes nothing to coverage, so the
+        # bound uses the smallest NON-EMPTY probed cell
+        min_cell = min((cell_rows.get(c, 0) for c in probes
+                        if cell_rows.get(c, 0) > 0), default=1)
+        empties = sum(1 for c in probes if cell_rows.get(c, 0) == 0)
+        bound = cfg.ann_nprobe + empties + math.ceil(
             cfg.ann_min_probe_rows / max(min_cell, 1))
-        assert len(probes) <= bound <= n_cells
+        assert len(probes) <= bound <= n_cells + empties
 
     # the headline: at 10x the corpus the probe touches a ~10x SMALLER
     # fraction of index rows and files (same nprobe, same floor)

@@ -98,6 +98,36 @@ def test_token_shards_matches_global_prefix_sum(spark):
         token_shards(d, 0)
 
 
+def test_token_shards_rejects_corrupt_inputs(spark):
+    """Nulls (no width), duplicate order keys (nondeterministic
+    packing), and a reserved _pid column all fail loudly before any
+    output is produced."""
+    nulls = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 10)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="null"):
+        token_shards(nulls, 100, n_partitions=2)
+    dups = spark.createDataFrame(
+        [(0, 10), (1, 10), (1, 20)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="unique"):
+        token_shards(dups, 100, n_partitions=2)
+    pid = spark.createDataFrame(
+        [(0, 10, 0)], "doc_id long, n_tok long, _pid int")
+    with pytest.raises(ValueError, match="_pid"):
+        token_shards(pid, 100)
+
+
+def test_cli_bound_flags_reject_nonpositive():
+    import argparse
+
+    from neo4j_document_pipeline_spark.__main__ import _int_or_none
+    assert _int_or_none("none") is None
+    assert _int_or_none("OFF") is None
+    assert _int_or_none("7") == 7
+    for bad in ("0", "-3"):
+        with pytest.raises(argparse.ArgumentTypeError, match="positive"):
+            _int_or_none(bad)
+
+
 def test_token_shards_carry_across_arrow_batches(spark):
     """The in-partition cumsum carry survives Arrow batch boundaries:
     force tiny batches so every partition spans several."""
