@@ -19,7 +19,13 @@ Runs the engine's flagship workloads at $SPARK_GRAFT_SF_DIR (default
 
 The JSON line also carries ``controls_ok``: whether the cheap relational
 control queries landed within ~10% of their committed round-2 medians —
-the quiet-window gate from BASELINE.md's host-noise protocol.
+the quiet-window gate from BASELINE.md's host-noise protocol. A draw
+that FAILS its own gate is a noisy-host sample, so bench.py discards it
+and re-measures (up to $SPARK_GRAFT_BENCH_ATTEMPTS, default 3): the
+committed record is a quiet-window sample whenever one exists in the
+attempt budget, and otherwise honestly reports controls_ok=false with
+the attempt count (round-4 verdict item: the record must pass its own
+gate, not merely compute it).
 """
 
 from __future__ import annotations
@@ -44,23 +50,8 @@ except ValueError:
 N_SYNTH = max(500, int(50_000 * SF_NUM))
 
 
-def main():
-    from pyspark.sql import SparkSession
+def run_once(spark, warmed: bool) -> dict:
     from pyspark.sql import functions as F
-
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("kg-pipeline-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
     from neo4j_document_pipeline_spark.operators.dedup import (
@@ -97,11 +88,13 @@ def main():
         # pipeline once on a tiny corpus so python-worker spawn and
         # whole-stage-codegen JIT — one-time costs proportional to core
         # count, worth ~2x on the first repeats — are excluded from every
-        # timed query. Steady-state throughput is the metric.
-        warm_root = tempfile.mkdtemp(prefix="kg_bench_warm_")
-        roots.append(warm_root)
-        run_pipeline(spark, synth_pages(spark, 8 * CPUS), warm_root,
-                     resume=False)
+        # timed query. Steady-state throughput is the metric. Redraw
+        # attempts skip it: the JVM is already warm.
+        if not warmed:
+            warm_root = tempfile.mkdtemp(prefix="kg_bench_warm_")
+            roots.append(warm_root)
+            run_pipeline(spark, synth_pages(spark, 8 * CPUS), warm_root,
+                         resume=False)
 
         # 1. KG write path over the synthetic corpus (docs/sec headline);
         # fresh store per repetition so every run measures the same work
@@ -234,7 +227,7 @@ def main():
         controls_ok = None
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    return {
         "metric": "kg_pipeline_bench_total",
         "value": total,
         "unit": "sec",
@@ -245,7 +238,39 @@ def main():
         "controls_ok": controls_ok,
         "control_ratio": control_ratio,
         **extras,
-    }))
+    }
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kg-pipeline-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # quiet-window redraw loop: a draw failing its own controls gate is
+    # a noisy-host sample — discard and re-measure. controls_ok None
+    # (off-protocol scale/rig) and True both stop immediately.
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    rec = None
+    for attempt in range(1, attempts + 1):
+        rec = run_once(spark, warmed=attempt > 1)
+        rec["attempt"] = attempt
+        if rec["controls_ok"] is not False:
+            break
+        if attempt < attempts:
+            time.sleep(5)  # let a transient co-tenant burst pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
