@@ -24,6 +24,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark reach --store <dir> --seeds NAME[,NAME] [--hops N --weighted]  # BFS / weighted proximity
     python -m neo4j_document_pipeline_spark kcore --store <dir> [--k N]  # dense-nucleus entities
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
+    python -m neo4j_document_pipeline_spark sample --store <dir> --rate 0.25 [--salt v1]  # reproducible doc sample
+    python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
 """
 
 from __future__ import annotations
@@ -104,7 +106,7 @@ def main(argv=None):
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
-        "kcore", "export"])
+        "kcore", "export", "sample", "shards"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -188,6 +190,24 @@ def main(argv=None):
                          "before the candidate self-join (ultra-hubs "
                          "carry ~0 Adamic-Adar signal but C(d,2) cost). "
                          "Default 1000; pass 'none' to disable")
+    ap.add_argument("--rate", type=float, default=0.1,
+                    help="sample: uniform keep probability (ignored "
+                         "when --rates is given)")
+    ap.add_argument("--rates", default=None,
+                    help="sample: per-stratum rates as "
+                         "VALUE=RATE[,VALUE=RATE...] over --strata-col "
+                         "(e.g. --strata-col source --rates web=0.2)")
+    ap.add_argument("--strata-col", default="source",
+                    help="sample: documents column the --rates keys "
+                         "match against")
+    ap.add_argument("--default-rate", type=float, default=0.0,
+                    help="sample: rate for strata absent from --rates "
+                         "(default 0 = drop, the loud default)")
+    ap.add_argument("--salt", default="v1",
+                    help="sample: change to draw an independent sample "
+                         "(train vs holdout)")
+    ap.add_argument("--budget", type=int, default=4096,
+                    help="shards: target tokens per shard")
     ap.add_argument("--degrees", action="store_true",
                     help="stats: print the degree histogram / skew "
                          "diagnostic instead of the endpoint stats")
@@ -569,6 +589,56 @@ def main(argv=None):
                        F.round("adamic_adar", 6).alias("adamic_adar"),
                        "pref_attach"))
         for r in top.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "sample":
+        # reproducible corpus sampling over the committed documents
+        # table: a pure function of (doc_id, salt), so the same command
+        # draws the SAME subset on any rerun / repartition / rig —
+        # train/holdout splits that two teams can reproduce independently
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            stratified_sample, uniform_hash_col)
+        docs = store.read("documents")
+        if ns.rates:
+            if ns.strata_col not in docs.columns:
+                sys.exit(f"--strata-col {ns.strata_col!r} is not a "
+                         f"documents column (have {docs.columns})")
+            try:
+                rates = {k: float(v) for k, v in
+                         (kv.split("=", 1) for kv in ns.rates.split(","))}
+            except ValueError:
+                sys.exit("--rates must be VALUE=RATE[,VALUE=RATE...]")
+            out = stratified_sample(docs, rates, ns.strata_col,
+                                    id_col="doc_id",
+                                    default_rate=ns.default_rate,
+                                    salt=ns.salt)
+        else:
+            if not (0.0 <= ns.rate <= 1.0):
+                sys.exit("--rate must be in [0, 1]")
+            out = docs.filter(
+                uniform_hash_col("doc_id", ns.salt) < F.lit(ns.rate))
+        for r in (out.select("doc_id", "title")
+                  .orderBy("doc_id").limit(ns.limit).collect()):
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "shards":
+        # token-budget shard packing plan over the committed documents
+        # table (the training-data delivery unit): per-shard doc/token
+        # counts, deterministic in doc_id order
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            token_shards)
+        docs = store.read("documents").select(
+            "doc_id", col_token_count(F.col("text")).alias("n_tok"))
+        packed = token_shards(docs, ns.budget)
+        rows = (packed.groupBy("shard_id")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("n_tok").alias("tokens"))
+                .orderBy("shard_id").limit(ns.limit).collect())
+        for r in rows:
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status

@@ -128,6 +128,41 @@ def test_cli_bound_flags_reject_nonpositive():
             _int_or_none(bad)
 
 
+def test_cli_sample_and_shards(spark, tmp_path, capsys):
+    """The export surface over a committed store: `sample` draws the
+    SAME subset on every invocation (and a different one under a new
+    salt), `shards` prints a deterministic packing plan whose doc count
+    reconciles with the documents table."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 12), root)
+    n_docs = GraphStore(root, spark).read("documents").count()
+
+    def run(args):
+        main(args + ["--store", root, "--limit", "500"])
+        return [json.loads(line) for line in
+                capsys.readouterr().out.strip().splitlines()]
+
+    s1 = run(["sample", "--rate", "0.5"])
+    s2 = run(["sample", "--rate", "0.5"])
+    assert s1 == s2 and 0 < len(s1) < n_docs
+    other = run(["sample", "--rate", "0.5", "--salt", "v2"])
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in s1]
+    # stratified form validates its column loudly
+    with pytest.raises(SystemExit, match="strata-col"):
+        run(["sample", "--rates", "en=0.5", "--strata-col", "nope"])
+    # shards: plan covers every document exactly once, ids contiguous
+    plan = run(["shards", "--budget", "512"])
+    assert sum(r["docs"] for r in plan) == n_docs
+    assert [r["shard_id"] for r in plan] == sorted(
+        r["shard_id"] for r in plan)
+
+
 def test_token_shards_carry_across_arrow_batches(spark):
     """The in-partition cumsum carry survives Arrow batch boundaries:
     force tiny batches so every partition spans several."""
