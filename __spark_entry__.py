@@ -642,6 +642,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("jaccard", F.round("jaccard", 4))
     q["minhash_near_dups"] = minhash_near_dups
 
+    def near_dup_resolution(spark, sf):
+        """End-to-end near-dup RESOLUTION over the same ≤500-doc subset
+        minhash_near_dups pins: pairs -> transitive clusters -> keep the
+        minimum id per cluster. Ids are zero-padded to 9 digits so the
+        operator's STRING component minimum equals the oracle's numeric
+        one. Oracle = the exact-Jaccard pair kernel + a recursive-CTE
+        transitive closure + least(node, min(reachable))."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            resolve_near_duplicates)
+        d = (_t(spark, sf, "documents").select("doc_id", "text")
+             .orderBy("doc_id").limit(500)
+             .select(F.lpad(F.col("doc_id").cast("string"), 9, "0")
+                     .alias("doc_id"), "text"))
+        return resolve_near_duplicates(d, "doc_id", "text",
+                                       jaccard_threshold=0.8)
+    q["near_dup_resolution"] = near_dup_resolution
+
     def ngram_jaccard_exact(spark, sf):
         """Exhaustive shared-shingle Jaccard (no LSH recall loss) — the
         all-pairs SQL IS a faithful oracle here, unlike the banded path
@@ -1033,6 +1050,31 @@ def oracle_sql() -> dict[str, str]:
         "ELSE list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
         "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM t)")
 
+    # near-dup resolution: the padded-id variant of the shingle kernel
+    # + recursive transitive closure + least(node, min(reachable)) —
+    # padding makes the operator's STRING component min numeric-correct
+    neardup_resolve_sql = (
+        "WITH RECURSIVE t AS (SELECT lpad(doc_id::varchar, 9, '0') AS doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+        f"FROM {doc_subset}), "
+        "g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::varchar[] "
+        "ELSE list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
+        "i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM t), "
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2 "
+        "  FROM g a JOIN g b ON a.doc_id < b.doc_id "
+        "  WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0 "
+        "  THEN len(list_intersect(a.grams, b.grams))::double "
+        "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END >= 0.8), "
+        "e2 AS (SELECT id1 AS u, id2 AS v FROM pr "
+        "  UNION SELECT id2, id1 FROM pr), "
+        "reach AS ("
+        "  SELECT u AS node, v AS r FROM e2 "
+        "  UNION "
+        "  SELECT reach.node, e.v FROM reach JOIN e2 e ON reach.r = e.u "
+        "  WHERE e.v <> reach.node) "
+        "SELECT node AS doc_id, least(node, min(r)) AS keep_id, "
+        "node = least(node, min(r)) AS is_kept FROM reach GROUP BY node")
+
     # simhash: 64 per-bit tf-weighted majority votes over
     # md5_number_lower('42:'||tok) — the identical token hash the engine
     # computes (low 8 md5 digest bytes, little-endian)
@@ -1133,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(list_concat(a.grams, b.grams))) ELSE 0.0 END AS j "
             "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             "WHERE j >= 0.8",
+        "near_dup_resolution": neardup_resolve_sql,
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

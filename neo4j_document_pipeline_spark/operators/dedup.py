@@ -131,6 +131,40 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def resolve_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG,
+                            jaccard_threshold: float = 0.8,
+                            shingle_words: int = 3) -> DataFrame:
+    """Corpus-level near-dup RESOLUTION — the operation a training-data
+    pipeline actually runs (pairs are evidence; the deliverable is
+    "which rows survive"): MinHash-LSH near-dup pairs -> connected
+    components (TRANSITIVE closure: A~B and B~C collapse into one
+    cluster even when A and C were never paired — pairwise-greedy
+    dedup would keep both A and C) -> keep the minimum id per cluster
+    -> (id, keep_id, is_kept) for every CLUSTERED document. Documents
+    in no cluster are implicitly kept: filter the corpus with a
+    left_anti join against this result's is_kept=false rows.
+
+    keep_id is the component representative from connected_components,
+    i.e. the STRING-minimum id of the cluster — zero-pad numeric ids
+    first if "10" < "9" would pick the wrong survivor (the driver
+    oracle query does exactly that).
+
+    Scale: inherits the banded-LSH pair bound (never all-pairs) and
+    the O(log n)-round star-contraction components; the near-dup graph
+    is tiny relative to the corpus (only clustered docs enter CC)."""
+    from neo4j_document_pipeline_spark.operators.components import (
+        connected_components)
+    pairs = minhash_near_duplicates(df, id_col, text_col, cfg,
+                                    jaccard_threshold, shingle_words)
+    comp = connected_components(
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v")))
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("keep_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         cfg: PipelineConfig = DEFAULT_CONFIG,
                         shingle_words: int = 3) -> DataFrame:

@@ -66,6 +66,41 @@ def test_minhash_near_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_resolve_near_duplicates_transitive(spark):
+    """Resolution clusters TRANSITIVELY: A~B and B~C land in one cluster
+    (one survivor) even when J(A, C) is below the threshold — the case
+    pairwise-greedy dedup gets wrong — and untouched docs never appear."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates, resolve_near_duplicates)
+    words = [f"tok{i}" for i in range(50)]
+    a = " ".join(words)
+    b_words = list(words)
+    b_words[10] = "changedone"          # J(a,b) ~ 45/51 ≈ 0.88
+    b = " ".join(b_words)
+    c_words = list(b_words)
+    c_words[40] = "changedtwo"          # J(b,c) ≈ 0.88, J(a,c) ≈ 0.78
+    c = " ".join(c_words)
+    far = "entirely different text about spark adaptive execution " * 5
+    df = spark.createDataFrame(
+        [("d1", a), ("d2", b), ("d3", c), ("d4", far)],
+        "doc_id string, text string")
+    pairs = {(r["id1"], r["id2"]) for r in minhash_near_duplicates(
+        df, "doc_id", "text", jaccard_threshold=0.8).collect()}
+    assert ("d1", "d3") not in pairs  # the chain link really is missing
+    assert ("d1", "d2") in pairs and ("d2", "d3") in pairs
+    got = {r["doc_id"]: (r["keep_id"], r["is_kept"]) for r in
+           resolve_near_duplicates(df, "doc_id", "text",
+                                   jaccard_threshold=0.8).collect()}
+    assert got == {"d1": ("d1", True), "d2": ("d1", False),
+                   "d3": ("d1", False)}  # d4 untouched, absent
+    # the corpus filter shape: drop is_kept=false rows, keep the rest
+    res = resolve_near_duplicates(df, "doc_id", "text",
+                                  jaccard_threshold=0.8)
+    survivors = df.join(res.filter(~F.col("is_kept")).select("doc_id"),
+                        "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == ["d1", "d4"]
+
+
 def test_simhash_near_duplicates(spark):
     base = " ".join(f"word{i}" for i in range(300))
     near = base.replace("word299", "changed")  # 1/300 tokens differ
