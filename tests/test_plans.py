@@ -337,11 +337,21 @@ def test_analytics_joins_are_equi_joins(spark):
                      F.col("b.l_partkey").cast("string").alias("v")))
     occ = li.select(F.col("l_orderkey").cast("string").alias("ctx"),
                     F.col("l_partkey").cast("string").alias("item"))
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        link_prediction)
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        attribution_pairs)
+    events = spark.read.parquet(f"{SF}/events.parquet")
     frames = {
         "node_similarity": node_similarity(edges, metric="all"),
         "npmi_pairs": npmi_pairs(occ),
         "triangle_count": triangle_count(edges),
         "hits": hits(edges, iters=1),
+        "link_prediction": link_prediction(edges, max_degree=100),
+        # the interval join must key on user_id (equi) with the time
+        # range as a join-side filter — a pure range join would plan
+        # as BNLJ and hold both whole streams
+        "attribution_pairs": attribution_pairs(events),
     }
     for name, df in frames.items():
         p = plan_of(df)
