@@ -443,6 +443,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", col_token_count(F.col("text")).alias("n_tok"))
     q["token_counts"] = token_counts
 
+    # ---- textstats: in-document repetition (Gopher rules) ----
+    def doc_repetition(spark, sf):
+        """Duplicate-line and duplicate-trigram fractions per document —
+        the Gopher/C4 boilerplate-repetition signals (templated text
+        repeats lines/n-grams; unique-document dedup can't see it)."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_dup_line_fraction, col_dup_ngram_fraction)
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.round(col_dup_line_fraction(F.col("text")), 6)
+            .alias("dup_line_frac"),
+            F.round(col_dup_ngram_fraction(F.col("text"), 3), 6)
+            .alias("dup_trigram_frac"))
+    q["doc_repetition"] = doc_repetition
+
     # ---- training-data export: reproducible stratified sampling ----
     def stratified_sample_docs(spark, sf):
         """Corpus-mixing downsample: per-language keep rates applied via
@@ -1348,6 +1363,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 3",
         "token_counts":
             f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents",
+        "doc_repetition":
+            # lines: trimmed non-empty split on \n; grams: inclusive
+            # 3-word slices (toks[i:i+2]) exactly like the shingle CTE
+            "SELECT doc_id, "
+            "round(CASE WHEN len(l) > 0 THEN "
+            "(len(l) - len(list_distinct(l)))::double / len(l) "
+            "ELSE 0.0 END, 6) AS dup_line_frac, "
+            "round(CASE WHEN len(toks) >= 3 THEN "
+            "(len(g) - len(list_distinct(g)))::double / len(g) "
+            "ELSE 0.0 END, 6) AS dup_trigram_frac FROM ("
+            "  SELECT doc_id, toks, "
+            "  list_filter(list_transform(string_split(text, chr(10)), "
+            "  x -> trim(x)), x -> x <> '') AS l, "
+            "  list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+            "  i -> array_to_string(toks[i:i+2], ' ')) AS g "
+            f"  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks "
+            "   FROM documents))",
         "stratified_sample_docs":
             # the IDENTICAL hash draw the engine computes: first 8 hex
             # digits of sha256('v1:'||doc_id) over 2^32

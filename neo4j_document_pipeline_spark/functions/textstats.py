@@ -90,6 +90,45 @@ def col_quality_score(c: Column) -> Column:
     return len_ok + sw_ok + punct_ok + mwl_ok
 
 
+def col_lines(c: Column) -> Column:
+    """Non-empty trimmed lines of the text."""
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda line: F.trim(line)),
+        lambda line: line != "",
+    )
+
+
+def col_dup_line_fraction(c: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line — the
+    Gopher/C4 boilerplate-repetition rule (nav bars, cookie banners,
+    templated footers repeat lines; prose doesn't). 0.0 for empty
+    docs."""
+    lines = col_lines(c)
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def col_dup_ngram_fraction(c: Column, n: int = 3) -> Column:
+    """Fraction of the document's word n-grams that repeat an earlier
+    occurrence (the Gopher duplicate-n-gram family: high values mean
+    looping/templated text that dedup can't see because the DOCUMENT is
+    unique). Pure Column expressions — the sequence is clamped with
+    greatest() so short docs build a dummy gram list and the outer
+    CASE returns 0.0 for them."""
+    toks = col_tokens(c)
+    count = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    g = F.size(grams)
+    return F.when(
+        F.size(toks) >= n,
+        (g - F.size(F.array_distinct(grams))) / g,
+    ).otherwise(F.lit(0.0))
+
+
 def col_fingerprint(c: Column) -> Column:
     """Normalized-content fingerprint: sha256 of the sorted distinct token
     array — robust to reordering/whitespace; SQL-expressible."""

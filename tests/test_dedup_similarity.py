@@ -198,6 +198,32 @@ def test_textstats_columns(spark):
     assert fp2 == rows[1]["fp"]
 
 
+def test_repetition_fractions_known_values(spark):
+    """Gopher-style in-document repetition: duplicate-line and
+    duplicate-trigram fractions on hand-computable fixtures."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_dup_line_fraction, col_dup_ngram_fraction)
+    nav = "home | about | contact"
+    boiler = f"{nav}\nSome real prose here.\n{nav}\n  \n{nav}\n"
+    looping = "x y z " * 2 + "x y z"  # toks: x y z x y z x y z
+    df = spark.createDataFrame(
+        [(1, boiler), (2, "unique one\nunique two"), (3, looping),
+         (4, "too short"), (5, ""), (6, None)],
+        "id long, text string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        col_dup_line_fraction(F.col("text")).alias("dl"),
+        col_dup_ngram_fraction(F.col("text"), 3).alias("dg")).collect()}
+    # boiler: 4 non-empty lines (blank line dropped), nav ×3 -> 2 dups
+    assert rows[1]["dl"] == pytest.approx(2 / 4)
+    assert rows[2]["dl"] == 0.0 and rows[2]["dg"] == 0.0
+    # looping: 9 tokens -> 7 trigrams, 3 distinct -> 4/7 repeated
+    assert rows[3]["dg"] == pytest.approx(4 / 7)
+    assert rows[4]["dg"] == 0.0  # 2 tokens < n: no gram space
+    assert rows[5]["dl"] == 0.0 and rows[5]["dg"] == 0.0
+    assert rows[6]["dl"] is None or rows[6]["dl"] == 0.0  # null text
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 30).cache()
     meta = attach_media_metadata(media)
