@@ -154,6 +154,32 @@ def run_once(spark, warmed: bool) -> dict:
         timed("graphrag", lambda: graphrag(
             spark, store, "Who developed algebra and optics?", top_k=10, hops=2))
 
+        # 5a. concurrent serving — 8 DISTINCT questions through the
+        # bounded-pool graphrag_many (the reference's 20-slot semaphore
+        # analogue): wall clock for the batch, so scheduler interleaving
+        # + the refcounted shared persist get their own number (serial
+        # would cost ~8x the single-query time; interleaving should land
+        # well under that)
+        from neo4j_document_pipeline_spark.operators.retrieval import (
+            graphrag_many)
+        many_qs = [
+            "Who developed algebra and optics?",
+            "What did Al-Khwarizmi develop?",
+            "Which ministry funds the broadband initiative?",
+            "What is the House of Wisdom?",
+            "Who translated the classical texts?",
+            "What does the literacy policy target?",
+            "Which observatory studied the stars?",
+            "What are the goals of the digital ministry?",
+        ]
+
+        def many():
+            outs = graphrag_many(spark, store, many_qs, top_k=10, hops=2,
+                                 return_exceptions=False)
+            assert len(outs) == len(many_qs)
+
+        timed("graphrag_many8", many)
+
         # 5b. IVFPQ-served read path — the billion-scale memory shape
         # (m-byte codes instead of embeddings in node_vectors; ADC over
         # the probed cells + exact rerank against nodes). Committed here
