@@ -458,6 +458,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dup_trigram_frac"))
     q["doc_repetition"] = doc_repetition
 
+    # ---- corpus hygiene: benchmark decontamination ----
+    def decontam_overlap(spark, sf):
+        """GPT-3/PaLM-style decontamination flags: documents from
+        source 'src0' act as the benchmark set; every other document is
+        scored by what fraction of its distinct word 4-grams appear in
+        the benchmark (operators/dedup.py ngram_overlap_flags —
+        broadcast bench grams, per-row array_distinct, one hash agg)."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            ngram_overlap_flags)
+        d = _t(spark, sf, "documents")
+        out = ngram_overlap_flags(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "doc_id", "text", n=4)
+        return out.select(
+            "doc_id", "n_grams", "n_hit",
+            F.round("overlap_frac", 6).alias("overlap_frac"), "flagged")
+    q["decontam_overlap"] = decontam_overlap
+
+    # ---- corpus hygiene: CCNet-style cross-document line dedup ----
+    def line_dedup_docs(spark, sf):
+        """Cross-document boilerplate-line removal (CCNet §4.1): the
+        single-line synthetic corpus is first deterministically
+        re-segmented into pseudo-lines of 3 words, then every line
+        whose trimmed form appears in >= 2 distinct documents is
+        removed from all of them (operators/dedup.py
+        dedup_lines_across_docs — sha2 line keys, two even shuffles)."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            dedup_lines_across_docs)
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        nseg = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 3 + 1, 3)))
+        ml = d.select("doc_id", F.concat_ws("\n", segs).alias("text"))
+        return dedup_lines_across_docs(ml, "doc_id", "text")
+    q["line_dedup_docs"] = line_dedup_docs
+
     # ---- training-data export: reproducible stratified sampling ----
     def stratified_sample_docs(spark, sf):
         """Corpus-mixing downsample: per-language keep rates applied via
@@ -1380,6 +1419,50 @@ def oracle_sql() -> dict[str, str]:
             "  i -> array_to_string(toks[i:i+2], ' ')) AS g "
             f"  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks "
             "   FROM documents))",
+        "decontam_overlap":
+            # same tokenization, inclusive 4-gram slices toks[i:i+3],
+            # per-doc DISTINCT grams, benchmark = source 'src0'
+            "WITH d AS (SELECT doc_id, source, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "g AS (SELECT doc_id, source, CASE WHEN len(toks) >= 4 THEN "
+            "  list_distinct(list_transform(range(1, len(toks) - 2), "
+            "  i -> array_to_string(toks[i:i+3], ' '))) "
+            "  ELSE []::VARCHAR[] END AS grams FROM d), "
+            "b AS (SELECT DISTINCT unnest(grams) AS gram FROM g "
+            "  WHERE source = 'src0'), "
+            "t AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'), "
+            "e AS (SELECT doc_id, unnest(grams) AS gram FROM t), "
+            "h AS (SELECT e.doc_id, count(*) AS n_hit FROM e "
+            "  JOIN b USING (gram) GROUP BY 1) "
+            "SELECT t.doc_id, len(t.grams) AS n_grams, "
+            "coalesce(h.n_hit, 0) AS n_hit, "
+            "round(CASE WHEN len(t.grams) > 0 THEN "
+            "coalesce(h.n_hit, 0)::DOUBLE / len(t.grams) ELSE 0.0 END, 6) "
+            "AS overlap_frac, coalesce(h.n_hit, 0) > 0 AS flagged "
+            "FROM t LEFT JOIN h USING (doc_id)",
+        "line_dedup_docs":
+            # identical 3-word pseudo-line segmentation; a trimmed line
+            # in >= 2 distinct docs is removed everywhere; empty lines
+            # kept; docs losing every line come back as ''
+            "WITH seg AS (SELECT doc_id, "
+            "  list_transform(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT)"
+            "   + 1), i -> array_to_string(ws[(i-1)*3+1 : (i-1)*3+3], ' '))"
+            "  AS lines FROM (SELECT doc_id, string_split(text, ' ') AS ws"
+            "  FROM documents)), "
+            "l AS (SELECT doc_id, unnest(lines) AS line, "
+            "  unnest(range(1, len(lines) + 1)) AS pos FROM seg), "
+            "dup AS (SELECT trim(line) AS lkey FROM l "
+            "  WHERE trim(line) <> '' GROUP BY 1 "
+            "  HAVING count(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT doc_id, pos, line FROM l WHERE "
+            "  trim(line) = '' OR trim(line) NOT IN (SELECT lkey FROM dup)), "
+            "agg AS (SELECT doc_id, "
+            "  string_agg(line, chr(10) ORDER BY pos) AS text_clean, "
+            "  count(*) AS n_kept FROM kept GROUP BY 1), "
+            "base AS (SELECT doc_id, len(lines) AS n_lines FROM seg) "
+            "SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean, "
+            "b.n_lines, b.n_lines - coalesce(a.n_kept, 0) AS n_removed "
+            "FROM base b LEFT JOIN agg a USING (doc_id)",
         "stratified_sample_docs":
             # the IDENTICAL hash draw the engine computes: first 8 hex
             # digits of sha256('v1:'||doc_id) over 2^32

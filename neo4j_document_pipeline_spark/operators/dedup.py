@@ -360,3 +360,133 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap flags)
+# ---------------------------------------------------------------------------
+
+def ngram_overlap_flags(docs: DataFrame, bench: DataFrame,
+                        id_col: str, text_col: str, *,
+                        n: int = 13, threshold: float = 0.0,
+                        broadcast_bench: bool = True) -> DataFrame:
+    """Flag training documents whose word n-grams overlap a benchmark set
+    — the GPT-3/PaLM-style decontamination pass (training corpora are
+    scrubbed of eval-set n-grams so benchmark numbers measure
+    generalization, not memorization).
+
+    Returns one row per ``docs`` row: (id_col, n_grams, n_hit,
+    overlap_frac, flagged) where ``n_grams`` counts the document's
+    DISTINCT word n-grams, ``n_hit`` how many of those appear anywhere in
+    ``bench``, and ``flagged`` = overlap_frac > threshold (the default
+    threshold 0.0 flags ANY overlap, the usual 13-gram policy).
+    Documents shorter than ``n`` tokens have zero grams and are never
+    flagged. Tokenization is the engine's ``col_tokens`` (lowercase,
+    punctuation-stripped), so the whole computation is plain-SQL
+    reproducible.
+
+    Scale shape: per-row ``array_distinct`` replaces a global distinct
+    (no extra shuffle); the benchmark gram set is tiny by nature (eval
+    suites, not corpora) and broadcasts — the only shuffle is the final
+    hash aggregation by document id. Set ``broadcast_bench=False`` for a
+    pathological giant benchmark to fall back to a shuffled hash join.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+
+    def gram_arr(c):
+        toks = col_tokens(c)
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        bench.select(F.explode(gram_arr(F.col(text_col))).alias("gram"))
+        .distinct().withColumn("_hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+
+    idc = F.col(id_col)
+    ex = docs.select(
+        idc, F.size(gram_arr(F.col(text_col))).alias("n_grams"),
+        F.explode_outer(gram_arr(F.col(text_col))).alias("gram"))
+    agg = (
+        ex.join(bench_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(F.max("n_grams").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+    )
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_hit") / F.col("n_grams")).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col, "n_grams", "n_hit", frac.alias("overlap_frac"),
+        (frac > F.lit(float(threshold))).alias("flagged"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def dedup_lines_across_docs(df: DataFrame, id_col: str, text_col: str, *,
+                            min_doc_freq: int = 2,
+                            joiner: str = "\n") -> DataFrame:
+    """Remove lines duplicated ACROSS documents — the CCNet §4.1 pass
+    that strips nav bars, cookie banners, and footer boilerplate that
+    document-level dedup can't see (every page is unique; its chrome is
+    not).
+
+    A line is removed from EVERY document when its trimmed form appears
+    in >= ``min_doc_freq`` DISTINCT documents. Whitespace-only lines are
+    kept (they carry formatting, never boilerplate identity). Returns
+    one row per input row: (id_col, text_clean, n_lines, n_removed);
+    documents whose every line was boilerplate come back with
+    ``text_clean = ''``.
+
+    Scale shape: line counting and the removal anti-join key on
+    ``sha2(trim(line))`` — fixed-width keys instead of arbitrary-length
+    line text — and line hashes are near-uniform, so both shuffles
+    (count by line hash, reassemble by doc id) partition evenly. This is
+    the same two-aggregation shape CCNet runs over Common Crawl; for
+    trillion-line corpora swap the exact count for a count-min sketch
+    without touching the surrounding plan.
+    """
+    if min_doc_freq < 1:
+        raise ValueError(f"min_doc_freq must be >= 1, got {min_doc_freq}")
+    idc = F.col(id_col)
+    lines = df.select(
+        idc, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    lines = lines.withColumn(
+        "lkey",
+        F.when(F.trim("line") == "", F.lit(None))
+        .otherwise(F.sha2(F.trim("line"), 256)))
+    dup_keys = (
+        lines.filter(F.col("lkey").isNotNull())
+        .groupBy("lkey").agg(F.countDistinct(idc).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_doc_freq).select("lkey")
+    )
+    kept = lines.join(dup_keys, "lkey", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(idc, F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"))
+    )

@@ -685,3 +685,127 @@ def test_ngram_jaccard_exact_superset_of_lsh(spark):
         ngram_jaccard_exact(df, "doc_id", "text").explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_ngram_overlap_flags_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags)
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps" -> 1 hit of 6 distinct grams
+            (1, "a very quick brown fox jumps high today yes"),
+            # no 4-gram overlap
+            (2, "completely different words in every position here"),
+            # shorter than n tokens -> zero grams, never flagged
+            (3, "too short"),
+            # verbatim copy: all grams hit
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           ngram_overlap_flags(docs, bench, "id", "text", n=4).collect()}
+    assert out[1]["n_grams"] == 6 and out[1]["n_hit"] == 1
+    assert out[1]["flagged"] is True
+    assert abs(out[1]["overlap_frac"] - 1 / 6) < 1e-9
+    assert out[2]["n_hit"] == 0 and out[2]["flagged"] is False
+    assert out[3]["n_grams"] == 0 and out[3]["flagged"] is False
+    assert abs(out[3]["overlap_frac"]) < 1e-9
+    # "the quick brown fox ... the lazy dog": 9 tokens -> 6 positions, all
+    # distinct -> 6 grams, all hits
+    assert out[4]["n_grams"] == 6 and out[4]["n_hit"] == 6
+    assert abs(out[4]["overlap_frac"] - 1.0) < 1e-9
+
+
+def test_ngram_overlap_threshold_gates_flag(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags)
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "id long, text string")
+    # 5 positions, 1 hit -> frac 0.2: flagged at 0.0, not at 0.5
+    lo = ngram_overlap_flags(docs, bench, "id", "text", n=4).collect()[0]
+    hi = ngram_overlap_flags(
+        docs, bench, "id", "text", n=4, threshold=0.5).collect()[0]
+    assert lo["flagged"] is True and hi["flagged"] is False
+
+
+def test_ngram_overlap_repeated_grams_counted_once(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags)
+    bench = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    # "a b c d a b c d a b c d": gram "a b c d" occurs repeatedly but is
+    # ONE distinct gram; distinct grams here: 4 ("a b c d","b c d a",
+    # "c d a b","d a b c"), 1 hit
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d a b c d")], "id long, text string")
+    r = ngram_overlap_flags(docs, bench, "id", "text", n=4).collect()[0]
+    assert r["n_grams"] == 4 and r["n_hit"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_lines_across_docs(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        dedup_lines_across_docs)
+    footer = "copyright acme corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{footer}\nbody of doc one"),
+            (2, f"doc two opening\n\n{footer}"),
+            (3, f"{footer}"),  # all-boilerplate doc
+            (4, "standalone document with no shared lines"),
+        ],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           dedup_lines_across_docs(docs, "id", "text").collect()}
+    assert out[1]["text_clean"] == "unique first line\nbody of doc one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    # empty line kept (formatting, not boilerplate)
+    assert out[2]["text_clean"] == "doc two opening\n"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == out[4]["text_clean"].strip()
+    assert out[4]["n_removed"] == 0
+
+
+def test_dedup_lines_trim_matching_and_min_doc_freq(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        dedup_lines_across_docs)
+    docs = spark.createDataFrame(
+        [
+            (1, "  shared line  \nkeep a"),
+            (2, "shared line\nkeep b"),
+            (3, "shared line\nkeep c"),
+        ],
+        "id long, text string")
+    # trimmed forms match across whitespace variants
+    out = {r["id"]: r for r in
+           dedup_lines_across_docs(docs, "id", "text").collect()}
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
+    # raising the threshold above the duplication level keeps everything
+    out3 = {r["id"]: r for r in dedup_lines_across_docs(
+        docs, "id", "text", min_doc_freq=4).collect()}
+    assert all(out3[i]["n_removed"] == 0 for i in (1, 2, 3))
+
+
+def test_dedup_lines_within_doc_repeat_not_cross_doc(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        dedup_lines_across_docs)
+    # a line repeated WITHIN one doc only is not cross-document
+    # boilerplate: countDistinct(doc) == 1 < min_doc_freq
+    docs = spark.createDataFrame(
+        [(1, "echo\necho\necho"), (2, "other text")], "id long, text string")
+    out = {r["id"]: r for r in
+           dedup_lines_across_docs(docs, "id", "text").collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == "echo\necho\necho"
