@@ -926,6 +926,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("community")))
     q["lpa_weighted_parts"] = lpa_weighted_parts
 
+    def lpa_modularity(spark, sf):
+        """Newman modularity of the 3-round LPA communities over the
+        same bounded co-purchase graph — the quality score that says
+        whether a community split is better than chance (Q = Σ l_c/m −
+        (d_c/2m)²). The scalar m is folded in-plan (broadcast 1-row
+        agg), so the whole score is one job. Oracle = the lpa_parts
+        CTE chain plus the same three community aggregates."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            label_propagation, modularity)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
+        asg = label_propagation(edges, iters=3)
+        return (modularity(edges, asg)
+                .select(F.col("community").cast("bigint")
+                        .alias("community"),
+                        "n_nodes", "l_in", "deg_sum",
+                        # + 0.0 folds IEEE -0.0 into +0.0 (a tiny
+                        # negative term rounds to -0.0 in DuckDB but
+                        # +0.0 here; -0.0 + 0.0 = +0.0 in both)
+                        (F.round("q_term", 6) + F.lit(0.0))
+                        .alias("q_term")))
+    q["lpa_modularity"] = lpa_modularity
+
     def bfs_parts(spark, sf):
         """Multi-source BFS hop distances from parts 0-4 over a bounded
         co-purchase graph: every node settled once at its minimum hop.
@@ -1838,6 +1860,51 @@ def oracle_sql() -> dict[str, str]:
             "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
             "       FROM c2) WHERE rk = 1)"
             "SELECT node AS part_id, lbl AS community FROM l2",
+        "lpa_modularity":
+            # lpa_parts CTE chain (3 rounds) + Newman modularity terms:
+            # l_c = intra edges, d_c = member degree sum, m = |E|
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"
+            "c1 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c1) WHERE rk = 1),"
+            "c2 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c2) WHERE rk = 1),"
+            "c3 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l2 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c3) WHERE rk = 1),"
+            "asg AS (SELECT node, lbl AS community FROM l3),"
+            "m AS (SELECT count(*) AS m FROM base),"
+            "intra AS (SELECT x.community AS community, count(*) AS l_in"
+            "  FROM base b JOIN asg x ON b.u = x.node"
+            "  JOIN asg y ON b.v = y.node"
+            "  WHERE x.community = y.community GROUP BY 1),"
+            "deg AS (SELECT x.community AS community, count(*) AS deg_sum"
+            "  FROM adj a JOIN asg x ON a.node = x.node GROUP BY 1),"
+            "nn AS (SELECT community, count(*) AS n_nodes FROM asg"
+            "  GROUP BY 1) "
+            "SELECT nn.community, nn.n_nodes,"
+            " coalesce(i.l_in, 0) AS l_in,"
+            " coalesce(d.deg_sum, 0) AS deg_sum,"
+            " round(coalesce(i.l_in, 0)::DOUBLE / m.m"
+            "  - pow(coalesce(d.deg_sum, 0)::DOUBLE / (2 * m.m), 2), 6)"
+            "  + 0.0 AS q_term"
+            " FROM nn CROSS JOIN m"
+            " LEFT JOIN intra i USING (community)"
+            " LEFT JOIN deg d USING (community)",
         "node_similarity_weighted_parts":
             "WITH base AS ("
             "  SELECT a.l_partkey AS u, b.l_partkey AS v,"

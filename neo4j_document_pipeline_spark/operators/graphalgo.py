@@ -795,3 +795,71 @@ def link_prediction(edges: DataFrame, min_common: int = 1,
                              F.col("d").alias("db")), "b")
             .select("a", "b", "common", "adamic_adar",
                     (F.col("da") * F.col("db")).alias("pref_attach")))
+
+
+def modularity(edges: DataFrame, assignment: DataFrame,
+               node_col: str = "id", community_col: str = "community",
+               weight_col: str | None = None) -> DataFrame:
+    """Newman modularity of a community assignment -> one row per
+    community: (community, n_nodes, l_in, deg_sum, q_term) with
+    Q = sum(q_term) = Σ_c [ l_c/m − (d_c/(2m))² ].
+
+    This is the quality score for ``label_propagation`` output (the
+    Neo4j GDS ``modularity`` analogue): l_c counts intra-community
+    edges, d_c sums member degrees, m is the total edge count — all on
+    the canonical undirected simple graph (``_undirected``: self-loops
+    dropped, orientations collapsed; with ``weight_col`` parallel
+    duplicates SUM and every count becomes a weight sum, the weighted
+    Newman form).
+
+    ``assignment`` must cover every node incident to an edge (LPA and
+    connected-components outputs do by construction — their ids come
+    from the edge set); edges whose endpoint is missing from the
+    assignment are inner-joined away, which would silently shrink m's
+    numerator terms, so don't feed partial assignments. Nodes assigned
+    but isolated contribute n_nodes only (q_term 0 via empty l/d).
+
+    Shape: two hash joins edge⋈assignment (community lookup per
+    endpoint — broadcast when the assignment is small, AQE decides),
+    three hash aggregates (intra by community, degree by community,
+    size by community), and the scalar m folded IN-PLAN as a broadcast
+    cross-join of a 1-row aggregate — zero driver actions, so the whole
+    score is one job at any scale.
+    """
+    und = _undirected(edges, weight_col)
+    if weight_col is not None:
+        wexpr, zero = F.sum("w"), F.lit(0.0)
+    else:
+        wexpr, zero = F.count("*").cast("long"), F.lit(0).cast("long")
+    asg = assignment.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.col(community_col).cast("string").alias("community"))
+    m1 = und.agg(wexpr.alias("m"))
+
+    a1 = asg.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    a2 = asg.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        und.join(a1, "u").join(a2, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(wexpr.alias("l_in"))
+    )
+    wcols = ["w"] if weight_col is not None else []
+    inc = und.select(F.col("u").alias("node"), *wcols).union(
+        und.select(F.col("v").alias("node"), *wcols))
+    deg = (inc.join(asg, "node")
+           .groupBy("community").agg(wexpr.alias("deg_sum")))
+    nn = asg.groupBy("community").agg(F.count("*").alias("n_nodes"))
+
+    out = (
+        nn.join(intra, "community", "left")
+        .join(deg, "community", "left")
+        .join(F.broadcast(m1), F.lit(True))
+    )
+    l_in = F.coalesce(F.col("l_in"), zero)
+    d_c = F.coalesce(F.col("deg_sum"), zero)
+    q = (l_in.cast("double") / F.col("m")
+         - F.pow(d_c.cast("double") / (2 * F.col("m")), F.lit(2.0)))
+    return out.select(
+        "community", "n_nodes", l_in.alias("l_in"), d_c.alias("deg_sum"),
+        q.alias("q_term"))

@@ -1239,3 +1239,110 @@ def test_cli_bounded_defaults(spark, tmp_path, capsys, monkeypatch):
           "--max-degree", "none"])
     capsys.readouterr()
     assert seen == [1000, None]
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def _brute_modularity(pairs, assign, weights=None):
+    """Pure-python Newman modularity terms on the canonical undirected
+    simple graph (dedupe unweighted, sum weighted duplicates)."""
+    agg = {}
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if weights is None:
+            agg[key] = 1.0
+        else:
+            agg[key] = agg.get(key, 0.0) + float(weights[i])
+    m = sum(agg.values())
+    l_in, deg = {}, {}
+    for (a, b), w in agg.items():
+        deg[a] = deg.get(a, 0.0) + w
+        deg[b] = deg.get(b, 0.0) + w
+        if assign[a] == assign[b]:
+            l_in[assign[a]] = l_in.get(assign[a], 0.0) + w
+    terms = {}
+    for c in set(assign.values()):
+        d_c = sum(w for n, w in deg.items() if assign[n] == c)
+        terms[c] = l_in.get(c, 0.0) / m - (d_c / (2 * m)) ** 2
+    return terms
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import modularity
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    assign = {"a": "A", "b": "A", "c": "A", "x": "B", "y": "B", "z": "B"}
+    adf = spark.createDataFrame(
+        list(assign.items()), "id string, community string")
+    out = {r["community"]: r for r in
+           modularity(_edges(spark, pairs), adf).collect()}
+    expect = _brute_modularity(pairs, assign)
+    assert set(out) == {"A", "B"}
+    for c in expect:
+        assert abs(out[c]["q_term"] - expect[c]) < 1e-9
+    assert out["A"]["n_nodes"] == 3 and out["A"]["l_in"] == 3
+    # c carries the bridge: deg_sum A = 2+2+3
+    assert out["A"]["deg_sum"] == 7
+    # natural split of two triangles scores positive total Q
+    assert sum(r["q_term"] for r in out.values()) > 0.3
+
+
+def test_modularity_singletons_and_one_block(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import modularity
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]
+    e = _edges(spark, pairs)
+    # every node its own community: Q = -sum((d/2m)^2) < 0
+    singles = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "id string, community string")
+    q1 = sum(r["q_term"] for r in modularity(e, singles).collect())
+    assert abs(q1 - (-1.0 / 3)) < 1e-9
+    # all nodes one community: l/m = 1 and (2m/2m)^2 = 1 -> Q = 0
+    one = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "c")], "id string, community string")
+    q2 = sum(r["q_term"] for r in modularity(e, one).collect())
+    assert abs(q2) < 1e-12
+
+
+def test_modularity_weighted_and_duplicate_sum(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import modularity
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")]
+    weights = [2.0, 1.0, 1.0, 4.0, 1.0]
+    assign = {"a": "L", "b": "L", "c": "R", "d": "R"}
+    e = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "u string, v string, w double")
+    adf = spark.createDataFrame(
+        list(assign.items()), "id string, community string")
+    out = {r["community"]: r for r in
+           modularity(e, adf, weight_col="w").collect()}
+    expect = _brute_modularity(pairs, assign, weights)
+    for c in expect:
+        assert abs(out[c]["q_term"] - expect[c]) < 1e-9
+    # reversed duplicate (a,b)+(b,a) summed to 3.0
+    assert abs(out["L"]["l_in"] - 3.0) < 1e-12
+
+
+def test_modularity_random_brute_parity(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        label_propagation, modularity)
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i}" for i in range(24)]
+    pairs = [(nodes[rng.randint(24)], nodes[rng.randint(24)])
+             for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    # assignment from the deterministic LPA so the composition the
+    # driver query runs (LPA -> modularity) is what's tested
+    asg_rows = label_propagation(e, iters=3).collect()
+    assign = {r["id"]: r["community"] for r in asg_rows}
+    out = {r["community"]: r for r in
+           modularity(e, spark.createDataFrame(
+               asg_rows, "id string, community string")).collect()}
+    expect = _brute_modularity(pairs, assign)
+    assert set(out) == set(expect)
+    for c in expect:
+        assert abs(out[c]["q_term"] - expect[c]) < 1e-9
