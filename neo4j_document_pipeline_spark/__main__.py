@@ -26,6 +26,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
     python -m neo4j_document_pipeline_spark sample --store <dir> --rate 0.25 [--salt v1]  # reproducible doc sample
     python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
+    python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
+    python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
 """
 
 from __future__ import annotations
@@ -106,7 +108,8 @@ def main(argv=None):
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
-        "kcore", "export", "sample", "shards"])
+        "kcore", "export", "sample", "shards", "attribution",
+        "dedup-stream"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -208,6 +211,32 @@ def main(argv=None):
                          "(train vs holdout)")
     ap.add_argument("--budget", type=int, default=4096,
                     help="shards: target tokens per shard")
+    ap.add_argument("--events", default=None,
+                    help="attribution/dedup-stream: parquet dir of events "
+                         "(event_id, event_type, user_id, ts, ...)")
+    ap.add_argument("--base-type", default="view",
+                    help="attribution: the earlier event type being "
+                         "attributed TO")
+    ap.add_argument("--trigger-type", default="click",
+                    help="attribution: the later event type being "
+                         "attributed")
+    ap.add_argument("--max-delay", default="10 minutes",
+                    help="attribution: pair a trigger with base events in "
+                         "the preceding window of this SQL interval")
+    ap.add_argument("--watermark", default=None,
+                    help="attribution/dedup-stream --streaming: how late "
+                         "events may arrive before their join/dedup state "
+                         "is released (defaults: attribution = --max-delay;"
+                         " dedup-stream = '1 hour')")
+    ap.add_argument("--keys", default="event_id",
+                    help="dedup-stream: comma-separated identity columns "
+                         "a re-delivered event repeats")
+    ap.add_argument("--streaming", action="store_true",
+                    help="attribution/dedup-stream: run as a Structured-"
+                         "Streaming availableNow drain over --events into "
+                         "--out (parquet, checkpointed: re-running "
+                         "processes only NEW files) instead of a one-shot "
+                         "batch read")
     ap.add_argument("--degrees", action="store_true",
                     help="stats: print the degree histogram / skew "
                          "diagnostic instead of the endpoint stats")
@@ -640,6 +669,82 @@ def main(argv=None):
                 .orderBy("shard_id").limit(ns.limit).collect())
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command in ("attribution", "dedup-stream"):
+        # the event-correlation surface over an events dir: attribution
+        # = stream-stream interval join (every trigger paired with each
+        # same-user base event in its preceding window); dedup-stream =
+        # exactly-once delivery from an at-least-once source. One code
+        # path serves both a one-shot batch read and a checkpointed
+        # availableNow drain (--streaming): the operators build the
+        # same plan on a static frame and a stream
+        from neo4j_document_pipeline_spark.streaming.ingest import (
+            attribution_pairs, dedup_event_stream)
+        if not ns.events:
+            sys.exit("--events <parquet dir> required for "
+                     f"{ns.command}")
+        import glob as _glob
+        import re as _re
+        if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", ns.events) \
+                and not _glob.glob(ns.events):
+            sys.exit(f"no such events path {ns.events!r}")
+        static = spark.read.parquet(ns.events)
+        if ns.streaming:
+            if not ns.out:
+                sys.exit("--streaming requires --out <dir> for the "
+                         "parquet sink")
+            if os.path.isfile(ns.events):
+                sys.exit("--streaming watches a DIRECTORY for new "
+                         f"files; {ns.events!r} is a single file "
+                         "(put it in a dir, or drop --streaming for "
+                         "a one-shot batch read)")
+            src = spark.readStream.schema(static.schema) \
+                .parquet(ns.events)
+        else:
+            src = static
+        if ns.command == "attribution":
+            need = {"event_id", "event_type", "user_id", "ts"}
+            if not need.issubset(static.columns):
+                sys.exit(f"--events must carry columns {sorted(need)} "
+                         f"(have {static.columns})")
+            # state is bounded by watermark + the join's time range;
+            # matches later than the watermark are DESIGNED to drop,
+            # so it defaults to the attribution window itself
+            out_df = attribution_pairs(
+                src, base_type=ns.base_type,
+                trigger_type=ns.trigger_type, max_delay=ns.max_delay,
+                watermark=(ns.watermark or ns.max_delay)
+                if ns.streaming else None)
+        else:
+            keys = [k for k in ns.keys.split(",") if k]
+            missing = [k for k in keys if k not in static.columns]
+            if not keys or missing:
+                sys.exit(f"--keys {ns.keys!r} not all events columns "
+                         f"(have {static.columns})")
+            out_df = dedup_event_stream(
+                src, keys=keys, watermark=ns.watermark or "1 hour")
+        if ns.streaming:
+            ckpt = ns.checkpoint or os.path.join(ns.out, "_checkpoint")
+            q = (out_df.writeStream.format("parquet")
+                 .option("path", ns.out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            print(json.dumps({ns.command: {
+                "out": ns.out, "checkpoint": ckpt,
+                "rows_total": spark.read.parquet(ns.out).count()}},
+                indent=1))
+        elif ns.command == "attribution":
+            print(json.dumps({"pairs": out_df.count()}))
+            for r in (out_df.orderBy("trig_ts", "trig_id", "base_id")
+                      .limit(ns.limit).collect()):
+                print(json.dumps(r.asDict(), default=str))
+        else:
+            print(json.dumps({"events_in": static.count(),
+                              "events_out": out_df.count()}))
+            for r in (out_df.orderBy("ts", *keys).limit(ns.limit)
+                      .collect()):
+                print(json.dumps(r.asDict(), default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

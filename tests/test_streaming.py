@@ -445,3 +445,89 @@ def test_streamed_store_serves_fresh_indexes(spark, tmp_path):
     rb = graphrag(spark, GraphStore(batch_root, spark),
                   "What did Al-Khwarizmi develop?")
     assert r.answer == rb.answer
+
+
+# ---------------------------------------------------------------------------
+# CLI surface: attribution / dedup-stream over an events dir
+# ---------------------------------------------------------------------------
+
+def test_cli_attribution_batch_matches_operator(spark, tmp_path, capsys):
+    """CLI batch mode prints the same pair set the operator computes."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        attribution_pairs)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    events.write.parquet(d)
+    main(["attribution", "--store", str(tmp_path / "kg"), "--events", d,
+          "--max-delay", "12 hours", "--limit", "500"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(lines[0])
+    rows = [json.loads(x) for x in lines[1:]]
+    expect = {(r["user_id"], r["trig_id"], r["base_id"]) for r in
+              attribution_pairs(events, max_delay="12 hours").collect()}
+    assert head["pairs"] == len(expect) > 0
+    assert {(r["user_id"], r["trig_id"], r["base_id"])
+            for r in rows} == expect
+
+
+def test_cli_dedup_stream_drain_checkpointed(spark, tmp_path, capsys):
+    """--streaming drains an events dir exactly-once: re-delivered rows
+    collapse, a rerun processes nothing new, and a file that arrives
+    later is picked up incrementally by the checkpoint."""
+    import datetime as dt
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    rows = [(i, t0 + dt.timedelta(minutes=i), i % 3, "view", 1.0)
+            for i in range(20)]
+    d, out = str(tmp_path / "ev"), str(tmp_path / "out")
+    # file 1 = originals, file 2 = at-least-once re-delivery of half
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1")
+    spark.createDataFrame(rows[:10], schema).coalesce(1) \
+        .write.parquet(f"{d}/f2")
+
+    def run():
+        main(["dedup-stream", "--store", str(tmp_path / "kg"),
+              "--events", d + "/*", "--streaming", "--out", out])
+        return json.loads(capsys.readouterr().out)["dedup-stream"]
+
+    assert run()["rows_total"] == 20
+    assert run()["rows_total"] == 20  # rerun: nothing new
+    fresh = [(100 + i, t0 + dt.timedelta(minutes=30 + i), 9, "view", 1.0)
+             for i in range(5)]
+    spark.createDataFrame(fresh, schema).coalesce(1) \
+        .write.parquet(f"{d}/f3")
+    assert run()["rows_total"] == 25  # new file drained incrementally
+
+
+def test_cli_event_commands_validate_inputs(spark, tmp_path):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    store = str(tmp_path / "kg")
+    with _pytest.raises(SystemExit, match="--events"):
+        main(["attribution", "--store", store])
+    with _pytest.raises(SystemExit, match="no such events path"):
+        main(["attribution", "--store", store, "--events",
+              str(tmp_path / "nope")])
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "ev")
+    events.limit(5).write.parquet(d)
+    with _pytest.raises(SystemExit, match="--keys"):
+        main(["dedup-stream", "--store", store, "--events", d,
+              "--keys", "not_a_column"])
+    with _pytest.raises(SystemExit, match="--out"):
+        main(["attribution", "--store", store, "--events", d,
+              "--streaming"])
+    f = d + "/" + [x for x in __import__("os").listdir(d)
+                   if x.endswith(".parquet")][0]
+    with _pytest.raises(SystemExit, match="DIRECTORY"):
+        main(["attribution", "--store", store, "--events", f,
+              "--streaming", "--out", str(tmp_path / "o")])
