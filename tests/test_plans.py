@@ -357,3 +357,50 @@ def test_analytics_joins_are_equi_joins(spark):
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_corpus_hygiene_plans(spark):
+    """decontamination: the benchmark gram set must BROADCAST (it is
+    small by nature — eval suites, not corpora) and nothing may plan as
+    a nested-loop/cartesian join; line dedup: both shuffles are hash
+    EQUI joins on the fixed-width sha2 line key."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        dedup_lines_across_docs, ngram_overlap_flags)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = ngram_overlap_flags(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", n=4)
+    p = plan_of(flags)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    p2 = plan_of(dedup_lines_across_docs(docs, "doc_id", "text"))
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
+
+
+def test_modularity_scalar_fold_is_only_nested_loop(spark):
+    """modularity folds the scalar m in-plan as a broadcast cross-join
+    of a ONE-ROW aggregate (zero driver actions) — that single bounded
+    BNLJ is intended; every data-sized join must stay hash/SMJ equi and
+    no CartesianProduct may appear."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        modularity)
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_orderkey") < 200)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").cast("string").alias("u"),
+                     F.col("b.l_partkey").cast("string").alias("v")))
+    asg = edges.select(F.col("u").alias("id")).union(
+        edges.select("v")).distinct() \
+        .select("id", F.substring("id", 1, 1).alias("community"))
+    # count on the physical-plan tree string: explain("formatted")
+    # prints every operator twice (tree line + detail block)
+    q = modularity(edges, asg)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in p
