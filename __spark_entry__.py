@@ -458,6 +458,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dup_trigram_frac"))
     q["doc_repetition"] = doc_repetition
 
+    # ---- corpus analytics: TF-IDF keyword extraction ----
+    def tfidf_top_terms(spark, sf):
+        """Top-3 TF-IDF terms per document (operators/corpus.py):
+        tf · ln(N/df) over the corpus's own vocabulary, ties ranked by
+        term ascending so the window is deterministic; N folded
+        in-plan as a broadcast 1-row aggregate."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            corpus_tfidf_top_terms)
+        return (corpus_tfidf_top_terms(
+            _t(spark, sf, "documents"), "doc_id", "text", k=3)
+            .select("doc_id", "term", "tf", "dfreq",
+                    F.round("score", 6).alias("score"), "rank"))
+    q["tfidf_top_terms"] = tfidf_top_terms
+
+    # ---- corpus analytics: unigram LM quality scores ----
+    def unigram_perplexity(spark, sf):
+        """Average per-token log-probability under the corpus's own
+        unigram distribution (operators/corpus.py) — the CCNet-shaped
+        perplexity-proxy quality filter; junk documents sort first."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            unigram_logprob_scores)
+        return (unigram_logprob_scores(
+            _t(spark, sf, "documents"), "doc_id", "text")
+            .select("doc_id", "n_tok",
+                    F.round("avg_logprob", 6).alias("avg_logprob")))
+    q["unigram_perplexity"] = unigram_perplexity
+
     # ---- corpus hygiene: benchmark decontamination ----
     def decontam_overlap(spark, sf):
         """GPT-3/PaLM-style decontamination flags: documents from
@@ -1441,6 +1468,35 @@ def oracle_sql() -> dict[str, str]:
             "  i -> array_to_string(toks[i:i+2], ' ')) AS g "
             f"  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks "
             "   FROM documents))",
+        "tfidf_top_terms":
+            "WITH d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM t "
+            "  GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq, "
+            "  tf.tf * ln(n.n_docs / dfreq.dfreq) AS score "
+            "  FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, term) AS rank FROM s) "
+            "SELECT doc_id, term, tf, dfreq, round(score, 6) AS score, "
+            "rank FROM r WHERE rank <= 3",
+        "unigram_perplexity":
+            "WITH d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+            "c AS (SELECT term, count(*) AS c FROM t GROUP BY 1), "
+            "tot AS (SELECT sum(c)::DOUBLE AS total FROM c), "
+            "lp AS (SELECT t.doc_id, ln(c.c / tot.total) AS lp "
+            "  FROM t JOIN c USING (term) CROSS JOIN tot), "
+            "agg AS (SELECT doc_id, count(*) AS n_tok, "
+            "  avg(lp) AS avg_logprob FROM lp GROUP BY 1) "
+            "SELECT b.doc_id, coalesce(a.n_tok, 0) AS n_tok, "
+            "round(a.avg_logprob, 6) AS avg_logprob "
+            "FROM (SELECT doc_id FROM documents) b "
+            "LEFT JOIN agg a USING (doc_id)",
         "decontam_overlap":
             # same tokenization, inclusive 4-gram slices toks[i:i+3],
             # per-doc DISTINCT grams, benchmark = source 'src0'

@@ -1,0 +1,104 @@
+"""Corpus-level text analytics — statistics that need the WHOLE corpus,
+not one document: TF-IDF keyword extraction and unigram language-model
+scoring (the perplexity-proxy quality filter; CCNet filters Common
+Crawl with a KenLM 5-gram the same way — the unigram form is the
+sandbox-honest version with the identical pipeline shape).
+
+Both share one scale skeleton: explode tokens (narrow), hash-aggregate
+counts, join docs to the corpus statistics, and fold every corpus-wide
+scalar (document count, token total) IN-PLAN as a broadcast one-row
+aggregate — zero driver actions, so each scorer is a single job at any
+scale. Tokenization is the engine's ``col_tokens`` so every number is
+plain-SQL reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+
+
+def corpus_tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document -> (id_col, term, tf, dfreq,
+    score, rank): the classic keyword-extraction / index-term primitive
+    (what a search head shows as "why this document matched" and a
+    training-data pipeline uses as cheap topic tags).
+
+    score = tf · ln(N / dfreq) with raw term counts, N = total docs and
+    dfreq = documents containing the term; ties rank by term ascending
+    so the output is deterministic and SQL-replayable. Documents with
+    no tokens yield no rows.
+
+    Shape: one (doc, term) hash aggregate, one term-level aggregate
+    joined back on the term (both near-uniform keys at corpus scale:
+    hot terms have high dfreq but one row each), N folded in-plan via a
+    broadcast 1-row aggregate, and the per-document top-k window — a
+    partition-local sort over each doc's distinct terms (bounded by
+    document length, never a global sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        df.select(F.col(id_col), F.explode(col_tokens(F.col(text_col)))
+                  .alias("term"))
+        .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n1 = df.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n1), F.lit(True))
+        .withColumn("score",
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "dfreq", "score", "rank")
+    )
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Average per-token log-probability of each document under the
+    corpus's own unigram distribution -> (id_col, n_tok, avg_logprob):
+    the perplexity-proxy quality filter (CCNet §4.3 shape). Documents
+    full of corpus-typical words score near the entropy ceiling;
+    gibberish, character noise, and wrong-language text score far
+    below it — sort ascending and the junk surfaces first. Empty
+    documents return n_tok 0 with NULL avg_logprob (no tokens means no
+    evidence, not evidence of quality).
+
+    p(w) = count(w) / total_tokens over the WHOLE corpus (every token
+    has p > 0 by construction — the vocabulary is the corpus's own, so
+    no smoothing is needed). avg_logprob = mean ln p(w) over the
+    document's tokens, counted WITH multiplicity.
+
+    Shape: token explode -> one corpus-level hash aggregate (word
+    counts, near-uniform after the head; the head words are single hot
+    ROWS, not hot partitions of a skewed join — the join back is on the
+    token string with per-doc fan-out bounded by document length) ->
+    total folded in-plan via a broadcast 1-row aggregate -> one hash
+    aggregate back to documents. Two shuffles total, zero driver
+    actions.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(col_tokens(F.col(text_col)))
+                     .alias("term"))
+    counts = (toks.filter(F.col("term").isNotNull())
+              .groupBy("term").agg(F.count("*").alias("c")))
+    tot = counts.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        toks.join(counts, "term", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .withColumn("lp", F.log(F.col("c") / F.col("total")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("lp").alias("n_tok"),
+             F.avg("lp").alias("avg_logprob"))
+    )

@@ -809,3 +809,113 @@ def test_dedup_lines_within_doc_repeat_not_cross_doc(spark):
     out = {r["id"]: r for r in
            dedup_lines_across_docs(docs, "id", "text").collect()}
     assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == "echo\necho\necho"
+
+
+# ---------------------------------------------------------------------------
+# corpus-level text analytics (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        corpus_tfidf_top_terms)
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+            (4, ""),  # empty: contributes to N, yields no rows
+        ],
+        "id long, text string")
+    out = corpus_tfidf_top_terms(docs, "id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert 4 not in by_doc
+    # doc 1: apple tf=2 df=1 -> 2*ln(4); banana tf=1 df=2 -> ln(2);
+    # common tf=1 df=3 -> ln(4/3): top2 = apple, banana
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["apple", "banana"]
+    assert abs(d1[0]["score"] - 2 * math.log(4)) < 1e-9
+    assert d1[0]["tf"] == 2 and d1[0]["dfreq"] == 1
+    # doc 3: cherry tf=3 df=2 -> 3*ln(2) tops common
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert d3[0]["term"] == "cherry"
+    assert abs(d3[0]["score"] - 3 * math.log(2)) < 1e-9
+
+
+def test_tfidf_top_terms_tie_breaks_by_term(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        corpus_tfidf_top_terms)
+    # both terms: tf=1, df=1 -> identical scores; rank must order by
+    # term ascending deterministically
+    docs = spark.createDataFrame(
+        [(1, "zebra alpha"), (2, "filler")], "id long, text string")
+    d1 = sorted((r for r in
+                 corpus_tfidf_top_terms(docs, "id", "text", k=2).collect()
+                 if r["id"] == 1), key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["alpha", "zebra"]
+
+
+def test_tfidf_brute_parity(spark):
+    import math
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        corpus_tfidf_top_terms)
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(vocab[rng.randint(12)] for _ in range(30)))
+            for i in range(20)]
+    out = corpus_tfidf_top_terms(
+        spark.createDataFrame(rows, "id long, text string"),
+        "id", "text", k=3).collect()
+    # brute
+    tfs, dfs = {}, {}
+    for i, text in rows:
+        seen = {}
+        for w in text.split():
+            seen[w] = seen.get(w, 0) + 1
+        tfs[i] = seen
+        for w in seen:
+            dfs[w] = dfs.get(w, 0) + 1
+    n = len(rows)
+    for i, _ in rows:
+        scored = sorted(
+            ((-tf * math.log(n / dfs[w]), w) for w, tf in tfs[i].items()))
+        expect = [w for _, w in scored[:3]]
+        got = [r["term"] for r in sorted(
+            (r for r in out if r["id"] == i), key=lambda r: r["rank"])]
+        assert got == expect, i
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        unigram_logprob_scores)
+    # corpus: a x3, b x1 -> p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a"), (3, "")], "id long, text string")
+    out = {r["id"]: r for r in
+           unigram_logprob_scores(docs, "id", "text").collect()}
+    pa, pb = math.log(3 / 4), math.log(1 / 4)
+    assert out[1]["n_tok"] == 3
+    assert abs(out[1]["avg_logprob"] - (2 * pa + pb) / 3) < 1e-9
+    assert abs(out[2]["avg_logprob"] - pa) < 1e-9
+    assert out[3]["n_tok"] == 0 and out[3]["avg_logprob"] is None
+
+
+def test_unigram_logprob_surfaces_gibberish(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        unigram_logprob_scores)
+    typical = "the data table joins the other data table by key"
+    rows = [(i, typical) for i in range(10)] + [
+        (99, "zxqv jkwp qqyz vvbn mmxr")]
+    out = {r["id"]: r["avg_logprob"] for r in unigram_logprob_scores(
+        spark.createDataFrame(rows, "id long, text string"),
+        "id", "text").collect()}
+    # the rare-token doc scores strictly below every typical doc
+    assert all(out[99] < out[i] for i in range(10))
