@@ -458,6 +458,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dup_trigram_frac"))
     q["doc_repetition"] = doc_repetition
 
+    # ---- temporal: as-of join (point-in-time lookup) ----
+    def asof_click_view(spark, sf):
+        """Every click joined to the same user's most recent view at or
+        before it (operators/temporal.py asof_join — the union +
+        running-window form: ONE shuffle, no range explosion, left
+        rows kept unmatched). Oracle is DuckDB's native ASOF LEFT
+        JOIN — the reference semantics, implemented independently."""
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            asof_join)
+        ev = _t(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view") \
+            .select(F.col("event_id").alias("view_id"), "user_id", "ts")
+        return (asof_join(clicks, views, "user_id", "ts")
+                # inner shape for the oracle: NULL timestamps from
+                # unmatched clicks round-trip as pandas NaT in the
+                # driver's canonicalizer; left-join semantics are
+                # pytest-covered (test_temporal)
+                .filter(F.col("view_id_r").isNotNull())
+                .select("event_id", "user_id", "ts",
+                        F.col("view_id_r").alias("view_id"),
+                        F.col("ts_r").alias("view_ts")))
+    q["asof_click_view"] = asof_click_view
+
     # ---- corpus analytics: TF-IDF keyword extraction ----
     def tfidf_top_terms(spark, sf):
         """Top-3 TF-IDF terms per document (operators/corpus.py):
@@ -1468,6 +1494,15 @@ def oracle_sql() -> dict[str, str]:
             "  i -> array_to_string(toks[i:i+2], ' ')) AS g "
             f"  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks "
             "   FROM documents))",
+        "asof_click_view":
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click'), "
+            "v AS (SELECT event_id AS view_id, user_id, ts FROM events "
+            "  WHERE event_type = 'view') "
+            "SELECT c.event_id, c.user_id, c.ts, "
+            "v.view_id, v.ts AS view_ts "
+            "FROM c ASOF JOIN v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts",
         "tfidf_top_terms":
             "WITH d AS (SELECT doc_id, "
             f"{_SQL_TOKENS} AS toks FROM documents), "

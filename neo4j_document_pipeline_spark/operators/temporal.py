@@ -1,0 +1,110 @@
+"""Temporal joins — the as-of join Spark's built-in operators lack.
+
+An as-of join attaches to every left row the single most recent right
+row at-or-before its timestamp (per key) — the point-in-time lookup of
+feature stores ("the user's profile as it was when the event fired"),
+market data (trade ⋈ latest quote), and slowly-changing dimensions.
+Spark has no native ASOF JOIN (DuckDB/Pandas do); the naive range-join
+encoding explodes to O(|L|·|R|) per key and plans as a nested loop.
+
+This implementation is the union + running-window form: tag both
+sides, union them, and take per key the last right payload seen in
+timestamp order — ONE shuffle, no range explosion, O((|L|+|R|) log p)
+work. The same shape handles forward as-of (next event at-or-after) by
+reversing the order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              key_cols: str | list[str], ts_col: str, *,
+              direction: str = "backward",
+              tolerance: str | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics on
+    DataFrames: every left row exactly once, joined to the single
+    right row with the largest right ts <= left ts (``backward``; ties
+    at equal ts match — inclusive, like DuckDB's ``l.ts >= r.ts``) or
+    the smallest right ts >= left ts (``forward``), per ``key_cols``.
+    Unmatched left rows keep NULL right columns (left-join semantics).
+
+    Output: all left columns, plus every non-key right column renamed
+    with ``suffix`` (the right timestamp becomes ``{ts_col}{suffix}``).
+    ``tolerance`` (a SQL interval, e.g. ``'2 hours'``) NULLs the match
+    when it is farther than that from the left timestamp — the pandas
+    ``merge_asof(tolerance=...)`` contract (the row survives; the
+    match doesn't).
+
+    Right rows with NULL timestamps are dropped (an unknown event time
+    can't be "most recent"); left rows with NULL timestamps survive
+    unmatched. NULL keys group together (SQL window semantics), so
+    null-keyed left rows match null-keyed right rows — pre-filter if
+    that's not wanted.
+
+    Scale shape: tag-and-union both sides, then ONE window per key in
+    (ts, side) order carrying the last non-null right payload — a
+    single hash shuffle of |L|+|R| rows and a per-key sort; never the
+    O(|L|·|R|) range-join explosion, never a nested-loop plan. Caveat:
+    a pathologically hot key serializes into one partition's sort (the
+    window's inherent skew); pre-split such keys by time bucket and
+    carry each bucket's last right row forward if one key dominates.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for c in keys + [ts_col]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"column {c!r} must exist on both sides "
+                             f"(left {left.columns}, right {right.columns})")
+    lpay_cols = [c for c in left.columns if c not in keys]
+    rpay_cols = [c for c in right.columns if c not in keys]
+    out_rename = {c: c + suffix for c in rpay_cols}
+    clash = [out_rename[c] for c in rpay_cols
+             if out_rename[c] in left.columns]
+    if clash:
+        raise ValueError(f"suffixed right columns collide with left "
+                         f"columns: {clash} (change suffix=)")
+
+    lstruct = left.select(F.struct(*lpay_cols).alias("s")) \
+        .schema["s"].dataType
+    rstruct = right.select(F.struct(*rpay_cols).alias("s")) \
+        .schema["s"].dataType
+    l2 = left.select(
+        *keys, F.col(ts_col).alias("_ats"), F.lit(1).alias("_is_left"),
+        F.struct(*lpay_cols).alias("_lpay"),
+        F.lit(None).cast(rstruct).alias("_rpay"))
+    r2 = right.filter(F.col(ts_col).isNotNull()).select(
+        *keys, F.col(ts_col).alias("_ats"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lstruct).alias("_lpay"),
+        F.struct(*rpay_cols).alias("_rpay"))
+
+    # backward: ascending ts — the running last right payload is the
+    # most recent at-or-before (right sorts before left at equal ts =>
+    # inclusive). forward: descending ts, same logic mirrored.
+    ts_order = F.col("_ats").asc_nulls_first() if direction == "backward" \
+        else F.col("_ats").desc_nulls_first()
+    w = (Window.partitionBy(*keys)
+         .orderBy(ts_order, F.col("_is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = l2.unionByName(r2).withColumn(
+        "_m", F.last("_rpay", ignorenulls=True).over(w))
+
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        m_ts = F.col("_m")[ts_col]
+        ok = (m_ts >= F.col("_ats") - bound) if direction == "backward" \
+            else (m_ts <= F.col("_ats") + bound)
+        u = u.withColumn("_m", F.when(ok, F.col("_m")))
+
+    return u.filter(F.col("_is_left") == 1).select(
+        *keys,
+        *[F.col("_lpay")[c].alias(c) for c in lpay_cols],
+        *[F.col("_m")[c].alias(out_rename[c]) for c in rpay_cols],
+    ).select(  # restore the caller's left column order
+        *[c for c in left.columns],
+        *[out_rename[c] for c in rpay_cols])

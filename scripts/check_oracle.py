@@ -40,6 +40,8 @@ def canon(v):
             return "NaN"
         return f"{round(v, 6):.6f}"
     if isinstance(v, (datetime.datetime,)):
+        if v != v:
+            return "NULL"  # pandas NaT (the .df() path's NULL timestamp)
         if hasattr(v, "to_pydatetime"):
             # pandas Timestamp raises on naive astimezone(); stdlib datetime
             # assumes local tz, which is what the fetchall path relied on

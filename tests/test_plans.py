@@ -404,3 +404,23 @@ def test_modularity_scalar_fold_is_only_nested_loop(spark):
     p = q._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in p
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """asof_join must plan as the union + running-window form (one
+    Exchange per side's shuffle into the window, a Window operator, no
+    join operator AT ALL) — the naive range-join encoding would appear
+    as BroadcastNestedLoopJoin and explode O(|L|x|R|) per key."""
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        asof_join)
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_id"), "user_id", "ts")
+    p = plan_of(asof_join(clicks, views, "user_id", "ts"))
+    assert "Window" in p
+    for op in ("BroadcastNestedLoopJoin", "CartesianProduct",
+               "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in p, op
