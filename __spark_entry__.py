@@ -484,6 +484,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("ts_r").alias("view_ts")))
     q["asof_click_view"] = asof_click_view
 
+    # ---- temporal: bucketized range join ----
+    def range_join_events(spark, sf):
+        """Every click inside the 2-hour window after a same-user
+        signup (operators/temporal.py range_join — intervals explode
+        into epoch buckets, the join is a hash EQUI join on
+        (user, bucket) with the exact range check as a post-filter;
+        a raw BETWEEN predicate would plan as a nested loop)."""
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            range_join)
+        ev = _t(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        spans = ev.filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("event_id").alias("span_id"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"))
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        return (range_join(clicks, spans, "user_id", ts_col="ts",
+                           start_col="t0", end_col="t1",
+                           bucket_seconds=1800)
+                .select("event_id", "user_id", "ts",
+                        F.col("span_id_r").alias("span_id")))
+    q["range_join_events"] = range_join_events
+
     # ---- corpus analytics: TF-IDF keyword extraction ----
     def tfidf_top_terms(spark, sf):
         """Top-3 TF-IDF terms per document (operators/corpus.py):
@@ -1503,6 +1527,15 @@ def oracle_sql() -> dict[str, str]:
             "v.view_id, v.ts AS view_ts "
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
+        "range_join_events":
+            "WITH s AS (SELECT user_id, event_id AS span_id, ts AS t0, "
+            "  ts + INTERVAL 2 HOUR AS t1 FROM events "
+            "  WHERE event_type = 'signup'), "
+            "c AS (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click') "
+            "SELECT c.event_id, c.user_id, c.ts, s.span_id "
+            "FROM c JOIN s ON c.user_id = s.user_id "
+            "AND c.ts >= s.t0 AND c.ts < s.t1",
         "tfidf_top_terms":
             "WITH d AS (SELECT doc_id, "
             f"{_SQL_TOKENS} AS toks FROM documents), "

@@ -108,3 +108,81 @@ def asof_join(left: DataFrame, right: DataFrame,
     ).select(  # restore the caller's left column order
         *[c for c in left.columns],
         *[out_rename[c] for c in rpay_cols])
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               key_cols: str | list[str] | None, *,
+               ts_col: str, start_col: str, end_col: str,
+               bucket_seconds: int = 3600,
+               max_buckets_per_interval: int = 4096,
+               suffix: str = "_r") -> DataFrame:
+    """Interval-containment join: every point row paired with every
+    interval row (same ``key_cols``, if given) whose half-open range
+    ``[start_col, end_col)`` contains ``ts_col`` — campaign windows ⋈
+    events, maintenance windows ⋈ alerts, validity ranges ⋈ readings.
+
+    Spark plans a raw BETWEEN predicate as a nested loop (O(|P|·|I|)
+    per key); this is the BUCKETIZED form (the same trick as
+    Databricks' range-join bins): each interval explodes into the
+    ``bucket_seconds``-wide epoch buckets it covers, each point maps
+    to its single bucket, and the join is a hash EQUI join on
+    (keys…, bucket) with the exact range check as a post-filter. Each
+    qualifying pair matches in exactly one bucket (the point's), so no
+    dedup pass is needed.
+
+    Cost scales with interval_length / bucket_seconds — pick a bucket
+    near the typical interval length (candidate fan-out ≈ 2×|I| then).
+    An interval spanning more than ``max_buckets_per_interval`` buckets
+    raises in-plan (assert_true): a mis-set bucket against month-long
+    intervals silently exploding 10^5× is the failure mode this guards.
+    Degenerate intervals (``end <= start``) match nothing; NULL
+    endpoints or timestamps match nothing.
+
+    Output: all point columns, then every non-key interval column
+    renamed with ``suffix``.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    keys = [] if key_cols is None else (
+        [key_cols] if isinstance(key_cols, str) else list(key_cols))
+    for c in keys:
+        if c not in points.columns or c not in intervals.columns:
+            raise ValueError(f"key {c!r} must exist on both sides")
+    ipay = [c for c in intervals.columns if c not in keys]
+    rename = {c: c + suffix for c in ipay}
+    clash = [rename[c] for c in ipay if rename[c] in points.columns]
+    if clash:
+        raise ValueError(f"suffixed interval columns collide with point "
+                         f"columns: {clash} (change suffix=)")
+    bus = int(bucket_seconds) * 1_000_000
+
+    b0 = F.floor(F.unix_micros(F.col(start_col)) / bus)
+    # end is EXCLUSIVE: the last covered microsecond is end - 1
+    b1 = F.floor((F.unix_micros(F.col(end_col)) - 1) / bus)
+    n_b = b1 - b0 + 1
+    # the guard must be LOAD-BEARING (folded into the bucket arithmetic)
+    # or Catalyst column-prunes it away: assert_true yields NULL when the
+    # bound holds, so coalesce(assert, 0) is an add-zero that raises on
+    # oversized intervals
+    guard = F.coalesce(
+        F.assert_true(
+            n_b <= max_buckets_per_interval,
+            "range_join: an interval spans more than "
+            f"{max_buckets_per_interval} buckets of {bucket_seconds}s "
+            "— raise bucket_seconds or max_buckets_per_interval",
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"))
+    iv = (
+        intervals
+        .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+                & (F.col(end_col) > F.col(start_col)))
+        .withColumn("_b", F.explode(F.sequence(b0 + guard, b1)))
+        .select(*keys, "_b",
+                *[F.col(c).alias(rename[c]) for c in ipay])
+    )
+    pt = points.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts_col)) / bus))
+    out = pt.join(iv, keys + ["_b"]).filter(
+        (F.col(ts_col) >= F.col(rename[start_col]))
+        & (F.col(ts_col) < F.col(rename[end_col])))
+    return out.select(*points.columns, *[rename[c] for c in ipay])

@@ -424,3 +424,26 @@ def test_asof_join_is_window_not_range_join(spark):
     for op in ("BroadcastNestedLoopJoin", "CartesianProduct",
                "SortMergeJoin", "BroadcastHashJoin"):
         assert op not in p, op
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """range_join must plan as a hash/SMJ EQUI join on (key, bucket)
+    with the range check as a post-filter — a raw BETWEEN predicate
+    would be a BroadcastNestedLoopJoin holding both sides whole."""
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        range_join)
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    spans = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("span_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    p = plan_of(range_join(clicks, spans, "user_id", ts_col="ts",
+                           start_col="t0", end_col="t1",
+                           bucket_seconds=1800))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)

@@ -99,3 +99,82 @@ def test_asof_pandas_merge_asof_parity(spark):
         expect = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
                   for r in expect_df.itertuples()}
         assert got == expect, (direction, tol)
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+def _brute_range(points, intervals, with_key=True):
+    out = set()
+    for p in points:
+        for iv in intervals:
+            if with_key and p[0] != iv[0]:
+                continue
+            if iv[-2] is None or iv[-1] is None or p[-1] is None:
+                continue
+            if iv[-2] <= p[-1] < iv[-1]:
+                out.add((p[1], iv[1]))
+    return out
+
+
+def test_range_join_brute_parity(spark):
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        range_join)
+    rng = np.random.RandomState(5)
+    points = [(int(rng.randint(3)), i, _ts(int(rng.randint(300))))
+              for i in range(60)]
+    ivs = []
+    for i in range(25):
+        s = int(rng.randint(300))
+        ivs.append((int(rng.randint(3)), 100 + i, _ts(s),
+                    _ts(s + int(rng.randint(90)))))
+    p_df = spark.createDataFrame(points, "k long, pid long, ts timestamp")
+    i_df = spark.createDataFrame(
+        ivs, "k long, iid long, t0 timestamp, t1 timestamp")
+    for bucket in (60, 600, 3600, 7 * 3600):
+        got = {(r["pid"], r["iid_r"]) for r in range_join(
+            p_df, i_df, "k", ts_col="ts", start_col="t0", end_col="t1",
+            bucket_seconds=bucket).collect()}
+        assert got == _brute_range(points, ivs), bucket
+    # key-less variant: every containing interval regardless of k
+    got = {(r["pid"], r["iid_r"]) for r in range_join(
+        p_df, i_df, None, ts_col="ts", start_col="t0", end_col="t1",
+        bucket_seconds=600).collect()}
+    expect = _brute_range([(None, p, t) for _, p, t in points],
+                          [(None, i, a, b) for _, i, a, b in ivs],
+                          with_key=False)
+    assert got == expect
+
+
+def test_range_join_half_open_and_degenerate(spark):
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        range_join)
+    p_df = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 2, _ts(10)), (1, 3, _ts(5))],
+        "k long, pid long, ts timestamp")
+    i_df = spark.createDataFrame(
+        [(1, 100, _ts(0), _ts(10)),    # [0,10): contains 0 and 5, not 10
+         (1, 101, _ts(3), _ts(3)),     # empty
+         (1, 102, None, _ts(9))],      # null start
+        "k long, iid long, t0 timestamp, t1 timestamp")
+    got = {(r["pid"], r["iid_r"]) for r in range_join(
+        p_df, i_df, "k", ts_col="ts", start_col="t0", end_col="t1",
+        bucket_seconds=60).collect()}
+    assert got == {(1, 100), (3, 100)}
+
+
+def test_range_join_bucket_guard_raises(spark):
+    import pyspark.errors
+
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        range_join)
+    p_df = spark.createDataFrame([(1, 1, _ts(0))],
+                                 "k long, pid long, ts timestamp")
+    i_df = spark.createDataFrame(
+        [(1, 9, _ts(0), _ts(10000))], "k long, iid long, t0 timestamp, "
+        "t1 timestamp")
+    with pytest.raises(Exception, match="range_join"):
+        range_join(p_df, i_df, "k", ts_col="ts", start_col="t0",
+                   end_col="t1", bucket_seconds=1,
+                   max_buckets_per_interval=100).collect()
