@@ -508,6 +508,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("span_id_r").alias("span_id")))
     q["range_join_events"] = range_join_events
 
+    # ---- temporal: hypertable-style rollup ----
+    def event_rollup(spark, sf):
+        """Multi-resolution tumbling aggregates (1h/6h/1d) where each
+        coarser level re-aggregates the next finer level's buckets —
+        the TimescaleDB continuous-aggregate shape (raw events scanned
+        once; a day bucket sums 24 hour-rows). Oracle recomputes every
+        level directly from raw events, proving the hierarchical
+        re-aggregation is lossless."""
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            time_rollup)
+        ev = _t(spark, sf, "events")
+        return (time_rollup(ev, "ts", "value",
+                            levels=["1 hour", "6 hours", "1 day"],
+                            group_cols="event_type")
+                .select("level", "bucket_start", "event_type", "n",
+                        F.round("v_sum", 4).alias("v_sum")))
+    q["event_rollup"] = event_rollup
+
     # ---- corpus analytics: TF-IDF keyword extraction ----
     def tfidf_top_terms(spark, sf):
         """Top-3 TF-IDF terms per document (operators/corpus.py):
@@ -1527,6 +1545,21 @@ def oracle_sql() -> dict[str, str]:
             "v.view_id, v.ts AS view_ts "
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
+        "event_rollup":
+            # each level aggregated DIRECTLY from raw events (epoch-
+            # aligned buckets, like Spark window()): equality proves
+            # the engine's fine->coarse re-aggregation is lossless
+            "SELECT '1 hour' AS level, to_timestamp(floor(epoch(ts) / "
+            "3600) * 3600) AS bucket_start, event_type, count(*) AS n, "
+            "round(sum(value), 4) AS v_sum FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT '6 hours', to_timestamp(floor(epoch(ts) / 21600) * "
+            "21600), event_type, count(*), round(sum(value), 4) "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT '1 day', to_timestamp(floor(epoch(ts) / 86400) * "
+            "86400), event_type, count(*), round(sum(value), 4) "
+            "FROM events GROUP BY 2, 3",
         "range_join_events":
             "WITH s AS (SELECT user_id, event_id AS span_id, ts AS t0, "
             "  ts + INTERVAL 2 HOUR AS t1 FROM events "

@@ -186,3 +186,75 @@ def range_join(points: DataFrame, intervals: DataFrame,
         (F.col(ts_col) >= F.col(rename[start_col]))
         & (F.col(ts_col) < F.col(rename[end_col])))
     return out.select(*points.columns, *[rename[c] for c in ipay])
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(s: str) -> int:
+    parts = s.strip().lower().split()
+    if len(parts) != 2 or not parts[0].isdigit() or \
+            parts[1] not in _UNIT_SECONDS:
+        raise ValueError(
+            f"duration must look like '5 minutes' / '1 hour', got {s!r}")
+    return int(parts[0]) * _UNIT_SECONDS[parts[1]]
+
+
+def time_rollup(events: DataFrame, ts_col: str, value_col: str,
+                levels: list[str] | tuple[str, ...] = (
+                    "1 hour", "6 hours", "1 day"),
+                group_cols: str | list[str] | None = None) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: tumbling-window
+    counts/sums at every resolution in ``levels``, where each COARSER
+    level re-aggregates the next finer level's buckets instead of
+    rescanning the raw events — the TimescaleDB hierarchical
+    continuous-aggregate shape. Raw data is touched exactly once (the
+    finest level); a day bucket then sums 24 hour-rows, not 10^9
+    events, which is what makes multi-resolution dashboards and
+    incremental refresh viable at 100 TB (refresh the finest level for
+    the new time range, and the coarser levels refresh from O(buckets)
+    rows).
+
+    Every level must be an integer multiple of the finest level (so
+    fine buckets nest exactly into coarse ones — validated loudly);
+    buckets align to the 1970 epoch (Spark ``window()`` semantics).
+    Returns (level, bucket_start, *group_cols, n, v_sum) for all
+    levels unioned, counts/sums over ``value_col`` (NULL values count
+    toward ``n`` but not ``v_sum`` — plain SQL SUM semantics).
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    secs = [_duration_seconds(lv) for lv in levels]
+    order = sorted(range(len(levels)), key=lambda i: secs[i])
+    finest = secs[order[0]]
+    for i in order[1:]:
+        if secs[i] % finest:
+            raise ValueError(
+                f"level {levels[i]!r} is not a multiple of the finest "
+                f"level {levels[order[0]]!r} — buckets would not nest")
+    groups = [] if group_cols is None else (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols))
+
+    ev = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    fine = (
+        ev.groupBy(F.window("_ts", levels[order[0]]).alias("_w"), *groups)
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("v_sum"))
+        .select(F.col("_w.start").alias("bucket_start"), *groups,
+                "n", "v_sum")
+    )
+    out = fine.withColumn("level", F.lit(levels[order[0]]))
+    for i in order[1:]:
+        coarse = (
+            fine.groupBy(F.window("bucket_start", levels[i]).alias("_w"),
+                         *groups)
+            .agg(F.sum("n").alias("n"), F.sum("v_sum").alias("v_sum"))
+            .select(F.col("_w.start").alias("bucket_start"), *groups,
+                    "n", "v_sum")
+            .withColumn("level", F.lit(levels[i]))
+        )
+        out = out.unionByName(coarse)
+    return out.select("level", "bucket_start", *groups, "n", "v_sum")

@@ -178,3 +178,51 @@ def test_range_join_bucket_guard_raises(spark):
         range_join(p_df, i_df, "k", ts_col="ts", start_col="t0",
                    end_col="t1", bucket_seconds=1,
                    max_buckets_per_interval=100).collect()
+
+
+# ---------------------------------------------------------------------------
+# hypertable rollup
+# ---------------------------------------------------------------------------
+
+def test_time_rollup_matches_direct_aggregation(spark):
+    """Coarse levels re-aggregate fine buckets; the numbers must equal
+    aggregating raw events directly at every resolution."""
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        time_rollup)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = time_rollup(ev, "ts", "value",
+                      levels=["1 hour", "6 hours", "1 day"],
+                      group_cols="event_type").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], {})[
+            (r["bucket_start"], r["event_type"])] = (r["n"], r["v_sum"])
+    for level, secs in [("1 hour", 3600), ("6 hours", 21600),
+                        ("1 day", 86400)]:
+        direct = {
+            (r["b"], r["event_type"]): (r["n"], r["v"])
+            for r in ev.withColumn("t", F.col("ts").cast("timestamp"))
+            .groupBy(F.timestamp_seconds(
+                F.floor(F.unix_timestamp("t") / secs) * secs).alias("b"),
+                "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .collect()}
+        got = by_level[level]
+        assert set(got) == set(direct), level
+        for k in direct:
+            assert got[k][0] == direct[k][0], (level, k)
+            assert abs(got[k][1] - direct[k][1]) < 1e-6, (level, k)
+
+
+def test_time_rollup_validates_levels(spark):
+    from neo4j_document_pipeline_spark.operators.temporal import (
+        time_rollup)
+    ev = spark.createDataFrame([(T0, 1.0)], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="multiple"):
+        time_rollup(ev, "ts", "value", levels=["1 hour", "90 minutes"])
+    with pytest.raises(ValueError, match="duration"):
+        time_rollup(ev, "ts", "value", levels=["fortnight"])
+    with pytest.raises(ValueError, match="non-empty"):
+        time_rollup(ev, "ts", "value", levels=[])
