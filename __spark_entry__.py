@@ -508,6 +508,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("span_id_r").alias("span_id")))
     q["range_join_events"] = range_join_events
 
+    # ---- sketches: KMV distinct-count ----
+    def kmv_user_sketch(spark, sf):
+        """Mergeable KMV (bottom-k) distinct-user sketch per event
+        type, k=32, beside the exact count (operators/sketches.py).
+        The sketch is a pure deterministic function of the data (the
+        engine's sha256 uniform hash), so the oracle reproduces the
+        estimate bit-for-bit — at sf0.001 (15 users < k) the exact
+        path fires, at sf0.01 (150 users) the (k-1)/h_k estimator."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            kmv_sketch)
+        ev = _t(spark, sf, "events")
+        sk = kmv_sketch(ev, "event_type", "user_id", k=32)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact"))
+        return (sk.join(exact, "event_type")
+                .select("event_type", "n_min",
+                        F.round("estimate", 4).alias("estimate"),
+                        "exact"))
+    q["kmv_user_sketch"] = kmv_user_sketch
+
     # ---- temporal: hypertable-style rollup ----
     def event_rollup(spark, sf):
         """Multi-resolution tumbling aggregates (1h/6h/1d) where each
@@ -1545,6 +1565,24 @@ def oracle_sql() -> dict[str, str]:
             "v.view_id, v.ts AS view_ts "
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
+        "kmv_user_sketch":
+            # the IDENTICAL deterministic bottom-k construction: first
+            # 8 hex digits of sha256('v1:'||user_id) over 2^32, k
+            # smallest per group, (k-1)/h_k above k, exact below
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "  ('0x' || substr(sha256('v1:' || user_id), 1, 8))::UBIGINT"
+            "  / 4294967296.0 AS u FROM events "
+            "  WHERE user_id IS NOT NULL), "
+            "r AS (SELECT event_type, u, row_number() OVER ("
+            "  PARTITION BY event_type ORDER BY u) AS rn FROM h), "
+            "kk AS (SELECT event_type, count(*) AS n_min, max(u) AS kth"
+            "  FROM r WHERE rn <= 32 GROUP BY 1), "
+            "ex AS (SELECT event_type, count(DISTINCT user_id) AS exact"
+            "  FROM events GROUP BY 1) "
+            "SELECT kk.event_type, kk.n_min, "
+            "round(CASE WHEN kk.n_min < 32 THEN kk.n_min::DOUBLE "
+            "ELSE 31.0 / kk.kth END, 4) AS estimate, ex.exact "
+            "FROM kk JOIN ex USING (event_type)",
         "event_rollup":
             # each level aggregated DIRECTLY from raw events (epoch-
             # aligned buckets, like Spark window()): equality proves

@@ -1,0 +1,95 @@
+"""Mergeable distinct-count sketches — KMV (k-minimum values).
+
+The KMV / bottom-k sketch estimates a group's distinct count from the
+k smallest hash values it has ever seen: if k uniform draws occupy
+[0, h_k], there are ≈ (k-1)/h_k distinct values in total. Its defining
+property is MERGEABILITY — union the two bottom-k sets, keep the k
+smallest again — which is what lets a 1000-executor cluster sketch each
+partition independently and combine results without a global distinct
+(Bar-Yossef et al. 2002, the construction theta sketches generalize).
+
+Unlike library HLL implementations, this sketch is a pure DETERMINISTIC
+function of the data (the engine's sha256 uniform hash,
+``sampling.uniform_hash_col``), so the same sketch is produced on any
+partitioning, cluster size, or engine — a plain-SQL oracle reproduces
+it bit-for-bit, and two teams sketching the same table can compare
+sketches byte-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.operators.sampling import (
+    uniform_hash_col,
+)
+
+
+def _finish(agg: DataFrame, k: int) -> DataFrame:
+    est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.element_at("sketch", -1))
+    return agg.withColumn("estimate", est)
+
+
+def kmv_sketch(df: DataFrame, group_cols: str | list[str],
+               value_col: str, k: int = 64,
+               salt: str = "v1") -> DataFrame:
+    """Per-group KMV distinct-count sketch -> (group_cols…, sketch =
+    ascending array of the k smallest normalized hashes, n_min =
+    len(sketch), estimate). Fewer than k distinct values makes the
+    sketch exhaustive and the estimate EXACT (= n_min); at k or more
+    the estimate is (k-1)/h_k with relative error ≈ 1/sqrt(k-2).
+
+    NULL values are ignored (SQL COUNT DISTINCT semantics). ``salt``
+    keys the hash — sketches are only comparable/mergeable under the
+    same salt and k.
+
+    Shape: distinct (group, hash) — one hash aggregate — then a
+    per-group window keeping ranks <= k and one collect into the
+    bounded array. The window sorts each group's distinct hashes; for
+    extreme per-group cardinality swap it for a partial bottom-k
+    aggregate (merge per-partition sketches with ``kmv_merge`` — the
+    sketch is mergeable precisely so that works) without changing any
+    output bit.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    h = (df.filter(F.col(value_col).isNotNull())
+         .select(*groups, uniform_hash_col(value_col, salt).alias("u"))
+         .distinct())
+    w = Window.partitionBy(*groups).orderBy("u")
+    agg = (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("u")).alias("sketch"),
+             F.count("*").alias("n_min"))
+    )
+    return _finish(agg, k)
+
+
+def kmv_merge(sketches: DataFrame, group_cols: str | list[str],
+              k: int) -> DataFrame:
+    """Merge KMV sketches (same salt, same k): union the hash sets per
+    group, keep the k smallest again, re-derive the estimate. By
+    construction ``kmv_merge(sketch(A) ∪ sketch(B)) == sketch(A ∪ B)``
+    bit-for-bit — the distributive property that lets sketches roll up
+    across partitions, days, or tables without touching raw data."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    h = (sketches.select(*groups, F.explode("sketch").alias("u"))
+         .distinct())
+    w = Window.partitionBy(*groups).orderBy("u")
+    agg = (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("u")).alias("sketch"),
+             F.count("*").alias("n_min"))
+    )
+    return _finish(agg, k)
