@@ -508,6 +508,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("span_id_r").alias("span_id")))
     q["range_join_events"] = range_join_events
 
+    # ---- corpus hygiene: PII scrubbing ----
+    def pii_redaction(spark, sf):
+        """Deterministic PII is injected per doc (email, IPv4, phone
+        built from doc_id), then counted and scrubbed with the engine's
+        Java/RE2-compatible patterns (functions/textstats.py
+        col_redact_pii) — the pre-training scrub pass; the oracle runs
+        the IDENTICAL regexes in DuckDB."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_pii_count, col_redact_pii)
+        d = _t(spark, sf, "documents")
+        synth = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 192.168."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel +60 12-345 67"),
+            F.lpad((F.col("doc_id") % 90).cast("string"), 2, "0"),
+            F.lit("89"))
+        return d.select(
+            "doc_id",
+            col_pii_count(synth, "email").alias("n_email"),
+            col_pii_count(synth, "ipv4").alias("n_ipv4"),
+            col_pii_count(synth, "phone").alias("n_phone"),
+            col_redact_pii(synth).alias("redacted"))
+    q["pii_redaction"] = pii_redaction
+
     # ---- sketches: KMV distinct-count ----
     def kmv_user_sketch(spark, sf):
         """Mergeable KMV (bottom-k) distinct-user sketch per event
@@ -1221,6 +1247,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql()
 # ---------------------------------------------------------------------------
 
+def _pii_redaction_sql() -> str:
+    """Built from the ENGINE's PII_PATTERNS so oracle and operator
+    cannot drift (the patterns are Java/RE2-compatible by contract)."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        PII_PATTERNS)
+    em, em_r = PII_PATTERNS["email"]
+    ip, ip_r = PII_PATTERNS["ipv4"]
+    ph, ph_r = PII_PATTERNS["phone"]
+    return (
+        "WITH s AS (SELECT doc_id, text || ' contact user' || "
+        "doc_id::VARCHAR || '@example.com from 192.168.' || "
+        "(doc_id % 200)::VARCHAR || '.7 tel +60 12-345 67' || "
+        "lpad((doc_id % 90)::VARCHAR, 2, '0') || '89' AS t "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{em}')) AS n_email, "
+        f"len(regexp_extract_all(t, '{ip}')) AS n_ipv4, "
+        f"len(regexp_extract_all(t, '{ph}')) AS n_phone, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{em}', '{em_r}', 'g'), '{ip}', '{ip_r}', 'g'), "
+        f"'{ph}', '{ph_r}', 'g') AS redacted FROM s")
+
+
 def oracle_sql() -> dict[str, str]:
     num_case = " ".join(
         f"WHEN '{w}' THEN '{d}'" for w, d in [
@@ -1565,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
             "v.view_id, v.ts AS view_ts "
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
+        "pii_redaction": _pii_redaction_sql(),
         "kmv_user_sketch":
             # the IDENTICAL deterministic bottom-k construction: first
             # 8 hex digits of sha256('v1:'||user_id) over 2^32, k

@@ -176,3 +176,44 @@ def col_normalize_url(c: Column) -> Column:
     # trailing slash on a bare path (no query)
     u = F.regexp_replace(u, r"^([^?]*[^/?])/$", "$1")
     return u
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB/Go tooling): no lookaround, no backrefs,
+# ASCII \d / \b only — so a plain-SQL oracle reproduces the scrub
+# byte-for-byte and the same config ships to any engine.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "[EMAIL]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IPV4]"),
+    # conservative: 9-16 chars of digits/space/hyphen with an optional
+    # leading +, anchored on digits at both ends — long enough to skip
+    # years/quantities, loose enough for international formats
+    "phone": (r"\+?\d[\d\- ]{7,14}\d", "[PHONE]"),
+}
+_PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def col_pii_count(c: Column, kind: str) -> Column:
+    """Occurrences of one PII kind in the raw text."""
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind][0]), 0))
+
+
+def col_redact_pii(c: Column, kinds: list[str] | None = None) -> Column:
+    """Replace every PII match with its bracket token — the scrub pass
+    every published web-text pipeline runs before training (emails,
+    IPs, phone numbers must not be memorized). Kinds apply in the
+    fixed order email -> ipv4 -> phone so overlapping matches resolve
+    identically everywhere; earlier replacements leave no digits, so
+    later patterns can't re-match inside a token."""
+    out = c
+    for k in (kinds or _PII_ORDER):
+        if k not in PII_PATTERNS:
+            raise ValueError(
+                f"unknown PII kind {k!r} (have {list(PII_PATTERNS)})")
+        pat, repl = PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, repl.replace("$", r"\$"))
+    return out

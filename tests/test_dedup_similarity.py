@@ -919,3 +919,42 @@ def test_unigram_logprob_surfaces_gibberish(spark):
         "id", "text").collect()}
     # the rare-token doc scores strictly below every typical doc
     assert all(out[99] < out[i] for i in range(10))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_redaction_known_values(spark):
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_pii_count, col_redact_pii)
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk now"),
+            (2, "server at 10.0.255.3 and 192.168.1.1, version 1.2"),
+            (3, "call +60 12-345 6789 or 0123456789 today"),
+            (4, "year 2024 and price 1234 stay untouched"),
+            (5, "mixed: x@y.io from 8.8.8.8 tel +1 555-123-4567"),
+        ],
+        "id long, text string")
+    out = {r["id"]: r for r in docs.select(
+        "id", col_redact_pii(F.col("text")).alias("red"),
+        col_pii_count(F.col("text"), "email").alias("ne"),
+        col_pii_count(F.col("text"), "ipv4").alias("ni"),
+        col_pii_count(F.col("text"), "phone").alias("np")).collect()}
+    assert out[1]["red"] == "mail [EMAIL] now" and out[1]["ne"] == 1
+    assert out[2]["red"] == "server at [IPV4] and [IPV4], version 1.2"
+    assert out[2]["ni"] == 2
+    assert out[3]["red"] == "call [PHONE] or [PHONE] today"
+    assert out[3]["np"] == 2
+    assert out[4]["red"] == "year 2024 and price 1234 stay untouched"
+    assert out[5]["red"] == "mixed: [EMAIL] from [IPV4] tel [PHONE]"
+
+
+def test_pii_redaction_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_redact_pii)
+    with _pytest.raises(ValueError, match="unknown PII kind"):
+        col_redact_pii(F.lit("x"), kinds=["ssn"])
