@@ -534,6 +534,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             col_redact_pii(synth).alias("redacted"))
     q["pii_redaction"] = pii_redaction
 
+    # ---- events: first-touch funnel ----
+    def funnel_view_click_purchase(spark, sf):
+        """view → click → purchase conversion curve inside a 48-hour
+        window anchored at each user's first view (operators/funnel.py
+        — one co-partitioned join+agg per step, greedy-earliest
+        first-touch semantics, exactly SQL-replayable)."""
+        from neo4j_document_pipeline_spark.operators.funnel import (
+            funnel_counts)
+        return funnel_counts(
+            _t(spark, sf, "events"), ["view", "click", "purchase"],
+            within="48 hours")
+    q["funnel_view_click_purchase"] = funnel_view_click_purchase
+
     # ---- sketches: KMV distinct-count ----
     def kmv_user_sketch(spark, sf):
         """Mergeable KMV (bottom-k) distinct-user sketch per event
@@ -1615,6 +1628,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
         "pii_redaction": _pii_redaction_sql(),
+        "funnel_view_click_purchase":
+            # greedy-earliest first-touch chain: step k = min ts
+            # strictly after step k-1, all inside t1 + 48h
+            "WITH e AS (SELECT user_id u, event_type k, ts "
+            "  FROM events), "
+            "s1 AS (SELECT u, min(ts) AS t1 FROM e WHERE k = 'view' "
+            "  GROUP BY 1), "
+            "s2 AS (SELECT e.u, min(ts) AS t2, max(t1) AS t1 FROM e "
+            "  JOIN s1 ON e.u = s1.u WHERE k = 'click' AND ts > t1 "
+            "  AND ts <= t1 + INTERVAL 48 HOUR GROUP BY 1), "
+            "s3 AS (SELECT e.u, min(ts) AS t3 FROM e "
+            "  JOIN s2 ON e.u = s2.u WHERE k = 'purchase' AND ts > t2 "
+            "  AND ts <= t1 + INTERVAL 48 HOUR GROUP BY 1) "
+            "SELECT 1 AS step, count(*) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, count(*) FROM s2 "
+            "UNION ALL SELECT 3, count(*) FROM s3",
         "kmv_user_sketch":
             # the IDENTICAL deterministic bottom-k construction: first
             # 8 hex digits of sha256('v1:'||user_id) over 2^32, k
