@@ -508,6 +508,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("span_id_r").alias("span_id")))
     q["range_join_events"] = range_join_events
 
+    # ---- corpus analytics: winnowing fingerprints (MOSS) ----
+    def winnow_docs(spark, sf):
+        """Winnowing fingerprint selection (Schleimer et al. 2003):
+        the min sha256-head hash of every 4 consecutive 3-gram
+        positions per document — any shared >=6-token substring
+        between two docs yields a shared fingerprint
+        (operators/corpus.py winnow_fingerprints)."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            winnow_fingerprints)
+        return winnow_fingerprints(
+            _t(spark, sf, "documents"), "doc_id", "text", k=3, window=4)
+    q["winnow_docs"] = winnow_docs
+
     # ---- corpus hygiene: PII scrubbing ----
     def pii_redaction(spark, sf):
         """Deterministic PII is injected per doc (email, IPv4, phone
@@ -1627,6 +1640,28 @@ def oracle_sql() -> dict[str, str]:
             "v.view_id, v.ts AS view_ts "
             "FROM c ASOF JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts",
+        "winnow_docs":
+            # identical 3-gram construction and sha256-head hash; the
+            # window min runs over 4 consecutive 1-based positions,
+            # kept for pos <= max(n - window + 1, 1)
+            "WITH d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "  list_transform(range(1, len(toks) - 1), "
+            "  i -> array_to_string(toks[i:i+2], ' ')) "
+            "  ELSE []::VARCHAR[] END AS grams FROM d), "
+            "e AS (SELECT doc_id, len(grams) AS n, "
+            "  unnest(grams) AS gram, "
+            "  unnest(range(1, len(grams) + 1)) AS pos FROM g), "
+            "h AS (SELECT doc_id, n, pos, ('0x' || "
+            "  substr(sha256('v1:' || gram), 1, 8))::UBIGINT AS hv "
+            "  FROM e), "
+            "w AS (SELECT doc_id, pos, n, min(hv) OVER ("
+            "  PARTITION BY doc_id ORDER BY pos "
+            "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin "
+            "  FROM h) "
+            "SELECT DISTINCT doc_id, wmin AS fp FROM w "
+            "WHERE pos <= greatest(n - 3, 1)",
         "pii_redaction": _pii_redaction_sql(),
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts

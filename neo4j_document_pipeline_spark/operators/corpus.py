@@ -102,3 +102,59 @@ def unigram_logprob_scores(df: DataFrame, id_col: str,
         .agg(F.count("lp").alias("n_tok"),
              F.avg("lp").alias("avg_logprob"))
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 5, window: int = 4,
+                        salt: str = "v1") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm) -> distinct (id_col, fp) rows: the
+    minimum k-gram hash of every ``window`` consecutive positions.
+
+    Winnowing's guarantee: any shared substring of at least
+    k + window - 1 tokens between two documents produces at least one
+    SHARED fingerprint — so plagiarized/quoted/mirrored passages are
+    detectable from a sample ~2/(window+1) the size of the full gram
+    set, which is the storage knob full-shingle MinHash lacks.
+    Documents with fewer than ``window`` grams (but at least one)
+    contribute their single minimum hash, so every tokenizable doc has
+    a fingerprint. Hashes are the engine's deterministic sha256 head
+    (bit-exact in any engine); fingerprint ties inside a window are a
+    SET union here (positions aren't emitted), so the rightmost-tie
+    rule of the paper — which only disambiguates positions — doesn't
+    apply.
+
+    Shape: gram explode (narrow), one per-document window (min over
+    the next ``window`` rows in position order — partition-local,
+    bounded by document length), one distinct. At corpus scale the
+    heavy join these fingerprints feed (find docs sharing a print) is
+    a hash groupBy on fp — near-uniform keys by construction.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k}, "
+                         f"window={window}")
+    toks = col_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (df.select(F.col(id_col), grams.alias("_grams"))
+         .select(id_col, F.size("_grams").alias("_n"),
+                 F.posexplode("_grams").alias("_pos", "_gram")))
+    h = F.conv(F.substring(
+        F.sha2(F.concat(F.lit(f"{salt}:"), F.col("_gram")), 256),
+        1, 8), 16, 10).cast("bigint")
+    from pyspark.sql import Window as W
+    win = (W.partitionBy(id_col).orderBy("_pos")
+           .rowsBetween(W.currentRow, window - 1))
+    return (
+        g.withColumn("_h", h)
+        .withColumn("_wmin", F.min("_h").over(win))
+        # one window per position 1..max(n-window+1, 1); posexplode is
+        # 0-based, so positions 0..max(n-window, 0)
+        .filter(F.col("_pos") <= F.greatest(F.col("_n") - window,
+                                            F.lit(0)))
+        .select(id_col, F.col("_wmin").alias("fp"))
+        .distinct()
+    )

@@ -958,3 +958,58 @@ def test_pii_redaction_unknown_kind_raises(spark):
         col_redact_pii)
     with _pytest.raises(ValueError, match="unknown PII kind"):
         col_redact_pii(F.lit("x"), kinds=["ssn"])
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def _brute_winnow(text, k, window, salt="v1"):
+    import hashlib
+    import re as _re
+    toks = [t for t in _re.sub(r"[^A-Za-z0-9']+", " ", text.lower()).split()
+            if t]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return set()
+    hs = [int(hashlib.sha256(f"{salt}:{g}".encode()).hexdigest()[:8], 16)
+          for g in grams]
+    n = len(hs)
+    out = set()
+    for p in range(max(n - window + 1, 1)):
+        out.add(min(hs[p:p + window]))
+    return out
+
+
+def test_winnow_brute_parity_and_guarantee(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        winnow_fingerprints)
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        1: "intro words here " + shared + " closing remark",
+        2: shared + " completely different tail content follows now",
+        3: "nothing in common with anybody else at all whatsoever",
+        4: "tiny doc of five words",  # grams < window -> single min
+        5: "xy",  # fewer tokens than k -> zero grams, zero prints
+    }
+    df = spark.createDataFrame(list(docs.items()), "id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "id", "text", k=3,
+                                 window=4).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for i, text in docs.items():
+        assert got.get(i, set()) == _brute_winnow(text, 3, 4), i
+    # winnowing guarantee: the shared >= k+window-1 token substring
+    # yields at least one shared fingerprint
+    assert got[1] & got[2]
+    assert not (got[3] & got[1])
+    assert len(got[4]) == 1
+    assert 5 not in got
+
+
+def test_winnow_validation(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        winnow_fingerprints)
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="k and window"):
+        winnow_fingerprints(df, "id", "text", k=0)
