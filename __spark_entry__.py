@@ -1093,6 +1093,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("community")))
     q["lpa_weighted_parts"] = lpa_weighted_parts
 
+    def katz_parts(spark, sf):
+        """3-iteration Katz centrality (x = β + α·A·x from x0 = β)
+        over the bounded co-purchase graph — degree-unnormalized
+        endorsement centrality beside PageRank's mass-conserving one.
+        Oracle unrolls the identical three rounds as CTEs."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            katz_centrality)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
+        return (katz_centrality(edges, alpha=0.05, iters=3)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("katz", 6).alias("katz")))
+    q["katz_parts"] = katz_parts
+
     def lpa_modularity(spark, sf):
         """Newman modularity of the 3-round LPA communities over the
         same bounded co-purchase graph — the quality score that says
@@ -2169,6 +2182,22 @@ def oracle_sql() -> dict[str, str]:
             "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
             "       FROM c2) WHERE rk = 1)"
             "SELECT node AS part_id, lbl AS community FROM l2",
+        "katz_parts":
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "x0 AS (SELECT DISTINCT node, 1.0 AS x FROM adj),"
+            "x1 AS (SELECT a.node, 1.0 + 0.05 * sum(x.x) AS x FROM adj a"
+            "       JOIN x0 x ON a.nbr = x.node GROUP BY a.node),"
+            "x2 AS (SELECT a.node, 1.0 + 0.05 * sum(x.x) AS x FROM adj a"
+            "       JOIN x1 x ON a.nbr = x.node GROUP BY a.node),"
+            "x3 AS (SELECT a.node, 1.0 + 0.05 * sum(x.x) AS x FROM adj a"
+            "       JOIN x2 x ON a.nbr = x.node GROUP BY a.node)"
+            "SELECT node AS part_id, round(x, 6) AS katz FROM x3",
         "lpa_modularity":
             # lpa_parts CTE chain (3 rounds) + Newman modularity terms:
             # l_c = intra edges, d_c = member degree sum, m = |E|

@@ -1346,3 +1346,71 @@ def test_modularity_random_brute_parity(spark):
     assert set(out) == set(expect)
     for c in expect:
         assert abs(out[c]["q_term"] - expect[c]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+
+def _np_katz(pairs, alpha, beta, iters, weights=None):
+    agg = {}
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if weights is None:
+            agg[key] = 1.0
+        else:
+            agg[key] = agg.get(key, 0.0) + float(weights[i])
+    ids = sorted({x for k in agg for x in k})
+    pos = {x: i for i, x in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for (a, b), w in agg.items():
+        A[pos[a], pos[b]] = w
+        A[pos[b], pos[a]] = w
+    x = np.full(len(ids), beta)
+    for _ in range(iters):
+        x = beta + alpha * (A @ x)
+    return {ids[i]: x[i] for i in range(len(ids))}
+
+
+def test_katz_numpy_parity_and_star(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        katz_centrality)
+    rng = np.random.RandomState(13)
+    nodes = [f"n{i}" for i in range(15)]
+    pairs = [(nodes[rng.randint(15)], nodes[rng.randint(15)])
+             for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {r["id"]: r["katz"] for r in katz_centrality(
+        _edges(spark, pairs), alpha=0.05, iters=4).collect()}
+    expect = _np_katz(pairs, 0.05, 1.0, 4)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, k
+    # star: the hub dominates every leaf
+    star = [("hub", f"l{i}") for i in range(6)]
+    ks = {r["id"]: r["katz"] for r in katz_centrality(
+        _edges(spark, star), alpha=0.1, iters=3).collect()}
+    assert all(ks["hub"] > ks[f"l{i}"] for i in range(6))
+
+
+def test_katz_weighted_and_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        katz_centrality)
+    pairs = [("a", "b"), ("b", "a"), ("b", "c")]
+    weights = [2.0, 1.0, 1.0]
+    e = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "u string, v string, w double")
+    got = {r["id"]: r["katz"] for r in katz_centrality(
+        e, alpha=0.1, iters=3, weight_col="w").collect()}
+    expect = _np_katz(pairs, 0.1, 1.0, 3, weights)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+    with _pytest.raises(ValueError, match="iters"):
+        katz_centrality(e, iters=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        katz_centrality(e, alpha=0.0)
