@@ -28,6 +28,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
     python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
     python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
+    python -m neo4j_document_pipeline_spark hygiene --store <dir> [--near-dups]  # corpus-quality report (size/langs/quality/repetition/PII[/near-dups])
 """
 
 from __future__ import annotations
@@ -109,7 +110,7 @@ def main(argv=None):
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
         "kcore", "export", "sample", "shards", "attribution",
-        "dedup-stream"])
+        "dedup-stream", "hygiene"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -231,6 +232,11 @@ def main(argv=None):
     ap.add_argument("--keys", default="event_id",
                     help="dedup-stream: comma-separated identity columns "
                          "a re-delivered event repeats")
+    ap.add_argument("--near-dups", action="store_true",
+                    help="hygiene: additionally run the MinHash-LSH "
+                         "near-duplicate RESOLUTION pass (clusters + "
+                         "removable-doc count) — the expensive half of "
+                         "the report")
     ap.add_argument("--streaming", action="store_true",
                     help="attribution/dedup-stream: run as a Structured-"
                          "Streaming availableNow drain over --events into "
@@ -745,6 +751,55 @@ def main(argv=None):
             for r in (out_df.orderBy("ts", *keys).limit(ns.limit)
                       .collect()):
                 print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "hygiene":
+        # corpus-quality report over the committed documents table —
+        # the pre-training checklist in one command: size/token totals,
+        # language mix, quality + repetition signals, PII exposure.
+        # Exact duplicates are ABSENT BY CONSTRUCTION here (doc_id =
+        # sha256(text), the ingest MERGE collapses them) — reported as
+        # such rather than recounted. --near-dups adds the MinHash-LSH
+        # transitive-resolution pass (the expensive half).
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_dup_line_fraction, col_dup_ngram_fraction, col_lang_id,
+            col_pii_count, col_quality_score, col_token_count)
+        docs = store.read("documents").select("doc_id", "text")
+        overall = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(col_token_count(F.col("text"))).alias("tokens_total"),
+            F.round(F.avg(col_quality_score(F.col("text"))), 4)
+            .alias("quality_mean"),
+            F.round(F.min(col_quality_score(F.col("text"))), 4)
+            .alias("quality_min"),
+            F.sum((col_dup_line_fraction(F.col("text")) > 0.3)
+                  .cast("long")).alias("docs_line_repetitive"),
+            F.sum((col_dup_ngram_fraction(F.col("text"), 3) > 0.2)
+                  .cast("long")).alias("docs_ngram_repetitive"),
+            F.sum(col_pii_count(F.col("text"), "email"))
+            .alias("pii_emails"),
+            F.sum(col_pii_count(F.col("text"), "ipv4")).alias("pii_ips"),
+            F.sum(col_pii_count(F.col("text"), "phone"))
+            .alias("pii_phones"),
+        ).collect()[0].asDict()
+        langs = {r["lang"]: r["n"] for r in
+                 docs.groupBy(col_lang_id(F.col("text")).alias("lang"))
+                 .agg(F.count("*").alias("n")).collect()}
+        report = {"hygiene": overall, "lang_mix": langs,
+                  "exact_dups": "collapsed at ingest (doc_id = "
+                                "sha256(text))"}
+        if ns.near_dups:
+            from neo4j_document_pipeline_spark.operators.dedup import (
+                resolve_near_duplicates)
+            res = resolve_near_duplicates(docs, "doc_id", "text")
+            near = res.agg(
+                F.count("*").alias("docs_in_clusters"),
+                F.countDistinct("keep_id").alias("clusters"),
+                F.coalesce(F.sum((~F.col("is_kept")).cast("long")),
+                           F.lit(0)).alias("removable")) \
+                .collect()[0].asDict()
+            report["near_dups"] = near
+        print(json.dumps(report, indent=1, default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

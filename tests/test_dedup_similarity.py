@@ -1013,3 +1013,38 @@ def test_winnow_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError, match="k and window"):
         winnow_fingerprints(df, "id", "text", k=0)
+
+
+def test_cli_hygiene_report(spark, tmp_path, capsys):
+    """The corpus-quality report: totals/lang-mix/PII from the column
+    functions, and --near-dups resolves a planted near-duplicate pair
+    into one cluster with one removable doc."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    root = str(tmp_path / "kg")
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok7", "changed")
+    import datetime as dt
+
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    t = dt.datetime(2025, 1, 1)
+    planted = spark.createDataFrame(
+        [("p://a", base + " mail me at someone@example.org", t),
+         ("p://b", near, t)],
+        "url string, text string, warc_ts timestamp")
+    # the synth corpus supplies extractable triples (an all-planted
+    # corpus would write a zero-row triples table); the planted pair
+    # supplies the PII hit and the near-dup cluster
+    pages = synth_pages(spark, 10).select(
+        "url", "text", "warc_ts").unionByName(planted)
+    run_pipeline(spark, pages, root)
+    main(["hygiene", "--store", root, "--near-dups"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["hygiene"]["n_docs"] >= 3
+    assert rep["hygiene"]["pii_emails"] == 1
+    assert sum(rep["lang_mix"].values()) == rep["hygiene"]["n_docs"]
+    nd = rep["near_dups"]
+    assert nd["clusters"] >= 1 and nd["docs_in_clusters"] >= 2
+    assert nd["removable"] == nd["docs_in_clusters"] - nd["clusters"] >= 1
