@@ -560,6 +560,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             within="48 hours")
     q["funnel_view_click_purchase"] = funnel_view_click_purchase
 
+    # ---- events: weekly retention cohorts ----
+    def retention_weekly(spark, sf):
+        """Retention triangle cohorted on each user's first signup:
+        distinct users per (cohort week, weeks since) — pre-signup
+        activity excluded (operators/funnel.py retention_cohorts;
+        hash aggregates only, no windows)."""
+        from neo4j_document_pipeline_spark.operators.funnel import (
+            retention_cohorts)
+        return retention_cohorts(
+            _t(spark, sf, "events"), cohort_type="signup")
+    q["retention_weekly"] = retention_weekly
+
     # ---- sketches: KMV distinct-count ----
     def kmv_user_sketch(spark, sf):
         """Mergeable KMV (bottom-k) distinct-user sketch per event
@@ -1692,6 +1704,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 AS step, count(*) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3",
+        "retention_weekly":
+            "WITH f AS (SELECT user_id u, "
+            "  date_trunc('week', min(ts)) AS cw FROM events "
+            "  WHERE event_type = 'signup' GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id u, "
+            "  date_trunc('week', ts) AS aw FROM events) "
+            "SELECT f.cw AS cohort_week, "
+            "CAST(date_diff('day', f.cw, a.aw) // 7 AS INT) "
+            "AS week_index, count(DISTINCT a.u) AS n_users "
+            "FROM a JOIN f ON a.u = f.u WHERE a.aw >= f.cw "
+            "GROUP BY 1, 2",
         "kmv_user_sketch":
             # the IDENTICAL deterministic bottom-k construction: first
             # 8 hex digits of sha256('v1:'||user_id) over 2^32, k

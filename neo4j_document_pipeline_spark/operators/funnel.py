@@ -90,3 +90,46 @@ def funnel_counts(events: DataFrame, steps: list[str], *,
             .alias("step"))
         .groupBy("step").agg(F.count("*").alias("n_users"))
     )
+
+
+def retention_cohorts(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      cohort_type: str | None = None,
+                      type_col: str = "event_type") -> DataFrame:
+    """Weekly retention triangle -> (cohort_week, week_index, n_users):
+    users grouped by the ISO week of their FIRST event (optionally
+    first ``cohort_type`` event — e.g. cohort on 'signup'), counted
+    distinctly in every later week they were active. week_index 0 is
+    the cohort week itself; a user active in weeks 0, 2 and 5
+    contributes to exactly those three cells. The classic cohort
+    retention report.
+
+    Users whose first ``cohort_type`` event comes after other activity
+    still cohort on that event, and their EARLIER activity is excluded
+    (you can't be retained before you exist) — the standard convention.
+
+    Shape: one aggregate for cohort assignment, one distinct over
+    (user, week), one join on the user, one final count aggregate —
+    all hash operations on the user/week keys, no windows, no Python.
+    """
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(type_col).alias("_k") if type_col in events.columns
+        else F.lit(None).alias("_k"),
+    ).filter(F.col("_ts").isNotNull())
+    first = e if cohort_type is None else e.filter(F.col("_k") == cohort_type)
+    cohorts = (first.groupBy("_u")
+               .agg(F.date_trunc("week", F.min("_ts")).alias("cw")))
+    active = (e.select("_u", F.date_trunc("week", "_ts").alias("aw"))
+              .distinct())
+    return (
+        active.join(cohorts, "_u")
+        .filter(F.col("aw") >= F.col("cw"))
+        .select("cw",
+                F.floor(F.datediff("aw", "cw") / 7).cast("int")
+                .alias("week_index"),
+                "_u")
+        .groupBy(F.col("cw").alias("cohort_week"), "week_index")
+        .agg(F.countDistinct("_u").alias("n_users"))
+    )

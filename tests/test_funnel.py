@@ -106,3 +106,43 @@ def test_funnel_brute_parity(spark):
 def test_funnel_validates_steps(spark):
     with pytest.raises(ValueError, match="at least one"):
         funnel_steps(_ev(spark, []), [])
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+def test_retention_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.funnel import (
+        retention_cohorts)
+    # Mondays: 2025-06-02, -09, -16 (week boundaries)
+    d = dt.datetime
+    ev = _ev(spark, [
+        # u1 cohorts week of 6/2; active weeks 0 and 2
+        (1, "view", d(2025, 6, 3)), (1, "view", d(2025, 6, 17)),
+        # u2 cohorts same week; active weeks 0 and 1
+        (2, "view", d(2025, 6, 4)), (2, "view", d(2025, 6, 9)),
+        # u3 cohorts week of 6/9; active week 0 only (twice, same week)
+        (3, "view", d(2025, 6, 10)), (3, "view", d(2025, 6, 11)),
+    ])
+    out = {(r["cohort_week"], r["week_index"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    w1, w2 = d(2025, 6, 2), d(2025, 6, 9)
+    assert out == {(w1, 0): 2, (w1, 1): 1, (w1, 2): 1, (w2, 0): 1}
+
+
+def test_retention_cohort_type_excludes_pre_signup(spark):
+    from neo4j_document_pipeline_spark.operators.funnel import (
+        retention_cohorts)
+    d = dt.datetime
+    ev = _ev(spark, [
+        # browsing BEFORE signup must not count as retained activity
+        (1, "view", d(2025, 6, 3)),
+        (1, "signup", d(2025, 6, 10)),
+        (1, "view", d(2025, 6, 18)),
+        # never signs up -> not cohorted at all
+        (2, "view", d(2025, 6, 3)),
+    ])
+    out = {(r["cohort_week"], r["week_index"]): r["n_users"]
+           for r in retention_cohorts(ev, cohort_type="signup").collect()}
+    assert out == {(d(2025, 6, 9), 0): 1, (d(2025, 6, 9), 1): 1}
