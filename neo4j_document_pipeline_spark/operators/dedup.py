@@ -459,18 +459,43 @@ def dedup_lines_across_docs(df: DataFrame, id_col: str, text_col: str, *,
     if min_doc_freq < 1:
         raise ValueError(f"min_doc_freq must be >= 1, got {min_doc_freq}")
     idc = F.col(id_col)
-    lines = df.select(
-        idc, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
-    lines = lines.withColumn(
-        "lkey",
-        F.when(F.trim("line") == "", F.lit(None))
-        .otherwise(F.sha2(F.trim("line"), 256)))
+    lines = doc_lines(df, id_col, text_col)
     dup_keys = (
         lines.filter(F.col("lkey").isNotNull())
         .groupBy("lkey").agg(F.countDistinct(idc).alias("ndocs"))
         .filter(F.col("ndocs") >= min_doc_freq).select("lkey")
     )
-    kept = lines.join(dup_keys, "lkey", "left_anti")
+    return remove_lines(df, dup_keys, id_col, text_col, joiner=joiner)
+
+
+def doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, lkey) — one row per newline-split line of every
+    document. ``lkey`` = sha2(trim(line)); whitespace-only lines carry a
+    NULL lkey (they are formatting, never boilerplate identity, and every
+    line-dedup consumer keeps them). Shared by the standalone corpus pass
+    (dedup_lines_across_docs) and the ingest gate so both remove exactly
+    the same lines."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        .withColumn(
+            "lkey",
+            F.when(F.trim("line") == "", F.lit(None))
+            .otherwise(F.sha2(F.trim("line"), 256)))
+    )
+
+
+def remove_lines(df: DataFrame, dup_keys: DataFrame, id_col: str,
+                 text_col: str, joiner: str = "\n") -> DataFrame:
+    """Strip every line whose lkey appears in ``dup_keys`` (one ``lkey``
+    column) from every document: (id_col, text_clean, n_lines,
+    n_removed). Whitespace-only lines (NULL lkey) never match and are
+    kept; documents whose every line was boilerplate come back with
+    ``text_clean = ''``."""
+    idc = F.col(id_col)
+    lines = doc_lines(df, id_col, text_col)
+    kept = lines.join(dup_keys.select("lkey"), "lkey", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(
             joiner,

@@ -123,7 +123,6 @@ def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     docs = (
         _page_text(pages, text_source)
         .withColumn("text", _canonicalize_udf()(F.col("text")))
-        .withColumn("doc_id", F.sha2(F.col("text"), 256))
         .withColumn("path", F.col("url"))
         .withColumn(
             "title",
@@ -133,14 +132,28 @@ def pages_to_documents(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
             ),
         )
     )
-    # one row per doc_id: first url wins, deterministically. argmin-struct
-    # instead of a window: min(struct(url, payload)) has map-side partial
-    # aggregation, so the shuffle moves one text per (doc_id, partition),
-    # not one per duplicate page.
+    return finalize_documents(docs, cfg)
+
+
+def finalize_documents(docs: DataFrame,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(url, title, path, text) candidates -> the documents schema:
+    content-hash doc_id over the (possibly gate-rewritten) text, one row
+    per doc_id, injected-clock timestamps. Factored out of
+    pages_to_documents so corpus-hygiene ingest gates that REWRITE text
+    (cross-doc line dedup) re-key and re-dedupe through the exact same
+    path — two raw-distinct pages whose cleaned texts collide collapse
+    into one document just like byte-identical raw pages do.
+
+    One row per doc_id: first url wins, deterministically. argmin-struct
+    instead of a window: min(struct(url, payload)) has map-side partial
+    aggregation, so the shuffle moves one text per (doc_id, partition),
+    not one per duplicate page."""
     clock = F.timestamp_millis(F.lit(cfg.fixed_clock_millis))
     first = F.min(F.struct("url", "title", "path", "text")).alias("_f")
     return (
-        docs.groupBy("doc_id").agg(first)
+        docs.withColumn("doc_id", F.sha2(F.col("text"), 256))
+        .groupBy("doc_id").agg(first)
         .select(
             "doc_id", F.col("_f.url").alias("url"),
             F.col("_f.title").alias("title"), F.col("_f.path").alias("path"),

@@ -48,6 +48,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  text_source: str = "text",
                  langs: list[str] | None = None,
                  min_quality: float | None = None,
+                 dedup_lines: int | None = None,
+                 resolve_near_dups: bool = False,
+                 near_dup_threshold: float = 0.8,
                  keep_versions: int = 1,
                  pages_fingerprint: str | None = None) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
@@ -70,6 +73,15 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     CANONICAL text, [0,1]) is below the threshold — the C4/Gopher-style
     gate that keeps boilerplate out of chunking/extraction. Expression-
     only; scored identically on the batch and incremental paths.
+
+    ``dedup_lines``: strip lines appearing in >= N distinct documents
+    (CCNet cross-doc line dedup) before chunking; commits the
+    ``line_postings`` state table so incremental batches gate in
+    O(delta). ``resolve_near_dups``: drop near-duplicate documents
+    (MinHash-LSH -> transitive clusters -> keep one) at >=
+    ``near_dup_threshold`` exact Jaccard; commits ``doc_signatures``.
+    Gate order: quality -> line dedup -> near-dup resolution (see
+    operators/hygiene.py for the batch-vs-incremental contract).
 
     ``keep_versions``: snapshots retained per table (time-travel window).
 
@@ -107,6 +119,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     cfg_sig = hashlib.sha256(_json.dumps(
         {**dataclasses.asdict(cfg), "_text_source": text_source,
          "_min_quality": min_quality,
+         "_dedup_lines": dedup_lines,
+         "_near_dups": (near_dup_threshold if resolve_near_dups else None),
          "_langs": sorted(langs) if langs else None},
         sort_keys=True, default=str).encode()).hexdigest()[:16]
     fp = f"{fp}:{cfg_sig}"
@@ -158,17 +172,74 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_quality_score)
         docs_src = docs_src.filter(col_quality_score(F.col("text")) >= min_quality)
-    docs_df, docs_obs = observed(
-        docs_src,
-        "documents_metrics",
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.length("text")).alias("total_text_bytes"),
-        F.approx_count_distinct(F.col("doc_id")).alias("approx_distinct_docs"),
-    )
-    documents = stage("documents", lambda: docs_df, fp)
+
+    # --- corpus-hygiene gates (operators/hygiene.py). Everything below
+    # is LAZY — wrapped in memoized thunks the stage lambdas call — so a
+    # fully-current resume still launches zero jobs against pages.
+    gates_on = dedup_lines is not None or resolve_near_dups
+    _memo: dict = {}
+
+    def _raw_docs():
+        # extraction output, materialized ONCE: the gates re-aggregate
+        # the documents several times (line counts, shingles, rewrite)
+        # and must not re-run the pandas-UDF extraction per pass
+        if "raw" not in _memo:
+            _memo["raw"] = docs_src.localCheckpoint()
+        return _memo["raw"]
+
+    if dedup_lines is not None:
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            LINE_POSTINGS, apply_line_dedup, line_postings_from_docs)
+        postings = stage(
+            LINE_POSTINGS, lambda: line_postings_from_docs(_raw_docs()), fp,
+            bucket_by="lkey", n_buckets=cfg.fts_index_buckets)
+
+    def _gated_docs():
+        if "gated" in _memo:
+            return _memo["gated"]
+        if resume and store.is_current("documents", fp):
+            # the committed documents ARE the gated frame — rebuilding a
+            # missing state table must not re-run extraction
+            df = store.read("documents")
+        else:
+            df = _raw_docs()
+            if dedup_lines is not None:
+                dup_keys = (postings.filter(F.col("df") >= dedup_lines)
+                            .select("lkey").distinct())
+                df = apply_line_dedup(df, dup_keys, cfg).localCheckpoint()
+            if resolve_near_dups:
+                from neo4j_document_pipeline_spark.operators.hygiene import (
+                    gate_near_dups_batch)
+                df = gate_near_dups_batch(
+                    df, cfg, near_dup_threshold).localCheckpoint()
+        _memo["gated"] = df
+        return df
+
+    _obs_box: dict = {}
+
+    def _build_documents():
+        src = _gated_docs() if gates_on else docs_src
+        df, obs = observed(
+            src,
+            "documents_metrics",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("text")).alias("total_text_bytes"),
+            F.approx_count_distinct(F.col("doc_id")).alias("approx_distinct_docs"),
+        )
+        _obs_box["obs"] = obs
+        return df
+
+    documents = stage("documents", _build_documents, fp)
     if not manifests["documents"].get("skipped"):
+        docs_obs = _obs_box["obs"]
         manifests["documents"]["metrics"].update(docs_obs.get)
         store.update_metrics("documents", docs_obs.get)
+    if resolve_near_dups:
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            DOC_SIGNATURES, doc_signatures_from_docs)
+        stage(DOC_SIGNATURES,
+              lambda: doc_signatures_from_docs(_gated_docs(), cfg), fp,
+              bucket_by="bh", n_buckets=cfg.fts_index_buckets)
 
     chunks = stage("chunks", lambda: documents_to_chunks(documents, cfg), fp)
     trip_df, trip_obs = observed(

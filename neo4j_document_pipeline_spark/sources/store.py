@@ -95,6 +95,47 @@ class GraphStore:
                 self._df_cache = fresh
         return df
 
+    def read_matching(self, name: str, keys_df: DataFrame,
+                      key_col: str) -> DataFrame | None:
+        """Point-lookup read: rows of ``name`` whose ``key_col`` appears in
+        ``keys_df`` (a one-column frame of lookup keys). On a bucketed
+        table this opens ONLY the bucket files the keys hash into —
+        O(affected buckets), never a table scan — which is what makes
+        per-batch state lookups (committed line counts, LSH signatures)
+        O(delta) on the incremental ingest path. Non-bucketed tables fall
+        back to a full-scan semi-join (correct, just not pruned). Returns
+        None when the table has no committed snapshot.
+
+        Soundness mirrors _merge_write's bucket scoping: bucketed writes
+        partition by pmod(Murmur3(key), n), so every row of a key lives in
+        that key's bucket file(s)."""
+        m = self.manifest(name)
+        if not m or not self.exists(name):
+            return None
+        keys = keys_df.select(F.col(key_col).alias(key_col)).distinct()
+        scoped = bool(m.get("bucket_by") == key_col and m.get("catalog_table"))
+        files_by: dict[int, list[str]] = {}
+        if scoped:
+            for p in m.get("partitions") or []:
+                b = self._bucket_of_file(p["file"])
+                if b is None:
+                    scoped = False
+                    break
+                files_by.setdefault(b, []).append(p["file"])
+        if not scoped:
+            return self.read(name).join(keys, key_col, "left_semi")
+        n = m["n_buckets"]
+        affected = sorted({
+            r["b"] for r in keys
+            .select(F.pmod(F.hash(F.col(key_col)), F.lit(n)).alias("b"))
+            .distinct().collect()})
+        base = os.path.join(self._tdir(name), m["version"])
+        paths = [os.path.join(base, f) for b in affected
+                 for f in files_by.get(b, [])]
+        if not paths:
+            return self.read(name).limit(0)
+        return self.spark.read.parquet(*paths).join(keys, key_col, "left_semi")
+
     def _read_bucketed(self, m: dict, path: str) -> DataFrame:
         """Read a bucketed snapshot THROUGH the catalog — bucket layout
         lives in table metadata, not in the parquet files, so a plain

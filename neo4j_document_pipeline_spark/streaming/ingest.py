@@ -33,7 +33,10 @@ def ingest_increment(store, batch_df: DataFrame,
                      cfg: PipelineConfig = DEFAULT_CONFIG,
                      stage: str = "increment",
                      text_source: str = "text",
-                     min_quality: float | None = None) -> None:
+                     min_quality: float | None = None,
+                     dedup_lines: int | None = None,
+                     resolve_near_dups: bool = False,
+                     near_dup_threshold: float = 0.8) -> None:
     """Incrementally MERGE one batch of pages into an existing graph store
     — the core shared by streaming foreachBatch and batch delta-ingest
     (CLI --incremental). Unlike run_pipeline, adding new pages never
@@ -91,6 +94,28 @@ def ingest_increment(store, batch_df: DataFrame,
             col_quality_score)
         documents = documents.filter(col_quality_score(F.col("text")) >= min_quality)
     documents = documents.localCheckpoint()
+    # --- corpus-hygiene gates (same order as run_pipeline: quality ->
+    # line dedup -> near-dup resolution; PREFIX semantics vs the batch
+    # pipeline — see operators/hygiene.py). Every lookup against the
+    # committed state is bucket-pruned (read_matching), every state
+    # update a bucket-scoped MERGE: O(delta), never O(corpus).
+    if dedup_lines is not None:
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            gate_lines_increment, merge_line_postings)
+        raw_documents = documents
+        documents = gate_lines_increment(
+            store, raw_documents, dedup_lines, cfg).localCheckpoint()
+        # postings count the RAW pre-clean lines (state parity with the
+        # batch pipeline's line_postings stage)
+        merge_line_postings(store, raw_documents, cfg, stage=stage,
+                            input_fingerprint=inc_fp("line_postings"))
+    if resolve_near_dups:
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            gate_near_dups_increment, merge_doc_signatures)
+        documents = gate_near_dups_increment(
+            store, documents, cfg, near_dup_threshold).localCheckpoint()
+        merge_doc_signatures(store, documents, cfg, stage=stage,
+                             input_fingerprint=inc_fp("doc_signatures"))
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
     # merge_write_*: on a bucket(N, key) store this is the Iceberg-MERGE
@@ -285,6 +310,9 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         text_source: str = "text",
                         min_quality: float | None = None,
                         langs: list[str] | None = None,
+                        dedup_lines: int | None = None,
+                        resolve_near_dups: bool = False,
+                        near_dup_threshold: float = 0.8,
                         keep_versions: int = 1,
                         max_files_per_trigger: int = 4):
     """readStream(pages) -> foreachBatch(full ingest DAG with MERGE
@@ -311,7 +339,10 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
             return
         ingest_increment(store, batch_df, cfg,
                          stage=f"stream-epoch-{epoch_id}",
-                         text_source=text_source, min_quality=min_quality)
+                         text_source=text_source, min_quality=min_quality,
+                         dedup_lines=dedup_lines,
+                         resolve_near_dups=resolve_near_dups,
+                         near_dup_threshold=near_dup_threshold)
 
     return (
         stream_pages(spark, pages_dir,

@@ -1,0 +1,295 @@
+"""Corpus-hygiene ingest gates (operators/hygiene.py): cross-document
+line dedup and near-dup resolution wired into BOTH ingest paths, with
+committed mergeable state and the documented prefix semantics."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+from neo4j_document_pipeline_spark.sources.pages import PAGES_SCHEMA
+from neo4j_document_pipeline_spark.sources.store import GraphStore
+from neo4j_document_pipeline_spark.streaming.ingest import ingest_increment
+
+BANNER = "Accept all cookies to continue reading this site"
+
+
+def _pages(spark, rows):
+    """rows: [(url, text)] -> a pages frame (text_source='text')."""
+    data = [
+        (u, datetime.datetime(2025, 1, 1, 0, 0, i), None, t, "en")
+        for i, (u, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, PAGES_SCHEMA)
+
+
+def _doc(name, i, banner=True, tail=""):
+    """One page whose body is the synth generator's extractable text
+    (the pipeline writes partitioned triples; a zero-triple corpus
+    would commit an unreadable empty partitioned table)."""
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    body = make_text(i) + tail
+    text = (BANNER + "\n" + body) if banner else body
+    return (f"https://site-{name}.example.org/{name}.md", text)
+
+
+def _docs_state(store):
+    return sorted((r["url"], r["text"])
+                  for r in store.read("documents_final").collect())
+
+
+def _postings_state(store):
+    return sorted((r["lkey"], r["df"])
+                  for r in store.read("line_postings")
+                  .select("lkey", "df").distinct().collect())
+
+
+# ---------------------------------------------------------------------------
+# line-dedup gate
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_gate_batch(spark, tmp_path):
+    pages = _pages(spark, [
+        _doc("a", 0), _doc("b", 1), _doc("c", 2, banner=False),
+    ])
+    root = str(tmp_path / "kg")
+    man = run_pipeline(spark, pages, root, dedup_lines=2)
+    store = GraphStore(root, spark)
+    texts = {r["url"]: r["text"] for r in store.read("documents").collect()}
+    assert len(texts) == 3
+    for url, text in texts.items():
+        assert BANNER not in text
+    assert any("Chronicle 0" in t for t in texts.values())  # bodies intact
+    # state: the banner's lkey counted in 2 distinct docs
+    post = store.read("line_postings")
+    banner_df = (post.filter(
+        F.col("lkey") == F.sha2(F.lit(BANNER), 256))
+        .select("df").distinct().collect())
+    assert [r["df"] for r in banner_df] == [2]
+    assert man["line_postings"]["bucket_by"] == "lkey"
+    # doc ids re-keyed over the CLEANED text
+    bad = store.read("documents").filter(
+        F.col("doc_id") != F.sha2(F.col("text"), 256)).count()
+    assert bad == 0
+
+
+def test_line_dedup_single_increment_matches_batch(spark, tmp_path):
+    pages = _pages(spark, [
+        _doc("a", 0), _doc("b", 1), _doc("c", 2, banner=False),
+    ]).cache()
+    batch_root = str(tmp_path / "batch")
+    run_pipeline(spark, pages, batch_root, dedup_lines=2)
+    inc_root = str(tmp_path / "inc")
+    inc_store = GraphStore(inc_root, spark)
+    ingest_increment(inc_store, pages, dedup_lines=2)
+    assert _docs_state(GraphStore(batch_root, spark)) == _docs_state(inc_store)
+    assert _postings_state(GraphStore(batch_root, spark)) == \
+        _postings_state(inc_store)
+
+
+def test_line_dedup_prefix_semantics_and_state_parity(spark, tmp_path):
+    """The documented incremental contract: a later batch is gated exactly
+    as the full run gates it; the ONLY deviation is the retroactive set
+    (early copies committed before their duplicates arrived); the
+    postings state converges to the full run's state."""
+    b1 = _pages(spark, [
+        _doc("a", 0), _doc("x", 3, banner=False),
+    ]).cache()
+    b2 = _pages(spark, [
+        _doc("b", 1),
+    ]).cache()
+
+    inc_root = str(tmp_path / "inc")
+    inc_store = GraphStore(inc_root, spark)
+    ingest_increment(inc_store, b1, dedup_lines=2, stage="b1")
+    ingest_increment(inc_store, b2, dedup_lines=2, stage="b2")
+
+    full_root = str(tmp_path / "full")
+    run_pipeline(spark, b1.unionByName(b2), full_root, dedup_lines=2)
+    full_store = GraphStore(full_root, spark)
+
+    inc = {r["url"]: r["text"] for r in
+           inc_store.read("documents_final").collect()}
+    full = {r["url"]: r["text"] for r in
+            full_store.read("documents_final").collect()}
+    url_a = "https://site-a.example.org/a.md"
+    url_b = "https://site-b.example.org/b.md"
+    url_x = "https://site-x.example.org/x.md"
+    # the later batch's doc is gated exactly like the full run
+    assert inc[url_b] == full[url_b]
+    assert BANNER not in inc[url_b]
+    # the deviation is EXACTLY the retroactive set: doc a keeps the
+    # banner on the incremental path (its duplicate arrived later),
+    # loses it in the full run — and nothing else differs
+    assert BANNER in inc[url_a] and BANNER not in full[url_a]
+    assert inc[url_a].replace(BANNER + "\n", "") == full[url_a]
+    assert inc[url_x] == full[url_x]
+    # the committed counting state converges to the full run's
+    assert _postings_state(inc_store) == _postings_state(full_store)
+
+
+def test_line_dedup_increment_redelivery_noop(spark, tmp_path):
+    """Re-delivering a batch neither double-counts lines nor changes the
+    gated output (postings dedupe on (doc_id, lkey))."""
+    b1 = _pages(spark, [
+        _doc("a", 0),
+    ]).cache()
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    ingest_increment(store, b1, dedup_lines=2, stage="b1")
+    docs1, post1 = _docs_state(store), _postings_state(store)
+    assert BANNER in docs1[0][1]  # df=1 < 2: nothing removed yet
+    ingest_increment(store, b1, dedup_lines=2, stage="b1-again")
+    assert _docs_state(store) == docs1
+    assert _postings_state(store) == post1  # banner df still 1, not 2
+
+
+# ---------------------------------------------------------------------------
+# near-dup gate
+# ---------------------------------------------------------------------------
+
+def _long():
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    return make_text(4)
+
+
+def test_near_dup_gate_batch(spark, tmp_path):
+    pages = _pages(spark, [
+        ("https://m1.example.org/p.md", _long() + " first tail."),
+        ("https://m2.example.org/p.md", _long() + " second tail."),
+        _doc("d", 10, banner=False),
+    ])
+    root = str(tmp_path / "kg")
+    man = run_pipeline(spark, pages, root, resolve_near_dups=True,
+                       near_dup_threshold=0.6)
+    store = GraphStore(root, spark)
+    docs = store.read("documents_final").collect()
+    assert len(docs) == 2  # one mirror dropped
+    kept_mirror = [r for r in docs if "tail." in r["text"]]
+    assert len(kept_mirror) == 1
+    # survivor = min doc_id of the pair (batch resolver semantics)
+    sigs = store.read("doc_signatures")
+    assert man["doc_signatures"]["bucket_by"] == "bh"
+    sig_ids = {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()}
+    assert sig_ids == {r["doc_id"] for r in docs}  # survivors only
+
+
+def test_near_dup_gate_increment_committed_wins_and_idempotent(spark, tmp_path):
+    b1 = _pages(spark, [
+        ("https://m1.example.org/p.md", _long() + " first tail."),
+        _doc("d", 10, banner=False),
+    ]).cache()
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    ingest_increment(store, b1, resolve_near_dups=True,
+                     near_dup_threshold=0.6, stage="b1")
+    state1 = _docs_state(store)
+    assert len(state1) == 2
+
+    # a later near-dup of the committed mirror is dropped; a genuinely
+    # new doc lands
+    b2 = _pages(spark, [
+        ("https://m2.example.org/p.md", _long() + " second tail."),
+        _doc("n", 17, banner=False),
+    ])
+    ingest_increment(store, b2, resolve_near_dups=True,
+                     near_dup_threshold=0.6, stage="b2")
+    docs = {r[0]: r[1] for r in _docs_state(store)}
+    assert len(docs) == 3
+    assert "https://m2.example.org/p.md" not in docs  # committed copy won
+    assert "https://site-n.example.org/n.md" in docs
+
+    # re-delivery of batch 1: a doc never matches itself — no-op
+    ingest_increment(store, b1, resolve_near_dups=True,
+                     near_dup_threshold=0.6, stage="b1-again")
+    assert len(_docs_state(store)) == 3
+    assert "https://m1.example.org/p.md" in {u for u, _ in _docs_state(store)}
+
+
+def test_near_dup_single_increment_matches_batch(spark, tmp_path):
+    pages = _pages(spark, [
+        ("https://m1.example.org/p.md", _long() + " first tail."),
+        ("https://m2.example.org/p.md", _long() + " second tail."),
+        _doc("d", 10, banner=False),
+    ]).cache()
+    batch_root = str(tmp_path / "batch")
+    run_pipeline(spark, pages, batch_root, resolve_near_dups=True,
+                 near_dup_threshold=0.6)
+    inc_root = str(tmp_path / "inc")
+    inc_store = GraphStore(inc_root, spark)
+    ingest_increment(inc_store, pages, resolve_near_dups=True,
+                     near_dup_threshold=0.6)
+    assert _docs_state(GraphStore(batch_root, spark)) == _docs_state(inc_store)
+
+
+# ---------------------------------------------------------------------------
+# plumbing: point-lookup pruning + gated resume stays job-free
+# ---------------------------------------------------------------------------
+
+def test_read_matching_opens_only_affected_buckets(spark, tmp_path,
+                                                   monkeypatch):
+    store = GraphStore(str(tmp_path / "s"), spark)
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(64)],
+                               "k string, v int")
+    store.write_bucketed("t", df, bucket_by="k", n_buckets=8)
+
+    opened = []
+    import pyspark.sql.readwriter as rw
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths):
+        opened.extend(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    keys = spark.createDataFrame([("k3",)], "k string")
+    out = store.read_matching("t", keys, "k")
+    assert [(r["k"], r["v"]) for r in out.collect()] == [("k3", 3)]
+    # only the one bucket the key hashes into was opened
+    n = 8
+    b = spark.createDataFrame([("k3",)], "k string").select(
+        F.pmod(F.hash("k"), F.lit(n)).alias("b")).first()["b"]
+    assert opened, "bucketed path not taken"
+    assert all(f"_{b:05d}.c" in p for p in opened), opened
+
+    # full-scan fallback answers the same on a non-bucketed table
+    store.write("t2", df)
+    out2 = store.read_matching("t2", keys, "k")
+    assert [(r["k"], r["v"]) for r in out2.collect()] == [("k3", 3)]
+    # missing table -> None
+    assert store.read_matching("nope", keys, "k") is None
+
+
+def test_gated_resume_runs_zero_pages_jobs(spark, tmp_path):
+    """With both gates on, a fully-current resume must not touch the
+    pages input at all (the gates are lazy thunks behind the stage
+    skips)."""
+    pages = _pages(spark, [
+        _doc("a", 0), _doc("b", 1),
+    ]).cache()
+    root = str(tmp_path / "kg")
+    kw = dict(dedup_lines=2, resolve_near_dups=True, near_dup_threshold=0.6,
+              pages_fingerprint="pf1")
+    m1 = run_pipeline(spark, pages, root, **kw)
+    assert not m1["documents"].get("skipped")
+    assert not m1["line_postings"].get("skipped")
+    assert not m1["doc_signatures"].get("skipped")
+
+    def boom(batches):
+        raise AssertionError("pages scanned on a fully-current resume")
+        yield  # pragma: no cover
+
+    poisoned = pages.mapInPandas(boom, schema=PAGES_SCHEMA)
+    m2 = run_pipeline(spark, poisoned, root, **kw)
+    assert all(m.get("skipped") for k, m in m2.items()
+               if not k.startswith("_"))
+
+
+def test_gate_rejects_bad_min_doc_freq(spark, tmp_path):
+    from neo4j_document_pipeline_spark.operators.hygiene import (
+        gate_lines_increment)
+    store = GraphStore(str(tmp_path / "s"), spark)
+    docs = spark.createDataFrame([("d", "t")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        gate_lines_increment(store, docs, 0)
