@@ -110,7 +110,7 @@ def main(argv=None):
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
         "kcore", "export", "sample", "shards", "attribution",
-        "dedup-stream", "hygiene"])
+        "dedup-stream", "hygiene", "funnel", "retention"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -142,6 +142,20 @@ def main(argv=None):
     ap.add_argument("--keep-versions", type=int, default=1,
                     help="snapshots retained per table (time-travel "
                          "window); 1 = only the live version")
+    ap.add_argument("--dedup-lines", type=int, default=None,
+                    help="ingest gate: strip lines appearing in >= N "
+                         "distinct documents (CCNet cross-doc line dedup) "
+                         "before chunking/extraction; commits the "
+                         "line_postings state table so incremental batches "
+                         "gate in O(delta). Default off")
+    ap.add_argument("--resolve-near-dups", action="store_true",
+                    help="ingest gate: drop near-duplicate documents "
+                         "(MinHash-LSH -> transitive clusters -> keep one) "
+                         "before chunking; commits the doc_signatures "
+                         "state table for O(delta) incremental gating")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8,
+                    help="exact-Jaccard threshold for --resolve-near-dups "
+                         "(default 0.8)")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop pages below this [0,1] heuristic quality "
                          "score before extraction")
@@ -232,6 +246,15 @@ def main(argv=None):
     ap.add_argument("--keys", default="event_id",
                     help="dedup-stream: comma-separated identity columns "
                          "a re-delivered event repeats")
+    ap.add_argument("--steps", default="view,click,purchase",
+                    help="funnel: comma-separated event types in funnel "
+                         "order (default view,click,purchase)")
+    ap.add_argument("--within", default=None,
+                    help="funnel: SQL interval conversion window anchored "
+                         "at step 1 (e.g. '1 hour'); default unbounded")
+    ap.add_argument("--cohort-type", default=None,
+                    help="retention: cohort users on their first event of "
+                         "this type (default: first event of any type)")
     ap.add_argument("--near-dups", action="store_true",
                     help="hygiene: additionally run the MinHash-LSH "
                          "near-duplicate RESOLUTION pass (clusters + "
@@ -327,7 +350,10 @@ def main(argv=None):
                 ingest_increment(store, pages, cfg=cfg,
                                  stage="cli-increment",
                                  text_source=ns.text_source,
-                                 min_quality=ns.min_quality)
+                                 min_quality=ns.min_quality,
+                                 dedup_lines=ns.dedup_lines,
+                                 resolve_near_dups=ns.resolve_near_dups,
+                                 near_dup_threshold=ns.near_dup_threshold)
                 print(json.dumps({"increment": {
                     k: (store.manifest(k) or {}).get("rows")
                     for k in ("nodes", "edges", "mentions", "documents_final")}},
@@ -347,6 +373,9 @@ def main(argv=None):
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
                                      min_quality=ns.min_quality,
+                                     dedup_lines=ns.dedup_lines,
+                                     resolve_near_dups=ns.resolve_near_dups,
+                                     near_dup_threshold=ns.near_dup_threshold,
                                      keep_versions=ns.keep_versions,
                                      langs=(ns.langs.split(",")
                                             if ns.langs else None),
@@ -751,6 +780,48 @@ def main(argv=None):
             for r in (out_df.orderBy("ts", *keys).limit(ns.limit)
                       .collect()):
                 print(json.dumps(r.asDict(), default=str))
+    elif ns.command in ("funnel", "retention"):
+        # product-analytics reports over an events dir: funnel = the
+        # monotone conversion curve (users reaching at least step k of
+        # --steps, first-touch anchored, optional --within window);
+        # retention = the weekly cohort triangle (optionally cohorted
+        # on the first --cohort-type event). Both are one-shot batch
+        # reads of the same events shape attribution consumes.
+        from neo4j_document_pipeline_spark.operators.funnel import (
+            funnel_counts, retention_cohorts)
+        if not ns.events:
+            sys.exit(f"--events <parquet dir> required for {ns.command}")
+        import glob as _glob
+        import re as _re
+        if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", ns.events) \
+                and not _glob.glob(ns.events):
+            sys.exit(f"no such events path {ns.events!r}")
+        events = spark.read.parquet(ns.events)
+        need = {"event_type", "user_id", "ts"}
+        if not need.issubset(events.columns):
+            sys.exit(f"--events must carry columns {sorted(need)} "
+                     f"(have {events.columns})")
+        if ns.command == "funnel":
+            steps = [s for s in ns.steps.split(",") if s]
+            if not steps:
+                sys.exit("--steps must name at least one event type "
+                         "(comma-separated, in funnel order)")
+            counts = {r["step"]: r["n_users"] for r in
+                      funnel_counts(events, steps,
+                                    within=ns.within).collect()}
+            report = [{"step": i + 1, "event_type": s,
+                       "n_users": counts.get(i + 1, 0)}
+                      for i, s in enumerate(steps)]
+            print(json.dumps({"funnel": report,
+                              "within": ns.within}, indent=1))
+        else:
+            tri = (retention_cohorts(events, cohort_type=ns.cohort_type)
+                   .orderBy("cohort_week", "week_index")
+                   .limit(ns.limit).collect())
+            print(json.dumps({"retention": [
+                {"cohort_week": str(r["cohort_week"]),
+                 "week_index": r["week_index"], "n_users": r["n_users"]}
+                for r in tri], "cohort_type": ns.cohort_type}, indent=1))
     elif ns.command == "hygiene":
         # corpus-quality report over the committed documents table —
         # the pre-training checklist in one command: size/token totals,
@@ -830,6 +901,9 @@ def main(argv=None):
             spark, ns.pages, ns.store, ckpt, cfg=_cfg_from_args(ns),
             text_source=ns.text_source, min_quality=ns.min_quality,
             langs=ns.langs.split(",") if ns.langs else None,
+            dedup_lines=ns.dedup_lines,
+            resolve_near_dups=ns.resolve_near_dups,
+            near_dup_threshold=ns.near_dup_threshold,
             keep_versions=ns.keep_versions,
             max_files_per_trigger=ns.max_files_per_trigger)
         q.awaitTermination()

@@ -146,3 +146,60 @@ def test_retention_cohort_type_excludes_pre_signup(spark):
     out = {(r["cohort_week"], r["week_index"]): r["n_users"]
            for r in retention_cohorts(ev, cohort_type="signup").collect()}
     assert out == {(d(2025, 6, 9), 0): 1, (d(2025, 6, 9), 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# CLI surface
+# ---------------------------------------------------------------------------
+
+def test_cli_funnel_matches_operator(spark, tmp_path, capsys):
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.operators.funnel import funnel_counts
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    events.write.parquet(d)
+    main(["funnel", "--store", str(tmp_path / "kg"), "--events", d,
+          "--steps", "view,click,purchase"])
+    out = json.loads(capsys.readouterr().out)
+    expect = {r["step"]: r["n_users"] for r in
+              funnel_counts(events, ["view", "click", "purchase"]).collect()}
+    got = {r["step"]: r["n_users"] for r in out["funnel"]}
+    assert got == {i: expect.get(i, 0) for i in (1, 2, 3)}
+    assert got[1] >= got[2] >= got[3]  # monotone curve
+    assert [r["event_type"] for r in out["funnel"]] == \
+        ["view", "click", "purchase"]
+
+
+def test_cli_retention_matches_operator(spark, tmp_path, capsys):
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.operators.funnel import (
+        retention_cohorts)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    events.write.parquet(d)
+    main(["retention", "--store", str(tmp_path / "kg"), "--events", d,
+          "--limit", "10000"])
+    out = json.loads(capsys.readouterr().out)
+    expect = {(str(r["cohort_week"]), r["week_index"]): r["n_users"]
+              for r in retention_cohorts(events).collect()}
+    got = {(r["cohort_week"], r["week_index"]): r["n_users"]
+           for r in out["retention"]}
+    assert got == expect and got
+
+
+def test_cli_funnel_validates_inputs(spark, tmp_path):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    with _pytest.raises(SystemExit):
+        main(["funnel", "--store", str(tmp_path / "kg")])  # no --events
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    events.write.parquet(d)
+    with _pytest.raises(SystemExit):
+        main(["funnel", "--store", str(tmp_path / "kg"), "--events", d,
+              "--steps", ","])  # empty step list
