@@ -691,6 +691,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=0.1).select("doc_id", "lang")
     q["stratified_sample_docs"] = stratified_sample_docs
 
+    # ---- training-data export: quality-weighted draw (A-ES) ----
+    def weighted_sample_docs(spark, sf):
+        """Weighted sampling WITHOUT replacement: 64 documents drawn
+        with probability ~ token count via the deterministic
+        Efraimidis–Spirakis key pow(u, 1/w) over the same sha256 hash
+        draw (operators/sampling.py::weighted_sample) — reproducible
+        across partitionings/cluster sizes. Oracle ranks the IDENTICAL
+        key expression."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            weighted_sample)
+        d = _t(spark, sf, "documents").select(
+            "doc_id", col_token_count(F.col("text")).alias("n_tok"))
+        return weighted_sample(d, 64, "n_tok", id_col="doc_id")
+    q["weighted_sample_docs"] = weighted_sample_docs
+
     # ---- training-data export: token-budget shard packing ----
     def token_shard_docs(spark, sf):
         """Documents packed into ~4096-token shards in doc_id order via
@@ -1839,6 +1856,16 @@ def oracle_sql() -> dict[str, str]:
             "   / 4294967296.0 AS u FROM documents) "
             "WHERE u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 "
             "WHEN 'de' THEN 0.25 ELSE 0.1 END)",
+        "weighted_sample_docs":
+            # the IDENTICAL A-ES key the engine ranks: pow(u, 1/w) with
+            # u the same sha256 hash draw; ties break on doc_id
+            "SELECT doc_id, n_tok FROM ("
+            "  SELECT doc_id, n_tok, row_number() OVER ("
+            "    ORDER BY pow(('0x' || substr(sha256('v1:' || doc_id), 1, 8))"
+            "::UBIGINT / 4294967296.0, 1.0 / n_tok) DESC, doc_id) AS rn"
+            f"  FROM (SELECT doc_id, len({_SQL_TOKENS}) AS n_tok "
+            "FROM documents) WHERE n_tok > 0"
+            ") WHERE rn <= 64",
         "token_shard_docs":
             # global-window form of the distributed prefix sum: a doc
             # starts in the shard its PRECEDING total fills into

@@ -150,3 +150,44 @@ def token_shards(df: DataFrame, budget: int, tokens_col: str = "n_tok",
             yield pdf
 
     return d.mapInPandas(pack, out_schema)
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "v1",
+                    strata_col: str | None = None) -> DataFrame:
+    """Reproducible weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme with the same deterministic hash
+    draw as stratified_sample: each row scores key = u^(1/w) (u = its
+    uniform [0,1) hash draw, w = its weight) and the k LARGEST keys are
+    the sample. Inclusion probability is proportional to weight (the
+    quality-weighted corpus-export move: weight by token count, quality
+    score, or domain priority), and the draw is a pure function of
+    (id, salt) — identical across partitionings, cluster sizes, and
+    re-runs; change ``salt`` for an independent draw.
+
+    ``strata_col``: take k per stratum instead of k overall.
+
+    Rows with NULL or non-positive weight carry no mass and are
+    dropped (A-ES requires w > 0). Ties (two equal keys) break on the
+    id, so the selection is total-ordered and exactly replayable in
+    SQL — the oracle computes the identical key expression.
+
+    Scale: global form is sort+limit k — Catalyst's
+    TakeOrderedAndProject keeps a k-row heap per partition and merges
+    once, no full sort. The stratified form is one row_number window
+    partitioned by stratum (shuffle by stratum; a stratum's candidates
+    must co-locate by definition)."""
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    w = F.col(weight_col).cast("double")
+    keyed = (df.filter(w.isNotNull() & (w > 0))
+             .withColumn("_wkey",
+                         F.pow(uniform_hash_col(id_col, salt), 1.0 / w)))
+    if strata_col is None:
+        return (keyed.orderBy(F.col("_wkey").desc(), F.col(id_col))
+                .limit(k).drop("_wkey"))
+    from pyspark.sql import Window
+    win = (Window.partitionBy(strata_col)
+           .orderBy(F.col("_wkey").desc(), F.col(id_col)))
+    return (keyed.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k).drop("_wkey", "_rn"))

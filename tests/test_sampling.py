@@ -180,3 +180,78 @@ def test_token_shards_carry_across_arrow_batches(spark):
         else:
             spark.conf.set(key, old)
     assert got == _brute_shards(rows, 100)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_brute_aes(spark):
+    """The selection equals the brute-force A-ES ranking computed in
+    python over the same hash draws."""
+    import hashlib
+
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(f"d{i:03d}", float(1 + (i * 7) % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+
+    def u(doc_id, salt="v1"):
+        h = hashlib.sha256(f"{salt}:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    brute = sorted(rows, key=lambda r: (-(u(r[0]) ** (1.0 / r[1])), r[0]))
+    expect = {r[0] for r in brute[:25]}
+    got = {r["doc_id"] for r in
+           weighted_sample(df, 25, "w", id_col="doc_id").collect()}
+    assert got == expect
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    """A 100x-weighted minority must be overrepresented vs its share."""
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(f"h{i:04d}", 100.0, "heavy") for i in range(100)] + \
+           [(f"l{i:04d}", 1.0, "light") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id string, w double, kind string")
+    got = weighted_sample(df, 100, "w", id_col="doc_id").collect()
+    heavy = sum(1 for r in got if r["kind"] == "heavy")
+    # heavy mass = 10000/10900 ~ 92%; population share only 10%
+    assert heavy > 50
+
+
+def test_weighted_sample_stable_and_salted(spark):
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(f"d{i:03d}", float(1 + i % 9)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    a = {r["doc_id"] for r in weighted_sample(df, 50, "w").collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample(df.repartition(7), 50, "w").collect()}
+    assert a == b  # pure function of the data
+    c = {r["doc_id"] for r in
+         weighted_sample(df, 50, "w", salt="v2").collect()}
+    assert c != a  # independent draw
+
+
+def test_weighted_sample_strata_and_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(f"d{i:03d}", 1.0 + i % 3, "en" if i % 2 else "ms")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, w double, lang string")
+    per = weighted_sample(df, 10, "w", strata_col="lang").collect()
+    by = {}
+    for r in per:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(by) == {"en", "ms"} and all(len(v) == 10 for v in by.values())
+    with _pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
+    # null / non-positive weights carry no mass
+    bad = spark.createDataFrame(
+        [("a", None), ("b", -1.0), ("c", 0.0), ("d", 2.0)],
+        "doc_id string, w double")
+    assert [r["doc_id"] for r in weighted_sample(bad, 4, "w").collect()] \
+        == ["d"]
