@@ -1135,6 +1135,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("katz", 6).alias("katz")))
     q["katz_parts"] = katz_parts
 
+    def neighborhood_parts(spark, sf):
+        """HyperBall neighborhood function over the bounded co-purchase
+        graph: per part and radius r=0..2, a DETERMINISTIC KMV bottom-k
+        sketch (k=16) of the ball B(v,r) — exact below k, (k-1)/h_k
+        above (operators/graphalgo.py::neighborhood_sketches). The
+        sketch hash is the engine's sha256 draw, so the oracle unrolls
+        the identical bottom-k-union rounds bit-for-bit."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            neighborhood_sketches)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
+        return (neighborhood_sketches(edges, 2, k=16)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        "r", "n_min",
+                        F.round("estimate", 4).alias("estimate")))
+    q["neighborhood_parts"] = neighborhood_parts
+
+    def harmonic_parts(spark, sf):
+        """Approximate harmonic centrality from the same HyperBall
+        sketches: H(v) = Σ_r (|B(v,r)|-|B(v,r-1)|)/r — shell sizes
+        discounted by distance (graphalgo.py::
+        harmonic_centrality_sketch). Oracle computes the identical
+        shell arithmetic from the unrolled sketch rounds."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            harmonic_centrality_sketch)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
+        return (harmonic_centrality_sketch(edges, 2, k=16)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.round("harmonic", 6).alias("harmonic")))
+    q["harmonic_parts"] = harmonic_parts
+
     def lpa_modularity(spark, sf):
         """Newman modularity of the 3-round LPA communities over the
         same bounded co-purchase graph — the quality score that says
@@ -2232,6 +2262,73 @@ def oracle_sql() -> dict[str, str]:
             "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
             "       FROM c2) WHERE rk = 1)"
             "SELECT node AS part_id, lbl AS community FROM l2",
+        "neighborhood_parts":
+            # the IDENTICAL HyperBall-with-KMV rounds: sketch rows are
+            # (id, u) pairs; each round unions neighbors' rows and
+            # re-keeps the 16 smallest; estimate exact below k, else
+            # (k-1)/h_k on the same doubles
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "s0 AS (SELECT DISTINCT node AS id,"
+            "  ('0x' || substr(sha256('v1:' || CAST(node AS VARCHAR)), 1, 8))"
+            "::UBIGINT / 4294967296.0 AS u FROM adj),"
+            "c1 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s0 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s0),"
+            "s1 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c1) WHERE rn <= 16),"
+            "c2 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s1 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s1),"
+            "s2 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c2) WHERE rn <= 16),"
+            "est AS ("
+            "  SELECT id, 0 AS r, count(*) AS n_min, max(u) AS hk"
+            "  FROM s0 GROUP BY id"
+            "  UNION ALL SELECT id, 1, count(*), max(u) FROM s1 GROUP BY id"
+            "  UNION ALL SELECT id, 2, count(*), max(u) FROM s2 GROUP BY id)"
+            "SELECT id AS part_id, r, n_min,"
+            "  round(CASE WHEN n_min < 16 THEN CAST(n_min AS DOUBLE)"
+            "        ELSE 15.0 / hk END, 4) AS estimate FROM est",
+        "harmonic_parts":
+            # same unrolled rounds; H = (e1-e0)/1 + (e2-e1)/2 on the
+            # identical per-round estimates
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "s0 AS (SELECT DISTINCT node AS id,"
+            "  ('0x' || substr(sha256('v1:' || CAST(node AS VARCHAR)), 1, 8))"
+            "::UBIGINT / 4294967296.0 AS u FROM adj),"
+            "c1 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s0 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s0),"
+            "s1 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c1) WHERE rn <= 16),"
+            "c2 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s1 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s1),"
+            "s2 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c2) WHERE rn <= 16),"
+            "e0 AS (SELECT id, CAST(count(*) AS DOUBLE) AS e FROM s0 "
+            "GROUP BY id),"  # radius-0 ball is always 1 node (< k)
+            "e1 AS (SELECT id, CASE WHEN count(*) < 16 THEN "
+            "CAST(count(*) AS DOUBLE) ELSE 15.0 / max(u) END AS e "
+            "FROM s1 GROUP BY id),"
+            "e2 AS (SELECT id, CASE WHEN count(*) < 16 THEN "
+            "CAST(count(*) AS DOUBLE) ELSE 15.0 / max(u) END AS e "
+            "FROM s2 GROUP BY id)"
+            "SELECT e0.id AS part_id, round((e1.e - e0.e) / 1 "
+            "+ (e2.e - e1.e) / 2, 6) AS harmonic "
+            "FROM e0 JOIN e1 ON e1.id = e0.id JOIN e2 ON e2.id = e0.id",
         "katz_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"

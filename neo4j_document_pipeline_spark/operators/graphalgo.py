@@ -912,3 +912,88 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1,
                        + F.lit(float(alpha)) * F.col("s")).alias("x"))
              .localCheckpoint())
     return x.select("id", F.col("x").alias("katz"))
+
+
+def neighborhood_sketches(edges: DataFrame, radius: int, k: int = 64,
+                          salt: str = "v1") -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) with the engine's DETERMINISTIC
+    KMV bottom-k sketch in place of HyperLogLog: for every node and
+    every r = 0..``radius``, a mergeable sketch of the ball B(v, r) =
+    {nodes within <= r hops} -> (id, r, n_min, estimate, sketch).
+    The neighborhood function (how many nodes are within r hops —
+    the effective-diameter / average-distance primitive) at graph
+    scale, where exact per-node BFS from every source is O(n·m).
+
+    Round r merges each node's own round-(r-1) sketch with its
+    neighbors' and re-takes the k smallest hashes — the same
+    bottom-k-union the KMV sketch is mergeable by (sketches.py), so
+    sketch(B(v,r)) is EXACTLY kmv_sketch applied to the ball's members:
+    exact below k distinct, (k-1)/h_k above, and — because the hash is
+    the engine's sha256 draw — a pure function of the graph,
+    reproducible bit-for-bit on any partitioning or engine (the oracle
+    unrolls the identical rounds as SQL).
+
+    Scale shape: one equi-join (edges ⋈ sketches) + one bottom-k
+    re-aggregation per round — HyperBall's cost, O(m·k) rows moved per
+    round with no frontier blowup; localCheckpoint truncates lineage
+    per round. Estimate error ~ 1/sqrt(k-2)."""
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        uniform_hash_col)
+    from pyspark.sql import Window
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    und = _undirected(edges)
+    e = und.union(und.select(F.col("v").alias("u"),
+                             F.col("u").alias("v"))).localCheckpoint()
+    spark = edges.sparkSession
+    # hash ROWS (id, u), not arrays: bottom-k re-aggregation is a
+    # window over rows, and the round merge is a plain union+distinct
+    cur = (e.select(F.col("u").alias("id")).distinct()
+           .withColumn("u", uniform_hash_col("id", salt))
+           .localCheckpoint())
+    rounds = [cur.withColumn("r", F.lit(0))]
+    w = Window.partitionBy("id").orderBy("u")
+    for r in range(1, radius + 1):
+        # edges carry (u, v) as endpoints and sketches carry u as the
+        # hash — re-alias the endpoints before joining
+        contrib = (e.select(F.col("u").alias("dst"),
+                            F.col("v").alias("src"))
+                   .join(cur.withColumnRenamed("id", "src"), "src")
+                   .select(F.col("dst").alias("id"), "u"))
+        merged = (cur.select("id", "u").unionByName(contrib).distinct()
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn")
+                  .localCheckpoint())
+        rounds.append(merged.withColumn("r", F.lit(r)))
+        cur = merged
+    allr = rounds[0]
+    for fr in rounds[1:]:
+        allr = allr.unionByName(fr)
+    est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.element_at("sketch", -1))
+    return (allr.groupBy("id", "r")
+            .agg(F.array_sort(F.collect_list("u")).alias("sketch"),
+                 F.count("*").alias("n_min"))
+            .withColumn("estimate", est))
+
+
+def harmonic_centrality_sketch(edges: DataFrame, radius: int, k: int = 64,
+                               salt: str = "v1") -> DataFrame:
+    """Approximate harmonic centrality from the HyperBall sketches:
+    H(v) = Σ_{r=1..radius} (|B(v,r)| - |B(v,r-1)|) / r — each shell's
+    node count discounted by its distance, the centrality HyperBall was
+    built to compute (closeness without the disconnected-graph
+    pathology). Exact when every ball stays below k distinct nodes;
+    (k-1)/h_k-estimated above. -> (id, harmonic)."""
+    from pyspark.sql import Window
+    nb = neighborhood_sketches(edges, radius, k=k, salt=salt)
+    w = Window.partitionBy("id").orderBy("r")
+    prev = F.lag("estimate", 1).over(w)
+    return (nb.select("id", "r", "estimate")
+            .withColumn("_shell", F.col("estimate") - F.coalesce(
+                prev, F.lit(0.0)))
+            .filter(F.col("r") >= 1)
+            .groupBy("id")
+            .agg(F.sum(F.col("_shell") / F.col("r")).alias("harmonic")))

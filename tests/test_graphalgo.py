@@ -1414,3 +1414,101 @@ def test_katz_weighted_and_validation(spark):
         katz_centrality(e, iters=0)
     with _pytest.raises(ValueError, match="alpha"):
         katz_centrality(e, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (KMV sketches) + harmonic centrality
+# ---------------------------------------------------------------------------
+
+def _brute_balls(edge_list, radius):
+    """id -> [|B(0)|, |B(1)|, ...] by python BFS."""
+    adj = {}
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, radius + 1):
+            nxt = [w for x in frontier for w in adj[x] if w not in dist]
+            for w in nxt:
+                dist.setdefault(w, d)
+            frontier = sorted(set(nxt))
+        out[s] = [sum(1 for d in dist.values() if d <= r)
+                  for r in range(radius + 1)]
+    return out
+
+
+def _rand_edges(n=40, extra=60, seed=7):
+    import random
+    rng = random.Random(seed)
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)]
+    edges += [(f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+              for _ in range(extra)]
+    return [(u, v) for u, v in edges if u != v]
+
+
+def test_neighborhood_sketches_exact_below_k(spark):
+    """k above every ball size -> estimate IS the exact ball size."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        neighborhood_sketches)
+    el = _rand_edges()
+    nb = neighborhood_sketches(
+        spark.createDataFrame(el, "u string, v string"), 3, k=256).collect()
+    brute = _brute_balls(el, 3)
+    got = {(r["id"], r["r"]): r["estimate"] for r in nb}
+    assert got == {(i, r): float(sizes[r])
+                   for i, sizes in brute.items() for r in range(4)}
+    # sketches stay sorted bottom-k rows
+    assert all(r["sketch"] == sorted(r["sketch"]) for r in nb)
+
+
+def test_neighborhood_sketches_estimator_and_determinism(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        neighborhood_sketches)
+    el = _rand_edges(60, 150, seed=11)
+    df = spark.createDataFrame(el, "u string, v string")
+    a = {(r["id"], r["r"]): (r["n_min"], r["estimate"], tuple(r["sketch"]))
+         for r in neighborhood_sketches(df, 2, k=8).collect()}
+    b = {(r["id"], r["r"]): (r["n_min"], r["estimate"], tuple(r["sketch"]))
+         for r in neighborhood_sketches(df.repartition(13), 2, k=8).collect()}
+    assert a == b  # pure function of the graph, bit-for-bit
+    brute = _brute_balls(el, 2)
+    for (i, r), (n_min, est, sk) in a.items():
+        assert n_min <= 8 and len(sk) == n_min
+        if n_min < 8:
+            assert est == float(brute[i][r])  # exhaustive -> exact
+    # estimator quality: mean relative error over the k-saturated balls
+    errs = [abs(est - brute[i][r]) / brute[i][r]
+            for (i, r), (n_min, est, _) in a.items() if n_min == 8]
+    assert errs, "no ball saturated k — raise graph density"
+    assert sum(errs) / len(errs) < 0.5  # 1/sqrt(k-2) ~ 0.41
+
+
+def test_harmonic_centrality_sketch_brute_parity(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        harmonic_centrality_sketch)
+    el = _rand_edges(30, 40, seed=3)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality_sketch(
+        spark.createDataFrame(el, "u string, v string"), 3, k=512).collect()}
+    brute = _brute_balls(el, 3)
+    expect = {i: sum((sizes[r] - sizes[r - 1]) / r for r in range(1, 4))
+              for i, sizes in brute.items()}
+    assert set(got) == set(expect)
+    for i in got:
+        assert abs(got[i] - expect[i]) < 1e-9, i
+
+
+def test_neighborhood_sketches_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        neighborhood_sketches)
+    df = spark.createDataFrame([("a", "b")], "u string, v string")
+    with _pytest.raises(ValueError):
+        neighborhood_sketches(df, -1)
+    with _pytest.raises(ValueError):
+        neighborhood_sketches(df, 1, k=1)
