@@ -1302,6 +1302,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_count(_copurchase_edges(spark, sf))
     q["triangle_parts"] = triangle_parts
 
+    def clustering_parts(spark, sf):
+        """Local clustering coefficient per part over the co-purchase
+        graph: 2·T(v)/(d(v)·(d(v)-1)) from the same degree-oriented
+        wedge join as triangle_parts, each triangle exploded to its
+        three corners (graphalgo.py::clustering_coefficients). Oracle
+        = the canonical a<b<c triple join, corners UNION ALL'd."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            clustering_coefficients)
+        return (clustering_coefficients(_copurchase_edges(spark, sf))
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        "degree", "triangles",
+                        F.round("coeff", 6).alias("coeff")))
+    q["clustering_parts"] = clustering_parts
+
     # ---- A5: unique-text union across channels ----
     def unique_texts_union(spark, sf):
         p = _t(spark, sf, "part").select(F.col("p_name").alias("txt"))
@@ -2436,6 +2450,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS triangles FROM pairs e1"
             " JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v"
             " JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v",
+        "clustering_parts":
+            "WITH pairs AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+            "deg AS (SELECT node, count(*) AS d FROM ("
+            "  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)"
+            "  GROUP BY node),"
+            "tri3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM pairs e1"
+            "  JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v"
+            "  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),"
+            "t AS (SELECT node, count(*) AS t FROM ("
+            "  SELECT a AS node FROM tri3 UNION ALL SELECT b FROM tri3"
+            "  UNION ALL SELECT c FROM tri3) GROUP BY node)"
+            "SELECT deg.node AS part_id, deg.d AS degree,"
+            "  COALESCE(t.t, 0) AS triangles,"
+            "  round(CASE WHEN deg.d >= 2 THEN"
+            "    2.0 * COALESCE(t.t, 0) / (deg.d * (deg.d - 1))"
+            "    ELSE 0.0 END, 6) AS coeff "
+            "FROM deg LEFT JOIN t ON t.node = deg.node",
         "unique_texts_union":
             "SELECT txt FROM (SELECT p_name AS txt FROM part "
             "UNION ALL SELECT s_name FROM supplier "

@@ -413,6 +413,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     edges x edges x edges triple join explodes on exactly the power-law
     hubs a webtext entity graph has."""
     und = _undirected(edges)
+    closed = _closed_triangles(und)
+    return closed.agg(F.count("*").alias("triangles"))
+
+
+def _closed_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (a, b, c) rows (a the smallest
+    endpoint in the degree order; b < c by id) — the degree-oriented
+    wedge join shared by the global count and the per-vertex
+    coefficients."""
     deg = (
         und.select(F.col("u").alias("id"))
         .union(und.select(F.col("v").alias("id")))
@@ -438,16 +447,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(oriented.alias("e2"),
               (F.col("e1.lo") == F.col("e2.lo"))
               & (F.col("e1.hi") < F.col("e2.hi")))
-        .select(F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c"))
+        .select(F.col("e1.lo").alias("a"),
+                F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c"))
     )
     # close the wedge against the CANONICAL (id-ordered) edge set — the
     # wedge emits b < c by id, und stores u < v by id, so this is a pure
     # two-column equi-join (an orientation-order predicate would need an
     # OR of conjunctions, which Catalyst can only nested-loop)
-    closed = wedges.join(
+    return wedges.join(
         und.select(F.col("u").alias("b"), F.col("v").alias("c")),
-        ["b", "c"])
-    return closed.agg(F.count("*").alias("triangles"))
+        ["b", "c"]).select("a", "b", "c")
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient -> (id, degree, triangles, coeff):
+    coeff(v) = 2·T(v) / (d(v)·(d(v)-1)), the fraction of v's neighbor
+    pairs that are themselves connected — the per-node community-
+    tightness signal next to the global triangle count (watts-strogatz
+    'clustering'; GDS localClusteringCoefficient). Nodes of degree < 2
+    have no neighbor pair and score 0.
+
+    Per-vertex T comes from the same degree-oriented wedge join as
+    triangle_count (each triangle materialized once, exploded to its
+    three corners — never one join per corner), so the hub-bounded
+    O(m^1.5) wedge cost is unchanged and the only additions are one
+    explode and one hash aggregate."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id").agg(F.count("*").alias("degree"))
+    )
+    tri = (
+        _closed_triangles(und)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("triangles"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    d = F.col("degree")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id", "degree", t.alias("triangles"),
+            F.when(d >= 2, F.lit(2.0) * t / (d * (d - 1)))
+            .otherwise(F.lit(0.0)).alias("coeff"))
+    )
 
 
 def label_propagation(edges: DataFrame, iters: int = 5,

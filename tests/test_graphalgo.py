@@ -1512,3 +1512,39 @@ def test_neighborhood_sketches_validation(spark):
         neighborhood_sketches(df, -1)
     with _pytest.raises(ValueError):
         neighborhood_sketches(df, 1, k=1)
+
+
+def test_clustering_coefficients_brute_parity(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        clustering_coefficients)
+    el = _rand_edges(25, 60, seed=5)
+    got = {r["id"]: (r["degree"], r["triangles"], r["coeff"])
+           for r in clustering_coefficients(
+               spark.createDataFrame(el, "u string, v string")).collect()}
+    adj = {}
+    for u, v in el:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    for v, nb in adj.items():
+        t = sum(1 for a in nb for b in nb
+                if a < b and b in adj.get(a, ()))
+        d = len(nb)
+        coeff = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[v][0] == d and got[v][1] == t, v
+        assert abs(got[v][2] - coeff) < 1e-12, v
+    assert set(got) == set(adj)
+
+
+def test_clustering_coefficients_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        clustering_coefficients)
+    # triangle a-b-c plus pendant d on a: a sees 1 of 3 neighbor pairs
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "u string, v string")
+    got = {r["id"]: r["coeff"] for r in
+           clustering_coefficients(df).collect()}
+    assert got["a"] == pytest.approx(1.0 / 3.0)
+    assert got["b"] == 1.0 and got["c"] == 1.0
+    assert got["d"] == 0.0  # degree 1: no neighbor pair
