@@ -592,6 +592,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "exact"))
     q["kmv_user_sketch"] = kmv_user_sketch
 
+    def sliding_distinct_users(spark, sf):
+        """Trailing-window distinct users per event type (6h windows
+        sliding by 3h) from per-bucket KMV sketches merged along the
+        time axis (sketches.py::kmv_sliding_distinct): raw rows sketch
+        once into slide buckets, each window merges its 2 buckets —
+        bit-identical to sketching every window from raw (the merge
+        property), proven by the oracle reproducing the construction."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            kmv_sliding_distinct)
+        ev = _t(spark, sf, "events")
+        return (kmv_sliding_distinct(ev, "user_id", window_sec=21600,
+                                     slide_sec=10800,
+                                     group_cols="event_type", k=32)
+                .select("win_start_sec", "event_type", "n_min",
+                        F.round("estimate", 4).alias("estimate")))
+    q["sliding_distinct_users"] = sliding_distinct_users
+
     # ---- temporal: hypertable-style rollup ----
     def event_rollup(spark, sf):
         """Multi-resolution tumbling aggregates (1h/6h/1d) where each
@@ -1776,6 +1793,30 @@ def oracle_sql() -> dict[str, str]:
             "AS week_index, count(DISTINCT a.u) AS n_users "
             "FROM a JOIN f ON a.u = f.u WHERE a.aw >= f.cw "
             "GROUP BY 1, 2",
+        "sliding_distinct_users":
+            # the IDENTICAL bucket-sketch-then-merge construction:
+            # bottom-32 per 3h bucket, each window = bottom-32 of its
+            # two buckets' union
+            "WITH h AS (SELECT DISTINCT "
+            "  CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) AS b,"
+            "  event_type,"
+            "  ('0x' || substr(sha256('v1:' || user_id), 1, 8))::UBIGINT"
+            "  / 4294967296.0 AS u FROM events"
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            "bs AS (SELECT b, event_type, u FROM ("
+            "  SELECT b, event_type, u, row_number() OVER ("
+            "  PARTITION BY b, event_type ORDER BY u) AS rn FROM h)"
+            "  WHERE rn <= 32),"
+            "asn AS (SELECT DISTINCT t.ws AS win_start_sec, event_type, u"
+            "  FROM bs, unnest([b - 10800, b]) AS t(ws)),"
+            "wk AS (SELECT win_start_sec, event_type, u FROM ("
+            "  SELECT win_start_sec, event_type, u, row_number() OVER ("
+            "  PARTITION BY win_start_sec, event_type ORDER BY u) AS rn"
+            "  FROM asn) WHERE rn <= 32)"
+            "SELECT win_start_sec, event_type, count(*) AS n_min,"
+            "  round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)"
+            "  ELSE 31.0 / max(u) END, 4) AS estimate "
+            "FROM wk GROUP BY win_start_sec, event_type",
         "kmv_user_sketch":
             # the IDENTICAL deterministic bottom-k construction: first
             # 8 hex digits of sha256('v1:'||user_id) over 2^32, k

@@ -93,3 +93,71 @@ def kmv_merge(sketches: DataFrame, group_cols: str | list[str],
              F.count("*").alias("n_min"))
     )
     return _finish(agg, k)
+
+
+def kmv_sliding_distinct(events: DataFrame, value_col: str,
+                         ts_col: str = "ts",
+                         window_sec: int = 3600, slide_sec: int = 900,
+                         group_cols: str | list[str] | None = None,
+                         k: int = 64, salt: str = "v1") -> DataFrame:
+    """Distinct-count estimates over SLIDING time windows from
+    per-bucket KMV sketches -> (win_start_sec [, group_cols…], n_min,
+    estimate): window [w, w + window_sec) counts distinct ``value_col``
+    among events whose timestamp falls inside it, for every
+    slide-aligned w that has data.
+
+    This is the mergeable property doing its job on the time axis: raw
+    rows are sketched ONCE into window_sec/slide_sec-aligned buckets
+    (bottom-k per bucket), and each sliding window's sketch is the
+    MERGE of its constituent buckets — merge(bottom-k sets) ==
+    bottom-k(union) bit-for-bit, so the window estimates are EXACTLY
+    what sketching each window from raw would give, while every raw row
+    is read once and contributes to one bucket instead of
+    window/slide overlapping windows. The trailing-distinct-users
+    dashboard query at stream scale (same trick HLL-based systems use;
+    deterministic here, so a plain-SQL oracle reproduces every bit).
+
+    ``window_sec`` must be a multiple of ``slide_sec`` (buckets must
+    tile windows exactly). NULL values/timestamps are ignored.
+
+    Shape: one distinct + bottom-k per bucket (rows ~ min(k, distinct)
+    per bucket), an explode by window/slide assignments (bounded fan-out
+    R = window/slide on SKETCH rows, never raw rows), one bottom-k per
+    window."""
+    if window_sec <= 0 or slide_sec <= 0:
+        raise ValueError("window_sec and slide_sec must be positive")
+    if window_sec % slide_sec:
+        raise ValueError(f"window_sec ({window_sec}) must be a multiple "
+                         f"of slide_sec ({slide_sec}) so buckets tile "
+                         "windows exactly")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = [] if group_cols is None else (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols))
+    r = window_sec // slide_sec
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                      / slide_sec) * slide_sec).alias("bucket_sec")
+    h = (events.filter(F.col(value_col).isNotNull()
+                       & F.col(ts_col).isNotNull())
+         .select(bucket, *groups,
+                 uniform_hash_col(value_col, salt).alias("u"))
+         .distinct())
+    wb = Window.partitionBy("bucket_sec", *groups).orderBy("u")
+    bucket_sk = (h.withColumn("_rn", F.row_number().over(wb))
+                 .filter(F.col("_rn") <= k).drop("_rn"))
+    # each bucket b serves windows starting at b, b - slide, ...,
+    # b - (r-1)*slide — explode the bounded assignment on sketch rows
+    assigned = bucket_sk.select(
+        F.explode(F.sequence(
+            F.col("bucket_sec") - (r - 1) * slide_sec,
+            F.col("bucket_sec"), F.lit(slide_sec))).alias("win_start_sec"),
+        *groups, "u")
+    ww = Window.partitionBy("win_start_sec", *groups).orderBy("u")
+    agg = (assigned.dropDuplicates(["win_start_sec", *groups, "u"])
+           .withColumn("_rn", F.row_number().over(ww))
+           .filter(F.col("_rn") <= k)
+           .groupBy("win_start_sec", *groups)
+           .agg(F.array_sort(F.collect_list("u")).alias("sketch"),
+                F.count("*").alias("n_min")))
+    return (_finish(agg, k)
+            .select("win_start_sec", *groups, "n_min", "estimate"))

@@ -71,3 +71,79 @@ def test_kmv_determinism_across_partitionings(spark):
                     k=16).collect()[0]
     assert s1["sketch"] == s2["sketch"]
     assert s1["estimate"] == s2["estimate"]
+
+
+# ---------------------------------------------------------------------------
+# sliding-window distinct via bucket-sketch merge
+# ---------------------------------------------------------------------------
+
+def test_kmv_sliding_equals_per_window_sketch(spark):
+    """The bucket-merge construction gives BIT-identical results to
+    sketching each sliding window directly from raw rows (the KMV merge
+    property on the time axis), at a k small enough to saturate."""
+    import datetime as dt
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_sketch, kmv_sliding_distinct)
+    base = dt.datetime(2025, 3, 1)
+    rows = [(i % 37, "e", base + dt.timedelta(minutes=7 * i))
+            for i in range(300)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    W, S = 3600, 900
+    got = {(r["win_start_sec"], r["event_type"]):
+           (r["n_min"], r["estimate"])
+           for r in kmv_sliding_distinct(
+               ev, "user_id", window_sec=W, slide_sec=S,
+               group_cols="event_type", k=8).collect()}
+    # direct: assign raw rows to each covering window, sketch per window
+    from pyspark.sql import functions as F
+    r_cnt = W // S
+    direct_src = ev.select(
+        F.explode(F.sequence(
+            (F.floor(F.unix_timestamp("ts") / S) * S) - (r_cnt - 1) * S,
+            F.floor(F.unix_timestamp("ts") / S) * S,
+            F.lit(S))).alias("win_start_sec"),
+        "event_type", "user_id")
+    direct = {(r["win_start_sec"], r["event_type"]):
+              (r["n_min"], r["estimate"])
+              for r in kmv_sketch(direct_src,
+                                  ["win_start_sec", "event_type"],
+                                  "user_id", k=8).collect()}
+    assert got == direct and got
+
+
+def test_kmv_sliding_exact_below_k(spark):
+    import datetime as dt
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_sliding_distinct)
+    base = dt.datetime(2025, 3, 1)
+    # 5 users in hour 0, 3 new users in hour 1
+    rows = [(u, "e", base + dt.timedelta(minutes=5 * u))
+            for u in range(5)] + \
+           [(10 + u, "e", base + dt.timedelta(hours=1, minutes=10 * u))
+            for u in range(3)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["win_start_sec"]: r["estimate"]
+           for r in kmv_sliding_distinct(
+               ev, "user_id", window_sec=7200, slide_sec=3600, k=64).collect()}
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # window [t0, +2h) sees all 8; [t0+1h, +2h) sees 3; [t0-1h, +1h) sees 5
+    assert got[t0] == 8.0
+    assert got[t0 + 3600] == 3.0
+    assert got[t0 - 3600] == 5.0
+
+
+def test_kmv_sliding_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_sliding_distinct)
+    ev = spark.createDataFrame([(1, "e", None)],
+                               "user_id long, event_type string, ts timestamp")
+    with _pytest.raises(ValueError):
+        kmv_sliding_distinct(ev, "user_id", window_sec=3600, slide_sec=1000)
+    with _pytest.raises(ValueError):
+        kmv_sliding_distinct(ev, "user_id", window_sec=0)
+    with _pytest.raises(ValueError):
+        kmv_sliding_distinct(ev, "user_id", k=1)
