@@ -110,7 +110,8 @@ def main(argv=None):
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
         "kcore", "export", "sample", "shards", "attribution",
-        "dedup-stream", "hygiene", "funnel", "retention"])
+        "dedup-stream", "hygiene", "funnel", "retention",
+        "clustering", "harmonic"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -468,6 +469,42 @@ def main(argv=None):
         print(json.dumps(
             {"triangles": triangle_count(_kg_edges(store))
              .first()["triangles"]}))
+    elif ns.command == "clustering":
+        # per-entity local clustering coefficient: how tightly an
+        # entity's neighborhood closes on itself — high-coeff entities
+        # sit inside cohesive topic clusters, zero-coeff hubs are pure
+        # connectors
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            clustering_coefficients)
+        cc = clustering_coefficients(_kg_edges(store))
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        out = (cc.join(names, "id", "left")
+               .orderBy(F.col("coeff").desc(), F.col("degree").desc(), "id")
+               .limit(ns.limit))
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "harmonic":
+        # approximate harmonic centrality from HyperBall KMV sketches —
+        # "how close is this entity to everything else", sketch-based
+        # so it never runs per-node BFS; --hops bounds the radius,
+        # --k the sketch size (error ~ 1/sqrt(k-2))
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            harmonic_centrality_sketch)
+        h = harmonic_centrality_sketch(_kg_edges(store),
+                                       radius=max(1, ns.hops), k=64)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        out = (h.join(names, "id", "left")
+               .orderBy(F.col("harmonic").desc(), "id").limit(ns.limit))
+        for r in out.collect():
+            d = r.asDict()
+            d["harmonic"] = round(d["harmonic"], 4)
+            print(json.dumps(d, default=str))
     elif ns.command == "similar":
         # structurally-similar entity pairs (shared-neighbor Jaccard) —
         # duplicate-entity candidates whose NAMES the linking stage's

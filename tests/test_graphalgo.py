@@ -1548,3 +1548,31 @@ def test_clustering_coefficients_known_values(spark):
     assert got["a"] == pytest.approx(1.0 / 3.0)
     assert got["b"] == 1.0 and got["c"] == 1.0
     assert got["d"] == 0.0  # degree 1: no neighbor pair
+
+
+def test_cli_clustering_and_harmonic(spark, tmp_path, capsys):
+    """The two sketch/wedge analytics commands run over a committed
+    store, join names back, and rank deterministically."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 15), root)
+    main(["clustering", "--store", root, "--limit", "8"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(
+        {"id", "degree", "triangles", "coeff", "name"} <= set(r)
+        for r in rows)
+    assert all(0.0 <= r["coeff"] <= 1.0 for r in rows)
+    assert [r["coeff"] for r in rows] == sorted(
+        (r["coeff"] for r in rows), reverse=True)
+    main(["harmonic", "--store", root, "--hops", "2", "--limit", "8"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all({"id", "harmonic", "name"} <= set(r) for r in rows)
+    assert [r["harmonic"] for r in rows] == sorted(
+        (r["harmonic"] for r in rows), reverse=True)
+    assert all(r["harmonic"] >= 0.0 for r in rows)
