@@ -1182,6 +1182,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("harmonic", 6).alias("harmonic")))
     q["harmonic_parts"] = harmonic_parts
 
+    def neighborhood_function_parts(spark, sf):
+        """The distance distribution N(r) from the same sketches —
+        per radius, total (node, reachable)-pair estimate; the curve
+        whose saturation is the effective diameter. Ball estimates are
+        fixed-pointed to 4dp BEFORE summing (graphalgo.py::
+        neighborhood_function) so the aggregate is an exact integer,
+        immune to float summation order on either engine."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            neighborhood_function)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300)
+        return neighborhood_function(edges, 2, k=16)
+    q["neighborhood_function_parts"] = neighborhood_function_parts
+
     def lpa_modularity(spark, sf):
         """Newman modularity of the 3-round LPA communities over the
         same bounded co-purchase graph — the quality score that says
@@ -2350,6 +2363,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id AS part_id, r, n_min,"
             "  round(CASE WHEN n_min < 16 THEN CAST(n_min AS DOUBLE)"
             "        ELSE 15.0 / hk END, 4) AS estimate FROM est",
+        "neighborhood_function_parts":
+            # same unrolled rounds; per-r exact integer sum of the 4dp
+            # fixed-point ball estimates
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "s0 AS (SELECT DISTINCT node AS id,"
+            "  ('0x' || substr(sha256('v1:' || CAST(node AS VARCHAR)), 1, 8))"
+            "::UBIGINT / 4294967296.0 AS u FROM adj),"
+            "c1 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s0 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s0),"
+            "s1 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c1) WHERE rn <= 16),"
+            "c2 AS (SELECT a.node AS id, s.u FROM adj a"
+            "       JOIN s1 s ON s.id = a.nbr"
+            "       UNION SELECT id, u FROM s1),"
+            "s2 AS (SELECT id, u FROM (SELECT id, u, row_number() OVER ("
+            "  PARTITION BY id ORDER BY u) AS rn FROM c2) WHERE rn <= 16),"
+            "est AS ("
+            "  SELECT id, 0 AS r, count(*) AS n_min, max(u) AS hk"
+            "  FROM s0 GROUP BY id"
+            "  UNION ALL SELECT id, 1, count(*), max(u) FROM s1 GROUP BY id"
+            "  UNION ALL SELECT id, 2, count(*), max(u) FROM s2 GROUP BY id)"
+            "SELECT r, count(*) AS n_nodes,"
+            "  CAST(sum(CAST(floor((CASE WHEN n_min < 16 THEN "
+            "CAST(n_min AS DOUBLE) ELSE 15.0 / hk END) * 10000.0 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS total_reach_x1e4 "  # sum() is HUGEINT
+            "FROM est GROUP BY r",
         "harmonic_parts":
             # same unrolled rounds; H = (e1-e0)/1 + (e2-e1)/2 on the
             # identical per-round estimates

@@ -1041,3 +1041,43 @@ def harmonic_centrality_sketch(edges: DataFrame, radius: int, k: int = 64,
             .filter(F.col("r") >= 1)
             .groupBy("id")
             .agg(F.sum(F.col("_shell") / F.col("r")).alias("harmonic")))
+
+
+def neighborhood_function(edges: DataFrame, radius: int, k: int = 64,
+                          salt: str = "v1") -> DataFrame:
+    """The graph's distance distribution from the HyperBall sketches:
+    per radius r, how many (node, reachable-node) pairs lie within r
+    hops -> (r, n_nodes, total_reach_x1e4). This is N(r) of Palmer's
+    ANF / HyperBall — the curve whose saturation point is the effective
+    diameter (smallest r with N(r) >= 0.9 * N(max)).
+
+    total_reach_x1e4 = Σ_v floor(|B(v,r)|·10^4 + 0.5) — ball estimates
+    fixed-pointed to 4dp BEFORE summing so the aggregate is an exact
+    integer, independent of float summation order (a double Σ over
+    thousands of rows is last-ulp order-dependent and engine-dependent;
+    an integer Σ is not). Divide by 10^4 for the real value."""
+    nb = neighborhood_sketches(edges, radius, k=k, salt=salt)
+    fixed = F.floor(F.col("estimate") * 10000.0 + 0.5).cast("long")
+    return (nb.groupBy("r")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum(fixed).alias("total_reach_x1e4")))
+
+
+def effective_diameter(edges: DataFrame, radius: int, k: int = 64,
+                       salt: str = "v1", quantile: float = 0.9) -> int:
+    """Smallest radius whose neighborhood function reaches ``quantile``
+    of its value at ``radius`` (the standard 90%-effective-diameter).
+    Returns ``radius`` when the curve has not saturated by then —
+    callers probe with a larger radius. Driver-side over radius+1
+    rows."""
+    if not (0.0 < quantile <= 1.0):
+        raise ValueError(f"quantile must be in (0, 1], got {quantile}")
+    rows = {r["r"]: r["total_reach_x1e4"]
+            for r in neighborhood_function(edges, radius, k, salt).collect()}
+    if not rows:
+        return 0
+    target = quantile * rows[max(rows)]
+    for r in sorted(rows):
+        if rows[r] >= target:
+            return r
+    return radius

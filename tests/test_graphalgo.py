@@ -1576,3 +1576,21 @@ def test_cli_clustering_and_harmonic(spark, tmp_path, capsys):
     assert [r["harmonic"] for r in rows] == sorted(
         (r["harmonic"] for r in rows), reverse=True)
     assert all(r["harmonic"] >= 0.0 for r in rows)
+
+
+def test_neighborhood_function_and_effective_diameter(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        effective_diameter, neighborhood_function)
+    # path a-b-c-d: N(r) totals 4, 10, 14, 16 at r=0..3
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                               "u string, v string")
+    nf = {r["r"]: (r["n_nodes"], r["total_reach_x1e4"])
+          for r in neighborhood_function(df, 3, k=64).collect()}
+    assert nf == {0: (4, 4 * 10000), 1: (4, 10 * 10000),
+                  2: (4, 14 * 10000), 3: (4, 16 * 10000)}
+    # 90% of 16 = 14.4 -> first r reaching it is 3; 87.5% -> 14 -> r=2
+    assert effective_diameter(df, 3, k=64) == 3
+    assert effective_diameter(df, 3, k=64, quantile=0.875) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        effective_diameter(df, 3, quantile=0.0)
