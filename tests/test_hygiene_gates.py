@@ -293,3 +293,42 @@ def test_gate_rejects_bad_min_doc_freq(spark, tmp_path):
     docs = spark.createDataFrame([("d", "t")], "doc_id string, text string")
     with pytest.raises(ValueError):
         gate_lines_increment(store, docs, 0)
+
+
+def test_stream_ingest_with_gates(spark, tmp_path):
+    """The gate flags ride foreachBatch: a gated stream over a pages
+    dir applies line dedup + near-dup resolution per micro-batch with
+    the committed state (prefix semantics), and the state tables land
+    bucketed."""
+    # the near-dup pair differs in LINE structure (one is re-wrapped to
+    # a single line) so the line gate — which correctly strips lines
+    # duplicated across documents, exact mirrors included — leaves the
+    # bodies intact and the near-dup gate does the dropping
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    rows = [
+        _doc("a", 0), _doc("b", 1),
+        ("https://m1.example.org/p.md", make_text(7) + " first tail."),
+        ("https://m2.example.org/p.md",
+         make_text(7).replace("\n", " ") + " second tail."),
+    ]
+    pages_dir = str(tmp_path / "pages")
+    _pages(spark, rows).repartition(1).write.parquet(pages_dir)
+
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        start_ingest_stream)
+    root = str(tmp_path / "kg")
+    q = start_ingest_stream(spark, pages_dir, root,
+                            str(tmp_path / "ckpt"),
+                            dedup_lines=2, resolve_near_dups=True,
+                            near_dup_threshold=0.6,
+                            max_files_per_trigger=64)
+    assert q.awaitTermination(300), "gated ingest stream did not finish"
+    store = GraphStore(root, spark)
+    docs = {r["url"]: r["text"] for r in
+            store.read("documents_final").collect()}
+    # one mirror dropped; the shared banner stripped from both docs
+    assert len(docs) == 3
+    assert sum(1 for t in docs.values() if "tail." in t) == 1
+    assert all(BANNER not in t for t in docs.values())
+    assert store.manifest("line_postings")["bucket_by"] == "lkey"
+    assert store.manifest("doc_signatures")["bucket_by"] == "bh"

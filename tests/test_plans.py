@@ -447,3 +447,36 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
+
+
+def test_new_analytics_and_sampling_plans(spark):
+    """weighted_sample's global form must plan as TakeOrderedAndProject
+    (per-partition k-heap, never a full sort); the HyperBall round join
+    and clustering wedge must stay hash/SMJ equi joins."""
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        clustering_coefficients, neighborhood_sketches)
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        weighted_sample)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.length("text").alias("w")))
+    p = plan_of(weighted_sample(docs, 10, "w"))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_orderkey") < 200)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").cast("string").alias("u"),
+                     F.col("b.l_partkey").cast("string").alias("v")))
+    for name, df in {
+        "neighborhood_sketches": neighborhood_sketches(edges, 1, k=8),
+        "clustering_coefficients": clustering_coefficients(edges),
+    }.items():
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
