@@ -907,6 +907,21 @@ def main(argv=None):
                            F.lit(0)).alias("removable")) \
                 .collect()[0].asDict()
             report["near_dups"] = near
+        # gate state, when the store was ingested with the hygiene
+        # gates: how much boilerplate the line gate knows about, and
+        # how many documents the near-dup signature table covers
+        if store.exists("line_postings"):
+            lp = store.read("line_postings")
+            gs = lp.agg(
+                F.countDistinct("lkey").alias("distinct_lines"),
+                F.countDistinct(
+                    F.when(F.col("df") >= 2, F.col("lkey")))
+                .alias("boilerplate_lines")).collect()[0].asDict()
+            report["line_gate_state"] = gs
+        if store.exists("doc_signatures"):
+            report["near_dup_gate_state"] = {
+                "signed_docs": store.read("doc_signatures")
+                .select("doc_id").distinct().count()}
         print(json.dumps(report, indent=1, default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status

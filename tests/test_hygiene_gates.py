@@ -332,3 +332,23 @@ def test_stream_ingest_with_gates(spark, tmp_path):
     assert all(BANNER not in t for t in docs.values())
     assert store.manifest("line_postings")["bucket_by"] == "lkey"
     assert store.manifest("doc_signatures")["bucket_by"] == "bh"
+
+
+def test_hygiene_report_shows_gate_state(spark, tmp_path, capsys):
+    """The corpus-quality report surfaces the committed gate state:
+    how many distinct/boilerplate lines the line gate tracks and how
+    many documents the signature table covers."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    pages = _pages(spark, [
+        _doc("a", 0), _doc("b", 1), _doc("c", 2, banner=False),
+    ])
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, pages, root, dedup_lines=2, resolve_near_dups=True)
+    main(["hygiene", "--store", root])
+    out = json.loads(capsys.readouterr().out)
+    gs = out["line_gate_state"]
+    assert gs["boilerplate_lines"] == 1  # the banner
+    assert gs["distinct_lines"] > gs["boilerplate_lines"]
+    assert out["near_dup_gate_state"]["signed_docs"] == 3
