@@ -959,7 +959,8 @@ def katz_centrality(edges: DataFrame, alpha: float = 0.1,
 
 
 def neighborhood_sketches(edges: DataFrame, radius: int, k: int = 64,
-                          salt: str = "v1") -> DataFrame:
+                          salt: str = "v1",
+                          hub_buckets: int = 16) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013) with the engine's DETERMINISTIC
     KMV bottom-k sketch in place of HyperLogLog: for every node and
     every r = 0..``radius``, a mergeable sketch of the ball B(v, r) =
@@ -980,7 +981,17 @@ def neighborhood_sketches(edges: DataFrame, radius: int, k: int = 64,
     Scale shape: one equi-join (edges ⋈ sketches) + one bottom-k
     re-aggregation per round — HyperBall's cost, O(m·k) rows moved per
     round with no frontier blowup; localCheckpoint truncates lineage
-    per round. Estimate error ~ 1/sqrt(k-2)."""
+    per round. Estimate error ~ 1/sqrt(k-2).
+
+    ``hub_buckets`` (> 1, default 16) bounds the hot-key straggler a
+    power-law hub would otherwise create: a degree-10^6 node funnels
+    deg·k candidate rows into ONE bottom-k window task. The two-phase
+    form first takes bottom-k per (node, hash(u) % hub_buckets) — hub
+    partitions shrink by the bucket factor — then bottom-k per node
+    over the ≤ hub_buckets·k survivors. Output is IDENTICAL (each of
+    the k smallest hashes is within its own bucket's k smallest — the
+    same property that makes KMV sketches mergeable); the cost is one
+    extra bounded shuffle per round. 1 disables the pre-phase."""
     from neo4j_document_pipeline_spark.operators.sampling import (
         uniform_hash_col)
     from pyspark.sql import Window
@@ -1006,7 +1017,17 @@ def neighborhood_sketches(edges: DataFrame, radius: int, k: int = 64,
                             F.col("v").alias("src"))
                    .join(cur.withColumnRenamed("id", "src"), "src")
                    .select(F.col("dst").alias("id"), "u"))
-        merged = (cur.select("id", "u").unionByName(contrib).distinct()
+        allr = cur.select("id", "u").unionByName(contrib)
+        if hub_buckets > 1:
+            w1 = Window.partitionBy("id", "_b").orderBy("u")
+            allr = (allr.withColumn(
+                        "_b", F.pmod(F.hash("u"), F.lit(hub_buckets)))
+                    .dropDuplicates(["id", "_b", "u"])
+                    .withColumn("_rn", F.row_number().over(w1))
+                    .filter(F.col("_rn") <= k).drop("_rn", "_b"))
+        else:
+            allr = allr.distinct()
+        merged = (allr
                   .withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= k).drop("_rn")
                   .localCheckpoint())

@@ -67,35 +67,40 @@ DOC_SIGNATURES = "doc_signatures"
 # line-dedup gate
 # ---------------------------------------------------------------------------
 
+def _with_df(pairs: DataFrame) -> DataFrame:
+    """Stamp each distinct (doc_id, lkey) row with its lkey's document
+    frequency via groupBy + join, NOT a count window: the aggregate has
+    map-side partial combining, so a boilerplate line present in 10^8
+    documents contributes one partial count per input partition instead
+    of forcing all its rows through a single window task (the classic
+    hot-key straggler); the re-join on lkey is skew-splittable by AQE."""
+    counts = pairs.groupBy("lkey").agg(F.count("*").alias("df"))
+    return pairs.join(counts, "lkey").select("doc_id", "lkey", "df")
+
+
 def line_postings_from_docs(documents: DataFrame) -> DataFrame:
     """(doc_id, lkey, df) — one row per distinct (document, line-hash),
     df = number of distinct documents containing the line. All postings
     of an lkey share its bucket, so incremental merges recount df exactly
     from the affected buckets alone (same soundness argument as the FTS
     node_tokens index)."""
-    from pyspark.sql import Window
     pairs = (
         doc_lines(documents, "doc_id", "text")
         .filter(F.col("lkey").isNotNull())
         .select("doc_id", "lkey").distinct()
     )
-    return pairs.withColumn(
-        "df", F.count("*").over(Window.partitionBy("lkey")))
+    return _with_df(pairs)
 
 
 def line_postings_merge_fn():
     """MERGE for the committed line postings: dedupe (doc_id, lkey) —
     re-delivery of a document is a no-op — and recount each lkey's
     distinct-document frequency over the merged rows."""
-    from pyspark.sql import Window
-
     def fn(existing, new):
         allr = new.select("doc_id", "lkey")
         if existing is not None:
             allr = existing.select("doc_id", "lkey").unionByName(allr)
-        return (allr.distinct()
-                .withColumn("df",
-                            F.count("*").over(Window.partitionBy("lkey"))))
+        return _with_df(allr.distinct())
     return fn
 
 

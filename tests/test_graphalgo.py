@@ -1594,3 +1594,19 @@ def test_neighborhood_function_and_effective_diameter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         effective_diameter(df, 3, quantile=0.0)
+
+
+def test_neighborhood_hub_bucket_phase_is_identity(spark):
+    """The two-phase hub-bounded bottom-k (default) returns bit-identical
+    sketches to the single-phase form — the KMV merge property again."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        neighborhood_sketches)
+    el = _rand_edges(40, 120, seed=19)
+    df = spark.createDataFrame(el, "u string, v string")
+    two = {(r["id"], r["r"]): (r["n_min"], tuple(r["sketch"]))
+           for r in neighborhood_sketches(df, 2, k=8,
+                                          hub_buckets=16).collect()}
+    one = {(r["id"], r["r"]): (r["n_min"], tuple(r["sketch"]))
+           for r in neighborhood_sketches(df, 2, k=8,
+                                          hub_buckets=1).collect()}
+    assert two == one and two
