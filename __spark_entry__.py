@@ -2391,10 +2391,13 @@ def oracle_sql() -> dict[str, str]:
             "  FROM s0 GROUP BY id"
             "  UNION ALL SELECT id, 1, count(*), max(u) FROM s1 GROUP BY id"
             "  UNION ALL SELECT id, 2, count(*), max(u) FROM s2 GROUP BY id)"
+            # sum() over BIGINT is exact HUGEINT; pandas fetch turns it
+            # into float64 — the same round-to-double the engine applies
+            # to its exact DECIMAL sum, so the values hash identically
             "SELECT r, count(*) AS n_nodes,"
-            "  CAST(sum(CAST(floor((CASE WHEN n_min < 16 THEN "
+            "  sum(CAST(floor((CASE WHEN n_min < 16 THEN "
             "CAST(n_min AS DOUBLE) ELSE 15.0 / hk END) * 10000.0 + 0.5) "
-            "AS BIGINT)) AS BIGINT) AS total_reach_x1e4 "  # sum() is HUGEINT
+            "AS BIGINT)) AS total_reach_x1e4 "
             "FROM est GROUP BY r",
         "harmonic_parts":
             # same unrolled rounds; H = (e1-e0)/1 + (e2-e1)/2 on the

@@ -839,7 +839,7 @@ def main(argv=None):
             sys.exit(f"--events must carry columns {sorted(need)} "
                      f"(have {events.columns})")
         if ns.command == "funnel":
-            steps = [s for s in ns.steps.split(",") if s]
+            steps = [s.strip() for s in ns.steps.split(",") if s.strip()]
             if not steps:
                 sys.exit("--steps must name at least one event type "
                          "(comma-separated, in funnel order)")
@@ -911,12 +911,18 @@ def main(argv=None):
         # gates: how much boilerplate the line gate knows about, and
         # how many documents the near-dup signature table covers
         if store.exists("line_postings"):
+            # the threshold the store was actually gated with is
+            # stamped in the state manifest; counting "boilerplate" at
+            # any other N would misstate what the gate strips
+            mdf = ((store.manifest("line_postings") or {})
+                   .get("metrics") or {}).get("min_doc_freq") or 2
             lp = store.read("line_postings")
             gs = lp.agg(
                 F.countDistinct("lkey").alias("distinct_lines"),
                 F.countDistinct(
-                    F.when(F.col("df") >= 2, F.col("lkey")))
+                    F.when(F.col("df") >= int(mdf), F.col("lkey")))
                 .alias("boilerplate_lines")).collect()[0].asDict()
+            gs["min_doc_freq"] = int(mdf)
             report["line_gate_state"] = gs
         if store.exists("doc_signatures"):
             report["near_dup_gate_state"] = {

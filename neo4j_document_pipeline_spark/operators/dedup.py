@@ -116,6 +116,17 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             shingle_words: int = 3) -> DataFrame:
     """Near-duplicate pairs (id1, id2, jaccard) with exact verification."""
     sigs = doc_minhash_signatures(df, id_col, text_col, cfg, shingle_words)
+    return near_duplicate_pairs_from_sigs(sigs, cfg, jaccard_threshold)
+
+
+def near_duplicate_pairs_from_sigs(sigs: DataFrame,
+                                   cfg: PipelineConfig = DEFAULT_CONFIG,
+                                   jaccard_threshold: float = 0.8) -> DataFrame:
+    """Pair generation + exact-Jaccard verification over PRECOMPUTED
+    (id, sig, shingles) rows — callers that already hold the signatures
+    (the ingest gates run the Arrow shingling pass once and reuse it
+    for gating, within-batch resolution, and the committed signature
+    table) skip re-shingling, the dominant near-dup cost."""
     blocks = lsh_blocks(sigs, cfg)
     pairs = candidate_pairs(blocks, "id", cfg, block_cols=("band", "bh"))
     sh = sigs.select("id", "shingles")
@@ -134,7 +145,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 def resolve_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             cfg: PipelineConfig = DEFAULT_CONFIG,
                             jaccard_threshold: float = 0.8,
-                            shingle_words: int = 3) -> DataFrame:
+                            shingle_words: int = 3,
+                            sigs: DataFrame | None = None) -> DataFrame:
     """Corpus-level near-dup RESOLUTION — the operation a training-data
     pipeline actually runs (pairs are evidence; the deliverable is
     "which rows survive"): MinHash-LSH near-dup pairs -> connected
@@ -155,8 +167,13 @@ def resolve_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     is tiny relative to the corpus (only clustered docs enter CC)."""
     from neo4j_document_pipeline_spark.operators.components import (
         connected_components)
-    pairs = minhash_near_duplicates(df, id_col, text_col, cfg,
-                                    jaccard_threshold, shingle_words)
+    if sigs is not None:
+        # precomputed (id, sig, shingles) rows — MUST cover exactly the
+        # rows of df (a wider frame would resolve against ghosts)
+        pairs = near_duplicate_pairs_from_sigs(sigs, cfg, jaccard_threshold)
+    else:
+        pairs = minhash_near_duplicates(df, id_col, text_col, cfg,
+                                        jaccard_threshold, shingle_words)
     comp = connected_components(
         pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v")))
     return comp.select(

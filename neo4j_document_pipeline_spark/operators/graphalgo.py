@@ -417,16 +417,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count("*").alias("triangles"))
 
 
-def _closed_triangles(und: DataFrame) -> DataFrame:
-    """Each triangle exactly once as (a, b, c) rows (a the smallest
-    endpoint in the degree order; b < c by id) — the degree-oriented
-    wedge join shared by the global count and the per-vertex
-    coefficients."""
-    deg = (
+def _degrees(und: DataFrame) -> DataFrame:
+    """(id, d) undirected degrees — shared so callers that need both
+    the wedge join and the degrees (clustering_coefficients) reuse one
+    aggregation instead of planning it twice."""
+    return (
         und.select(F.col("u").alias("id"))
         .union(und.select(F.col("v").alias("id")))
         .groupBy("id").agg(F.count("*").alias("d"))
     )
+
+
+def _closed_triangles(und: DataFrame,
+                      deg: DataFrame | None = None) -> DataFrame:
+    """Each triangle exactly once as (a, b, c) rows (a the smallest
+    endpoint in the degree order; b < c by id) — the degree-oriented
+    wedge join shared by the global count and the per-vertex
+    coefficients."""
+    if deg is None:
+        deg = _degrees(und)
     # total order (degree, id): strict, so orientation is acyclic
     w = (
         und.join(deg.withColumnRenamed("id", "u")
@@ -472,14 +481,12 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     three corners — never one join per corner), so the hub-bounded
     O(m^1.5) wedge cost is unchanged and the only additions are one
     explode and one hash aggregate."""
-    und = _undirected(edges)
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .union(und.select(F.col("v").alias("id")))
-        .groupBy("id").agg(F.count("*").alias("degree"))
-    )
+    und = _undirected(edges).localCheckpoint()
+    # ONE degree aggregation feeds both the orientation and the output
+    deg_ids = _degrees(und).localCheckpoint()
+    deg = deg_ids.select("id", F.col("d").alias("degree"))
     tri = (
-        _closed_triangles(und)
+        _closed_triangles(und, deg=deg_ids)
         .select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id").agg(F.count("*").alias("triangles"))
     )
@@ -1076,21 +1083,27 @@ def neighborhood_function(edges: DataFrame, radius: int, k: int = 64,
     fixed-pointed to 4dp BEFORE summing so the aggregate is an exact
     integer, independent of float summation order (a double Σ over
     thousands of rows is last-ulp order-dependent and engine-dependent;
-    an integer Σ is not). Divide by 10^4 for the real value."""
+    an integer Σ is not). The sum runs as DECIMAL(38,0) — n² pair
+    counts overflow int64 past ~10^14 reachable pairs, and a non-ANSI
+    long sum would wrap SILENTLY — and is emitted as double (both
+    engines round the same exact integer to the same IEEE double).
+    Divide by 10^4 for the real value."""
     nb = neighborhood_sketches(edges, radius, k=k, salt=salt)
-    fixed = F.floor(F.col("estimate") * 10000.0 + 0.5).cast("long")
+    fixed = F.floor(F.col("estimate") * 10000.0 + 0.5).cast("decimal(38,0)")
     return (nb.groupBy("r")
             .agg(F.count("*").alias("n_nodes"),
-                 F.sum(fixed).alias("total_reach_x1e4")))
+                 F.sum(fixed).cast("double").alias("total_reach_x1e4")))
 
 
 def effective_diameter(edges: DataFrame, radius: int, k: int = 64,
                        salt: str = "v1", quantile: float = 0.9) -> int:
     """Smallest radius whose neighborhood function reaches ``quantile``
     of its value at ``radius`` (the standard 90%-effective-diameter).
-    Returns ``radius`` when the curve has not saturated by then —
-    callers probe with a larger radius. Driver-side over radius+1
-    rows."""
+    N(r) is nondecreasing, so a result is always found at r <= radius —
+    but when the CURVE is still growing at ``radius`` (N(radius) >
+    N(radius-1)) the true N(max) is unknown and the result is only a
+    LOWER BOUND; callers who see result == radius should probe with a
+    larger radius. Driver-side over radius+1 rows."""
     if not (0.0 < quantile <= 1.0):
         raise ValueError(f"quantile must be in (0, 1], got {quantile}")
     rows = {r["r"]: r["total_reach_x1e4"]
@@ -1098,7 +1111,4 @@ def effective_diameter(edges: DataFrame, radius: int, k: int = 64,
     if not rows:
         return 0
     target = quantile * rows[max(rows)]
-    for r in sorted(rows):
-        if rows[r] >= target:
-            return r
-    return radius
+    return min(r for r in sorted(rows) if rows[r] >= target)

@@ -143,20 +143,26 @@ def gate_lines_increment(store, documents: DataFrame, min_doc_freq: int,
 
 
 def merge_line_postings(store, raw_documents: DataFrame, cfg: PipelineConfig,
-                        *, stage: str, input_fingerprint: str) -> None:
+                        *, stage: str, input_fingerprint: str,
+                        min_doc_freq: int | None = None) -> None:
     """Commit the batch's line-postings delta into the state table —
     bucket-scoped MERGE when the table exists with the bucket(N, lkey)
     layout; first write creates it bucketed. ``raw_documents`` must be
-    the PRE-clean batch (state counts raw lines, like the full pass)."""
+    the PRE-clean batch (state counts raw lines, like the full pass).
+    ``min_doc_freq`` is stamped into the manifest metrics so reporting
+    (CLI hygiene) knows which threshold the store was gated with."""
     delta = line_postings_from_docs(raw_documents)
+    extra = {"min_doc_freq": min_doc_freq} if min_doc_freq else {}
     man = store.manifest(LINE_POSTINGS)
     if man is not None and man.get("bucket_by") == "lkey":
         store.merge_write(LINE_POSTINGS, delta, line_postings_merge_fn(),
-                          stage=stage, input_fingerprint=input_fingerprint)
+                          stage=stage, input_fingerprint=input_fingerprint,
+                          extra_metrics=extra)
     else:
         store.write_bucketed(LINE_POSTINGS, delta, bucket_by="lkey",
                              n_buckets=cfg.fts_index_buckets, stage=stage,
-                             input_fingerprint=input_fingerprint)
+                             input_fingerprint=input_fingerprint,
+                             extra_metrics=extra)
 
 
 # ---------------------------------------------------------------------------
@@ -164,12 +170,19 @@ def merge_line_postings(store, raw_documents: DataFrame, cfg: PipelineConfig,
 # ---------------------------------------------------------------------------
 
 def doc_signatures_from_docs(documents: DataFrame,
-                             cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                             cfg: PipelineConfig = DEFAULT_CONFIG,
+                             sigs: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, bh) — every document's LSH band hashes, the
     committed lookup table an arriving batch probes for committed
     near-dup candidates. Bucketed by bh: a batch's probe touches only
-    the buckets its own band hashes occupy."""
-    sigs = doc_minhash_signatures(documents, "doc_id", "text", cfg)
+    the buckets its own band hashes occupy. ``sigs``: precomputed
+    signatures (possibly of a superset — restricted to ``documents``'
+    ids here) so the Arrow shingling pass runs once per batch."""
+    if sigs is None:
+        sigs = doc_minhash_signatures(documents, "doc_id", "text", cfg)
+    else:
+        sigs = sigs.join(documents.select(F.col("doc_id").alias("id")),
+                         "id", "left_semi")
     return (lsh_blocks(sigs, cfg)
             .select(F.col("id").alias("doc_id"), "band", "bh").distinct())
 
@@ -185,18 +198,27 @@ def doc_signatures_merge_fn():
 
 def gate_near_dups_batch(documents: DataFrame,
                          cfg: PipelineConfig = DEFAULT_CONFIG,
-                         threshold: float = 0.8) -> DataFrame:
+                         threshold: float = 0.8,
+                         sigs: DataFrame | None = None) -> DataFrame:
     """Batch near-dup gate: transitive resolution over the whole frame,
-    min-doc_id survivor per cluster."""
+    min-doc_id survivor per cluster. ``sigs``: precomputed signatures
+    of a SUPERSET of ``documents`` — restricted to its ids before
+    resolving (pairs against already-dropped ghosts would elect absent
+    keepers)."""
+    if sigs is not None:
+        sigs = sigs.join(documents.select(F.col("doc_id").alias("id")),
+                         "id", "left_semi")
     losers = (resolve_near_duplicates(documents, "doc_id", "text", cfg,
-                                      jaccard_threshold=threshold)
+                                      jaccard_threshold=threshold,
+                                      sigs=sigs)
               .filter(~F.col("is_kept")).select("doc_id"))
     return documents.join(losers, "doc_id", "left_anti")
 
 
 def gate_near_dups_increment(store, documents: DataFrame,
                              cfg: PipelineConfig = DEFAULT_CONFIG,
-                             threshold: float = 0.8) -> DataFrame:
+                             threshold: float = 0.8
+                             ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup gate, O(delta + candidates):
 
     1. batch LSH band hashes probe the committed doc_signatures buckets
@@ -208,8 +230,10 @@ def gate_near_dups_increment(store, documents: DataFrame,
        ingested survivor); a re-delivered doc_id never matches itself;
     4. survivors resolve WITHIN the batch (min-id per cluster).
 
-    The caller merges the survivors' signatures into doc_signatures
-    afterwards."""
+    Returns (gated documents, the batch's signature frame) — the
+    signatures are computed ONCE here and reused for the committed-
+    candidate verify, the within-batch resolution, and the caller's
+    merge_doc_signatures."""
     sigs = doc_minhash_signatures(documents, "doc_id", "text", cfg) \
         .localCheckpoint()
     blocks = lsh_blocks(sigs, cfg)  # (band, bh, id)
@@ -239,14 +263,15 @@ def gate_near_dups_increment(store, documents: DataFrame,
                        .filter(F.col("j") >= threshold)
                        .select(F.col("new_id").alias("doc_id")).distinct())
             documents = documents.join(dropped, "doc_id", "left_anti")
-    return gate_near_dups_batch(documents, cfg, threshold)
+    return gate_near_dups_batch(documents, cfg, threshold, sigs=sigs), sigs
 
 
 def merge_doc_signatures(store, survivors: DataFrame, cfg: PipelineConfig,
-                         *, stage: str, input_fingerprint: str) -> None:
+                         *, stage: str, input_fingerprint: str,
+                         sigs: DataFrame | None = None) -> None:
     """Commit the surviving batch documents' LSH signatures into the
     state table (bucket-scoped MERGE / bucketed first write)."""
-    delta = doc_signatures_from_docs(survivors, cfg)
+    delta = doc_signatures_from_docs(survivors, cfg, sigs=sigs)
     man = store.manifest(DOC_SIGNATURES)
     if man is not None and man.get("bucket_by") == "bh":
         store.merge_write(DOC_SIGNATURES, delta, doc_signatures_merge_fn(),

@@ -180,7 +180,10 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     if k <= 0:
         raise ValueError("weighted_sample: k must be positive")
     w = F.col(weight_col).cast("double")
-    keyed = (df.filter(w.isNotNull() & (w > 0))
+    # ~isnan too: Spark orders NaN above every number, so a NaN weight
+    # would pass (w > 0), score a NaN key, and crowd out the whole
+    # sample under the descending sort
+    keyed = (df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
              .withColumn("_wkey",
                          F.pow(uniform_hash_col(id_col, salt), 1.0 / w)))
     if strata_col is None:

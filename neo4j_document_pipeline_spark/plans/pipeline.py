@@ -192,7 +192,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             LINE_POSTINGS, apply_line_dedup, line_postings_from_docs)
         postings = stage(
             LINE_POSTINGS, lambda: line_postings_from_docs(_raw_docs()), fp,
-            bucket_by="lkey", n_buckets=cfg.fts_index_buckets)
+            bucket_by="lkey", n_buckets=cfg.fts_index_buckets,
+            extra_metrics={"min_doc_freq": dedup_lines})
 
     def _gated_docs():
         if "gated" in _memo:
@@ -208,10 +209,17 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                             .select("lkey").distinct())
                 df = apply_line_dedup(df, dup_keys, cfg).localCheckpoint()
             if resolve_near_dups:
+                from neo4j_document_pipeline_spark.operators.dedup import (
+                    doc_minhash_signatures)
                 from neo4j_document_pipeline_spark.operators.hygiene import (
                     gate_near_dups_batch)
+                # ONE Arrow shingling pass: the gate and the signature
+                # stage both reuse these rows
+                sigs = doc_minhash_signatures(
+                    df, "doc_id", "text", cfg).localCheckpoint()
+                _memo["sigs"] = sigs
                 df = gate_near_dups_batch(
-                    df, cfg, near_dup_threshold).localCheckpoint()
+                    df, cfg, near_dup_threshold, sigs=sigs).localCheckpoint()
         _memo["gated"] = df
         return df
 
@@ -238,7 +246,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         from neo4j_document_pipeline_spark.operators.hygiene import (
             DOC_SIGNATURES, doc_signatures_from_docs)
         stage(DOC_SIGNATURES,
-              lambda: doc_signatures_from_docs(_gated_docs(), cfg), fp,
+              lambda: doc_signatures_from_docs(_gated_docs(), cfg,
+                                               sigs=_memo.get("sigs")), fp,
               bucket_by="bh", n_buckets=cfg.fts_index_buckets)
 
     chunks = stage("chunks", lambda: documents_to_chunks(documents, cfg), fp)

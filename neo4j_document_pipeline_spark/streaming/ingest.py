@@ -108,14 +108,17 @@ def ingest_increment(store, batch_df: DataFrame,
         # postings count the RAW pre-clean lines (state parity with the
         # batch pipeline's line_postings stage)
         merge_line_postings(store, raw_documents, cfg, stage=stage,
-                            input_fingerprint=inc_fp("line_postings"))
+                            input_fingerprint=inc_fp("line_postings"),
+                            min_doc_freq=dedup_lines)
     if resolve_near_dups:
         from neo4j_document_pipeline_spark.operators.hygiene import (
             gate_near_dups_increment, merge_doc_signatures)
-        documents = gate_near_dups_increment(
-            store, documents, cfg, near_dup_threshold).localCheckpoint()
+        documents, batch_sigs = gate_near_dups_increment(
+            store, documents, cfg, near_dup_threshold)
+        documents = documents.localCheckpoint()
         merge_doc_signatures(store, documents, cfg, stage=stage,
-                             input_fingerprint=inc_fp("doc_signatures"))
+                             input_fingerprint=inc_fp("doc_signatures"),
+                             sigs=batch_sigs)
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
     # merge_write_*: on a bucket(N, key) store this is the Iceberg-MERGE

@@ -249,9 +249,12 @@ def test_weighted_sample_strata_and_validation(spark):
     assert set(by) == {"en", "ms"} and all(len(v) == 10 for v in by.values())
     with _pytest.raises(ValueError):
         weighted_sample(df, 0, "w")
-    # null / non-positive weights carry no mass
+    # null / non-positive / NaN weights carry no mass (NaN would
+    # otherwise pass w > 0 under Spark's NaN-is-largest ordering, score
+    # a NaN key, and crowd out the whole sample)
     bad = spark.createDataFrame(
-        [("a", None), ("b", -1.0), ("c", 0.0), ("d", 2.0)],
+        [("a", None), ("b", -1.0), ("c", 0.0), ("d", 2.0),
+         ("e", float("nan"))],
         "doc_id string, w double")
     assert [r["doc_id"] for r in weighted_sample(bad, 4, "w").collect()] \
         == ["d"]
