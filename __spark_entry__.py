@@ -609,6 +609,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("estimate", 4).alias("estimate")))
     q["sliding_distinct_users"] = sliding_distinct_users
 
+    def token_length_quantiles(spark, sf):
+        """Median/p90/p99 document token length from a DETERMINISTIC
+        hash sample (sketches.py::hash_sample_quantiles) — the same
+        pure-function-of-the-data draw as stratified_sample, so the
+        estimates replay identically on any partitioning or engine
+        (approx_percentile's sketch is partitioning-dependent). Oracle
+        reproduces the sample AND the rank arithmetic exactly."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            hash_sample_quantiles)
+        d = _t(spark, sf, "documents").select(
+            "doc_id", col_token_count(F.col("text")).alias("n_tok"))
+        return hash_sample_quantiles(d, "n_tok", [0.5, 0.9, 0.99],
+                                     "doc_id", rate=0.5)
+    q["token_length_quantiles"] = token_length_quantiles
+
     # ---- temporal: hypertable-style rollup ----
     def event_rollup(spark, sf):
         """Multi-resolution tumbling aggregates (1h/6h/1d) where each
@@ -1806,6 +1823,18 @@ def oracle_sql() -> dict[str, str]:
             "AS week_index, count(DISTINCT a.u) AS n_users "
             "FROM a JOIN f ON a.u = f.u WHERE a.aw >= f.cw "
             "GROUP BY 1, 2",
+        "token_length_quantiles":
+            # the IDENTICAL hash sample + type-1 rank arithmetic
+            "WITH s AS (SELECT doc_id AS _id,"
+            f"  len({_SQL_TOKENS}) AS value FROM documents"
+            "  WHERE ('0x' || substr(sha256('v1:' || doc_id), 1, 8))"
+            "::UBIGINT / 4294967296.0 < 0.5),"
+            "r AS (SELECT value, row_number() OVER ("
+            "  ORDER BY value, _id) AS rn,"
+            "  count(*) OVER () AS n_sample FROM s),"
+            "p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)"
+            "SELECT p.p, r.n_sample, r.value FROM r JOIN p"
+            "  ON r.rn = CAST(ceil(p.p * r.n_sample) AS BIGINT)",
         "sliding_distinct_users":
             # the IDENTICAL bucket-sketch-then-merge construction:
             # bottom-32 per 3h bucket, each window = bottom-32 of its

@@ -893,7 +893,21 @@ def main(argv=None):
         langs = {r["lang"]: r["n"] for r in
                  docs.groupBy(col_lang_id(F.col("text")).alias("lang"))
                  .agg(F.count("*").alias("n")).collect()}
+        # token-length distribution from the deterministic hash sample
+        # (exact when the corpus fits the sample budget; the manifest
+        # row count sizes the rate — no extra count job)
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            hash_sample_quantiles)
+        n_docs = (store.manifest("documents") or {}).get("rows") or 0
+        qrate = min(1.0, 200_000 / n_docs) if n_docs else 1.0
+        tl = hash_sample_quantiles(
+            docs.select("doc_id",
+                        col_token_count(F.col("text")).alias("n_tok")),
+            "n_tok", [0.5, 0.9, 0.99], "doc_id", rate=qrate).collect()
+        report_tl = {f"p{int(r['p'] * 100)}": r["value"] for r in tl}
+        report_tl["sample_rate"] = qrate
         report = {"hygiene": overall, "lang_mix": langs,
+                  "token_length_quantiles": report_tl,
                   "exact_dups": "collapsed at ingest (doc_id = "
                                 "sha256(text))"}
         if ns.near_dups:

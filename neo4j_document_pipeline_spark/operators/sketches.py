@@ -161,3 +161,50 @@ def kmv_sliding_distinct(events: DataFrame, value_col: str,
                 F.count("*").alias("n_min")))
     return (_finish(agg, k)
             .select("win_start_sec", *groups, "n_min", "estimate"))
+
+
+def hash_sample_quantiles(df: DataFrame, value_col: str,
+                          probs: list[float], id_col: str,
+                          rate: float = 0.01,
+                          salt: str = "v1") -> DataFrame:
+    """Approximate quantiles from a DETERMINISTIC hash sample ->
+    (p, n_sample, value): the value at rank ceil(p·n) of the sample
+    drawn by ``uniform_hash(id) < rate`` — the same pure-function-of-
+    the-data draw the engine's sampling/sketch family uses, so the
+    quantile estimates are identical on any partitioning, cluster
+    size, or engine (a plain-SQL oracle reproduces them exactly),
+    unlike approx_percentile whose sketch is partitioning-dependent.
+
+    Rank semantics are the discrete (type-1) quantile over the sample;
+    sampling error follows the usual DKW bound (~sqrt(ln(2/δ)/2m) on
+    the CDF for sample size m). NULL values are excluded; duplicate
+    sample ids are an error surface left to the caller (ids feed the
+    draw, values the ranks — tie-broken on id so the picked ROW is
+    deterministic even when values repeat).
+
+    Scale: the full table sees one narrow filter (the hash predicate);
+    only the m ≈ rate·n sample rows pass through the rank window —
+    size the rate so m stays ~10^5-10^6 and the single-partition rank
+    of the SAMPLE is trivial (the same bounded-sample contract as the
+    ANN quantizer trainer)."""
+    if not probs:
+        raise ValueError("hash_sample_quantiles: probs must be non-empty")
+    for p in probs:
+        if not (0.0 < float(p) <= 1.0):
+            raise ValueError(f"prob {p!r} outside (0, 1]")
+    if not (0.0 < rate <= 1.0):
+        raise ValueError(f"rate {rate!r} outside (0, 1]")
+    spark = df.sparkSession
+    sample = (df.filter(F.col(value_col).isNotNull())
+              .filter(uniform_hash_col(id_col, salt) < rate)
+              .select(F.col(value_col).alias("value"),
+                      F.col(id_col).alias("_id")))
+    w = Window.orderBy("value", "_id")
+    ranked = (sample.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_sample", F.count("*").over(
+                  Window.partitionBy())))
+    pdf = spark.createDataFrame([(float(p),) for p in sorted(set(probs))],
+                                "p double")
+    return (ranked.join(
+        pdf, F.col("rn") == F.ceil(F.col("p") * F.col("n_sample")))
+        .select("p", "n_sample", "value"))

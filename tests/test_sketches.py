@@ -147,3 +147,50 @@ def test_kmv_sliding_validation(spark):
         kmv_sliding_distinct(ev, "user_id", window_sec=0)
     with _pytest.raises(ValueError):
         kmv_sliding_distinct(ev, "user_id", k=1)
+
+
+# ---------------------------------------------------------------------------
+# hash-sample quantiles
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_quantiles_brute_parity_and_stability(spark):
+    import hashlib
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hash_sample_quantiles)
+    rows = [(f"d{i:03d}", (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, v int")
+
+    def u(x):
+        return int(hashlib.sha256(f"v1:{x}".encode()).hexdigest()[:8],
+                   16) / float(1 << 32)
+
+    sample = sorted(((v, d) for d, v in rows if u(d) < 0.5))
+    import math
+    expect = {}
+    for p in (0.5, 0.9, 0.99):
+        expect[p] = (len(sample),
+                     sample[math.ceil(p * len(sample)) - 1][0])
+    got = {r["p"]: (r["n_sample"], r["value"])
+           for r in hash_sample_quantiles(
+               df, "v", [0.5, 0.9, 0.99], "doc_id", rate=0.5).collect()}
+    assert got == expect
+    got2 = {r["p"]: (r["n_sample"], r["value"])
+            for r in hash_sample_quantiles(
+                df.repartition(11), "v", [0.5, 0.9, 0.99], "doc_id",
+                rate=0.5).collect()}
+    assert got2 == got  # pure function of the data
+
+
+def test_hash_sample_quantiles_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hash_sample_quantiles)
+    df = spark.createDataFrame([("a", 1)], "doc_id string, v int")
+    with _pytest.raises(ValueError):
+        hash_sample_quantiles(df, "v", [], "doc_id")
+    with _pytest.raises(ValueError):
+        hash_sample_quantiles(df, "v", [1.5], "doc_id")
+    with _pytest.raises(ValueError):
+        hash_sample_quantiles(df, "v", [0.5], "doc_id", rate=0.0)
