@@ -143,6 +143,11 @@ def main(argv=None):
     ap.add_argument("--keep-versions", type=int, default=1,
                     help="snapshots retained per table (time-travel "
                          "window); 1 = only the live version")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="ingest gate: scrub emails/IPs/phone numbers to "
+                         "bracket tokens before anything else (stateless; "
+                         "byte-identical on batch, incremental, and "
+                         "stream paths)")
     ap.add_argument("--dedup-lines", type=int, default=None,
                     help="ingest gate: strip lines appearing in >= N "
                          "distinct documents (CCNet cross-doc line dedup) "
@@ -352,6 +357,7 @@ def main(argv=None):
                                  stage="cli-increment",
                                  text_source=ns.text_source,
                                  min_quality=ns.min_quality,
+                                 redact_pii=ns.redact_pii,
                                  dedup_lines=ns.dedup_lines,
                                  resolve_near_dups=ns.resolve_near_dups,
                                  near_dup_threshold=ns.near_dup_threshold)
@@ -374,6 +380,7 @@ def main(argv=None):
                                      canonicalize_entities=ns.canonicalize,
                                      text_source=ns.text_source,
                                      min_quality=ns.min_quality,
+                                     redact_pii=ns.redact_pii,
                                      dedup_lines=ns.dedup_lines,
                                      resolve_near_dups=ns.resolve_near_dups,
                                      near_dup_threshold=ns.near_dup_threshold,
@@ -973,6 +980,7 @@ def main(argv=None):
             spark, ns.pages, ns.store, ckpt, cfg=_cfg_from_args(ns),
             text_source=ns.text_source, min_quality=ns.min_quality,
             langs=ns.langs.split(",") if ns.langs else None,
+            redact_pii=ns.redact_pii,
             dedup_lines=ns.dedup_lines,
             resolve_near_dups=ns.resolve_near_dups,
             near_dup_threshold=ns.near_dup_threshold,

@@ -64,6 +64,27 @@ DOC_SIGNATURES = "doc_signatures"
 
 
 # ---------------------------------------------------------------------------
+# PII-redaction gate (stateless — exact parity on every ingest path)
+# ---------------------------------------------------------------------------
+
+def apply_pii_redaction(documents: DataFrame,
+                        cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Replace every PII match (email -> ipv4 -> phone, fixed order)
+    with its bracket token and re-key the documents over the scrubbed
+    text. Pure per-row expressions, no state: the batch, incremental,
+    and streaming paths produce byte-identical documents in ANY batch
+    order. Runs BEFORE the line/near-dup gates so their state and
+    signatures are built over the text that actually lands in the
+    store."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_redact_pii)
+    cand = documents.select(
+        "url", "title", "path",
+        col_redact_pii(F.col("text")).alias("text"))
+    return finalize_documents(cand, cfg)
+
+
+# ---------------------------------------------------------------------------
 # line-dedup gate
 # ---------------------------------------------------------------------------
 

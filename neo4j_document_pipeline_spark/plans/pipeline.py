@@ -48,6 +48,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  text_source: str = "text",
                  langs: list[str] | None = None,
                  min_quality: float | None = None,
+                 redact_pii: bool = False,
                  dedup_lines: int | None = None,
                  resolve_near_dups: bool = False,
                  near_dup_threshold: float = 0.8,
@@ -80,7 +81,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     O(delta). ``resolve_near_dups``: drop near-duplicate documents
     (MinHash-LSH -> transitive clusters -> keep one) at >=
     ``near_dup_threshold`` exact Jaccard; commits ``doc_signatures``.
-    Gate order: quality -> line dedup -> near-dup resolution (see
+    ``redact_pii``: scrub emails/IPs/phones to bracket tokens
+    (stateless — exact parity on every ingest path). Gate order:
+    quality -> PII -> line dedup -> near-dup resolution (see
     operators/hygiene.py for the batch-vs-incremental contract).
 
     ``keep_versions``: snapshots retained per table (time-travel window).
@@ -119,6 +122,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     cfg_sig = hashlib.sha256(_json.dumps(
         {**dataclasses.asdict(cfg), "_text_source": text_source,
          "_min_quality": min_quality,
+         "_redact_pii": redact_pii,
          "_dedup_lines": dedup_lines,
          "_near_dups": (near_dup_threshold if resolve_near_dups else None),
          "_langs": sorted(langs) if langs else None},
@@ -176,15 +180,22 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     # --- corpus-hygiene gates (operators/hygiene.py). Everything below
     # is LAZY — wrapped in memoized thunks the stage lambdas call — so a
     # fully-current resume still launches zero jobs against pages.
-    gates_on = dedup_lines is not None or resolve_near_dups
+    gates_on = redact_pii or dedup_lines is not None or resolve_near_dups
     _memo: dict = {}
 
     def _raw_docs():
-        # extraction output, materialized ONCE: the gates re-aggregate
-        # the documents several times (line counts, shingles, rewrite)
-        # and must not re-run the pandas-UDF extraction per pass
+        # extraction output (PII-scrubbed when asked — the stateless
+        # gate runs first so line counts and signatures are built over
+        # the text that lands in the store), materialized ONCE: the
+        # stateful gates re-aggregate the documents several times and
+        # must not re-run the pandas-UDF extraction per pass
         if "raw" not in _memo:
-            _memo["raw"] = docs_src.localCheckpoint()
+            df = docs_src
+            if redact_pii:
+                from neo4j_document_pipeline_spark.operators.hygiene import (
+                    apply_pii_redaction)
+                df = apply_pii_redaction(df, cfg)
+            _memo["raw"] = df.localCheckpoint()
         return _memo["raw"]
 
     if dedup_lines is not None:

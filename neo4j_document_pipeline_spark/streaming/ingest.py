@@ -34,6 +34,7 @@ def ingest_increment(store, batch_df: DataFrame,
                      stage: str = "increment",
                      text_source: str = "text",
                      min_quality: float | None = None,
+                     redact_pii: bool = False,
                      dedup_lines: int | None = None,
                      resolve_near_dups: bool = False,
                      near_dup_threshold: float = 0.8) -> None:
@@ -93,11 +94,18 @@ def ingest_increment(store, batch_df: DataFrame,
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_quality_score)
         documents = documents.filter(col_quality_score(F.col("text")) >= min_quality)
+    if redact_pii:
+        # stateless scrub, BEFORE the stateful gates (their state and
+        # signatures must cover the text that lands in the store) —
+        # byte-identical to the batch pipeline in any batch order
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            apply_pii_redaction)
+        documents = apply_pii_redaction(documents, cfg)
     documents = documents.localCheckpoint()
     # --- corpus-hygiene gates (same order as run_pipeline: quality ->
-    # line dedup -> near-dup resolution; PREFIX semantics vs the batch
-    # pipeline — see operators/hygiene.py). Every lookup against the
-    # committed state is bucket-pruned (read_matching), every state
+    # PII -> line dedup -> near-dup resolution; PREFIX semantics vs the
+    # batch pipeline — see operators/hygiene.py). Every lookup against
+    # the committed state is bucket-pruned (read_matching), every state
     # update a bucket-scoped MERGE: O(delta), never O(corpus).
     if dedup_lines is not None:
         from neo4j_document_pipeline_spark.operators.hygiene import (
@@ -313,6 +321,7 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         text_source: str = "text",
                         min_quality: float | None = None,
                         langs: list[str] | None = None,
+                        redact_pii: bool = False,
                         dedup_lines: int | None = None,
                         resolve_near_dups: bool = False,
                         near_dup_threshold: float = 0.8,
@@ -343,6 +352,7 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
         ingest_increment(store, batch_df, cfg,
                          stage=f"stream-epoch-{epoch_id}",
                          text_source=text_source, min_quality=min_quality,
+                         redact_pii=redact_pii,
                          dedup_lines=dedup_lines,
                          resolve_near_dups=resolve_near_dups,
                          near_dup_threshold=near_dup_threshold)

@@ -352,3 +352,62 @@ def test_hygiene_report_shows_gate_state(spark, tmp_path, capsys):
     assert gs["boilerplate_lines"] == 1  # the banner
     assert gs["distinct_lines"] > gs["boilerplate_lines"]
     assert out["near_dup_gate_state"]["signed_docs"] == 3
+
+
+# ---------------------------------------------------------------------------
+# PII-redaction gate (stateless)
+# ---------------------------------------------------------------------------
+
+def test_pii_gate_batch_and_exact_increment_parity(spark, tmp_path):
+    """The stateless PII gate scrubs identically on the batch and
+    multi-batch incremental paths — EXACT byte parity, no prefix
+    caveat (no state involved)."""
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    mk = lambda name, i, pii: (  # noqa: E731
+        f"https://site-{name}.example.org/{name}.md",
+        make_text(i) + "\nContact " + pii + " for details.")
+    b1 = _pages(spark, [mk("a", 0, "alice@example.com")]).cache()
+    b2 = _pages(spark, [mk("b", 1, "+60 12-345 6789")]).cache()
+
+    full_root = str(tmp_path / "full")
+    run_pipeline(spark, b1.unionByName(b2), full_root, redact_pii=True)
+    full = GraphStore(full_root, spark)
+    texts = {r["url"]: r["text"] for r in
+             full.read("documents_final").collect()}
+    assert "[EMAIL]" in texts["https://site-a.example.org/a.md"]
+    assert "alice@example.com" not in str(texts)
+    assert "[PHONE]" in texts["https://site-b.example.org/b.md"]
+    bad = full.read("documents_final").filter(
+        F.col("doc_id") != F.sha2(F.col("text"), 256)).count()
+    assert bad == 0  # re-keyed over the scrubbed text
+
+    inc_root = str(tmp_path / "inc")
+    inc = GraphStore(inc_root, spark)
+    ingest_increment(inc, b1, redact_pii=True, stage="b1")
+    ingest_increment(inc, b2, redact_pii=True, stage="b2")
+    assert _docs_state(inc) == _docs_state(full)  # byte-identical
+
+
+def test_pii_gate_runs_before_line_state(spark, tmp_path):
+    """Gate order quality -> PII -> lines: a banner containing an email
+    is counted (and stripped) in its REDACTED form, so the line state
+    never stores raw PII."""
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    banner = "Questions? Mail support@example.com for help"
+    pages = _pages(spark, [
+        (f"https://s{i}.example.org/d.md",
+         banner + "\n" + make_text(i)) for i in (0, 1)
+    ])
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, pages, root, redact_pii=True, dedup_lines=2)
+    store = GraphStore(root, spark)
+    texts = [r["text"] for r in store.read("documents_final").collect()]
+    assert all(banner not in t for t in texts)  # banner line stripped
+    assert all("support@example.com" not in t for t in texts)
+    # the state table holds the REDACTED line's hash, not the raw one
+    redacted = banner.replace("support@example.com", "[EMAIL]")
+    post = store.read("line_postings")
+    assert post.filter(
+        F.col("lkey") == F.sha2(F.lit(redacted), 256)).count() > 0
+    assert post.filter(
+        F.col("lkey") == F.sha2(F.lit(banner), 256)).count() == 0
