@@ -326,6 +326,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cosine_topk"] = cosine_topk
 
+    # ---- semantic decontamination (embedding-space eval scrub) ----
+    def embedding_decontam(spark, sf):
+        """Semantic decontamination beside the n-gram pass: corpus
+        vectors (vec_id >= 25) flagged when within cosine >= 0.35 of
+        any benchmark vector (vec_id < 25), best match per row —
+        operators/dedup.py::embedding_decontam_flags, broadcast-exact
+        kernel (eval sets are small by nature; the LSH path for huge
+        bench sets is pytest-gated against this kernel). Threshold
+        compares ROUNDED cosines, so the oracle's boundary is
+        identical."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            embedding_decontam_flags)
+        e = _t(spark, sf, "embeddings")
+        bench = e.filter(F.col("vec_id") < 25).select(
+            F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        corpus = e.filter(F.col("vec_id") >= 25)
+        return embedding_decontam_flags(
+            corpus, bench, "vec_id", "embedding", "bid", "bv",
+            threshold=0.35)
+    q["embedding_decontam"] = embedding_decontam
+
     # ---- IVF ANN, full probe (exact -> shares the cosine oracle) ----
     def ivf_topk_full(spark, sf):
         from neo4j_document_pipeline_spark.operators.similarity import (
@@ -1684,6 +1705,20 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(nullif(source, ''), 'Entity'), '^\\s+|\\s+$', '', 'g'), "
             "  ' ', '_'), '[^A-Za-z0-9_]', '_', 'g'), 64) AS label FROM documents) "
             "GROUP BY label",
+        "embedding_decontam":
+            # the IDENTICAL broadcast-exact kernel: every corpus x bench
+            # cosine at 4dp, best qualifying match per corpus row
+            "WITH b AS (SELECT vec_id AS bench_id, embedding AS bv "
+            "FROM embeddings WHERE vec_id < 25),"
+            "c AS (SELECT vec_id, embedding AS cv FROM embeddings "
+            "WHERE vec_id >= 25),"
+            "s AS (SELECT c.vec_id, b.bench_id,"
+            "  round(list_cosine_similarity(c.cv, b.bv), 4) AS cos "
+            "FROM c, b)"
+            "SELECT vec_id, bench_id, cos FROM ("
+            "  SELECT vec_id, bench_id, cos, row_number() OVER ("
+            "    PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn"
+            "  FROM s WHERE cos >= 0.35) WHERE rn = 1",
         "cosine_topk":
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score "

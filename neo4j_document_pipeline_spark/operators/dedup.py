@@ -532,3 +532,96 @@ def remove_lines(df: DataFrame, dup_keys: DataFrame, id_col: str,
             (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .alias("n_removed"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def embedding_decontam_flags(corpus: DataFrame, bench: DataFrame,
+                             id_col: str, vec_col: str,
+                             bench_id_col: str, bench_vec_col: str,
+                             threshold: float = 0.9,
+                             method: str = "broadcast",
+                             n_planes: int = 12,
+                             seed: int = 42) -> DataFrame:
+    """SEMANTIC decontamination beside the n-gram pass
+    (ngram_overlap_flags): flag corpus rows whose EMBEDDING is within
+    cosine >= ``threshold`` of any benchmark row — catches the
+    paraphrased/translated eval leakage that exact n-gram scrubbing
+    misses (the Llama/GPT-4-report practice). Returns one row per
+    FLAGGED corpus row: (id_col, bench_id, cos) with the best match
+    (highest 4dp-rounded cosine, smallest bench id on ties — a total
+    order, so the row is deterministic and SQL-replayable). The
+    threshold compares against the ROUNDED cosine so engine/oracle
+    boundary behavior is identical.
+
+    ``method``:
+    - 'broadcast' (default, exact): eval suites are small by nature —
+      the bench side broadcasts and every corpus row scores all B
+      bench vectors JVM-side in one narrow pass (no shuffle); per-row
+      cost O(B·d). The oracle-verifiable kernel.
+    - 'lsh': for when B is itself large — both sides key into the same
+      random-hyperplane sign bands (embedding_near_duplicates'
+      blocking, two band groups for recall), candidates = corpus ⋈
+      broadcast bench band keys, exact verify after. Subset of the
+      broadcast result by construction (LSH can only MISS); recall is
+      pytest-checked against the exact kernel, not oracle-gated."""
+    from pyspark.sql import Window
+    b = bench.select(F.col(bench_id_col).alias("bench_id"),
+                     F.col(bench_vec_col).alias("bv")) \
+        .filter(F.col("bv").isNotNull())
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv")) \
+        .filter(F.col("cv").isNotNull())
+    if method == "broadcast":
+        cand = c.crossJoin(F.broadcast(b))
+    elif method == "lsh":
+        first = c.select("cv").first()
+        if first is None:
+            cand = c.crossJoin(F.broadcast(b)).limit(0)
+        else:
+            d = len(first[0])
+            rng = np.random.RandomState(seed)
+            planes = rng.normal(size=(n_planes, d))
+            half = n_planes // 2
+
+            def band_cols(vc):
+                bits = []
+                for p in range(n_planes):
+                    dot = F.aggregate(
+                        F.zip_with(vc, F.array(*[F.lit(float(x))
+                                                 for x in planes[p]]),
+                                   lambda a, b2: a * b2),
+                        F.lit(0.0), lambda acc, x: acc + x)
+                    bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+                k1 = sum(bits[i] * F.lit(2 ** i) for i in range(half))
+                k2 = sum(bits[half + i] * F.lit(2 ** i)
+                         for i in range(n_planes - half))
+                return k1, k2
+
+            ck1, ck2 = band_cols(F.col("cv"))
+            bk1, bk2 = band_cols(F.col("bv"))
+            cb = c.withColumn("k1", ck1).withColumn("k2", ck2)
+            bb = b.withColumn("k1", bk1).withColumn("k2", bk2)
+            cand = None
+            for kc in ("k1", "k2"):
+                side = bb.select(F.col(kc).alias("_k"), "bench_id", "bv")
+                p = (cb.select(F.col(kc).alias("_k"), id_col, "cv")
+                     .join(F.broadcast(side), "_k").drop("_k"))
+                cand = p if cand is None else cand.unionByName(p)
+            cand = cand.dropDuplicates([id_col, "bench_id"])
+    else:
+        raise ValueError(f"unknown method {method!r} "
+                         "(have 'broadcast', 'lsh')")
+    dot = F.aggregate(F.zip_with("cv", "bv", lambda a, b2: a * b2),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("bv", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = cand.withColumn(
+        "cos", F.round(F.when((na == 0) | (nb == 0), F.lit(0.0))
+                       .otherwise(dot / (na * nb)), 4))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), "bench_id")
+    return (scored.filter(F.col("cos") >= threshold)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "bench_id", "cos"))

@@ -1048,3 +1048,64 @@ def test_cli_hygiene_report(spark, tmp_path, capsys):
     nd = rep["near_dups"]
     assert nd["clusters"] >= 1 and nd["docs_in_clusters"] >= 2
     assert nd["removable"] == nd["docs_in_clusters"] - nd["clusters"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding) decontamination
+# ---------------------------------------------------------------------------
+
+def test_embedding_decontam_broadcast_known_values(spark):
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        embedding_decontam_flags)
+    rng = np.random.RandomState(3)
+    bench_vecs = [rng.normal(size=8).tolist() for _ in range(4)]
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)],
+        "bid long, bv array<float>")
+    # corpus: an exact copy of bench[2], a scaled copy of bench[1]
+    # (cosine 1.0), and noise
+    corpus_rows = [
+        ("copy", [float(x) for x in bench_vecs[2]]),
+        ("scaled", [float(2.0 * x) for x in bench_vecs[1]]),
+        ("noise", [float(x) for x in rng.normal(size=8)]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id string, v array<float>")
+    got = {r["doc_id"]: (r["bench_id"], r["cos"]) for r in
+           embedding_decontam_flags(
+               corpus, bench, "doc_id", "v", "bid", "bv",
+               threshold=0.99).collect()}
+    assert got["copy"] == (2, 1.0)
+    assert got["scaled"] == (1, 1.0)
+    assert "noise" not in got
+
+
+def test_embedding_decontam_lsh_subset_and_recall(spark):
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        embedding_decontam_flags)
+    rng = np.random.RandomState(11)
+    bench_vecs = [rng.normal(size=16) for _ in range(6)]
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)],
+        "bid long, bv array<float>")
+    rows = [(f"n{i}", [float(x) for x in rng.normal(size=16)])
+            for i in range(40)]
+    # planted: tiny perturbation of bench[0] -> cosine ~1
+    rows.append(("leak", [float(x + 0.01) for x in bench_vecs[0]]))
+    corpus = spark.createDataFrame(rows, "doc_id string, v array<float>")
+    exact = {(r["doc_id"], r["bench_id"]) for r in embedding_decontam_flags(
+        corpus, bench, "doc_id", "v", "bid", "bv",
+        threshold=0.95, method="broadcast").collect()}
+    lsh = {(r["doc_id"], r["bench_id"]) for r in embedding_decontam_flags(
+        corpus, bench, "doc_id", "v", "bid", "bv",
+        threshold=0.95, method="lsh").collect()}
+    assert lsh <= exact  # LSH can only miss, never invent
+    assert ("leak", 0) in lsh  # near-identical vectors share all signs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        embedding_decontam_flags(corpus, bench, "doc_id", "v", "bid",
+                                 "bv", method="nope")
