@@ -879,7 +879,12 @@ def main(argv=None):
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_dup_line_fraction, col_dup_ngram_fraction, col_lang_id,
             col_pii_count, col_quality_score, col_token_count)
-        docs = store.read("documents").select("doc_id", "text")
+        # prefer the durable MERGE-maintained table: an incremental-only
+        # store commits documents_final but never the per-batch
+        # `documents` intermediate
+        doc_table = ("documents_final" if store.exists("documents_final")
+                     else "documents")
+        docs = store.read(doc_table).select("doc_id", "text")
         overall = docs.agg(
             F.count("*").alias("n_docs"),
             F.sum(col_token_count(F.col("text"))).alias("tokens_total"),
@@ -905,7 +910,7 @@ def main(argv=None):
         # row count sizes the rate — no extra count job)
         from neo4j_document_pipeline_spark.operators.sketches import (
             hash_sample_quantiles)
-        n_docs = (store.manifest("documents") or {}).get("rows") or 0
+        n_docs = (store.manifest(doc_table) or {}).get("rows") or 0
         qrate = min(1.0, 200_000 / n_docs) if n_docs else 1.0
         tl = hash_sample_quantiles(
             docs.select("doc_id",

@@ -145,6 +145,54 @@ def test_line_dedup_increment_redelivery_noop(spark, tmp_path):
     assert _postings_state(store) == post1  # banner df still 1, not 2
 
 
+def test_line_gate_threshold_change_semantics(spark, tmp_path, capsys):
+    """Changing ``--dedup-lines`` between increments: the committed
+    postings state counts RAW lines and is therefore threshold-
+    INDEPENDENT, so a later batch is gated at the NEW threshold against
+    the full committed counts (not the threshold the counts were
+    ingested under), already-committed docs keep their gated form (the
+    usual prefix/retroactive contract), and the hygiene report surfaces
+    the LATEST threshold the store was gated with."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    b1 = _pages(spark, [_doc("a", 0)]).cache()
+    b2 = _pages(spark, [_doc("b", 1)]).cache()
+    b3 = _pages(spark, [_doc("c", 2)]).cache()
+
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    ingest_increment(store, b1, dedup_lines=3, stage="b1")
+    ingest_increment(store, b2, dedup_lines=3, stage="b2")
+    texts = dict(_docs_state(store))
+    # at N=3 the banner's combined df (2) never reached the bar
+    assert all(BANNER in t for t in texts.values())
+
+    ingest_increment(store, b3, dedup_lines=2, stage="b3")
+    texts = dict(_docs_state(store))
+    url_c = "https://site-c.example.org/c.md"
+    # the new batch is gated at N=2 against the FULL committed counts
+    # (df 2+1 >= 2), even though those counts were ingested under N=3
+    assert BANNER not in texts[url_c]
+    # committed docs keep their gated form — the standard retroactive set
+    assert BANNER in texts["https://site-a.example.org/a.md"]
+    assert BANNER in texts["https://site-b.example.org/b.md"]
+
+    # the counting state is a pure function of the raw corpus: a store
+    # ingested at N=2 throughout holds the identical postings
+    ctl_root = str(tmp_path / "ctl")
+    ctl = GraphStore(ctl_root, spark)
+    for i, b in enumerate((b1, b2, b3)):
+        ingest_increment(ctl, b, dedup_lines=2, stage=f"c{i}")
+    assert _postings_state(store) == _postings_state(ctl)
+
+    # the report's gate-state section reflects the LATEST threshold
+    main(["hygiene", "--store", root])
+    gs = json.loads(capsys.readouterr().out)["line_gate_state"]
+    assert gs["min_doc_freq"] == 2
+    assert gs["boilerplate_lines"] == 1  # the banner qualifies at N=2
+
+
 # ---------------------------------------------------------------------------
 # near-dup gate
 # ---------------------------------------------------------------------------
