@@ -763,6 +763,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return weighted_sample(d, 64, "n_tok", id_col="doc_id")
     q["weighted_sample_docs"] = weighted_sample_docs
 
+    # ---- training-data export: temperature-scaled source mixing ----
+    def mixture_weights_docs(spark, sf):
+        """Per-source pretraining mixture weights at temperature
+        alpha = 0.5 with a 1M-token budget (operators/corpus.py::
+        mixture_weights): weight ∝ sqrt(source tokens), epochs = the
+        implied passes over each source. The smoothed scores are
+        fixed-pointed to 1e-6 BEFORE the normalizing sum, so the
+        denominator is an exact integer in any summation order —
+        the oracle reproduces every ratio bit-for-bit."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            mixture_weights)
+        d = _t(spark, sf, "documents").select(
+            "source", col_token_count(F.col("text")).alias("n_tok"))
+        return mixture_weights(d, "source", "n_tok", alpha=0.5,
+                               budget_tokens=1_000_000)
+    q["mixture_weights_docs"] = mixture_weights_docs
+
     # ---- training-data export: token-budget shard packing ----
     def token_shard_docs(spark, sf):
         """Documents packed into ~4096-token shards in doc_id order via
@@ -2028,6 +2047,24 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM (SELECT doc_id, len({_SQL_TOKENS}) AS n_tok "
             "FROM documents) WHERE n_tok > 0"
             ") WHERE rn <= 64",
+        "mixture_weights_docs":
+            # the IDENTICAL construction: exact integer token sums,
+            # sqrt smoothed score fixed-pointed to 1e-6 BEFORE the
+            # normalizing sum (floor of an integral double casts
+            # exactly), every ratio one division of exact integers
+            "WITH g AS (SELECT source, count(*) AS n_docs,"
+            f"  CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS tokens"
+            "  FROM documents GROUP BY source),"
+            "k AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))"
+            "  * 1e6 + 0.5) AS BIGINT) AS kk FROM g),"
+            "tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t,"
+            "  CAST(sum(kk) AS BIGINT) AS ks FROM k)"
+            "SELECT source, n_docs, tokens,"
+            "  round(tokens / CAST(t AS DOUBLE), 6) AS p_raw,"
+            "  round(kk / CAST(ks AS DOUBLE), 6) AS weight,"
+            "  CASE WHEN tokens > 0 THEN round((kk / CAST(ks AS DOUBLE))"
+            "  * 1000000.0 / tokens, 4) END AS epochs "
+            "FROM k, tot",
         "token_shard_docs":
             # global-window form of the distributed prefix sum: a doc
             # starts in the shard its PRECEDING total fills into

@@ -158,3 +158,74 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
         .select(id_col, F.col("_wmin").alias("fp"))
         .distinct()
     )
+
+
+def mixture_weights(df: DataFrame, group_col: str, tokens_col: str, *,
+                    alpha: float = 0.5,
+                    budget_tokens: int | None = None) -> DataFrame:
+    """Temperature-scaled source-mixture weights -> (group_col, n_docs,
+    tokens, p_raw, weight[, epochs]): the pretraining data-mixing
+    primitive (GPT-3 §2.2 / multilingual temperature sampling). Raw
+    source shares p_raw = tokens_g / T are smoothed to
+    weight_g ∝ tokens_g^alpha — alpha 1 keeps the natural mix, alpha→0
+    flattens toward uniform, the standard knob that keeps a giant crawl
+    from drowning small high-quality sources. With ``budget_tokens``
+    set, ``epochs`` = weight_g · budget / tokens_g is the implied
+    number of passes over each source (epochs > 1 flags sources the
+    mixture would repeat — the memorization-risk readout).
+
+    Cross-engine determinism: per-group token totals are exact integer
+    sums; the smoothed score is fixed-pointed to 1e-6 BEFORE the
+    normalizing sum (floor(s·1e6 + 0.5) as bigint), so the denominator
+    is an exact integer in any summation order and any engine, and
+    every emitted ratio is one correctly-rounded division of identical
+    integers. alpha = 0.5 uses sqrt (IEEE-exact, bit-identical across
+    engines); alpha = 1 stays integral; other alphas go through pow,
+    whose last-ulp may differ between libm builds — fine in practice,
+    but the bit-exact guarantee is documented for the sqrt/identity
+    paths.
+
+    Shape: ONE hash aggregate over the corpus (map-side partial sums —
+    a 10^9-document source is one partial per input partition, never a
+    hot task). The grouped frame (#sources rows) is lazily
+    checkpoint-reused by the totals pass, so the corpus is scanned and
+    tokenized ONCE — without it Catalyst prunes the two branches
+    differently and re-runs the full scan for the 1-row totals
+    aggregate. Totals fold back in-plan as a broadcast 1-row aggregate
+    (tree-combined partials, never a single-task global window, so a
+    by-domain grouping with 10^7 keys still scales). Output rows =
+    number of sources.
+    """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0))
+        .cast("long").alias("tokens"))
+    if alpha == 1.0:
+        s = F.col("tokens").cast("double")
+    elif alpha == 0.5:
+        s = F.sqrt(F.col("tokens").cast("double"))
+    else:
+        s = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    g = g.withColumn("_k", F.floor(s * 1e6 + 0.5).cast("long")) \
+        .localCheckpoint(eager=False)
+    tot = g.agg(F.sum("tokens").cast("long").alias("_t"),
+                F.sum("_k").cast("long").alias("_ksum"))
+    out = (
+        g.join(F.broadcast(tot), F.lit(True))
+        .withColumn("_w", F.col("_k") / F.col("_ksum"))
+        .withColumn("p_raw", F.round(F.col("tokens") / F.col("_t"), 6))
+        .withColumn("weight", F.round("_w", 6))
+    )
+    cols = [group_col, "n_docs", "tokens", "p_raw", "weight"]
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "epochs",
+            F.when(F.col("tokens") > 0,
+                   F.round(F.col("_w") * F.lit(float(budget_tokens))
+                           / F.col("tokens"), 4)))
+        cols.append("epochs")
+    return out.select(*cols)

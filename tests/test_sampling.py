@@ -258,3 +258,62 @@ def test_weighted_sample_strata_and_validation(spark):
         "doc_id string, w double")
     assert [r["doc_id"] for r in weighted_sample(bad, 4, "w").collect()] \
         == ["d"]
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source-mixture weights (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def test_mixture_weights_known_values(spark):
+    """Two sources with 100 vs 400 tokens at alpha=0.5: sqrt smoothing
+    gives 10:20 -> weights 1/3 and 2/3; a 1000-token budget implies
+    epochs (1/3)*1000/100 and (2/3)*1000/400."""
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        mixture_weights)
+    rows = [("small", 25), ("small", 25), ("small", 50),
+            ("big", 400)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    got = {r["source"]: r for r in
+           mixture_weights(df, "source", "n_tok", alpha=0.5,
+                           budget_tokens=1000).collect()}
+    assert got["small"]["n_docs"] == 3 and got["small"]["tokens"] == 100
+    assert got["big"]["tokens"] == 400
+    assert got["small"]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["big"]["weight"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["small"]["p_raw"] == 0.2 and got["big"]["p_raw"] == 0.8
+    assert got["small"]["epochs"] == pytest.approx(10 / 3, abs=1e-4)
+    assert got["big"]["epochs"] == pytest.approx(5 / 3, abs=1e-4)
+
+
+def test_mixture_weights_alpha_one_keeps_natural_mix_and_flattens(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        mixture_weights)
+    rows = [("a", 100), ("b", 900)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    nat = {r["source"]: r for r in
+           mixture_weights(df, "source", "n_tok", alpha=1.0).collect()}
+    assert nat["a"]["weight"] == nat["a"]["p_raw"] == 0.1
+    assert nat["b"]["weight"] == nat["b"]["p_raw"] == 0.9
+    # lower temperature pulls the mix toward uniform, never past it
+    cool = {r["source"]: r["weight"] for r in
+            mixture_weights(df, "source", "n_tok", alpha=0.25).collect()}
+    assert 0.1 < cool["a"] < 0.5 < cool["b"] < 0.9
+
+
+def test_mixture_weights_zero_token_source_and_validation(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        mixture_weights)
+    rows = [("a", 0), ("a", None), ("b", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    got = {r["source"]: r for r in
+           mixture_weights(df, "source", "n_tok",
+                           budget_tokens=500).collect()}
+    # an empty source carries no mass and an undefined epoch count
+    assert got["a"]["tokens"] == 0 and got["a"]["weight"] == 0.0
+    assert got["a"]["epochs"] is None
+    assert got["b"]["weight"] == 1.0
+    assert got["b"]["epochs"] == 5.0
+    with pytest.raises(ValueError):
+        mixture_weights(df, "source", "n_tok", alpha=0.0)
+    with pytest.raises(ValueError):
+        mixture_weights(df, "source", "n_tok", budget_tokens=-1)
