@@ -1288,6 +1288,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "dist"))
     q["bfs_parts"] = bfs_parts
 
+    def random_walk_parts(spark, sf):
+        """DeepWalk-style walk corpus over the bounded co-purchase
+        graph: 2 deterministic 3-step walks from every node, next hop
+        = the neighbor minimizing the per-(walk, step) sha256 draw
+        (operators/graphalgo.py::random_walks). Zero-pad keeps the
+        hash preimages and the (hash, neighbor) tie-break ordering
+        identical in both engines; the oracle unrolls the three steps
+        with the same argmin."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            random_walks)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
+        return (random_walks(edges, walk_len=3, walks_per_node=2)
+                .select(F.col("start").cast("bigint").alias("start_id"),
+                        "rep", "step",
+                        F.col("node").cast("bigint").alias("node_id")))
+    q["random_walk_parts"] = random_walk_parts
+
     def link_prediction_parts(spark, sf):
         """KG-completion candidates over the bounded co-purchase graph:
         non-adjacent pairs with >= 2 shared neighbors, scored by
@@ -2256,6 +2273,46 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN e ON walk.id = e.u WHERE walk.dist < 3)"
             "SELECT id AS part_id, CAST(min(dist) AS INT) AS dist"
             " FROM walk GROUP BY id",
+        "random_walk_parts":
+            # the IDENTICAL hash-argmin transitions, three steps
+            # unrolled; ties break on (hash, neighbor) like the
+            # operator's min(struct)
+            "WITH base AS ("
+            "  SELECT DISTINCT lpad(CAST(a.l_partkey AS VARCHAR), 9, '0')"
+            "  AS u, lpad(CAST(b.l_partkey AS VARCHAR), 9, '0') AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "e AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),"
+            "wr AS (SELECT start, rep FROM"
+            "  (SELECT DISTINCT u AS start FROM e),"
+            "  (SELECT unnest([0, 1]) AS rep)),"
+            "n1 AS (SELECT start, rep, v AS cur FROM ("
+            "  SELECT wr.start, wr.rep, e.v, row_number() OVER ("
+            "  PARTITION BY wr.start, wr.rep ORDER BY"
+            "  ('0x' || substr(sha256('v1:' || wr.start || ':' || wr.rep"
+            "  || ':1:' || wr.start || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+            "  AS rn FROM wr JOIN e ON e.u = wr.start) WHERE rn = 1),"
+            "n2 AS (SELECT start, rep, v AS cur FROM ("
+            "  SELECT n1.start, n1.rep, e.v, row_number() OVER ("
+            "  PARTITION BY n1.start, n1.rep ORDER BY"
+            "  ('0x' || substr(sha256('v1:' || n1.start || ':' || n1.rep"
+            "  || ':2:' || n1.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+            "  AS rn FROM n1 JOIN e ON e.u = n1.cur) WHERE rn = 1),"
+            "n3 AS (SELECT start, rep, v AS cur FROM ("
+            "  SELECT n2.start, n2.rep, e.v, row_number() OVER ("
+            "  PARTITION BY n2.start, n2.rep ORDER BY"
+            "  ('0x' || substr(sha256('v1:' || n2.start || ':' || n2.rep"
+            "  || ':3:' || n2.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+            "  AS rn FROM n2 JOIN e ON e.u = n2.cur) WHERE rn = 1)"
+            "SELECT CAST(start AS BIGINT) AS start_id, rep,"
+            "  0 AS step, CAST(start AS BIGINT) AS node_id FROM wr"
+            " UNION ALL SELECT CAST(start AS BIGINT), rep, 1,"
+            "  CAST(cur AS BIGINT) FROM n1"
+            " UNION ALL SELECT CAST(start AS BIGINT), rep, 2,"
+            "  CAST(cur AS BIGINT) FROM n2"
+            " UNION ALL SELECT CAST(start AS BIGINT), rep, 3,"
+            "  CAST(cur AS BIGINT) FROM n3",
         # shared-neighbor Jaccard: wedge-join candidates, true-degree
         # unions — identical float ops, so the 0.25 threshold and 6dp
         # rounding agree with the operator

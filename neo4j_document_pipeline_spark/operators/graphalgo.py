@@ -1112,3 +1112,84 @@ def effective_diameter(edges: DataFrame, radius: int, k: int = 64,
         return 0
     target = quantile * rows[max(rows)]
     return min(r for r in sorted(rows) if rows[r] >= target)
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 walks_per_node: int = 1, salt: str = "v1",
+                 directed: bool = False,
+                 starts: list[str] | None = None) -> DataFrame:
+    """Deterministic random-walk corpus -> (start, rep, step, node):
+    ``walks_per_node`` truncated walks of ``walk_len`` steps from every
+    node (or from ``starts``), the DeepWalk/node2vec sampling primitive
+    (Perozzi et al. 2014 — public): the emitted node sequences are the
+    "sentences" a skip-gram embedding trains on, and walk co-occurrence
+    is itself a similarity signal.
+
+    Every transition is a PURE FUNCTION of the graph: the next hop from
+    ``cur`` at step ``t`` of walk (start, rep) is the neighbor
+    minimizing sha256('<salt>:<start>:<rep>:<t>:<cur>:<neighbor>') —
+    per-step-keyed so a walk revisiting a node does not repeat itself
+    deterministically forever, uniform over neighbors per draw, and
+    bit-reproducible on any partitioning, cluster size, or engine (the
+    oracle replays the identical hash ordering in SQL). No
+    rand()/sample(): those are partitioning-dependent, which would make
+    the training corpus unstable across compactions and cluster sizes.
+    Walks that reach a dead end (directed sinks) simply stop — their
+    emitted prefix stands.
+
+    Scale shape: per step ONE equi-join (state ⋈ adjacency on the
+    current node — never BNLJ) and ONE min(struct) aggregate, which is
+    map-side combinable: a degree-10^6 hub visited by many walks fans
+    out deg·walks candidate rows but partial-combines to one row per
+    walk per partition before the shuffle, and AQE's skew split handles
+    the hot join key. localCheckpoint per step keeps the plan O(1)
+    deep; total output is O(starts · walks_per_node · walk_len) rows —
+    walk count, not edge count, bounds the result.
+    """
+    spark = edges.sparkSession
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if walks_per_node < 1:
+        raise ValueError(
+            f"walks_per_node must be >= 1, got {walks_per_node}")
+    if directed:
+        e = (edges.select(F.col("u").cast("string"),
+                          F.col("v").cast("string"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    else:
+        und = _undirected(edges)
+        e = und.union(und.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    e = e.localCheckpoint()
+    if starts is not None:
+        w0 = spark.createDataFrame(
+            [(str(s),) for s in sorted({str(s) for s in starts})],
+            "start string")
+    else:
+        w0 = e.select(F.col("u").alias("start")).distinct()
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("rep")
+    state = (w0.select("start", reps)
+             .withColumn("cur", F.col("start"))
+             .localCheckpoint())
+    out = [state.select(
+        "start", "rep", F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("node"))]
+    for t in range(1, walk_len + 1):
+        cand = state.join(e.withColumnRenamed("u", "cur"), "cur")
+        h = F.conv(F.substring(F.sha2(F.concat_ws(
+            ":", F.lit(salt), F.col("start"), F.col("rep"), F.lit(t),
+            F.col("cur"), F.col("v")), 256), 1, 8), 16, 10) \
+            .cast("bigint")
+        state = (cand.groupBy("start", "rep")
+                 .agg(F.min(F.struct(h.alias("h"),
+                                     F.col("v").alias("v"))).alias("m"))
+                 .select("start", "rep", F.col("m.v").alias("cur"))
+                 .localCheckpoint())
+        out.append(state.select(
+            "start", "rep", F.lit(t).cast("int").alias("step"),
+            F.col("cur").alias("node")))
+    allw = out[0]
+    for fr in out[1:]:
+        allw = allw.unionByName(fr)
+    return allw

@@ -1610,3 +1610,93 @@ def test_neighborhood_hub_bucket_phase_is_identity(spark):
            for r in neighborhood_sketches(df, 2, k=8,
                                           hub_buckets=1).collect()}
     assert two == one and two
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+# ---------------------------------------------------------------------------
+
+def _brute_walks(pairs, walk_len, walks_per_node, salt="v1",
+                 directed=False):
+    """Reference implementation of the deterministic walk: next hop =
+    argmin over neighbors of (sha256 head, neighbor)."""
+    import hashlib
+    adj = {}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    out = []
+    for start in sorted(adj):
+        for rep in range(walks_per_node):
+            cur = start
+            out.append((start, rep, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                def key(v, cur=cur, t=t, rep=rep, start=start):
+                    pre = f"{salt}:{start}:{rep}:{t}:{cur}:{v}"
+                    h = hashlib.sha256(pre.encode()).hexdigest()[:8]
+                    return (int(h, 16), v)
+                cur = min(nbrs, key=key)
+                out.append((start, rep, t, cur))
+    return sorted(out)
+
+
+def test_random_walks_match_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        random_walks)
+    rng = np.random.RandomState(7)
+    pairs = [(f"n{rng.randint(0, 20)}", f"n{rng.randint(0, 20)}")
+             for _ in range(40)]
+    for directed in (False, True):
+        want = _brute_walks(pairs, 4, 2, directed=directed)
+        got = sorted(
+            (r["start"], r["rep"], r["step"], r["node"]) for r in
+            random_walks(_edges(spark, pairs), walk_len=4,
+                         walks_per_node=2,
+                         directed=directed).collect())
+        assert got == want, directed
+
+
+def test_random_walks_dead_ends_and_starts(spark):
+    """A directed chain stops at the sink; the emitted prefix stands.
+    ``starts`` restricts the walk set."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        random_walks)
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = sorted((r["start"], r["step"], r["node"]) for r in
+                 random_walks(e, walk_len=5, directed=True,
+                              starts=["a"]).collect())
+    assert got == [("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c")]
+
+
+def test_random_walks_stable_across_partitionings_and_salted(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        random_walks)
+    rng = np.random.RandomState(11)
+    pairs = [(f"n{rng.randint(0, 15)}", f"n{rng.randint(0, 15)}")
+             for _ in range(30)]
+    e = _edges(spark, pairs)
+    ref = sorted(map(tuple, random_walks(e, walk_len=3).collect()))
+    rep = sorted(map(tuple,
+                     random_walks(e.repartition(13, "v"),
+                                  walk_len=3).collect()))
+    assert ref == rep
+    other = sorted(map(tuple,
+                       random_walks(e, walk_len=3, salt="v2").collect()))
+    assert other != ref  # an independent draw
+
+
+def test_random_walks_validation(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        random_walks)
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        random_walks(e, walk_len=0)
+    with pytest.raises(ValueError):
+        random_walks(e, walks_per_node=0)
