@@ -1274,6 +1274,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("q_term")))
     q["lpa_modularity"] = lpa_modularity
 
+    def conductance_parts(spark, sf):
+        """Per-community conductance of the same 3-round LPA split —
+        cut/min(vol, 2m−vol) from the modularity aggregates
+        (operators/graphalgo.py::conductance): which communities are
+        tight vs leaky. All φ inputs are exact integers; the oracle
+        replays the LPA chain plus the same arithmetic."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            conductance, label_propagation)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
+        asg = label_propagation(edges, iters=3)
+        return (conductance(edges, asg)
+                .select(F.col("community").cast("bigint")
+                        .alias("community"),
+                        "n_nodes", "volume", "cut",
+                        F.round("conductance", 6).alias("conductance")))
+    q["conductance_parts"] = conductance_parts
+
+    def graph_summary_parts(spark, sf):
+        """One-row structural profile of the FULL co-purchase graph
+        (operators/graphalgo.py::graph_summary): node/edge counts,
+        degree range, density, and Newman degree assortativity — the
+        hub-to-leaf vs core-core mixing readout. Every aggregate is an
+        exact integer sum, so the float formula is bit-reproducible."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            graph_summary)
+        edges = _copurchase_edges(spark, sf)
+        return (graph_summary(edges)
+                .select("n_nodes", "n_edges", "min_degree", "max_degree",
+                        F.round("avg_degree", 6).alias("avg_degree"),
+                        F.round("density", 6).alias("density"),
+                        F.round("assortativity", 6)
+                        .alias("assortativity")))
+    q["graph_summary_parts"] = graph_summary_parts
+
     def bfs_parts(spark, sf):
         """Multi-source BFS hop distances from parts 0-4 over a bounded
         co-purchase graph: every node settled once at its minimum hop.
@@ -2652,6 +2686,85 @@ def oracle_sql() -> dict[str, str]:
             " FROM nn CROSS JOIN m"
             " LEFT JOIN intra i USING (community)"
             " LEFT JOIN deg d USING (community)",
+        "conductance_parts":
+            # lpa_parts CTE chain + conductance from the modularity
+            # aggregates: cut = deg_sum − 2·l_in, φ = cut/min(vol,
+            # 2m−vol) — all-integer inputs, one division
+            "WITH base AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "  WHERE a.l_orderkey < 300),"
+            "adj AS (SELECT u AS node, v AS nbr FROM base"
+            "        UNION ALL SELECT v, u FROM base),"
+            "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"
+            "c1 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c1) WHERE rk = 1),"
+            "c2 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c2) WHERE rk = 1),"
+            "c3 AS (SELECT a.node, l.lbl, count(*) AS c FROM adj a"
+            "       JOIN l2 l ON a.nbr = l.node GROUP BY 1, 2),"
+            "l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()"
+            "       OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk"
+            "       FROM c3) WHERE rk = 1),"
+            "asg AS (SELECT node, lbl AS community FROM l3),"
+            "m AS (SELECT count(*) AS m FROM base),"
+            "intra AS (SELECT x.community AS community, count(*) AS l_in"
+            "  FROM base b JOIN asg x ON b.u = x.node"
+            "  JOIN asg y ON b.v = y.node"
+            "  WHERE x.community = y.community GROUP BY 1),"
+            "deg AS (SELECT x.community AS community, count(*) AS deg_sum"
+            "  FROM adj a JOIN asg x ON a.node = x.node GROUP BY 1),"
+            "nn AS (SELECT community, count(*) AS n_nodes FROM asg"
+            "  GROUP BY 1) "
+            "SELECT nn.community, nn.n_nodes,"
+            " CAST(coalesce(d.deg_sum, 0) AS BIGINT) AS volume,"
+            " CAST(coalesce(d.deg_sum, 0) - 2 * coalesce(i.l_in, 0)"
+            "  AS BIGINT) AS cut,"
+            " CASE WHEN least(coalesce(d.deg_sum, 0),"
+            "  2 * m.m - coalesce(d.deg_sum, 0)) > 0 THEN"
+            "  round((coalesce(d.deg_sum, 0) - 2 * coalesce(i.l_in, 0))"
+            "  / CAST(least(coalesce(d.deg_sum, 0),"
+            "  2 * m.m - coalesce(d.deg_sum, 0)) AS DOUBLE), 6)"
+            "  END AS conductance"
+            " FROM nn CROSS JOIN m"
+            " LEFT JOIN intra i USING (community)"
+            " LEFT JOIN deg d USING (community)",
+        "graph_summary_parts":
+            # exact-integer edge/degree sums; the assortativity formula
+            # mirrors the operator op-for-op (mean*mean, not pow) so
+            # the doubles agree bit-for-bit
+            "WITH pairs AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            "  FROM lineitem a JOIN lineitem b"
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),"
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ("
+            "  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)"
+            "  GROUP BY node),"
+            "es AS (SELECT CAST(count(*) AS BIGINT) AS m,"
+            "  CAST(sum(du.d * dv.d) AS BIGINT) AS se,"
+            "  CAST(sum(du.d + dv.d) AS BIGINT) AS s1,"
+            "  CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS s2"
+            "  FROM pairs p JOIN deg du ON p.u = du.node"
+            "  JOIN deg dv ON p.v = dv.node),"
+            "ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,"
+            "  min(d) AS min_degree, max(d) AS max_degree,"
+            "  CAST(sum(d) AS BIGINT) AS dsum FROM deg)"
+            "SELECT n_nodes, m AS n_edges, min_degree, max_degree,"
+            "  round(dsum / CAST(n_nodes AS DOUBLE), 6) AS avg_degree,"
+            "  round(dsum / (n_nodes * (n_nodes - 1.0)), 6) AS density,"
+            "  CASE WHEN s2 / (2.0 * m) - (s1 / (2.0 * m)) * (s1 / (2.0 * m))"
+            "  > 0 THEN round((se / CAST(m AS DOUBLE)"
+            "  - (s1 / (2.0 * m)) * (s1 / (2.0 * m)))"
+            "  / (s2 / (2.0 * m) - (s1 / (2.0 * m)) * (s1 / (2.0 * m))), 6)"
+            "  END AS assortativity "
+            "FROM ns CROSS JOIN es",
         "node_similarity_weighted_parts":
             "WITH base AS ("
             "  SELECT a.l_partkey AS u, b.l_partkey AS v,"

@@ -916,6 +916,101 @@ def modularity(edges: DataFrame, assignment: DataFrame,
         q.alias("q_term"))
 
 
+def conductance(edges: DataFrame, assignment: DataFrame,
+                node_col: str = "id", community_col: str = "community",
+                weight_col: str | None = None) -> DataFrame:
+    """Per-community conductance -> (community, n_nodes, volume, cut,
+    conductance): φ_c = cut_c / min(vol_c, 2m − vol_c), the standard
+    "how leaky is this community" score (Neo4j GDS ``conductance``
+    analogue) — 0 for a perfectly sealed community, →1 when almost
+    every incident edge leaves it. The complementary readout to
+    ``modularity``: modularity says the PARTITION beats chance,
+    conductance says which individual communities are tight.
+
+    Derived from the very aggregates modularity already computes —
+    vol_c = deg_sum and cut_c = deg_sum − 2·l_in (every incident edge
+    end is either one of the 2 ends of an intra edge or one cut edge)
+    — so the cost and the scale shape ARE ``modularity``'s: two
+    hash joins, three hash aggregates, the scalar m folded in-plan as
+    a broadcast 1-row aggregate, zero driver actions. Unweighted, all
+    inputs to φ are exact integers and the single division is
+    bit-reproducible in any engine; isolated communities (volume 0)
+    yield NULL (no incident edges means conductance is undefined, not
+    perfect)."""
+    mod = modularity(edges, assignment, node_col, community_col,
+                     weight_col)
+    und = _undirected(edges, weight_col)
+    if weight_col is not None:
+        m1 = und.agg(F.sum("w").alias("m"))
+    else:
+        m1 = und.agg(F.count("*").cast("long").alias("m"))
+    out = mod.join(F.broadcast(m1), F.lit(True))
+    cut = F.col("deg_sum") - 2 * F.col("l_in")
+    denom = F.least(F.col("deg_sum"), 2 * F.col("m") - F.col("deg_sum"))
+    phi = F.when(denom > 0, cut.cast("double") / denom)
+    return out.select(
+        "community", "n_nodes", F.col("deg_sum").alias("volume"),
+        cut.alias("cut"), phi.alias("conductance"))
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of the canonical undirected simple
+    graph -> (n_nodes, n_edges, min_degree, max_degree, avg_degree,
+    density, assortativity): the first thing to run on a freshly built
+    KG — sanity-check scale, spot the power-law hubs (max_degree vs
+    avg), and read the mixing pattern. ``assortativity`` is Newman's
+    degree-assortativity coefficient (Newman 2002, "Assortative mixing
+    in networks" — public): the Pearson correlation of endpoint
+    degrees over edges, r = [Se/M − (S1/2M)²] / [S2/2M − (S1/2M)²]
+    with Se = Σ j·k, S1 = Σ (j+k), S2 = Σ (j²+k²) over the M edges —
+    negative for hub-to-leaf (most webtext/KG graphs), positive for
+    social-style core-core mixing. Degree-regular graphs (zero
+    variance) yield NULL.
+
+    Cross-engine determinism: every sum is an exact integer (degrees
+    are counts), so the final float formula runs on identical inputs
+    in any engine and any summation order. Scale shape: one degree
+    aggregate (map-combinable), two hash joins to stamp endpoint
+    degrees on edges (AQE splits the hub keys), one 1-row edge
+    aggregate crossed with one 1-row degree aggregate — zero driver
+    actions; the canonical edge set is lazily checkpoint-reused so the
+    input is scanned once."""
+    und = _undirected(edges).localCheckpoint(eager=False)
+    inc = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node")))
+    deg = inc.groupBy("node").agg(F.count("*").cast("long").alias("d")) \
+        .localCheckpoint(eager=False)
+    j = (und.join(deg.select(F.col("node").alias("u"),
+                             F.col("d").alias("du")), "u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("d").alias("dv")), "v"))
+    es = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("se"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("s1"),
+        F.sum(F.col("du") * F.col("du")
+              + F.col("dv") * F.col("dv")).cast("long").alias("s2"))
+    ns = deg.agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("d").alias("min_degree"),
+                 F.max("d").alias("max_degree"),
+                 F.sum("d").cast("long").alias("dsum"))
+    out = ns.join(F.broadcast(es), F.lit(True))
+    mean = F.col("s1") / (2.0 * F.col("m"))
+    var = F.col("s2") / (2.0 * F.col("m")) - mean * mean
+    r = F.when(var > 0,
+               (F.col("se") / F.col("m") - mean * mean) / var)
+    return out.select(
+        "n_nodes", F.col("m").alias("n_edges"), "min_degree",
+        "max_degree",
+        F.when(F.col("n_nodes") > 0,
+               F.col("dsum") / F.col("n_nodes")).alias("avg_degree"),
+        F.when(F.col("n_nodes") > 1,
+               F.col("dsum") / (F.col("n_nodes")
+                                * (F.col("n_nodes") - 1.0)))
+        .alias("density"),
+        r.alias("assortativity"))
+
+
 def katz_centrality(edges: DataFrame, alpha: float = 0.1,
                     beta: float = 1.0, iters: int = 5,
                     weight_col: str | None = None) -> DataFrame:

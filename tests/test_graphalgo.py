@@ -1700,3 +1700,81 @@ def test_random_walks_validation(spark):
         random_walks(e, walk_len=0)
     with pytest.raises(ValueError):
         random_walks(e, walks_per_node=0)
+
+
+# ---------------------------------------------------------------------------
+# conductance + graph summary
+# ---------------------------------------------------------------------------
+
+def test_conductance_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: vol = 7 each (6 intra ends + 1 cut end), cut = 1,
+    m = 7, phi = 1/min(7, 14-7) = 1/7."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        conductance)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("x", "y"), ("y", "z"), ("x", "z"),
+                       ("c", "x")])
+    asg = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"),
+         ("x", "t2"), ("y", "t2"), ("z", "t2")],
+        "id string, community string")
+    got = {r["community"]: r for r in conductance(e, asg).collect()}
+    for c in ("t1", "t2"):
+        assert got[c]["n_nodes"] == 3
+        assert got[c]["volume"] == 7 and got[c]["cut"] == 1
+        assert got[c]["conductance"] == pytest.approx(1 / 7)
+
+
+def test_conductance_sealed_and_isolated_communities(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        conductance)
+    e = _edges(spark, [("a", "b"), ("c", "d")])
+    asg = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("c", "q"), ("d", "q"), ("lone", "r")],
+        "id string, community string")
+    got = {r["community"]: r for r in conductance(e, asg).collect()}
+    # sealed communities leak nothing
+    assert got["p"]["cut"] == 0 and got["p"]["conductance"] == 0.0
+    assert got["q"]["conductance"] == 0.0
+    # no incident edges -> undefined, not perfect
+    assert got["r"]["volume"] == 0 and got["r"]["conductance"] is None
+
+
+def test_graph_summary_star_and_cycle(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        graph_summary)
+    star = graph_summary(_edges(
+        spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])).collect()[0]
+    assert star["n_nodes"] == 4 and star["n_edges"] == 3
+    assert star["min_degree"] == 1 and star["max_degree"] == 3
+    assert star["avg_degree"] == pytest.approx(1.5)
+    assert star["density"] == pytest.approx(0.5)
+    assert star["assortativity"] == pytest.approx(-1.0)  # any star
+    # degree-regular graph: zero variance, undefined correlation
+    cyc = graph_summary(_edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "a")])).collect()[0]
+    assert cyc["assortativity"] is None
+    assert cyc["density"] == pytest.approx(1.0)
+
+
+def test_graph_summary_assortativity_matches_numpy(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        graph_summary)
+    rng = np.random.RandomState(5)
+    pairs = {tuple(sorted((f"n{rng.randint(0, 25)}",
+                           f"n{rng.randint(0, 25)}")))
+             for _ in range(60)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    j = np.array([deg[a] for a, b in pairs] + [deg[b] for a, b in pairs],
+                 dtype=float)
+    k = np.array([deg[b] for a, b in pairs] + [deg[a] for a, b in pairs],
+                 dtype=float)
+    want = np.corrcoef(j, k)[0, 1]
+    got = graph_summary(_edges(spark, pairs)).collect()[0]
+    assert got["assortativity"] == pytest.approx(want, abs=1e-9)
+    assert got["n_edges"] == len(pairs) and got["n_nodes"] == len(deg)
