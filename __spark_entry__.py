@@ -1431,6 +1431,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id").cast("bigint").alias("part_id")))
     q["k_core_parts"] = k_core_parts
 
+    def k_truss_parts(spark, sf):
+        """4-truss of the bounded co-purchase graph — every surviving
+        edge sits in >= 2 triangles of the subgraph. The same honesty
+        contract as k_core_parts: support peeling converges within 2
+        rounds at every shipped sf (2/1/1 at sf 0.001/0.01/0.1), the
+        operator runs max_iters=3 (2 peels + the empty-low
+        confirmation — RAISES if a 3rd peel would be needed), and the
+        oracle unrolls 2 peel rounds then returns ZERO rows (loud
+        mismatch) unless the post-round-2 low set is empty. Zero-pad
+        keeps the canonical edge orientation numeric both sides."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            k_truss)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
+        return (k_truss(edges, k=4, max_iters=3)
+                .select(F.col("u").cast("bigint").alias("part_u"),
+                        F.col("v").cast("bigint").alias("part_v")))
+    q["k_truss_parts"] = k_truss_parts
+
     def triangle_parts(spark, sf):
         """Degree-oriented triangle count of the same co-purchase graph
         — the wedge join is bounded by the orientation, the oracle is
@@ -1598,6 +1616,40 @@ def oracle_sql() -> dict[str, str]:
             f"e{r} AS (SELECT u, v FROM {p} "
             f"WHERE u NOT IN (SELECT id FROM low{r}) "
             f"AND v NOT IN (SELECT id FROM low{r}))")
+    # k-truss: 2 unrolled support-peel rounds + a loud convergence
+    # guard (zero rows unless the post-round-2 low set is empty)
+    truss_rounds = []
+    for r in range(1, 3):
+        p = f"te{r - 1}"
+        truss_rounds.append(
+            f"t{r} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM {p} e1 JOIN {p} e2 ON e1.u = e2.u AND e1.v < e2.v "
+            f"JOIN {p} e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            f"s{r} AS (SELECT u, v, count(*) AS s FROM ("
+            f"SELECT least(a, b) AS u, greatest(a, b) AS v FROM t{r} "
+            f"UNION ALL SELECT least(a, c), greatest(a, c) FROM t{r} "
+            f"UNION ALL SELECT b, c FROM t{r}) GROUP BY u, v), "
+            f"te{r} AS (SELECT e.u, e.v FROM {p} e "
+            f"LEFT JOIN s{r} USING (u, v) WHERE coalesce(s{r}.s, 0) >= 2)")
+    truss_sql = (
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_orderkey < 300), "
+        "te0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        + ", ".join(truss_rounds) + ", "
+        "t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM te2 e1 JOIN te2 e2 ON e1.u = e2.u AND e1.v < e2.v "
+        "JOIN te2 e3 ON e3.u = e1.v AND e3.v = e2.v), "
+        "s3 AS (SELECT u, v, count(*) AS s FROM ("
+        "SELECT least(a, b) AS u, greatest(a, b) AS v FROM t3 "
+        "UNION ALL SELECT least(a, c), greatest(a, c) FROM t3 "
+        "UNION ALL SELECT b, c FROM t3) GROUP BY u, v), "
+        "low3 AS (SELECT e.u FROM te2 e LEFT JOIN s3 USING (u, v) "
+        "WHERE coalesce(s3.s, 0) < 2) "
+        "SELECT u AS part_u, v AS part_v FROM te2 "
+        "WHERE (SELECT count(*) FROM low3) = 0")
+
     kcore_sql = (
         "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
         "WHERE l_orderkey < 400), "
@@ -2448,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
             " JOIN ci ca ON pr.a = ca.item"
             " JOIN ci cb ON pr.b = cb.item",
         "k_core_parts": kcore_sql,
+        "k_truss_parts": truss_sql,
         "shortest_path_parts":
             "WITH base AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v,"

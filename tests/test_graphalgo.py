@@ -1778,3 +1778,63 @@ def test_graph_summary_assortativity_matches_numpy(spark):
     got = graph_summary(_edges(spark, pairs)).collect()[0]
     assert got["assortativity"] == pytest.approx(want, abs=1e-9)
     assert got["n_edges"] == len(pairs) and got["n_nodes"] == len(deg)
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+def _brute_truss(pairs, k):
+    edges = {tuple(sorted((str(a), str(b)))) for a, b in pairs
+             if str(a) != str(b)}
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        low = {e for e in edges if len(adj[e[0]] & adj[e[1]]) < k - 2}
+        if not low:
+            return edges
+        edges -= low
+
+
+def test_k_truss_clique_survives_appendage_peels(spark):
+    """K4 plus a pendant triangle: the 4-truss is exactly the clique
+    (every K4 edge sits in 2 triangles); the pendant triangle's edges
+    have support 1 and peel — including the cascade where removing the
+    first round's edges strips the shared edge's support."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        k_truss)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant = [("c", "x"), ("d", "x")]
+    got = sorted((r["u"], r["v"]) for r in
+                 k_truss(_edges(spark, k4 + pendant), k=4).collect())
+    assert got == sorted(k4)
+
+
+def test_k_truss_matches_brute_force(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        k_truss)
+    rng = np.random.RandomState(13)
+    pairs = [(f"n{rng.randint(0, 18)}", f"n{rng.randint(0, 18)}")
+             for _ in range(70)]
+    for k in (3, 4, 5):
+        want = sorted(_brute_truss(pairs, k))
+        got = sorted((r["u"], r["v"]) for r in
+                     k_truss(_edges(spark, pairs), k=k).collect())
+        assert got == want, k
+
+
+def test_k_truss_validation_and_loud_nonconvergence(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        k_truss)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"),
+                       ("a", "x")])
+    with pytest.raises(ValueError):
+        k_truss(e, k=2)
+    # this graph needs 2 peel rounds for the 4-truss (x's edges first,
+    # then the stripped triangle) — max_iters=1 must raise, not return
+    # a half-peeled edge set
+    with pytest.raises(RuntimeError):
+        k_truss(e, k=4, max_iters=1)
