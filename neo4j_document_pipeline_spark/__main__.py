@@ -29,6 +29,11 @@ or plain python:
     python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
     python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
     python -m neo4j_document_pipeline_spark hygiene --store <dir> [--near-dups]  # corpus-quality report (size/langs/quality/repetition/PII[/near-dups])
+    python -m neo4j_document_pipeline_spark summary --store <dir>       # one-row graph profile (degrees/density/assortativity)
+    python -m neo4j_document_pipeline_spark conductance --store <dir> [--iters N]  # how leaky each LPA community is
+    python -m neo4j_document_pipeline_spark truss --store <dir> --k 4   # cohesive edge nucleus (k-truss)
+    python -m neo4j_document_pipeline_spark walks --store <dir> [--walk-len N --walks-per-node N --out <dir>]  # deterministic walk corpus (DeepWalk input)
+    python -m neo4j_document_pipeline_spark mixture --store <dir> [--alpha 0.5 --train-budget N]  # per-domain pretraining mixture weights
 """
 
 from __future__ import annotations
@@ -111,7 +116,8 @@ def main(argv=None):
         "communities", "collocations", "suggest", "reach",
         "kcore", "export", "sample", "shards", "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
-        "clustering", "harmonic"])
+        "clustering", "harmonic", "summary", "conductance", "truss",
+        "walks", "mixture"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -198,7 +204,22 @@ def main(argv=None):
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
     ap.add_argument("--k", type=int, default=2,
-                    help="kcore: minimum surviving degree")
+                    help="kcore: minimum surviving degree / truss: "
+                         "minimum triangles per surviving edge + 2 "
+                         "(>= 3)")
+    ap.add_argument("--walk-len", type=int, default=10,
+                    help="walks: steps per walk (default 10)")
+    ap.add_argument("--walks-per-node", type=int, default=2,
+                    help="walks: walks started from each entity "
+                         "(default 2)")
+    ap.add_argument("--alpha", type=float, default=0.5,
+                    help="mixture: sampling temperature — weight ∝ "
+                         "tokens^alpha (1 = natural mix, lower "
+                         "flattens toward uniform; default 0.5)")
+    ap.add_argument("--train-budget", type=int, default=None,
+                    help="mixture: total training-token budget; adds "
+                         "the implied epochs-per-source column "
+                         "(epochs > 1 flags repetition risk)")
     ap.add_argument("--min-count", type=int, default=2,
                     help="collocations: keep pairs co-occurring in at "
                          "least this many documents / suggest: require "
@@ -512,6 +533,99 @@ def main(argv=None):
             d = r.asDict()
             d["harmonic"] = round(d["harmonic"], 4)
             print(json.dumps(d, default=str))
+    elif ns.command == "summary":
+        # one-row structural profile of the committed KG: scale sanity,
+        # hub spotting (max vs avg degree), degree-mixing pattern
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            graph_summary)
+        d = graph_summary(_kg_edges(store)).first().asDict()
+        for c in ("avg_degree", "density", "assortativity"):
+            if d[c] is not None:
+                d[c] = round(d[c], 6)
+        print(json.dumps(d, default=str))
+    elif ns.command == "conductance":
+        # how leaky each LPA community is: cut / min(vol, 2m - vol) —
+        # the per-community readout next to `communities`' split
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            conductance, label_propagation)
+        e = _kg_edges(store)
+        asg = label_propagation(e, iters=ns.iters)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("community"), "name")
+        out = (conductance(e, asg)
+               .join(names, "community", "left")
+               .orderBy(F.col("n_nodes").desc(), "community")
+               .limit(ns.limit))
+        for r in out.collect():
+            d = r.asDict()
+            if d["conductance"] is not None:
+                d["conductance"] = round(d["conductance"], 6)
+            print(json.dumps(d, default=str))
+    elif ns.command == "truss":
+        # cohesive edge nucleus: edges sitting in >= k-2 triangles of
+        # the surviving subgraph (stronger than kcore — no articulation
+        # hubs), resolved back to entity names
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            k_truss)
+        if ns.k < 3:
+            sys.exit("truss: --k must be >= 3")
+        t = k_truss(_kg_edges(store), k=ns.k)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        out = (t.join(names.select(F.col("id").alias("u"),
+                                   F.col("name").alias("u_name")), "u")
+               .join(names.select(F.col("id").alias("v"),
+                                  F.col("name").alias("v_name")), "v")
+               .orderBy("u_name", "v_name", "u", "v").limit(ns.limit))
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "walks":
+        # deterministic walk corpus (DeepWalk/node2vec input): with
+        # --out, the full corpus lands as parquet; without, a preview
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            random_walks)
+        rw = random_walks(_kg_edges(store), walk_len=ns.walk_len,
+                          walks_per_node=ns.walks_per_node,
+                          salt=ns.salt)
+        if ns.out:
+            rw.write.mode("overwrite").parquet(ns.out)
+            print(json.dumps({"out": ns.out, "rows": rw.count(),
+                              "walk_len": ns.walk_len,
+                              "walks_per_node": ns.walks_per_node}))
+        else:
+            for r in (rw.orderBy("start", "rep", "step")
+                      .limit(ns.limit).collect()):
+                print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "mixture":
+        # per-domain pretraining mixture: weight ∝ tokens^alpha over
+        # the committed corpus grouped by url host; --train-budget adds
+        # the implied epochs per domain (repetition-risk readout)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            mixture_weights)
+        doc_table = ("documents_final"
+                     if store.exists("documents_final") else "documents")
+        host = F.regexp_extract(
+            "url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+        d = store.read(doc_table).select(
+            # regexp_extract yields '' (not NULL) on no match
+            F.when(host != "", host).otherwise("(no-host)")
+            .alias("source"),
+            col_token_count(F.col("text")).alias("n_tok"))
+        out = mixture_weights(d, "source", "n_tok", alpha=ns.alpha,
+                              budget_tokens=ns.train_budget)
+        for r in (out.orderBy(F.col("weight").desc(), "source")
+                  .limit(ns.limit).collect()):
+            print(json.dumps(r.asDict(), default=str))
     elif ns.command == "similar":
         # structurally-similar entity pairs (shared-neighbor Jaccard) —
         # duplicate-entity candidates whose NAMES the linking stage's

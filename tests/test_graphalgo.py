@@ -1838,3 +1838,62 @@ def test_k_truss_validation_and_loud_nonconvergence(spark):
     # a half-peeled edge set
     with pytest.raises(RuntimeError):
         k_truss(e, k=4, max_iters=1)
+
+
+def test_cli_summary_conductance_truss_walks_mixture(spark, tmp_path,
+                                                     capsys):
+    """The five newest analytics/export commands over one committed
+    store: structural summary, community leakiness, truss nucleus,
+    walk-corpus export, and per-domain mixture weights."""
+    import json
+    import os
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 15), root)
+
+    main(["summary", "--store", root])
+    d = json.loads(capsys.readouterr().out)
+    assert d["n_nodes"] > 0 and d["n_edges"] > 0
+    assert d["min_degree"] >= 1 and d["max_degree"] >= d["min_degree"]
+    assert 0.0 < d["density"] <= 1.0
+
+    main(["conductance", "--store", root, "--iters", "3", "--limit", "6"])
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(
+        {"community", "n_nodes", "volume", "cut", "conductance"}
+        <= set(r) for r in rows)
+    assert all(r["conductance"] is None or 0.0 <= r["conductance"] <= 1.0
+               for r in rows)
+
+    # the synth KG's mention graph is triangle-free by construction
+    # (star-shaped per document), so the 3-truss is exactly empty —
+    # the command still runs the full peel + name-join path
+    main(["truss", "--store", root, "--k", "3", "--limit", "10"])
+    assert capsys.readouterr().out.strip() == ""
+    with pytest.raises(SystemExit):
+        main(["truss", "--store", root, "--k", "2"])
+
+    out_dir = str(tmp_path / "walks")
+    main(["walks", "--store", root, "--walk-len", "3",
+          "--walks-per-node", "1", "--out", out_dir])
+    d = json.loads(capsys.readouterr().out)
+    assert d["rows"] > 0 and os.path.isdir(out_dir)
+    corpus = spark.read.parquet(out_dir)
+    assert {"start", "rep", "step", "node"} <= set(corpus.columns)
+    assert corpus.count() == d["rows"]
+    main(["walks", "--store", root, "--walk-len", "2", "--limit", "4"])
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 4 and rows[0]["step"] == 0
+
+    main(["mixture", "--store", root, "--train-budget", "100000"])
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(
+        {"source", "n_docs", "tokens", "p_raw", "weight", "epochs"}
+        <= set(r) for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
