@@ -353,6 +353,14 @@ def test_analytics_joins_are_equi_joins(spark):
         # as BNLJ and hold both whole streams
         "attribution_pairs": attribution_pairs(events),
     }
+    # Not probed here: k_truss / random_walks localCheckpoint each
+    # round, so their RETURNED plans would not show the internal joins
+    # (a vacuous assertion) — their per-round joins are pure
+    # column-equality joins by construction; graph_summary /
+    # conductance / modularity / mixture_weights fold a 1-row scalar
+    # aggregate in-plan, which Spark plans as a harmless
+    # BroadcastNestedLoopJoin with a single-row build side (the
+    # accepted scalar-fold shape, not a data-sized cross product)
     for name, df in frames.items():
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" not in p, name
