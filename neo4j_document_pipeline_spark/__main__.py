@@ -203,10 +203,10 @@ def main(argv=None):
     ap.add_argument("--sim-topk", type=int, default=None,
                     help="similar: keep each entity's k best partners "
                          "before the global --limit")
-    ap.add_argument("--k", type=int, default=2,
-                    help="kcore: minimum surviving degree / truss: "
-                         "minimum triangles per surviving edge + 2 "
-                         "(>= 3)")
+    ap.add_argument("--k", type=int, default=None,
+                    help="kcore: minimum surviving degree (default 2) "
+                         "/ truss: minimum triangles per surviving "
+                         "edge + 2 (>= 3, default 3)")
     ap.add_argument("--walk-len", type=int, default=10,
                     help="walks: steps per walk (default 10)")
     ap.add_argument("--walks-per-node", type=int, default=2,
@@ -571,9 +571,10 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             k_truss)
-        if ns.k < 3:
+        k = 3 if ns.k is None else ns.k
+        if k < 3:
             sys.exit("truss: --k must be >= 3")
-        t = k_truss(_kg_edges(store), k=ns.k)
+        t = k_truss(_kg_edges(store), k=k)
         names = store.read("nodes").select(
             F.col("entity_id").alias("id"), "name")
         out = (t.join(names.select(F.col("id").alias("u"),
@@ -614,8 +615,14 @@ def main(argv=None):
             mixture_weights)
         doc_table = ("documents_final"
                      if store.exists("documents_final") else "documents")
-        host = F.regexp_extract(
-            "url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+        # case-insensitive scheme, authority stops at /?# (query and
+        # fragment never leak into the host), userinfo stripped (never
+        # print credentials), host lowercased — the same conventions as
+        # col_normalize_url (functions/textstats.py)
+        host = F.lower(F.regexp_replace(
+            F.regexp_extract(
+                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+            r"^.*@", ""))
         d = store.read(doc_table).select(
             # regexp_extract yields '' (not NULL) on no match
             F.when(host != "", host).otherwise("(no-host)")
@@ -657,7 +664,7 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.operators.graphalgo import (
             k_core)
-        core = k_core(_kg_edges(store), k=ns.k)
+        core = k_core(_kg_edges(store), k=2 if ns.k is None else ns.k)
         names = store.read("nodes").select(
             F.col("entity_id").alias("id"), "label", "name")
         out = (core.join(names, "id", "left")

@@ -179,8 +179,12 @@ def mixture_weights(df: DataFrame, group_col: str, tokens_col: str, *,
     normalizing sum (floor(s·1e6 + 0.5) as bigint), so the denominator
     is an exact integer in any summation order and any engine, and
     every emitted ratio is one correctly-rounded division of identical
-    integers. alpha = 0.5 uses sqrt (IEEE-exact, bit-identical across
-    engines); alpha = 1 stays integral; other alphas go through pow,
+    integers. alpha = 1 never touches a double at all — the raw token
+    counts ARE the scores (weight ≡ p_raw exactly, no 1e6 scaling, so
+    a multi-trillion-token source can neither saturate the bigint nor
+    lose integer exactness above 2^53); alpha = 0.5 uses sqrt
+    (IEEE-exact, bit-identical across engines, and sqrt(int64)·1e6
+    stays far below the bigint ceiling); other alphas go through pow,
     whose last-ulp may differ between libm builds — fine in practice,
     but the bit-exact guarantee is documented for the sqrt/identity
     paths.
@@ -205,13 +209,17 @@ def mixture_weights(df: DataFrame, group_col: str, tokens_col: str, *,
         F.coalesce(F.sum(F.col(tokens_col).cast("long")), F.lit(0))
         .cast("long").alias("tokens"))
     if alpha == 1.0:
-        s = F.col("tokens").cast("double")
-    elif alpha == 0.5:
-        s = F.sqrt(F.col("tokens").cast("double"))
+        # identity smoothing: keep the exact integer counts as the
+        # scores — no double round-trip, no fixed-point scaling
+        g = g.withColumn("_k", F.col("tokens"))
     else:
-        s = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
-    g = g.withColumn("_k", F.floor(s * 1e6 + 0.5).cast("long")) \
-        .localCheckpoint(eager=False)
+        if alpha == 0.5:
+            s = F.sqrt(F.col("tokens").cast("double"))
+        else:
+            s = F.pow(F.col("tokens").cast("double"),
+                      F.lit(float(alpha)))
+        g = g.withColumn("_k", F.floor(s * 1e6 + 0.5).cast("long"))
+    g = g.localCheckpoint(eager=False)
     tot = g.agg(F.sum("tokens").cast("long").alias("_t"),
                 F.sum("_k").cast("long").alias("_ksum"))
     out = (

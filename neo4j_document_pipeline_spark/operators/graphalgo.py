@@ -978,26 +978,26 @@ def conductance(edges: DataFrame, assignment: DataFrame,
     ``modularity``: modularity says the PARTITION beats chance,
     conductance says which individual communities are tight.
 
-    Derived from the very aggregates modularity already computes —
-    vol_c = deg_sum and cut_c = deg_sum − 2·l_in (every incident edge
-    end is either one of the 2 ends of an intra edge or one cut edge)
-    — so the cost and the scale shape ARE ``modularity``'s: two
-    hash joins, three hash aggregates, the scalar m folded in-plan as
-    a broadcast 1-row aggregate, zero driver actions. Unweighted, all
-    inputs to φ are exact integers and the single division is
-    bit-reproducible in any engine; isolated communities (volume 0)
-    yield NULL (no incident edges means conductance is undefined, not
-    perfect)."""
+    Derived ENTIRELY from the aggregates modularity already computes —
+    vol_c = deg_sum, cut_c = deg_sum − 2·l_in (every incident edge
+    end is either one of the 2 ends of an intra edge or one cut edge),
+    and 2m = Σ_c deg_sum (modularity's contract requires the
+    assignment to cover every node incident to an edge, so the
+    community degree sums partition all 2m edge ends) — so the cost
+    and the scale shape ARE ``modularity``'s: the edge set is scanned
+    once, and the only additions run over the #communities-row output
+    frame (lazily checkpoint-reused so the totals branch never
+    re-plans the edge scan) with the 2m scalar folded in-plan as a
+    broadcast 1-row aggregate. Unweighted, all inputs to φ are exact
+    integers and the single division is bit-reproducible in any
+    engine; isolated communities (volume 0) yield NULL (no incident
+    edges means conductance is undefined, not perfect)."""
     mod = modularity(edges, assignment, node_col, community_col,
-                     weight_col)
-    und = _undirected(edges, weight_col)
-    if weight_col is not None:
-        m1 = und.agg(F.sum("w").alias("m"))
-    else:
-        m1 = und.agg(F.count("*").cast("long").alias("m"))
-    out = mod.join(F.broadcast(m1), F.lit(True))
+                     weight_col).localCheckpoint(eager=False)
+    two_m = mod.agg(F.sum("deg_sum").alias("_2m"))
+    out = mod.join(F.broadcast(two_m), F.lit(True))
     cut = F.col("deg_sum") - 2 * F.col("l_in")
-    denom = F.least(F.col("deg_sum"), 2 * F.col("m") - F.col("deg_sum"))
+    denom = F.least(F.col("deg_sum"), F.col("_2m") - F.col("deg_sum"))
     phi = F.when(denom > 0, cut.cast("double") / denom)
     return out.select(
         "community", "n_nodes", F.col("deg_sum").alias("volume"),
@@ -1027,13 +1027,12 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     actions; the canonical edge set is lazily checkpoint-reused so the
     input is scanned once."""
     und = _undirected(edges).localCheckpoint(eager=False)
-    inc = und.select(F.col("u").alias("node")).union(
-        und.select(F.col("v").alias("node")))
-    deg = inc.groupBy("node").agg(F.count("*").cast("long").alias("d")) \
-        .localCheckpoint(eager=False)
-    j = (und.join(deg.select(F.col("node").alias("u"),
+    deg = (_degrees(und)
+           .select("id", F.col("d").cast("long").alias("d"))
+           .localCheckpoint(eager=False))
+    j = (und.join(deg.select(F.col("id").alias("u"),
                              F.col("d").alias("du")), "u")
-         .join(deg.select(F.col("node").alias("v"),
+         .join(deg.select(F.col("id").alias("v"),
                           F.col("d").alias("dv")), "v"))
     es = j.agg(
         F.count("*").cast("long").alias("m"),
@@ -1281,7 +1280,10 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     rand()/sample(): those are partitioning-dependent, which would make
     the training corpus unstable across compactions and cluster sizes.
     Walks that reach a dead end (directed sinks) simply stop — their
-    emitted prefix stands.
+    emitted prefix stands; a walk STARTED at a directed sink is just
+    its step-0 row. ``starts`` is restricted to nodes actually present
+    in the graph — a phantom id must not fabricate a one-token
+    training sentence for a node that doesn't exist.
 
     Scale shape: per step ONE equi-join (state ⋈ adjacency on the
     current node — never BNLJ) and ONE min(struct) aggregate, which is
@@ -1307,12 +1309,16 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
         e = und.union(und.select(F.col("v").alias("u"),
                                  F.col("u").alias("v")))
     e = e.localCheckpoint()
+    # every node of the graph — including directed sinks, which appear
+    # only as v and whose walks are their step-0 row
+    nodes = (e.select(F.col("u").alias("start"))
+             .union(e.select(F.col("v").alias("start"))).distinct())
     if starts is not None:
         w0 = spark.createDataFrame(
             [(str(s),) for s in sorted({str(s) for s in starts})],
-            "start string")
+            "start string").join(nodes, "start", "left_semi")
     else:
-        w0 = e.select(F.col("u").alias("start")).distinct()
+        w0 = nodes
     reps = F.explode(
         F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("rep")
     state = (w0.select("start", reps)

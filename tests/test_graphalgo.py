@@ -1621,16 +1621,17 @@ def _brute_walks(pairs, walk_len, walks_per_node, salt="v1",
     """Reference implementation of the deterministic walk: next hop =
     argmin over neighbors of (sha256 head, neighbor)."""
     import hashlib
-    adj = {}
+    adj, nodes = {}, set()
     for a, b in pairs:
         a, b = str(a), str(b)
         if a == b:
             continue
+        nodes.update((a, b))
         adj.setdefault(a, set()).add(b)
         if not directed:
             adj.setdefault(b, set()).add(a)
     out = []
-    for start in sorted(adj):
+    for start in sorted(nodes):
         for rep in range(walks_per_node):
             cur = start
             out.append((start, rep, 0, cur))
@@ -1665,14 +1666,21 @@ def test_random_walks_match_brute_force(spark):
 
 def test_random_walks_dead_ends_and_starts(spark):
     """A directed chain stops at the sink; the emitted prefix stands.
-    ``starts`` restricts the walk set."""
+    ``starts`` restricts the walk set and phantom ids are dropped
+    (never a fabricated one-token sentence); a walk STARTED at a sink
+    is its step-0 row."""
     from neo4j_document_pipeline_spark.operators.graphalgo import (
         random_walks)
     e = _edges(spark, [("a", "b"), ("b", "c")])
     got = sorted((r["start"], r["step"], r["node"]) for r in
                  random_walks(e, walk_len=5, directed=True,
-                              starts=["a"]).collect())
+                              starts=["a", "ghost"]).collect())
     assert got == [("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c")]
+    # no starts: every node of the graph walks, incl. the sink c
+    allw = sorted((r["start"], r["step"], r["node"]) for r in
+                  random_walks(e, walk_len=1, directed=True).collect())
+    assert allw == [("a", 0, "a"), ("a", 1, "b"),
+                    ("b", 0, "b"), ("b", 1, "c"), ("c", 0, "c")]
 
 
 def test_random_walks_stable_across_partitionings_and_salted(spark):
