@@ -479,6 +479,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dup_trigram_frac"))
     q["doc_repetition"] = doc_repetition
 
+    def gopher_topgram(spark, sf):
+        """The Gopher top-n-gram rule (Rae et al. §A1.1) at n = 2 and
+        3: per document, the most frequent word n-gram (ties to the
+        smallest gram) and the fraction of characters it claims —
+        catches one phrase looping through otherwise-unique text
+        (functions/textstats.py::col_top_ngram, a sorted linear scan
+        per row). All inputs to the fraction are exact integers."""
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count, col_top_ngram)
+        d = _t(spark, sf, "documents")
+        outs = []
+        for n in (2, 3):
+            s = col_top_ngram(F.col("text"), n)
+            outs.append(
+                d.filter(col_token_count(F.col("text")) >= n)
+                .select("doc_id", F.lit(n).alias("n"),
+                        s["bestg"].alias("top_gram"),
+                        s["best"].cast("bigint").alias("top_count"),
+                        F.round(s["best"] * F.length(s["bestg"])
+                                / s["total"], 6)
+                        .alias("top_char_frac")))
+        return outs[0].unionByName(outs[1])
+    q["gopher_topgram"] = gopher_topgram
+
     # ---- temporal: as-of join (point-in-time lookup) ----
     def asof_click_view(spark, sf):
         """Every click joined to the same user's most recent view at or
@@ -1921,6 +1945,42 @@ def oracle_sql() -> dict[str, str]:
             "  i -> array_to_string(toks[i:i+2], ' ')) AS g "
             f"  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS toks "
             "   FROM documents))",
+        "gopher_topgram":
+            # most frequent n-gram per doc at n = 2, 3 — explode +
+            # count + argmax (ties to smallest gram), exact-integer
+            # fraction; the operator's sorted-run scan has identical
+            # semantics by construction
+            "WITH tt AS (SELECT doc_id,"
+            f" {_SQL_TOKENS} AS toks FROM documents),"
+            "b2 AS (SELECT doc_id, len(toks) AS ntok,"
+            " length(array_to_string(toks, ' ')) AS total, toks"
+            " FROM tt WHERE len(toks) >= 2),"
+            "g2 AS (SELECT doc_id, total,"
+            " array_to_string(toks[r.i:r.i+1], ' ') AS gram"
+            " FROM b2, unnest(range(1, ntok)) AS r(i)),"
+            "c2 AS (SELECT doc_id, total, gram, count(*) AS cnt"
+            " FROM g2 GROUP BY 1, 2, 3),"
+            "r2 AS (SELECT doc_id, 2 AS n, gram AS top_gram,"
+            " cnt AS top_count,"
+            " round(cnt * length(gram) / CAST(total AS DOUBLE), 6)"
+            " AS top_char_frac FROM (SELECT *, row_number() OVER ("
+            " PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk"
+            " FROM c2) WHERE rk = 1),"
+            "b3 AS (SELECT doc_id, len(toks) AS ntok,"
+            " length(array_to_string(toks, ' ')) AS total, toks"
+            " FROM tt WHERE len(toks) >= 3),"
+            "g3 AS (SELECT doc_id, total,"
+            " array_to_string(toks[r.i:r.i+2], ' ') AS gram"
+            " FROM b3, unnest(range(1, ntok - 1)) AS r(i)),"
+            "c3 AS (SELECT doc_id, total, gram, count(*) AS cnt"
+            " FROM g3 GROUP BY 1, 2, 3),"
+            "r3 AS (SELECT doc_id, 3 AS n, gram AS top_gram,"
+            " cnt AS top_count,"
+            " round(cnt * length(gram) / CAST(total AS DOUBLE), 6)"
+            " AS top_char_frac FROM (SELECT *, row_number() OVER ("
+            " PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk"
+            " FROM c3) WHERE rk = 1)"
+            "SELECT * FROM r2 UNION ALL SELECT * FROM r3",
         "asof_click_view":
             "WITH c AS (SELECT event_id, user_id, ts FROM events "
             "  WHERE event_type = 'click'), "

@@ -129,6 +129,47 @@ def col_dup_ngram_fraction(c: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def col_top_ngram(c: Column, n: int = 2) -> Column:
+    """struct(best, bestg, total) for the MOST FREQUENT word n-gram of
+    the text — its occurrence count, the gram itself (count ties break
+    to the lexicographically smallest gram), and the character length
+    of the space-joined token stream. The numerator/denominator of the
+    Gopher top-n-gram repetition rule (Rae et al. 2021 §A1.1 — public):
+    best·len(bestg)/total is the fraction of characters claimed by the
+    single most repeated n-gram, the signal that catches looping/
+    templated text duplicate-GRAM fractions dilute (one phrase repeated
+    50 times in long prose).
+
+    Pure per-row Column expressions — the grams are sorted once and a
+    single linear ``aggregate`` scan tracks the longest run
+    (O(G log G) per document, no explode, no shuffle, whole-stage
+    codegen keeps it JVM-side). Because the scan updates only on a
+    STRICTLY longer run and the array is sorted ascending, count ties
+    resolve to the smallest gram with no extra bookkeeping. Only
+    meaningful when the document has >= n tokens — callers guard (the
+    clamp builds a dummy gram list for shorter docs)."""
+    toks = col_tokens(c)
+    count = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+    grams = F.array_sort(F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bestg"))
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"))
+
+    fin = F.aggregate(grams, init, step)
+    return F.struct(
+        fin["best"].alias("best"), fin["bestg"].alias("bestg"),
+        F.length(F.array_join(toks, " ")).alias("total"))
+
+
 def col_fingerprint(c: Column) -> Column:
     """Normalized-content fingerprint: sha256 of the sorted distinct token
     array — robust to reordering/whitespace; SQL-expressible."""

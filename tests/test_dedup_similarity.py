@@ -224,6 +224,33 @@ def test_repetition_fractions_known_values(spark):
     assert rows[6]["dl"] is None or rows[6]["dl"] == 0.0  # null text
 
 
+def test_top_ngram_known_values(spark):
+    """The Gopher top-n-gram signal: most frequent gram, tie-break to
+    the smallest gram, exact char fraction from integer inputs."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_top_ngram)
+    looping = "spam ham spam ham spam"  # bigrams: (spam ham)x2,
+    #                                     (ham spam)x2 -> tie
+    df = spark.createDataFrame(
+        [(1, looping),
+         (2, "all words here are different ones"),
+         (3, "buy now " * 5 + "and some real prose follows here")],
+        "id long, text string")
+    got = {r["id"]: r["s"].asDict() for r in df.select(
+        "id", col_top_ngram(F.col("text"), 2).alias("s")).collect()}
+    # tie at count 2 resolves to the lexicographically smaller gram
+    assert got[1]["best"] == 2 and got[1]["bestg"] == "ham spam"
+    assert got[1]["total"] == len(looping)
+    # all-distinct bigrams: any gram at count 1, smallest wins
+    assert got[2]["best"] == 1 and got[2]["bestg"] == "all words"
+    # "buy now" x5 dominates: 5 * len("buy now") / total chars
+    s3 = got[3]
+    text3 = "buy now " * 5 + "and some real prose follows here"
+    assert s3["best"] == 5 and s3["bestg"] == "buy now"
+    frac = s3["best"] * len(s3["bestg"]) / s3["total"]
+    assert frac == pytest.approx(5 * 7 / len(text3))
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 30).cache()
     meta = attach_media_metadata(media)
