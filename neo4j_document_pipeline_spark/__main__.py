@@ -999,7 +999,9 @@ def main(argv=None):
 
         from neo4j_document_pipeline_spark.functions.textstats import (
             col_dup_line_fraction, col_dup_ngram_fraction, col_lang_id,
-            col_pii_count, col_quality_score, col_token_count)
+            col_pii_count, col_quality_score, col_token_count,
+            col_top_ngram)
+        _tg = col_top_ngram(F.col("text"), 2)
         # prefer the durable MERGE-maintained table: an incremental-only
         # store commits documents_final but never the per-batch
         # `documents` intermediate
@@ -1017,6 +1019,14 @@ def main(argv=None):
                   .cast("long")).alias("docs_line_repetitive"),
             F.sum((col_dup_ngram_fraction(F.col("text"), 3) > 0.2)
                   .cast("long")).alias("docs_ngram_repetitive"),
+            # Gopher top-2-gram rule: one phrase claiming > 20% of the
+            # document's characters (looping text the duplicate-gram
+            # fractions dilute)
+            F.sum((F.when(
+                col_token_count(F.col("text")) >= 2,
+                _tg["best"] * F.length(_tg["bestg"]) / _tg["total"])
+                .otherwise(F.lit(0.0)) > 0.2).cast("long"))
+            .alias("docs_topgram_heavy"),
             F.sum(col_pii_count(F.col("text"), "email"))
             .alias("pii_emails"),
             F.sum(col_pii_count(F.col("text"), "ipv4")).alias("pii_ips"),

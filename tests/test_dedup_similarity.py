@@ -1057,9 +1057,12 @@ def test_cli_hygiene_report(spark, tmp_path, capsys):
 
     from neo4j_document_pipeline_spark.sources.pages import synth_pages
     t = dt.datetime(2025, 1, 1)
+    looping = ("click here " * 30
+               + " ".join(f"word{i}" for i in range(20)))
     planted = spark.createDataFrame(
         [("p://a", base + " mail me at someone@example.org", t),
-         ("p://b", near, t)],
+         ("p://b", near, t),
+         ("p://c", looping, t)],  # top bigram claims >20% of chars
         "url string, text string, warc_ts timestamp")
     # the synth corpus supplies extractable triples (an all-planted
     # corpus would write a zero-row triples table); the planted pair
@@ -1071,6 +1074,8 @@ def test_cli_hygiene_report(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["hygiene"]["n_docs"] >= 3
     assert rep["hygiene"]["pii_emails"] == 1
+    # exactly the planted looping doc trips the Gopher top-2-gram rule
+    assert rep["hygiene"]["docs_topgram_heavy"] == 1
     assert sum(rep["lang_mix"].values()) == rep["hygiene"]["n_docs"]
     nd = rep["near_dups"]
     assert nd["clusters"] >= 1 and nd["docs_in_clusters"] >= 2
