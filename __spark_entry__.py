@@ -503,6 +503,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return outs[0].unionByName(outs[1])
     q["gopher_topgram"] = gopher_topgram
 
+    # ---- corpus dedup: exact-substring duplicate spans ----
+    def dup_span_docs(spark, sf):
+        """Per-document duplicated-span stats — the suffix-array-style
+        exact-substring dedup signal (Lee et al. 2022) re-expressed as
+        k-gram postings + corpus count + per-doc interval merge
+        (operators/dedup.py duplicate_span_stats, k=8): every token
+        k-gram occurring >= 2 times in the corpus flags its position;
+        flagged positions merge into maximal spans; docs report the
+        token fraction inside duplicated regions."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            duplicate_span_stats)
+        return duplicate_span_stats(
+            _t(spark, sf, "documents"), "doc_id", "text", k=8)
+    q["dup_span_docs"] = dup_span_docs
+
     # ---- temporal: as-of join (point-in-time lookup) ----
     def asof_click_view(spark, sf):
         """Every click joined to the same user's most recent view at or
@@ -1981,6 +1996,41 @@ def oracle_sql() -> dict[str, str]:
             " PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk"
             " FROM c3) WHERE rk = 1)"
             "SELECT * FROM r2 UNION ALL SELECT * FROM r3",
+        "dup_span_docs":
+            # identical construction: k=8 gram postings keyed by the 16
+            # hex-char sha256 head, corpus count >= 2 flags positions,
+            # gaps > k break islands, spans sum per doc
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, len(toks) AS n_tok, "
+            "CASE WHEN len(toks) >= 8 THEN "
+            "list_transform(range(1, len(toks) - 6), "
+            "i -> substr(sha256(array_to_string(toks[i:i+7], ' ')), 1, 16)) "
+            "ELSE []::VARCHAR[] END AS gk FROM d), "
+            "p AS (SELECT doc_id, r.i AS pos, gk[r.i] AS gkey "
+            "FROM g, unnest(range(1, len(gk) + 1)) AS r(i)), "
+            "c AS (SELECT gkey FROM p GROUP BY gkey "
+            "HAVING count(*) >= 2), "
+            "f AS (SELECT p.doc_id, p.pos FROM p JOIN c USING (gkey)), "
+            "i AS (SELECT doc_id, pos, CASE WHEN "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+            "OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 "
+            "THEN 1 ELSE 0 END AS brk FROM f), "
+            "s AS (SELECT doc_id, pos, sum(brk) OVER ("
+            "PARTITION BY doc_id ORDER BY pos) AS island FROM i), "
+            "sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0 "
+            "FROM s GROUP BY doc_id, island), "
+            "a AS (SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens "
+            "FROM sp GROUP BY doc_id) "
+            "SELECT g.doc_id, g.n_tok, "
+            "CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, "
+            "CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens, "
+            "round(CASE WHEN g.n_tok > 0 THEN "
+            "coalesce(a.dup_tokens, 0) / CAST(g.n_tok AS DOUBLE) "
+            "ELSE 0.0 END, 6) AS dup_frac "
+            "FROM g LEFT JOIN a USING (doc_id)",
         "asof_click_view":
             "WITH c AS (SELECT event_id, user_id, ts FROM events "
             "  WHERE event_type = 'click'), "

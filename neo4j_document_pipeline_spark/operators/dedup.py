@@ -535,6 +535,184 @@ def remove_lines(df: DataFrame, dup_keys: DataFrame, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (suffix-array-style dedup)
+# ---------------------------------------------------------------------------
+
+def _span_gram_postings(df: DataFrame, id_col: str, text_col: str,
+                        k: int) -> DataFrame:
+    """(id, pos, gkey) — one row per token position that starts a k-gram,
+    keyed by the first 16 hex chars of sha256(space-joined gram). The
+    gram STRING never leaves the per-row expression: the posting carries
+    a fixed-width 16-char key, so the shuffle is O(total tokens) rows of
+    constant width regardless of gram length. pos is 1-based."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                 r"[^a-z0-9]+", " "), " "),
+        lambda x: x != "")
+    n = F.size(toks)
+    gkeys = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.substring(
+                F.sha2(F.array_join(F.slice(toks, i, k), " "), 256), 1, 16)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(gkeys).alias("pos0", "gkey"))
+        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "gkey")
+    )
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str, *,
+                    k: int = 8, min_count: int = 2,
+                    keep: str = "none") -> DataFrame:
+    """Maximal duplicated token spans per document — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed Spark-first: instead of a
+    corpus suffix array, every token k-gram becomes a posting, a gram is
+    *duplicated* when it occurs >= ``min_count`` times in the corpus
+    (within-doc repeats count, exactly like repeated suffixes do), and
+    each document's flagged positions are merged into maximal intervals
+    — two flagged starts p1 < p2 merge when p2 <= p1 + k, i.e. their
+    [p, p+k-1] token ranges overlap or touch, so every returned span is
+    a contiguous duplicated region of >= k tokens. This catches the
+    pasted paragraph / licence block / syndicated article that document-
+    level (exact or MinHash) dedup can't see because the containing
+    documents are unique.
+
+    ``keep``:
+    - 'none' (default): every occurrence of a duplicated gram is
+      flagged — the conservative remove-all-copies policy.
+    - 'first': per gram, the corpus-minimal (id, pos) occurrence is NOT
+      flagged, so one copy of each duplicated region survives (Lee et
+      al.'s keep-one semantics at gram granularity).
+
+    Returns (id_col, span_start, span_end, span_tokens) with 1-based
+    inclusive token positions over the normalized token stream
+    (lowercase, [a-z0-9]+ — the module's shingle tokenizer).
+
+    Scale shape: postings are one narrow pass (no explode of gram
+    strings — fixed 16-char keys); duplicated-gram detection is a
+    map-side-combinable count aggregate; the flag join keys on gkey
+    (near-uniform sha256 keys; the duplicated side is post-filter small
+    and AQE-broadcastable, and AQE skew-join splits any boilerplate hot
+    gram); island merging is a per-document window (partitioned by doc,
+    never global). The only O(corpus) shuffles are the gram count and
+    the flag join — the same two-pass shape as the published
+    suffix-array pipelines' merge step.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    post = _span_gram_postings(df, id_col, text_col, k)
+    dup = (post.groupBy("gkey")
+           .agg(F.count("*").alias("_cnt"),
+                F.min(F.struct("id", "pos")).alias("_first"))
+           .filter(F.col("_cnt") >= min_count))
+    flagged = post.join(dup, "gkey")
+    if keep == "first":
+        flagged = flagged.filter(
+            ~((F.col("id") == F.col("_first.id"))
+              & (F.col("pos") == F.col("_first.pos"))))
+    flagged = flagged.select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    brk = F.when(lag.isNull() | (F.col("pos") - lag > k),
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = (flagged.withColumn("_brk", brk)
+               .withColumn("_island", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    return (
+        islands.groupBy("id", "_island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + (k - 1)).alias("span_end"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end",
+                (F.col("span_end") - F.col("span_start") + 1)
+                .alias("span_tokens"))
+    )
+
+
+def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, *,
+                         k: int = 8, min_count: int = 2,
+                         keep: str = "none") -> DataFrame:
+    """Per-document rollup of ``duplicate_spans``: (id_col, n_tok,
+    n_spans, dup_tokens, dup_frac) for EVERY input document (zero-span
+    docs included) — the corpus-report form: dup_frac is the fraction
+    of the document's tokens inside duplicated regions, the number the
+    published dedup papers report before/after scrubbing."""
+    spans = duplicate_spans(df, id_col, text_col, k=k,
+                            min_count=min_count, keep=keep)
+    agg = spans.groupBy(id_col).agg(
+        F.count("*").alias("_n_spans"),
+        F.sum("span_tokens").alias("_dup_tokens"))
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                 r"[^a-z0-9]+", " "), " "),
+        lambda x: x != "")
+    base = df.select(F.col(id_col),
+                     F.size(toks).cast("long").alias("n_tok"))
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            id_col, "n_tok",
+            F.coalesce(F.col("_n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("_dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(F.col("n_tok") > 0,
+                       F.coalesce(F.col("_dup_tokens"), F.lit(0))
+                       / F.col("n_tok"))
+                .otherwise(F.lit(0.0)), 6).alias("dup_frac"))
+    )
+
+
+def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str, *,
+                          k: int = 8, min_count: int = 2,
+                          keep: str = "first") -> DataFrame:
+    """Remove duplicated spans from the corpus: each document comes back
+    as its normalized token stream minus every token inside a flagged
+    span — (id_col, text_clean, n_tok, n_removed). With the default
+    ``keep='first'`` one copy of each duplicated region survives (the
+    Lee et al. policy); ``keep='none'`` cuts every copy. The output is
+    the NORMALIZED stream (lowercase, punctuation collapsed to single
+    spaces) — span positions index that stream, not raw bytes."""
+    spans = duplicate_spans(df, id_col, text_col, k=k,
+                            min_count=min_count, keep=keep)
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                 r"[^a-z0-9]+", " "), " "),
+        lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    cut = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    joined = base.join(cut, id_col, "left")
+    def in_span(i):
+        return F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]))
+
+    kept_toks = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(F.col("_toks"),
+                            lambda t, i0: F.struct(
+                                t.alias("t"),
+                                in_span(i0 + 1).alias("cut"))),
+                lambda s: ~s["cut"]),
+            lambda s: s["t"]))
+    return joined.select(
+        id_col,
+        F.array_join(kept_toks, " ").alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tok"),
+        (F.size("_toks") - F.size(kept_toks)).cast("long")
+        .alias("n_removed"))
+
+
+# ---------------------------------------------------------------------------
 # Semantic (embedding) benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -1141,3 +1141,135 @@ def test_embedding_decontam_lsh_subset_and_recall(spark):
     with _pytest.raises(ValueError):
         embedding_decontam_flags(corpus, bench, "doc_id", "v", "bid",
                                  "bv", method="nope")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+def _span_rows(spark, rows, **kw):
+    from neo4j_document_pipeline_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = duplicate_spans(df, "id", "text", **kw).collect()
+    return sorted((r["id"], r["span_start"], r["span_end"]) for r in out)
+
+
+def test_duplicate_spans_known_values(spark):
+    # a shared 10-token phrase at different offsets; k=8 -> exactly the
+    # phrase's positions come back as ONE maximal span in each doc
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro words here " + phrase + " trailing tail text"),
+        (2, phrase + " something else entirely follows now"),
+        (3, "no duplicated content in this document at all whatsoever"),
+    ]
+    got = _span_rows(spark, rows, k=8)
+    # doc1: phrase tokens are positions 4..13; doc2: 1..10
+    assert got == [(1, 4, 13), (2, 1, 10)]
+
+
+def test_duplicate_spans_merge_adjacent(spark):
+    # the phrase repeated back-to-back WITHIN one doc: the two copies and
+    # the bridging grams merge into one contiguous span (and the repeat
+    # alone satisfies min_count without any second document)
+    phrase = "one two three four five six seven eight"
+    rows = [(1, "lead " + phrase + " " + phrase + " tail")]
+    got = _span_rows(spark, rows, k=8)
+    assert got == [(1, 2, 17)]
+
+
+def test_duplicate_spans_keep_first(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        duplicate_spans, strip_duplicate_spans)
+    phrase = "red orange yellow green blue indigo violet ultraviolet"
+    rows = [(1, phrase), (2, phrase), (3, phrase)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    # keep='none': all three copies flagged
+    allf = duplicate_spans(df, "id", "text", k=8, keep="none").collect()
+    assert sorted(r["id"] for r in allf) == [1, 2, 3]
+    # keep='first': the corpus-minimal (id, pos) occurrence survives
+    firstf = duplicate_spans(df, "id", "text", k=8, keep="first").collect()
+    assert sorted(r["id"] for r in firstf) == [2, 3]
+    stripped = {r["id"]: r for r in strip_duplicate_spans(
+        df, "id", "text", k=8, keep="first").collect()}
+    assert stripped[1]["text_clean"] == phrase
+    assert stripped[2]["text_clean"] == "" and stripped[2]["n_removed"] == 8
+    assert stripped[3]["n_removed"] == 8
+
+
+def test_duplicate_span_stats_and_strip(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        duplicate_span_stats, strip_duplicate_spans)
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "AAA bbb ccc " + phrase + " xx yy zz"),
+        (2, phrase + " unrelated words following here"),
+        (3, "clean document with no shared content at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    st = {r["id"]: r for r in duplicate_span_stats(
+        df, "id", "text", k=8).collect()}
+    assert st[1]["n_spans"] == 1 and st[1]["dup_tokens"] == 8
+    assert st[1]["n_tok"] == 14
+    assert abs(st[1]["dup_frac"] - 8 / 14) < 1e-6
+    assert st[3]["n_spans"] == 0 and st[3]["dup_frac"] == 0.0
+    sp = {r["id"]: r for r in strip_duplicate_spans(
+        df, "id", "text", k=8, keep="none").collect()}
+    assert sp[1]["text_clean"] == "aaa bbb ccc xx yy zz"
+    assert sp[2]["text_clean"] == "unrelated words following here"
+    assert sp[3]["text_clean"] == "clean document with no shared content at all"
+
+
+def test_duplicate_spans_brute_parity(spark):
+    import random
+    from neo4j_document_pipeline_spark.operators.dedup import duplicate_spans
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+            for i in range(40)]
+    k, min_count = 4, 2
+
+    # brute: same spec in plain python
+    toks = {i: t.split() for i, t in rows}
+    from collections import Counter
+    cnt = Counter()
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            cnt[" ".join(ts[p:p + k])] += 1
+    expect = []
+    for i, ts in toks.items():
+        flagged = [p + 1 for p in range(len(ts) - k + 1)
+                   if cnt[" ".join(ts[p:p + k])] >= min_count]
+        spans, cur = [], None
+        for p in flagged:
+            if cur is not None and p - cur[1] <= k:
+                cur = (cur[0], p)
+            else:
+                if cur is not None:
+                    spans.append(cur)
+                cur = (p, p)
+            continue
+        if cur is not None:
+            spans.append(cur)
+        for s, e in spans:
+            expect.append((i, s, e + k - 1))
+    got = duplicate_spans(
+        spark.createDataFrame(rows, "id long, text string"),
+        "id", "text", k=k, min_count=min_count).collect()
+    assert sorted((r["id"], r["span_start"], r["span_end"]) for r in got) \
+        == sorted(expect)
+
+
+def test_duplicate_spans_min_count_and_validation(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import duplicate_spans
+    phrase = "p q r s t u v w"
+    rows = [(1, phrase), (2, phrase), (3, phrase)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    assert duplicate_spans(df, "id", "text", k=8, min_count=3).count() == 3
+    assert duplicate_spans(df, "id", "text", k=8, min_count=4).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, "id", "text", k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(df, "id", "text", min_count=1)
+    with pytest.raises(ValueError, match="keep"):
+        duplicate_spans(df, "id", "text", keep="all")

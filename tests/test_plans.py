@@ -388,6 +388,24 @@ def test_corpus_hygiene_plans(spark):
     assert "CartesianProduct" not in p2
 
 
+def test_duplicate_span_plan_is_equi_join_and_per_doc_window(spark):
+    """exact-substring spans: the flag join keys on the fixed-width gram
+    hash (hash EQUI join, never nested-loop) and the island merge is a
+    per-document window — no global sort/single-partition window may
+    appear in the plan."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        duplicate_span_stats)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(duplicate_span_stats(docs, "doc_id", "text", k=8))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the island merge windows partition by the doc id (a global,
+    # partition-less window would be the single-partition scale killer)
+    import re
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "id" for s in specs), specs
+
+
 def test_modularity_scalar_fold_is_only_nested_loop(spark):
     """modularity folds the scalar m in-plan as a broadcast cross-join
     of a ONE-ROW aggregate (zero driver actions) — that single bounded
