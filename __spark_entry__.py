@@ -129,6 +129,52 @@ _SQL_TOKENS = (
 )
 
 
+def _sql_kmeans_ctes(id_expr: str, k: int = 8, dim: int = 64) -> str:
+    """Unrolled 2-round deterministic k-means as DuckDB CTE text (no
+    leading WITH) over the embeddings view — the bit-exact replay of
+    operators/clustering.py kmeans_assign: integer quantization,
+    sha256-seeded init, exact-int64 per-dim diffs, left-fold double
+    squares (list_reduce folds left like Spark's aggregate; all terms
+    >= 0.0 so the missing 0.0 init changes nothing), ties to the
+    smallest cid. ``id_expr`` must match what the Spark query feeds
+    kmeans_assign as the id column. Final assignment lands in CTE a2
+    as (vid, qv, cid, m)."""
+    def assign(mname, aname, cent):
+        return (
+            f"{mname} AS (SELECT q.vid, q.qv, c.cid, "
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            "d -> CAST(c.n * q.qv[d] - c.S[d] AS DOUBLE) * "
+            "CAST(c.n * q.qv[d] - c.S[d] AS DOUBLE)), "
+            "(a, b) -> a + b) / (CAST(c.n AS DOUBLE) * "
+            "CAST(c.n AS DOUBLE)) AS m "
+            f"FROM q CROSS JOIN {cent} c), "
+            f"{aname} AS (SELECT vid, qv, cid, m FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY vid ORDER BY m, cid) AS rn "
+            f"FROM {mname}) WHERE rn = 1)")
+    return (
+        f"q AS (SELECT {id_expr} AS vid, "
+        # CAST x to DOUBLE first: DuckDB's 10000.0 literal is DECIMAL and
+        # FLOAT * DECIMAL stays float32, while Spark promotes to double —
+        # the one place the two engines' implicit promotions diverge
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "sd AS (SELECT vid, qv, row_number() OVER ("
+        "ORDER BY sha256('km:' || CAST(vid AS VARCHAR)), vid) AS rk "
+        "FROM q), "
+        f"c0 AS (SELECT rk - 1 AS cid, qv AS S, CAST(1 AS BIGINT) AS n "
+        f"FROM sd WHERE rk <= {k}), "
+        + assign("m1", "a1", "c0") + ", "
+        "n1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n "
+        "FROM a1 GROUP BY cid), "
+        "s1 AS (SELECT cid, list(sm ORDER BY d) AS S FROM ("
+        "SELECT cid, r.d AS d, CAST(sum(qv[r.d]) AS BIGINT) AS sm "
+        f"FROM a1, unnest(range(1, {dim + 1})) AS r(d) "
+        "GROUP BY cid, r.d) GROUP BY cid), "
+        "c1 AS (SELECT n1.cid, s1.S, n1.n FROM n1 JOIN s1 USING (cid)), "
+        + assign("m2", "a2", "c1"))
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -517,6 +563,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(
             _t(spark, sf, "documents"), "doc_id", "text", k=8)
     q["dup_span_docs"] = dup_span_docs
+
+    # ---- embedding clustering: deterministic bounded-round k-means ----
+    def kmeans_vec_clusters(spark, sf):
+        """Deterministic Lloyd k-means (k=8, 2 unrolled rounds) over the
+        embeddings table: hash-seeded init, exact-integer centroid
+        state, left-fold double distance — the whole clustering is a
+        pure function of the data (operators/clustering.py
+        kmeans_assign), so the oracle replays every round bit-for-bit."""
+        from neo4j_document_pipeline_spark.operators.clustering import (
+            kmeans_assign)
+        return kmeans_assign(_t(spark, sf, "embeddings"),
+                             "vec_id", "embedding", k=8, iters=2)
+    q["kmeans_vec_clusters"] = kmeans_vec_clusters
+
+    # ---- embedding clustering: SemDeDup semantic dedup ----
+    def semantic_dedup_vecs(spark, sf):
+        """SemDeDup (Abbas et al. 2023): k-means clusters -> within-
+        cluster cosine >= 0.35 pairs (driver embeddings are random; the
+        threshold exercises the pair path like embedding_near_dups) ->
+        one survivor per connected group. Ids are zero-padded so the
+        components' string min is numeric-correct."""
+        from neo4j_document_pipeline_spark.operators.clustering import (
+            semantic_dedup)
+        e = _t(spark, sf, "embeddings").select(
+            F.lpad(F.col("vec_id").cast("string"), 9, "0").alias("vid"),
+            "embedding")
+        return semantic_dedup(e, "vid", "embedding", k=8, iters=2,
+                              threshold=0.35)
+    q["semantic_dedup_vecs"] = semantic_dedup_vecs
 
     # ---- temporal: as-of join (point-in-time lookup) ----
     def asof_click_view(spark, sf):
@@ -2031,6 +2106,40 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.dup_tokens, 0) / CAST(g.n_tok AS DOUBLE) "
             "ELSE 0.0 END, 6) AS dup_frac "
             "FROM g LEFT JOIN a USING (doc_id)",
+        "kmeans_vec_clusters":
+            # metric stays RAW: the doubles are bit-identical across
+            # engines by construction; rounding here would reintroduce
+            # skew (Spark HALF_UP on decimal repr vs DuckDB binary round)
+            "WITH " + _sql_kmeans_ctes("vec_id") +
+            " SELECT vid AS vec_id, cid AS cluster_id, m AS metric FROM a2",
+        "semantic_dedup_vecs":
+            # kmeans over lpad'ed ids (matching the Spark query's input)
+            # -> within-cluster integer-exact cosine pairs at 4dp ->
+            # recursive transitive closure, min-id survivor
+            "WITH RECURSIVE "
+            + _sql_kmeans_ctes("lpad(CAST(vec_id AS VARCHAR), 9, '0')") +
+            ", pr AS (SELECT a.vid AS id1, b.vid AS id2 "
+            "FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid "
+            "WHERE round(CASE WHEN "
+            "list_reduce(list_transform(range(1, 65), "
+            "d -> a.qv[d] * a.qv[d]), (x, y) -> x + y) = 0 OR "
+            "list_reduce(list_transform(range(1, 65), "
+            "d -> b.qv[d] * b.qv[d]), (x, y) -> x + y) = 0 THEN 0.0 "
+            "ELSE CAST(list_reduce(list_transform(range(1, 65), "
+            "d -> a.qv[d] * b.qv[d]), (x, y) -> x + y) AS DOUBLE) / "
+            "(sqrt(CAST(list_reduce(list_transform(range(1, 65), "
+            "d -> a.qv[d] * a.qv[d]), (x, y) -> x + y) AS DOUBLE)) * "
+            "sqrt(CAST(list_reduce(list_transform(range(1, 65), "
+            "d -> b.qv[d] * b.qv[d]), (x, y) -> x + y) AS DOUBLE))) "
+            "END, 4) >= 0.35), "
+            "e2 AS (SELECT id1 AS u, id2 AS v FROM pr "
+            "UNION SELECT id2, id1 FROM pr), "
+            "reach AS (SELECT u AS node, v AS r FROM e2 "
+            "UNION SELECT reach.node, e.v FROM reach JOIN e2 e "
+            "ON reach.r = e.u WHERE e.v <> reach.node) "
+            "SELECT node AS vid, least(node, min(r)) AS keep_id, "
+            "node = least(node, min(r)) AS is_kept "
+            "FROM reach GROUP BY node",
         "asof_click_view":
             "WITH c AS (SELECT event_id, user_id, ts FROM events "
             "  WHERE event_type = 'click'), "

@@ -406,6 +406,22 @@ def test_duplicate_span_plan_is_equi_join_and_per_doc_window(spark):
     assert specs and all(s == "id" for s in specs), specs
 
 
+def test_kmeans_plan_broadcast_centroid_fold_only(spark):
+    """deterministic k-means: the ONLY nested-loop joins are the
+    broadcast centroid folds (k-row build side, one per assignment
+    round — same contract as modularity's 1-row scalar fold) and the
+    seed draw plans as TakeOrderedAndProject, never a global sort."""
+    from neo4j_document_pipeline_spark.operators.clustering import (
+        kmeans_assign)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(kmeans_assign(e, "vec_id", "embedding", k=8, iters=2))
+    import re
+    bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj_nodes) == 2, bnlj_nodes  # one per assign round
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_modularity_scalar_fold_is_only_nested_loop(spark):
     """modularity folds the scalar m in-plan as a broadcast cross-join
     of a ONE-ROW aggregate (zero driver actions) — that single bounded
