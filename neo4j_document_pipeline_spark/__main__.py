@@ -28,7 +28,9 @@ or plain python:
     python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
     python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
     python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
-    python -m neo4j_document_pipeline_spark hygiene --store <dir> [--near-dups]  # corpus-quality report (size/langs/quality/repetition/PII[/near-dups])
+    python -m neo4j_document_pipeline_spark hygiene --store <dir> [--near-dups --dup-spans]  # corpus-quality report (size/langs/quality/repetition/PII[/near-dups/spans])
+    python -m neo4j_document_pipeline_spark spans --store <dir> [--span-k 8 --span-min-count 2]  # exact-substring duplicated-region report (Lee et al. 2022)
+    python -m neo4j_document_pipeline_spark semdedup --store <dir> [--clusters 16 --sem-threshold 0.95]  # semantically-duplicate entities (SemDeDup over node embeddings)
     python -m neo4j_document_pipeline_spark summary --store <dir>       # one-row graph profile (degrees/density/assortativity)
     python -m neo4j_document_pipeline_spark conductance --store <dir> [--iters N]  # how leaky each LPA community is
     python -m neo4j_document_pipeline_spark truss --store <dir> --k 4   # cohesive edge nucleus (k-truss)
@@ -117,7 +119,7 @@ def main(argv=None):
         "kcore", "export", "sample", "shards", "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
-        "walks", "mixture"])
+        "walks", "mixture", "spans", "semdedup"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -287,6 +289,26 @@ def main(argv=None):
                          "near-duplicate RESOLUTION pass (clusters + "
                          "removable-doc count) — the expensive half of "
                          "the report")
+    ap.add_argument("--dup-spans", action="store_true",
+                    help="hygiene: additionally run the exact-substring "
+                         "duplicated-span pass (corpus-wide k-gram "
+                         "postings — the other expensive half)")
+    ap.add_argument("--span-k", type=int, default=8,
+                    help="spans/hygiene --dup-spans: minimum duplicated "
+                         "run length in tokens (default 8)")
+    ap.add_argument("--span-min-count", type=int, default=2,
+                    help="spans/hygiene --dup-spans: corpus occurrences "
+                         "for a k-gram to count as duplicated (default 2)")
+    ap.add_argument("--clusters", type=int, default=16,
+                    help="semdedup: k-means cluster count (pick so "
+                         "clusters stay bounded; pairs are quadratic "
+                         "only within a cluster)")
+    ap.add_argument("--km-iters", type=int, default=2,
+                    help="semdedup: unrolled k-means rounds (default 2)")
+    ap.add_argument("--sem-threshold", type=float, default=0.95,
+                    help="semdedup: within-cluster cosine at/above which "
+                         "two entities are semantic duplicates "
+                         "(default 0.95)")
     ap.add_argument("--streaming", action="store_true",
                     help="attribution/dedup-stream: run as a Structured-"
                          "Streaming availableNow drain over --events into "
@@ -1081,11 +1103,91 @@ def main(argv=None):
                 .alias("boilerplate_lines")).collect()[0].asDict()
             gs["min_doc_freq"] = int(mdf)
             report["line_gate_state"] = gs
+        if ns.dup_spans:
+            from neo4j_document_pipeline_spark.operators.dedup import (
+                duplicate_span_stats)
+            st = duplicate_span_stats(docs, "doc_id", "text",
+                                      k=ns.span_k,
+                                      min_count=ns.span_min_count)
+            report["dup_spans"] = st.agg(
+                F.sum((F.col("n_spans") > 0).cast("long"))
+                .alias("docs_with_spans"),
+                F.sum("dup_tokens").alias("dup_tokens"),
+                F.round(F.sum("dup_tokens")
+                        / F.greatest(F.sum("n_tok"), F.lit(1)), 6)
+                .alias("dup_token_frac"),
+            ).collect()[0].asDict()
+            report["dup_spans"]["span_k"] = ns.span_k
         if store.exists("doc_signatures"):
             report["near_dup_gate_state"] = {
                 "signed_docs": store.read("doc_signatures")
                 .select("doc_id").distinct().count()}
         print(json.dumps(report, indent=1, default=str))
+    elif ns.command == "spans":
+        # exact-substring duplicated-region report (Lee et al. 2022):
+        # which documents contain corpus-duplicated runs of >= span-k
+        # tokens, and how much of the corpus those runs claim — the
+        # signal document-level dedup can't see (each page unique, the
+        # pasted paragraph inside it is not)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            duplicate_span_stats)
+        doc_table = ("documents_final" if store.exists("documents_final")
+                     else "documents")
+        docs = store.read(doc_table).select("doc_id", "text")
+        st = duplicate_span_stats(docs, "doc_id", "text", k=ns.span_k,
+                                  min_count=ns.span_min_count).cache()
+        totals = st.agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_spans") > 0).cast("long"))
+            .alias("docs_with_spans"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+            F.round(F.sum("dup_tokens")
+                    / F.greatest(F.sum("n_tok"), F.lit(1)), 6)
+            .alias("dup_token_frac"),
+        ).collect()[0].asDict()
+        top = [r.asDict() for r in
+               st.filter(F.col("n_spans") > 0)
+               .orderBy(F.desc("dup_frac"), "doc_id")
+               .limit(ns.limit).collect()]
+        print(json.dumps(
+            {"span_k": ns.span_k, "min_count": ns.span_min_count,
+             "totals": totals, "top": top}, indent=1, default=str))
+    elif ns.command == "semdedup":
+        # semantically-duplicate ENTITIES (SemDeDup over the committed
+        # node embeddings): the paraphrase/alias duplicates the lexical
+        # TF-IDF linker misses; reports clusters + removable count and
+        # the top surviving<-removed name pairs
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.clustering import (
+            semantic_dedup)
+        nodes = store.read("nodes").select("entity_id", "name",
+                                           "embedding")
+        res = semantic_dedup(nodes, "entity_id", "embedding",
+                             k=ns.clusters, iters=ns.km_iters,
+                             threshold=ns.sem_threshold).cache()
+        summary = res.agg(
+            F.count("*").alias("docs_in_clusters"),
+            F.countDistinct("keep_id").alias("clusters"),
+            F.coalesce(F.sum((~F.col("is_kept")).cast("long")),
+                       F.lit(0)).alias("removable"),
+        ).collect()[0].asDict()
+        names = nodes.select("entity_id", "name")
+        pairs = (res.filter(~F.col("is_kept"))
+                 .join(names, "entity_id")
+                 .join(names.select(F.col("entity_id").alias("keep_id"),
+                                    F.col("name").alias("keep_name")),
+                       "keep_id")
+                 .orderBy("keep_id", "entity_id")
+                 .limit(ns.limit).collect())
+        print(json.dumps(
+            {"clusters_k": ns.clusters, "threshold": ns.sem_threshold,
+             "summary": summary,
+             "pairs": [{"keep": r["keep_name"], "dup": r["name"]}
+                       for r in pairs]}, indent=1, default=str))
     elif ns.command == "status":
         # /queue_stats analogue; with a stage/table name, /ingest/status
         from neo4j_document_pipeline_spark.operators.admin import (

@@ -151,3 +151,28 @@ def test_semantic_dedup_transitive_only_chain(spark):
     assert out["b1"]["is_kept"]
     assert not out["b2"]["is_kept"] and not out["b3"]["is_kept"]
     assert out["b3"]["keep_id"] == "b1"
+
+
+def test_cli_semdedup_runs_and_is_deterministic(spark, tmp_path, capsys):
+    """semdedup over a committed store's node embeddings: valid JSON
+    with the summary contract, and byte-identical across reruns (the
+    whole pass is a pure function of the data)."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 12), root)
+
+    main(["semdedup", "--store", root, "--clusters", "4",
+          "--sem-threshold", "0.9"])
+    out1 = capsys.readouterr().out
+    rep = json.loads(out1)
+    assert rep["clusters_k"] == 4 and rep["threshold"] == 0.9
+    assert {"docs_in_clusters", "clusters", "removable"} <= \
+        set(rep["summary"])
+    assert rep["summary"]["docs_in_clusters"] >= rep["summary"]["removable"]
+    main(["semdedup", "--store", root, "--clusters", "4",
+          "--sem-threshold", "0.9"])
+    assert capsys.readouterr().out == out1

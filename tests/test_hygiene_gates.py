@@ -459,3 +459,46 @@ def test_pii_gate_runs_before_line_state(spark, tmp_path):
         F.col("lkey") == F.sha2(F.lit(redacted), 256)).count() > 0
     assert post.filter(
         F.col("lkey") == F.sha2(F.lit(banner), 256)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span report (CLI)
+# ---------------------------------------------------------------------------
+
+def test_cli_spans_report_and_hygiene_section(spark, tmp_path, capsys):
+    """Two committed docs share a 12-token pasted paragraph: the spans
+    command must flag both (document-level dedup can't — the docs are
+    unique), and hygiene --dup-spans must carry the same totals."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    PASTE = ("every good boy deserves fudge while clever foxes jump over "
+             "lazy dogs")
+    pages = _pages(spark, [
+        _doc("a", 0, banner=False, tail=" " + PASTE),
+        _doc("b", 1, banner=False, tail=" " + PASTE),
+        _doc("c", 2, banner=False),
+    ])
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, pages, root)
+
+    main(["spans", "--store", root, "--span-k", "8"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["span_k"] == 8
+    assert rep["totals"]["n_docs"] == 3
+    assert rep["totals"]["docs_with_spans"] >= 2
+    # each doc's flagged region covers at least the 12-token paste
+    assert rep["totals"]["dup_tokens"] >= 24
+    assert rep["top"] and rep["top"][0]["dup_frac"] > 0
+    # a stricter min_count can only shrink the flag set
+    main(["spans", "--store", root, "--span-k", "8",
+          "--span-min-count", "3"])
+    rep3 = json.loads(capsys.readouterr().out)
+    assert rep3["totals"]["dup_tokens"] <= rep["totals"]["dup_tokens"]
+
+    main(["hygiene", "--store", root, "--dup-spans", "--span-k", "8"])
+    h = json.loads(capsys.readouterr().out)
+    assert h["dup_spans"]["span_k"] == 8
+    assert h["dup_spans"]["docs_with_spans"] == \
+        rep["totals"]["docs_with_spans"]
+    assert h["dup_spans"]["dup_tokens"] == rep["totals"]["dup_tokens"]
