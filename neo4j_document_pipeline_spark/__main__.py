@@ -162,6 +162,13 @@ def main(argv=None):
                          "before chunking/extraction; commits the "
                          "line_postings state table so incremental batches "
                          "gate in O(delta). Default off")
+    ap.add_argument("--strip-spans", action="store_true",
+                    help="ingest gate: cut corpus-duplicated token runs "
+                         "of >= --span-k tokens occurring >= "
+                         "--span-min-count times (Lee et al. 2022 "
+                         "exact-substring dedup, keep-one survivor); "
+                         "commits the gram_postings state table so "
+                         "incremental batches gate in O(delta)")
     ap.add_argument("--resolve-near-dups", action="store_true",
                     help="ingest gate: drop near-duplicate documents "
                          "(MinHash-LSH -> transitive clusters -> keep one) "
@@ -402,6 +409,9 @@ def main(argv=None):
                                  min_quality=ns.min_quality,
                                  redact_pii=ns.redact_pii,
                                  dedup_lines=ns.dedup_lines,
+                                 strip_spans=ns.strip_spans,
+                                 span_k=ns.span_k,
+                                 span_min_count=ns.span_min_count,
                                  resolve_near_dups=ns.resolve_near_dups,
                                  near_dup_threshold=ns.near_dup_threshold)
                 print(json.dumps({"increment": {
@@ -425,6 +435,9 @@ def main(argv=None):
                                      min_quality=ns.min_quality,
                                      redact_pii=ns.redact_pii,
                                      dedup_lines=ns.dedup_lines,
+                                     strip_spans=ns.strip_spans,
+                                     span_k=ns.span_k,
+                                     span_min_count=ns.span_min_count,
                                      resolve_near_dups=ns.resolve_near_dups,
                                      near_dup_threshold=ns.near_dup_threshold,
                                      keep_versions=ns.keep_versions,
@@ -1118,6 +1131,18 @@ def main(argv=None):
                 .alias("dup_token_frac"),
             ).collect()[0].asDict()
             report["dup_spans"]["span_k"] = ns.span_k
+        if store.exists("gram_postings"):
+            gm = ((store.manifest("gram_postings") or {})
+                  .get("metrics") or {})
+            mc = gm.get("span_min_count") or 2
+            gp = store.read("gram_postings")
+            sg = gp.groupBy("gkey").agg(F.sum("n").alias("tot")).agg(
+                F.count("*").alias("distinct_grams"),
+                F.sum((F.col("tot") >= int(mc)).cast("long"))
+                .alias("duplicated_grams")).collect()[0].asDict()
+            sg["span_k"] = gm.get("span_k")
+            sg["span_min_count"] = int(mc)
+            report["span_gate_state"] = sg
         if store.exists("doc_signatures"):
             report["near_dup_gate_state"] = {
                 "signed_docs": store.read("doc_signatures")
@@ -1220,6 +1245,9 @@ def main(argv=None):
             langs=ns.langs.split(",") if ns.langs else None,
             redact_pii=ns.redact_pii,
             dedup_lines=ns.dedup_lines,
+            strip_spans=ns.strip_spans,
+            span_k=ns.span_k,
+            span_min_count=ns.span_min_count,
             resolve_near_dups=ns.resolve_near_dups,
             near_dup_threshold=ns.near_dup_threshold,
             keep_versions=ns.keep_versions,

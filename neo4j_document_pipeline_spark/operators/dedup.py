@@ -618,7 +618,18 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str, *,
         flagged = flagged.filter(
             ~((F.col("id") == F.col("_first.id"))
               & (F.col("pos") == F.col("_first.pos"))))
-    flagged = flagged.select("id", "pos")
+    return spans_from_flagged(flagged.select("id", "pos"), k,
+                              id_alias=id_col)
+
+
+def spans_from_flagged(flagged: DataFrame, k: int, *,
+                       id_alias: str = "id") -> DataFrame:
+    """(id, pos) flagged k-gram start positions -> maximal merged spans
+    (id_alias, span_start, span_end, span_tokens): starts p1 < p2 merge
+    when p2 <= p1 + k (their [p, p+k-1] ranges overlap or touch). The
+    island merge is a per-document window — shared by the standalone
+    span analytics and the ingest span gate so both flag exactly the
+    same regions."""
     w = Window.partitionBy("id").orderBy("pos")
     lag = F.lag("pos").over(w)
     brk = F.when(lag.isNull() | (F.col("pos") - lag > k),
@@ -631,7 +642,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str, *,
         islands.groupBy("id", "_island")
         .agg(F.min("pos").alias("span_start"),
              (F.max("pos") + (k - 1)).alias("span_end"))
-        .select(F.col("id").alias(id_col), "span_start", "span_end",
+        .select(F.col("id").alias(id_alias), "span_start", "span_end",
                 (F.col("span_end") - F.col("span_start") + 1)
                 .alias("span_tokens"))
     )

@@ -187,6 +187,232 @@ def merge_line_postings(store, raw_documents: DataFrame, cfg: PipelineConfig,
 
 
 # ---------------------------------------------------------------------------
+# exact-substring span gate
+# ---------------------------------------------------------------------------
+
+GRAM_POSTINGS = "gram_postings"
+
+
+def gram_postings_from_docs(documents: DataFrame, *, k: int) -> DataFrame:
+    """(doc_id, gkey, n) — every document's token k-gram keys with their
+    per-document occurrence counts, the committed lookup table the span
+    gate probes. Bucketed by gkey: an arriving batch recounts a gram's
+    corpus total from the buckets its own keys hash into (the
+    line_postings soundness argument).
+
+    State is built over the FINAL gated documents (post-cut, post
+    near-dup) — what the store actually holds. Unlike the line gate
+    (remove-ALL-copies, so pre-clean state is idempotent), the span
+    gate keeps one survivor: pre-cut state would leave the cut copies'
+    grams behind, and a re-delivered SURVIVOR would then match the
+    ghosts of the copies cut because of it and lose its own text —
+    post-cut state plus the gate's own-batch exclusion keeps
+    re-delivery a no-op while future batches still see exactly the one
+    committed copy of every kept span.
+
+    ``url`` rides along as the CUT-STABLE identity: a re-delivered page
+    whose committed form was cut has a different doc_id than its raw
+    form (doc ids are content hashes), so the gate's own-batch
+    exclusion matches on doc_id OR url."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        _span_gram_postings)
+    posts = (_span_gram_postings(documents, "doc_id", "text", k)
+             .groupBy(F.col("id").alias("doc_id"), "gkey")
+             .agg(F.count("*").alias("n")))
+    return posts.join(documents.select("doc_id", "url"), "doc_id")
+
+
+def gram_postings_merge_fn():
+    """MERGE for the committed gram postings: re-delivery of a document
+    (same doc_id => same text => same per-doc counts) is a no-op."""
+    def fn(existing, new):
+        allr = new.select("doc_id", "url", "gkey", "n")
+        if existing is not None:
+            allr = existing.select("doc_id", "url", "gkey", "n") \
+                .unionByName(allr)
+        return allr.dropDuplicates(["doc_id", "gkey"])
+    return fn
+
+
+def _cut_spans(documents: DataFrame, spans: DataFrame,
+               cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Cut the flagged token spans out of the ORIGINAL text (lossless
+    outside the cut — unlike strip_duplicate_spans, which returns the
+    normalized stream) and re-key through finalize_documents.
+
+    Per flagged document, an Arrow-batched pass re-finds the token char
+    offsets (``[a-z0-9]+`` over ``text.lower()`` — the same sequence the
+    JVM-side detection tokenized) and removes each span's char range
+    plus the whitespace run immediately before it (after it when the
+    span starts the document), so "a SPAN b" collapses to "a b" with no
+    doubled separator. In the pathological Unicode case where
+    ``lower()`` changes the string LENGTH (e.g. U+0130) the offsets
+    cannot be trusted and the document is left uncut. Only flagged
+    documents enter the Python pass; everything else stays JVM-side."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    cut_list = spans.groupBy(F.col("doc_id")).agg(
+        F.array_sort(F.collect_list(
+            F.struct("span_start", "span_end"))).alias("_spans"))
+    flagged = (documents.join(cut_list, "doc_id")
+               .select("doc_id", "url", "title", "path", "text", "_spans"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out = []
+            for text, sp in zip(pdf["text"], pdf["_spans"]):
+                lt = (text or "").lower()
+                if len(lt) != len(text or ""):
+                    out.append(text)
+                    continue
+                toks = list(tok_re.finditer(lt))
+                ranges = []
+                for s in sp:
+                    s0, e0 = int(s["span_start"]), int(s["span_end"])
+                    if s0 < 1 or e0 > len(toks):
+                        continue
+                    cs, ce = toks[s0 - 1].start(), toks[e0 - 1].end()
+                    # absorb the preceding whitespace run (following
+                    # when the span opens the document)
+                    if cs > 0:
+                        while cs > 0 and text[cs - 1].isspace():
+                            cs -= 1
+                    else:
+                        while ce < len(text) and text[ce].isspace():
+                            ce += 1
+                    ranges.append((cs, ce))
+                kept, prev = [], 0
+                for cs, ce in sorted(ranges):
+                    kept.append(text[prev:cs])
+                    prev = max(prev, ce)
+                kept.append(text[prev:])
+                out.append("".join(kept))
+            yield pd.DataFrame({
+                "url": pdf["url"], "title": pdf["title"],
+                "path": pdf["path"], "text": out})
+
+    cleaned = flagged.mapInPandas(
+        gen, schema="url string, title string, path string, text string")
+    untouched = (documents.join(cut_list.select("doc_id"), "doc_id",
+                                "left_anti")
+                 .select("url", "title", "path", "text"))
+    return finalize_documents(untouched.unionByName(cleaned), cfg)
+
+
+def gate_spans_batch(documents: DataFrame,
+                     cfg: PipelineConfig = DEFAULT_CONFIG, *,
+                     k: int, min_count: int = 2) -> DataFrame:
+    """Batch span gate: count this frame's k-grams, flag every
+    occurrence of a >= ``min_count`` gram EXCEPT its corpus-minimal
+    (doc_id, pos) copy (keep-one, the Lee et al. policy), merge to
+    maximal spans, cut them from the original text, re-key."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        _span_gram_postings, spans_from_flagged)
+    post = _span_gram_postings(documents, "doc_id", "text", k)
+    dup_gkeys = (post.groupBy("gkey").agg(F.count("*").alias("_tot"))
+                 .filter(F.col("_tot") >= min_count).select("gkey"))
+    flagged = post.join(dup_gkeys, "gkey")
+    first = (flagged.groupBy("gkey")
+             .agg(F.min(F.struct("id", "pos")).alias("_first")))
+    flagged = (flagged.join(first, "gkey")
+               .filter(~((F.col("id") == F.col("_first.id"))
+                         & (F.col("pos") == F.col("_first.pos"))))
+               .select("id", "pos"))
+    spans = spans_from_flagged(flagged, k, id_alias="doc_id")
+    return _cut_spans(documents, spans, cfg)
+
+
+def gate_spans_increment(store, documents: DataFrame, *,
+                         k: int, min_count: int,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Incremental span gate, O(delta + affected buckets):
+
+    1. the batch's gram keys probe the committed gram_postings buckets
+       (read_matching on gkey) for committed occurrence counts —
+       EXCLUDING rows whose doc_id is in the batch itself (same id =>
+       same text: a re-delivered document must not match its own
+       committed grams and cut itself — the near-dup gate's
+       self-match-immunity rule);
+    2. a gram is duplicated when batch + committed occurrences reach
+       ``min_count``;
+    3. keep-one survivor rule, committed copy wins: when a gram has ANY
+       committed occurrence every batch occurrence is flagged; when the
+       evidence is batch-only, the batch-minimal (doc_id, pos) copy
+       survives (the within-batch keep-first);
+    4. flagged positions merge to spans and cut exactly like the batch
+       gate. PREFIX semantics: committed early copies keep their spans
+       (the retroactive set — see the module docstring contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        _span_gram_postings, spans_from_flagged)
+    post = _span_gram_postings(documents, "doc_id", "text", k) \
+        .localCheckpoint()
+    batch_counts = post.groupBy("gkey").agg(
+        F.count("*").alias("_bn"),
+        F.min(F.struct("id", "pos")).alias("_first"))
+    committed = store.read_matching(GRAM_POSTINGS,
+                                    post.select("gkey"), "gkey")
+    if committed is not None:
+        # own-batch exclusion on BOTH identities: doc_id catches the
+        # identical-text re-delivery (incl. a url-collision loser whose
+        # committed row carries the winning url), url catches the
+        # re-delivered page whose committed form was CUT (content hash
+        # changed, page identity did not)
+        committed = (committed
+                     .join(documents.select("doc_id"), "doc_id",
+                           "left_anti")
+                     .join(documents.select("url"), "url", "left_anti"))
+        ccounts = (committed.groupBy("gkey")
+                   .agg(F.sum("n").alias("_cn")))
+        batch_counts = batch_counts.join(ccounts, "gkey", "left") \
+            .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
+    else:
+        batch_counts = batch_counts.withColumn("_cn", F.lit(0))
+    dup = batch_counts.filter(
+        F.col("_bn") + F.col("_cn") >= min_count)
+    flagged = (post.join(dup, "gkey")
+               .filter((F.col("_cn") > 0)
+                       | ~((F.col("id") == F.col("_first.id"))
+                           & (F.col("pos") == F.col("_first.pos"))))
+               .select("id", "pos"))
+    spans = spans_from_flagged(flagged, k, id_alias="doc_id")
+    return _cut_spans(documents, spans, cfg)
+
+
+def merge_gram_postings(store, survivors: DataFrame,
+                        cfg: PipelineConfig, *, stage: str,
+                        input_fingerprint: str, k: int,
+                        min_count: int | None = None) -> None:
+    """Commit the batch's gram-postings delta (bucket-scoped MERGE /
+    bucketed first write). ``survivors`` must be the batch's FINAL
+    gated documents (post-cut, post near-dup) — state mirrors what the
+    store holds (see gram_postings_from_docs for why pre-cut state
+    would break re-delivery idempotency). span_k and span_min_count
+    are stamped into the manifest metrics for reporting."""
+    delta = gram_postings_from_docs(survivors, k=k)
+    extra = {"span_k": k}
+    if min_count is not None:
+        extra["span_min_count"] = min_count
+    man = store.manifest(GRAM_POSTINGS)
+    if man is not None and man.get("bucket_by") == "gkey":
+        store.merge_write(GRAM_POSTINGS, delta, gram_postings_merge_fn(),
+                          stage=stage, input_fingerprint=input_fingerprint,
+                          extra_metrics=extra)
+    else:
+        store.write_bucketed(GRAM_POSTINGS, delta, bucket_by="gkey",
+                             n_buckets=cfg.fts_index_buckets, stage=stage,
+                             input_fingerprint=input_fingerprint,
+                             extra_metrics=extra)
+
+
+# ---------------------------------------------------------------------------
 # near-dup gate
 # ---------------------------------------------------------------------------
 

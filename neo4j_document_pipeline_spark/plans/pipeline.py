@@ -50,6 +50,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  min_quality: float | None = None,
                  redact_pii: bool = False,
                  dedup_lines: int | None = None,
+                 strip_spans: bool = False,
+                 span_k: int = 8,
+                 span_min_count: int = 2,
                  resolve_near_dups: bool = False,
                  near_dup_threshold: float = 0.8,
                  keep_versions: int = 1,
@@ -82,8 +85,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     (MinHash-LSH -> transitive clusters -> keep one) at >=
     ``near_dup_threshold`` exact Jaccard; commits ``doc_signatures``.
     ``redact_pii``: scrub emails/IPs/phones to bracket tokens
-    (stateless — exact parity on every ingest path). Gate order:
-    quality -> PII -> line dedup -> near-dup resolution (see
+    (stateless — exact parity on every ingest path). ``strip_spans``:
+    cut corpus-duplicated token runs of >= ``span_k`` tokens occurring
+    >= ``span_min_count`` times (Lee et al. 2022 exact-substring dedup,
+    keep-one survivor); commits the ``gram_postings`` state table so
+    incremental batches gate in O(delta). Gate order: quality -> PII ->
+    line dedup -> span strip -> near-dup resolution (see
     operators/hygiene.py for the batch-vs-incremental contract).
 
     ``keep_versions``: snapshots retained per table (time-travel window).
@@ -124,6 +131,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
          "_min_quality": min_quality,
          "_redact_pii": redact_pii,
          "_dedup_lines": dedup_lines,
+         "_strip_spans": ([span_k, span_min_count] if strip_spans
+                          else None),
          "_near_dups": (near_dup_threshold if resolve_near_dups else None),
          "_langs": sorted(langs) if langs else None},
         sort_keys=True, default=str).encode()).hexdigest()[:16]
@@ -180,7 +189,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     # --- corpus-hygiene gates (operators/hygiene.py). Everything below
     # is LAZY — wrapped in memoized thunks the stage lambdas call — so a
     # fully-current resume still launches zero jobs against pages.
-    gates_on = redact_pii or dedup_lines is not None or resolve_near_dups
+    gates_on = (redact_pii or dedup_lines is not None or strip_spans
+                or resolve_near_dups)
     _memo: dict = {}
 
     def _raw_docs():
@@ -206,6 +216,20 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             bucket_by="lkey", n_buckets=cfg.fts_index_buckets,
             extra_metrics={"min_doc_freq": dedup_lines})
 
+    def _line_gated_docs():
+        # documents as the span/near-dup gates see them: extraction
+        # output with the line gate applied — the gram-postings state is
+        # built over THIS frame (what the corpus lands with), so batch
+        # and incremental runs count the same grams
+        if "line_gated" not in _memo:
+            df = _raw_docs()
+            if dedup_lines is not None:
+                dup_keys = (postings.filter(F.col("df") >= dedup_lines)
+                            .select("lkey").distinct())
+                df = apply_line_dedup(df, dup_keys, cfg).localCheckpoint()
+            _memo["line_gated"] = df
+        return _memo["line_gated"]
+
     def _gated_docs():
         if "gated" in _memo:
             return _memo["gated"]
@@ -214,11 +238,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             # missing state table must not re-run extraction
             df = store.read("documents")
         else:
-            df = _raw_docs()
-            if dedup_lines is not None:
-                dup_keys = (postings.filter(F.col("df") >= dedup_lines)
-                            .select("lkey").distinct())
-                df = apply_line_dedup(df, dup_keys, cfg).localCheckpoint()
+            df = _line_gated_docs()
+            if strip_spans:
+                from neo4j_document_pipeline_spark.operators.hygiene import (
+                    gate_spans_batch)
+                df = gate_spans_batch(df, cfg, k=span_k,
+                                      min_count=span_min_count) \
+                    .localCheckpoint()
             if resolve_near_dups:
                 from neo4j_document_pipeline_spark.operators.dedup import (
                     doc_minhash_signatures)
@@ -260,6 +286,17 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
               lambda: doc_signatures_from_docs(_gated_docs(), cfg,
                                                sigs=_memo.get("sigs")), fp,
               bucket_by="bh", n_buckets=cfg.fts_index_buckets)
+    if strip_spans:
+        # state over the FINAL gated frame — what the store holds (see
+        # gram_postings_from_docs: pre-cut state would break re-delivery
+        # idempotency for keep-one survivors)
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            GRAM_POSTINGS, gram_postings_from_docs)
+        stage(GRAM_POSTINGS,
+              lambda: gram_postings_from_docs(_gated_docs(), k=span_k), fp,
+              bucket_by="gkey", n_buckets=cfg.fts_index_buckets,
+              extra_metrics={"span_k": span_k,
+                             "span_min_count": span_min_count})
 
     chunks = stage("chunks", lambda: documents_to_chunks(documents, cfg), fp)
     trip_df, trip_obs = observed(

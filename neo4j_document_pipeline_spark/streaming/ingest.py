@@ -36,6 +36,9 @@ def ingest_increment(store, batch_df: DataFrame,
                      min_quality: float | None = None,
                      redact_pii: bool = False,
                      dedup_lines: int | None = None,
+                     strip_spans: bool = False,
+                     span_k: int = 8,
+                     span_min_count: int = 2,
                      resolve_near_dups: bool = False,
                      near_dup_threshold: float = 0.8) -> None:
     """Incrementally MERGE one batch of pages into an existing graph store
@@ -118,6 +121,12 @@ def ingest_increment(store, batch_df: DataFrame,
         merge_line_postings(store, raw_documents, cfg, stage=stage,
                             input_fingerprint=inc_fp("line_postings"),
                             min_doc_freq=dedup_lines)
+    if strip_spans:
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            gate_spans_increment)
+        documents = gate_spans_increment(
+            store, documents, k=span_k, min_count=span_min_count,
+            cfg=cfg).localCheckpoint()
     if resolve_near_dups:
         from neo4j_document_pipeline_spark.operators.hygiene import (
             gate_near_dups_increment, merge_doc_signatures)
@@ -127,6 +136,14 @@ def ingest_increment(store, batch_df: DataFrame,
         merge_doc_signatures(store, documents, cfg, stage=stage,
                              input_fingerprint=inc_fp("doc_signatures"),
                              sigs=batch_sigs)
+    if strip_spans:
+        # state over the batch's FINAL survivors (post-cut, post
+        # near-dup) — mirrors the batch pipeline's gram_postings stage
+        from neo4j_document_pipeline_spark.operators.hygiene import (
+            merge_gram_postings)
+        merge_gram_postings(store, documents, cfg, stage=stage,
+                            input_fingerprint=inc_fp("gram_postings"),
+                            k=span_k, min_count=span_min_count)
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()
     triples = chunks_to_triples(chunks, cfg).localCheckpoint()
     # merge_write_*: on a bucket(N, key) store this is the Iceberg-MERGE
@@ -323,6 +340,9 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         langs: list[str] | None = None,
                         redact_pii: bool = False,
                         dedup_lines: int | None = None,
+                        strip_spans: bool = False,
+                        span_k: int = 8,
+                        span_min_count: int = 2,
                         resolve_near_dups: bool = False,
                         near_dup_threshold: float = 0.8,
                         keep_versions: int = 1,
@@ -354,6 +374,9 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                          text_source=text_source, min_quality=min_quality,
                          redact_pii=redact_pii,
                          dedup_lines=dedup_lines,
+                         strip_spans=strip_spans,
+                         span_k=span_k,
+                         span_min_count=span_min_count,
                          resolve_near_dups=resolve_near_dups,
                          near_dup_threshold=near_dup_threshold)
 

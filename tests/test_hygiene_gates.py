@@ -502,3 +502,183 @@ def test_cli_spans_report_and_hygiene_section(spark, tmp_path, capsys):
     assert h["dup_spans"]["docs_with_spans"] == \
         rep["totals"]["docs_with_spans"]
     assert h["dup_spans"]["dup_tokens"] == rep["totals"]["dup_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span gate
+# ---------------------------------------------------------------------------
+
+PASTE = ("every good boy deserves fudge while clever foxes jump over "
+         "lazy dogs tonight")
+
+
+def _span_rows():
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    return [
+        ("https://a.example.org/a.md", make_text(0) + " " + PASTE),
+        ("https://b.example.org/b.md", make_text(1) + " " + PASTE),
+        ("https://c.example.org/c.md", make_text(2)),
+    ]
+
+
+def _span_state(store):
+    return sorted(map(tuple, store.read("gram_postings")
+                  .select("doc_id", "url", "gkey", "n").collect()))
+
+
+def test_span_gate_batch(spark, tmp_path):
+    pages = _pages(spark, _span_rows())
+    root = str(tmp_path / "kg")
+    man = run_pipeline(spark, pages, root, strip_spans=True)
+    store = GraphStore(root, spark)
+    docs = {r["url"]: r["text"] for r in store.read("documents").collect()}
+    assert len(docs) == 3
+    # keep-one: exactly one committed copy of the pasted paragraph
+    assert sum(1 for t in docs.values() if PASTE in t) == 1
+    # the cut doc keeps its body (the paste was appended after it)
+    cut_url = next(u for u, t in docs.items()
+                   if PASTE not in t and "example.org/c" not in u)
+    assert "tonight" not in docs[cut_url]
+    assert len(docs[cut_url]) > 50  # body survived
+    assert docs["https://c.example.org/c.md"].endswith("schedule.")
+    # doc ids re-keyed over the cut text
+    bad = store.read("documents").filter(
+        F.col("doc_id") != F.sha2(F.col("text"), 256)).count()
+    assert bad == 0
+    # state: bucketed by gkey, thresholds stamped, post-cut corpus only
+    assert man["gram_postings"]["bucket_by"] == "gkey"
+    assert man["gram_postings"]["metrics"]["span_k"] == 8
+    assert man["gram_postings"]["metrics"]["span_min_count"] == 2
+    state_ids = {r[0] for r in _span_state(store)}
+    committed_ids = {r["doc_id"]
+                     for r in store.read("documents").collect()}
+    assert state_ids <= committed_ids
+
+
+def test_span_gate_single_increment_matches_batch(spark, tmp_path):
+    pages = _pages(spark, _span_rows()).cache()
+    root_b = str(tmp_path / "b")
+    run_pipeline(spark, pages, root_b, strip_spans=True)
+    sb = GraphStore(root_b, spark)
+    root_i = str(tmp_path / "i")
+    si = GraphStore(root_i, spark)
+    ingest_increment(si, pages, strip_spans=True, stage="s1")
+    assert sorted((r["url"], r["text"])
+                  for r in sb.read("documents").collect()) == \
+        sorted((r["url"], r["text"])
+               for r in si.read("documents_final").collect())
+    assert _span_state(sb) == _span_state(si)
+
+
+def test_span_gate_prefix_semantics_and_redelivery(spark, tmp_path):
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    rows = _span_rows()
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    ingest_increment(store, _pages(spark, rows[:1]),
+                     strip_spans=True, stage="p1")
+    ingest_increment(store, _pages(spark, rows[1:]),
+                     strip_spans=True, stage="p2")
+    docs = {r["url"]: r["text"] for r in
+            store.read("documents_final").collect()}
+    # committed early copy keeps its span (the retroactive set);
+    # the later arrival is cut against the committed evidence
+    assert PASTE in docs["https://a.example.org/a.md"]
+    assert PASTE not in docs["https://b.example.org/b.md"]
+    assert docs["https://c.example.org/c.md"] == make_text(2)
+    before_docs = sorted(docs.items())
+    before_state = _span_state(store)
+    # re-delivery of either batch is a no-op: the raw survivor must not
+    # match its own committed grams (doc_id immunity), and the raw CUT
+    # doc must not match its committed cut form's body (url immunity)
+    ingest_increment(store, _pages(spark, rows[1:]),
+                     strip_spans=True, stage="p3")
+    ingest_increment(store, _pages(spark, rows[:1]),
+                     strip_spans=True, stage="p4")
+    assert sorted((r["url"], r["text"]) for r in
+                  store.read("documents_final").collect()) == before_docs
+    assert _span_state(store) == before_state
+
+
+def test_span_gate_within_doc_repeat(spark, tmp_path):
+    """min_count counts corpus OCCURRENCES: a document repeating its own
+    paragraph trips the gate with no second document involved, and one
+    copy survives."""
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    pages = _pages(spark, [
+        ("https://r.example.org/r.md",
+         make_text(0) + " " + PASTE + " " + PASTE),
+        ("https://c.example.org/c.md", make_text(2)),
+    ])
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, pages, root, strip_spans=True)
+    store = GraphStore(root, spark)
+    docs = {r["url"]: r["text"] for r in store.read("documents").collect()}
+    t = docs["https://r.example.org/r.md"]
+    # the back-to-back copies merge into ONE span whose first k-gram
+    # survives... keep-first excludes only the first GRAM occurrence,
+    # so the merged region minus the survivor prefix is cut: the text
+    # must contain the paste at most once
+    assert t.count("lazy dogs tonight") <= 1
+    assert docs["https://c.example.org/c.md"] == make_text(2)
+
+
+def test_cut_spans_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.hygiene import _cut_spans
+    docs = spark.createDataFrame(
+        [("d1", "u1", None, None, "alpha beta, gamma: delta epsilon!"),
+         ("d2", "u2", None, None, "alpha beta gamma")],
+        "doc_id string, url string, title string, path string, text string")
+    spans = spark.createDataFrame(
+        [("d1", 2, 3, 2),   # cut "beta, gamma:" -> preceding ws absorbed
+         ("d2", 1, 1, 1)],  # doc-head span -> following ws absorbed
+        "doc_id string, span_start long, span_end long, span_tokens long")
+    out = {r["url"]: r["text"] for r in
+           _cut_spans(docs, spans).collect()}
+    # chars from token 2 start ("beta") to token 3 end ("gamma") plus
+    # the space before — the ": delta" punctuation AFTER the span stays
+    assert out["u1"] == "alpha: delta epsilon!"
+    assert out["u2"] == "beta gamma"
+
+
+def test_stream_ingest_with_span_gate(spark, tmp_path):
+    """--strip-spans rides foreachBatch: a streamed corpus cuts the
+    pasted paragraph per micro-batch against the committed state and
+    commits the bucketed gram_postings table."""
+    pages_dir = str(tmp_path / "pages")
+    _pages(spark, _span_rows()).repartition(1).write.parquet(pages_dir)
+    from neo4j_document_pipeline_spark.streaming.ingest import (
+        start_ingest_stream)
+    root = str(tmp_path / "kg")
+    q = start_ingest_stream(spark, pages_dir, root,
+                            str(tmp_path / "ckpt"),
+                            strip_spans=True, max_files_per_trigger=64)
+    assert q.awaitTermination(300), "span-gated stream did not finish"
+    store = GraphStore(root, spark)
+    docs = {r["url"]: r["text"] for r in
+            store.read("documents_final").collect()}
+    assert len(docs) == 3
+    assert sum(1 for t in docs.values() if PASTE in t) == 1
+    assert store.manifest("gram_postings")["bucket_by"] == "gkey"
+
+
+def test_cli_ingest_strip_spans_and_hygiene_state(spark, tmp_path, capsys):
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    pages_dir = str(tmp_path / "pages")
+    _pages(spark, _span_rows()).repartition(1).write.parquet(pages_dir)
+    root = str(tmp_path / "kg")
+    main(["ingest", "--store", root, "--pages", pages_dir,
+          "--strip-spans"])
+    capsys.readouterr()
+    store = GraphStore(root, spark)
+    docs = [r["text"] for r in store.read("documents").collect()]
+    assert sum(1 for t in docs if PASTE in t) == 1
+    main(["hygiene", "--store", root])
+    rep = json.loads(capsys.readouterr().out)
+    gs = rep["span_gate_state"]
+    assert gs["span_k"] == 8 and gs["span_min_count"] == 2
+    assert gs["distinct_grams"] > 0
+    # post-cut state: the kept copy's paste grams are singletons now
+    assert gs["duplicated_grams"] == 0
