@@ -310,18 +310,19 @@ def test_read_matching_opens_only_affected_buckets(spark, tmp_path,
 
 
 def test_gated_resume_runs_zero_pages_jobs(spark, tmp_path):
-    """With both gates on, a fully-current resume must not touch the
+    """With all three stateful gates on, a fully-current resume must not touch the
     pages input at all (the gates are lazy thunks behind the stage
     skips)."""
     pages = _pages(spark, [
         _doc("a", 0), _doc("b", 1),
     ]).cache()
     root = str(tmp_path / "kg")
-    kw = dict(dedup_lines=2, resolve_near_dups=True, near_dup_threshold=0.6,
-              pages_fingerprint="pf1")
+    kw = dict(dedup_lines=2, strip_spans=True, resolve_near_dups=True,
+              near_dup_threshold=0.6, pages_fingerprint="pf1")
     m1 = run_pipeline(spark, pages, root, **kw)
     assert not m1["documents"].get("skipped")
     assert not m1["line_postings"].get("skipped")
+    assert not m1["gram_postings"].get("skipped")
     assert not m1["doc_signatures"].get("skipped")
 
     def boom(batches):
