@@ -2118,9 +2118,12 @@ def oracle_sql() -> dict[str, str]:
             # recursive transitive closure, min-id survivor
             "WITH RECURSIVE "
             + _sql_kmeans_ctes("lpad(CAST(vec_id AS VARCHAR), 9, '0')") +
+            # RAW cosine (no rounding): exact int dot/norms + IEEE
+            # sqrt/division are bit-identical across engines; rounding
+            # would reintroduce HALF_UP-vs-binary boundary skew
             ", pr AS (SELECT a.vid AS id1, b.vid AS id2 "
             "FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid "
-            "WHERE round(CASE WHEN "
+            "WHERE (CASE WHEN "
             "list_reduce(list_transform(range(1, 65), "
             "d -> a.qv[d] * a.qv[d]), (x, y) -> x + y) = 0 OR "
             "list_reduce(list_transform(range(1, 65), "
@@ -2131,7 +2134,7 @@ def oracle_sql() -> dict[str, str]:
             "d -> a.qv[d] * a.qv[d]), (x, y) -> x + y) AS DOUBLE)) * "
             "sqrt(CAST(list_reduce(list_transform(range(1, 65), "
             "d -> b.qv[d] * b.qv[d]), (x, y) -> x + y) AS DOUBLE))) "
-            "END, 4) >= 0.35), "
+            "END) >= 0.35), "
             "e2 AS (SELECT id1 AS u, id2 AS v FROM pr "
             "UNION SELECT id2, id1 FROM pr), "
             "reach AS (SELECT u AS node, v AS r FROM e2 "

@@ -1135,7 +1135,10 @@ def main(argv=None):
             gm = ((store.manifest("gram_postings") or {})
                   .get("metrics") or {})
             mc = gm.get("span_min_count") or 2
-            gp = store.read("gram_postings")
+            # corpus evidence lives in the kept=false RAW rows (the
+            # kept=true rows are the post-cut survivors and would
+            # undercount by construction)
+            gp = store.read("gram_postings").filter(~F.col("kept"))
             sg = gp.groupBy("gkey").agg(F.sum("n").alias("tot")).agg(
                 F.count("*").alias("distinct_grams"),
                 F.sum((F.col("tot") >= int(mc)).cast("long"))

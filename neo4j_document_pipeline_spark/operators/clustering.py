@@ -135,6 +135,20 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str, *,
     the optional dim probe); like the other bounded-round analytics
     (katz, pagerank) this is the fixed-round form — convergence-driven
     k-means belongs to the numpy trainer feeding the ANN index."""
+    assigned = _kmeans_assign_full(df, id_col, vec_col, k=k, iters=iters,
+                                   scale=scale, dim=dim)
+    return assigned.select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("m").alias("metric"))
+
+
+def _kmeans_assign_full(df: DataFrame, id_col: str, vec_col: str, *,
+                        k: int, iters: int, scale: int,
+                        dim: int | None) -> DataFrame:
+    """kmeans_assign's internal form, keeping the quantized vector:
+    (id, cid, qv, m) — semantic_dedup reuses qv so the source is
+    quantized (and scanned) once instead of re-joined."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
@@ -151,19 +165,17 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str, *,
     for _ in range(iters - 1):
         cent = _update(assigned, dim)
         assigned = _assign(q, cent, dim)
-    return assigned.select(
-        F.col("id").alias(id_col),
-        F.col("cid").alias("cluster_id"),
-        F.col("m").alias("metric"))
+    return assigned
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
                    k: int = 8, iters: int = 2, threshold: float = 0.97,
                    scale: int = 10_000, dim: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
-    flag within-cluster pairs with 4dp-rounded cosine >= ``threshold``
-    (cosine computed from the SAME integer quantization — exact dot and
-    norms, one deterministic double division), then keep one document
+    flag within-cluster pairs with cosine >= ``threshold`` (the RAW
+    cosine double computed from the SAME integer quantization — exact
+    dot and norms, deterministic IEEE sqrt/division, so the comparison
+    is bit-identical across engines), then keep one document
     per connected near-dup group (transitive: A~B~C collapses to one
     survivor even when A and C never paired). Returns (id_col, keep_id,
     is_kept) for every CLUSTERED row — same contract as
@@ -179,24 +191,25 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     upstream is the kmeans plan above; the survivor pass is the
     O(log n)-round star-contraction components over the (tiny)
     near-dup graph."""
-    assigned = kmeans_assign(df, id_col, vec_col, k=k, iters=iters,
-                             scale=scale, dim=dim)
-    q = quantize_embeddings(df, id_col, vec_col, scale=scale)
-    side = assigned.select(F.col(id_col).alias("id"), "cluster_id") \
-        .join(q, "id")
-    a = side.select(F.col("cluster_id"), F.col("id").alias("id1"),
+    side = _kmeans_assign_full(df, id_col, vec_col, k=k, iters=iters,
+                               scale=scale, dim=dim).select("id", "cid",
+                                                            "qv")
+    a = side.select(F.col("cid"), F.col("id").alias("id1"),
                     F.col("qv").alias("q1"))
-    b = side.select(F.col("cluster_id"), F.col("id").alias("id2"),
+    b = side.select(F.col("cid"), F.col("id").alias("id2"),
                     F.col("qv").alias("q2"))
     dot = F.aggregate(F.zip_with("q1", "q2", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
     n1 = F.aggregate("q1", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     n2 = F.aggregate("q2", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    cos = F.round(
-        F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
-            dot.cast("double")
-            / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))), 4)
-    pairs = (a.join(b, "cluster_id")
+    # the RAW cosine double is bit-identical across engines (exact int
+    # dot/norms, correctly-rounded IEEE sqrt/division) — compare it
+    # directly; pre-rounding would reintroduce the Spark-HALF_UP vs
+    # DuckDB-binary-round boundary skew the kmeans metric avoids
+    cos = F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
+        dot.cast("double")
+        / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))))
+    pairs = (a.join(b, "cid")
              .filter(F.col("id1") < F.col("id2"))
              .select("id1", "id2", cos.alias("cos"))
              .filter(F.col("cos") >= F.lit(float(threshold))))

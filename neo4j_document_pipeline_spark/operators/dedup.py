@@ -609,10 +609,14 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str, *,
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     post = _span_gram_postings(df, id_col, text_col, k)
-    dup = (post.groupBy("gkey")
-           .agg(F.count("*").alias("_cnt"),
-                F.min(F.struct("id", "pos")).alias("_first"))
-           .filter(F.col("_cnt") >= min_count))
+    # the per-gram min-(id,pos) aggregate only exists to exempt the
+    # keep-one survivor — don't carry its map-side state on the
+    # corpus-wide shuffle when keep='none' never reads it
+    aggs = [F.count("*").alias("_cnt")]
+    if keep == "first":
+        aggs.append(F.min(F.struct("id", "pos")).alias("_first"))
+    dup = post.groupBy("gkey").agg(*aggs).filter(
+        F.col("_cnt") >= min_count)
     flagged = post.join(dup, "gkey")
     if keep == "first":
         flagged = flagged.filter(

@@ -3,7 +3,9 @@ path as first-class pipeline stages, with committed mergeable state so the
 incremental (streaming foreachBatch / --incremental) path gates each batch
 in O(delta) instead of re-scanning the corpus.
 
-Two gates, both optional and off by default:
+The stateful gates, all optional and off by default (plus the
+stateless PII scrub below and the exact-substring span gate in its own
+section):
 
 - cross-document line dedup (``--dedup-lines N``): the CCNet §4.1
   boilerplate pass (operators/dedup.py::dedup_lines_across_docs) applied
@@ -193,44 +195,54 @@ def merge_line_postings(store, raw_documents: DataFrame, cfg: PipelineConfig,
 GRAM_POSTINGS = "gram_postings"
 
 
-def gram_postings_from_docs(documents: DataFrame, *, k: int) -> DataFrame:
-    """(doc_id, gkey, n) — every document's token k-gram keys with their
-    per-document occurrence counts, the committed lookup table the span
-    gate probes. Bucketed by gkey: an arriving batch recounts a gram's
-    corpus total from the buckets its own keys hash into (the
-    line_postings soundness argument).
+def gram_postings_from_docs(documents: DataFrame, *, k: int,
+                            kept: bool) -> DataFrame:
+    """(doc_id, url, gkey, n, kept) — every document's token k-gram keys
+    with their per-document occurrence counts, the committed lookup
+    table the span gate probes. Bucketed by gkey: an arriving batch
+    recounts a gram's corpus total from the buckets its own keys hash
+    into (the line_postings soundness argument).
 
-    State is built over the FINAL gated documents (post-cut, post
-    near-dup) — what the store actually holds. Unlike the line gate
-    (remove-ALL-copies, so pre-clean state is idempotent), the span
-    gate keeps one survivor: pre-cut state would leave the cut copies'
-    grams behind, and a re-delivered SURVIVOR would then match the
-    ghosts of the copies cut because of it and lose its own text —
-    post-cut state plus the gate's own-batch exclusion keeps
-    re-delivery a no-op while future batches still see exactly the one
-    committed copy of every kept span.
+    The state holds TWO row kinds, and both are required (unlike the
+    line gate, whose remove-ALL-copies rule needs only raw counts):
+
+    - ``kept=false`` (RAW): postings of the PRE-cut batch — the
+      occurrence evidence thresholds count. Raw-only state would break
+      survivor re-delivery (the re-delivered keeper matches the ghost
+      grams of the copies cut because of it and loses its own text);
+      kept-only state would under-gate any ``min_count > 2`` (the cut
+      collapses committed evidence to one copy, which can never reach
+      ``min_count - 1`` again).
+    - ``kept=true``: postings of the FINAL gated documents (post-cut,
+      post near-dup) — what the store actually holds; a gram with a
+      committed kept copy already has its corpus survivor, so every
+      arriving occurrence is cut.
 
     ``url`` rides along as the CUT-STABLE identity: a re-delivered page
     whose committed form was cut has a different doc_id than its raw
     form (doc ids are content hashes), so the gate's own-batch
-    exclusion matches on doc_id OR url."""
+    exclusion matches on doc_id OR url. Raw rows carry every input
+    page's own url (pre-cut texts are distinct wherever the pages
+    are), so the exclusion keeps full fidelity even when cut results
+    later collapse in finalize_documents."""
     from neo4j_document_pipeline_spark.operators.dedup import (
         _span_gram_postings)
     posts = (_span_gram_postings(documents, "doc_id", "text", k)
              .groupBy(F.col("id").alias("doc_id"), "gkey")
              .agg(F.count("*").alias("n")))
-    return posts.join(documents.select("doc_id", "url"), "doc_id")
+    return (posts.join(documents.select("doc_id", "url"), "doc_id")
+            .withColumn("kept", F.lit(bool(kept))))
 
 
 def gram_postings_merge_fn():
     """MERGE for the committed gram postings: re-delivery of a document
     (same doc_id => same text => same per-doc counts) is a no-op."""
     def fn(existing, new):
-        allr = new.select("doc_id", "url", "gkey", "n")
+        cols = ["doc_id", "url", "gkey", "n", "kept"]
+        allr = new.select(*cols)
         if existing is not None:
-            allr = existing.select("doc_id", "url", "gkey", "n") \
-                .unionByName(allr)
-        return allr.dropDuplicates(["doc_id", "gkey"])
+            allr = existing.select(*cols).unionByName(allr)
+        return allr.dropDuplicates(["doc_id", "gkey", "kept"])
     return fn
 
 
@@ -306,23 +318,17 @@ def _cut_spans(documents: DataFrame, spans: DataFrame,
 def gate_spans_batch(documents: DataFrame,
                      cfg: PipelineConfig = DEFAULT_CONFIG, *,
                      k: int, min_count: int = 2) -> DataFrame:
-    """Batch span gate: count this frame's k-grams, flag every
-    occurrence of a >= ``min_count`` gram EXCEPT its corpus-minimal
-    (doc_id, pos) copy (keep-one, the Lee et al. policy), merge to
-    maximal spans, cut them from the original text, re-key."""
+    """Batch span gate: exactly ``duplicate_spans(keep='first')`` — the
+    Lee et al. keep-one policy (every occurrence of a >= ``min_count``
+    gram flags except its corpus-minimal (doc_id, pos) copy) — with the
+    spans cut from the original text and the documents re-keyed.
+    Delegating to the analytics operator keeps ONE implementation of
+    the policy and its argument validation (a bad span_k must fail the
+    same way on the batch and incremental paths)."""
     from neo4j_document_pipeline_spark.operators.dedup import (
-        _span_gram_postings, spans_from_flagged)
-    post = _span_gram_postings(documents, "doc_id", "text", k)
-    dup_gkeys = (post.groupBy("gkey").agg(F.count("*").alias("_tot"))
-                 .filter(F.col("_tot") >= min_count).select("gkey"))
-    flagged = post.join(dup_gkeys, "gkey")
-    first = (flagged.groupBy("gkey")
-             .agg(F.min(F.struct("id", "pos")).alias("_first")))
-    flagged = (flagged.join(first, "gkey")
-               .filter(~((F.col("id") == F.col("_first.id"))
-                         & (F.col("pos") == F.col("_first.pos"))))
-               .select("id", "pos"))
-    spans = spans_from_flagged(flagged, k, id_alias="doc_id")
+        duplicate_spans)
+    spans = duplicate_spans(documents, "doc_id", "text", k=k,
+                            min_count=min_count, keep="first")
     return _cut_spans(documents, spans, cfg)
 
 
@@ -332,17 +338,19 @@ def gate_spans_increment(store, documents: DataFrame, *,
     """Incremental span gate, O(delta + affected buckets):
 
     1. the batch's gram keys probe the committed gram_postings buckets
-       (read_matching on gkey) for committed occurrence counts —
-       EXCLUDING rows whose doc_id is in the batch itself (same id =>
-       same text: a re-delivered document must not match its own
-       committed grams and cut itself — the near-dup gate's
-       self-match-immunity rule);
-    2. a gram is duplicated when batch + committed occurrences reach
-       ``min_count``;
-    3. keep-one survivor rule, committed copy wins: when a gram has ANY
-       committed occurrence every batch occurrence is flagged; when the
-       evidence is batch-only, the batch-minimal (doc_id, pos) copy
-       survives (the within-batch keep-first);
+       (read_matching on gkey) — EXCLUDING rows whose doc_id OR url is
+       in the batch itself (same id => same text, same url => same
+       page: a re-delivered document must not match its own committed
+       grams and cut itself — the near-dup gate's self-match-immunity
+       rule, extended to the cut-rewritten form);
+    2. a gram is duplicated when batch occurrences plus committed RAW
+       occurrences (kept=false rows — the full evidence, not just the
+       surviving copy) reach ``min_count``;
+    3. keep-one survivor rule, committed copy wins: when a gram has a
+       committed KEPT occurrence (kept=true rows — the store already
+       holds its survivor) every batch occurrence is flagged; when it
+       does not, the batch-minimal (doc_id, pos) copy survives (the
+       within-batch keep-first);
     4. flagged positions merge to spans and cut exactly like the batch
        gate. PREFIX semantics: committed early copies keep their spans
        (the retroactive set — see the module docstring contract)."""
@@ -350,6 +358,7 @@ def gate_spans_increment(store, documents: DataFrame, *,
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    _check_span_k(store, k)
     from neo4j_document_pipeline_spark.operators.dedup import (
         _span_gram_postings, spans_from_flagged)
     post = _span_gram_postings(documents, "doc_id", "text", k) \
@@ -361,24 +370,32 @@ def gate_spans_increment(store, documents: DataFrame, *,
                                     post.select("gkey"), "gkey")
     if committed is not None:
         # own-batch exclusion on BOTH identities: doc_id catches the
-        # identical-text re-delivery (incl. a url-collision loser whose
-        # committed row carries the winning url), url catches the
-        # re-delivered page whose committed form was CUT (content hash
-        # changed, page identity did not)
+        # identical-text re-delivery, url catches the re-delivered page
+        # whose committed form was CUT (content hash changed, page
+        # identity did not)
         committed = (committed
                      .join(documents.select("doc_id"), "doc_id",
                            "left_anti")
                      .join(documents.select("url"), "url", "left_anti"))
-        ccounts = (committed.groupBy("gkey")
-                   .agg(F.sum("n").alias("_cn")))
-        batch_counts = batch_counts.join(ccounts, "gkey", "left") \
-            .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
+        ccounts = committed.groupBy("gkey").agg(
+            F.sum(F.when(~F.col("kept"), F.col("n"))
+                  .otherwise(F.lit(0))).alias("_cn_raw"),
+            F.sum(F.when(F.col("kept"), F.col("n"))
+                  .otherwise(F.lit(0))).alias("_cn_kept"))
+        batch_counts = (batch_counts.join(ccounts, "gkey", "left")
+                        .withColumn("_cn_raw",
+                                    F.coalesce(F.col("_cn_raw"), F.lit(0)))
+                        .withColumn("_cn_kept",
+                                    F.coalesce(F.col("_cn_kept"),
+                                               F.lit(0))))
     else:
-        batch_counts = batch_counts.withColumn("_cn", F.lit(0))
+        batch_counts = (batch_counts
+                        .withColumn("_cn_raw", F.lit(0))
+                        .withColumn("_cn_kept", F.lit(0)))
     dup = batch_counts.filter(
-        F.col("_bn") + F.col("_cn") >= min_count)
+        F.col("_bn") + F.col("_cn_raw") >= min_count)
     flagged = (post.join(dup, "gkey")
-               .filter((F.col("_cn") > 0)
+               .filter((F.col("_cn_kept") > 0)
                        | ~((F.col("id") == F.col("_first.id"))
                            & (F.col("pos") == F.col("_first.pos"))))
                .select("id", "pos"))
@@ -386,17 +403,37 @@ def gate_spans_increment(store, documents: DataFrame, *,
     return _cut_spans(documents, spans, cfg)
 
 
-def merge_gram_postings(store, survivors: DataFrame,
+def _check_span_k(store, k: int) -> None:
+    """span_k changes the gram KEY SPACE (k-gram sha256 heads): probing
+    or merging a table stamped with a different k would silently match
+    nothing and pollute the counts — fail loudly instead. (min_count is
+    a read-time threshold and may change freely, like the line gate's
+    min_doc_freq.)"""
+    man = store.manifest(GRAM_POSTINGS)
+    committed_k = ((man or {}).get("metrics") or {}).get("span_k")
+    if committed_k is not None and int(committed_k) != int(k):
+        raise ValueError(
+            f"span_k={k} does not match the committed gram_postings "
+            f"state (span_k={committed_k}); re-ingest from scratch to "
+            "change the gram length")
+
+
+def merge_gram_postings(store, raw_documents: DataFrame,
+                        survivors: DataFrame,
                         cfg: PipelineConfig, *, stage: str,
                         input_fingerprint: str, k: int,
                         min_count: int | None = None) -> None:
     """Commit the batch's gram-postings delta (bucket-scoped MERGE /
-    bucketed first write). ``survivors`` must be the batch's FINAL
-    gated documents (post-cut, post near-dup) — state mirrors what the
-    store holds (see gram_postings_from_docs for why pre-cut state
-    would break re-delivery idempotency). span_k and span_min_count
-    are stamped into the manifest metrics for reporting."""
-    delta = gram_postings_from_docs(survivors, k=k)
+    bucketed first write): kept=false rows from ``raw_documents`` (the
+    PRE-cut batch — the occurrence evidence) plus kept=true rows from
+    ``survivors`` (the batch's FINAL gated documents — what the store
+    holds). See gram_postings_from_docs for why BOTH kinds are needed.
+    Raises if ``k`` disagrees with the committed state's stamped
+    span_k (disjoint key spaces). span_k and span_min_count land in
+    the manifest metrics for reporting."""
+    _check_span_k(store, k)
+    delta = gram_postings_from_docs(raw_documents, k=k, kept=False) \
+        .unionByName(gram_postings_from_docs(survivors, k=k, kept=True))
     extra = {"span_k": k}
     if min_count is not None:
         extra["span_min_count"] = min_count

@@ -217,10 +217,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             extra_metrics={"min_doc_freq": dedup_lines})
 
     def _line_gated_docs():
-        # documents as the span/near-dup gates see them: extraction
-        # output with the line gate applied — the gram-postings state is
-        # built over THIS frame (what the corpus lands with), so batch
-        # and incremental runs count the same grams
+        # documents as the span gate sees them: extraction output with
+        # the line gate applied — the PRE-cut frame the gram-postings
+        # stage records as its kept=false evidence rows (the kept=true
+        # survivor rows come from the FINAL _gated_docs frame)
         if "line_gated" not in _memo:
             df = _raw_docs()
             if dedup_lines is not None:
@@ -287,13 +287,17 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                                                sigs=_memo.get("sigs")), fp,
               bucket_by="bh", n_buckets=cfg.fts_index_buckets)
     if strip_spans:
-        # state over the FINAL gated frame — what the store holds (see
-        # gram_postings_from_docs: pre-cut state would break re-delivery
-        # idempotency for keep-one survivors)
+        # two row kinds (see gram_postings_from_docs): kept=false RAW
+        # evidence from the pre-cut frame, kept=true survivor postings
+        # from the FINAL gated frame — thresholds need the former,
+        # survivor-aware cutting and re-delivery idempotency the latter
         from neo4j_document_pipeline_spark.operators.hygiene import (
             GRAM_POSTINGS, gram_postings_from_docs)
         stage(GRAM_POSTINGS,
-              lambda: gram_postings_from_docs(_gated_docs(), k=span_k), fp,
+              lambda: gram_postings_from_docs(
+                  _line_gated_docs(), k=span_k, kept=False).unionByName(
+                  gram_postings_from_docs(
+                      _gated_docs(), k=span_k, kept=True)), fp,
               bucket_by="gkey", n_buckets=cfg.fts_index_buckets,
               extra_metrics={"span_k": span_k,
                              "span_min_count": span_min_count})

@@ -121,6 +121,7 @@ def ingest_increment(store, batch_df: DataFrame,
         merge_line_postings(store, raw_documents, cfg, stage=stage,
                             input_fingerprint=inc_fp("line_postings"),
                             min_doc_freq=dedup_lines)
+    pre_span = documents
     if strip_spans:
         from neo4j_document_pipeline_spark.operators.hygiene import (
             gate_spans_increment)
@@ -137,11 +138,12 @@ def ingest_increment(store, batch_df: DataFrame,
                              input_fingerprint=inc_fp("doc_signatures"),
                              sigs=batch_sigs)
     if strip_spans:
-        # state over the batch's FINAL survivors (post-cut, post
-        # near-dup) — mirrors the batch pipeline's gram_postings stage
+        # kept=false evidence from the pre-cut batch + kept=true rows
+        # from the batch's FINAL survivors (post-cut, post near-dup) —
+        # mirrors the batch pipeline's gram_postings stage
         from neo4j_document_pipeline_spark.operators.hygiene import (
             merge_gram_postings)
-        merge_gram_postings(store, documents, cfg, stage=stage,
+        merge_gram_postings(store, pre_span, documents, cfg, stage=stage,
                             input_fingerprint=inc_fp("gram_postings"),
                             k=span_k, min_count=span_min_count)
     chunks = documents_to_chunks(documents, cfg).localCheckpoint()

@@ -524,7 +524,8 @@ def _span_rows():
 
 def _span_state(store):
     return sorted(map(tuple, store.read("gram_postings")
-                  .select("doc_id", "url", "gkey", "n").collect()))
+                  .select("doc_id", "url", "gkey", "n", "kept")
+                  .collect()))
 
 
 def test_span_gate_batch(spark, tmp_path):
@@ -550,10 +551,14 @@ def test_span_gate_batch(spark, tmp_path):
     assert man["gram_postings"]["bucket_by"] == "gkey"
     assert man["gram_postings"]["metrics"]["span_k"] == 8
     assert man["gram_postings"]["metrics"]["span_min_count"] == 2
-    state_ids = {r[0] for r in _span_state(store)}
+    # kept=true rows cover exactly the committed (post-cut) docs;
+    # kept=false rows the pre-cut evidence (a superset of ids)
     committed_ids = {r["doc_id"]
                      for r in store.read("documents").collect()}
-    assert state_ids <= committed_ids
+    kept_ids = {r[0] for r in _span_state(store) if r[4]}
+    assert kept_ids <= committed_ids
+    raw_ids = {r[0] for r in _span_state(store) if not r[4]}
+    assert len(raw_ids) >= len(kept_ids)
 
 
 def test_span_gate_single_increment_matches_batch(spark, tmp_path):
@@ -681,5 +686,52 @@ def test_cli_ingest_strip_spans_and_hygiene_state(spark, tmp_path, capsys):
     gs = rep["span_gate_state"]
     assert gs["span_k"] == 8 and gs["span_min_count"] == 2
     assert gs["distinct_grams"] > 0
-    # post-cut state: the kept copy's paste grams are singletons now
-    assert gs["duplicated_grams"] == 0
+    # raw-evidence rows record the paste in BOTH source docs
+    assert gs["duplicated_grams"] >= 1
+
+
+def test_span_gate_min_count_3_cross_batch(spark, tmp_path):
+    """min_count > 2 must keep gating on the RAW committed evidence:
+    after the gate cuts two of three committed copies, a fourth arrival
+    still sees 3 raw occurrences and is cut — kept-only state would
+    collapse the evidence to one copy and never gate again (the review
+    finding this two-kind state design exists for)."""
+    from neo4j_document_pipeline_spark.sources.pages import make_text
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    batch1 = _pages(spark, [
+        ("https://a.example.org/a.md", make_text(0) + " " + PASTE),
+        ("https://b.example.org/b.md", make_text(1) + " " + PASTE),
+        ("https://c.example.org/c.md", make_text(3) + " " + PASTE),
+    ])
+    ingest_increment(store, batch1, strip_spans=True, span_min_count=3,
+                     stage="m1")
+    docs = {r["url"]: r["text"] for r in
+            store.read("documents_final").collect()}
+    # three copies >= 3: keep-one leaves exactly one
+    assert sum(1 for t in docs.values() if PASTE in t) == 1
+    # a later single arrival: batch 1 + committed raw 3 >= 3 -> cut
+    batch2 = _pages(spark, [
+        ("https://d.example.org/d.md", make_text(2) + " " + PASTE)])
+    ingest_increment(store, batch2, strip_spans=True, span_min_count=3,
+                     stage="m2")
+    docs = {r["url"]: r["text"] for r in
+            store.read("documents_final").collect()}
+    assert PASTE not in docs["https://d.example.org/d.md"]
+    assert sum(1 for t in docs.values() if PASTE in t) == 1
+
+
+def test_span_gate_rejects_span_k_change(spark, tmp_path):
+    """span_k defines the gram key space: probing or merging a table
+    stamped with a different k would silently match nothing — it must
+    raise instead."""
+    root = str(tmp_path / "kg")
+    store = GraphStore(root, spark)
+    ingest_increment(store, _pages(spark, _span_rows()[:1]),
+                     strip_spans=True, stage="k1")
+    with pytest.raises(ValueError, match="span_k"):
+        ingest_increment(store, _pages(spark, _span_rows()[1:]),
+                         strip_spans=True, span_k=6, stage="k2")
+    # min_count is a read-time threshold and may change freely
+    ingest_increment(store, _pages(spark, _span_rows()[1:]),
+                     strip_spans=True, span_min_count=4, stage="k3")
