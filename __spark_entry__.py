@@ -564,6 +564,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "doc_id", "text", k=8)
     q["dup_span_docs"] = dup_span_docs
 
+    # ---- sketches: count-min frequency cells ----
+    def cms_user_counts(spark, sf):
+        """Per-event-type count-min sketch of user activity (Cormode &
+        Muthukrishnan 2005): sparse (event_type, r, b, cnt) cells over
+        sha256 buckets — a pure integer aggregation, so the sketch is
+        identical on any partitioning/engine and mergeable by adding
+        cells (operators/sketches.py cms_sketch, depth=4 width=64)."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            cms_sketch)
+        return cms_sketch(_t(spark, sf, "events"), "event_type",
+                          "user_id", depth=4, width=64, salt="v1")
+    q["cms_user_counts"] = cms_user_counts
+
     # ---- embedding clustering: deterministic bounded-round k-means ----
     def kmeans_vec_clusters(spark, sf):
         """Deterministic Lloyd k-means (k=8, 2 unrolled rounds) over the
@@ -2106,6 +2119,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.dup_tokens, 0) / CAST(g.n_tok AS DOUBLE) "
             "ELSE 0.0 END, 6) AS dup_frac "
             "FROM g LEFT JOIN a USING (doc_id)",
+        "cms_user_counts":
+            # identical construction: first 15 hex digits of
+            # sha256('v1:<row>:<user_id>') mod 64, counted per
+            # (event_type, row, bucket)
+            "SELECT event_type, r.d AS r, "
+            "CAST(('0x' || substr(sha256('v1:' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 64 AS BIGINT) AS b, count(*) AS cnt "
+            "FROM events, unnest(range(0, 4)) AS r(d) "
+            "WHERE user_id IS NOT NULL GROUP BY 1, 2, 3",
         "kmeans_vec_clusters":
             # metric stays RAW: the doubles are bit-identical across
             # engines by construction; rounding here would reintroduce

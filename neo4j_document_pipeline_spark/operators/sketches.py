@@ -208,3 +208,99 @@ def hash_sample_quantiles(df: DataFrame, value_col: str,
     return (ranked.join(
         pdf, F.col("rn") == F.ceil(F.col("p") * F.col("n_sample")))
         .select("p", "n_sample", "value"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency estimation)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(value_col: str, row: int, width: int, salt: str):
+    """Bucket of hash row ``row``: the first 15 hex digits (60 bits) of
+    sha256('<salt>:<row>:<value>') mod width — JVM-side, reproducible
+    verbatim in any engine with sha256 (the oracle computes the
+    identical expression)."""
+    h = F.sha2(F.concat(F.lit(f"{salt}:{row}:"),
+                        F.col(value_col).cast("string")), 256)
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(int(width)))
+
+
+def cms_sketch(df: DataFrame, group_cols: str | list[str],
+               value_col: str, *, depth: int = 4, width: int = 256,
+               salt: str = "v1", weight_col: str | None = None
+               ) -> DataFrame:
+    """Per-group count-min sketch (Cormode & Muthukrishnan 2005) in
+    SPARSE form: one row per non-zero cell, (group_cols…, r, b, cnt)
+    with cnt = Σ weight of the values hashing to bucket ``b`` under
+    hash row ``r``. The frequency-estimation companion to the KMV
+    distinct sketch: a point query's estimate (``cms_point_estimate``)
+    is min over rows of its cell count — never an underestimate, and
+    within ε·N of the truth w.h.p. for width ≈ e/ε.
+
+    Deterministic BY CONSTRUCTION in a way register-based libraries are
+    not: the cells are plain integer sums over sha256 buckets — a pure
+    aggregation, so the sketch is identical on any partitioning,
+    cluster size, or engine, and MERGEABLE by adding cells
+    (``cms_merge``: cms(A) + cms(B) == cms(A ∪ B) exactly, by
+    linearity). NULL values are ignored; ``weight_col`` switches from
+    occurrence counting to weighted totals.
+
+    Scale shape: one map-side-combinable hash aggregation over
+    depth × |rows| exploded postings with bounded key cardinality
+    (groups × depth × width) — no window, no distinct, no shuffle
+    beyond the single agg; this is the operator that answers "how hot
+    is key x per group" at 100 TB without a groupBy over raw keys."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    pairs = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("r"),
+                 _cms_bucket(value_col, r, width, salt).alias("b"))
+        for r in range(depth)
+    ])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, F.explode(pairs).alias("_rb"), w.alias("_w"))
+        .groupBy(*groups, F.col("_rb.r").alias("r"),
+                 F.col("_rb.b").alias("b"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(cells: DataFrame, group_cols: str | list[str]) -> DataFrame:
+    """Merge sketches built under the SAME (depth, width, salt): add
+    cell counts — exact by linearity, so merging per-partition or
+    per-day sketches equals sketching the union."""
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    return cells.groupBy(*groups, "r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimate(cells: DataFrame, keys: DataFrame,
+                       group_cols: str | list[str], value_col: str, *,
+                       depth: int = 4, width: int = 256,
+                       salt: str = "v1") -> DataFrame:
+    """Point-query the sketch: for each (group, value) row of ``keys``,
+    estimate = min over hash rows of that row's cell count (0 when a
+    cell is absent — the value was never seen in that row's bucket).
+    One broadcast-sized join per key row; parameters must match the
+    sketch's."""
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    probes = keys.select(
+        *groups, F.col(value_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).cast("long").alias("r"),
+                     _cms_bucket(value_col, r, width, salt).alias("b"))
+            for r in range(depth)
+        ])).alias("_rb"),
+    ).select(*groups, value_col, F.col("_rb.r").alias("r"),
+             F.col("_rb.b").alias("b"))
+    joined = probes.join(cells, [*groups, "r", "b"], "left") \
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return (joined.groupBy(*groups, value_col)
+            .agg(F.min("cnt").alias("estimate")))

@@ -194,3 +194,105 @@ def test_hash_sample_quantiles_validation(spark):
         hash_sample_quantiles(df, "v", [1.5], "doc_id")
     with _pytest.raises(ValueError):
         hash_sample_quantiles(df, "v", [0.5], "doc_id", rate=0.0)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _brute_cms(rows, depth, width, salt="v1"):
+    """The spec in plain python: sha256 15-hex-digit buckets, per
+    (group, r, b) occurrence sums."""
+    import hashlib
+    from collections import Counter
+    cells = Counter()
+    for g, v in rows:
+        if v is None:
+            continue
+        for r in range(depth):
+            h = hashlib.sha256(f"{salt}:{r}:{v}".encode()).hexdigest()
+            b = int(h[:15], 16) % width
+            cells[(g, r, b)] += 1
+    return cells
+
+
+def test_cms_brute_parity_and_invariance(spark):
+    import random
+    from neo4j_document_pipeline_spark.operators.sketches import cms_sketch
+    rng = random.Random(11)
+    rows = [(rng.choice(["a", "b"]), rng.randint(0, 40))
+            for _ in range(500)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["r"], r["b"]): r["cnt"] for r in
+           cms_sketch(df, "g", "v", depth=3, width=32).collect()}
+    assert got == dict(_brute_cms(rows, 3, 32))
+    # partitioning invariance (a pure aggregation)
+    got13 = {(r["g"], r["r"], r["b"]): r["cnt"] for r in
+             cms_sketch(df.repartition(13), "g", "v",
+                        depth=3, width=32).collect()}
+    assert got13 == got
+
+
+def test_cms_merge_equals_union(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        cms_merge, cms_sketch)
+    a = spark.createDataFrame(
+        [("g", i % 7) for i in range(100)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i % 5) for i in range(80)], "g string, v long")
+    sa = cms_sketch(a, "g", "v", depth=4, width=16)
+    sb = cms_sketch(b, "g", "v", depth=4, width=16)
+    merged = {(r["g"], r["r"], r["b"]): r["cnt"] for r in
+              cms_merge(sa.unionByName(sb), "g").collect()}
+    direct = {(r["g"], r["r"], r["b"]): r["cnt"] for r in
+              cms_sketch(a.unionByName(b), "g", "v",
+                         depth=4, width=16).collect()}
+    assert merged == direct  # exact, by linearity
+
+
+def test_cms_point_estimate_never_underestimates(spark):
+    import random
+    from collections import Counter
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        cms_point_estimate, cms_sketch)
+    rng = random.Random(3)
+    vals = [rng.randint(0, 30) for _ in range(400)]
+    exact = Counter(vals)
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v long")
+    cells = cms_sketch(df, "g", "v", depth=4, width=64)
+    keys = spark.createDataFrame(
+        [("g", k) for k in exact] + [("g", 999)], "g string, v long")
+    est = {r["v"]: r["estimate"] for r in
+           cms_point_estimate(cells, keys, "g", "v",
+                              depth=4, width=64).collect()}
+    for k, c in exact.items():
+        assert est[k] >= c  # the one-sided CMS guarantee
+    assert est[999] >= 0  # unseen key: only collision mass
+    # parity with the brute estimate (min over brute cells)
+    brute = _brute_cms([("g", v) for v in vals], 4, 64)
+    import hashlib
+    for k in list(exact)[:10] + [999]:
+        want = min(
+            brute.get(("g", r, int(hashlib.sha256(
+                f"v1:{r}:{k}".encode()).hexdigest()[:15], 16) % 64), 0)
+            for r in range(4))
+        assert est[k] == want, k
+
+
+def test_cms_validation_and_weights(spark):
+    import pytest as _pytest
+    from neo4j_document_pipeline_spark.operators.sketches import cms_sketch
+    df = spark.createDataFrame([("g", 1, 5), ("g", 1, 2), ("g", 2, 1)],
+                               "g string, v long, w long")
+    with _pytest.raises(ValueError, match="depth"):
+        cms_sketch(df, "g", "v", depth=0)
+    with _pytest.raises(ValueError, match="width"):
+        cms_sketch(df, "g", "v", width=1)
+    cells = cms_sketch(df, "g", "v", depth=2, width=16, weight_col="w")
+    # weighted: v=1 contributes 7 per row, v=2 contributes 1
+    per_row = {}
+    for r in cells.collect():
+        per_row.setdefault(r["r"], []).append(r["cnt"])
+    for r, counts in per_row.items():
+        assert sorted(counts) in ([1, 7], [8])  # collision may merge cells
