@@ -577,6 +577,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "user_id", depth=4, width=64, salt="v1")
     q["cms_user_counts"] = cms_user_counts
 
+    # ---- sketches: count-min point estimates ----
+    def cms_hot_users(spark, sf):
+        """Point-query the count-min sketch for every (event_type,
+        user_id < 40) probe: estimate = min over hash rows of the
+        probed cell's count (0 when absent) — never below the true
+        frequency. The oracle rebuilds the cells and the min-over-rows
+        arithmetic verbatim."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            cms_point_estimate, cms_sketch)
+        e = _t(spark, sf, "events")
+        cells = cms_sketch(e, "event_type", "user_id",
+                           depth=4, width=64, salt="v1")
+        keys = (e.filter(F.col("user_id") < 40)
+                .select("event_type", "user_id").distinct())
+        return cms_point_estimate(cells, keys, "event_type", "user_id",
+                                  depth=4, width=64, salt="v1")
+    q["cms_hot_users"] = cms_hot_users
+
+    # ---- sketches: Bloom filter build ----
+    def bloom_user_filter(spark, sf):
+        """Per-event-type Bloom filter over user ids in sparse packed
+        32-bit-word form (operators/sketches.py bloom_sketch): one row
+        per non-empty word, bits = OR of 1 << (pos % 32) over the 3
+        sha256 bit positions of every user. The membership companion to
+        the KMV/CMS sketches — mergeable by OR, broadcastable as the
+        build side of a decontamination semi-join. The oracle replays
+        the identical hash/bit arithmetic."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            bloom_sketch)
+        e = _t(spark, sf, "events")
+        return bloom_sketch(e, "event_type", "user_id",
+                            m_bits=512, k_hashes=3, salt="v1")
+    q["bloom_user_filter"] = bloom_user_filter
+
+    # ---- sketches: Bloom membership probe ----
+    def bloom_member_probe(spark, sf):
+        """Probe the per-type Bloom filter with every (event_type,
+        user_id < 40) pair PLUS guaranteed-absent shifted ids: member =
+        all 3 bit positions set (false = definite absence, true = up to
+        the filter's FP rate — deterministic either way, so the oracle
+        matches bit-for-bit)."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            bloom_contains, bloom_sketch)
+        e = _t(spark, sf, "events")
+        words = bloom_sketch(e, "event_type", "user_id",
+                             m_bits=512, k_hashes=3, salt="v1")
+        seen = (e.filter(F.col("user_id") < 40)
+                .select("event_type", "user_id").distinct())
+        absent = (e.filter(F.col("user_id") < 15)
+                  .select("event_type",
+                          (F.col("user_id") + 1000000).alias("user_id"))
+                  .distinct())
+        return bloom_contains(words, seen.unionByName(absent),
+                              "event_type", "user_id",
+                              m_bits=512, k_hashes=3, salt="v1")
+    q["bloom_member_probe"] = bloom_member_probe
+
     # ---- embedding clustering: deterministic bounded-round k-means ----
     def kmeans_vec_clusters(spark, sf):
         """Deterministic Lloyd k-means (k=8, 2 unrolled rounds) over the
@@ -2129,6 +2186,58 @@ def oracle_sql() -> dict[str, str]:
             "% 64 AS BIGINT) AS b, count(*) AS cnt "
             "FROM events, unnest(range(0, 4)) AS r(d) "
             "WHERE user_id IS NOT NULL GROUP BY 1, 2, 3",
+        "cms_hot_users":
+            "WITH cells AS (SELECT event_type, r.d AS r, "
+            "CAST(('0x' || substr(sha256('v1:' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 64 AS BIGINT) AS b, count(*) AS cnt "
+            "FROM events, unnest(range(0, 4)) AS r(d) "
+            "WHERE user_id IS NOT NULL GROUP BY 1, 2, 3), "
+            "k AS (SELECT DISTINCT event_type, user_id FROM events "
+            "WHERE user_id < 40), "
+            "p AS (SELECT k.event_type, k.user_id, r.d AS r, "
+            "CAST(('0x' || substr(sha256('v1:' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(k.user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 64 AS BIGINT) AS b FROM k, unnest(range(0, 4)) AS r(d)) "
+            "SELECT p.event_type, p.user_id, "
+            "CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS estimate "
+            "FROM p LEFT JOIN cells ON p.event_type = cells.event_type "
+            "AND p.r = cells.r AND p.b = cells.b "
+            "GROUP BY 1, 2",
+        "bloom_user_filter":
+            "SELECT event_type, CAST(pos // 32 AS BIGINT) AS w, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits "
+            "FROM (SELECT event_type, "
+            "CAST(('0x' || substr(sha256('v1:b' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 512 AS BIGINT) AS pos "
+            "FROM events, unnest(range(0, 3)) AS r(d) "
+            "WHERE user_id IS NOT NULL) GROUP BY 1, 2",
+        "bloom_member_probe":
+            "WITH words AS (SELECT event_type, "
+            "CAST(pos // 32 AS BIGINT) AS w, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits "
+            "FROM (SELECT event_type, "
+            "CAST(('0x' || substr(sha256('v1:b' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 512 AS BIGINT) AS pos "
+            "FROM events, unnest(range(0, 3)) AS r(d) "
+            "WHERE user_id IS NOT NULL) GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type, user_id FROM events "
+            "WHERE user_id < 40 "
+            "UNION SELECT DISTINCT event_type, user_id + 1000000 "
+            "FROM events WHERE user_id < 15), "
+            "p AS (SELECT k.event_type, k.user_id, "
+            "CAST(('0x' || substr(sha256('v1:b' || CAST(r.d AS VARCHAR) "
+            "|| ':' || CAST(k.user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 512 AS BIGINT) AS pos "
+            "FROM k, unnest(range(0, 3)) AS r(d)) "
+            "SELECT p.event_type, p.user_id, "
+            "bool_and(coalesce((words.bits & (CAST(1 AS BIGINT) << "
+            "CAST(p.pos % 32 AS INT))) <> 0, false)) AS member "
+            "FROM p LEFT JOIN words ON p.event_type = words.event_type "
+            "AND CAST(p.pos // 32 AS BIGINT) = words.w "
+            "GROUP BY 1, 2",
         "kmeans_vec_clusters":
             # metric stays RAW: the doubles are bit-identical across
             # engines by construction; rounding here would reintroduce

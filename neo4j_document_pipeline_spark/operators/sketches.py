@@ -1,4 +1,5 @@
-"""Mergeable distinct-count sketches — KMV (k-minimum values).
+"""Mergeable data sketches — KMV (distinct counts), count-min
+(frequencies), and Bloom filters (membership).
 
 The KMV / bottom-k sketch estimates a group's distinct count from the
 k smallest hash values it has ever seen: if k uniform draws occupy
@@ -278,6 +279,116 @@ def cms_merge(cells: DataFrame, group_cols: str | list[str]) -> DataFrame:
     groups = [group_cols] if isinstance(group_cols, str) \
         else list(group_cols)
     return cells.groupBy(*groups, "r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def _bloom_pos(value_col: str, i: int, m_bits: int, salt: str):
+    """Bit position of hash function ``i``: the first 15 hex digits
+    (60 bits) of sha256('<salt>:b<i>:<value>') mod m_bits — the same
+    reproducible-hash construction as ``_cms_bucket`` under a disjoint
+    key prefix (``b<i>`` vs ``<i>``), so building a Bloom filter and a
+    CMS under one salt never correlates their hash families."""
+    h = F.sha2(F.concat(F.lit(f"{salt}:b{i}:"),
+                        F.col(value_col).cast("string")), 256)
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(int(m_bits)))
+
+
+def _bloom_words(groups: list[str], positioned: DataFrame) -> DataFrame:
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(_p % 32 as int))")
+    return (positioned
+            .select(*groups, F.floor(F.col("_p") / 32).alias("w"),
+                    mask.alias("_m"))
+            .groupBy(*groups, "w")
+            .agg(F.bit_or("_m").alias("bits")))
+
+
+def bloom_sketch(df: DataFrame, group_cols: str | list[str],
+                 value_col: str, *, m_bits: int = 1024,
+                 k_hashes: int = 4, salt: str = "v1") -> DataFrame:
+    """Per-group Bloom filter (Bloom 1970) in SPARSE packed form: one
+    row per non-empty 32-bit word, (group_cols…, w, bits) with ``bits``
+    the OR of ``1 << (pos % 32)`` over every hashed bit position ``pos``
+    falling in word ``w = pos // 32``. The MEMBERSHIP companion to the
+    engine's KMV (cardinality) and CMS (frequency) sketches: a key is
+    reported present iff all ``k_hashes`` of its bit positions are set
+    (``bloom_contains``) — no false negatives ever, false positives at
+    ≈ (1 - e^(-k·n/m))^k for n inserted keys.
+
+    Deterministic BY CONSTRUCTION: bit positions are sha256 of the
+    value (``_bloom_pos``), and the words are a plain bit_or
+    aggregation — identical on any partitioning, cluster size, or
+    engine (the oracle replays every bit), and MERGEABLE by OR-ing
+    words (``bloom_merge``: bloom(A) | bloom(B) == bloom(A ∪ B)
+    exactly, by idempotent-OR linearity). NULL values are ignored.
+
+    This is the build side of the scalable semi-join: sketch the small
+    relation's keys per group, broadcast the O(m_bits/8)-byte filter,
+    and pre-filter a 100-TB probe side down to definite-misses-removed
+    before the exact join — the same shape runtime row-level filtering
+    uses, here as an explicit, persistable, mergeable artifact (e.g. a
+    benchmark-membership filter shipped to every decontamination run).
+
+    Scale shape: one map-side-combinable hash aggregation over
+    k_hashes × |rows| exploded postings with bounded key cardinality
+    (groups × m_bits/32) — no window, no distinct, one shuffle."""
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    pos = F.array(*[_bloom_pos(value_col, i, m_bits, salt)
+                    for i in range(k_hashes)])
+    positioned = (df.filter(F.col(value_col).isNotNull())
+                  .select(*groups, F.explode(pos).alias("_p")))
+    return _bloom_words(groups, positioned)
+
+
+def bloom_merge(words: DataFrame,
+                group_cols: str | list[str]) -> DataFrame:
+    """Merge Bloom filters built under the SAME (m_bits, k_hashes,
+    salt): OR the words per group — exact by idempotent-OR linearity,
+    so merging per-partition or per-day filters equals building one
+    filter over the union."""
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    return (words.groupBy(*groups, "w")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_contains(words: DataFrame, keys: DataFrame,
+                   group_cols: str | list[str], value_col: str, *,
+                   m_bits: int = 1024, k_hashes: int = 4,
+                   salt: str = "v1") -> DataFrame:
+    """Probe the filter: for each (group, value) row of ``keys``,
+    member = every one of the value's ``k_hashes`` bit positions is set
+    in the group's filter (an absent word means unset bits). member =
+    false is DEFINITE absence; member = true is presence up to the
+    filter's false-positive rate. Parameters must match the sketch's.
+
+    Shape: k_hashes probe rows per key, one equi-join on (group, word)
+    against the sparse words (broadcast-sized for any real m_bits), one
+    bool_and aggregate back to keys."""
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    groups = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    pos = F.array(*[_bloom_pos(value_col, i, m_bits, salt)
+                    for i in range(k_hashes)])
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(_p % 32 as int))")
+    probes = (keys
+              .select(*groups, F.col(value_col),
+                      F.explode(pos).alias("_p"))
+              .select(*groups, value_col,
+                      F.floor(F.col("_p") / 32).alias("w"),
+                      mask.alias("_m")))
+    joined = probes.join(words, [*groups, "w"], "left")
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("_m")) != 0, F.lit(False))
+    return (joined.groupBy(*groups, value_col)
+            .agg(F.bool_and(hit).alias("member")))
 
 
 def cms_point_estimate(cells: DataFrame, keys: DataFrame,

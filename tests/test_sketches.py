@@ -296,3 +296,98 @@ def test_cms_validation_and_weights(spark):
         per_row.setdefault(r["r"], []).append(r["cnt"])
     for r, counts in per_row.items():
         assert sorted(counts) in ([1, 7], [8])  # collision may merge cells
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership)
+# ---------------------------------------------------------------------------
+
+def _brute_bloom(rows, m_bits, k_hashes, salt="v1"):
+    import hashlib
+    words = {}
+    for g, v in rows:
+        if v is None:
+            continue
+        for i in range(k_hashes):
+            p = int(hashlib.sha256(
+                f"{salt}:b{i}:{v}".encode()).hexdigest()[:15], 16) % m_bits
+            key = (g, p // 32)
+            words[key] = words.get(key, 0) | (1 << (p % 32))
+    return words
+
+
+def test_bloom_brute_parity_and_invariance(spark):
+    import random
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        bloom_sketch)
+    rng = random.Random(7)
+    rows = [(rng.choice(["a", "b"]), rng.randint(0, 50))
+            for _ in range(300)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["w"]): r["bits"] for r in
+           bloom_sketch(df, "g", "v", m_bits=128, k_hashes=3).collect()}
+    assert got == _brute_bloom(rows, 128, 3)
+    # partitioning invariance (a pure bit_or aggregation)
+    got13 = {(r["g"], r["w"]): r["bits"] for r in
+             bloom_sketch(df.repartition(13), "g", "v",
+                          m_bits=128, k_hashes=3).collect()}
+    assert got13 == got
+
+
+def test_bloom_merge_equals_sketch_of_union(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        bloom_merge, bloom_sketch)
+    a = spark.createDataFrame(
+        [("g", i) for i in range(40)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(20, 60)], "g string, v long")
+    sa = bloom_sketch(a, "g", "v", m_bits=256, k_hashes=4)
+    sb = bloom_sketch(b, "g", "v", m_bits=256, k_hashes=4)
+    merged = {(r["g"], r["w"]): r["bits"] for r in
+              bloom_merge(sa.unionByName(sb), "g").collect()}
+    direct = {(r["g"], r["w"]): r["bits"] for r in
+              bloom_sketch(a.unionByName(b), "g", "v",
+                           m_bits=256, k_hashes=4).collect()}
+    assert merged == direct  # exact, by idempotent-OR linearity
+
+
+def test_bloom_contains_no_false_negatives(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        bloom_contains, bloom_sketch)
+    members = list(range(0, 40))
+    df = spark.createDataFrame([("g", v) for v in members],
+                               "g string, v long")
+    # sized filter: m/n = 1024/40, k=4 -> FP rate ~ 1e-4
+    words = bloom_sketch(df, "g", "v", m_bits=1024, k_hashes=4)
+    keys = spark.createDataFrame(
+        [("g", v) for v in members] +
+        [("g", 100000 + i) for i in range(50)], "g string, v long")
+    res = {r["v"]: r["member"] for r in
+           bloom_contains(words, keys, "g", "v",
+                          m_bits=1024, k_hashes=4).collect()}
+    for v in members:          # the defining guarantee
+        assert res[v] is True
+    fps = [v for v in range(100000, 100050) if res[v]]
+    assert len(fps) <= 2       # deterministic; 0 at this sizing
+
+
+def test_bloom_groups_isolated_and_validation(spark):
+    import pytest as _pytest
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        bloom_contains, bloom_sketch)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v long")
+    words = bloom_sketch(df, "g", "v", m_bits=512, k_hashes=3)
+    keys = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "g string, v long")
+    res = {(r["g"], r["v"]): r["member"] for r in
+           bloom_contains(words, keys, "g", "v",
+                          m_bits=512, k_hashes=3).collect()}
+    # membership is PER GROUP: b's key is not in a's filter
+    assert res[("a", 1)] and res[("b", 2)]
+    assert not res[("a", 2)] and not res[("b", 1)]
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_sketch(df, "g", "v", m_bits=1)
+    with _pytest.raises(ValueError, match="k_hashes"):
+        bloom_sketch(df, "g", "v", k_hashes=0)
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_contains(words, keys, "g", "v", m_bits=0)
