@@ -876,6 +876,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("avg_logprob", 6).alias("avg_logprob")))
     q["unigram_perplexity"] = unigram_perplexity
 
+    # ---- corpus analytics: bigram LM quality scores ----
+    def bigram_perplexity(spark, sf):
+        """Average conditional log-probability per bigram under the
+        corpus's own add-0.5-smoothed bigram model (operators/corpus.py
+        bigram_logprob_scores) — the context-aware rung above the
+        unigram filter: scrambled word order with a normal unigram
+        profile sinks here and nowhere else."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            bigram_logprob_scores)
+        return (bigram_logprob_scores(
+            _t(spark, sf, "documents"), "doc_id", "text", add_k=0.5)
+            .select("doc_id", "n_big",
+                    F.round("avg_logprob", 6).alias("avg_logprob")))
+    q["bigram_perplexity"] = bigram_perplexity
+
     # ---- corpus hygiene: benchmark decontamination ----
     def decontam_overlap(spark, sf):
         """GPT-3/PaLM-style decontamination flags: documents from
@@ -2438,6 +2453,26 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, count(*) AS n_tok, "
             "  avg(lp) AS avg_logprob FROM lp GROUP BY 1) "
             "SELECT b.doc_id, coalesce(a.n_tok, 0) AS n_tok, "
+            "round(a.avg_logprob, 6) AS avg_logprob "
+            "FROM (SELECT doc_id FROM documents) b "
+            "LEFT JOIN agg a USING (doc_id)",
+        "bigram_perplexity":
+            "WITH d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
+            "  FROM d, unnest(range(1, len(toks))) AS r(i) "
+            "  WHERE len(toks) >= 2), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), "
+            "t AS (SELECT unnest(toks) AS term FROM d), "
+            "v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM t), "
+            "lp AS (SELECT bg.doc_id, "
+            "  ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp "
+            "  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+            "  CROSS JOIN v), "
+            "agg AS (SELECT doc_id, count(*) AS n_big, "
+            "  avg(lp) AS avg_logprob FROM lp GROUP BY 1) "
+            "SELECT b.doc_id, coalesce(a.n_big, 0) AS n_big, "
             "round(a.avg_logprob, 6) AS avg_logprob "
             "FROM (SELECT doc_id FROM documents) b "
             "LEFT JOIN agg a USING (doc_id)",

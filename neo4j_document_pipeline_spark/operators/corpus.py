@@ -104,6 +104,66 @@ def unigram_logprob_scores(df: DataFrame, id_col: str,
     )
 
 
+def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
+                          *, add_k: float = 0.5) -> DataFrame:
+    """Average per-bigram conditional log-probability of each document
+    under the corpus's own add-k-smoothed bigram model -> (id_col,
+    n_big, avg_logprob): the context-aware upgrade of
+    ``unigram_logprob_scores`` (one rung up the CCNet/KenLM n-gram
+    ladder). A document whose word ORDER is corpus-typical scores
+    high; shuffled or template-spliced text with a normal unigram
+    profile — which the unigram filter cannot see — scores low,
+    because p(w₂|w₁) collapses on never-seen-adjacent pairs.
+
+    p(w₂|w₁) = (c(w₁w₂) + k) / (c₁(w₁) + k·V) with c(w₁w₂) the corpus
+    bigram count, c₁(w₁) the count of w₁ as a LEFT context, and V the
+    corpus unigram vocabulary size — Laplace/Lidstone smoothing, so the
+    scorer stays well-defined when applied to held-out text containing
+    unseen pairs (k=0 is the raw MLE; every self-scored pair has
+    c ≥ 1, so k=0 is valid here too). avg_logprob = mean ln p over the
+    document's bigrams WITH multiplicity; documents with fewer than
+    two tokens return n_big 0 with NULL avg_logprob.
+
+    Shape: bigrams are built inside the token ARRAY (zip_with over two
+    slices — no positional self-join), exploded once; one corpus hash
+    aggregate for bigram counts, one for left-context counts, V folded
+    in-plan as a broadcast 1-row distinct-count aggregate, one hash
+    aggregate back to documents. Head bigrams are hot ROWS of the
+    count tables, not hot partitions of the join back (per-doc fan-out
+    is bounded by document length). Zero driver actions.
+    """
+    if add_k < 0:
+        raise ValueError(f"add_k must be >= 0, got {add_k}")
+    toks = col_tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    pairs = (df.select(F.col(id_col), F.explode_outer(bigrams)
+                       .alias("_bg"))
+             .select(id_col, F.col("_bg.w1").alias("w1"),
+                     F.col("_bg.w2").alias("w2")))
+    seen = pairs.filter(F.col("w1").isNotNull())
+    c2 = seen.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = seen.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (df.select(F.explode(toks).alias("term"))
+             .agg(F.countDistinct("term").cast("double").alias("v")))
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(F.broadcast(vocab), F.lit(True))
+        .withColumn("lp", F.log(
+            (F.col("c2") + F.lit(float(add_k)))
+            / (F.col("c1") + F.lit(float(add_k)) * F.col("v"))))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("lp").alias("n_big"),
+             F.avg("lp").alias("avg_logprob"))
+    )
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
                         k: int = 5, window: int = 4,
                         salt: str = "v1") -> DataFrame:

@@ -948,6 +948,87 @@ def test_unigram_logprob_surfaces_gibberish(spark):
     assert all(out[99] < out[i] for i in range(10))
 
 
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        bigram_logprob_scores)
+    # corpus bigrams: doc1 "a b a" -> (a,b),(b,a); doc2 "a b" -> (a,b)
+    # c2: (a,b)=2, (b,a)=1; c1: a=2, b=1; V = 2
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "a"), (4, "")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           bigram_logprob_scores(docs, "id", "text", add_k=0.5)
+           .collect()}
+    p_ab = math.log((2 + 0.5) / (2 + 0.5 * 2))
+    p_ba = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    assert out[1]["n_big"] == 2
+    assert abs(out[1]["avg_logprob"] - (p_ab + p_ba) / 2) < 1e-9
+    assert out[2]["n_big"] == 1
+    assert abs(out[2]["avg_logprob"] - p_ab) < 1e-9
+    # fewer than two tokens: no bigrams, NULL score (no evidence)
+    assert out[3]["n_big"] == 0 and out[3]["avg_logprob"] is None
+    assert out[4]["n_big"] == 0 and out[4]["avg_logprob"] is None
+    # k=0 is the raw MLE (valid when self-scoring: every pair seen)
+    mle = {r["id"]: r for r in
+           bigram_logprob_scores(docs, "id", "text", add_k=0.0)
+           .collect()}
+    assert abs(mle[2]["avg_logprob"] - math.log(2 / 2)) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="add_k"):
+        bigram_logprob_scores(docs, "id", "text", add_k=-1.0)
+
+
+def test_bigram_logprob_brute_parity(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        bigram_logprob_scores)
+    rng = random.Random(19)
+    vocab = ["red", "green", "blue", "join", "scan", "sort"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    k = 0.5
+    toks = {i: t.split() for i, t in rows}
+    c2 = Counter(p for ts in toks.values()
+                 for p in zip(ts, ts[1:]))
+    c1 = Counter(w for ts in toks.values() for w in ts[:-1])
+    v = len({w for ts in toks.values() for w in ts})
+    out = {r["id"]: r for r in
+           bigram_logprob_scores(docs, "id", "text", add_k=k)
+           .collect()}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        assert out[i]["n_big"] == len(pairs)
+        if pairs:
+            want = sum(math.log((c2[p] + k) / (c1[p[0]] + k * v))
+                       for p in pairs) / len(pairs)
+            assert abs(out[i]["avg_logprob"] - want) < 1e-9, i
+        else:
+            assert out[i]["avg_logprob"] is None
+
+
+def test_bigram_logprob_sees_word_order(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        bigram_logprob_scores, unigram_logprob_scores)
+    typical = "the query joins the data table by the key"
+    # identical unigram profile, scrambled order -> unigram-blind
+    scrambled = "key the by joins data the query table the"
+    rows = [(i, typical) for i in range(10)] + [(99, scrambled)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    uni = {r["id"]: r["avg_logprob"] for r in
+           unigram_logprob_scores(docs, "id", "text").collect()}
+    assert abs(uni[99] - uni[0]) < 1e-9  # unigram cannot tell
+    big = {r["id"]: r["avg_logprob"] for r in
+           bigram_logprob_scores(docs, "id", "text").collect()}
+    assert all(big[99] < big[i] for i in range(10))
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
