@@ -910,6 +910,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("overlap_frac", 6).alias("overlap_frac"), "flagged")
     q["decontam_overlap"] = decontam_overlap
 
+    # ---- corpus hygiene: Bloom-prefiltered decontamination ----
+    def decontam_bloom(spark, sf):
+        """The SAME decontamination answer reached through a broadcast
+        Bloom filter of the bench grams (operators/dedup.py
+        ngram_overlap_flags_bloom): definite-miss grams are dropped
+        narrowly (k broadcast joins + bit tests, no shuffle of the
+        corpus gram stream) and only survivors reach the exact verify
+        join — lossless by the no-false-negative guarantee, so the
+        ORACLE here is the exact decontamination SQL itself."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            ngram_overlap_flags_bloom)
+        d = _t(spark, sf, "documents")
+        out = ngram_overlap_flags_bloom(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "doc_id", "text", n=4,
+            bloom_bits=1 << 16, bloom_hashes=3)
+        return out.select(
+            "doc_id", "n_grams", "n_hit",
+            F.round("overlap_frac", 6).alias("overlap_frac"), "flagged")
+    q["decontam_bloom"] = decontam_bloom
+
     # ---- corpus hygiene: CCNet-style cross-document line dedup ----
     def line_dedup_docs(spark, sf):
         """Cross-document boilerplate-line removal (CCNet §4.1): the
@@ -2479,6 +2501,27 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap":
             # same tokenization, inclusive 4-gram slices toks[i:i+3],
             # per-doc DISTINCT grams, benchmark = source 'src0'
+            "WITH d AS (SELECT doc_id, source, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "g AS (SELECT doc_id, source, CASE WHEN len(toks) >= 4 THEN "
+            "  list_distinct(list_transform(range(1, len(toks) - 2), "
+            "  i -> array_to_string(toks[i:i+3], ' '))) "
+            "  ELSE []::VARCHAR[] END AS grams FROM d), "
+            "b AS (SELECT DISTINCT unnest(grams) AS gram FROM g "
+            "  WHERE source = 'src0'), "
+            "t AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'), "
+            "e AS (SELECT doc_id, unnest(grams) AS gram FROM t), "
+            "h AS (SELECT e.doc_id, count(*) AS n_hit FROM e "
+            "  JOIN b USING (gram) GROUP BY 1) "
+            "SELECT t.doc_id, len(t.grams) AS n_grams, "
+            "coalesce(h.n_hit, 0) AS n_hit, "
+            "round(CASE WHEN len(t.grams) > 0 THEN "
+            "coalesce(h.n_hit, 0)::DOUBLE / len(t.grams) ELSE 0.0 END, 6) "
+            "AS overlap_frac, coalesce(h.n_hit, 0) > 0 AS flagged "
+            "FROM t LEFT JOIN h USING (doc_id)",
+        "decontam_bloom":
+            # the Bloom path is lossless -> the oracle IS the exact SQL
+
             "WITH d AS (SELECT doc_id, source, "
             f"{_SQL_TOKENS} AS toks FROM documents), "
             "g AS (SELECT doc_id, source, CASE WHEN len(toks) >= 4 THEN "

@@ -446,6 +446,95 @@ def ngram_overlap_flags(docs: DataFrame, bench: DataFrame,
         (frac > F.lit(float(threshold))).alias("flagged"))
 
 
+def ngram_overlap_flags_bloom(docs: DataFrame, bench: DataFrame,
+                              id_col: str, text_col: str, *,
+                              n: int = 13, threshold: float = 0.0,
+                              bloom_bits: int = 1 << 20,
+                              bloom_hashes: int = 4,
+                              salt: str = "v1") -> DataFrame:
+    """``ngram_overlap_flags`` for a benchmark gram set too large to
+    broadcast as STRINGS: identical output (same columns, same rows,
+    bit-for-bit), reached through a broadcast BLOOM FILTER of the
+    bench grams instead of the bench grams themselves.
+
+    Why this exists at 100 TB: a pooled eval registry can hold 10^8+
+    grams — hundreds of MB of strings, unbroadcastable — while its
+    Bloom filter at ~10 bits/gram is a few hundred MB of BITS at
+    worst and here rides the sparse packed-word form
+    (``bloom_sketch``). The probe side then drops every
+    definite-miss gram NARROWLY: per hash function one broadcast-hash
+    join against the word table plus a bit test — no shuffle touches
+    the corpus-sized gram stream. Only the surviving grams (true
+    overlaps + the filter's false positives) reach the exact hash
+    join against the bench grams, so false positives are verified
+    away and the no-false-negative guarantee makes the prefilter
+    LOSSLESS: output == the exact path's, provably (the oracle for
+    this operator IS the exact decontamination SQL).
+
+    Scale shape: bench-side one gram aggregate + the O(m_bits/32)-row
+    word table (broadcast k times); docs-side a narrow gram explode,
+    k broadcast joins + bit filters, then the exact verify join and
+    one per-doc aggregate over SURVIVORS ONLY — the shuffled volume is
+    proportional to the (tiny) overlap, not the corpus."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if bloom_bits < 2:
+        raise ValueError(f"bloom_bits must be >= 2, got {bloom_bits}")
+    if bloom_hashes < 1:
+        raise ValueError(f"bloom_hashes must be >= 1, got {bloom_hashes}")
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        _bloom_pos, bloom_sketch)
+
+    def gram_arr(c):
+        toks = col_tokens(c)
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        bench.select(F.explode(gram_arr(F.col(text_col))).alias("gram"))
+        .distinct())
+    words = bloom_sketch(bench_grams, [], "gram", m_bits=bloom_bits,
+                         k_hashes=bloom_hashes, salt=salt)
+
+    # narrow prefilter: per hash function, one broadcast join on the
+    # word index + a bit test; a gram missing ANY of its bits is a
+    # definite miss and is dropped before it can cost a shuffle
+    survivors = docs.select(
+        F.col(id_col), F.explode(gram_arr(F.col(text_col))).alias("gram"))
+    for i in range(bloom_hashes):
+        wi = words.select(F.col("w").alias(f"_w{i}"),
+                          F.col("bits").alias(f"_b{i}"))
+        p = _bloom_pos("gram", i, bloom_bits, salt)
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(_p{i} % 32 as int))")
+        survivors = (
+            survivors.withColumn(f"_p{i}", p)
+            .join(F.broadcast(wi),
+                  F.floor(F.col(f"_p{i}") / 32) == F.col(f"_w{i}"), "left")
+            .filter(F.coalesce(
+                F.col(f"_b{i}").bitwiseAND(mask) != 0, F.lit(False)))
+            .drop(f"_p{i}", f"_w{i}", f"_b{i}"))
+
+    # exact verify on survivors only — false positives die here
+    hits = (survivors.join(bench_grams, "gram")
+            .groupBy(id_col).agg(F.count("*").alias("n_hit")))
+    base = docs.select(F.col(id_col),
+                       F.size(gram_arr(F.col(text_col))).alias("n_grams"))
+    out = (base.join(hits, [id_col], "left")
+           .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_hit") / F.col("n_grams")).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "n_grams", "n_hit", frac.alias("overlap_frac"),
+        (frac > F.lit(float(threshold))).alias("flagged"))
+
+
 # ---------------------------------------------------------------------------
 # Cross-document line dedup (CCNet-style)
 # ---------------------------------------------------------------------------

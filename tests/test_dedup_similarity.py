@@ -778,6 +778,53 @@ def test_ngram_overlap_repeated_grams_counted_once(spark):
     assert r["n_grams"] == 4 and r["n_hit"] == 1
 
 
+def test_ngram_overlap_bloom_path_is_lossless(spark):
+    import random
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags, ngram_overlap_flags_bloom)
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def txt(lo, hi):
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(lo, hi)))
+
+    bench = spark.createDataFrame(
+        [(i, txt(4, 10)) for i in range(8)], "id long, text string")
+    docs = spark.createDataFrame(
+        [(i, txt(0, 14)) for i in range(40)], "id long, text string")
+
+    def key(rows):
+        return sorted((r["id"], r["n_grams"], r["n_hit"],
+                       round(r["overlap_frac"], 12), r["flagged"])
+                      for r in rows)
+
+    exact = key(ngram_overlap_flags(
+        docs, bench, "id", "text", n=4).collect())
+    # sized filter AND a pathologically tiny one (false positives on
+    # nearly every probe): the exact verify join must erase them all
+    for m_bits in (1 << 16, 64):
+        got = key(ngram_overlap_flags_bloom(
+            docs, bench, "id", "text", n=4, bloom_bits=m_bits,
+            bloom_hashes=3).collect())
+        assert got == exact, m_bits
+
+
+def test_ngram_overlap_bloom_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags_bloom)
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with _pytest.raises(ValueError, match="bloom_bits"):
+        ngram_overlap_flags_bloom(df, df, "id", "text", bloom_bits=1)
+    with _pytest.raises(ValueError, match="bloom_hashes"):
+        ngram_overlap_flags_bloom(df, df, "id", "text", bloom_hashes=0)
+    with _pytest.raises(ValueError, match="n must be"):
+        ngram_overlap_flags_bloom(df, df, "id", "text", n=0)
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style cross-document line dedup
 # ---------------------------------------------------------------------------

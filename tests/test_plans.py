@@ -388,6 +388,28 @@ def test_corpus_hygiene_plans(spark):
     assert "CartesianProduct" not in p2
 
 
+def test_bloom_decontam_prefilter_is_all_broadcast(spark):
+    """Bloom-prefiltered decontamination: every one of the k prefilter
+    joins on the word index must be a BROADCAST hash join (the corpus
+    gram stream is never shuffled before the verify join) and nothing
+    may plan as a nested-loop/cartesian join."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        ngram_overlap_flags_bloom)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = ngram_overlap_flags_bloom(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", n=4, bloom_bits=1 << 16, bloom_hashes=3)
+    p = plan_of(flags)
+    # k=3 word-index joins + the verify join (formatted explain lists
+    # each operator twice — count unique "(N) Op" ids)
+    import re
+    bhj = set(re.findall(r"\((\d+)\) BroadcastHashJoin", p))
+    assert len(bhj) >= 4, sorted(bhj)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_duplicate_span_plan_is_equi_join_and_per_doc_window(spark):
     """exact-substring spans: the flag join keys on the fixed-width gram
     hash (hash EQUI join, never nested-loop) and the island merge is a
