@@ -891,6 +891,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("avg_logprob", 6).alias("avg_logprob")))
     q["bigram_perplexity"] = bigram_perplexity
 
+    # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
+    def ngram_diversity_sources(spark, sf):
+        """Distinct/total n-gram ratios per source for n=1,2,3
+        (operators/corpus.py ngram_diversity): the corpus-level
+        Self-BLEU complement — duplicated phrasing in a synthetic or
+        boilerplate-heavy source drags diversity toward 0 long before
+        exact dedup fires. One tagged explode, one aggregate."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            ngram_diversity)
+        return (ngram_diversity(
+            _t(spark, sf, "documents"), "source", "text", ns=(1, 2, 3))
+            .select("source", "n", "total_grams", "distinct_grams",
+                    F.round("diversity", 6).alias("diversity")))
+    q["ngram_diversity_sources"] = ngram_diversity_sources
+
     # ---- corpus hygiene: benchmark decontamination ----
     def decontam_overlap(spark, sf):
         """GPT-3/PaLM-style decontamination flags: documents from
@@ -2498,6 +2513,28 @@ def oracle_sql() -> dict[str, str]:
             "round(a.avg_logprob, 6) AS avg_logprob "
             "FROM (SELECT doc_id FROM documents) b "
             "LEFT JOIN agg a USING (doc_id)",
+        "ngram_diversity_sources":
+            # same tokenization; inclusive slices toks[i:i+n-1]; a
+            # group with no grams of size n yields no row for that n
+            "WITH d AS (SELECT source, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "g AS ("
+            "SELECT source, CAST(1 AS INT) AS n, unnest(toks) AS gram "
+            "FROM d "
+            "UNION ALL SELECT source, CAST(2 AS INT), "
+            "unnest(CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), "
+            "i -> array_to_string(toks[i:i+1], ' ')) "
+            "ELSE []::VARCHAR[] END) FROM d "
+            "UNION ALL SELECT source, CAST(3 AS INT), "
+            "unnest(CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(range(1, len(toks) - 1), "
+            "i -> array_to_string(toks[i:i+2], ' ')) "
+            "ELSE []::VARCHAR[] END) FROM d) "
+            "SELECT source, n, count(*) AS total_grams, "
+            "count(DISTINCT gram) AS distinct_grams, "
+            "round(count(DISTINCT gram)::DOUBLE / count(*), 6) "
+            "AS diversity FROM g GROUP BY 1, 2",
         "decontam_overlap":
             # same tokenization, inclusive 4-gram slices toks[i:i+3],
             # per-doc DISTINCT grams, benchmark = source 'src0'

@@ -1084,8 +1084,21 @@ def main(argv=None):
             "n_tok", [0.5, 0.9, 0.99], "doc_id", rate=qrate).collect()
         report_tl = {f"p{int(r['p'] * 100)}": r["value"] for r in tl}
         report_tl["sample_rate"] = qrate
+        # corpus-level bigram diversity: the mode-collapse probe — a
+        # synthetic or boilerplate-heavy corpus sits far below organic
+        # text long before exact dedup would fire
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            ngram_diversity)
+        drow = ngram_diversity(
+            docs.select(F.lit("all").alias("_g"), "text"),
+            "_g", "text", ns=(2,)).collect()
+        diversity = ({"total_bigrams": drow[0]["total_grams"],
+                      "distinct_bigrams": drow[0]["distinct_grams"],
+                      "diversity": round(drow[0]["diversity"], 6)}
+                     if drow else {"total_bigrams": 0})
         report = {"hygiene": overall, "lang_mix": langs,
                   "token_length_quantiles": report_tl,
+                  "bigram_diversity": diversity,
                   "exact_dups": "collapsed at ingest (doc_id = "
                                 "sha256(text))"}
         if ns.near_dups:

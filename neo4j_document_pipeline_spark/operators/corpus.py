@@ -164,6 +164,56 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def ngram_diversity(df: DataFrame, group_col: str, text_col: str, *,
+                    ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Corpus n-gram diversity per group -> (group_col, n, total_grams,
+    distinct_grams, diversity): for each gram size, the fraction of the
+    group's n-gram OCCURRENCES that are distinct types. The
+    distinct-n-gram ratio is the standard mode-collapse check for
+    synthetic / model-generated corpora (the corpus-level complement of
+    Self-BLEU: duplicated phrasing drags diversity toward 0 long before
+    exact-dedup would fire) and a Zipf-shape probe for scraped text
+    (boilerplate-heavy sources sit far below organic ones at n=2,3).
+    n=1 is the classic type-token ratio.
+
+    Groups with no tokens of size >= n yield no row for that n (no
+    evidence). Tokenization is the engine's ``col_tokens``, so every
+    number is plain-SQL reproducible.
+
+    Shape: every gram size is built inside the token ARRAY and tagged
+    (n, gram) before ONE explode — a single narrow pass over the corpus
+    feeding one (group, n) aggregate with a distinct count; no
+    per-size re-scan, no join. At 100 TB the aggregate keys are
+    (groups × |ns|) — trivially small — and the distinct runs
+    map-side-combinable over near-uniform gram hashes."""
+    if not ns:
+        raise ValueError("ngram_diversity: ns must be non-empty")
+    if any(n < 1 for n in ns):
+        raise ValueError(f"every n must be >= 1, got {ns}")
+    toks = col_tokens(F.col(text_col))
+
+    def tagged(n):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).cast("int").alias("n"),
+                                      g.alias("gram")))
+
+    combos = F.flatten(F.array(*[tagged(n) for n in sorted(set(ns))]))
+    ex = df.select(F.col(group_col), F.explode(combos).alias("_t")) \
+           .select(group_col, F.col("_t.n").alias("n"),
+                   F.col("_t.gram").alias("gram"))
+    return (ex.groupBy(group_col, "n")
+            .agg(F.count("*").alias("total_grams"),
+                 F.countDistinct("gram").alias("distinct_grams"))
+            .withColumn("diversity",
+                        F.col("distinct_grams") / F.col("total_grams")))
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
                         k: int = 5, window: int = 4,
                         salt: str = "v1") -> DataFrame:

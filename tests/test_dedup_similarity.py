@@ -995,6 +995,69 @@ def test_unigram_logprob_surfaces_gibberish(spark):
     assert all(out[99] < out[i] for i in range(10))
 
 
+def test_ngram_diversity_known_values_and_brute(spark):
+    import random
+    from collections import Counter
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        ngram_diversity)
+    # group a: "x x x x" -> 1-grams 4 total/1 distinct; 2-grams
+    # 3 total/1 distinct. group b: "p q" + "q" -> 1-grams 3/2,
+    # 2-grams 1/1. group c: "" -> no rows at all.
+    docs = spark.createDataFrame(
+        [("a", "x x x x"), ("b", "p q"), ("b", "q"), ("c", "")],
+        "g string, text string")
+    out = {(r["g"], r["n"]): (r["total_grams"], r["distinct_grams"],
+                              r["diversity"])
+           for r in ngram_diversity(docs, "g", "text",
+                                    ns=(1, 2)).collect()}
+    assert out[("a", 1)] == (4, 1, 0.25)
+    assert out[("a", 2)] == (3, 1, 1 / 3)
+    assert out[("b", 1)] == (3, 2, 2 / 3)
+    assert out[("b", 2)] == (1, 1, 1.0)
+    assert not any(g == "c" for g, _ in out)
+    # brute parity on random text
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [("g", " ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(0, 9))))
+            for _ in range(25)]
+    got = {r["n"]: (r["total_grams"], r["distinct_grams"]) for r in
+           ngram_diversity(spark.createDataFrame(
+               rows, "g string, text string"), "g", "text",
+               ns=(1, 2, 3)).collect()}
+    for n in (1, 2, 3):
+        grams = Counter()
+        for _, t in rows:
+            ts = t.split()
+            for i in range(len(ts) - n + 1):
+                grams[" ".join(ts[i:i + n])] += 1
+        if grams:
+            assert got[n] == (sum(grams.values()), len(grams)), n
+        else:
+            assert n not in got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        ngram_diversity(docs, "g", "text", ns=())
+    with _pytest.raises(ValueError, match=">= 1"):
+        ngram_diversity(docs, "g", "text", ns=(0,))
+
+
+def test_ngram_diversity_flags_mode_collapse(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        ngram_diversity)
+    organic = [("org", f"doc {i} about topic {i * 7 % 13} with detail "
+                       f"{i * 3 % 11}") for i in range(20)]
+    collapsed = [("syn", "the model repeats the same phrasing again")
+                 for _ in range(20)]
+    out = {(r["g"], r["n"]): r["diversity"] for r in
+           ngram_diversity(spark.createDataFrame(
+               organic + collapsed, "g string, text string"),
+               "g", "text", ns=(2,)).collect()}
+    # the collapsed source's bigram diversity is an order below
+    assert out[("syn", 2)] < out[("org", 2)] / 5
+
+
 def test_bigram_logprob_known_values(spark):
     import math
 
@@ -1205,6 +1268,11 @@ def test_cli_hygiene_report(spark, tmp_path, capsys):
     # exactly the planted looping doc trips the Gopher top-2-gram rule
     assert rep["hygiene"]["docs_topgram_heavy"] == 1
     assert sum(rep["lang_mix"].values()) == rep["hygiene"]["n_docs"]
+    dv = rep["bigram_diversity"]
+    # the looping doc alone repeats "click here" 30x, so corpus bigram
+    # diversity must sit strictly below 1; counts are exact integers
+    assert dv["total_bigrams"] > dv["distinct_bigrams"] > 0
+    assert 0 < dv["diversity"] < 1
     nd = rep["near_dups"]
     assert nd["clusters"] >= 1 and nd["docs_in_clusters"] >= 2
     assert nd["removable"] == nd["docs_in_clusters"] - nd["clusters"] >= 1
