@@ -26,6 +26,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
     python -m neo4j_document_pipeline_spark sample --store <dir> --rate 0.25 [--salt v1]  # reproducible doc sample
     python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
+    python -m neo4j_document_pipeline_spark prepare --store <dir> --out <dir> [--bench <parquet> --decontam-n 13] [--rate R | --rates k=v,..] [--budget 4096]  # decontam -> sample -> shard export + manifest
     python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
     python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
     python -m neo4j_document_pipeline_spark hygiene --store <dir> [--near-dups --dup-spans]  # corpus-quality report (size/langs/quality/repetition/PII[/near-dups/spans])
@@ -116,7 +117,7 @@ def main(argv=None):
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
-        "kcore", "export", "sample", "shards", "attribution",
+        "kcore", "export", "sample", "shards", "prepare", "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
         "walks", "mixture", "spans", "semdedup"])
@@ -244,9 +245,11 @@ def main(argv=None):
                          "before the candidate self-join (ultra-hubs "
                          "carry ~0 Adamic-Adar signal but C(d,2) cost). "
                          "Default 1000; pass 'none' to disable")
-    ap.add_argument("--rate", type=float, default=0.1,
-                    help="sample: uniform keep probability (ignored "
-                         "when --rates is given)")
+    ap.add_argument("--rate", type=float, default=None,
+                    help="sample: uniform keep probability, default "
+                         "0.1 (ignored when --rates is given); "
+                         "prepare: optional — omit to keep every "
+                         "document")
     ap.add_argument("--rates", default=None,
                     help="sample: per-stratum rates as "
                          "VALUE=RATE[,VALUE=RATE...] over --strata-col "
@@ -261,7 +264,13 @@ def main(argv=None):
                     help="sample: change to draw an independent sample "
                          "(train vs holdout)")
     ap.add_argument("--budget", type=int, default=4096,
-                    help="shards: target tokens per shard")
+                    help="shards/prepare: target tokens per shard")
+    ap.add_argument("--bench", default=None,
+                    help="prepare: parquet path of benchmark documents "
+                         "(text column) to decontaminate against")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="prepare: n-gram size for the decontamination "
+                         "flags (13 = the GPT-3/PaLM policy)")
     ap.add_argument("--events", default=None,
                     help="attribution/dedup-stream: parquet dir of events "
                          "(event_id, event_type, user_id, ts, ...)")
@@ -878,10 +887,11 @@ def main(argv=None):
                                     default_rate=ns.default_rate,
                                     salt=ns.salt)
         else:
-            if not (0.0 <= ns.rate <= 1.0):
+            rate = 0.1 if ns.rate is None else ns.rate
+            if not (0.0 <= rate <= 1.0):
                 sys.exit("--rate must be in [0, 1]")
             out = docs.filter(
-                uniform_hash_col("doc_id", ns.salt) < F.lit(ns.rate))
+                uniform_hash_col("doc_id", ns.salt) < F.lit(rate))
         for r in (out.select("doc_id", "title")
                   .orderBy("doc_id").limit(ns.limit).collect()):
             print(json.dumps(r.asDict(), default=str))
@@ -904,6 +914,86 @@ def main(argv=None):
                 .orderBy("shard_id").limit(ns.limit).collect())
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "prepare":
+        # end-to-end training-data export: committed documents ->
+        # (optional) benchmark decontamination -> reproducible sampling
+        # -> token-budget shard packing -> shard-partitioned parquet +
+        # a JSON manifest. Every stage is a pure function of
+        # (data, salt): a rerun produces byte-identical shards, so two
+        # teams can derive the same training set independently.
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.functions.textstats import (
+            col_token_count)
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            stratified_sample, token_shards, uniform_hash_col)
+        if not ns.out:
+            sys.exit("prepare requires --out <dir> for the shard sink")
+        doc_table = ("documents_final" if store.exists("documents_final")
+                     else "documents")
+        docs = store.read(doc_table)
+        manifest = {"doc_table": doc_table, "salt": ns.salt,
+                    "budget": ns.budget}
+        if ns.bench:
+            import glob as _glob
+            import re as _re
+            if not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", ns.bench) \
+                    and not _glob.glob(ns.bench):
+                sys.exit(f"no such benchmark path {ns.bench!r}")
+            bench = spark.read.parquet(ns.bench)
+            if "text" not in bench.columns:
+                sys.exit("--bench parquet must carry a text column "
+                         f"(have {bench.columns})")
+            if ns.decontam_n < 1:
+                sys.exit("--decontam-n must be >= 1")
+            from neo4j_document_pipeline_spark.operators.dedup import (
+                ngram_overlap_flags)
+            flagged = (ngram_overlap_flags(
+                docs, bench, "doc_id", "text", n=ns.decontam_n)
+                .filter("flagged").select("doc_id"))
+            docs = docs.join(flagged, "doc_id", "left_anti")
+            manifest["decontam"] = {"bench": ns.bench,
+                                    "n": ns.decontam_n}
+        if ns.rates:
+            if ns.strata_col not in docs.columns:
+                sys.exit(f"--strata-col {ns.strata_col!r} is not a "
+                         f"documents column (have {docs.columns})")
+            try:
+                rates = {k: float(v) for k, v in
+                         (kv.split("=", 1) for kv in ns.rates.split(","))}
+            except ValueError:
+                sys.exit("--rates must be VALUE=RATE[,VALUE=RATE...]")
+            docs = stratified_sample(docs, rates, ns.strata_col,
+                                     id_col="doc_id",
+                                     default_rate=ns.default_rate,
+                                     salt=ns.salt)
+            manifest["sample"] = {"rates": rates,
+                                  "strata_col": ns.strata_col,
+                                  "default_rate": ns.default_rate}
+        elif ns.rate is not None:
+            if not (0.0 <= ns.rate <= 1.0):
+                sys.exit("--rate must be in [0, 1]")
+            docs = docs.filter(
+                uniform_hash_col("doc_id", ns.salt) < F.lit(ns.rate))
+            manifest["sample"] = {"rate": ns.rate}
+        sized = docs.withColumn(
+            "n_tok", col_token_count(F.col("text")))
+        packed = token_shards(sized, ns.budget)
+        packed.write.partitionBy("shard_id").parquet(ns.out)
+        # summarize from the packed frame (its prefix-sum input is
+        # localCheckpoint-ed, so this re-runs only the narrow pass) —
+        # a read-back would fail on a legitimately EMPTY export (all
+        # docs decontaminated/sampled away writes only _SUCCESS)
+        summary = packed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.countDistinct("shard_id").alias("n_shards")) \
+            .collect()[0].asDict()
+        manifest.update({k: int(v or 0) for k, v in summary.items()})
+        with open(os.path.join(ns.out, "_prepare_manifest.json"),
+                  "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        print(json.dumps(manifest, sort_keys=True))
     elif ns.command in ("attribution", "dedup-stream"):
         # the event-correlation surface over an events dir: attribution
         # = stream-stream interval join (every trigger paired with each

@@ -163,6 +163,79 @@ def test_cli_sample_and_shards(spark, tmp_path, capsys):
         r["shard_id"] for r in plan)
 
 
+def test_cli_prepare_end_to_end(spark, tmp_path, capsys):
+    """`prepare` = decontam -> sample -> shard export in one command:
+    the benchmark-overlapping document is dropped, shards land as
+    partitioned parquet + manifest, and a rerun produces the IDENTICAL
+    (doc_id, shard_id) assignment (every stage is a pure function of
+    data and salt)."""
+    import json
+    import os
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    root = str(tmp_path / "kg")
+    # plant ONE page with a unique token run: the synth corpus is
+    # templated (docs share boilerplate n-grams), so the benchmark
+    # must overlap exactly one document, not the template
+    import datetime as dt
+    secret = " ".join(f"zqsecret{i}" for i in range(12))
+    planted = spark.createDataFrame(
+        [("p://leak", "A page. " + secret + " End.",
+          dt.datetime(2025, 1, 1))],
+        "url string, text string, warc_ts timestamp")
+    pages = synth_pages(spark, 12).select(
+        "url", "text", "warc_ts").unionByName(planted)
+    run_pipeline(spark, pages, root)
+    docs = GraphStore(root, spark).read("documents")
+    n_docs = docs.count()
+    leak = docs.filter(F.col("text").contains("zqsecret0")) \
+        .select("doc_id").first()
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame([(secret,)], "text string") \
+        .write.parquet(bench_path)
+
+    def run(args):
+        main(args + ["--store", root])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out1 = str(tmp_path / "s1")
+    m1 = run(["prepare", "--out", out1, "--bench", bench_path,
+              "--decontam-n", "8", "--budget", "512"])
+    assert m1["decontam"] == {"bench": bench_path, "n": 8}
+    assert 0 < m1["n_docs"] < n_docs  # the leaked doc was dropped
+    assert m1["n_shards"] >= 1 and m1["tokens_total"] > 0
+    got = spark.read.parquet(out1)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert leak["doc_id"] not in ids
+    assert len(ids) == m1["n_docs"]
+    assert os.path.exists(os.path.join(out1, "_prepare_manifest.json"))
+    # determinism: a second run assigns byte-identical shards
+    out2 = str(tmp_path / "s2")
+    m2 = run(["prepare", "--out", out2, "--bench", bench_path,
+              "--decontam-n", "8", "--budget", "512"])
+    assert m2 == {**m1}
+    a1 = sorted((r["doc_id"], r["shard_id"]) for r in
+                got.select("doc_id", "shard_id").collect())
+    a2 = sorted((r["doc_id"], r["shard_id"]) for r in
+                spark.read.parquet(out2)
+                .select("doc_id", "shard_id").collect())
+    assert a1 == a2
+    # sampling composes: a 0.5 draw keeps a strict, reproducible subset
+    out3 = str(tmp_path / "s3")
+    m3 = run(["prepare", "--out", out3, "--rate", "0.5",
+              "--budget", "512"])
+    assert 0 < m3["n_docs"] < n_docs and m3["sample"] == {"rate": 0.5}
+    # loud validation
+    with pytest.raises(SystemExit, match="--out"):
+        run(["prepare"])
+    with pytest.raises(SystemExit, match="benchmark path"):
+        run(["prepare", "--out", str(tmp_path / "s4"),
+             "--bench", str(tmp_path / "missing")])
+
+
 def test_token_shards_carry_across_arrow_batches(spark):
     """The in-partition cumsum carry survives Arrow batch boundaries:
     force tiny batches so every partition spans several."""
