@@ -265,6 +265,10 @@ def main(argv=None):
                          "(train vs holdout)")
     ap.add_argument("--budget", type=int, default=4096,
                     help="shards/prepare: target tokens per shard")
+    ap.add_argument("--track-sketches", action="store_true",
+                    help="ingest/stream: maintain the bounded mergeable "
+                         "corpus sketches (cms tokens / kmv vocab / "
+                         "bloom doc-ids) as O(batch) state")
     ap.add_argument("--bench", default=None,
                     help="prepare: parquet path of benchmark documents "
                          "(text column) to decontaminate against")
@@ -422,7 +426,8 @@ def main(argv=None):
                                  span_k=ns.span_k,
                                  span_min_count=ns.span_min_count,
                                  resolve_near_dups=ns.resolve_near_dups,
-                                 near_dup_threshold=ns.near_dup_threshold)
+                                 near_dup_threshold=ns.near_dup_threshold,
+                                 track_sketches=ns.track_sketches)
                 print(json.dumps({"increment": {
                     k: (store.manifest(k) or {}).get("rows")
                     for k in ("nodes", "edges", "mentions", "documents_final")}},
@@ -449,6 +454,7 @@ def main(argv=None):
                                      span_min_count=ns.span_min_count,
                                      resolve_near_dups=ns.resolve_near_dups,
                                      near_dup_threshold=ns.near_dup_threshold,
+                                     track_sketches=ns.track_sketches,
                                      keep_versions=ns.keep_versions,
                                      langs=(ns.langs.split(",")
                                             if ns.langs else None),
@@ -1249,6 +1255,13 @@ def main(argv=None):
             sg["span_k"] = gm.get("span_k")
             sg["span_min_count"] = int(mc)
             report["span_gate_state"] = sg
+        if store.exists("corpus_sketches"):
+            # corpus questions answered from the KB-sized sketch state
+            # (no scan): exact token total, KMV vocab estimate
+            from neo4j_document_pipeline_spark.operators.sketches import (
+                corpus_sketch_summary)
+            report["sketch_state"] = corpus_sketch_summary(
+                store.read("corpus_sketches"))
         if store.exists("doc_signatures"):
             report["near_dup_gate_state"] = {
                 "signed_docs": store.read("doc_signatures")
@@ -1356,6 +1369,7 @@ def main(argv=None):
             span_min_count=ns.span_min_count,
             resolve_near_dups=ns.resolve_near_dups,
             near_dup_threshold=ns.near_dup_threshold,
+            track_sketches=ns.track_sketches,
             keep_versions=ns.keep_versions,
             max_files_per_trigger=ns.max_files_per_trigger)
         q.awaitTermination()

@@ -415,3 +415,114 @@ def cms_point_estimate(cells: DataFrame, keys: DataFrame,
         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
     return (joined.groupBy(*groups, value_col)
             .agg(F.min("cnt").alias("estimate")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus sketch state (O(delta)-maintained at ingest)
+# ---------------------------------------------------------------------------
+
+CORPUS_SKETCHES = "corpus_sketches"
+SKETCH_CMS_DEPTH = 4
+SKETCH_CMS_WIDTH = 1024
+SKETCH_KMV_K = 256
+SKETCH_BLOOM_BITS = 1 << 16
+SKETCH_BLOOM_HASHES = 4
+SKETCH_SALT = "v1"
+
+
+def corpus_sketches_from_docs(documents: DataFrame) -> DataFrame:
+    """The corpus's three sketches over the documents frame, unified
+    into ONE bounded state table -> (kind, r, b, v, u):
+
+    - ``cms_tokens``  (r, b, v=count): token-frequency count-min over
+      the corpus vocabulary — per-term hotness at O(depth × width) state;
+      the v-sum of any single hash row is the EXACT total token count.
+    - ``kmv_vocab``   (u=hash): bottom-k of the distinct-token hashes —
+      the distinct-vocabulary estimator (exact below k).
+    - ``bloom_docids`` (b=word, v=bits): Bloom filter over committed
+      doc_ids (sha256 of the text) — "was this exact content ever
+      ingested" membership without touching the documents table.
+
+    Why this is ingest state and not a query: each sketch is MERGEABLE
+    (sum / bottom-k / OR), so the ingest paths maintain the table in
+    O(batch) per increment while the result stays bit-identical to
+    sketching the full corpus — the hygiene report then answers corpus
+    questions from a KB-sized table instead of a 100-TB scan. The state
+    stays bounded (depth×width + k + m_bits/32 rows) no matter the
+    corpus size; there is nothing to compact, ever.
+
+    Bottom-k is computed via sort+limit (TakeOrderedAndProject — no
+    single-partition window). NULL-safe: docs with no tokens simply
+    contribute nothing."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_tokens,
+    )
+    base = (documents.select("doc_id", "text")
+            .dropDuplicates(["doc_id"]))
+    toks = base.select(F.explode(col_tokens(F.col("text"))).alias("term"))
+    nul_u = F.lit(None).cast("double").alias("u")
+    nul_v = F.lit(None).cast("long").alias("v")
+    zero = F.lit(0).cast("long")
+    cms = (cms_sketch(toks, [], "term", depth=SKETCH_CMS_DEPTH,
+                      width=SKETCH_CMS_WIDTH, salt=SKETCH_SALT)
+           .select(F.lit("cms_tokens").alias("kind"), "r", "b",
+                   F.col("cnt").alias("v"), nul_u))
+    kmv = (toks.select(uniform_hash_col("term", SKETCH_SALT).alias("u"))
+           .distinct().orderBy("u").limit(SKETCH_KMV_K)
+           .select(F.lit("kmv_vocab").alias("kind"), zero.alias("r"),
+                   zero.alias("b"), nul_v, "u"))
+    bloom = (bloom_sketch(base, [], "doc_id", m_bits=SKETCH_BLOOM_BITS,
+                          k_hashes=SKETCH_BLOOM_HASHES, salt=SKETCH_SALT)
+             .select(F.lit("bloom_docids").alias("kind"), zero.alias("r"),
+                     F.col("w").alias("b"), F.col("bits").alias("v"),
+                     nul_u))
+    return cms.unionByName(kmv).unionByName(bloom)
+
+
+def corpus_sketches_merge_fn():
+    """MERGE for the committed sketch state: cms cells ADD, bloom words
+    OR, kmv keeps the k smallest of the union — each exactly the
+    sketch's own merge operator, so state after any number of
+    increments == ``corpus_sketches_from_docs`` over the union of the
+    increments' documents, bit-for-bit."""
+    def fn(existing, new):
+        allr = new if existing is None else existing.unionByName(new)
+        cms = (allr.filter(F.col("kind") == "cms_tokens")
+               .groupBy("kind", "r", "b")
+               .agg(F.sum("v").alias("v"))
+               .withColumn("u", F.lit(None).cast("double")))
+        bloom = (allr.filter(F.col("kind") == "bloom_docids")
+                 .groupBy("kind", "r", "b")
+                 .agg(F.bit_or("v").alias("v"))
+                 .withColumn("u", F.lit(None).cast("double")))
+        zero = F.lit(0).cast("long")
+        kmv = (allr.filter(F.col("kind") == "kmv_vocab")
+               .select("u").distinct().orderBy("u").limit(SKETCH_KMV_K)
+               .select(F.lit("kmv_vocab").alias("kind"), zero.alias("r"),
+                       zero.alias("b"), F.lit(None).cast("long").alias("v"),
+                       "u"))
+        return cms.unionByName(bloom).unionByName(kmv)
+    return fn
+
+
+def corpus_sketch_summary(state: DataFrame) -> dict:
+    """Answer the corpus questions the sketches carry, from the
+    KB-sized state alone: exact total token count (v-sum of cms hash
+    row 0 — every token lands in exactly one of its buckets), the KMV
+    distinct-vocabulary estimate (exact below k), and the doc-id
+    filter's occupancy. One collect over a bounded table."""
+    rows = state.collect()
+    tokens_total = sum((r["v"] or 0) for r in rows
+                      if r["kind"] == "cms_tokens" and r["r"] == 0)
+    kmv_u = sorted(r["u"] for r in rows if r["kind"] == "kmv_vocab")
+    if not kmv_u:
+        vocab = 0.0
+    elif len(kmv_u) < SKETCH_KMV_K:
+        vocab = float(len(kmv_u))
+    else:
+        vocab = (SKETCH_KMV_K - 1) / kmv_u[-1]
+    bloom_words = sum(1 for r in rows if r["kind"] == "bloom_docids")
+    return {"tokens_total": int(tokens_total),
+            "vocab_estimate": round(vocab, 1),
+            "vocab_exact": len(kmv_u) < SKETCH_KMV_K,
+            "bloom_words": bloom_words}

@@ -55,6 +55,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                  span_min_count: int = 2,
                  resolve_near_dups: bool = False,
                  near_dup_threshold: float = 0.8,
+                 track_sketches: bool = False,
                  keep_versions: int = 1,
                  pages_fingerprint: str | None = None) -> dict:
     """pages -> documents -> chunks -> triples_raw -> graph tables.
@@ -279,6 +280,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         docs_obs = _obs_box["obs"]
         manifests["documents"]["metrics"].update(docs_obs.get)
         store.update_metrics("documents", docs_obs.get)
+    if track_sketches:
+        # bounded mergeable corpus state (cms tokens / kmv vocab /
+        # bloom doc-ids): built here over the final gated corpus,
+        # maintained O(batch) by the incremental path's sketch-merge —
+        # the hygiene report answers corpus questions from this
+        # KB-sized table instead of a full scan
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            CORPUS_SKETCHES, corpus_sketches_from_docs)
+        stage(CORPUS_SKETCHES,
+              lambda: corpus_sketches_from_docs(documents), fp)
     if resolve_near_dups:
         from neo4j_document_pipeline_spark.operators.hygiene import (
             DOC_SIGNATURES, doc_signatures_from_docs)

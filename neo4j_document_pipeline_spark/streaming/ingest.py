@@ -40,7 +40,8 @@ def ingest_increment(store, batch_df: DataFrame,
                      span_k: int = 8,
                      span_min_count: int = 2,
                      resolve_near_dups: bool = False,
-                     near_dup_threshold: float = 0.8) -> None:
+                     near_dup_threshold: float = 0.8,
+                     track_sketches: bool = False) -> None:
     """Incrementally MERGE one batch of pages into an existing graph store
     — the core shared by streaming foreachBatch and batch delta-ingest
     (CLI --incremental). Unlike run_pipeline, adding new pages never
@@ -324,6 +325,27 @@ def ingest_increment(store, batch_df: DataFrame,
                             input_fingerprint=inc_fp("edges"))
     store.merge_write_mentions(build_mentions(triples), stage=stage,
                                input_fingerprint=inc_fp("mentions"))
+    if track_sketches:
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            CORPUS_SKETCHES, corpus_sketches_from_docs,
+            corpus_sketches_merge_fn)
+        # only NEVER-SEEN content contributes: doc_id = sha256(text),
+        # so the anti-join against the committed final docs makes
+        # re-delivery a no-op and keeps state == batch-rebuild over the
+        # final corpus, bit-for-bit (cms adds, bloom ORs, kmv re-takes
+        # bottom-k — each the sketch's own exact merge). This runs
+        # BEFORE the documents_final MERGE below, which reads the same
+        # table in full in this emulation anyway (on real Iceberg both
+        # become bucket-pruned MERGE INTO point lookups).
+        fresh = documents
+        if store.exists("documents_final"):
+            fresh = documents.join(
+                store.read("documents_final").select("doc_id"),
+                "doc_id", "left_anti")
+        store.merge_write(CORPUS_SKETCHES,
+                          corpus_sketches_from_docs(fresh),
+                          corpus_sketches_merge_fn(), stage=stage,
+                          input_fingerprint=inc_fp(CORPUS_SKETCHES))
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (documents.join(n_chunks, "doc_id", "left")
                   .withColumn("n_chunks", F.coalesce("_n", F.lit(0)).cast("int"))
@@ -347,6 +369,7 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                         span_min_count: int = 2,
                         resolve_near_dups: bool = False,
                         near_dup_threshold: float = 0.8,
+                        track_sketches: bool = False,
                         keep_versions: int = 1,
                         max_files_per_trigger: int = 4):
     """readStream(pages) -> foreachBatch(full ingest DAG with MERGE
@@ -380,7 +403,8 @@ def start_ingest_stream(spark: SparkSession, pages_dir: str, store_root: str,
                          span_k=span_k,
                          span_min_count=span_min_count,
                          resolve_near_dups=resolve_near_dups,
-                         near_dup_threshold=near_dup_threshold)
+                         near_dup_threshold=near_dup_threshold,
+                         track_sketches=track_sketches)
 
     return (
         stream_pages(spark, pages_dir,

@@ -735,3 +735,87 @@ def test_span_gate_rejects_span_k_change(spark, tmp_path):
     # min_count is a read-time threshold and may change freely
     ingest_increment(store, _pages(spark, _span_rows()[1:]),
                      strip_spans=True, span_min_count=4, stage="k3")
+
+
+# ---------------------------------------------------------------------------
+# corpus sketch state (--track-sketches)
+# ---------------------------------------------------------------------------
+
+def _sketch_state(store):
+    return sorted(
+        (r["kind"], r["r"], r["b"], r["v"], r["u"])
+        for r in store.read("corpus_sketches").collect())
+
+
+def test_sketch_state_increment_equals_batch_rebuild(spark, tmp_path):
+    """The merge property end-to-end through the store: batch ingest of
+    A∪B and A-then-increment-B commit BIT-IDENTICAL sketch state (cms
+    adds, bloom ORs, kmv re-takes bottom-k), and the state equals
+    sketching the final corpus directly."""
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        corpus_sketches_from_docs)
+    a = [_doc("a", 0, banner=False), _doc("b", 1, banner=False)]
+    b = [_doc("c", 2, banner=False), _doc("d", 4, banner=False)]
+    root1 = str(tmp_path / "one")
+    run_pipeline(spark, _pages(spark, a + b), root1, track_sketches=True)
+    s1 = GraphStore(root1, spark)
+    root2 = str(tmp_path / "two")
+    run_pipeline(spark, _pages(spark, a), root2, track_sketches=True)
+    s2 = GraphStore(root2, spark)
+    ingest_increment(s2, _pages(spark, b), track_sketches=True)
+    assert _sketch_state(s1) == _sketch_state(s2)
+    # and both equal a direct sketch of the final corpus
+    direct = sorted(
+        (r["kind"], r["r"], r["b"], r["v"], r["u"])
+        for r in corpus_sketches_from_docs(
+            s2.read("documents_final")).collect())
+    assert _sketch_state(s2) == direct
+
+
+def test_sketch_state_redelivery_is_noop(spark, tmp_path):
+    """Re-delivering an already-committed batch must not move the
+    state: the anti-join on committed doc_ids empties the delta (an
+    at-least-once source cannot double-count cms cells)."""
+    a = [_doc("a", 0, banner=False), _doc("b", 1, banner=False)]
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _pages(spark, a), root, track_sketches=True)
+    store = GraphStore(root, spark)
+    before = _sketch_state(store)
+    ingest_increment(store, _pages(spark, a), track_sketches=True)
+    assert _sketch_state(store) == before
+    # a genuinely new doc DOES move it
+    ingest_increment(store, _pages(spark, [_doc("c", 2, banner=False)]),
+                     track_sketches=True)
+    assert _sketch_state(store) != before
+
+
+def test_sketch_summary_answers_from_state(spark, tmp_path, capsys):
+    """The hygiene report's sketch_state section answers from the
+    KB-sized table: token total EXACT (cms row-0 sum), vocab exact
+    below k, bloom occupancy positive — all without scanning docs."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_token_count)
+    a = [_doc("a", 0, banner=False), _doc("b", 1, banner=False),
+         _doc("c", 2, banner=False)]
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _pages(spark, a), root, track_sketches=True)
+    store = GraphStore(root, spark)
+    exact_tokens = (store.read("documents_final")
+                    .agg(F.sum(col_token_count(F.col("text"))))
+                    .collect()[0][0])
+    exact_vocab = (store.read("documents_final")
+                   .select(F.explode(F.split(F.lower(F.regexp_replace(
+                       "text", r"[^A-Za-z0-9']+", " ")), " ")).alias("t"))
+                   .filter(F.col("t") != "").select("t").distinct().count())
+    main(["hygiene", "--store", root])
+    rep = json.loads(capsys.readouterr().out)
+    st = rep["sketch_state"]
+    assert st["tokens_total"] == exact_tokens
+    if st["vocab_exact"]:
+        assert st["vocab_estimate"] == float(exact_vocab)
+    else:
+        assert abs(st["vocab_estimate"] - exact_vocab) / exact_vocab < 0.3
+    assert st["bloom_words"] >= 1
