@@ -496,11 +496,16 @@ def ngram_overlap_flags_bloom(docs: DataFrame, bench: DataFrame,
             )),
         ).otherwise(F.array().cast("array<string>"))
 
+    # lazy checkpoint: the k prefilter joins and the verify join all
+    # consume these two frames — without it Catalyst re-plans the bench
+    # gram aggregate once per consumer (the differently-aliased word
+    # projections defeat exchange reuse)
     bench_grams = (
         bench.select(F.explode(gram_arr(F.col(text_col))).alias("gram"))
-        .distinct())
+        .distinct().localCheckpoint(eager=False))
     words = bloom_sketch(bench_grams, [], "gram", m_bits=bloom_bits,
-                         k_hashes=bloom_hashes, salt=salt)
+                         k_hashes=bloom_hashes, salt=salt) \
+        .localCheckpoint(eager=False)
 
     # narrow prefilter: per hash function, one broadcast join on the
     # word index + a bit test; a gram missing ANY of its bits is a

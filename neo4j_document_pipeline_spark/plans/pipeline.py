@@ -280,14 +280,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         docs_obs = _obs_box["obs"]
         manifests["documents"]["metrics"].update(docs_obs.get)
         store.update_metrics("documents", docs_obs.get)
-    if track_sketches:
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        CORPUS_SKETCHES, corpus_sketches_from_docs)
+    if track_sketches or store.exists(CORPUS_SKETCHES):
         # bounded mergeable corpus state (cms tokens / kmv vocab /
         # bloom doc-ids): built here over the final gated corpus,
         # maintained O(batch) by the incremental path's sketch-merge —
         # the hygiene report answers corpus questions from this
-        # KB-sized table instead of a full scan
-        from neo4j_document_pipeline_spark.operators.sketches import (
-            CORPUS_SKETCHES, corpus_sketches_from_docs)
+        # KB-sized table instead of a full scan. Once the state exists
+        # it is self-maintaining (a rebuild without the flag must not
+        # leave a stale table claiming corpus totals)
         stage(CORPUS_SKETCHES,
               lambda: corpus_sketches_from_docs(documents), fp)
     if resolve_near_dups:

@@ -325,10 +325,14 @@ def ingest_increment(store, batch_df: DataFrame,
                             input_fingerprint=inc_fp("edges"))
     store.merge_write_mentions(build_mentions(triples), stage=stage,
                                input_fingerprint=inc_fp("mentions"))
-    if track_sketches:
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        CORPUS_SKETCHES)
+    if track_sketches or store.exists(CORPUS_SKETCHES):
+        # once the state exists it is SELF-MAINTAINING: an increment
+        # run without the flag must not silently stale a table whose
+        # summary claims whole-corpus totals
         from neo4j_document_pipeline_spark.operators.sketches import (
-            CORPUS_SKETCHES, corpus_sketches_from_docs,
-            corpus_sketches_merge_fn)
+            corpus_sketches_from_docs, corpus_sketches_merge_fn)
         # only NEVER-SEEN content contributes: doc_id = sha256(text),
         # so the anti-join against the committed final docs makes
         # re-delivery a no-op and keeps state == batch-rebuild over the
@@ -337,11 +341,20 @@ def ingest_increment(store, batch_df: DataFrame,
         # BEFORE the documents_final MERGE below, which reads the same
         # table in full in this emulation anyway (on real Iceberg both
         # become bucket-pruned MERGE INTO point lookups).
-        fresh = documents
+        fresh = documents.select("doc_id", "text")
         if store.exists("documents_final"):
-            fresh = documents.join(
+            fresh = fresh.join(
                 store.read("documents_final").select("doc_id"),
                 "doc_id", "left_anti")
+            if not store.exists(CORPUS_SKETCHES):
+                # flag enabled mid-life: one-time disclosed O(corpus)
+                # backfill over the already-committed docs, so the
+                # state describes the WHOLE corpus from its first
+                # commit (unlike the prefix-semantics gates, partial
+                # coverage here would misreport totals, not just gate
+                # a line late)
+                fresh = (store.read("documents_final")
+                         .select("doc_id", "text").unionByName(fresh))
         store.merge_write(CORPUS_SKETCHES,
                           corpus_sketches_from_docs(fresh),
                           corpus_sketches_merge_fn(), stage=stage,

@@ -819,3 +819,33 @@ def test_sketch_summary_answers_from_state(spark, tmp_path, capsys):
     else:
         assert abs(st["vocab_estimate"] - exact_vocab) / exact_vocab < 0.3
     assert st["bloom_words"] >= 1
+
+
+def test_sketch_state_midlife_enable_backfills_and_self_maintains(
+        spark, tmp_path):
+    """Enabling --track-sketches on an EXISTING store backfills the
+    state over the already-committed corpus (the summary claims
+    whole-corpus totals, so partial coverage would misreport), and a
+    later increment WITHOUT the flag keeps maintaining it (state
+    existence wins — no silent staleness)."""
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        corpus_sketches_from_docs)
+    a = [_doc("a", 0, banner=False), _doc("b", 1, banner=False)]
+    b = [_doc("c", 2, banner=False)]
+    c = [_doc("d", 4, banner=False)]
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, _pages(spark, a), root)  # no flag: no state
+    store = GraphStore(root, spark)
+    assert not store.exists("corpus_sketches")
+    ingest_increment(store, _pages(spark, b), track_sketches=True)
+    direct = sorted(
+        (r["kind"], r["r"], r["b"], r["v"], r["u"])
+        for r in corpus_sketches_from_docs(
+            store.read("documents_final")).collect())
+    assert _sketch_state(store) == direct  # backfill covered a∪b
+    ingest_increment(store, _pages(spark, c))  # flag OFF — still kept
+    direct2 = sorted(
+        (r["kind"], r["r"], r["b"], r["v"], r["u"])
+        for r in corpus_sketches_from_docs(
+            store.read("documents_final")).collect())
+    assert _sketch_state(store) == direct2
