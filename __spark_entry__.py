@@ -906,6 +906,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("diversity", 6).alias("diversity")))
     q["ngram_diversity_sources"] = ngram_diversity_sources
 
+    # ---- corpus IR: Okapi BM25 document search ----
+    def bm25_doc_search(spark, sf):
+        """BM25 relevance of every document to a fixed bag-of-words
+        query (operators/corpus.py bm25_scores — Lucene idf form, tf
+        saturation k1=1.2, length normalization b=0.75): the
+        document-level retrieval scorer; matching tokens are filtered
+        BEFORE the tf shuffle, N/avgdl folded in-plan."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            bm25_scores)
+        return (bm25_scores(_t(spark, sf, "documents"), "doc_id",
+                            "text", "spark join order table")
+                .select("doc_id", "n_hit",
+                        F.round("score", 6).alias("score")))
+    q["bm25_doc_search"] = bm25_doc_search
+
     # ---- corpus hygiene: benchmark decontamination ----
     def decontam_overlap(spark, sf):
         """GPT-3/PaLM-style decontamination flags: documents from
@@ -2513,6 +2528,28 @@ def oracle_sql() -> dict[str, str]:
             "round(a.avg_logprob, 6) AS avg_logprob "
             "FROM (SELECT doc_id FROM documents) b "
             "LEFT JOIN agg a USING (doc_id)",
+        "bm25_doc_search":
+            # identical tokenization and arithmetic structure:
+            # idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+            # norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+            "WITH d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "l AS (SELECT doc_id, len(toks) AS dl FROM d), "
+            "s AS (SELECT count(*)::DOUBLE AS n_docs, "
+            "  avg(dl) AS avgdl FROM l), "
+            "t AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM t "
+            "  WHERE term IN ('join', 'order', 'spark', 'table') "
+            "  GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1), "
+            "p AS (SELECT tf.doc_id, "
+            "  ln(1 + (s.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5)) "
+            "  * (tf.tf * (1.2 + 1) / (tf.tf + 1.2 * "
+            "  (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS contrib "
+            "  FROM tf JOIN df USING (term) JOIN l USING (doc_id) "
+            "  CROSS JOIN s) "
+            "SELECT doc_id, count(*) AS n_hit, "
+            "round(sum(contrib), 6) AS score FROM p GROUP BY 1",
         "ngram_diversity_sources":
             # same tokenization; inclusive slices toks[i:i+n-1]; a
             # group with no grams of size n yields no row for that n

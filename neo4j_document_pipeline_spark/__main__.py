@@ -26,6 +26,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark export --store <dir> --out <dir>  # neo4j-admin bulk-import CSVs
     python -m neo4j_document_pipeline_spark sample --store <dir> --rate 0.25 [--salt v1]  # reproducible doc sample
     python -m neo4j_document_pipeline_spark shards --store <dir> [--budget 4096]  # token-budget shard packing plan
+    python -m neo4j_document_pipeline_spark docsearch <terms...> --store <dir> [--top-k 10]  # BM25 document retrieval
     python -m neo4j_document_pipeline_spark prepare --store <dir> --out <dir> [--bench <parquet> --decontam-n 13] [--rate R | --rates k=v,..] [--budget 4096]  # decontam -> sample -> shard export + manifest
     python -m neo4j_document_pipeline_spark attribution --store <dir> --events <parquet-dir> [--max-delay "10 minutes"] [--streaming --out <dir>]  # click<-view interval join
     python -m neo4j_document_pipeline_spark dedup-stream --store <dir> --events <parquet-dir> [--watermark "1 hour"] [--streaming --out <dir>]  # exactly-once event delivery
@@ -117,7 +118,8 @@ def main(argv=None):
         "status", "history", "compact", "stream", "vacuum",
         "pagerank", "hits", "triangles", "similar", "entity-groups",
         "communities", "collocations", "suggest", "reach",
-        "kcore", "export", "sample", "shards", "prepare", "attribution",
+        "kcore", "export", "sample", "shards", "prepare", "docsearch",
+        "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
         "walks", "mixture", "spans", "semdedup"])
@@ -489,6 +491,29 @@ def main(argv=None):
         for r in graph_search(store, " ".join(ns.args), label=ns.label,
                               limit=ns.limit).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "docsearch":
+        # BM25 document retrieval over the committed corpus — the
+        # document-level companion to entity `search`; stateless (no
+        # index table needed: matching tokens are filtered before the
+        # tf shuffle, so cost follows the query terms' postings)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            bm25_scores)
+        if not ns.args:
+            sys.exit("docsearch requires a query, e.g. "
+                     "docsearch spark join order")
+        doc_table = ("documents_final" if store.exists("documents_final")
+                     else "documents")
+        docs = store.read(doc_table)
+        cols = [c for c in ("url", "title") if c in docs.columns]
+        out = (bm25_scores(docs, "doc_id", "text", " ".join(ns.args))
+               .join(docs.select("doc_id", *cols), "doc_id")
+               .orderBy(F.desc("score"), "doc_id").limit(ns.top_k))
+        for r in out.collect():
+            d = r.asDict()
+            d["score"] = round(d["score"], 4)
+            print(json.dumps(d, default=str))
     elif ns.command == "docs":
         from neo4j_document_pipeline_spark.operators.admin import list_documents
         for r in list_documents(store, limit=ns.limit).collect():

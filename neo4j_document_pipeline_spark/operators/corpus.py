@@ -164,6 +164,61 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def bm25_scores(df: DataFrame, id_col: str, text_col: str,
+                query: str, *, k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document to ``query`` ->
+    (id_col, n_hit, score): the classic probabilistic IR scorer
+    (Robertson et al., TREC-3) in its Lucene form — idf(t) =
+    ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturating at k1, length
+    normalization b against the corpus mean. Documents matching no
+    query term yield no row. The document-level retrieval companion to
+    the entity FTS index: same bag-of-words model, stateless over any
+    documents frame.
+
+    Query terms are tokenized with the engine's ``col_tokens`` and
+    deduplicated (bag-of-words query, standard BM25). Every number is
+    a pure function of the corpus + query, so a plain-SQL oracle
+    reproduces the scores bit-for-bit.
+
+    Shape: one narrow token explode FILTERED to the query's terms
+    before it ever shuffles (the per-doc tf aggregate sees only
+    matching tokens — at 100 TB the shuffled volume is proportional to
+    the query terms' postings, not the corpus); per-term document
+    frequencies from one tiny aggregate over the tf rows; N and the
+    average length folded in-plan as a broadcast 1-row aggregate over
+    a second narrow pass (no driver action)."""
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, "
+                         f"b={b}")
+    import re as _re
+    q_terms = sorted({t for t in _re.split(
+        r"[^A-Za-z0-9']+", query.lower()) if t})
+    if not q_terms:
+        raise ValueError("bm25_scores: query has no tokens")
+    toks = col_tokens(F.col(text_col))
+    lens = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = lens.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+          .filter(F.col("term").isin(q_terms))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dfreq") + 0.5)
+                / (F.col("dfreq") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_term = (
+        tf.join(dfreq, "term")
+        .join(lens, id_col)
+        .join(F.broadcast(stats), F.lit(True))
+        .withColumn("contrib", idf * norm)
+    )
+    return (per_term.groupBy(id_col)
+            .agg(F.count("*").alias("n_hit"),
+                 F.sum("contrib").alias("score")))
+
+
 def ngram_diversity(df: DataFrame, group_col: str, text_col: str, *,
                     ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
     """Corpus n-gram diversity per group -> (group_col, n, total_grams,

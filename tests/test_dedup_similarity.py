@@ -995,6 +995,92 @@ def test_unigram_logprob_surfaces_gibberish(spark):
     assert all(out[99] < out[i] for i in range(10))
 
 
+def test_bm25_brute_parity(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from neo4j_document_pipeline_spark.operators.corpus import bm25_scores
+    rng = random.Random(41)
+    vocab = ["spark", "join", "order", "table", "scan", "row", "key"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 20))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    query, k1, b = "spark JOIN order", 1.2, 0.75
+    got = {r["id"]: (r["n_hit"], r["score"]) for r in
+           bm25_scores(df, "id", "text", query, k1=k1, b=b).collect()}
+    terms = sorted({"spark", "join", "order"})
+    n = len(rows)
+    avgdl = sum(len(t.split()) for _, t in rows) / n
+    dfreq = {t: sum(1 for _, txt in rows if t in txt.split())
+             for t in terms}
+    for i, txt in rows:
+        cnt, dl = Counter(txt.split()), len(txt.split())
+        want = 0.0
+        hits = 0
+        for t in terms:
+            if cnt[t]:
+                hits += 1
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                want += idf * cnt[t] * (k1 + 1) / (
+                    cnt[t] + k1 * (1 - b + b * dl / avgdl))
+        if hits:
+            assert got[i][0] == hits
+            assert abs(got[i][1] - want) < 1e-9, i
+        else:
+            assert i not in got
+
+
+def test_bm25_semantics_and_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.corpus import bm25_scores
+    df = spark.createDataFrame(
+        [(1, "spark joins the table"),
+         (2, "spark " + "filler " * 40),
+         (3, "nothing relevant here")], "id long, text string")
+    out = {r["id"]: r["score"] for r in
+           bm25_scores(df, "id", "text", "spark").collect()}
+    # same tf=1: the SHORTER document outranks (length normalization)
+    assert out[1] > out[2] > 0
+    assert 3 not in out  # no matching term -> no row
+    with _pytest.raises(ValueError, match="no tokens"):
+        bm25_scores(df, "id", "text", "!!!")
+    with _pytest.raises(ValueError, match="k1"):
+        bm25_scores(df, "id", "text", "spark", k1=-1)
+
+
+def test_cli_docsearch(spark, tmp_path, capsys):
+    """BM25 retrieval over a committed store: a query made of one
+    document's distinctive tokens ranks that document first; loud
+    validation on an empty query."""
+    import datetime as dt
+    import json
+
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    planted = spark.createDataFrame(
+        [("p://target", "the quokka wallaby marsupial survey results",
+          dt.datetime(2025, 1, 1))],
+        "url string, text string, warc_ts timestamp")
+    pages = synth_pages(spark, 10).select(
+        "url", "text", "warc_ts").unionByName(planted)
+    run_pipeline(spark, pages, root)
+    main(["docsearch", "quokka", "wallaby", "--store", root,
+          "--top-k", "3"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["url"] == "p://target"
+    assert rows[0]["n_hit"] == 2 and rows[0]["score"] > 0
+    with _pytest.raises(SystemExit, match="query"):
+        main(["docsearch", "--store", root])
+
+
 def test_ngram_diversity_known_values_and_brute(spark):
     import random
     from collections import Counter
