@@ -1590,6 +1590,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("node").cast("bigint").alias("node_id")))
     q["random_walk_parts"] = random_walk_parts
 
+    # ---- graph representation: walk-PPMI factors ----
+    def walk_ppmi_parts(spark, sf):
+        """Positive-PMI co-occurrence factors from the deterministic
+        walk corpus (operators/graphalgo.py::walk_ppmi) — the matrix
+        skip-gram implicitly factorizes (Levy & Goldberg 2014), i.e.
+        the DeepWalk representation in closed form: pairs within
+        window 2 on the same walk, ln(cooc·T/(na·nb)) > 0 rows."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            walk_ppmi)
+        edges = _copurchase_edges(spark, sf, max_orderkey=300, pad=True)
+        return (walk_ppmi(edges, walk_len=3, walks_per_node=2, window=2)
+                .select(F.col("node").cast("bigint").alias("node_id"),
+                        F.col("context").cast("bigint")
+                        .alias("context_id"),
+                        "cooc", F.round("ppmi", 6).alias("ppmi")))
+    q["walk_ppmi_parts"] = walk_ppmi_parts
+
     def link_prediction_parts(spark, sf):
         """KG-completion candidates over the bounded co-purchase graph:
         non-adjacent pairs with >= 2 shared neighbors, scored by
@@ -1787,6 +1804,46 @@ def _pii_redaction_sql() -> str:
         "regexp_replace(regexp_replace(regexp_replace(t, "
         f"'{em}', '{em_r}', 'g'), '{ip}', '{ip_r}', 'g'), "
         f"'{ph}', '{ph_r}', 'g') AS redacted FROM s")
+
+
+# Deterministic-walk CTE chain shared by the walk oracles: the
+# IDENTICAL hash-argmin transitions, three steps unrolled; ties break
+# on (hash, neighbor) like the operator's min(struct). Ends in
+# w(start, rep, step, node) over the bounded padded co-purchase graph.
+_SQL_WALK_CTES = (
+    "WITH base AS ("
+    "  SELECT DISTINCT lpad(CAST(a.l_partkey AS VARCHAR), 9, '0')"
+    "  AS u, lpad(CAST(b.l_partkey AS VARCHAR), 9, '0') AS v"
+    "  FROM lineitem a JOIN lineitem b"
+    "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    "  WHERE a.l_orderkey < 300),"
+    "e AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),"
+    "wr AS (SELECT start, rep FROM"
+    "  (SELECT DISTINCT u AS start FROM e),"
+    "  (SELECT unnest([0, 1]) AS rep)),"
+    "n1 AS (SELECT start, rep, v AS cur FROM ("
+    "  SELECT wr.start, wr.rep, e.v, row_number() OVER ("
+    "  PARTITION BY wr.start, wr.rep ORDER BY"
+    "  ('0x' || substr(sha256('v1:' || wr.start || ':' || wr.rep"
+    "  || ':1:' || wr.start || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+    "  AS rn FROM wr JOIN e ON e.u = wr.start) WHERE rn = 1),"
+    "n2 AS (SELECT start, rep, v AS cur FROM ("
+    "  SELECT n1.start, n1.rep, e.v, row_number() OVER ("
+    "  PARTITION BY n1.start, n1.rep ORDER BY"
+    "  ('0x' || substr(sha256('v1:' || n1.start || ':' || n1.rep"
+    "  || ':2:' || n1.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+    "  AS rn FROM n1 JOIN e ON e.u = n1.cur) WHERE rn = 1),"
+    "n3 AS (SELECT start, rep, v AS cur FROM ("
+    "  SELECT n2.start, n2.rep, e.v, row_number() OVER ("
+    "  PARTITION BY n2.start, n2.rep ORDER BY"
+    "  ('0x' || substr(sha256('v1:' || n2.start || ':' || n2.rep"
+    "  || ':3:' || n2.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
+    "  AS rn FROM n2 JOIN e ON e.u = n2.cur) WHERE rn = 1),"
+    "w AS (SELECT start, rep, 0 AS step, start AS node FROM wr"
+    " UNION ALL SELECT start, rep, 1, cur FROM n1"
+    " UNION ALL SELECT start, rep, 2, cur FROM n2"
+    " UNION ALL SELECT start, rep, 3, cur FROM n3)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2866,45 +2923,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id AS part_id, CAST(min(dist) AS INT) AS dist"
             " FROM walk GROUP BY id",
         "random_walk_parts":
-            # the IDENTICAL hash-argmin transitions, three steps
-            # unrolled; ties break on (hash, neighbor) like the
-            # operator's min(struct)
-            "WITH base AS ("
-            "  SELECT DISTINCT lpad(CAST(a.l_partkey AS VARCHAR), 9, '0')"
-            "  AS u, lpad(CAST(b.l_partkey AS VARCHAR), 9, '0') AS v"
-            "  FROM lineitem a JOIN lineitem b"
-            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
-            "  WHERE a.l_orderkey < 300),"
-            "e AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),"
-            "wr AS (SELECT start, rep FROM"
-            "  (SELECT DISTINCT u AS start FROM e),"
-            "  (SELECT unnest([0, 1]) AS rep)),"
-            "n1 AS (SELECT start, rep, v AS cur FROM ("
-            "  SELECT wr.start, wr.rep, e.v, row_number() OVER ("
-            "  PARTITION BY wr.start, wr.rep ORDER BY"
-            "  ('0x' || substr(sha256('v1:' || wr.start || ':' || wr.rep"
-            "  || ':1:' || wr.start || ':' || e.v), 1, 8))::UBIGINT, e.v)"
-            "  AS rn FROM wr JOIN e ON e.u = wr.start) WHERE rn = 1),"
-            "n2 AS (SELECT start, rep, v AS cur FROM ("
-            "  SELECT n1.start, n1.rep, e.v, row_number() OVER ("
-            "  PARTITION BY n1.start, n1.rep ORDER BY"
-            "  ('0x' || substr(sha256('v1:' || n1.start || ':' || n1.rep"
-            "  || ':2:' || n1.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
-            "  AS rn FROM n1 JOIN e ON e.u = n1.cur) WHERE rn = 1),"
-            "n3 AS (SELECT start, rep, v AS cur FROM ("
-            "  SELECT n2.start, n2.rep, e.v, row_number() OVER ("
-            "  PARTITION BY n2.start, n2.rep ORDER BY"
-            "  ('0x' || substr(sha256('v1:' || n2.start || ':' || n2.rep"
-            "  || ':3:' || n2.cur || ':' || e.v), 1, 8))::UBIGINT, e.v)"
-            "  AS rn FROM n2 JOIN e ON e.u = n2.cur) WHERE rn = 1)"
-            "SELECT CAST(start AS BIGINT) AS start_id, rep,"
-            "  0 AS step, CAST(start AS BIGINT) AS node_id FROM wr"
-            " UNION ALL SELECT CAST(start AS BIGINT), rep, 1,"
-            "  CAST(cur AS BIGINT) FROM n1"
-            " UNION ALL SELECT CAST(start AS BIGINT), rep, 2,"
-            "  CAST(cur AS BIGINT) FROM n2"
-            " UNION ALL SELECT CAST(start AS BIGINT), rep, 3,"
-            "  CAST(cur AS BIGINT) FROM n3",
+            _SQL_WALK_CTES +
+            " SELECT CAST(start AS BIGINT) AS start_id, rep, step,"
+            " CAST(node AS BIGINT) AS node_id FROM w",
+        "walk_ppmi_parts":
+            # pairs within window 2 on the same walk; marginals cast
+            # out of DuckDB's HUGEINT sum; the >0 truncation filters
+            # on the RAW ln in both engines (identical arithmetic)
+            _SQL_WALK_CTES +
+            ", pr AS (SELECT a.node AS n, b.node AS c FROM w a"
+            "  JOIN w b ON a.start = b.start AND a.rep = b.rep"
+            "  AND a.step <> b.step AND abs(a.step - b.step) <= 2),"
+            "cc AS (SELECT n, c, count(*) AS cooc FROM pr GROUP BY 1, 2),"
+            "m AS (SELECT n, CAST(sum(cooc) AS BIGINT) AS nm FROM cc"
+            "  GROUP BY 1),"
+            "t AS (SELECT sum(cooc)::DOUBLE AS tt FROM cc)"
+            " SELECT CAST(cc.n AS BIGINT) AS node_id,"
+            " CAST(cc.c AS BIGINT) AS context_id, cc.cooc,"
+            " round(ln(cc.cooc * t.tt / (ma.nm * mb.nm)), 6) AS ppmi"
+            " FROM cc JOIN m ma ON cc.n = ma.n"
+            " JOIN m mb ON cc.c = mb.n CROSS JOIN t"
+            " WHERE ln(cc.cooc * t.tt / (ma.nm * mb.nm)) > 0",
         # shared-neighbor Jaccard: wedge-join candidates, true-degree
         # unions — identical float ops, so the 0.25 threshold and 6dp
         # rounding agree with the operator

@@ -1345,3 +1345,59 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     for fr in out[1:]:
         allw = allw.unionByName(fr)
     return allw
+
+
+def walk_ppmi(edges: DataFrame, *, walk_len: int = 4,
+              walks_per_node: int = 2, window: int = 2,
+              salt: str = "v1", directed: bool = False) -> DataFrame:
+    """Positive-PMI co-occurrence factors from the deterministic walk
+    corpus -> (node, context, cooc, ppmi): count node pairs appearing
+    within ``window`` steps of each other on the same walk, then
+    ppmi = max-filtered ln(#(a,b)·T / (#a·#b)) over the pair totals.
+    Skip-gram-with-negative-sampling implicitly factorizes exactly this
+    matrix (Levy & Goldberg 2014 — public), so these rows ARE the
+    DeepWalk representation in its closed-form sparse shape: cosine
+    over a node's ppmi row ranks structural neighbors the same way the
+    trained embedding would, with zero SGD and full replayability —
+    bit-reproducible on any partitioning or engine, like every walk
+    transition beneath it.
+
+    Only ppmi > 0 rows are emitted (the sparse positive part — the
+    standard truncation); symmetric by construction (both orders of a
+    pair are counted, so row and context marginals coincide).
+
+    Scale shape: one equi-join of the walk corpus with itself on the
+    walk id (per-walk fan-out bounded by walk_len² — walk count, not
+    edge count, bounds the volume), one pair aggregate, marginals from
+    the pair table, the total folded in-plan as a broadcast 1-row
+    aggregate. Zero driver actions beyond the walk's own per-step
+    checkpoints."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = random_walks(edges, walk_len=walk_len,
+                     walks_per_node=walks_per_node, salt=salt,
+                     directed=directed)
+    a = w.select("start", "rep", F.col("step").alias("sa"),
+                 F.col("node").alias("node"))
+    b = w.select("start", "rep", F.col("step").alias("sb"),
+                 F.col("node").alias("context"))
+    pairs = (a.join(b, ["start", "rep"])
+             .filter((F.col("sa") != F.col("sb"))
+                     & (F.abs(F.col("sa") - F.col("sb")) <= window)))
+    cooc = (pairs.groupBy("node", "context")
+            .agg(F.count("*").alias("cooc")))
+    marg = cooc.groupBy("node").agg(F.sum("cooc").alias("nm"))
+    tot = cooc.agg(F.sum("cooc").cast("double").alias("tt"))
+    scored = (
+        cooc.join(marg.withColumnRenamed("node", "_a"),
+                  F.col("node") == F.col("_a"))
+        .withColumnRenamed("nm", "na")
+        .join(marg.withColumnRenamed("node", "_b"),
+              F.col("context") == F.col("_b"))
+        .withColumnRenamed("nm", "nb")
+        .join(F.broadcast(tot), F.lit(True))
+        .withColumn("ppmi", F.log(F.col("cooc") * F.col("tt")
+                                  / (F.col("na") * F.col("nb"))))
+    )
+    return (scored.filter(F.col("ppmi") > 0)
+            .select("node", "context", "cooc", "ppmi"))

@@ -1905,3 +1905,65 @@ def test_cli_summary_conductance_truss_walks_mixture(spark, tmp_path,
         {"source", "n_docs", "tokens", "p_raw", "weight", "epochs"}
         <= set(r) for r in rows)
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+
+
+def test_walk_ppmi_matches_brute_from_walks(spark):
+    """PPMI rows recomputed in Python from the operator's own walk
+    corpus (itself brute-verified above): same pairs, same marginals,
+    same ln, same positive truncation."""
+    import math
+    from collections import Counter, defaultdict
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        random_walks, walk_ppmi)
+    rng = np.random.RandomState(11)
+    pairs = [(f"n{rng.randint(0, 15)}", f"n{rng.randint(0, 15)}")
+             for _ in range(30)]
+    edges = _edges(spark, pairs)
+    window = 2
+    walks = defaultdict(dict)
+    for r in random_walks(edges, walk_len=3,
+                          walks_per_node=2).collect():
+        walks[(r["start"], r["rep"])][r["step"]] = r["node"]
+    cooc = Counter()
+    for seq in walks.values():
+        for sa, na in seq.items():
+            for sb, nb in seq.items():
+                if sa != sb and abs(sa - sb) <= window:
+                    cooc[(na, nb)] += 1
+    marg = Counter()
+    for (na, _), c in cooc.items():
+        marg[na] += c
+    tot = float(sum(cooc.values()))
+    want = {}
+    for (na, nb), c in cooc.items():
+        v = math.log(c * tot / (marg[na] * marg[nb]))
+        if v > 0:
+            want[(na, nb)] = (c, round(v, 9))
+    got = {(r["node"], r["context"]): (r["cooc"], round(r["ppmi"], 9))
+           for r in walk_ppmi(edges, walk_len=3, walks_per_node=2,
+                              window=window).collect()}
+    assert got == want
+    # symmetric by construction
+    for (na, nb), (c, v) in got.items():
+        assert got[(nb, na)] == (c, v)
+
+
+def test_walk_ppmi_window_and_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        walk_ppmi)
+    # a directed 4-chain has exactly one walk per start; window=1
+    # pairs only adjacent steps, window=3 also pairs the chain ends
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = _edges(spark, chain)
+    w1 = {(r["node"], r["context"]) for r in
+          walk_ppmi(edges, walk_len=3, walks_per_node=1, window=1,
+                    directed=True).collect()}
+    w3 = {(r["node"], r["context"]) for r in
+          walk_ppmi(edges, walk_len=3, walks_per_node=1, window=3,
+                    directed=True).collect()}
+    assert ("a", "d") not in w1 and len(w3) >= len(w1)
+    with _pytest.raises(ValueError, match="window"):
+        walk_ppmi(edges, window=0)
