@@ -891,6 +891,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("avg_logprob", 6).alias("avg_logprob")))
     q["bigram_perplexity"] = bigram_perplexity
 
+    # ---- corpus analytics: trained Naive Bayes classifier ----
+    def nb_lang_scores(spark, sf):
+        """Multinomial Naive Bayes language scores (operators/
+        classify.py nb_class_scores): train on the even-doc_id half of
+        the corpus labeled by its lang column, score the odd half
+        against every class — the trainable quality/language-classifier
+        rung of the CCNet-style filter ladder, with the train/score
+        split exercising the fixed-vocabulary OOV drop and the prior.
+        Scores are sums of hundreds of ln terms (magnitude ~10^3), so
+        they round at 4dp — cross-engine last-ulp ln noise stays far
+        from the rounding boundary where a 6dp compare would sit on
+        it."""
+        from neo4j_document_pipeline_spark.operators.classify import (
+            nb_class_scores)
+        d = _t(spark, sf, "documents")
+        return (nb_class_scores(
+            d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+            d.filter(F.col("doc_id") % 2 == 0), "lang")
+            .select("doc_id", "label", "n_hit",
+                    F.round("score", 4).alias("score")))
+    q["nb_lang_scores"] = nb_lang_scores
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2585,6 +2607,42 @@ def oracle_sql() -> dict[str, str]:
             "round(a.avg_logprob, 6) AS avg_logprob "
             "FROM (SELECT doc_id FROM documents) b "
             "LEFT JOIN agg a USING (doc_id)",
+        "nb_lang_scores":
+            # multinomial NB replay: MLE priors over seed docs,
+            # Lidstone k=1 likelihoods over the seed vocabulary,
+            # OOV dropped by the inner join to the model table
+            "WITH seeds AS (SELECT lang AS label, text FROM documents "
+            "  WHERE doc_id % 2 = 0 AND lang IS NOT NULL "
+            "  AND text IS NOT NULL), "
+            "st AS (SELECT label, unnest("
+            f"{_SQL_TOKENS}) AS term FROM seeds), "
+            "cwc AS (SELECT label, term, count(*) AS cnt "
+            "  FROM st GROUP BY 1, 2), "
+            "ctot AS (SELECT label, count(*)::DOUBLE AS tok_c "
+            "  FROM st GROUP BY 1), "
+            "vocab AS (SELECT DISTINCT term FROM st), "
+            "v AS (SELECT count(*)::DOUBLE AS v FROM vocab), "
+            "n1 AS (SELECT count(*)::DOUBLE AS n_seed FROM seeds), "
+            "priors AS (SELECT label, ln(count(*) / any_value(n1.n_seed))"
+            "  AS prior_lp FROM seeds CROSS JOIN n1 GROUP BY label), "
+            "model AS (SELECT vocab.term, ctot.label, "
+            "  ln((coalesce(cwc.cnt, 0) + 1.0) / (ctot.tok_c + 1.0 * v.v))"
+            "  AS lp FROM vocab CROSS JOIN ctot "
+            "  LEFT JOIN cwc ON cwc.label = ctot.label "
+            "  AND cwc.term = vocab.term CROSS JOIN v), "
+            "d AS (SELECT doc_id, "
+            f"{_SQL_TOKENS} AS toks FROM documents WHERE doc_id % 2 = 1), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+            "  (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2), "
+            "sums AS (SELECT tf.doc_id, m.label, sum(tf.tf) AS n_hit, "
+            "  sum(tf.tf * m.lp) AS ev FROM tf "
+            "  JOIN model m ON tf.term = m.term GROUP BY 1, 2) "
+            "SELECT b.doc_id, p.label, "
+            "coalesce(s.n_hit, 0)::BIGINT AS n_hit, "
+            "round(p.prior_lp + coalesce(s.ev, 0.0), 4) AS score "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b "
+            "CROSS JOIN priors p "
+            "LEFT JOIN sums s ON s.doc_id = b.doc_id AND s.label = p.label",
         "bm25_doc_search":
             # identical tokenization and arithmetic structure:
             # idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
