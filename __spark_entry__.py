@@ -913,6 +913,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("score", 4).alias("score")))
     q["nb_lang_scores"] = nb_lang_scores
 
+    # ---- corpus analytics: DSIR importance-resampling weights ----
+    def dsir_weights_docs(spark, sf):
+        """DSIR log importance ratios (operators/corpus.py
+        dsir_log_weights — Xie et al. 2023): hashed unigram+bigram
+        bag-of-features models of the en-labeled target slice vs the
+        whole raw corpus; documents whose feature profile looks like
+        the target score high, and exp(log_ratio) feeds
+        weighted_sample for the paper's resampling step. 4dp rounding
+        for the same reason as nb_lang_scores (sums of hundreds of ln
+        terms)."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            dsir_log_weights)
+        d = _t(spark, sf, "documents")
+        return (dsir_log_weights(
+            d, "doc_id", "text", d.filter(F.col("lang") == "en"),
+            buckets=4096, add_k=0.5)
+            .select("doc_id", "n_feat",
+                    F.round("log_ratio", 4).alias("log_ratio")))
+    q["dsir_weights_docs"] = dsir_weights_docs
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2643,6 +2663,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b "
             "CROSS JOIN priors p "
             "LEFT JOIN sums s ON s.doc_id = b.doc_id AND s.label = p.label",
+        "dsir_weights_docs":
+            # identical hashed-feature construction: sha256 head of
+            # 'v1:u:<tok>' / 'v1:b:<w1> <w2>' mod 4096, Lidstone-0.5
+            # target (lang='en') vs raw (all docs) unigram models;
+            # target ⊆ raw shares one feature pass tagged by lang
+            "WITH d AS (SELECT doc_id, lang, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "u AS (SELECT doc_id, lang, 'v1:u:' || t AS s FROM "
+            "  (SELECT doc_id, lang, unnest(toks) AS t FROM d)), "
+            "bg AS (SELECT doc_id, lang, "
+            "  'v1:b:' || toks[i] || ' ' || toks[i+1] AS s "
+            "  FROM d, unnest(range(1, len(toks))) AS r(i) "
+            "  WHERE len(toks) >= 2), "
+            "f AS (SELECT doc_id, lang, "
+            "  ('0x' || substr(sha256(s), 1, 8))::UBIGINT % 4096 AS b "
+            "  FROM (SELECT * FROM u UNION ALL SELECT * FROM bg)), "
+            "tc AS (SELECT b, count(*) AS tc FROM f "
+            "  WHERE lang = 'en' GROUP BY 1), "
+            "rc AS (SELECT b, count(*) AS rc FROM f GROUP BY 1), "
+            "tt AS (SELECT coalesce(sum(tc), 0)::DOUBLE AS tt FROM tc), "
+            "rt AS (SELECT coalesce(sum(rc), 0)::DOUBLE AS rt FROM rc), "
+            "lp AS (SELECT f.doc_id, ln("
+            "  ((coalesce(tc.tc, 0) + 0.5) / (tt.tt + 0.5 * 4096)) "
+            "  / ((rc.rc + 0.5) / (rt.rt + 0.5 * 4096))) AS lr "
+            "  FROM f JOIN rc USING (b) LEFT JOIN tc USING (b) "
+            "  CROSS JOIN tt CROSS JOIN rt), "
+            "agg AS (SELECT doc_id, count(*) AS n_feat, sum(lr) AS lr "
+            "  FROM lp GROUP BY 1) "
+            "SELECT b2.doc_id, coalesce(a.n_feat, 0)::BIGINT AS n_feat, "
+            "round(coalesce(a.lr, 0.0), 4) AS log_ratio "
+            "FROM (SELECT doc_id FROM documents) b2 "
+            "LEFT JOIN agg a USING (doc_id)",
         "bm25_doc_search":
             # identical tokenization and arithmetic structure:
             # idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
