@@ -933,6 +933,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.round("log_ratio", 4).alias("log_ratio")))
     q["dsir_weights_docs"] = dsir_weights_docs
 
+    # ---- corpus hygiene: C4 page/line quality rules ----
+    def c4_filter_docs(spark, sf):
+        """The C4 cleaning rules (Raffel et al. 2019 §2.2 —
+        operators/corpus.py c4_quality_filters) over a deterministic
+        web-page reconstruction of the single-line synthetic corpus:
+        5-word pseudo-lines, every (doc_id+i)%3==0 line left without
+        terminal punctuation, plus injected lorem-ipsum / code-brace /
+        bad-word / javascript lines on fixed doc_id residues so every
+        rule fires on a nontrivial slice. Returns the per-page rule
+        flags, kept-line counts, and the cleaned text."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            c4_quality_filters)
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        nseg = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+        doc_id = F.col("doc_id")
+        segs = F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice(toks, (i - 1) * 5 + 1, 5)),
+                F.when((doc_id + i) % 3 == 0, F.lit(""))
+                .otherwise(F.lit("."))))
+        page = F.concat(
+            F.concat_ws("\n", segs),
+            F.when(doc_id % 13 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet okay."))
+            .otherwise(F.lit("")),
+            F.when(doc_id % 17 == 0,
+                   F.lit('\nvar config = { "mode": 1 };'))
+            .otherwise(F.lit("")),
+            F.when(doc_id % 19 == 0,
+                   F.lit("\nwin big at the casino tonight folks."))
+            .otherwise(F.lit("")),
+            F.when(doc_id % 7 == 0,
+                   F.lit("\nplease enable javascript to view this "
+                         "page."))
+            .otherwise(F.lit("")))
+        return c4_quality_filters(
+            d.select("doc_id", page.alias("text")), "doc_id", "text")
+    q["c4_filter_docs"] = c4_filter_docs
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -1825,6 +1866,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql()
 # ---------------------------------------------------------------------------
 
+def _c4_filter_sql() -> str:
+    """The c4_filter_docs oracle: the identical page reconstruction
+    (5-word pseudo-lines, residue-keyed punctuation drop + injected
+    rule-trigger lines) and the identical C4 rules, with the bad-word
+    regex built from the ENGINE's C4_BADWORDS so oracle and operator
+    cannot drift (whole-word, case-insensitive — RE2 == Java here)."""
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        C4_BADWORDS)
+    bad = r"(?i)\b(" + "|".join(C4_BADWORDS) + r")\b"
+    line_ok = (
+        "l -> regexp_matches(l, '[.!?\"]$') "
+        r"AND len(regexp_extract_all(l, '\S+')) >= 5 "
+        r"AND NOT regexp_matches(l, '(?i)\bjavascript\b')")
+    return (
+        "WITH pg AS (SELECT doc_id, "
+        "  array_to_string(list_transform(range(1, "
+        "    CAST(ceil(len(ws) / 5.0) AS BIGINT) + 1), "
+        "    i -> array_to_string(ws[(i-1)*5+1 : (i-1)*5+5], ' ') || "
+        "      CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END), "
+        "    chr(10)) "
+        "  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+        "    'lorem ipsum dolor sit amet okay.' ELSE '' END "
+        "  || CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+        "    'var config = { \"mode\": 1 };' ELSE '' END "
+        "  || CASE WHEN doc_id % 19 = 0 THEN chr(10) || "
+        "    'win big at the casino tonight folks.' ELSE '' END "
+        "  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+        "    'please enable javascript to view this page.' ELSE '' END "
+        "  AS text FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+        "  FROM documents)), "
+        "f AS (SELECT doc_id, "
+        "  len(string_split(text, chr(10))) AS lines_total, "
+        "  list_filter(list_transform(string_split(text, chr(10)), "
+        f"    l -> trim(l)), {line_ok}) AS kept, "
+        "  contains(lower(text), 'lorem ipsum') AS has_lorem, "
+        "  contains(text, '{') AS has_brace, "
+        f"  regexp_matches(text, '{bad}') AS has_badword FROM pg), "
+        "s AS (SELECT doc_id, lines_total, len(kept) AS lines_kept, "
+        "  len(regexp_extract_all(array_to_string(kept, chr(10)), "
+        "    '[.!?]')) AS sentences_kept, "
+        "  has_lorem, has_brace, has_badword, "
+        "  array_to_string(kept, chr(10)) AS text_clean FROM f) "
+        "SELECT doc_id, lines_total, lines_kept, sentences_kept, "
+        "  has_lorem, has_brace, has_badword, "
+        "  (lines_kept > 0 AND sentences_kept >= 3 AND NOT has_lorem "
+        "   AND NOT has_brace AND NOT has_badword) AS keep, text_clean "
+        "FROM s")
+
+
 def _pii_redaction_sql() -> str:
     """Built from the ENGINE's PII_PATTERNS so oracle and operator
     cannot drift (the patterns are Java/RE2-compatible by contract)."""
@@ -2473,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, wmin AS fp FROM w "
             "WHERE pos <= greatest(n - 3, 1)",
         "pii_redaction": _pii_redaction_sql(),
+        "c4_filter_docs": _c4_filter_sql(),
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h

@@ -497,3 +497,86 @@ def mixture_weights(df: DataFrame, group_col: str, tokens_col: str, *,
                            / F.col("tokens"), 4)))
         cols.append("epochs")
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# C4-style page/line quality filters (Raffel et al. 2019, §2.2)
+# ---------------------------------------------------------------------------
+
+# Placeholder skip-list standing in for C4's "List of Dirty, Naughty ...
+# Words" (the real list ships with the deployment, not the engine);
+# matched as whole words, case-insensitively.
+C4_BADWORDS = ("casino", "viagra", "lottery")
+
+_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_quality_filters(df: DataFrame, id_col: str, text_col: str, *,
+                       min_words_per_line: int = 5,
+                       min_sentences: int = 3,
+                       badwords: tuple[str, ...] = C4_BADWORDS) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2019 §2.2) as one narrow
+    pass -> (id, lines_total, lines_kept, sentences_kept, has_lorem,
+    has_brace, has_badword, keep, text_clean).
+
+    Line rules (a trimmed line survives iff ALL hold):
+      - ends in terminal punctuation (``.`` ``!`` ``?`` ``"``),
+      - has >= ``min_words_per_line`` whitespace-separated words,
+      - does not contain the word "javascript" (case-insensitive).
+    Page rules (``keep`` is true iff ALL hold):
+      - >= ``min_sentences`` sentence terminators in the KEPT text,
+      - no "lorem ipsum" placeholder (case-insensitive substring),
+      - no ``{`` anywhere (the code/JSON tell),
+      - no word from the bad-word skip-list.
+
+    Scale shape: pure ``Column`` expressions over one split/filter/join
+    chain — whole-stage codegen, zero shuffles, zero UDFs; cost is one
+    scan regardless of cluster size. Every rule is plain-SQL
+    reproducible (the oracle replays it verbatim). C4's remaining rule
+    (three-sentence-span dedup across pages) is the committed span gate
+    (operators/spans.py) — it needs corpus state, not a row pass.
+    """
+    if min_words_per_line < 1 or min_sentences < 0:
+        raise ValueError("c4_quality_filters: min_words_per_line >= 1 "
+                         "and min_sentences >= 0 required")
+    if not badwords:
+        raise ValueError("c4_quality_filters: empty badwords — pass "
+                         "None semantics via a never-matching word "
+                         "is not supported; supply at least one word")
+    bad_re = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    # NOT F.transform(lines, F.trim): transform sees trim's optional
+    # second parameter and passes the element INDEX as the trim
+    # character set (two-parameter TRIM), silently stripping index
+    # digits from line edges
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+
+    def _nwords(line):
+        return F.size(F.regexp_extract_all(line, F.lit(r"\S+"), 0))
+
+    kept_arr = F.filter(
+        trimmed,
+        lambda l: l.rlike(_TERMINAL_RE)
+        & (_nwords(l) >= F.lit(min_words_per_line))
+        & ~l.rlike(r"(?i)\bjavascript\b"))
+    d = df.select(
+        F.col(id_col),
+        F.size(lines).alias("lines_total"),
+        F.size(kept_arr).alias("lines_kept"),
+        F.array_join(kept_arr, "\n").alias("text_clean"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+        text.contains("{").alias("has_brace"),
+        text.rlike(bad_re).alias("has_badword"),
+    ).withColumn(
+        "sentences_kept",
+        F.size(F.regexp_extract_all(F.col("text_clean"),
+                                    F.lit(r"[.!?]"), 0)),
+    )
+    keep = ((F.col("lines_kept") > 0)
+            & (F.col("sentences_kept") >= F.lit(min_sentences))
+            & ~F.col("has_lorem") & ~F.col("has_brace")
+            & ~F.col("has_badword"))
+    return d.select(id_col, "lines_total", "lines_kept",
+                    "sentences_kept", "has_lorem", "has_brace",
+                    "has_badword", keep.alias("keep"), "text_clean")

@@ -1555,3 +1555,136 @@ def test_duplicate_spans_min_count_and_validation(spark):
         duplicate_spans(df, "id", "text", min_count=1)
     with pytest.raises(ValueError, match="keep"):
         duplicate_spans(df, "id", "text", keep="all")
+
+
+# ---------------------------------------------------------------------------
+# C4 page/line quality filters
+# ---------------------------------------------------------------------------
+
+def test_c4_filters_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        c4_quality_filters)
+    good = ("the quick brown fox jumps today.\n"
+            "a second full sentence arrives right here!\n"
+            'he said "this one ends with a quote"\n'
+            "short line.\n"                       # < 5 words -> dropped
+            "no terminal punctuation on this line\n"  # no punct -> dropped
+            "please enable javascript to view this page.")  # js -> dropped
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nlorem ipsum dolor sit amet okay."),
+            (3, good + '\nvar config = { "mode": 1 };'),
+            (4, good + "\nwin big at the casino tonight folks."),
+            # only 2 sentences survive -> below min_sentences=3
+            (5, "the quick brown fox jumps today.\n"
+                "a second full sentence arrives right here!"),
+            (6, ""),  # empty page: 1 empty line, nothing kept
+        ],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           c4_quality_filters(docs, "id", "text").collect()}
+    r1 = out[1]
+    assert r1["lines_total"] == 6 and r1["lines_kept"] == 3
+    # kept text = the three surviving lines, trimmed, in order
+    assert r1["text_clean"].split("\n") == good.split("\n")[:3]
+    # sentences: '.' + '!' + the '.' inside nothing else = 2? no:
+    # line3 ends with '"' and contains no .!? -> 2 terminators... the
+    # quote line has none, so 2 < 3 would drop doc 1 — recount: line1
+    # '.', line2 '!', line3 none -> sentences_kept == 2
+    assert r1["sentences_kept"] == 2
+    assert not r1["keep"]  # below min_sentences=3 despite clean flags
+    assert out[2]["has_lorem"] and not out[2]["keep"]
+    assert out[3]["has_brace"] and not out[3]["keep"]
+    assert out[4]["has_badword"] and not out[4]["keep"]
+    assert out[5]["lines_kept"] == 2 and not out[5]["keep"]
+    assert out[6]["lines_kept"] == 0 and not out[6]["keep"]
+
+
+def test_c4_filters_keep_true_path_and_badword_word_boundary(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        c4_quality_filters)
+    page = ("one full sentence with enough words.\n"
+            "two full sentences with enough words!\n"
+            "three full sentences with enough words?\n"
+            # 'casinos'/'Lotteryx' must NOT trip the whole-word list;
+            # capitalized CASINO inside another doc must
+            "the casinos lotteryx words are safe here.")
+    docs = spark.createDataFrame(
+        [(1, page), (2, page + "\nthe CASINO word is banned here.")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           c4_quality_filters(docs, "id", "text").collect()}
+    assert out[1]["keep"] and not out[1]["has_badword"]
+    assert out[1]["sentences_kept"] == 4 and out[1]["lines_kept"] == 4
+    assert out[2]["has_badword"] and not out[2]["keep"]
+
+
+def test_c4_filters_brute_parity(spark):
+    import re
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        C4_BADWORDS, c4_quality_filters)
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "javascript", "casino",
+             "lorem", "ipsum", "{brace", "plain"]
+    pages = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = [vocab[rng.randint(len(vocab))]
+                     for _ in range(rng.randint(1, 9))]
+            end = [".", "!", "?", '"', ""][rng.randint(5)]
+            lines.append(" ".join(words) + end)
+        pages.append((i, "\n".join(lines)))
+    out = {r["id"]: r for r in
+           c4_quality_filters(
+               spark.createDataFrame(pages, "id long, text string"),
+               "id", "text").collect()}
+    bad_re = re.compile(r"\b(" + "|".join(C4_BADWORDS) + r")\b", re.I)
+    for i, text in pages:
+        kept = [l.strip() for l in text.split("\n")
+                if re.search(r'[.!?"]$', l.strip())
+                and len(l.split()) >= 5
+                and not re.search(r"\bjavascript\b", l, re.I)]
+        clean = "\n".join(kept)
+        sents = len(re.findall(r"[.!?]", clean))
+        flags = ("lorem ipsum" in text.lower(), "{" in text,
+                 bool(bad_re.search(text)))
+        r = out[i]
+        assert r["lines_kept"] == len(kept) and r["text_clean"] == clean
+        assert r["sentences_kept"] == sents
+        assert (r["has_lorem"], r["has_brace"], r["has_badword"]) == flags
+        assert r["keep"] == (len(kept) > 0 and sents >= 3
+                             and not any(flags))
+
+
+def test_c4_filters_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        c4_quality_filters)
+    docs = spark.createDataFrame([(1, "x.")], "id long, text string")
+    with _pytest.raises(ValueError):
+        c4_quality_filters(docs, "id", "text", min_words_per_line=0)
+    with _pytest.raises(ValueError):
+        c4_quality_filters(docs, "id", "text", badwords=())
+
+
+def test_c4_filters_trim_is_single_arg(spark):
+    # regression: F.transform(lines, F.trim) would pass the element
+    # INDEX as trim's second parameter (two-param TRIM), stripping
+    # index digits from line edges — a line legitimately ending in a
+    # digit-dot like "...season 1." must keep its terminal '.' intact
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        c4_quality_filters)
+    docs = spark.createDataFrame(
+        [(1, "0 zero indexed words fill season 1.\n"
+             "1 one indexed words fill season 2.")],
+        "id long, text string")
+    r = c4_quality_filters(docs, "id", "text").collect()[0]
+    assert r["lines_kept"] == 2
+    assert r["text_clean"].endswith("season 2.")
+    assert r["text_clean"].startswith("0 zero")
