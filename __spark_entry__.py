@@ -974,6 +974,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.select("doc_id", page.alias("text")), "doc_id", "text")
     q["c4_filter_docs"] = c4_filter_docs
 
+    # ---- sketches: fixed-width histogram (mergeable quantiles) ----
+    def hist_price_cells(spark, sf):
+        """Per-priority fixed-width histogram sketch of order totals
+        (operators/sketches.py hist_sketch): floor-bucket counts,
+        exactly mergeable by addition — the quantile/distribution
+        member of the KMV/CMS/Bloom sketch family. One map-side-
+        combinable hash aggregate; O(range/width) rows out."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            hist_sketch)
+        return hist_sketch(
+            _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+            width=25000.0)
+    q["hist_price_cells"] = hist_price_cells
+
+    def hist_price_quantiles(spark, sf):
+        """Quantile estimates served FROM the histogram sketch
+        (operators/sketches.py hist_quantiles): per priority, the
+        p50/p90/p99 bucket at type-1 rank ceil(q·total) and its lower
+        edge — true quantile guaranteed inside [est, est + width).
+        One window pass over the tiny cell table + one aggregate."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            hist_quantiles, hist_sketch)
+        cells = hist_sketch(
+            _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+            width=25000.0)
+        return hist_quantiles(cells, "o_orderpriority",
+                              [0.5, 0.9, 0.99], width=25000.0)
+    q["hist_price_quantiles"] = hist_price_quantiles
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2564,6 +2593,42 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pos <= greatest(n - 3, 1)",
         "pii_redaction": _pii_redaction_sql(),
         "c4_filter_docs": _c4_filter_sql(),
+        "hist_price_cells":
+            # identical floor-bucket arithmetic (double division, so
+            # the same IEEE result on both engines)
+            "SELECT o_orderpriority, CAST(floor((CAST(o_totalprice AS "
+            "DOUBLE) - 0.0) / 25000.0) AS BIGINT) AS bucket, "
+            "count(*) AS cnt FROM orders "
+            "WHERE o_totalprice IS NOT NULL GROUP BY 1, 2",
+        "hist_price_quantiles":
+            # running/total counts over the cells, then per q the
+            # smallest bucket whose running count reaches rank
+            # ceil(q*total); est = bucket lower edge
+            "WITH cells AS (SELECT o_orderpriority, "
+            "  CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) "
+            "    / 25000.0) AS BIGINT) AS bucket, count(*) AS cnt "
+            "  FROM orders WHERE o_totalprice IS NOT NULL "
+            "  GROUP BY 1, 2), "
+            "c AS (SELECT *, sum(cnt) OVER (PARTITION BY "
+            "    o_orderpriority ORDER BY bucket) AS cum, "
+            "  sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot "
+            "  FROM cells), "
+            "g AS (SELECT o_orderpriority, "
+            "  CAST(max(tot) AS BIGINT) AS total, "
+            "  min(CASE WHEN cum >= greatest(1, ceil(0.5 * tot)) "
+            "    THEN bucket END) AS b0, "
+            "  min(CASE WHEN cum >= greatest(1, ceil(0.9 * tot)) "
+            "    THEN bucket END) AS b1, "
+            "  min(CASE WHEN cum >= greatest(1, ceil(0.99 * tot)) "
+            "    THEN bucket END) AS b2 "
+            "  FROM c GROUP BY 1) "
+            "SELECT o_orderpriority, q, bucket, "
+            "  0.0 + bucket * 25000.0 AS est, total FROM ("
+            "  SELECT o_orderpriority, 0.5 AS q, b0 AS bucket, total "
+            "    FROM g "
+            "  UNION ALL SELECT o_orderpriority, 0.9, b1, total FROM g "
+            "  UNION ALL SELECT o_orderpriority, 0.99, b2, total "
+            "    FROM g)",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h

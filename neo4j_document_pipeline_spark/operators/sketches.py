@@ -526,3 +526,100 @@ def corpus_sketch_summary(state: DataFrame) -> dict:
             "vocab_estimate": round(vocab, 1),
             "vocab_exact": len(kmv_u) < SKETCH_KMV_K,
             "bloom_words": bloom_words}
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram sketch (mergeable quantiles / distributions)
+# ---------------------------------------------------------------------------
+
+def _as_groups(group_cols: str | list[str]) -> list[str]:
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
+def hist_sketch(df: DataFrame, group_cols: str | list[str],
+                value_col: str, *, width: float,
+                origin: float = 0.0) -> DataFrame:
+    """Per-group fixed-width histogram sketch -> (group_cols…, bucket =
+    floor((value - origin) / width) as BIGINT, cnt). The quantile /
+    distribution member of the engine's mergeable-sketch family (KMV =
+    cardinality, CMS = frequency, Bloom = membership, HIST = ranks):
+    counts are EXACTLY mergeable by addition, the sketch is a pure
+    deterministic function of the data (same cells on any partitioning,
+    cluster size, or engine), and any rank query answered from it is
+    wrong by at most one bucket ``width``.
+
+    Scale: one hash aggregate (map-side partial combine) over the raw
+    rows; the sketch is O(value_range / width) rows per group
+    regardless of input size. NULL values are ignored (COUNT
+    semantics). Negative values bucket correctly (floor, not
+    truncation)."""
+    if not (width > 0):
+        raise ValueError("hist_sketch: width must be positive")
+    groups = _as_groups(group_cols)
+    bucket = F.floor((F.col(value_col).cast("double") - F.lit(float(origin)))
+                     / F.lit(float(width))).cast("bigint")
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*groups, bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def hist_merge(cells: DataFrame,
+               group_cols: str | list[str]) -> DataFrame:
+    """Merge histogram sketches built with the SAME width/origin:
+    plain addition per (group, bucket) — exact by linearity of
+    counting, the property that lets every partition/batch/day sketch
+    independently and combine without a re-scan."""
+    groups = _as_groups(group_cols)
+    return (cells.groupBy(*groups, "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def hist_quantiles(cells: DataFrame, group_cols: str | list[str],
+                   probs: list[float], *, width: float,
+                   origin: float = 0.0) -> DataFrame:
+    """Quantile estimates from a histogram sketch -> (group_cols…, q,
+    bucket, est, total): for each q the smallest bucket whose running
+    count reaches rank ceil(q·total) (type-1 semantics), with ``est``
+    the bucket's LOWER edge — the true quantile lies in
+    [est, est + width) by construction, the sketch's one-sided
+    guarantee.
+
+    Shape: one window pass over the CELLS (already tiny — O(buckets)
+    rows per group) computing running and total counts, then ONE
+    aggregate with a min-when per q and an in-plan explode back to
+    rows — no join against a probs table, no per-q scan."""
+    if not probs:
+        raise ValueError("hist_quantiles: probs must be non-empty")
+    qs = sorted(set(float(p) for p in probs))
+    for p in qs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"hist_quantiles: prob {p!r} outside [0, 1]")
+    if not (width > 0):
+        raise ValueError("hist_quantiles: width must be positive")
+    groups = _as_groups(group_cols)
+    w_cum = (Window.partitionBy(*groups).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*groups)
+    c = (cells
+         .withColumn("_cum", F.sum("cnt").over(w_cum))
+         .withColumn("_tot", F.sum("cnt").over(w_all)))
+    aggs = [
+        F.min(F.when(
+            F.col("_cum") >= F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.lit(p) * F.col("_tot"))),
+            F.col("bucket"))).alias(f"_b{i}")
+        for i, p in enumerate(qs)
+    ]
+    g = c.groupBy(*groups).agg(F.max("_tot").alias("total"), *aggs)
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("q"), F.col(f"_b{i}").alias("bucket"))
+        for i, p in enumerate(qs)])).alias("_p")
+    return (g.select(*groups, "total", pairs)
+            .select(*groups,
+                    F.col("_p.q").alias("q"),
+                    F.col("_p.bucket").alias("bucket"),
+                    (F.lit(float(origin))
+                     + F.col("_p.bucket") * F.lit(float(width)))
+                    .alias("est"),
+                    "total"))

@@ -391,3 +391,100 @@ def test_bloom_groups_isolated_and_validation(spark):
         bloom_sketch(df, "g", "v", k_hashes=0)
     with _pytest.raises(ValueError, match="m_bits"):
         bloom_contains(words, keys, "g", "v", m_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram sketch (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+def _hist_cells(rows):
+    return {(r[0], r["bucket"]): r["cnt"] for r in rows}
+
+
+def test_hist_sketch_known_cells_and_negatives(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hist_sketch)
+    df = spark.createDataFrame(
+        [("a", -0.1), ("a", 0.0), ("a", 9.99), ("a", 10.0),
+         ("a", None), ("b", 25.0)],
+        "g string, v double")
+    cells = _hist_cells(
+        hist_sketch(df, "g", "v", width=10.0).collect())
+    # -0.1 floors to bucket -1 (floor, not truncation); 10.0 opens
+    # bucket 1; NULL ignored
+    assert cells == {("a", -1): 1, ("a", 0): 2, ("a", 1): 1,
+                     ("b", 2): 1}
+
+
+def test_hist_merge_equals_union_sketch(spark):
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hist_merge, hist_sketch)
+    rng = np.random.RandomState(3)
+    a = [("g%d" % rng.randint(3), float(rng.normal(50, 30)))
+         for _ in range(400)]
+    b = [("g%d" % rng.randint(3), float(rng.normal(80, 10)))
+         for _ in range(300)]
+    mk = lambda rows: hist_sketch(
+        spark.createDataFrame(rows, "g string, v double"),
+        "g", "v", width=7.5)
+    merged = _hist_cells(hist_merge(
+        mk(a).unionByName(mk(b)), "g").collect())
+    direct = _hist_cells(mk(a + b).collect())
+    assert merged == direct  # exact, not approximate
+
+
+def test_hist_quantiles_brute_parity_and_error_bound(spark):
+    import math
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hist_quantiles, hist_sketch)
+    rng = np.random.RandomState(11)
+    width, origin = 12.5, -40.0
+    rows = [("g%d" % rng.randint(2), float(rng.normal(100, 60)))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cells = hist_sketch(df, "g", "v", width=width, origin=origin)
+    out = hist_quantiles(cells, "g", [0.0, 0.5, 0.9, 0.99, 1.0],
+                         width=width, origin=origin).collect()
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for r in out:
+        vals = sorted(by_g[r["g"]])
+        assert r["total"] == len(vals)
+        true_q = vals[max(1, math.ceil(r["q"] * len(vals))) - 1]
+        # brute parity: the bucket at the type-1 rank
+        assert r["bucket"] == math.floor((true_q - origin) / width)
+        # the one-sided guarantee: est <= true quantile < est + width
+        assert r["est"] <= true_q < r["est"] + width
+
+
+def test_hist_sketch_partitioning_invariance(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hist_sketch)
+    rows = [("a", float(i * 3 % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    one = _hist_cells(hist_sketch(
+        df.repartition(1), "g", "v", width=5.0).collect())
+    many = _hist_cells(hist_sketch(
+        df.repartition(13, "v"), "g", "v", width=5.0).collect())
+    assert one == many
+
+
+def test_hist_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        hist_quantiles, hist_sketch)
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError):
+        hist_sketch(df, "g", "v", width=0.0)
+    cells = hist_sketch(df, "g", "v", width=1.0)
+    with _pytest.raises(ValueError):
+        hist_quantiles(cells, "g", [], width=1.0)
+    with _pytest.raises(ValueError):
+        hist_quantiles(cells, "g", [1.5], width=1.0)
