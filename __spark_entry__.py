@@ -1003,6 +1003,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               [0.5, 0.9, 0.99], width=25000.0)
     q["hist_price_quantiles"] = hist_price_quantiles
 
+    # ---- training export: deterministic mixture-interleaved order ----
+    def interleave_docs_order(spark, sf):
+        """Weighted-round-robin training order (operators/sampling.py
+        interleave_order): per-language hash-shuffled ranks, stride-
+        scheduling virtual time vt = (rank - 0.5)/weight, and the
+        global position — the blendable-dataset order a trainer reads
+        after mixture_weights picks the ratios. Both rank passes are
+        distributed prefix sums (never a global window sort)."""
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            interleave_order)
+        return interleave_order(
+            _t(spark, sf, "documents"), "lang", "doc_id",
+            weights={"en": 4.0, "zh": 1.0, "de": 1.0,
+                     "es": 2.0, "fr": 2.0})
+    q["interleave_docs_order"] = interleave_docs_order
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2629,6 +2645,23 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT o_orderpriority, 0.9, b1, total FROM g "
             "  UNION ALL SELECT o_orderpriority, 0.99, b2, total "
             "    FROM g)",
+        "interleave_docs_order":
+            # the identical hash draw, per-group rank, stride virtual
+            # time (rank - 0.5)/weight, and vt-ordered global position
+            "WITH b AS (SELECT doc_id, lang, "
+            "  ('0x' || substr(sha256('v1:' || doc_id), 1, 8))::UBIGINT"
+            "  / 4294967296.0 AS u FROM documents), "
+            "r AS (SELECT doc_id, lang, CAST(row_number() OVER ("
+            "  PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) "
+            "  AS grp_rank FROM b), "
+            "v AS (SELECT doc_id, lang, grp_rank, "
+            "  (CAST(grp_rank AS DOUBLE) - 0.5) / (CASE lang "
+            "    WHEN 'en' THEN 4.0 WHEN 'zh' THEN 1.0 "
+            "    WHEN 'de' THEN 1.0 WHEN 'es' THEN 2.0 "
+            "    WHEN 'fr' THEN 2.0 END) AS vt FROM r) "
+            "SELECT doc_id, lang, grp_rank, vt, "
+            "  CAST(row_number() OVER (ORDER BY vt, lang, doc_id) "
+            "  AS BIGINT) AS pos FROM v",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h

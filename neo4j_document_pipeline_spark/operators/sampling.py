@@ -194,3 +194,139 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
            .orderBy(F.col("_wkey").desc(), F.col(id_col)))
     return (keyed.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") <= k).drop("_wkey", "_rn"))
+
+
+def interleave_order(df: DataFrame, group_col: str, id_col: str, *,
+                     weights: dict[str, float], salt: str = "v1",
+                     n_partitions: int | None = None) -> DataFrame:
+    """Deterministic weighted-round-robin training order across
+    sources -> (id, group, grp_rank, vt, pos): each group's rows are
+    shuffled by the engine's uniform hash draw (pure function of the
+    id, so the order survives repartitions/re-runs/engines), ranked
+    within their group, and assigned the stride-scheduling virtual
+    time vt = (grp_rank - 0.5) / weight. Sorting by vt interleaves the
+    groups at their weight ratios from position one — the blendable-
+    dataset order a trainer consumes after ``mixture_weights`` decides
+    the ratios (ties at equal vt break on (group, id)).
+
+    Scale shape — per-group ranks AND global positions via the
+    distributed prefix sum, never a global/per-group window sort:
+      1. range-repartition by (group, u, id) + in-partition sort;
+         per-(partition, group) counts (one tiny agg, n_partitions x
+         n_groups rows) -> driver offsets -> one mapInPandas cumcount
+         with a per-group carry,
+      2. vt folded in-plan as a literal-map lookup (JVM expression),
+      3. the same prefix-sum once more ordered by (vt, group, id) for
+         the global position.
+    Total: two range shuffles + two O(n_partitions·n_groups) collects
+    + two narrow passes, independent of data volume per partition.
+
+    Validation is loud: empty/non-positive weights, a group in the
+    data missing from ``weights``, NULL groups, and duplicate ids all
+    raise (duplicates would make both ranks nondeterministic)."""
+    if not weights:
+        raise ValueError("interleave_order: weights must be non-empty")
+    wmap = {}
+    for g, w in weights.items():
+        if not (float(w) > 0.0):
+            raise ValueError(f"interleave_order: weight {w!r} for "
+                             f"group {g!r} must be positive")
+        wmap[g] = float(w)
+    if "_pid" in df.columns:
+        raise ValueError("interleave_order: input must not carry a "
+                         "_pid column (reserved)")
+    spark = df.sparkSession
+    n = int(n_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    d = (df.select(F.col(id_col).alias("id"),
+                   F.col(group_col).alias("grp"))
+         .withColumn("_u", uniform_hash_col("id", salt))
+         .repartitionByRange(n, "grp", "_u", "id")
+         .sortWithinPartitions("grp", "_u", "id")
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint())
+    # equal (grp, id) pairs share a range key, so per-partition
+    # distinct counts sum to the global distinct count
+    stats = (d.groupBy("_pid", "grp")
+             .agg(F.count("*").alias("rows"),
+                  F.count_distinct("id").alias("keys"))
+             .collect())
+    if any(r["grp"] is None for r in stats):
+        raise ValueError("interleave_order: NULL group values — fill "
+                         "or drop them first")
+    seen = {r["grp"] for r in stats}
+    missing = sorted(seen - set(wmap))
+    if missing:
+        raise ValueError("interleave_order: groups without a weight: "
+                         f"{missing} — every group in the data needs "
+                         "an explicit ratio")
+    if (sum(r["keys"] for r in stats)
+            != sum(r["rows"] for r in stats)):
+        raise ValueError(f"interleave_order: {id_col} must be unique "
+                         "per group — duplicates make the order "
+                         "nondeterministic")
+    per_group_running: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(stats, key=lambda r: (r["_pid"], str(r["grp"]))):
+        offsets[(r["_pid"], r["grp"])] = \
+            per_group_running.get(r["grp"], 0)
+        per_group_running[r["grp"]] = \
+            per_group_running.get(r["grp"], 0) + r["rows"]
+
+    rank_schema = d.drop("_pid", "_u").schema.add("grp_rank", "long")
+
+    def rank_pass(it):
+        carry: dict[str, int] = {}
+        pid = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            ranks = []
+            for g in pdf["grp"]:
+                base = carry.get(g)
+                if base is None:
+                    base = offsets[(pid, g)]
+                base += 1
+                carry[g] = base
+                ranks.append(base)
+            out = pdf.drop(columns=["_pid", "_u"])
+            out["grp_rank"] = ranks
+            yield out
+
+    ranked = d.mapInPandas(rank_pass, rank_schema)
+    wlit = F.create_map(*[x for g in sorted(wmap)
+                          for x in (F.lit(g), F.lit(wmap[g]))])
+    v = (ranked.withColumn(
+        "vt", (F.col("grp_rank").cast("double") - F.lit(0.5))
+        / F.element_at(wlit, F.col("grp")))
+        .repartitionByRange(n, "vt", "grp", "id")
+        .sortWithinPartitions("vt", "grp", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint())
+    counts = {r["_pid"]: r["c"] for r in
+              v.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    pos_offsets, acc = {}, 0
+    for pid in range(n):
+        pos_offsets[pid] = acc
+        acc += int(counts.get(pid, 0))
+    pos_schema = v.drop("_pid").schema.add("pos", "long")
+
+    def pos_pass(it):
+        carry = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = pos_offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out["pos"] = range(carry + 1, carry + 1 + len(pdf))
+            carry += len(pdf)
+            yield out
+
+    return (v.mapInPandas(pos_pass, pos_schema)
+            .select(F.col("id").alias(id_col),
+                    F.col("grp").alias(group_col),
+                    "grp_rank", "vt", "pos"))

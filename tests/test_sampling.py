@@ -390,3 +390,104 @@ def test_mixture_weights_zero_token_source_and_validation(spark):
         mixture_weights(df, "source", "n_tok", alpha=0.0)
     with pytest.raises(ValueError):
         mixture_weights(df, "source", "n_tok", budget_tokens=-1)
+
+
+# ---------------------------------------------------------------------------
+# interleave_order (weighted-round-robin training order)
+# ---------------------------------------------------------------------------
+
+def _brute_interleave(rows, weights, salt="v1"):
+    import hashlib
+
+    def u(i):
+        h = hashlib.sha256(f"{salt}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    out = []
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: (u(i), i))
+        for r, i in enumerate(ids, 1):
+            out.append((i, g, r, (r - 0.5) / weights[g]))
+    out.sort(key=lambda t: (t[3], t[1], t[0]))
+    return [(i, g, r, vt, p + 1)
+            for p, (i, g, r, vt) in enumerate(out)]
+
+
+def test_interleave_order_brute_parity(spark):
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        interleave_order)
+    weights = {"a": 3.0, "b": 1.0, "c": 2.0}
+    rows = [(i, "abc"[i % 3]) for i in range(120)]
+    out = sorted(
+        interleave_order(
+            spark.createDataFrame(rows, "doc_id long, src string"),
+            "src", "doc_id", weights=weights).collect(),
+        key=lambda r: r["pos"])
+    got = [(r["doc_id"], r["src"], r["grp_rank"], r["vt"], r["pos"])
+           for r in out]
+    assert got == _brute_interleave(rows, weights)
+
+
+def test_interleave_order_prefix_ratio_property(spark):
+    # stride scheduling: in every prefix, each ACTIVE group's served
+    # count is within 1 of its weight share — the property that makes
+    # the order a usable per-batch mixture, not just globally fair
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        interleave_order)
+    weights = {"big": 3.0, "small": 1.0}
+    rows = [(i, "big" if i < 300 else "small") for i in range(400)]
+    out = sorted(
+        interleave_order(
+            spark.createDataFrame(rows, "doc_id long, src string"),
+            "src", "doc_id", weights=weights).collect(),
+        key=lambda r: r["pos"])
+    seen = {"big": 0, "small": 0}
+    for k, r in enumerate(out[:400], 1):
+        seen[r["src"]] += 1
+        if seen["big"] < 300 and seen["small"] < 100:  # both active
+            assert abs(seen["big"] - k * 0.75) <= 1.0
+            assert abs(seen["small"] - k * 0.25) <= 1.0
+
+
+def test_interleave_order_partitioning_invariance(spark):
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        interleave_order)
+    rows = [(i, "ab"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kw = dict(weights={"a": 2.0, "b": 1.0})
+    one = sorted(map(tuple, interleave_order(
+        df.coalesce(1), "src", "doc_id", **kw).collect()))
+    many = sorted(map(tuple, interleave_order(
+        df.repartition(11, "doc_id"), "src", "doc_id",
+        n_partitions=5, **kw).collect()))
+    assert one == many
+
+
+def test_interleave_order_validation(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        interleave_order)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, src string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        interleave_order(df, "src", "doc_id", weights={})
+    with _pytest.raises(ValueError, match="positive"):
+        interleave_order(df, "src", "doc_id",
+                         weights={"a": 0.0, "b": 1.0})
+    with _pytest.raises(ValueError, match="without a weight"):
+        interleave_order(df, "src", "doc_id",
+                         weights={"a": 1.0}).collect()
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a")], "doc_id long, src string")
+    with _pytest.raises(ValueError, match="unique"):
+        interleave_order(dup, "src", "doc_id",
+                         weights={"a": 1.0}).collect()
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, src string")
+    with _pytest.raises(ValueError, match="NULL group"):
+        interleave_order(nulls, "src", "doc_id",
+                         weights={"a": 1.0}).collect()
