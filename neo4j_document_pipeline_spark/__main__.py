@@ -274,6 +274,18 @@ def main(argv=None):
     ap.add_argument("--bench", default=None,
                     help="prepare: parquet path of benchmark documents "
                          "(text column) to decontaminate against")
+    ap.add_argument("--c4", action="store_true",
+                    help="prepare: apply the C4 page/line quality rules "
+                         "(Raffel et al. 2019 §2.2) before sampling — "
+                         "drops failing pages and exports the line-"
+                         "filtered text")
+    ap.add_argument("--interleave", default=None,
+                    help="prepare: weighted-round-robin training order "
+                         "as VALUE=WEIGHT[,VALUE=WEIGHT...] over "
+                         "--strata-col (e.g. --strata-col lang "
+                         "--interleave en=4,zh=1); shards then pack in "
+                         "the interleaved order instead of doc_id "
+                         "order")
     ap.add_argument("--decontam-n", type=int, default=13,
                     help="prepare: n-gram size for the decontamination "
                          "flags (13 = the GPT-3/PaLM policy)")
@@ -965,6 +977,19 @@ def main(argv=None):
         docs = store.read(doc_table)
         manifest = {"doc_table": doc_table, "salt": ns.salt,
                     "budget": ns.budget}
+        if ns.c4:
+            # clean first: decontam/sampling/packing then see the text
+            # that would actually be trained on
+            from neo4j_document_pipeline_spark.operators.corpus import (
+                c4_quality_filters)
+            kept = (c4_quality_filters(docs, "doc_id", "text")
+                    .filter("keep")
+                    .select("doc_id",
+                            F.col("text_clean").alias("text")))
+            docs = docs.drop("text").join(kept, "doc_id")
+            if "n_chars" in docs.columns:
+                docs = docs.withColumn("n_chars", F.length("text"))
+            manifest["c4"] = True
         if ns.bench:
             import glob as _glob
             import re as _re
@@ -1007,9 +1032,29 @@ def main(argv=None):
             docs = docs.filter(
                 uniform_hash_col("doc_id", ns.salt) < F.lit(ns.rate))
             manifest["sample"] = {"rate": ns.rate}
+        order_col = "doc_id"
+        if ns.interleave:
+            if ns.strata_col not in docs.columns:
+                sys.exit(f"--strata-col {ns.strata_col!r} is not a "
+                         f"documents column (have {docs.columns})")
+            try:
+                iw = {k: float(v) for k, v in
+                      (kv.split("=", 1)
+                       for kv in ns.interleave.split(","))}
+            except ValueError:
+                sys.exit("--interleave must be "
+                         "VALUE=WEIGHT[,VALUE=WEIGHT...]")
+            from neo4j_document_pipeline_spark.operators.sampling \
+                import interleave_order
+            order = interleave_order(docs, ns.strata_col, "doc_id",
+                                     weights=iw, salt=ns.salt)
+            docs = docs.join(order.select("doc_id", "pos"), "doc_id")
+            order_col = "pos"
+            manifest["interleave"] = {"weights": iw,
+                                      "strata_col": ns.strata_col}
         sized = docs.withColumn(
             "n_tok", col_token_count(F.col("text")))
-        packed = token_shards(sized, ns.budget)
+        packed = token_shards(sized, ns.budget, order_col=order_col)
         packed.write.partitionBy("shard_id").parquet(ns.out)
         # summarize from the packed frame (its prefix-sum input is
         # localCheckpoint-ed, so this re-runs only the narrow pass) —
@@ -1222,6 +1267,28 @@ def main(argv=None):
                   "bigram_diversity": diversity,
                   "exact_dups": "collapsed at ingest (doc_id = "
                                 "sha256(text))"}
+        # C4 rule exposure (Raffel et al. 2019 §2.2): how much of the
+        # corpus the standard web-cleaning pass would keep, and which
+        # rule bites — one extra narrow scan
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            c4_quality_filters)
+        c4row = c4_quality_filters(docs, "doc_id", "text").agg(
+            F.sum(F.col("keep").cast("long")).alias("docs_keep"),
+            F.sum(F.col("has_lorem").cast("long")).alias("docs_lorem"),
+            F.sum(F.col("has_brace").cast("long")).alias("docs_brace"),
+            F.sum(F.col("has_badword").cast("long"))
+            .alias("docs_badword"),
+            F.sum((F.col("sentences_kept") < 3).cast("long"))
+            .alias("docs_too_few_sentences"),
+            F.round(F.avg(F.col("lines_kept")
+                          / F.greatest(F.col("lines_total"),
+                                       F.lit(1))), 6)
+            .alias("line_keep_frac_mean"),
+        ).collect()[0].asDict()
+        c4row["keep_rate"] = round(
+            (c4row["docs_keep"] or 0)
+            / max(overall["n_docs"] or 0, 1), 6)
+        report["c4_rules"] = c4row
         if ns.near_dups:
             from neo4j_document_pipeline_spark.operators.dedup import (
                 resolve_near_duplicates)

@@ -491,3 +491,70 @@ def test_interleave_order_validation(spark):
     with _pytest.raises(ValueError, match="NULL group"):
         interleave_order(nulls, "src", "doc_id",
                          weights={"a": 1.0}).collect()
+
+
+def test_cli_prepare_c4_and_interleave(spark, tmp_path, capsys):
+    """`prepare --c4` drops failing pages and exports the line-filtered
+    text; `prepare --interleave` packs shards in the weighted-round-
+    robin order (pos column, manifest record); `hygiene` reports the
+    C4 rule exposure."""
+    import json
+    import re
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 10), root)
+    docs = GraphStore(root, spark).read("documents")
+    n_docs = docs.count()
+
+    def run(args):
+        main(args + ["--store", root])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # --c4: every exported line obeys the line rules; failing pages gone
+    out1 = str(tmp_path / "c4out")
+    m1 = run(["prepare", "--out", out1, "--c4", "--budget", "512"])
+    assert m1["c4"] is True and 0 < m1["n_docs"] <= n_docs
+    for r in spark.read.parquet(out1).select("text").collect():
+        for line in r["text"].split("\n"):
+            assert re.search(r'[.!?"]$', line)
+            assert len(line.split()) >= 5
+            assert not re.search(r"(?i)\bjavascript\b", line)
+    # --interleave: shards pack in pos order; manifest records weights
+    titles = sorted(r["title"] for r in
+                    docs.select("title").distinct().collect())
+    weights = ",".join(f"{t}={1.0 + (i % 2)}"
+                       for i, t in enumerate(titles))
+    out2 = str(tmp_path / "ileave")
+    m2 = run(["prepare", "--out", out2, "--strata-col", "title",
+              "--interleave", weights, "--budget", "256"])
+    assert m2["interleave"]["strata_col"] == "title"
+    assert m2["n_docs"] == n_docs
+    got = spark.read.parquet(out2).select("pos", "shard_id").collect()
+    assert sorted(r["pos"] for r in got) == list(range(1, n_docs + 1))
+    # shard ids are monotone in pos (the packing followed the order)
+    by_pos = [r["shard_id"] for r in sorted(got, key=lambda r: r["pos"])]
+    assert by_pos == sorted(by_pos)
+    # a group missing from the weights fails loudly
+    with _raises_value_error("without a weight"):
+        run(["prepare", "--out", str(tmp_path / "bad"),
+             "--strata-col", "title", "--interleave",
+             f"{titles[0]}=1.0", "--budget", "256"])
+    # hygiene: the C4 exposure section rides the standard report
+    # (multi-line indented JSON — parse the whole stdout)
+    main(["hygiene", "--store", root])
+    rep = json.loads(capsys.readouterr().out)
+    c4 = rep["c4_rules"]
+    assert set(c4) >= {"docs_keep", "docs_lorem", "docs_brace",
+                       "docs_badword", "docs_too_few_sentences",
+                       "line_keep_frac_mean", "keep_rate"}
+    assert 0.0 <= c4["keep_rate"] <= 1.0
+    assert 0.0 < c4["line_keep_frac_mean"] <= 1.0
+
+
+def _raises_value_error(match):
+    import pytest as _pytest
+    return _pytest.raises(ValueError, match=match)
