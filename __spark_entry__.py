@@ -1019,6 +1019,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      "es": 2.0, "fr": 2.0})
     q["interleave_docs_order"] = interleave_docs_order
 
+    # ---- graph analytics: strongly connected components ----
+    def scc_event_graph(spark, sf):
+        """Directed SCCs (operators/graphalgo.py
+        strongly_connected_components — Orzan-style trim/color/mark,
+        the Broder bow-tie decomposition) over the event-transition
+        graph: nodes are event_type:hour states, edges each user's
+        consecutive transitions — a dense cyclic directed graph with
+        tails, so trim, coloring, and backward marking all fire."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            strongly_connected_components)
+        e = _t(spark, sf, "events")
+        node = F.concat_ws(
+            ":", "event_type", F.hour("ts").cast("string"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = (e.select("user_id", "ts", "event_id",
+                        node.alias("src"))
+               .withColumn("dst", F.lead("src").over(w))
+               .filter(F.col("dst").isNotNull())
+               .select("src", "dst"))
+        return (strongly_connected_components(seq)
+                .select(F.col("id").alias("node"), "scc"))
+    q["scc_event_graph"] = scc_event_graph
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2645,6 +2668,36 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT o_orderpriority, 0.9, b1, total FROM g "
             "  UNION ALL SELECT o_orderpriority, 0.99, b2, total "
             "    FROM g)",
+        "scc_event_graph":
+            # exact SCCs by recursive-CTE transitive closure on the
+            # same transition graph: scc(v) = min(v, min w with v->*w
+            # and w->*v). Closure is the ORACLE's luxury (O(n^2) pairs
+            # on the bounded state graph); the operator never builds it
+            "WITH RECURSIVE e AS (SELECT user_id, ts, event_id, "
+            "  event_type || ':' || CAST(extract(hour FROM ts) "
+            "  AS VARCHAR) AS node FROM events), "
+            "p AS (SELECT node AS src, lead(node) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+            "  FROM e), "
+            # DISTINCT over UNION ALL, not bare UNION: inside a WITH
+            # RECURSIVE list DuckDB gives union-CTEs recursive
+            # semantics and the plain-UNION dedupe is lost
+            "n AS (SELECT DISTINCT id FROM ("
+            "  SELECT src AS id FROM p WHERE dst IS NOT NULL "
+            "  UNION ALL "
+            "  SELECT dst FROM p WHERE dst IS NOT NULL)), "
+            "g AS (SELECT DISTINCT src, dst FROM p "
+            "  WHERE dst IS NOT NULL AND src <> dst), "
+            "reach(src, dst) AS ("
+            "  SELECT src, dst FROM g "
+            "  UNION "
+            "  SELECT r.src, g.dst FROM reach r "
+            "  JOIN g ON r.dst = g.src), "
+            "m AS (SELECT a.src AS id, min(a.dst) AS s FROM reach a "
+            "  JOIN reach b ON a.src = b.dst AND a.dst = b.src "
+            "  GROUP BY 1) "
+            "SELECT n.id AS node, least(n.id, coalesce(m.s, n.id)) "
+            "AS scc FROM n LEFT JOIN m USING (id)",
         "interleave_docs_order":
             # the identical hash draw, per-group rank, stride virtual
             # time (rank - 0.5)/weight, and vt-ordered global position

@@ -36,6 +36,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark summary --store <dir>       # one-row graph profile (degrees/density/assortativity)
     python -m neo4j_document_pipeline_spark conductance --store <dir> [--iters N]  # how leaky each LPA community is
     python -m neo4j_document_pipeline_spark truss --store <dir> --k 4   # cohesive edge nucleus (k-truss)
+    python -m neo4j_document_pipeline_spark scc --store <dir>           # directed strongly connected components (bow-tie nuclei)
     python -m neo4j_document_pipeline_spark walks --store <dir> [--walk-len N --walks-per-node N --out <dir>]  # deterministic walk corpus (DeepWalk input)
     python -m neo4j_document_pipeline_spark mixture --store <dir> [--alpha 0.5 --train-budget N]  # per-domain pretraining mixture weights
 """
@@ -122,7 +123,7 @@ def main(argv=None):
         "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
-        "walks", "mixture", "spans", "semdedup"])
+        "walks", "mixture", "spans", "semdedup", "scc"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -670,6 +671,32 @@ def main(argv=None):
                                   F.col("name").alias("v_name")), "v")
                .orderBy("u_name", "v_name", "u", "v").limit(ns.limit))
         for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "scc":
+        # directed strongly connected components over the KG edge list
+        # (subj -> obj): the Broder bow-tie decomposition — cyclic
+        # entity clusters (mutual-reference nuclei) first, singletons
+        # suppressed
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            strongly_connected_components)
+        sc = strongly_connected_components(_kg_edges(store))
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name")
+        out = (sc.join(names, "id", "left")
+               .groupBy("scc")
+               .agg(F.count("*").alias("size"),
+                    F.array_sort(F.collect_list("name"))
+                    .alias("members"))
+               .filter(F.col("size") >= 2)
+               .orderBy(F.desc("size"), "scc").limit(ns.limit))
+        rows = out.collect()
+        if not rows:
+            print(json.dumps({"sccs": 0,
+                              "note": "no non-trivial SCC (the KG "
+                                      "is a DAG at this store)"}))
+        for r in rows:
             print(json.dumps(r.asDict(), default=str))
     elif ns.command == "walks":
         # deterministic walk corpus (DeepWalk/node2vec input): with

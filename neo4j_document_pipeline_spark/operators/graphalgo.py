@@ -1401,3 +1401,140 @@ def walk_ppmi(edges: DataFrame, *, walk_len: int = 4,
     )
     return (scored.filter(F.col("ppmi") > 0)
             .select("node", "context", "cooc", "ppmi"))
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  max_rounds: int = 12,
+                                  max_prop_iters: int = 60) -> DataFrame:
+    """Directed strongly connected components -> (id, scc) with scc =
+    the minimum node id of the component — the directed counterpart of
+    ``components.connected_components`` and the classic web/KG-graph
+    decomposition (Broder et al.'s bow-tie is exactly this operator's
+    output). Coloring algorithm (Orzan 2004; the FW-BW family —
+    public), deterministic throughout:
+
+    per outer round over the still-unassigned subgraph:
+      1. TRIM to fixpoint: nodes with no remaining in-edges or no
+         remaining out-edges are singleton SCCs — settled immediately
+         (this alone finishes any DAG, so rounds are spent only on
+         genuinely cyclic structure);
+      2. COLOR to fixpoint: col(v) = min id that reaches v, propagated
+         FORWARD one hop per iteration (one equi-join + one min
+         aggregate — map-side combinable, never a closure
+         materialization);
+      3. MARK backward from each color's root r over SAME-COLOR edges:
+         the marked set is exactly SCC(r) (any cycle through r and a
+         color-r node is monochrome: a smaller-id intruder on it would
+         recolor the whole cycle), assigned and removed.
+
+    Every round settles at least one SCC per color class, so cyclic
+    cores drain geometrically in practice; ``max_rounds`` /
+    ``max_prop_iters`` bound the loops and non-convergence raises
+    LOUDLY (a silent truncation would split components). Scale shape:
+    every step is an equi-join + aggregate on node ids,
+    localCheckpoint-ed per iteration (O(1) plan depth); no step ever
+    materializes reachability pairs."""
+    spark = edges.sparkSession
+    cols = edges.columns
+    raw = (edges.select(F.col(cols[0]).cast("string").alias("src"),
+                        F.col(cols[1]).cast("string").alias("dst"))
+           .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    # nodes BEFORE self-loop removal: a node whose only edge is a
+    # self-loop is a singleton SCC, not absent
+    active = (raw.select(F.col("src").alias("id"))
+              .union(raw.select(F.col("dst").alias("id")))
+              .distinct().localCheckpoint())
+    e0 = (raw.filter(F.col("src") != F.col("dst"))
+          .distinct().localCheckpoint())
+    done = spark.createDataFrame([], "id string, scc string")
+    ea = e0
+
+    def _chk(df, c):
+        row = (df.select(F.crc32(F.concat_ws("|", "id", c)).alias("h"))
+               .agg(F.count("*"), F.sum("h"), F.expr("bit_xor(h)"))
+               .first())
+        return tuple(row)
+
+    for _ in range(max_rounds):
+        if active.first() is None:
+            return done
+        # ---- trim singleton SCCs (no in- or no out-edges) ----
+        for _t in range(max_prop_iters):
+            srcs = ea.select(F.col("src").alias("id")).distinct()
+            dsts = ea.select(F.col("dst").alias("id")).distinct()
+            trivial = (active.join(srcs, "id", "left_anti")
+                       .union(active.join(dsts, "id", "left_anti"))
+                       .distinct().localCheckpoint())
+            if trivial.first() is None:
+                break
+            done = done.unionByName(
+                trivial.select("id", F.col("id").alias("scc"))) \
+                .localCheckpoint()
+            active = active.join(trivial, "id", "left_anti") \
+                .localCheckpoint()
+            ea = (ea.join(trivial.select(F.col("id").alias("src")),
+                          "src", "left_anti")
+                  .join(trivial.select(F.col("id").alias("dst")),
+                        "dst", "left_anti").localCheckpoint())
+        if active.first() is None:
+            return done
+        # ---- forward min-label coloring to fixpoint ----
+        col = (active.select("id", F.col("id").alias("col"))
+               .localCheckpoint())
+        prev = _chk(col, "col")
+        for _p in range(max_prop_iters):
+            inc = (ea.join(col.select(F.col("id").alias("src"),
+                                      F.col("col").alias("c")), "src")
+                   .groupBy("dst").agg(F.min("c").alias("cin")))
+            col = (col.join(inc.select(F.col("dst").alias("id"), "cin"),
+                            "id", "left")
+                   .select("id", F.least(
+                       "col", F.coalesce("cin", "col")).alias("col"))
+                   .localCheckpoint())
+            cur = _chk(col, "col")
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: coloring did not "
+                f"converge within {max_prop_iters} iterations — raise "
+                "max_prop_iters (diameter-bound) rather than trusting "
+                "a truncated fixpoint")
+        # ---- backward marking over same-color edges ----
+        colored_e = (ea.join(col.select(F.col("id").alias("src"),
+                                        F.col("col").alias("cs")),
+                             "src")
+                     .join(col.select(F.col("id").alias("dst"),
+                                      F.col("col").alias("cd")), "dst")
+                     .filter(F.col("cs") == F.col("cd"))
+                     .select("src", "dst").localCheckpoint())
+        mk = (col.filter(F.col("col") == F.col("id")).select("id")
+              .localCheckpoint())
+        for _m in range(max_prop_iters):
+            grow = (colored_e.join(mk.select(F.col("id").alias("dst")),
+                                   "dst")
+                    .select(F.col("src").alias("id")).distinct()
+                    .join(mk, "id", "left_anti").localCheckpoint())
+            if grow.first() is None:
+                break
+            mk = mk.union(grow).localCheckpoint()
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: backward marking did "
+                f"not converge within {max_prop_iters} iterations")
+        found = mk.join(col, "id").select(
+            "id", F.col("col").alias("scc"))
+        done = done.unionByName(found).localCheckpoint()
+        active = active.join(mk, "id", "left_anti").localCheckpoint()
+        ea = (ea.join(mk.select(F.col("id").alias("src")),
+                      "src", "left_anti")
+              .join(mk.select(F.col("id").alias("dst")),
+                    "dst", "left_anti").localCheckpoint())
+    if active.first() is not None:
+        raise RuntimeError(
+            "strongly_connected_components: unassigned nodes remain "
+            f"after {max_rounds} rounds — raise max_rounds (each round "
+            "settles at least one SCC per color class; hitting this "
+            "on a real graph means an adversarial SCC chain)")
+    return done

@@ -1967,3 +1967,130 @@ def test_walk_ppmi_window_and_validation(spark):
     assert ("a", "d") not in w1 and len(w3) >= len(w1)
     with _pytest.raises(ValueError, match="window"):
         walk_ppmi(edges, window=0)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (directed)
+# ---------------------------------------------------------------------------
+
+def _brute_scc(edges):
+    from collections import defaultdict
+    fwd, rev = defaultdict(set), defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        if a == b:
+            continue
+        fwd[a].add(b)
+        rev[b].add(a)
+
+    def reach(start, adj):
+        seen, stack = {start}, [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    return {v: min(reach(v, fwd) & reach(v, rev)) for v in nodes}
+
+
+def test_scc_brute_parity(spark):
+    import random
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        strongly_connected_components)
+    rng = random.Random(5)
+    names = [f"n{i:02d}" for i in range(30)]
+    cases = [
+        # two cycles joined by a bridge, plus a tail
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "d"), ("e", "f")],
+        # pure path: the trim phase settles everything
+        [("1", "2"), ("2", "3"), ("3", "4")],
+        # self-loop-only node is a singleton SCC, not absent
+        [("x", "x"), ("p", "q"), ("q", "p")],
+        # cycle with a chord and an exit
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"),
+         ("d", "z")],
+        # SCC chain: cycle -> cycle -> cycle (multiple outer rounds)
+        [("a1", "a2"), ("a2", "a1"), ("a2", "b1"), ("b1", "b2"),
+         ("b2", "b1"), ("b2", "c1"), ("c1", "c2"), ("c2", "c1")],
+        # random digraph
+        [(rng.choice(names), rng.choice(names)) for _ in range(70)],
+    ]
+    for es in cases:
+        df = spark.createDataFrame(es, "src string, dst string")
+        got = {r["id"]: r["scc"] for r in
+               strongly_connected_components(df).collect()}
+        assert got == _brute_scc(es), es
+
+
+def test_scc_partitioning_invariance_and_empty(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        strongly_connected_components)
+    es = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")]
+    df = spark.createDataFrame(es, "src string, dst string")
+    one = sorted(map(tuple, strongly_connected_components(
+        df.coalesce(1)).collect()))
+    many = sorted(map(tuple, strongly_connected_components(
+        df.repartition(7)).collect()))
+    assert one == many == [("a", "a"), ("b", "a"), ("c", "c"),
+                           ("d", "c")]
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert strongly_connected_components(empty).count() == 0
+
+
+def test_scc_loud_non_convergence(spark):
+    import pytest as _pytest
+
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        strongly_connected_components)
+    # a 3-link SCC chain cannot finish in one round: trim removes
+    # nothing (every node has in+out edges), and each round settles
+    # only the current color root's SCC
+    es = [("a1", "a2"), ("a2", "a1"), ("a2", "b1"), ("b1", "b2"),
+          ("b2", "b1"), ("b2", "c1"), ("c1", "c2"), ("c2", "c1")]
+    df = spark.createDataFrame(es, "src string, dst string")
+    with _pytest.raises(RuntimeError, match="unassigned nodes remain"):
+        strongly_connected_components(df, max_rounds=1)
+    with _pytest.raises(RuntimeError, match="coloring did not"):
+        strongly_connected_components(df, max_prop_iters=1)
+
+
+def test_cli_scc_command(spark, tmp_path, capsys):
+    """`scc` over a committed store: the synth KG is a DAG (mentions
+    point subj -> obj with no cycles), so the command reports the
+    no-non-trivial-SCC note after running the full trim path; a store
+    whose edges contain a planted 2-cycle reports one SCC of size 2."""
+    import json
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 10), root)
+    main(["scc", "--store", root])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert out.get("sccs") == 0  # DAG: loud note, not silence
+    # plant a reverse edge to close one 2-cycle, commit, re-run
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    store = GraphStore(root, spark)
+    e = store.read("edges")
+    one = e.limit(1).collect()[0]
+    rev = e.limit(1).select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"),
+        *[F.col(c) for c in e.columns
+          if c not in ("src_id", "dst_id")])
+    cached = e.unionByName(rev).localCheckpoint()
+    store.write("edges", cached)
+    main(["scc", "--store", root, "--limit", "5"])
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["size"] == 2
+    assert {one["src_id"], one["dst_id"]} and rows[0]["scc"] == min(
+        one["src_id"], one["dst_id"])
