@@ -1042,6 +1042,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id").alias("node"), "scc"))
     q["scc_event_graph"] = scc_event_graph
 
+    # ---- corpus hygiene: Gopher page-quality rules ----
+    def gopher_quality_docs(spark, sf):
+        """Gopher page-quality shape statistics + keep verdict
+        (operators/corpus.py gopher_quality_filters — Rae et al. 2021
+        table A1: word-count band, mean word length, symbol ratio,
+        alphabetic-word fraction, bullet/ellipsis line fractions,
+        stop-word presence; pure column expressions, one scan).
+        Thresholds sized to the synthetic corpus (10-99 words per doc,
+        only 'the' from the stop list occurs) so keep splits."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            gopher_quality_filters)
+        out = gopher_quality_filters(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            min_words=40, min_stopwords=1)
+        return out.select(
+            "doc_id", "n_words",
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round("symbol_ratio", 6).alias("symbol_ratio"),
+            F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+            F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+            F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+            "n_stopwords", "keep")
+    q["gopher_quality_docs"] = gopher_quality_docs
+
+    # ---- corpus hygiene: fuzzy (whole-document) decontamination ----
+    def jaccard_decontam_docs(spark, sf):
+        """Fuzzy decontamination (operators/dedup.py
+        jaccard_decontam_flags): documents near-duplicate (2-gram
+        shingle Jaccard >= 0.1) to ANY benchmark document (source
+        'src0') are flagged, with the best-matching bench doc — the
+        whole-document companion to the 13-gram overlap pass (catches
+        lightly-edited eval copies). Exact inverted-shingle join
+        against broadcast bench postings, never corpus²."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            jaccard_decontam_flags)
+        d = _t(spark, sf, "documents")
+        out = jaccard_decontam_flags(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "doc_id", "text", shingle_words=2, threshold=0.1)
+        return out.select(
+            "doc_id", "n_grams", "bench_id",
+            F.round("jaccard", 6).alias("jaccard"), "flagged")
+    q["jaccard_decontam_docs"] = jaccard_decontam_docs
+
+    # ---- sketches: KMV set algebra (theta-sketch overlap) ----
+    def kmv_type_overlap(spark, sf):
+        """Pairwise user-set overlap between event types computed
+        ONLY from their KMV sketches (operators/sketches.py
+        kmv_set_ops — theta-sketch set algebra, Beyer et al. 2007):
+        union/intersection/Jaccard estimates per type pair, exact
+        below sketch saturation (sf0.001: 15 users < k=32 — every
+        number exact; sf0.01: 150 users — the estimator regime).
+        The raw events are touched once to sketch; the set algebra
+        is O(k) array arithmetic per pair."""
+        from neo4j_document_pipeline_spark.operators.sketches import (
+            kmv_set_ops, kmv_sketch)
+        ev = _t(spark, sf, "events")
+        sk = kmv_sketch(ev, "event_type", "user_id", k=32)
+        t1 = sk.select(F.col("event_type").alias("t1"), "sketch")
+        t2 = sk.select(F.col("event_type").alias("t2"), "sketch")
+        a = (t1.join(t2.select("t2"), F.col("t1") < F.col("t2"))
+             .select("t1", "t2", "sketch"))
+        b = (t2.join(t1.select("t1"), F.col("t1") < F.col("t2"))
+             .select("t1", "t2", "sketch"))
+        out = kmv_set_ops(a, b, ["t1", "t2"], 32)
+        return out.select(
+            "t1", "t2", "k_used", "n_both",
+            F.round("union_est", 4).alias("union_est"),
+            F.round("inter_est", 4).alias("inter_est"),
+            F.round("jaccard_est", 4).alias("jaccard_est"))
+    q["kmv_type_overlap"] = kmv_type_overlap
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2715,6 +2788,101 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, grp_rank, vt, "
             "  CAST(row_number() OVER (ORDER BY vt, lang, doc_id) "
             "  AS BIGINT) AS pos FROM v",
+        "gopher_quality_docs":
+            # identical shape statistics: raw \S+ words, char lengths,
+            # '#'/'...'/'…' symbol count, [a-zA-Z] word fraction,
+            # non-empty trimmed lines for bullet/ellipsis fractions,
+            # engine-tokenized distinct stop-word hits; all ratios are
+            # int/int double division so the bits match
+            "WITH w AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS words, "
+            "  len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS nsym, "
+            "  list_filter(list_transform(string_split(text, chr(10)), "
+            "    l -> trim(l)), l -> l <> '') AS lines, "
+            f"  len(list_intersect(list_distinct({_SQL_TOKENS}), "
+            "    ['the','be','to','of','and','that','have','with'])) "
+            "  AS n_stop FROM documents), "
+            "s AS (SELECT doc_id, len(words) AS n_words, "
+            "  CASE WHEN len(words) > 0 THEN "
+            "    list_sum(list_transform(words, x -> length(x)))"
+            "    ::DOUBLE / len(words) ELSE 0.0 END AS mwl, "
+            "  CASE WHEN len(words) > 0 THEN "
+            "    nsym / len(words) ELSE 0.0 END AS symr, "
+            "  CASE WHEN len(words) > 0 THEN "
+            "    len(list_filter(words, x -> "
+            "    regexp_matches(x, '[a-zA-Z]'))) / len(words) "
+            "    ELSE 0.0 END AS alphaf, "
+            "  CASE WHEN len(lines) > 0 THEN "
+            "    len(list_filter(lines, l -> substr(l, 1, 1) IN "
+            "    ('•', '-', '*'))) / len(lines) ELSE 0.0 END AS bulf, "
+            "  CASE WHEN len(lines) > 0 THEN "
+            "    len(list_filter(lines, l -> l LIKE '%...' OR "
+            "    l LIKE '%…')) / len(lines) ELSE 0.0 END AS ellf, "
+            "  n_stop FROM w) "
+            "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, "
+            "round(symr, 6) AS symbol_ratio, "
+            "round(alphaf, 6) AS alpha_word_frac, "
+            "round(bulf, 6) AS bullet_line_frac, "
+            "round(ellf, 6) AS ellipsis_line_frac, n_stopwords, keep "
+            "FROM (SELECT *, n_stop AS n_stopwords, "
+            "  (n_words >= 40 AND n_words <= 100000 "
+            "   AND mwl >= 3.0 AND mwl <= 10.0 AND symr <= 0.1 "
+            "   AND alphaf >= 0.8 AND bulf <= 0.9 AND ellf <= 0.3 "
+            "   AND n_stop >= 1) AS keep FROM s)",
+        "jaccard_decontam_docs":
+            # identical tokenization, inclusive 2-gram slices, per-doc
+            # distinct grams; candidates = shared-shingle pairs only;
+            # best match = max jaccard, ties -> greatest bench id
+            "WITH d AS (SELECT doc_id, source, "
+            f"{_SQL_TOKENS} AS toks FROM documents), "
+            "g AS (SELECT doc_id, source, CASE WHEN len(toks) >= 2 "
+            "  THEN list_distinct(list_transform(range(1, len(toks)), "
+            "  i -> array_to_string(toks[i:i+1], ' '))) "
+            "  ELSE []::VARCHAR[] END AS grams FROM d), "
+            "b AS (SELECT doc_id AS bench_id, len(grams) AS bn, "
+            "  unnest(grams) AS gram FROM g WHERE source = 'src0'), "
+            "t AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'), "
+            "e AS (SELECT doc_id, unnest(grams) AS gram FROM t), "
+            "p AS (SELECT e.doc_id, b.bench_id, max(b.bn) AS bn, "
+            "  count(*) AS inter FROM e JOIN b USING (gram) "
+            "  GROUP BY 1, 2), "
+            "j AS (SELECT p.doc_id, p.bench_id, "
+            "  p.inter / (len(t.grams) + p.bn - p.inter) AS jac, "
+            "  row_number() OVER (PARTITION BY p.doc_id "
+            "  ORDER BY p.inter / (len(t.grams) + p.bn - p.inter) "
+            "  DESC, p.bench_id DESC) AS rn "
+            "  FROM p JOIN t USING (doc_id)) "
+            "SELECT t.doc_id, len(t.grams) AS n_grams, j.bench_id, "
+            "round(coalesce(j.jac, 0.0), 6) AS jaccard, "
+            "coalesce(j.jac, 0.0) >= 0.1 AS flagged "
+            "FROM t LEFT JOIN (SELECT * FROM j WHERE rn = 1) j "
+            "USING (doc_id)",
+        "kmv_type_overlap":
+            # replay the per-type bottom-32 sketches, then the
+            # theta-sketch set algebra verbatim: K = 32 smallest of
+            # the sketch union, n_both = K members present in both
+            # sketches, union_est = 31/h_k past saturation
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "  ('0x' || substr(sha256('v1:' || user_id), 1, 8))::UBIGINT"
+            "  / 4294967296.0 AS u FROM events "
+            "  WHERE user_id IS NOT NULL), "
+            "r AS (SELECT event_type, u, row_number() OVER ("
+            "  PARTITION BY event_type ORDER BY u) AS rn FROM h), "
+            "s AS (SELECT event_type, list_sort(list(u)) AS sk "
+            "  FROM r WHERE rn <= 32 GROUP BY 1), "
+            "p AS (SELECT a.event_type AS t1, b.event_type AS t2, "
+            "  a.sk AS sa, b.sk AS sb, "
+            "  (list_sort(list_distinct(a.sk || b.sk)))[1:32] AS kk "
+            "  FROM s a JOIN s b ON a.event_type < b.event_type), "
+            "e AS (SELECT t1, t2, len(kk) AS k_used, "
+            "  len(list_filter(kk, x -> list_contains(sa, x) AND "
+            "  list_contains(sb, x))) AS n_both, "
+            "  CASE WHEN len(kk) < 32 THEN len(kk)::DOUBLE "
+            "  ELSE 31.0 / kk[-1] END AS union_est FROM p) "
+            "SELECT t1, t2, k_used, n_both, "
+            "round(union_est, 4) AS union_est, "
+            "round((n_both / k_used) * union_est, 4) AS inter_est, "
+            "round(n_both / k_used, 4) AS jaccard_est FROM e",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h

@@ -290,6 +290,25 @@ def main(argv=None):
     ap.add_argument("--decontam-n", type=int, default=13,
                     help="prepare: n-gram size for the decontamination "
                          "flags (13 = the GPT-3/PaLM policy)")
+    ap.add_argument("--fuzzy-jaccard", type=float, default=None,
+                    help="prepare: ALSO drop documents whose whole-"
+                         "document shingle Jaccard vs any --bench doc "
+                         "reaches this threshold (catches lightly-"
+                         "edited eval copies the 13-gram hit count "
+                         "understates)")
+    ap.add_argument("--fuzzy-shingle", type=int, default=3,
+                    help="prepare: shingle word-length for "
+                         "--fuzzy-jaccard (default 3)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="prepare: apply the Gopher page-quality rules "
+                         "(Rae et al. 2021 table A1) before sampling — "
+                         "drops failing pages (word-count band, mean "
+                         "word length, symbol ratio, alphabetic "
+                         "fraction, bullet/ellipsis lines, stop words)")
+    ap.add_argument("--gopher-min-words", type=int, default=50,
+                    help="prepare/hygiene: Gopher minimum word count "
+                         "(50 = the paper's default; lower it for "
+                         "short-document corpora)")
     ap.add_argument("--events", default=None,
                     help="attribution/dedup-stream: parquet dir of events "
                          "(event_id, event_type, user_id, ts, ...)")
@@ -999,6 +1018,9 @@ def main(argv=None):
             stratified_sample, token_shards, uniform_hash_col)
         if not ns.out:
             sys.exit("prepare requires --out <dir> for the shard sink")
+        if ns.fuzzy_jaccard is not None and not ns.bench:
+            sys.exit("--fuzzy-jaccard needs --bench (it scrubs against "
+                     "the benchmark documents)")
         doc_table = ("documents_final" if store.exists("documents_final")
                      else "documents")
         docs = store.read(doc_table)
@@ -1017,6 +1039,17 @@ def main(argv=None):
             if "n_chars" in docs.columns:
                 docs = docs.withColumn("n_chars", F.length("text"))
             manifest["c4"] = True
+        if ns.gopher:
+            from neo4j_document_pipeline_spark.operators.corpus import (
+                gopher_quality_filters)
+            if ns.gopher_min_words < 0:
+                sys.exit("--gopher-min-words must be >= 0")
+            gkeep = (gopher_quality_filters(
+                docs, "doc_id", "text",
+                min_words=ns.gopher_min_words)
+                .filter("keep").select("doc_id"))
+            docs = docs.join(gkeep, "doc_id")
+            manifest["gopher"] = {"min_words": ns.gopher_min_words}
         if ns.bench:
             import glob as _glob
             import re as _re
@@ -1037,6 +1070,24 @@ def main(argv=None):
             docs = docs.join(flagged, "doc_id", "left_anti")
             manifest["decontam"] = {"bench": ns.bench,
                                     "n": ns.decontam_n}
+            if ns.fuzzy_jaccard is not None:
+                if not (0.0 < ns.fuzzy_jaccard <= 1.0):
+                    sys.exit("--fuzzy-jaccard must be in (0, 1]")
+                from neo4j_document_pipeline_spark.operators.dedup \
+                    import jaccard_decontam_flags
+                # --bench only promises a text column; the fuzzy pass
+                # needs a bench id — derive one deterministically
+                bench_k = bench if "doc_id" in bench.columns else \
+                    bench.withColumn("doc_id", F.sha2("text", 256))
+                fz = (jaccard_decontam_flags(
+                    docs, bench_k, "doc_id", "text",
+                    shingle_words=ns.fuzzy_shingle,
+                    threshold=ns.fuzzy_jaccard)
+                    .filter("flagged").select("doc_id"))
+                docs = docs.join(fz, "doc_id", "left_anti")
+                manifest["decontam"]["fuzzy"] = {
+                    "jaccard": ns.fuzzy_jaccard,
+                    "shingle_words": ns.fuzzy_shingle}
         if ns.rates:
             if ns.strata_col not in docs.columns:
                 sys.exit(f"--strata-col {ns.strata_col!r} is not a "
@@ -1316,6 +1367,32 @@ def main(argv=None):
             (c4row["docs_keep"] or 0)
             / max(overall["n_docs"] or 0, 1), 6)
         report["c4_rules"] = c4row
+        # Gopher rule exposure (Rae et al. 2021 table A1): the page-
+        # shape sibling of the C4 block — per-rule bite counts and the
+        # keep rate, one more narrow scan
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            gopher_quality_filters)
+        gmin = ns.gopher_min_words
+        grow = gopher_quality_filters(
+            docs, "doc_id", "text", min_words=gmin).agg(
+            F.sum(F.col("keep").cast("long")).alias("docs_keep"),
+            F.sum((F.col("n_words") < gmin).cast("long"))
+            .alias("docs_too_short"),
+            F.sum(((F.col("mean_word_len") < 3.0)
+                   | (F.col("mean_word_len") > 10.0)).cast("long"))
+            .alias("docs_word_len"),
+            F.sum((F.col("symbol_ratio") > 0.1).cast("long"))
+            .alias("docs_symbol_heavy"),
+            F.sum((F.col("alpha_word_frac") < 0.8).cast("long"))
+            .alias("docs_low_alpha"),
+            F.sum((F.col("n_stopwords") < 2).cast("long"))
+            .alias("docs_no_stopwords"),
+        ).collect()[0].asDict()
+        grow = {k: int(v or 0) for k, v in grow.items()}
+        grow["min_words"] = gmin
+        grow["keep_rate"] = round(
+            grow["docs_keep"] / max(overall["n_docs"] or 0, 1), 6)
+        report["gopher_rules"] = grow
         if ns.near_dups:
             from neo4j_document_pipeline_spark.operators.dedup import (
                 resolve_near_duplicates)

@@ -19,6 +19,30 @@ MS_STOPWORDS = [
 ]
 
 
+def col_let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE per
+    row and pass it to ``body`` as a lambda variable.
+
+    Why this exists: Spark's higher-order functions (``transform``/
+    ``filter``/``aggregate``) are CodegenFallback — their lambdas are
+    INTERPRETED, with no common-subexpression elimination, so a lambda
+    that captures a non-trivial subtree (e.g. ``F.slice(col_tokens(c),
+    i, n)`` — the tokenizer inside an n-gram loop) re-evaluates that
+    whole subtree for EVERY element: O(len) grams become O(len²)
+    regex work per row. Measured on 20 docs × 1500 punctuation-heavy
+    tokens: 104s inlined vs 3s let-bound vs 0.4s via a separate
+    projection. Binding the subtree to a lambda variable makes every
+    reference a cheap variable lookup while keeping the Column-in /
+    Column-out composability (a projection split can be undone by
+    CollapseProject; this cannot).
+
+    Implemented as ``element_at(transform(array(bound), body), 1)`` —
+    a single-element transform whose lambda variable IS the binding.
+    NULL ``bound`` flows through as a NULL lambda value, same as the
+    unbound expression."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def col_tokens(c: Column) -> Column:
     """Whitespace+punct tokenization to lowercase word array."""
     return F.filter(
@@ -116,17 +140,25 @@ def col_dup_ngram_fraction(c: Column, n: int = 3) -> Column:
     looping/templated text that dedup can't see because the DOCUMENT is
     unique). Pure Column expressions — the sequence is clamped with
     greatest() so short docs build a dummy gram list and the outer
-    CASE returns 0.0 for them."""
-    toks = col_tokens(c)
-    count = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    g = F.size(grams)
-    return F.when(
-        F.size(toks) >= n,
-        (g - F.size(F.array_distinct(grams))) / g,
-    ).otherwise(F.lit(0.0))
+    CASE returns 0.0 for them. The token array and the gram array are
+    let-bound (``col_let``) so the interpreted n-gram lambda slices a
+    materialized array instead of re-tokenizing per element."""
+    def with_toks(toks):
+        count = F.size(toks) - (n - 1)
+        idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+        grams_e = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+        def with_grams(grams):
+            g = F.size(grams)
+            return F.when(
+                F.size(toks) >= n,
+                (g - F.size(F.array_distinct(grams))) / g,
+            ).otherwise(F.lit(0.0))
+
+        return col_let(grams_e, with_grams)
+
+    return col_let(col_tokens(c), with_toks)
 
 
 def col_top_ngram(c: Column, n: int = 2) -> Column:
@@ -147,27 +179,32 @@ def col_top_ngram(c: Column, n: int = 2) -> Column:
     STRICTLY longer run and the array is sorted ascending, count ties
     resolve to the smallest gram with no extra bookkeeping. Only
     meaningful when the document has >= n tokens — callers guard (the
-    clamp builds a dummy gram list for shorter docs)."""
-    toks = col_tokens(c)
-    count = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    grams = F.array_sort(F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
-    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"), F.lit("").alias("bestg"))
+    clamp builds a dummy gram list for shorter docs). Tokens are
+    let-bound (``col_let``) so the gram lambda slices a materialized
+    array instead of re-tokenizing per element."""
+    def with_toks(toks):
+        count = F.size(toks) - (n - 1)
+        idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+        grams = F.array_sort(F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+        init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("best"), F.lit("").alias("bestg"))
 
-    def step(acc, g):
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        better = run > acc["best"]
+        def step(acc, g):
+            run = F.when(g == acc["prev"],
+                         acc["run"] + 1).otherwise(F.lit(1))
+            better = run > acc["best"]
+            return F.struct(
+                g.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, g).otherwise(acc["bestg"]).alias("bestg"))
+
+        fin = F.aggregate(grams, init, step)
         return F.struct(
-            g.alias("prev"), run.alias("run"),
-            F.when(better, run).otherwise(acc["best"]).alias("best"),
-            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"))
+            fin["best"].alias("best"), fin["bestg"].alias("bestg"),
+            F.length(F.array_join(toks, " ")).alias("total"))
 
-    fin = F.aggregate(grams, init, step)
-    return F.struct(
-        fin["best"].alias("best"), fin["bestg"].alias("bestg"),
-        F.length(F.array_join(toks, " ")).alias("total"))
+    return col_let(col_tokens(c), with_toks)
 
 
 def col_fingerprint(c: Column) -> Column:
@@ -179,12 +216,17 @@ def col_fingerprint(c: Column) -> Column:
 def col_rolling_fingerprints(c: Column, k: int = 8, keep: int = 4) -> Column:
     """Winnowing-style selection: the ``keep`` smallest crc32 values over
     the k-gram windows of the normalized text (order-insensitive digest
-    for near-dup screening)."""
-    norm = F.array_join(col_tokens(c), " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.crc32(F.substring(norm, i, k).cast("binary")))
-    return F.slice(F.array_sort(grams), 1, keep)
+    for near-dup screening). The normalized string is let-bound
+    (``col_let``) so the window lambda substrings a materialized value
+    instead of re-tokenizing per position."""
+    def with_norm(norm):
+        n = F.length(norm)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        grams = F.transform(
+            idx, lambda i: F.crc32(F.substring(norm, i, k).cast("binary")))
+        return F.slice(F.array_sort(grams), 1, keep)
+
+    return col_let(F.array_join(col_tokens(c), " "), with_norm)
 
 
 def col_normalize_url(c: Column) -> Column:

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+from neo4j_document_pipeline_spark.functions.textstats import (
+    col_let, col_tokens)
 
 
 def corpus_tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
@@ -135,11 +136,14 @@ def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str,
     if add_k < 0:
         raise ValueError(f"add_k must be >= 0, got {add_k}")
     toks = col_tokens(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    # tokens let-bound: the two slices + size would otherwise each
+    # re-run the tokenizer (constant-factor, not quadratic — the
+    # lambda only touches its own variables)
+    bigrams = col_let(toks, lambda tk: F.when(
+        F.size(tk) >= 2,
+        F.zip_with(F.slice(tk, 1, F.size(tk) - 1),
+                   F.slice(tk, 2, F.size(tk) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))))
     pairs = (df.select(F.col(id_col), F.explode_outer(bigrams)
                        .alias("_bg"))
              .select(id_col, F.col("_bg.w1").alias("w1"),
@@ -245,9 +249,7 @@ def ngram_diversity(df: DataFrame, group_col: str, text_col: str, *,
         raise ValueError("ngram_diversity: ns must be non-empty")
     if any(n < 1 for n in ns):
         raise ValueError(f"every n must be >= 1, got {ns}")
-    toks = col_tokens(F.col(text_col))
-
-    def tagged(n):
+    def tagged(toks, n):
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -258,7 +260,12 @@ def ngram_diversity(df: DataFrame, group_col: str, text_col: str, *,
             grams, lambda g: F.struct(F.lit(n).cast("int").alias("n"),
                                       g.alias("gram")))
 
-    combos = F.flatten(F.array(*[tagged(n) for n in sorted(set(ns))]))
+    # tokens let-bound ONCE for every n (the gram lambdas slice a
+    # materialized array instead of re-tokenizing per gram; see col_let)
+    combos = col_let(
+        col_tokens(F.col(text_col)),
+        lambda toks: F.flatten(
+            F.array(*[tagged(toks, n) for n in sorted(set(ns))])))
     ex = df.select(F.col(group_col), F.explode(combos).alias("_t")) \
            .select(group_col, F.col("_t.n").alias("n"),
                    F.col("_t.gram").alias("gram"))
@@ -315,21 +322,26 @@ def dsir_log_weights(raw: DataFrame, id_col: str, text_col: str,
     tcol = target_text_col or text_col
 
     def feats(text_col_name):
-        toks = col_tokens(F.col(text_col_name))
-        n = F.size(toks)
-        uni = F.transform(
-            toks, lambda t: F.concat(F.lit(f"{salt}:u:"), t))
-        big = F.when(
-            n >= 2,
-            F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-                       lambda a, b: F.concat(F.lit(f"{salt}:b:"), a,
-                                             F.lit(" "), b)),
-        ).otherwise(F.array().cast("array<string>"))
-        keyed = F.concat(uni, big)
-        return F.transform(
-            keyed,
-            lambda s: (F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10)
-                       .cast("bigint") % buckets))
+        # tokens let-bound: size + two slices + the unigram transform
+        # would otherwise each re-run the tokenizer per row
+        def with_toks(toks):
+            n = F.size(toks)
+            uni = F.transform(
+                toks, lambda t: F.concat(F.lit(f"{salt}:u:"), t))
+            big = F.when(
+                n >= 2,
+                F.zip_with(F.slice(toks, 1, n - 1),
+                           F.slice(toks, 2, n - 1),
+                           lambda a, b: F.concat(F.lit(f"{salt}:b:"), a,
+                                                 F.lit(" "), b)),
+            ).otherwise(F.array().cast("array<string>"))
+            keyed = F.concat(uni, big)
+            return F.transform(
+                keyed,
+                lambda s: (F.conv(F.substring(F.sha2(s, 256), 1, 8),
+                                  16, 10).cast("bigint") % buckets))
+
+        return col_let(col_tokens(F.col(text_col_name)), with_toks)
 
     tb = (target.select(F.explode(feats(tcol)).alias("b"))
           .groupBy("b").agg(F.count("*").alias("tc")))
@@ -393,12 +405,15 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str, *,
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k}, "
                          f"window={window}")
-    toks = col_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
-    ).otherwise(F.array().cast("array<string>"))
+    # tokens let-bound so the gram lambda slices a materialized array
+    # instead of re-tokenizing per position (see col_let)
+    grams = col_let(
+        col_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+        ).otherwise(F.array().cast("array<string>")))
     g = (df.select(F.col(id_col), grams.alias("_grams"))
          .select(id_col, F.size("_grams").alias("_n"),
                  F.posexplode("_grams").alias("_pos", "_gram")))
@@ -580,3 +595,135 @@ def c4_quality_filters(df: DataFrame, id_col: str, text_col: str, *,
     return d.select(id_col, "lines_total", "lines_kept",
                     "sentences_kept", "has_lorem", "has_brace",
                     "has_badword", keep.alias("keep"), "text_clean")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+_GOPHER_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLET_CHARS = ("•", "-", "*")
+
+
+def gopher_quality_filters(df: DataFrame, id_col: str, text_col: str, *,
+                           min_words: int = 50,
+                           max_words: int = 100_000,
+                           min_mean_word_len: float = 3.0,
+                           max_mean_word_len: float = 10.0,
+                           max_symbol_ratio: float = 0.1,
+                           min_alpha_word_frac: float = 0.8,
+                           max_bullet_line_frac: float = 0.9,
+                           max_ellipsis_line_frac: float = 0.3,
+                           min_stopwords: int = 2,
+                           stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+                           ) -> DataFrame:
+    """The Gopher page-quality rules (Rae et al. 2021, table A1) as one
+    narrow pass -> (id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+    n_stopwords, keep) — the rule-based sibling of
+    ``c4_quality_filters`` (C4 cuts LINES; Gopher judges the PAGE by
+    shape statistics). ``keep`` is true iff ALL hold:
+
+      - ``min_words`` <= word count <= ``max_words``
+        (words = whitespace-separated runs of the RAW text),
+      - mean word length in [``min_mean_word_len``,
+        ``max_mean_word_len``],
+      - (count of ``#`` / ``...`` / ``…`` symbols) / words
+        <= ``max_symbol_ratio``,
+      - fraction of words containing >= 1 ASCII letter
+        >= ``min_alpha_word_frac``,
+      - fraction of non-empty trimmed lines starting with a bullet
+        (``•`` ``-`` ``*``) <= ``max_bullet_line_frac``,
+      - fraction of non-empty trimmed lines ending with an ellipsis
+        <= ``max_ellipsis_line_frac``,
+      - >= ``min_stopwords`` DISTINCT words from ``stopwords`` present
+        (engine tokenization, so "The"/"the." both count).
+
+    The paper's remaining rule (top-n-gram repetition) is the
+    committed ``col_top_ngram`` signal — it rides the same hygiene
+    report. Scale shape: pure ``Column`` expressions, zero shuffles,
+    zero UDFs, one scan; every statistic is plain-SQL reproducible
+    and the ratio arithmetic is integer/integer double division, so
+    the oracle matches bit-for-bit."""
+    if min_words < 0 or max_words < min_words:
+        raise ValueError("gopher_quality_filters: need 0 <= min_words "
+                         "<= max_words")
+    if min_stopwords < 0:
+        raise ValueError("gopher_quality_filters: min_stopwords >= 0 "
+                         "required")
+    if not stopwords:
+        raise ValueError("gopher_quality_filters: empty stopwords — "
+                         "pass min_stopwords=0 to disable the rule, "
+                         "not an empty list")
+    text = F.col(text_col)
+
+    # words and lines are let-bound (col_let): the word stats reference
+    # the \S+ extraction four times and the line stats the trimmed
+    # split three times — binding evaluates each ONCE per row
+    def word_stats(words):
+        n_words = F.size(words)
+        mean_len = F.when(
+            n_words > 0,
+            F.aggregate(words, F.lit(0).cast("bigint"),
+                        lambda acc, w: acc + F.length(w)).cast("double")
+            / n_words).otherwise(F.lit(0.0))
+        n_sym = F.size(
+            F.regexp_extract_all(text, F.lit(_GOPHER_SYMBOL_RE), 0))
+        sym_ratio = F.when(n_words > 0,
+                           n_sym / n_words).otherwise(F.lit(0.0))
+        alpha_frac = F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+            / n_words
+        ).otherwise(F.lit(0.0))
+        return F.struct(n_words.alias("n_words"),
+                        mean_len.alias("mean_word_len"),
+                        sym_ratio.alias("symbol_ratio"),
+                        alpha_frac.alias("alpha_word_frac"))
+
+    def line_stats(lines):
+        n_lines = F.size(lines)
+        bullet = F.size(F.filter(lines, lambda l: F.substring(l, 1, 1)
+                                 .isin(*_BULLET_CHARS)))
+        ellip = F.size(F.filter(
+            lines, lambda l: l.endswith("...") | l.endswith("…")))
+        bullet_frac = F.when(n_lines > 0, bullet / n_lines) \
+            .otherwise(F.lit(0.0))
+        ellip_frac = F.when(n_lines > 0, ellip / n_lines) \
+            .otherwise(F.lit(0.0))
+        return F.struct(bullet_frac.alias("bullet_line_frac"),
+                        ellip_frac.alias("ellipsis_line_frac"))
+
+    ws = col_let(F.regexp_extract_all(text, F.lit(r"\S+"), 0),
+                 word_stats)
+    ls = col_let(F.filter(F.transform(F.split(text, "\n"),
+                                      lambda l: F.trim(l)),
+                          lambda l: l != ""),
+                 line_stats)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(col_tokens(text)),
+        F.array(*[F.lit(s) for s in stopwords])))
+    d = (df.select(F.col(id_col), ws.alias("_w"), ls.alias("_l"),
+                   n_stop.alias("n_stopwords"))
+         .select(F.col(id_col), F.col("_w.n_words").alias("n_words"),
+                 F.col("_w.mean_word_len").alias("mean_word_len"),
+                 F.col("_w.symbol_ratio").alias("symbol_ratio"),
+                 F.col("_w.alpha_word_frac").alias("alpha_word_frac"),
+                 F.col("_l.bullet_line_frac").alias("bullet_line_frac"),
+                 F.col("_l.ellipsis_line_frac")
+                 .alias("ellipsis_line_frac"),
+                 F.col("n_stopwords")))
+    keep = ((F.col("n_words") >= F.lit(int(min_words)))
+            & (F.col("n_words") <= F.lit(int(max_words)))
+            & (F.col("mean_word_len") >= F.lit(float(min_mean_word_len)))
+            & (F.col("mean_word_len") <= F.lit(float(max_mean_word_len)))
+            & (F.col("symbol_ratio") <= F.lit(float(max_symbol_ratio)))
+            & (F.col("alpha_word_frac")
+               >= F.lit(float(min_alpha_word_frac)))
+            & (F.col("bullet_line_frac")
+               <= F.lit(float(max_bullet_line_frac)))
+            & (F.col("ellipsis_line_frac")
+               <= F.lit(float(max_ellipsis_line_frac)))
+            & (F.col("n_stopwords") >= F.lit(int(min_stopwords))))
+    return d.select(id_col, "n_words", "mean_word_len", "symbol_ratio",
+                    "alpha_word_frac", "bullet_line_frac",
+                    "ellipsis_line_frac", "n_stopwords",
+                    keep.alias("keep"))

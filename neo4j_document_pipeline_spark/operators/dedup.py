@@ -33,6 +33,29 @@ from neo4j_document_pipeline_spark.operators.linking import (
     lsh_blocks,
 )
 
+def _word_gram_arr(c, n: int):
+    """Distinct word n-grams of a text column as one array — engine
+    tokenization (``col_tokens``), inclusive windows, empty array for
+    docs shorter than ``n`` tokens. The token array is let-bound
+    (``col_let``) so the interpreted per-gram lambda slices a
+    materialized array instead of re-running the tokenizer regex per
+    gram — inlining it is O(tokens²) regex work per row (the
+    higher-order-function CodegenFallback trap; see col_let)."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_let, col_tokens)
+
+    def with_toks(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return col_let(col_tokens(c), with_toks)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -210,18 +233,26 @@ def ngram_jaccard_exact(df: DataFrame, id_col: str, text_col: str,
     subsets (dedup audits, oracle verification, final-verify of LSH
     candidates); at corpus scale use minhash_near_duplicates, whose
     banding bounds candidate counts per block."""
-    toks = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)),
-                                 r"[^a-z0-9]+", " "), " "),
-        lambda x: x != "")
-    n = F.size(toks)
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(n - shingle_words, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, shingle_words), " ")))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.when(n > 0, grams).otherwise(
-            F.array().cast("array<string>")).alias("shingles"))
+    from neo4j_document_pipeline_spark.functions.textstats import col_let
+
+    def with_toks(toks):
+        n = F.size(toks)
+        grams = F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.greatest(n - shingle_words, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(toks, i + 1, shingle_words), " ")))
+        return F.when(n > 0, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    # let-bound so the shingle lambda slices a materialized token
+    # array instead of re-tokenizing per shingle (see col_let)
+    shingles = col_let(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     r"[^a-z0-9]+", " "), " "),
+            lambda x: x != ""),
+        with_toks)
+    sh = df.select(F.col(id_col).alias("id"), shingles.alias("shingles"))
     posting = sh.select("id", F.explode("shingles").alias("gram"))
     p1 = posting.select(F.col("id").alias("id1"), "gram")
     p2 = posting.select(F.col("id").alias("id2"), "gram")
@@ -410,17 +441,9 @@ def ngram_overlap_flags(docs: DataFrame, bench: DataFrame,
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
 
     def gram_arr(c):
-        toks = col_tokens(c)
-        return F.when(
-            F.size(toks) >= n,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )),
-        ).otherwise(F.array().cast("array<string>"))
+        return _word_gram_arr(c, n)
 
     bench_grams = (
         bench.select(F.explode(gram_arr(F.col(text_col))).alias("gram"))
@@ -430,9 +453,11 @@ def ngram_overlap_flags(docs: DataFrame, bench: DataFrame,
         bench_grams = F.broadcast(bench_grams)
 
     idc = F.col(id_col)
-    ex = docs.select(
-        idc, F.size(gram_arr(F.col(text_col))).alias("n_grams"),
-        F.explode_outer(gram_arr(F.col(text_col))).alias("gram"))
+    # grams materialized ONCE per row (size + explode both read the
+    # projected array; building the array twice would double the work)
+    ex = (docs.select(idc, gram_arr(F.col(text_col)).alias("_g"))
+          .select(idc, F.size("_g").alias("n_grams"),
+                  F.explode_outer("_g").alias("gram")))
     agg = (
         ex.join(bench_grams, "gram", "left")
         .groupBy(id_col)
@@ -482,19 +507,11 @@ def ngram_overlap_flags_bloom(docs: DataFrame, bench: DataFrame,
         raise ValueError(f"bloom_bits must be >= 2, got {bloom_bits}")
     if bloom_hashes < 1:
         raise ValueError(f"bloom_hashes must be >= 1, got {bloom_hashes}")
-    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
     from neo4j_document_pipeline_spark.operators.sketches import (
         _bloom_pos, bloom_sketch)
 
     def gram_arr(c):
-        toks = col_tokens(c)
-        return F.when(
-            F.size(toks) >= n,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )),
-        ).otherwise(F.array().cast("array<string>"))
+        return _word_gram_arr(c, n)
 
     # lazy checkpoint: the k prefilter joins and the verify join all
     # consume these two frames — without it Catalyst re-plans the bench
@@ -639,18 +656,28 @@ def _span_gram_postings(df: DataFrame, id_col: str, text_col: str,
     gram STRING never leaves the per-row expression: the posting carries
     a fixed-width 16-char key, so the shuffle is O(total tokens) rows of
     constant width regardless of gram length. pos is 1-based."""
-    toks = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)),
-                                 r"[^a-z0-9]+", " "), " "),
-        lambda x: x != "")
-    n = F.size(toks)
-    gkeys = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.substring(
-                F.sha2(F.array_join(F.slice(toks, i, k), " "), 256), 1, 16)),
-    ).otherwise(F.array().cast("array<string>"))
+    from neo4j_document_pipeline_spark.functions.textstats import col_let
+
+    def with_toks(toks):
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                lambda i: F.substring(
+                    F.sha2(F.array_join(F.slice(toks, i, k), " "), 256),
+                    1, 16)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bound so the per-position lambda slices a materialized token
+    # array instead of re-tokenizing per position (see col_let) — this
+    # is the ingest-gate hot path
+    gkeys = col_let(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     r"[^a-z0-9]+", " "), " "),
+            lambda x: x != ""),
+        with_toks)
     return (
         df.select(F.col(id_col).alias("id"),
                   F.posexplode(gkeys).alias("pos0", "gkey"))
@@ -912,3 +939,75 @@ def embedding_decontam_flags(corpus: DataFrame, bench: DataFrame,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, "bench_id", "cos"))
+
+
+def jaccard_decontam_flags(docs: DataFrame, bench: DataFrame,
+                           id_col: str, text_col: str, *,
+                           shingle_words: int = 3,
+                           threshold: float = 0.5,
+                           broadcast_bench: bool = True) -> DataFrame:
+    """FUZZY decontamination: flag training documents whose word
+    n-gram shingle set is near-duplicate (Jaccard >= ``threshold``)
+    to ANY benchmark document — the whole-document companion to
+    ``ngram_overlap_flags`` (which scores gram-level leakage; this
+    catches lightly-edited full copies of eval items, the case a
+    13-gram hit-count understates when the paraphrase breaks most
+    grams but the doc is still the eval row).
+
+    Returns one row per ``docs`` row: (id_col, n_grams, bench_id,
+    jaccard, flagged). ``bench_id`` is the best-matching benchmark
+    document (highest Jaccard; ties -> the greatest bench id — the
+    argmax-struct tie rule) or NULL when the document shares no
+    shingle with any bench doc (then jaccard = 0.0). Exact by
+    construction, NOT an LSH estimate: J > 0 requires a shared
+    shingle, so the inverted shingle join misses no candidate, and
+    the per-pair Jaccard is computed from true distinct-gram counts.
+
+    Scale shape: the bench side is an eval registry (tiny by nature)
+    — its (gram -> bench doc) postings broadcast, so the corpus-sized
+    gram stream is probed narrowly and only true co-shingle pairs
+    reach the (id, bench_id) hash aggregate; volume is bounded by
+    bench postings × their corpus hit counts, not corpus².
+    ``broadcast_bench=False`` falls back to a shuffled hash join for
+    a pathologically large registry (or switch to the Bloom-prefilter
+    pattern of ``ngram_overlap_flags_bloom``)."""
+    if shingle_words < 1:
+        raise ValueError(f"shingle_words must be >= 1, got {shingle_words}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def gram_arr(c):
+        return _word_gram_arr(c, shingle_words)
+
+    bg = bench.select(F.col(id_col).alias("bench_id"),
+                      gram_arr(F.col(text_col)).alias("_bg"))
+    bpost = bg.select("bench_id", F.size("_bg").alias("bn"),
+                      F.explode("_bg").alias("gram"))
+    if broadcast_bench:
+        bpost = F.broadcast(bpost)
+    # grams materialized ONCE per row (size + explode read the
+    # projected array)
+    dg = (docs.select(F.col(id_col),
+                      gram_arr(F.col(text_col)).alias("_g"))
+          .select(F.col(id_col), F.size("_g").alias("n_grams"),
+                  F.explode_outer("_g").alias("gram")))
+    shared = (dg.join(bpost, "gram")
+              .groupBy(id_col, "bench_id")
+              .agg(F.max("n_grams").alias("n_grams"),
+                   F.max("bn").alias("bn"),
+                   F.count("*").alias("inter")))
+    jac = F.col("inter") / (F.col("n_grams") + F.col("bn")
+                            - F.col("inter"))
+    best = (shared.withColumn("jaccard", jac)
+            .groupBy(id_col)
+            .agg(F.max(F.struct(F.col("jaccard"),
+                                F.col("bench_id"))).alias("_b"))
+            .select(id_col, F.col("_b.bench_id").alias("bench_id"),
+                    F.col("_b.jaccard").alias("jaccard")))
+    base = docs.select(F.col(id_col),
+                       F.size(gram_arr(F.col(text_col))).alias("n_grams"))
+    out = base.join(best, id_col, "left")
+    j = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return out.select(
+        id_col, "n_grams", "bench_id", j.alias("jaccard"),
+        (j >= F.lit(float(threshold))).alias("flagged"))

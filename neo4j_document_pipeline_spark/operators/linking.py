@@ -155,14 +155,23 @@ def _name_shingles_df(df: DataFrame, id_col: str, name_col: str,
     nothing yield no rows (no linking evidence)."""
     from neo4j_document_pipeline_spark.functions.text import (
         col_normalize_name_for_key)
-    s = F.concat(F.lit("  "), col_normalize_name_for_key(F.col(name_col)),
-                 F.lit("  "))
-    grams = F.when(
-        F.length(s) > 4,  # '    ' == empty normalized name
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length(s) - (n_shingle - 1)),
-            lambda i: s.substr(i, F.lit(n_shingle)))),
-    ).otherwise(F.array().cast("array<string>"))
+    from neo4j_document_pipeline_spark.functions.textstats import col_let
+
+    # normalized name let-bound so the per-position lambda substrings a
+    # materialized value instead of re-running the normalization
+    # regexes per shingle (see col_let)
+    def with_s(s):
+        return F.when(
+            F.length(s) > 4,  # '    ' == empty normalized name
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n_shingle - 1)),
+                lambda i: s.substr(i, F.lit(n_shingle)))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = col_let(
+        F.concat(F.lit("  "), col_normalize_name_for_key(F.col(name_col)),
+                 F.lit("  ")),
+        with_s)
     return (df.select(F.col(id_col).alias("id"), *extra_cols,
                       F.explode(grams).alias("shingle")))
 

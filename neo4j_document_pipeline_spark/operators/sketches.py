@@ -528,6 +528,55 @@ def corpus_sketch_summary(state: DataFrame) -> dict:
             "bloom_words": bloom_words}
 
 
+def kmv_set_ops(a: DataFrame, b: DataFrame,
+                group_cols: str | list[str], k: int) -> DataFrame:
+    """Set-operation estimates from two KMV sketches built with the
+    SAME salt and k (the theta-sketch set algebra, Beyer et al. 2007)
+    -> (group_cols…, k_used, n_both, union_est, inter_est,
+    jaccard_est) per group present in BOTH inputs.
+
+    Construction: K = the k smallest hashes of sketch(A) ∪ sketch(B)
+    (a valid KMV sketch of A ∪ B by mergeability), ``k_used`` = |K|.
+    Membership tests against the input sketches are EXACT for every
+    h ∈ K: if h ∈ A but h ∉ sketch(A), then sketch(A) already holds k
+    hashes of A smaller than h, all of which are in the union — so h
+    could not be among the union's k smallest. Hence
+    ``n_both`` = |{h ∈ K : h ∈ sketch(A) ∧ h ∈ sketch(B)}| counts
+    true A∩B members among k_used uniform draws from A∪B:
+    jaccard_est = n_both / k_used, inter_est = jaccard_est ·
+    union_est. Below saturation (k_used < k — only possible when both
+    sketches are exhaustive) every output is EXACT.
+
+    Deterministic end to end (pure array arithmetic over deterministic
+    sketches — same bits on any engine, plain-SQL oracle). Scale: one
+    equi-join on the group key + O(k) array expressions per group;
+    never touches raw data — the point of doing set algebra on
+    sketches at all."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = _as_groups(group_cols)
+    sa = a.select(*groups, F.col("sketch").alias("_sa"))
+    sb = b.select(*groups, F.col("sketch").alias("_sb"))
+    j = sa.join(sb, groups)
+    union_k = F.slice(F.array_sort(F.array_union("_sa", "_sb")), 1, k)
+    d = j.select(*groups, "_sa", "_sb", union_k.alias("_k"))
+    kk = F.size("_k")
+    n_both = F.size(F.filter(
+        "_k", lambda h: F.array_contains("_sa", h)
+        & F.array_contains("_sb", h)))
+    union_est = F.when(kk < k, kk.cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.element_at("_k", -1))
+    out = d.select(
+        *groups, kk.alias("k_used"), n_both.alias("n_both"),
+        union_est.alias("union_est"))
+    jac = F.when(F.col("k_used") > 0,
+                 F.col("n_both") / F.col("k_used")).otherwise(F.lit(0.0))
+    return out.select(
+        *groups, "k_used", "n_both", "union_est",
+        (jac * F.col("union_est")).alias("inter_est"),
+        jac.alias("jaccard_est"))
+
+
 # ---------------------------------------------------------------------------
 # Fixed-width histogram sketch (mergeable quantiles / distributions)
 # ---------------------------------------------------------------------------

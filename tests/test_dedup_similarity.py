@@ -1688,3 +1688,228 @@ def test_c4_filters_trim_is_single_arg(spark):
     assert r["lines_kept"] == 2
     assert r["text_clean"].endswith("season 2.")
     assert r["text_clean"].startswith("0 zero")
+
+
+# ---------------------------------------------------------------------------
+# Gopher page-quality filters
+# ---------------------------------------------------------------------------
+
+def test_gopher_filters_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        gopher_quality_filters)
+    docs = spark.createDataFrame(
+        [
+            # passes every rule (min_words=5 for the test)
+            (1, "the cat sat with that dog and they ran over there "
+                "quite happily today"),
+            # mean word length < 3 -> dropped
+            (2, "a b c d e f g h i j the to of"),
+            # symbol-heavy -> dropped on symbol_ratio
+            (3, "the count with # and # and ... and … marks that be"),
+            # too few alphabetic words -> dropped
+            (4, "the 111 222 333 444 555 666 777 888 999 000 with"),
+            # bullet lines dominate -> dropped
+            (5, "- one bullet line here\n- two bullet line here\n"
+                "• three bullet line here\nthe plain with line"),
+            # ellipsis-ended lines dominate -> dropped
+            (6, "the first line trails off...\nthe second also…\n"
+                "a plain line with that"),
+            # no stop words -> dropped
+            (7, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (8, ""),
+        ],
+        "id long, text string")
+    out = {r["id"]: r for r in gopher_quality_filters(
+        docs, "id", "text", min_words=5, max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.5).collect()}
+    assert out[1]["keep"]
+    assert out[1]["n_stopwords"] >= 2 and out[1]["symbol_ratio"] == 0.0
+    assert not out[2]["keep"] and out[2]["mean_word_len"] < 3.0
+    assert not out[3]["keep"] and out[3]["symbol_ratio"] > 0.1
+    assert out[3]["n_words"] == 13 and round(
+        out[3]["symbol_ratio"] * 13) == 4
+    assert not out[4]["keep"] and out[4]["alpha_word_frac"] < 0.8
+    assert not out[5]["keep"] and out[5]["bullet_line_frac"] == 0.75
+    assert not out[6]["keep"] and out[6]["ellipsis_line_frac"] == \
+        pytest.approx(2 / 3)
+    assert not out[7]["keep"] and out[7]["n_stopwords"] == 0
+    assert not out[8]["keep"] and out[8]["n_words"] == 0
+
+
+def test_gopher_filters_brute_parity(spark):
+    import re
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        GOPHER_STOPWORDS, gopher_quality_filters)
+    rng = np.random.RandomState(13)
+    vocab = ["the", "with", "alpha", "be", "x1", "###", "a", "...",
+             "elongatedword", "42", "- lead", "…"]
+    pages = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            words = [vocab[rng.randint(len(vocab))]
+                     for _ in range(rng.randint(0, 8))]
+            lines.append(" ".join(words)
+                         + ["", "...", "…"][rng.randint(3)])
+        pages.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(pages, "id long, text string")
+    got = {r["id"]: r for r in gopher_quality_filters(
+        docs, "id", "text", min_words=3).collect()}
+    tok_re = re.compile(r"[a-z0-9']+")
+    for i, text in pages:
+        words = re.findall(r"\S+", text)
+        nw = len(words)
+        mwl = sum(len(w) for w in words) / nw if nw else 0.0
+        nsym = len(re.findall(r"#|\.\.\.|…", text))
+        symr = nsym / nw if nw else 0.0
+        alphaf = (sum(1 for w in words if re.search("[a-zA-Z]", w)) / nw
+                  if nw else 0.0)
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        nl = len(lines)
+        bulf = (sum(1 for l in lines if l[:1] in "•-*") / nl
+                if nl else 0.0)
+        ellf = (sum(1 for l in lines
+                    if l.endswith("...") or l.endswith("…")) / nl
+                if nl else 0.0)
+        nstop = len(set(tok_re.findall(text.lower()))
+                    & set(GOPHER_STOPWORDS))
+        r = got[i]
+        assert r["n_words"] == nw
+        assert r["mean_word_len"] == pytest.approx(mwl)
+        assert r["symbol_ratio"] == pytest.approx(symr)
+        assert r["alpha_word_frac"] == pytest.approx(alphaf)
+        assert r["bullet_line_frac"] == pytest.approx(bulf)
+        assert r["ellipsis_line_frac"] == pytest.approx(ellf)
+        assert r["n_stopwords"] == nstop
+        assert r["keep"] == (3 <= nw <= 100_000 and 3.0 <= mwl <= 10.0
+                             and symr <= 0.1 and alphaf >= 0.8
+                             and bulf <= 0.9 and ellf <= 0.3
+                             and nstop >= 2)
+
+
+def test_gopher_filters_validation(spark):
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        gopher_quality_filters)
+    docs = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="min_words"):
+        gopher_quality_filters(docs, "id", "text", min_words=10,
+                               max_words=5)
+    with pytest.raises(ValueError, match="empty stopwords"):
+        gopher_quality_filters(docs, "id", "text", stopwords=())
+    with pytest.raises(ValueError, match="min_stopwords"):
+        gopher_quality_filters(docs, "id", "text", min_stopwords=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (whole-document Jaccard) decontamination
+# ---------------------------------------------------------------------------
+
+def test_jaccard_decontam_known_values(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        jaccard_decontam_flags)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # == bench 100
+         (2, "alpha beta gamma delta epsilon eta"),    # 3/5 grams
+         (3, "totally different words in here now"),
+         (4, "")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "different words entirely elsewhere")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in jaccard_decontam_flags(
+        corpus, bench, "doc_id", "text",
+        shingle_words=3, threshold=0.5).collect()}
+    assert out[1]["jaccard"] == 1.0 and out[1]["flagged"]
+    assert out[1]["bench_id"] == 100
+    # doc 2: grams {abg, bgd, gde, dee-eta...}: shares 3 of its 4
+    # 3-grams with bench 100 -> 3 / (4 + 4 - 3)
+    assert out[2]["jaccard"] == pytest.approx(0.6)
+    assert out[2]["flagged"] and out[2]["bench_id"] == 100
+    assert out[3]["jaccard"] == 0.0 and not out[3]["flagged"]
+    assert out[3]["bench_id"] is None
+    assert out[4]["n_grams"] == 0 and not out[4]["flagged"]
+
+
+def test_jaccard_decontam_tie_breaks_to_greatest_bench_id(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        jaccard_decontam_flags)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(7, "alpha beta gamma delta"),
+         (9, "alpha beta gamma delta")], "doc_id long, text string")
+    r = jaccard_decontam_flags(
+        corpus, bench, "doc_id", "text",
+        shingle_words=2, threshold=0.5).collect()[0]
+    assert r["jaccard"] == 1.0 and r["bench_id"] == 9
+
+
+def test_jaccard_decontam_brute_parity_and_join_modes(spark):
+    import re
+
+    import numpy as np
+
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        jaccard_decontam_flags)
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def doc():
+        return " ".join(vocab[rng.randint(len(vocab))]
+                        for _ in range(rng.randint(0, 15)))
+
+    corpus = [(i, doc()) for i in range(30)]
+    bench = [(100 + i, doc()) for i in range(6)]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in jaccard_decontam_flags(
+        cdf, bdf, "doc_id", "text",
+        shingle_words=2, threshold=0.3).collect()}
+    tok_re = re.compile(r"[a-z0-9']+")
+
+    def grams(t):
+        toks = tok_re.findall(t.lower())
+        if len(toks) < 2:
+            return set()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    bg = {bid: grams(t) for bid, t in bench}
+    assert len(got) == len(corpus)
+    for did, text in corpus:
+        g = grams(text)
+        best = None
+        for bid, gb in bg.items():
+            inter = len(g & gb)
+            if inter == 0:
+                continue
+            j = inter / (len(g) + len(gb) - inter)
+            if best is None or (j, bid) > best:
+                best = (j, bid)
+        r = got[did]
+        assert r["n_grams"] == len(g)
+        if best is None:
+            assert r["jaccard"] == 0.0 and r["bench_id"] is None
+        else:
+            assert r["jaccard"] == pytest.approx(best[0])
+            assert r["bench_id"] == best[1]
+            assert r["flagged"] == (best[0] >= 0.3)
+    # shuffled-join fallback is byte-identical to the broadcast path
+    alt = {r["doc_id"]: r for r in jaccard_decontam_flags(
+        cdf, bdf, "doc_id", "text", shingle_words=2,
+        threshold=0.3, broadcast_bench=False).collect()}
+    for did in got:
+        assert got[did] == alt[did]
+
+
+def test_jaccard_decontam_validation(spark):
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        jaccard_decontam_flags)
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shingle_words"):
+        jaccard_decontam_flags(d, d, "doc_id", "text", shingle_words=0)
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_decontam_flags(d, d, "doc_id", "text", threshold=0.0)

@@ -558,3 +558,79 @@ def test_cli_prepare_c4_and_interleave(spark, tmp_path, capsys):
 def _raises_value_error(match):
     import pytest as _pytest
     return _pytest.raises(ValueError, match=match)
+
+
+def test_cli_prepare_gopher_and_fuzzy_decontam(spark, tmp_path, capsys):
+    """`prepare --gopher` drops pages failing the Gopher shape rules;
+    `--fuzzy-jaccard` scrubs whole-document near-copies of bench docs
+    that the 13-gram pass can be blinded to; `hygiene` reports the
+    Gopher rule exposure."""
+    import json
+
+    import pytest
+
+    from neo4j_document_pipeline_spark.__main__ import main
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        gopher_quality_filters)
+    from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
+    from neo4j_document_pipeline_spark.sources.pages import synth_pages
+    from neo4j_document_pipeline_spark.sources.store import GraphStore
+    root = str(tmp_path / "kg")
+    run_pipeline(spark, synth_pages(spark, 10), root)
+    docs = GraphStore(root, spark).read("documents")
+    n_docs = docs.count()
+
+    def run(args):
+        main(args + ["--store", root])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # --gopher: the export holds exactly the operator's keep set
+    out1 = str(tmp_path / "gout")
+    m1 = run(["prepare", "--out", out1, "--gopher",
+              "--gopher-min-words", "20", "--budget", "4096"])
+    keep_ids = {r["doc_id"] for r in gopher_quality_filters(
+        docs, "doc_id", "text", min_words=20)
+        .filter("keep").select("doc_id").collect()}
+    assert m1["gopher"] == {"min_words": 20}
+    assert m1["n_docs"] == len(keep_ids) > 0
+    got_ids = {r["doc_id"] for r in
+               spark.read.parquet(out1).select("doc_id").collect()}
+    assert got_ids == keep_ids
+
+    # --fuzzy-jaccard: a whole-document copy of a bench doc is
+    # scrubbed even when the exact n-gram pass is blind (n larger
+    # than every document)
+    victim = docs.select("doc_id", "text").collect()[0]
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(victim["text"],)], "text string").write.parquet(bench_dir)
+    out2 = str(tmp_path / "fz")
+    m2 = run(["prepare", "--out", out2, "--bench", bench_dir,
+              "--decontam-n", "100000", "--fuzzy-jaccard", "0.8",
+              "--budget", "4096"])
+    assert m2["decontam"]["fuzzy"] == {"jaccard": 0.8,
+                                       "shingle_words": 3}
+    assert m2["n_docs"] == n_docs - 1
+    left = {r["doc_id"] for r in
+            spark.read.parquet(out2).select("doc_id").collect()}
+    assert victim["doc_id"] not in left
+
+    # loud validation: fuzzy without a bench set, threshold range
+    with pytest.raises(SystemExit):
+        run(["prepare", "--out", str(tmp_path / "x1"),
+             "--fuzzy-jaccard", "0.5"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        run(["prepare", "--out", str(tmp_path / "x2"), "--bench",
+             bench_dir, "--fuzzy-jaccard", "1.5"])
+    capsys.readouterr()
+
+    # hygiene: the Gopher exposure section rides the standard report
+    main(["hygiene", "--store", root, "--gopher-min-words", "20"])
+    rep = json.loads(capsys.readouterr().out)
+    g = rep["gopher_rules"]
+    assert set(g) >= {"docs_keep", "docs_too_short", "docs_word_len",
+                      "docs_symbol_heavy", "docs_low_alpha",
+                      "docs_no_stopwords", "keep_rate", "min_words"}
+    assert g["min_words"] == 20 and 0.0 <= g["keep_rate"] <= 1.0
+    assert g["docs_keep"] == len(keep_ids)

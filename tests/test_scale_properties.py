@@ -146,3 +146,64 @@ def test_mmr_driver_side_ceiling():
     assert len(sel) == 1000
     assert len({c["entity_id"] for c in sel}) == 1000
     assert el < 5.0, f"mmr at ceiling took {el:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# higher-order-function let-binding (col_let): n-gram operators must not
+# re-tokenize per element
+# ---------------------------------------------------------------------------
+
+def test_ngram_lambdas_do_not_retokenize_per_element(spark):
+    """Spark HOF lambdas are interpreted with no CSE: a lambda that
+    captures the tokenizer subtree re-runs it per element — O(tokens²)
+    regex work per row (measured 104s vs 3s on 20 docs × 1500 tokens).
+    Every n-gram operator binds tokens via col_let; this test pins the
+    fix two ways:
+      (1) structurally — in the optimized plans, no slice()/substring()
+          positional window consumes a freshly-built token/string
+          expression (its first argument must be a lambda variable);
+      (2) wall-clock — long docs complete in seconds, not minutes."""
+    import re
+    import time
+
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_dup_ngram_fraction, col_rolling_fingerprints, col_top_ngram)
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        ngram_diversity, winnow_fingerprints)
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        jaccard_decontam_flags, ngram_overlap_flags)
+
+    rows = [(i, " ".join(
+        ["alpha,", "beta.", "(gamma)", "the", "of", "and"][(i + j) % 6]
+        + str(j % 11) for j in range(2000))) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bench = spark.createDataFrame(rows[:1], "id long, text string")
+
+    frames = {
+        "overlap": ngram_overlap_flags(df, bench, "id", "text", n=13),
+        "jaccard_decontam": jaccard_decontam_flags(
+            df, bench, "id", "text", shingle_words=3, threshold=0.5),
+        "diversity": ngram_diversity(
+            df.withColumn("g", F.lit("x")), "g", "text"),
+        "winnow": winnow_fingerprints(df, "id", "text"),
+        "textstats": df.select(
+            col_dup_ngram_fraction(F.col("text")).alias("a"),
+            col_top_ngram(F.col("text")).alias("b"),
+            col_rolling_fingerprints(F.col("text")).alias("c")),
+    }
+    # (1) structural: a slice/substring window over a non-variable
+    # first argument is the re-tokenize-per-element shape
+    bad = re.compile(r"(?:slice|substring)\((?:filter|transform|split|"
+                     r"array_join|concat|regexp_replace)\(")
+    for name, f in frames.items():
+        plan = f._jdf.queryExecution().optimizedPlan().toString()
+        assert not bad.search(plan), f"{name}: tokenizer inside window"
+    # (2) wall-clock: the quadratic shape needs >100s for ANY one of
+    # these on this input; all five together finish in seconds
+    t0 = time.perf_counter()
+    for f in frames.values():
+        f.count()
+    el = time.perf_counter() - t0
+    assert el < 90.0, f"long-doc n-gram pass took {el:.1f}s"

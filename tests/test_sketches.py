@@ -488,3 +488,90 @@ def test_hist_validation(spark):
         hist_quantiles(cells, "g", [], width=1.0)
     with _pytest.raises(ValueError):
         hist_quantiles(cells, "g", [1.5], width=1.0)
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (theta-sketch overlap estimates)
+# ---------------------------------------------------------------------------
+
+def _sketch_of(spark, vals, k):
+    df = spark.createDataFrame([("x", str(v)) for v in vals],
+                               "g string, v string")
+    return kmv_sketch(df, "g", "v", k=k)
+
+
+def test_kmv_set_ops_exact_below_saturation(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_set_ops)
+    a = _sketch_of(spark, range(20), 64)
+    b = _sketch_of(spark, range(10, 40), 64)
+    r = kmv_set_ops(a, b, "g", 64).collect()[0]
+    # both sketches exhaustive -> every number EXACT
+    assert r["k_used"] == 40
+    assert r["n_both"] == 10
+    assert r["union_est"] == 40.0
+    assert r["inter_est"] == 10.0
+    assert r["jaccard_est"] == 0.25
+
+
+def test_kmv_set_ops_self_is_identity(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_set_ops)
+    a = _sketch_of(spark, range(500), 32)
+    est = a.collect()[0]["estimate"]
+    r = kmv_set_ops(a, a, "g", 32).collect()[0]
+    assert r["jaccard_est"] == 1.0
+    assert r["n_both"] == r["k_used"] == 32
+    assert r["union_est"] == pytest.approx(est)
+    assert r["inter_est"] == pytest.approx(est)
+
+
+def test_kmv_set_ops_saturated_error_bands(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_set_ops)
+    k = 64
+    a = _sketch_of(spark, range(2000), k)
+    b = _sketch_of(spark, range(1000, 3000), k)
+    r = kmv_set_ops(a, b, "g", k).collect()[0]
+    # true union 3000, intersection 1000, jaccard 1/3; k_used draws
+    # from the union give jaccard sd ~ sqrt(J(1-J)/k) ≈ 0.059 — use
+    # generous 3-sigma-ish bands (deterministic draw, fixed values)
+    assert r["k_used"] == k
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.18
+    assert abs(r["union_est"] - 3000) / 3000 < 0.40
+    assert abs(r["inter_est"] - 1000) / 1000 < 0.60
+
+
+def test_kmv_set_ops_membership_is_exact_in_k(spark):
+    # the docstring's membership claim, brute-checked: for every
+    # h in K (bottom-k of sketch(A) ∪ sketch(B)), h ∈ sketch(A)
+    # iff h ∈ hashes(A) — so n_both counts TRUE A∩B members
+    import hashlib
+
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_set_ops)
+
+    def h(v):
+        d = hashlib.sha256(f"v1:{v}".encode()).hexdigest()[:8]
+        return int(d, 16) / float(1 << 32)
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        A = set(map(int, rng.choice(5000, 300, replace=False)))
+        B = set(map(int, rng.choice(5000, 300, replace=False)))
+        k = 48
+        ha, hb = {h(v) for v in A}, {h(v) for v in B}
+        K = sorted(ha | hb)[:k]
+        expected = sum(1 for x in K if x in ha and x in hb)
+        r = kmv_set_ops(_sketch_of(spark, A, k),
+                        _sketch_of(spark, B, k), "g", k).collect()[0]
+        assert r["n_both"] == expected
+        assert r["k_used"] == min(k, len(ha | hb))
+
+
+def test_kmv_set_ops_validation(spark):
+    from neo4j_document_pipeline_spark.operators.sketches import (
+        kmv_set_ops)
+    a = _sketch_of(spark, range(5), 8)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_set_ops(a, a, "g", 1)
