@@ -1115,6 +1115,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard_est", 4).alias("jaccard_est"))
     q["kmv_type_overlap"] = kmv_type_overlap
 
+    # ---- dedup: prefix-filtered EXACT set-similarity join ----
+    def prefix_jaccard_pairs(spark, sf):
+        """Exact token-set Jaccard pairs at t=0.9 via the SSJoin/PPJoin
+        prefix filter (operators/dedup.py prefix_filter_jaccard_pairs):
+        tokens ordered by global frequency ascending, candidates only
+        from each record's lossless prefix + symmetric length filter,
+        exact array verify. Output provably equals the exhaustive
+        shared-token join — which is exactly what the oracle runs."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs)
+        out = prefix_filter_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", threshold=0.9)
+        return out.select(
+            "id1", "id2", "n1", "n2",
+            F.round("jaccard", 6).alias("jaccard"))
+    q["prefix_jaccard_pairs"] = prefix_jaccard_pairs
+
+    # ---- temporal: rolling z-score event-rate anomalies ----
+    def event_rate_anomalies(spark, sf):
+        """Per-type hourly event-rate anomaly scores
+        (operators/temporal.py rolling_zscore_anomalies): dense hourly
+        grid (silent hours are zero-count rows), trailing-24-bucket
+        mean/variance derived from integer sums (bit-replayable), z
+        and |z|>=3 flag gated on 8 prior buckets."""
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            rolling_zscore_anomalies)
+        out = rolling_zscore_anomalies(
+            _t(spark, sf, "events"), "ts", "event_type",
+            bucket="1 hour", window=24, min_periods=8, z_threshold=3.0)
+        # NULL stats (not enough priors) surfaced as NaN on both sides
+        # — the oracle runner's pandas path renders NULL doubles as
+        # NaN, so NaN is the portable "undefined" spelling here
+        nan = F.lit(float("nan"))
+        return out.select(
+            "key", "bucket_ts", "cnt", "n_prior",
+            F.coalesce(F.round("mean_prior", 6), nan).alias("mean_prior"),
+            F.coalesce(F.round("var_prior", 6), nan).alias("var_prior"),
+            F.coalesce(F.round("z", 6), nan).alias("z"), "anomaly")
+    q["event_rate_anomalies"] = event_rate_anomalies
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2883,6 +2923,54 @@ def oracle_sql() -> dict[str, str]:
             "round(union_est, 4) AS union_est, "
             "round((n_both / k_used) * union_est, 4) AS inter_est, "
             "round(n_both / k_used, 4) AS jaccard_est FROM e",
+        "prefix_jaccard_pairs":
+            # the exhaustive join IS the spec the prefix filter must
+            # equal: distinct engine tokens, shared-token candidate
+            # pairs, exact intersect/union verify at t=0.9
+            "WITH d AS (SELECT doc_id, "
+            f"list_distinct({_SQL_TOKENS}) AS toks FROM documents), "
+            "e AS (SELECT doc_id, unnest(toks) AS tok FROM d), "
+            "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 "
+            "  FROM e a JOIN e b USING (tok) "
+            "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "v AS (SELECT id1, id2, len(x.toks) AS n1, "
+            "  len(y.toks) AS n2, "
+            "  len(list_intersect(x.toks, y.toks))::DOUBLE "
+            "  / len(list_distinct(x.toks || y.toks)) AS jac "
+            "  FROM p JOIN d x ON x.doc_id = p.id1 "
+            "  JOIN d y ON y.doc_id = p.id2) "
+            "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
+            "FROM v WHERE jac >= 0.9",
+        "event_rate_anomalies":
+            # identical arithmetic: hourly counts, dense per-key grid,
+            # trailing [24 PRECEDING, 1 PRECEDING] integer sums,
+            # mean = s/n, var = (ss - s*s/n)/(n-1), z past 8 priors
+            "WITH c AS (SELECT event_type AS key, "
+            "  date_trunc('hour', ts) AS b, count(*) AS cnt "
+            "  FROM events WHERE ts IS NOT NULL "
+            "  AND event_type IS NOT NULL GROUP BY 1, 2), "
+            "g AS (SELECT key, unnest(generate_series(min(b), max(b), "
+            "  INTERVAL 1 HOUR)) AS bucket_ts FROM c GROUP BY key), "
+            "d AS (SELECT g.key, g.bucket_ts, "
+            "  coalesce(c.cnt, 0) AS cnt FROM g LEFT JOIN c "
+            "  ON c.key = g.key AND c.b = g.bucket_ts), "
+            "s AS (SELECT key, bucket_ts, cnt, "
+            "  count(cnt) OVER w AS n_prior, sum(cnt) OVER w AS s, "
+            "  sum(cnt * cnt) OVER w AS ss FROM d WINDOW w AS ("
+            "  PARTITION BY key ORDER BY bucket_ts "
+            "  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), "
+            "t AS (SELECT key, bucket_ts, cnt, n_prior, "
+            "  CASE WHEN n_prior >= 1 THEN s / n_prior END AS mp, "
+            "  CASE WHEN n_prior >= 2 THEN "
+            "  (ss - s * s / n_prior) / (n_prior - 1) END AS vp "
+            "  FROM s), "
+            "z AS (SELECT *, CASE WHEN n_prior >= 8 AND vp > 0 THEN "
+            "  (cnt - mp) / sqrt(vp) END AS zz FROM t) "
+            "SELECT key, bucket_ts, cnt, n_prior, "
+            "coalesce(round(mp, 6), 'NaN'::DOUBLE) AS mean_prior, "
+            "coalesce(round(vp, 6), 'NaN'::DOUBLE) AS var_prior, "
+            "coalesce(round(zz, 6), 'NaN'::DOUBLE) AS z, "
+            "coalesce(abs(zz) >= 3.0, false) AS anomaly FROM z",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h

@@ -1011,3 +1011,116 @@ def jaccard_decontam_flags(docs: DataFrame, bench: DataFrame,
     return out.select(
         id_col, "n_grams", "bench_id", j.alias("jaccard"),
         (j >= F.lit(float(threshold))).alias("flagged"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (SSJoin / PPJoin prefix filter)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                                threshold: float = 0.4) -> DataFrame:
+    """EXACT token-set Jaccard pairs at a threshold via the PREFIX
+    FILTER (SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006; PPJoin, Xiao et
+    al. WWW 2008) — the scalable exact similarity join.
+
+    Where ``ngram_jaccard_exact`` joins postings on EVERY shared
+    shingle (hot boilerplate tokens multiply the candidate set),
+    this operator orders each record's distinct tokens by GLOBAL
+    frequency ascending (rarest first, ties by token string — one
+    canonical total order) and joins only on each record's PREFIX of
+    length ``|s| - ceil(t*|s|) + 1``. The prefix filter is LOSSLESS
+    for Jaccard >= t (Xiao et al. lemma 1: two sets with overlap
+    >= ceil(t*max(|x|,|y|)) under a common total order must share a
+    prefix token), so the exact verify step sees every qualifying
+    pair — output is identical to the exhaustive join, but candidate
+    generation touches only the rarest slice of each posting list:
+    the hottest tokens land in SUFFIXES by construction, which is the
+    skew bound. A symmetric length filter (``t*|x| <= |y|``) prunes
+    pairs whose sizes alone forbid J >= t.
+
+    FP guard: ``ceil(t*n)`` is computed as ``ceil(round(t*n, 9))`` so
+    a 1-ulp excursion above an exact integer (0.4*5 = 2.0000...04)
+    cannot shorten a prefix below its lossless length; the length
+    filter compares against the same rounded product.
+
+    Returns (id1, id2, n1, n2, jaccard) for pairs with jaccard >=
+    threshold, id1 < id2. Empty-token docs yield no pairs.
+
+    Scale: one agg for global token counts (map-combinable), one
+    shuffle to order tokens per doc, candidate join on prefix tokens
+    only, exact array verify JVM-side. No LSH recall caveat — this is
+    the exact path that survives boilerplate-heavy corpora."""
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(col_tokens(F.col(text_col))).alias("toks"))
+    posting = toks.select("id", F.explode("toks").alias("tok"))
+    freq = posting.groupBy("tok").agg(F.count("*").alias("tf"))
+    # canonical global order: frequency ascending, ties by token text
+    ordered = (posting.join(freq, "tok")
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("tf"), F.col("tok")))),
+                   lambda s: s["tok"]).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    need = F.ceil(F.round(F.lit(t) * n, 9)).cast("int")
+    pre = ordered.select(
+        "id", n.alias("n"),
+        F.slice("sorted_toks", 1, (n - need + 1)).alias("prefix"))
+    cand = pre.select("id", "n", F.explode("prefix").alias("tok"))
+    c1 = cand.select(F.col("id").alias("id1"), F.col("n").alias("n1"),
+                     "tok")
+    c2 = cand.select(F.col("id").alias("id2"), F.col("n").alias("n2"),
+                     "tok")
+    pairs = (c1.join(c2, "tok")
+             .filter((F.col("id1") < F.col("id2"))
+                     & (F.col("n2") >= F.round(F.lit(t) * F.col("n1"), 9))
+                     & (F.col("n1") >= F.round(F.lit(t) * F.col("n2"), 9)))
+             .select("id1", "id2").distinct())
+    s1 = toks.select(F.col("id").alias("id1"), F.col("toks").alias("t1"))
+    s2 = toks.select(F.col("id").alias("id2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size(F.array_union("t1", "t2"))
+    return (pairs.join(s1, "id1").join(s2, "id2")
+            .withColumn("jaccard",
+                        F.when(union > 0, inter / union)
+                        .otherwise(F.lit(0.0)))
+            .filter(F.col("jaccard") >= t)
+            .select("id1", "id2", F.size("t1").alias("n1"),
+                    F.size("t2").alias("n2"), "jaccard"))
+
+
+def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float) -> int:
+    """Candidate-pair count the prefix filter generates (pre-verify) —
+    the instrumentation hook the pruning test asserts against the full
+    shared-token candidate count. Not a production API."""
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+
+    t = float(threshold)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(col_tokens(F.col(text_col))).alias("toks"))
+    posting = toks.select("id", F.explode("toks").alias("tok"))
+    freq = posting.groupBy("tok").agg(F.count("*").alias("tf"))
+    ordered = (posting.join(freq, "tok")
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("tf"), F.col("tok")))),
+                   lambda s: s["tok"]).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    need = F.ceil(F.round(F.lit(t) * n, 9)).cast("int")
+    pre = ordered.select(
+        "id", F.slice("sorted_toks", 1, (n - need + 1)).alias("prefix"))
+    cand = pre.select("id", F.explode("prefix").alias("tok"))
+    c1 = cand.select(F.col("id").alias("id1"), "tok")
+    c2 = cand.select(F.col("id").alias("id2"), "tok")
+    return (c1.join(c2, "tok").filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct().count())

@@ -258,3 +258,76 @@ def time_rollup(events: DataFrame, ts_col: str, value_col: str,
         )
         out = out.unionByName(coarse)
     return out.select("level", "bucket_start", *groups, "n", "v_sum")
+
+
+def rolling_zscore_anomalies(events: DataFrame, ts_col: str, key_col: str,
+                             *, bucket: str = "1 hour", window: int = 24,
+                             min_periods: int = 8,
+                             z_threshold: float = 3.0) -> DataFrame:
+    """Per-key event-rate anomaly detection: bucket events into fixed
+    time windows, DENSIFY the bucket grid (a silent hour is a zero, not
+    a missing row — an outage IS an anomaly), and score each bucket's
+    count against the mean/stddev of the ``window`` buckets strictly
+    before it. ``anomaly`` is true when at least ``min_periods`` prior
+    buckets exist, the trailing variance is positive, and
+    ``|z| >= z_threshold``.
+
+    Replayability: mean and variance are derived from the frame's
+    INTEGER sums (n, sum, sum of squares) with one fixed expression —
+    ``mean = s/n``, ``var = (ss - s*s/n) / (n-1)`` — so any engine
+    computing the same int64 sums lands on bit-identical doubles (no
+    dependence on a stddev aggregate's internal accumulation order).
+
+    Scale: one map-combinable count agg on (key, bucket); the dense
+    grid is one sequence-explode per key (rows = time range / bucket,
+    independent of event count); the rolling frame is a per-key window
+    sort — partitioned by key, never global. Row frames equal time
+    frames because the grid is dense."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_periods < 2:
+        raise ValueError(
+            f"min_periods must be >= 2 (variance needs it), "
+            f"got {min_periods}")
+    counts = (events
+              .filter(F.col(ts_col).isNotNull()
+                      & F.col(key_col).isNotNull())
+              .groupBy(F.col(key_col).alias("key"),
+                       F.window(F.col(ts_col), bucket)
+                       .getField("start").alias("bucket_ts"))
+              .agg(F.count("*").alias("cnt")))
+    grid = (counts.groupBy("key")
+            .agg(F.min("bucket_ts").alias("t0"),
+                 F.max("bucket_ts").alias("t1"))
+            .select("key", F.explode(F.sequence(
+                "t0", "t1", F.expr(f"interval {bucket}")))
+                .alias("bucket_ts")))
+    dense = (grid.join(counts, ["key", "bucket_ts"], "left")
+             .select("key", "bucket_ts",
+                     F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    w = (Window.partitionBy("key").orderBy("bucket_ts")
+         .rowsBetween(-window, -1))
+    n = F.count("cnt").over(w)
+    s = F.sum("cnt").over(w)
+    ss = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    stats = dense.select(
+        "key", "bucket_ts", "cnt",
+        n.alias("n_prior"), s.alias("_s"), ss.alias("_ss"))
+    mean = F.col("_s") / F.col("n_prior")
+    var = ((F.col("_ss") - F.col("_s") * F.col("_s") / F.col("n_prior"))
+           / (F.col("n_prior") - 1))
+    scored = stats.withColumn(
+        "mean_prior",
+        F.when(F.col("n_prior") >= 1, mean)).withColumn(
+        "var_prior",
+        F.when(F.col("n_prior") >= 2, var))
+    z = F.when(
+        (F.col("n_prior") >= min_periods) & (F.col("var_prior") > 0),
+        (F.col("cnt") - F.col("mean_prior"))
+        / F.sqrt(F.col("var_prior")))
+    return (scored.withColumn("z", z)
+            .select("key", "bucket_ts", "cnt", "n_prior",
+                    "mean_prior", "var_prior", "z",
+                    F.coalesce(F.abs(F.col("z"))
+                               >= F.lit(float(z_threshold)),
+                               F.lit(False)).alias("anomaly")))

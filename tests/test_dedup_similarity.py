@@ -1913,3 +1913,120 @@ def test_jaccard_decontam_validation(spark):
         jaccard_decontam_flags(d, d, "doc_id", "text", shingle_words=0)
     with pytest.raises(ValueError, match="threshold"):
         jaccard_decontam_flags(d, d, "doc_id", "text", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(rows, threshold):
+    """Exhaustive token-set Jaccard over (id, text) rows — the spec."""
+    import itertools
+    import re
+
+    def toks(text):
+        return set(t for t in re.sub(r"[^A-Za-z0-9']+", " ",
+                                     text.lower()).split() if t)
+
+    sets = {i: toks(t) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= threshold:
+            out[(a, b)] = (len(sa), len(sb), j)
+    return out
+
+
+class TestPrefixFilterJaccard:
+    def _run(self, spark, rows, threshold):
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs)
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r.id1, r.id2): (r.n1, r.n2, r.jaccard)
+               for r in prefix_filter_jaccard_pairs(
+                   df, "doc_id", "text", threshold).collect()}
+        return got
+
+    def test_exhaustive_parity_random(self, spark):
+        """Output == the exhaustive all-pairs join (the prefix filter
+        is lossless, the verify is exact) on a random corpus with a
+        hot shared vocabulary."""
+        import random
+
+        rng = random.Random(7)
+        common = ["the", "of", "and", "data", "spark"]
+        rare = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(40):
+            k = rng.randint(3, 12)
+            words = rng.sample(rare, k) + rng.sample(common,
+                                                     rng.randint(0, 4))
+            rng.shuffle(words)
+            rows.append((i, " ".join(words)))
+        # planted near-dups
+        rows.append((100, rows[0][1]))
+        rows.append((101, rows[1][1] + " extra"))
+        for t in (0.3, 0.5, 0.8):
+            got = self._run(spark, rows, t)
+            want = _brute_jaccard_pairs(rows, t)
+            assert set(got) == set(want), f"t={t}"
+            for k in want:
+                assert got[k][0] == want[k][0]
+                assert got[k][1] == want[k][1]
+                assert abs(got[k][2] - want[k][2]) < 1e-12
+
+    def test_threshold_boundary_exact_integer(self, spark):
+        """t*n landing exactly on an integer (the ceil 1-ulp trap:
+        0.4*5) must not shorten the prefix below lossless — the pair
+        at exactly J == t survives."""
+        # |x| = |y| = 5, overlap 4 -> J = 4/6 = 0.666..; use t where
+        # t*5 is integral: t = 0.4 -> need J >= 0.4: J = 0.666 passes;
+        # also a pair at exactly J = 0.4: overlap 2 of 3+4 (J=2/5=0.4)
+        rows = [(1, "a b c d e"), (2, "a b c d f"),
+                (3, "p q r"), (4, "p q s t")]
+        got = self._run(spark, rows, 0.4)
+        want = _brute_jaccard_pairs(rows, 0.4)
+        assert set(got) == set(want)
+        assert (3, 4) in got  # J exactly 0.4
+
+    def test_empty_and_identical_docs(self, spark):
+        rows = [(1, ""), (2, "   "), (3, "same words here"),
+                (4, "same words here"), (5, "!!!")]
+        got = self._run(spark, rows, 0.9)
+        assert set(got) == {(3, 4)}
+        assert got[(3, 4)][2] == 1.0
+
+    def test_prefix_prunes_candidates(self, spark):
+        """The point of the operator: on a corpus where every doc
+        shares hot boilerplate tokens, prefix candidates are a strict
+        subset of the full shared-token candidate set (which is
+        all-pairs here), while output stays exact."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            _prefix_candidate_count)
+        import random
+
+        rng = random.Random(3)
+        boiler = "copyright terms privacy contact home"
+        rows = [(i, boiler + " " + " ".join(
+            f"u{i}x{j}" for j in range(rng.randint(4, 8))))
+            for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        n_pref = _prefix_candidate_count(df, "doc_id", "text", 0.8)
+        all_pairs = 30 * 29 // 2  # every pair shares the boilerplate
+        assert n_pref < all_pairs * 0.2, (n_pref, all_pairs)
+        got = self._run(spark, rows, 0.8)
+        assert set(got) == set(_brute_jaccard_pairs(rows, 0.8))
+
+    def test_bad_threshold_raises(self, spark):
+        import pytest as _pytest
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs)
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.0)
+        with _pytest.raises(ValueError):
+            prefix_filter_jaccard_pairs(df, "doc_id", "text", 1.5)

@@ -226,3 +226,124 @@ def test_time_rollup_validates_levels(spark):
         time_rollup(ev, "ts", "value", levels=["fortnight"])
     with pytest.raises(ValueError, match="non-empty"):
         time_rollup(ev, "ts", "value", levels=[])
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+class TestRollingZscoreAnomalies:
+    def _brute(self, rows, bucket_h, window, min_periods, zt):
+        """Python spec: hourly dense grid per key, trailing-window
+        integer-sum mean/var, z and flag."""
+        import collections
+        import datetime as dt
+
+        counts = collections.Counter()
+        keys = collections.defaultdict(list)
+        for ts, key in rows:
+            b = ts.replace(minute=0, second=0, microsecond=0)
+            counts[(key, b)] += 1
+            keys[key].append(b)
+        out = {}
+        for key, bs in keys.items():
+            t0, t1 = min(bs), max(bs)
+            grid = []
+            t = t0
+            while t <= t1:
+                grid.append(t)
+                t += dt.timedelta(hours=bucket_h)
+            cnts = [counts.get((key, b), 0) for b in grid]
+            for i, b in enumerate(grid):
+                prior = cnts[max(0, i - window):i]
+                n = len(prior)
+                mean = var = z = None
+                if n >= 1:
+                    s = sum(prior)
+                    mean = s / n
+                if n >= 2:
+                    s, ss = sum(prior), sum(x * x for x in prior)
+                    var = (ss - s * s / n) / (n - 1)
+                if n >= min_periods and var is not None and var > 0:
+                    z = (cnts[i] - mean) / var ** 0.5
+                flag = z is not None and abs(z) >= zt
+                out[(key, b)] = (cnts[i], n, mean, var, z, flag)
+        return out
+
+    def _mkrows(self):
+        import datetime as dt
+        import random
+
+        rng = random.Random(11)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for h in range(72):
+            for key in ("view", "click"):
+                lam = 5 if key == "view" else 2
+                for _ in range(rng.randint(lam - 1, lam + 1)):
+                    rows.append((base + dt.timedelta(
+                        hours=h, minutes=rng.randint(0, 59)), key))
+        # planted spike: hour 50 of 'click' gets 40 extra events
+        for m in range(40):
+            rows.append((base + dt.timedelta(hours=50, minutes=m % 60),
+                         "click"))
+        # planted outage: 'view' goes silent hours 60-62 (zero buckets
+        # must exist in the grid and score negative z)
+        rows = [(ts, k) for ts, k in rows
+                if not (k == "view" and 60 <= (ts - base).total_seconds()
+                        // 3600 <= 62)]
+        return rows
+
+    def test_brute_parity_and_planted_spike(self, spark):
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            rolling_zscore_anomalies)
+        rows = self._mkrows()
+        df = spark.createDataFrame(rows, ["ts", "event_type"])
+        got = {(r.key, r.bucket_ts): (r.cnt, r.n_prior, r.mean_prior,
+                                      r.var_prior, r.z, r.anomaly)
+               for r in rolling_zscore_anomalies(
+                   df, "ts", "event_type", bucket="1 hour", window=24,
+                   min_periods=8, z_threshold=3.0).collect()}
+        want = self._brute(rows, 1, 24, 8, 3.0)
+        assert set(got) == set(want)
+        import datetime as dt
+        base = dt.datetime(2024, 3, 1)
+        for k in want:
+            g, w = got[k], want[k]
+            assert g[0] == w[0] and g[1] == w[1], k
+            for gi, wi in zip(g[2:5], w[2:5]):
+                if wi is None:
+                    assert gi is None, k
+                else:
+                    assert abs(gi - wi) < 1e-9, k
+            assert g[5] == w[5], k
+        # the spike hour is flagged
+        assert got[("click", base + dt.timedelta(hours=50))][5] is True
+        # outage buckets exist with cnt=0 and negative z
+        for h in (60, 61, 62):
+            row = got[("view", base + dt.timedelta(hours=h))]
+            assert row[0] == 0
+            assert row[4] is not None and row[4] < 0
+
+    def test_min_periods_gates_early_buckets(self, spark):
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            rolling_zscore_anomalies)
+        rows = self._mkrows()
+        df = spark.createDataFrame(rows, ["ts", "event_type"])
+        out = rolling_zscore_anomalies(
+            df, "ts", "event_type", window=24, min_periods=8).collect()
+        for r in out:
+            if r.n_prior < 8:
+                assert r.z is None and r.anomaly is False
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from neo4j_document_pipeline_spark.operators.temporal import (
+            rolling_zscore_anomalies)
+        df = spark.createDataFrame(
+            [(__import__("datetime").datetime(2024, 1, 1), "a")],
+            ["ts", "k"])
+        with _pytest.raises(ValueError):
+            rolling_zscore_anomalies(df, "ts", "k", window=0)
+        with _pytest.raises(ValueError):
+            rolling_zscore_anomalies(df, "ts", "k", min_periods=1)
