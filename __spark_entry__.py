@@ -1155,6 +1155,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.round("z", 6), nan).alias("z"), "anomaly")
     q["event_rate_anomalies"] = event_rate_anomalies
 
+    # ---- evaluation: ranking quality (MRR / NDCG@k / P@k / R@k) ----
+    def ranking_docs_eval(spark, sf):
+        """Per-query ranking metrics (operators/evaluation.py
+        ranking_metrics): queries = sources, results = that source's
+        docs scored by n_chars (ties broken doc_id asc), graded
+        relevance from lang (en=3, de=2, fr=1, else 0). MRR, NDCG@10
+        with exponential gains, precision/recall@10, n_rel."""
+        from neo4j_document_pipeline_spark.operators.evaluation import (
+            ranking_metrics)
+        d = _t(spark, sf, "documents")
+        res = d.select(F.col("source").alias("query_id"),
+                       F.col("doc_id"),
+                       F.col("n_chars").cast("double").alias("score"))
+        rel = d.select(F.col("source").alias("query_id"),
+                       F.col("doc_id"),
+                       F.when(F.col("lang") == "en", 3.0)
+                       .when(F.col("lang") == "de", 2.0)
+                       .when(F.col("lang") == "fr", 1.0)
+                       .otherwise(0.0).alias("rel"))
+        out = ranking_metrics(res, rel, k=10)
+        return out.select(
+            "query_id", F.round("mrr", 6).alias("mrr"),
+            F.round("ndcg", 6).alias("ndcg"),
+            F.round("precision_k", 6).alias("precision_k"),
+            F.round("recall_k", 6).alias("recall_k"), "n_rel")
+    q["ranking_docs_eval"] = ranking_docs_eval
+
+    # ---- evaluation: per-class precision/recall/F1 ----
+    def classification_lang_eval(spark, sf):
+        """Per-class classifier report (operators/evaluation.py
+        classification_report) over a deterministic noisy predictor:
+        pred = 'en' when n_chars % 7 == 0 else the true lang — so
+        every class has off-diagonal mass and 'en' over-predicts."""
+        from neo4j_document_pipeline_spark.operators.evaluation import (
+            classification_report)
+        d = _t(spark, sf, "documents")
+        pairs = d.select(
+            F.col("lang").alias("label"),
+            F.when(F.col("n_chars") % 7 == 0, F.lit("en"))
+            .otherwise(F.col("lang")).alias("pred"))
+        out = classification_report(pairs)
+        return out.select(
+            "cls", F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"), "support")
+    q["classification_lang_eval"] = classification_lang_eval
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -2971,6 +3018,67 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(round(vp, 6), 'NaN'::DOUBLE) AS var_prior, "
             "coalesce(round(zz, 6), 'NaN'::DOUBLE) AS z, "
             "coalesce(abs(zz) >= 3.0, false) AS anomaly FROM z",
+        "ranking_docs_eval":
+            # identical rank derivation (score desc, doc asc), top-10,
+            # exponential-gain DCG, IDCG from the relevance list
+            # re-ranked rel desc / doc asc, left-join conventions
+            "WITH res AS (SELECT source AS qid, doc_id AS doc, "
+            "  n_chars::DOUBLE AS score FROM documents), "
+            "rel AS (SELECT source AS qid, doc_id AS doc, "
+            "  CASE lang WHEN 'en' THEN 3.0 WHEN 'de' THEN 2.0 "
+            "  WHEN 'fr' THEN 1.0 ELSE 0.0 END AS rel "
+            "  FROM documents), "
+            "topk AS (SELECT * FROM (SELECT qid, doc, row_number() "
+            "  OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) "
+            "  AS rnk FROM res) WHERE rnk <= 10), "
+            "j AS (SELECT t.qid, t.rnk, coalesce(r.rel, 0.0) AS rel "
+            "  FROM topk t LEFT JOIN rel r "
+            "  ON r.qid = t.qid AND r.doc = t.doc), "
+            "pq AS (SELECT qid, sum((pow(2.0, rel) - 1) "
+            "  / log2(rnk + 1)) AS dcg, "
+            "  min(CASE WHEN rel > 0 THEN rnk END) AS first_rel, "
+            "  sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits "
+            "  FROM j GROUP BY qid), "
+            "ideal AS (SELECT qid, sum(CASE WHEN irank <= 10 THEN "
+            "  (pow(2.0, rel) - 1) / log2(irank + 1) END) AS idcg, "
+            "  count(*) AS n_rel FROM (SELECT qid, rel, row_number() "
+            "  OVER (PARTITION BY qid ORDER BY rel DESC, doc ASC) "
+            "  AS irank FROM rel WHERE rel > 0) GROUP BY qid) "
+            "SELECT pq.qid AS query_id, "
+            "round(CASE WHEN first_rel IS NOT NULL "
+            "  THEN 1.0 / first_rel ELSE 0.0 END, 6) AS mrr, "
+            "round(CASE WHEN coalesce(idcg, 0.0) > 0 "
+            "  THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg, "
+            "round(hits / 10.0, 6) AS precision_k, "
+            "round(CASE WHEN coalesce(n_rel, 0) > 0 "
+            "  THEN hits::DOUBLE / n_rel ELSE 0.0 END, 6) AS recall_k, "
+            "coalesce(n_rel, 0) AS n_rel "
+            "FROM pq LEFT JOIN ideal ON ideal.qid = pq.qid",
+        "classification_lang_eval":
+            # same noisy predictor; tp / predicted / actual aggregates
+            "WITH p AS (SELECT lang AS label, CASE WHEN "
+            "  n_chars % 7 = 0 THEN 'en' ELSE lang END AS pred "
+            "  FROM documents), "
+            "tp AS (SELECT label AS cls, count(*) AS tp FROM p "
+            "  WHERE label = pred GROUP BY 1), "
+            "pn AS (SELECT pred AS cls, count(*) AS n_pred "
+            "  FROM p GROUP BY 1), "
+            "an AS (SELECT label AS cls, count(*) AS support "
+            "  FROM p GROUP BY 1), "
+            "m AS (SELECT cls, coalesce(tp.tp, 0) AS tp, "
+            "  coalesce(pn.n_pred, 0) AS n_pred, "
+            "  coalesce(an.support, 0) AS support "
+            "  FROM an FULL JOIN pn USING (cls) "
+            "  LEFT JOIN tp USING (cls)), "
+            "r AS (SELECT cls, CASE WHEN n_pred > 0 THEN "
+            "  tp::DOUBLE / n_pred ELSE 0.0 END AS prec, "
+            "  CASE WHEN support > 0 THEN tp::DOUBLE / support "
+            "  ELSE 0.0 END AS rec, support FROM m) "
+            "SELECT cls, round(prec, 6) AS precision, "
+            "round(rec, 6) AS recall, "
+            "round(CASE WHEN prec + rec > 0 THEN "
+            "  2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1, "
+            "support FROM r",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h
