@@ -1202,6 +1202,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("f1", 6).alias("f1"), "support")
     q["classification_lang_eval"] = classification_lang_eval
 
+    # ---- data quality: one-pass column profile ----
+    def profile_documents(spark, sf):
+        """Column census of the documents table
+        (operators/profile.py profile_columns): per column row/null
+        counts, lexicographic string min/max, schema-typed numeric
+        min/max/mean, and the deterministic sha256-KMV distinct
+        estimate (exact below k=64 — lang/source here; the estimator
+        regime for doc_id/text/n_chars)."""
+        from neo4j_document_pipeline_spark.operators.profile import (
+            profile_columns)
+        out = profile_columns(_t(spark, sf, "documents"), k=64)
+        # non-numeric columns have NULL numeric stats -> NaN on both
+        # sides (the oracle runner's pandas path renders NULL doubles
+        # as NaN)
+        nan = F.lit(float("nan"))
+        return out.select(
+            "col_name", "n_rows", "n_null",
+            F.round("null_frac", 6).alias("null_frac"),
+            F.round("distinct_est", 6).alias("distinct_est"),
+            "distinct_exact", "min_str", "max_str",
+            F.coalesce("min_num", nan).alias("min_num"),
+            F.coalesce("max_num", nan).alias("max_num"),
+            F.coalesce(F.round("mean_num", 6), nan).alias("mean_num"))
+    q["profile_documents"] = profile_documents
+
     # ---- corpus analytics: n-gram diversity (mode-collapse probe) ----
     def ngram_diversity_sources(spark, sf):
         """Distinct/total n-gram ratios per source for n=1,2,3
@@ -3079,6 +3104,47 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN prec + rec > 0 THEN "
             "  2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1, "
             "support FROM r",
+        "profile_documents":
+            # melt every documents column to (col_name, string form,
+            # schema-typed double form), then the same two aggregates:
+            # plain stats + the engine's sha256 bottom-64 KMV distinct
+            # estimate ((k-1)/h_k above k, exact below). Numeric stats
+            # NaN for string columns (the runner canonicalizes NaN,
+            # not NULL doubles).
+            "WITH m AS ("
+            "  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) "
+            "    AS sval, CAST(doc_id AS DOUBLE) AS dval FROM documents"
+            "  UNION ALL SELECT 'text', text, NULL FROM documents"
+            "  UNION ALL SELECT 'lang', lang, NULL FROM documents"
+            "  UNION ALL SELECT 'source', source, NULL FROM documents"
+            "  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR), "
+            "    CAST(n_chars AS DOUBLE) FROM documents), "
+            "st AS (SELECT col_name, count(*) AS n_rows, "
+            "  sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "    AS n_null, "
+            "  min(sval) AS min_str, max(sval) AS max_str, "
+            "  min(dval) AS min_num, max(dval) AS max_num, "
+            "  sum(dval) AS dsum, count(dval) AS dn "
+            "  FROM m GROUP BY 1), "
+            "h AS (SELECT DISTINCT col_name, "
+            "  ('0x' || substr(sha256('v1:' || sval), 1, 8))::UBIGINT "
+            "  / 4294967296.0 AS u FROM m WHERE sval IS NOT NULL), "
+            "r AS (SELECT col_name, u, row_number() OVER ("
+            "  PARTITION BY col_name ORDER BY u) AS rn FROM h), "
+            "kk AS (SELECT col_name, count(*) AS n_min, max(u) AS kth "
+            "  FROM r WHERE rn <= 64 GROUP BY 1) "
+            "SELECT st.col_name, st.n_rows, st.n_null, "
+            "round(st.n_null::DOUBLE / st.n_rows, 6) AS null_frac, "
+            "round(coalesce(CASE WHEN kk.n_min < 64 THEN "
+            "  kk.n_min::DOUBLE ELSE 63.0 / kk.kth END, 0.0), 6) "
+            "  AS distinct_est, "
+            "coalesce(kk.n_min < 64, TRUE) AS distinct_exact, "
+            "st.min_str, st.max_str, "
+            "coalesce(st.min_num, 'NaN'::DOUBLE) AS min_num, "
+            "coalesce(st.max_num, 'NaN'::DOUBLE) AS max_num, "
+            "coalesce(round(CASE WHEN st.dn > 0 THEN st.dsum / st.dn "
+            "  END, 6), 'NaN'::DOUBLE) AS mean_num "
+            "FROM st LEFT JOIN kk USING (col_name)",
         "funnel_view_click_purchase":
             # greedy-earliest first-touch chain: step k = min ts
             # strictly after step k-1, all inside t1 + 48h
