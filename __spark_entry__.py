@@ -1600,6 +1600,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id1", "id2", F.round("sim", 4).alias("sim")))
     q["tfidf_name_links"] = tfidf_name_links
 
+    def fuzzy_name_pairs(spark, sf):
+        """Edit-distance similarity join over customer names
+        (operators/fuzzyjoin.py edit_distance_pairs): every unordered
+        pair within Levenshtein distance 1, via the LOSSLESS q-gram /
+        length-band blocking — so the oracle is the EXHAUSTIVE
+        cross-join SQL, checking blocking against ground truth rather
+        than a replay of itself."""
+        from neo4j_document_pipeline_spark.operators.fuzzyjoin import (
+            edit_distance_pairs)
+        return edit_distance_pairs(
+            _t(spark, sf, "customer"), "c_name", max_dist=1, q=2)
+    q["fuzzy_name_pairs"] = fuzzy_name_pairs
+
     def simhash_signatures(spark, sf):
         from neo4j_document_pipeline_spark.operators.dedup import (
             simhash_signatures as sigs)
@@ -2436,6 +2449,16 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT id1, id2, dot/sqrt(na.n2*nb.n2) AS sim FROM dots "
             "  JOIN norms na ON id1 = na.id JOIN norms nb ON id2 = nb.id) "
             "WHERE sim >= 0.7",
+        "fuzzy_name_pairs":
+            # the EXHAUSTIVE ground truth the blocked operator must
+            # equal (its q-gram/length-band blocking is lossless by
+            # the Gravano 2001 count-filter bound)
+            "WITH n AS (SELECT DISTINCT c_name FROM customer "
+            "  WHERE c_name IS NOT NULL) "
+            "SELECT a.c_name AS name_a, b.c_name AS name_b, "
+            "levenshtein(a.c_name, b.c_name) AS dist "
+            "FROM n a JOIN n b ON a.c_name < b.c_name "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1",
         "ngram_jaccard_exact":
             f"{shingle_cte} "
             "SELECT id1, id2, round(j, 4) AS jaccard FROM ("

@@ -544,3 +544,21 @@ def test_new_analytics_and_sampling_plans(spark):
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_edit_distance_join_is_equi_join(spark):
+    """Both fuzzyjoin buckets must meet on EQUALITY keys (gram /
+    length band) — a BNLJ or cartesian here is the all-pairs join the
+    blocking exists to avoid."""
+    from neo4j_document_pipeline_spark.operators.fuzzyjoin import (
+        edit_distance_join, edit_distance_pairs)
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    for name, df in {
+        "pairs": edit_distance_pairs(cust, "c_name", max_dist=1),
+        "join": edit_distance_join(cust, part, "c_name", "p_name",
+                                   max_dist=2),
+    }.items():
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
