@@ -1570,6 +1570,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        jaccard_threshold=0.8)
     q["near_dup_resolution"] = near_dup_resolution
 
+    def leakage_split_docs(spark, sf):
+        """Leakage-safe train/val/test assignment over the same padded
+        ≤500-doc subset: near-dup CLUSTERS (not documents) take the
+        engine's sha256 uniform draw, so near-duplicate pairs can never
+        straddle an eval boundary. Oracle = the near-dup-resolution
+        recursive closure for the cluster map + the identical hash draw
+        + cumulative CASE bounds."""
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            leakage_safe_split)
+        d = (_t(spark, sf, "documents").select("doc_id", "text")
+             .orderBy("doc_id").limit(500)
+             .select(F.lpad(F.col("doc_id").cast("string"), 9, "0")
+                     .alias("doc_id"), "text"))
+        return leakage_safe_split(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            text_col="text", jaccard_threshold=0.8,
+        ).select("doc_id", "split_key", "split")
+    q["leakage_split_docs"] = leakage_split_docs
+
     def ngram_jaccard_exact(spark, sf):
         """Exhaustive shared-shingle Jaccard (no LSH recall loss) — the
         all-pairs SQL IS a faithful oracle here, unlike the banded path
@@ -2289,6 +2308,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT node AS doc_id, least(node, min(r)) AS keep_id, "
         "node = least(node, min(r)) AS is_kept FROM reach GROUP BY node")
 
+    # leakage-safe split: the SAME recursive cluster map, left-joined
+    # onto the full padded subset; the CLUSTER key (not the document)
+    # takes the sha256 draw; cumulative CASE bounds 0.8 / 0.9 match the
+    # engine's float boundaries exactly at 2^-32 hash granularity (no
+    # representable u lies between 0.9 and python's 0.8+0.1)
+    _neardup_ctes = neardup_resolve_sql[:neardup_resolve_sql.rindex(
+        "SELECT node AS doc_id")]
+    leakage_split_sql = (
+        _neardup_ctes +
+        ", cm AS (SELECT node AS doc_id, least(node, min(r)) AS keep_id "
+        "FROM reach GROUP BY node), "
+        "keyed AS (SELECT t.doc_id, coalesce(cm.keep_id, t.doc_id) AS "
+        "split_key FROM t LEFT JOIN cm USING (doc_id)), "
+        "drawn AS (SELECT doc_id, split_key, "
+        "('0x' || substr(sha256('v1:' || split_key), 1, 8))::UBIGINT "
+        "/ 4294967296.0 AS u FROM keyed) "
+        "SELECT doc_id, split_key, CASE WHEN u < 0.8 THEN 'train' "
+        "WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM drawn")
+
     # simhash: 64 per-bit tf-weighted majority votes over
     # md5_number_lower('42:'||tok) — the identical token hash the engine
     # computes (low 8 md5 digest bytes, little-endian)
@@ -2424,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g a JOIN g b ON a.doc_id < b.doc_id) "
             "WHERE j >= 0.8",
         "near_dup_resolution": neardup_resolve_sql,
+        "leakage_split_docs": leakage_split_sql,
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

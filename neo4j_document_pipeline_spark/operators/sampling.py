@@ -330,3 +330,69 @@ def interleave_order(df: DataFrame, group_col: str, id_col: str, *,
             .select(F.col("id").alias(id_col),
                     F.col("grp").alias(group_col),
                     "grp_rank", "vt", "pos"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str,
+                       fractions: dict[str, float], *,
+                       clusters: DataFrame | None = None,
+                       text_col: str | None = None,
+                       jaccard_threshold: float = 0.8,
+                       salt: str = "v1") -> DataFrame:
+    """Train/val/test assignment that near-duplicates can NEVER
+    straddle — the contamination guard a corpus split needs AFTER
+    near-dup detection: splitting documents independently puts one
+    copy of a near-dup pair in train and the other in test, and the
+    eval set silently measures memorization (the reason decontam and
+    dedup papers split by CLUSTER, not by document).
+
+    Every document is keyed by its near-dup cluster representative
+    (``resolve_near_duplicates``'s keep_id; unclustered documents key
+    on their own id) and the CLUSTER KEY — not the document — takes
+    the engine's deterministic uniform hash draw, mapped to named
+    splits by cumulative ``fractions`` (insertion order defines the
+    boundary order; the last split takes the remainder, so float
+    boundary dust never drops a row). Two near-dups therefore share a
+    draw and land in the same split, by construction, on any
+    partitioning or cluster size.
+
+    Pass ``clusters`` (any (id, keep_id)-shaped frame — e.g. a
+    committed resolution) to reuse existing state, or ``text_col`` to
+    compute MinHash-LSH resolution in-line. Returns df's rows plus
+    (split_key, split).
+
+    Scale: one equi-join against the cluster map (tiny: only clustered
+    docs have rows) plus a narrow per-row hash — no shuffle beyond the
+    join; the split is a pure function of (corpus text, fractions,
+    salt)."""
+    if (clusters is None) == (text_col is None):
+        raise ValueError("pass exactly one of clusters= or text_col=")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    vals = list(fractions.values())
+    if any(not (0.0 < v <= 1.0) for v in vals):
+        raise ValueError(f"fractions must be in (0, 1]: {fractions}")
+    if abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    if clusters is None:
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            resolve_near_duplicates)
+        clusters = resolve_near_duplicates(
+            df, id_col, text_col,
+            jaccard_threshold=jaccard_threshold)
+    cmap = clusters.select(F.col(clusters.columns[0]).alias(id_col),
+                           F.col("keep_id").alias("split_key"))
+    keyed = (df.join(cmap, id_col, "left")
+             .withColumn("split_key",
+                         F.coalesce("split_key",
+                                    F.col(id_col).cast("string"))))
+    u = uniform_hash_col("split_key", salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # remainder bucket: immune to float dust
+    cum = 0.0
+    bounds = []
+    for n in names[:-1]:
+        cum += fractions[n]
+        bounds.append((n, cum))
+    for n, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(n)).otherwise(expr)
+    return keyed.withColumn("split", expr)
