@@ -1333,6 +1333,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=0.1).select("doc_id", "lang")
     q["stratified_sample_docs"] = stratified_sample_docs
 
+    # ---- tokenizer training: distributed BPE vocabulary learning ----
+
+    def bpe_merges_docs(spark, sf):
+        """Three BPE merge rounds learned over the document corpus
+        (operators/bpe.py): exact-integer pair counts over the word
+        vocabulary, deterministic (count DESC, left, right) argmax, one
+        literal delimiter-rewrite per round. Oracle unrolls the
+        identical rounds as CTEs — same tokenization, same double-space
+        rewrite, same tie-breaks."""
+        from neo4j_document_pipeline_spark.operators.bpe import bpe_learn
+        merges, _ = bpe_learn(_t(spark, sf, "documents"), "text", rounds=3)
+        return merges
+    q["bpe_merges_docs"] = bpe_merges_docs
+
+    def bpe_vocab_segments(spark, sf):
+        """The 100 most frequent words' symbol sequences after those
+        three merges — the segmentation the learned tokenizer would
+        emit (ties at the boundary break on word, both engines)."""
+        from neo4j_document_pipeline_spark.operators.bpe import bpe_learn
+        _, vocab = bpe_learn(_t(spark, sf, "documents"), "text", rounds=3)
+        return vocab.orderBy(F.desc("freq"), "word").limit(100)
+    q["bpe_vocab_segments"] = bpe_vocab_segments
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2327,6 +2350,47 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, split_key, CASE WHEN u < 0.8 THEN 'train' "
         "WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM drawn")
 
+    # distributed BPE learning: unrolled merge rounds. Each round =
+    # one pair aggregation over the double-space symbol strings + one
+    # deterministic argmax + one literal replace — the IDENTICAL
+    # construction operators/bpe.py runs (replace() is left-to-right
+    # non-overlapping in both engines; single-space flanks around the
+    # double-space delimiter make one pass canonical greedy BPE)
+    def _bpe_rounds(rounds: int) -> str:
+        ctes = [
+            "w AS (SELECT word, count(*) AS freq FROM "
+            f"(SELECT unnest({_SQL_TOKENS}) AS word FROM documents) "
+            "GROUP BY word), "
+            "v0 AS (SELECT word, freq, '  ' || "
+            "regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  ' AS s "
+            "FROM w)"]
+        for r in range(1, rounds + 1):
+            p = f"v{r - 1}"
+            ctes.append(
+                f"p{r} AS (SELECT pr.l AS lft, pr.r AS rgt, "
+                "sum(freq)::BIGINT AS cnt FROM (SELECT freq, "
+                "unnest(list_transform(range(1, len(string_split(trim(s), "
+                "'  '))), i -> {'l': string_split(trim(s), '  ')[i], "
+                "'r': string_split(trim(s), '  ')[i+1]})) AS pr "
+                f"FROM {p}) GROUP BY 1, 2), "
+                f"b{r} AS (SELECT lft, rgt, lft || rgt AS merged, cnt "
+                f"FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1), "
+                f"v{r} AS (SELECT word, freq, replace(s, "
+                "' ' || b.lft || '  ' || b.rgt || ' ', "
+                f"' ' || b.merged || ' ') AS s FROM {p}, b{r} b)")
+        return "WITH " + ", ".join(ctes)
+
+    bpe_merges_sql = (
+        _bpe_rounds(3) + " " +
+        " UNION ALL ".join(
+            f"SELECT {r} AS round, lft AS \"left\", rgt AS \"right\", "
+            f"merged, cnt AS pair_count FROM b{r}"
+            for r in range(1, 4)))
+    bpe_vocab_sql = (
+        _bpe_rounds(3) +
+        " SELECT word, replace(trim(s), '  ', ' ') AS segmented, freq "
+        "FROM v3 ORDER BY freq DESC, word LIMIT 100")
+
     # simhash: 64 per-bit tf-weighted majority votes over
     # md5_number_lower('42:'||tok) — the identical token hash the engine
     # computes (low 8 md5 digest bytes, little-endian)
@@ -2463,6 +2527,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE j >= 0.8",
         "near_dup_resolution": neardup_resolve_sql,
         "leakage_split_docs": leakage_split_sql,
+        "bpe_merges_docs": bpe_merges_sql,
+        "bpe_vocab_segments": bpe_vocab_sql,
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "
