@@ -1356,6 +1356,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vocab.orderBy(F.desc("freq"), "word").limit(100)
     q["bpe_vocab_segments"] = bpe_vocab_segments
 
+    def predicate_cardinality_kg(spark, sf):
+        """KG schema census (operators/kgschema.py) over a five-
+        predicate triple mix covering every cardinality class: placed
+        (1:N), placed_by / branded (N:1), contains (N:M), same_as
+        (1:1). One row per predicate with exact fan-out maxima."""
+        from neo4j_document_pipeline_spark.operators.kgschema import (
+            predicate_cardinality)
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part")
+        c = _t(spark, sf, "customer")
+        sv = lambda pre, col: F.concat(F.lit(pre), F.col(col)  # noqa: E731
+                                       .cast("string"))
+        triples = (
+            o.select(sv("order:", "o_orderkey").alias("subject"),
+                     F.lit("placed_by").alias("predicate"),
+                     sv("cust:", "o_custkey").alias("object"))
+            .unionByName(o.select(
+                sv("cust:", "o_custkey").alias("subject"),
+                F.lit("placed").alias("predicate"),
+                sv("order:", "o_orderkey").alias("object")))
+            .unionByName(li.select(
+                sv("order:", "l_orderkey").alias("subject"),
+                F.lit("contains").alias("predicate"),
+                sv("part:", "l_partkey").alias("object")))
+            .unionByName(p.select(
+                sv("part:", "p_partkey").alias("subject"),
+                F.lit("branded").alias("predicate"),
+                sv("brand:", "p_brand").alias("object")))
+            .unionByName(c.select(
+                sv("cust:", "c_custkey").alias("subject"),
+                F.lit("same_as").alias("predicate"),
+                sv("dup:", "c_custkey").alias("object"))))
+        return predicate_cardinality(triples)
+    q["predicate_cardinality_kg"] = predicate_cardinality_kg
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2529,6 +2565,35 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split_docs": leakage_split_sql,
         "bpe_merges_docs": bpe_merges_sql,
         "bpe_vocab_segments": bpe_vocab_sql,
+        "predicate_cardinality_kg":
+            # the same five-predicate mix, distinct-collapsed, with the
+            # two-level fan-out maxima and the relational class CASE
+            "WITH tr AS ("
+            "  SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p, "
+            "         'cust:' || o_custkey AS o FROM orders "
+            "  UNION ALL SELECT 'cust:' || o_custkey, 'placed', "
+            "         'order:' || o_orderkey FROM orders "
+            "  UNION ALL SELECT 'order:' || l_orderkey, 'contains', "
+            "         'part:' || l_partkey FROM lineitem "
+            "  UNION ALL SELECT 'part:' || p_partkey, 'branded', "
+            "         'brand:' || p_brand FROM part "
+            "  UNION ALL SELECT 'cust:' || c_custkey, 'same_as', "
+            "         'dup:' || c_custkey FROM customer), "
+            "t AS (SELECT DISTINCT s, p, o FROM tr), "
+            "base AS (SELECT p, count(*)::BIGINT AS n_triples, "
+            "  count(DISTINCT s)::BIGINT AS n_subjects, "
+            "  count(DISTINCT o)::BIGINT AS n_objects FROM t GROUP BY p), "
+            "od AS (SELECT p, max(d)::BIGINT AS max_out FROM ("
+            "  SELECT p, s, count(*) AS d FROM t GROUP BY p, s) GROUP BY p), "
+            "idg AS (SELECT p, max(d)::BIGINT AS max_in FROM ("
+            "  SELECT p, o, count(*) AS d FROM t GROUP BY p, o) GROUP BY p) "
+            "SELECT base.p AS predicate, n_triples, n_subjects, n_objects, "
+            "max_out, max_in, "
+            "round(n_triples::DOUBLE / n_subjects, 4) AS avg_out, "
+            "CASE WHEN max_out = 1 AND max_in = 1 THEN '1:1' "
+            "WHEN max_out = 1 THEN 'N:1' WHEN max_in = 1 THEN '1:N' "
+            "ELSE 'N:M' END AS card_class "
+            "FROM base JOIN od USING (p) JOIN idg USING (p)",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "
