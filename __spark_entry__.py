@@ -1392,6 +1392,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return predicate_cardinality(triples)
     q["predicate_cardinality_kg"] = predicate_cardinality_kg
 
+    def redirect_resolution(spark, sf):
+        """URL-canonicalization shape: a deterministic redirect map
+        over customer keys (every key not divisible by 16 redirects to
+        key-1 — chains up to 15 deep) resolved to terminals by pointer
+        doubling (operators/components.py::resolve_pointer_chains,
+        ceil(log2 L) joins). Oracle walks the same chains with a
+        recursive CTE and keeps the hop that leaves the source set."""
+        from neo4j_document_pipeline_spark.operators.components import (
+            resolve_pointer_chains)
+        c = _t(spark, sf, "customer")
+        edges = (c.filter(F.col("c_custkey") % 16 != 0)
+                 .select(F.concat(F.lit("u"), F.col("c_custkey")
+                                  .cast("string")).alias("src"),
+                         F.concat(F.lit("u"), (F.col("c_custkey") - 1)
+                                  .cast("string")).alias("dst")))
+        return resolve_pointer_chains(edges)
+    q["redirect_resolution"] = redirect_resolution
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2594,6 +2612,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN max_out = 1 THEN 'N:1' WHEN max_in = 1 THEN '1:N' "
             "ELSE 'N:M' END AS card_class "
             "FROM base JOIN od USING (p) JOIN idg USING (p)",
+        "redirect_resolution":
+            "WITH RECURSIVE e AS (SELECT 'u' || c_custkey AS src, "
+            "'u' || (c_custkey - 1) AS dst FROM customer "
+            "WHERE c_custkey % 16 <> 0), "
+            "r AS (SELECT src, dst FROM e "
+            "UNION ALL SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src) "
+            "SELECT src, dst AS resolved FROM r "
+            "WHERE dst NOT IN (SELECT src FROM e)",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

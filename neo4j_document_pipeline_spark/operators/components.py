@@ -106,3 +106,59 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         members.union(roots)
         .groupBy("id").agg(F.min("component").alias("component"))
     )
+
+
+def resolve_pointer_chains(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst",
+                           max_iter: int = 20) -> DataFrame:
+    """Resolve every chain of a FUNCTIONAL map to its terminal —
+    URL-canonicalization over redirect edges (src 301-redirects to dst;
+    the canonical page is wherever the chain ends), symlink flattening,
+    merged-entity forwarding.
+
+    Pointer doubling: each round composes the map with itself
+    (ptr <- map[ptr] where defined), so a length-L chain resolves in
+    ceil(log2 L) rounds — one equi-join per round, never a per-hop walk
+    (a naive hop loop is O(L) shuffles; head-domain redirect chains on
+    web crawls run dozens deep). Converged when no pointer is itself a
+    source. Cycles (redirect loops — they exist on the real web) never
+    resolve and raise loudly at ``max_iter`` rather than silently
+    emitting a mid-cycle node.
+
+    The functional-map precondition (one outgoing edge per source) is
+    enforced by a LOAD-BEARING in-plan guard: the pointer value itself
+    is a CASE over the per-source edge count, so a duplicated source
+    with conflicting targets fails the job instead of resolving to a
+    partition-order-dependent winner. Exact duplicate (src, dst) rows
+    are collapsed first; self-redirects are terminals.
+
+    Returns (src, resolved) for every source node."""
+    m = (edges.select(F.col(src_col).cast("string").alias("node"),
+                      F.col(dst_col).cast("string").alias("ptr"))
+         .filter(F.col("node") != F.col("ptr"))
+         .distinct())
+    dup = m.groupBy("node").agg(F.count(F.lit(1)).alias("_n"))
+    m = (m.join(dup, "node")
+         .select("node",
+                 F.when(F.col("_n") == 1, F.col("ptr"))
+                 .otherwise(F.raise_error(F.concat(
+                     F.lit("resolve_pointer_chains: source "),
+                     F.col("node"),
+                     F.lit(" has conflicting targets — not a "
+                           "functional map")))).alias("ptr"))
+         .localCheckpoint())
+    srcs = m.select("node").localCheckpoint()
+    for _ in range(max_iter):
+        j = m.select(F.col("node").alias("jn"), F.col("ptr").alias("jp"))
+        m = (m.join(j, m["ptr"] == j["jn"], "left")
+             .select("node", F.coalesce("jp", "ptr").alias("ptr"))
+             .localCheckpoint())
+        unresolved = (m.join(srcs.select(F.col("node").alias("ptr")),
+                             "ptr", "left_semi").count())
+        if unresolved == 0:
+            return m.select(F.col("node").alias("src"),
+                            F.col("ptr").alias("resolved"))
+    raise RuntimeError(
+        f"resolve_pointer_chains: {unresolved} chains unresolved after "
+        f"{max_iter} doubling rounds (chain length > 2^{max_iter} or a "
+        "redirect cycle); break cycles upstream or raise max_iter")
