@@ -1410,6 +1410,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resolve_pointer_chains(edges)
     q["redirect_resolution"] = redirect_resolution
 
+    def hard_negative_mining(spark, sf):
+        """Contrastive hard negatives (operators/similarity.py): for
+        each of 8 anchor vectors, the 5 most-similar vectors with a
+        different label, ranked on the rounded cosine with id
+        tie-break — the negatives a triplet loss actually learns
+        from."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            hard_negatives)
+        e = _t(spark, sf, "embeddings")
+        anchors = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("aid"), F.col("embedding").alias("av"),
+            F.col("label").alias("al"))
+        return hard_negatives(e, anchors, "vec_id", "embedding", "label",
+                              "aid", "av", "al", k=5)
+    q["hard_negative_mining"] = hard_negative_mining
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2620,6 +2636,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src) "
             "SELECT src, dst AS resolved FROM r "
             "WHERE dst NOT IN (SELECT src FROM e)",
+        "hard_negative_mining":
+            # identical rounded-cosine ranking with id tie-break
+            "SELECT anchor_id, vec_id, label, score, rnk FROM ("
+            "  SELECT a.vec_id AS anchor_id, c.vec_id, c.label, "
+            "  round(list_cosine_similarity(c.embedding, a.embedding), 4) "
+            "    AS score, "
+            "  row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "    round(list_cosine_similarity(c.embedding, a.embedding), 4) "
+            "    DESC, c.vec_id) AS rnk "
+            "  FROM embeddings c JOIN embeddings a ON a.vec_id < 8 "
+            "  AND c.label <> a.label) WHERE rnk <= 5",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

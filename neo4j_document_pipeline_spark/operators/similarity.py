@@ -29,6 +29,52 @@ def cosine_score(vec_col: str, q: list[float]):
         dot / (nv * F.lit(nq)))
 
 
+def pairwise_cosine(a_col, b_col):
+    """Column-to-column cosine, zero-norm-safe (0.0, matching
+    cosine_score's convention), fully JVM-side."""
+    dot = F.aggregate(F.zip_with(a_col, b_col, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (na * nb))
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame,
+                   id_col: str, vec_col: str, label_col: str,
+                   anchor_id_col: str, anchor_vec_col: str,
+                   anchor_label_col: str, k: int = 5) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor, the ``k``
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that actually move a contrastive/triplet loss (random negatives are
+    trivially far; training on them wastes the batch).
+
+    Anchors broadcast (mining runs per training batch, so the anchor
+    side is small by construction); the corpus side streams through the
+    broadcast join with the label-mismatch filter applied before
+    scoring. Ranking uses the ROUNDED (4dp) cosine with the candidate
+    id as tie-break, so the top-k set is partitioning- and engine-
+    independent (the embedding_decontam convention). For anchor sets
+    too large to broadcast, mine through the committed IVF index
+    (operators/retrieval.py) and post-filter labels instead.
+
+    Returns (anchor_id, id, label, score, rnk), rnk 1..k per anchor."""
+    from pyspark.sql import Window
+    a = anchors.select(F.col(anchor_id_col).alias("anchor_id"),
+                       F.col(anchor_vec_col).alias("_av"),
+                       F.col(anchor_label_col).alias("_al"))
+    scored = (corpus.crossJoin(F.broadcast(a))
+              .filter(F.col(label_col) != F.col("_al"))
+              .select("anchor_id", F.col(id_col), F.col(label_col),
+                      F.round(pairwise_cosine(F.col(vec_col),
+                                              F.col("_av")), 4)
+                      .alias("score")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
                      query: list[float], k: int = 10) -> DataFrame:
     """Exact cosine top-k. orderBy+limit compiles to TakeOrderedAndProject
