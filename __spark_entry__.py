@@ -1426,6 +1426,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "aid", "av", "al", k=5)
     q["hard_negative_mining"] = hard_negative_mining
 
+    def feature_propagation_parts(spark, sf):
+        """Two rounds of SGC feature smoothing over the co-purchase
+        graph (operators/graphalgo.py::feature_propagation): part
+        prices in integer cents, self-inclusive neighborhood mean with
+        truncating division — bit-exact on any partitioning, so the
+        oracle unrolls the identical integer rounds."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            feature_propagation)
+        feats = _t(spark, sf, "part").select(
+            F.col("p_partkey").cast("string").alias("id"),
+            F.floor(F.col("p_retailprice") * 100).alias("f"))
+        return feature_propagation(_copurchase_edges(spark, sf), feats,
+                                   rounds=2)
+    q["feature_propagation_parts"] = feature_propagation_parts
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2647,6 +2662,34 @@ def oracle_sql() -> dict[str, str]:
             "    DESC, c.vec_id) AS rnk "
             "  FROM embeddings c JOIN embeddings a ON a.vec_id < 8 "
             "  AND c.label <> a.label) WHERE rnk <= 5",
+        "feature_propagation_parts":
+            # two unrolled integer rounds: string-lexicographic edge
+            # canonicalization (the operator's least/greatest on cast
+            # ids), floor-cents quantization, truncating // division
+            "WITH ce AS (SELECT DISTINCT "
+            "  least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u, "
+            "  greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "  ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey), "
+            "bid AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce), "
+            "deg AS (SELECT u AS id, count(*)::BIGINT AS d "
+            "  FROM bid GROUP BY u), "
+            "f0 AS (SELECT p_partkey::VARCHAR AS id, "
+            "  CAST(floor(p_retailprice * 100) AS BIGINT) AS f FROM part), "
+            "s1 AS (SELECT b.u AS id, sum(g.f)::BIGINT AS s "
+            "  FROM bid b JOIN f0 g ON b.v = g.id GROUP BY b.u), "
+            "f1 AS (SELECT f.id, "
+            "  (f.f + coalesce(s.s, 0)) // (1 + coalesce(d.d, 0)) AS f "
+            "  FROM f0 f LEFT JOIN s1 s USING (id) "
+            "  LEFT JOIN deg d USING (id)), "
+            "s2 AS (SELECT b.u AS id, sum(g.f)::BIGINT AS s "
+            "  FROM bid b JOIN f1 g ON b.v = g.id GROUP BY b.u) "
+            "SELECT f.id, "
+            "  ((f.f + coalesce(s.s, 0)) // (1 + coalesce(d.d, 0)))"
+            "::BIGINT AS f "
+            "FROM f1 f LEFT JOIN s2 s USING (id) "
+            "LEFT JOIN deg d USING (id)",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

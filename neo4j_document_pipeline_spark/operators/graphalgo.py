@@ -1538,3 +1538,54 @@ def strongly_connected_components(edges: DataFrame,
             "settles at least one SCC per color class; hitting this "
             "on a real graph means an adversarial SCC chain)")
     return done
+
+
+def feature_propagation(edges: DataFrame, features: DataFrame,
+                        rounds: int = 2, *, id_col: str = "id",
+                        feat_col: str = "f") -> DataFrame:
+    """SGC-style feature smoothing without SGD (Wu et al. 2019,
+    "Simplifying Graph Convolutional Networks"): ``rounds`` applications
+    of the self-inclusive neighborhood mean,
+
+        f_{r+1}(x) = (f_r(x) + sum_{y in N(x)} f_r(y)) DIV (1 + deg(x)),
+
+    over an undirected graph — the propagated feature a node classifier
+    consumes (entity typing over the KG: a node's smoothed feature
+    reflects its neighborhood, no training loop involved).
+
+    All arithmetic is NON-NEGATIVE INTEGER (sums + one truncating
+    division per round), so results are bit-identical on any
+    partitioning, cluster size, or engine — the repo's oracle
+    convention; quantize float features to fixed-point upstream
+    (floor(x * 10^s)) exactly like kmeans/clustering.py does. Each
+    round is ONE equi-join + one map-combinable aggregation; the degree
+    frame is computed once; lineage checkpointed per round. Isolated
+    nodes keep their feature (deg 0 -> identity).
+
+    ``edges`` (u, v) are canonicalized undirected and deduplicated here
+    so provenance multiplicity can't double-count a neighbor; pass
+    pre-weighted sums yourself if multiplicity IS the signal.
+    Returns (id, f) after all rounds.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+             .localCheckpoint(eager=False)
+    deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")) \
+               .localCheckpoint(eager=False)
+    f = features.select(F.col(id_col).alias("id"),
+                        F.col(feat_col).cast("long").alias("f"))
+    for _ in range(rounds):
+        f = f.localCheckpoint(eager=False)
+        nsum = (bidir.join(f.select(F.col("id").alias("v"),
+                                    F.col("f").alias("_nf")), "v")
+                .groupBy("u").agg(F.sum("_nf").alias("_s")))
+        f = (f.join(nsum.select(F.col("u").alias("id"), "_s"), "id", "left")
+             .join(deg.select(F.col("u").alias("id"), "_deg"), "id", "left")
+             .select("id", F.expr(
+                 "(f + coalesce(_s, 0L)) DIV (1 + coalesce(_deg, 0L))")
+                 .alias("f")))
+    return f
