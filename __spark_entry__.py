@@ -1441,6 +1441,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    rounds=2)
     q["feature_propagation_parts"] = feature_propagation_parts
 
+    def rrf_multiquery_fusion(spark, sf):
+        """Reciprocal-rank fusion (operators/retrieval.py::rrf_fuse)
+        of two query-expansion channels: cosine rankings against vec 0
+        and vec 1 (top 20 each, rounded-cosine rank with id tie-break),
+        fused at k=60, top 15 — rank-based, so no score normalization
+        between channels is needed."""
+        from pyspark.sql import Window
+        from neo4j_document_pipeline_spark.operators.retrieval import (
+            rrf_fuse)
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            pairwise_cosine)
+        e = _t(spark, sf, "embeddings")
+        chans = []
+        for qid in (0, 1):
+            qv = e.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qv"))
+            scored = e.crossJoin(F.broadcast(qv)).select(
+                "vec_id",
+                F.round(pairwise_cosine(F.col("embedding"),
+                                        F.col("qv")), 4).alias("s"))
+            w = Window.orderBy(F.col("s").desc(), "vec_id")
+            chans.append(scored.withColumn("rank", F.row_number().over(w))
+                         .filter(F.col("rank") <= 20)
+                         .select("vec_id", "rank"))
+        return rrf_fuse(chans, id_col="vec_id", k=60, top=15)
+    q["rrf_multiquery_fusion"] = rrf_multiquery_fusion
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2690,6 +2717,20 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS f "
             "FROM f1 f LEFT JOIN s2 s USING (id) "
             "LEFT JOIN deg d USING (id)",
+        "rrf_multiquery_fusion":
+            "WITH ch AS ("
+            + " UNION ALL ".join(
+                "SELECT vec_id, rank FROM ("
+                "  SELECT c.vec_id, row_number() OVER (ORDER BY "
+                "  round(list_cosine_similarity(c.embedding, q.embedding), 4)"
+                "  DESC, c.vec_id) AS rank "
+                f"  FROM embeddings c, embeddings q WHERE q.vec_id = {qid})"
+                " WHERE rank <= 20"
+                for qid in (0, 1))
+            + ") SELECT vec_id, "
+            "round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score, "
+            "count(*)::BIGINT AS n_channels FROM ch GROUP BY vec_id "
+            "ORDER BY rrf_score DESC, vec_id LIMIT 15",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

@@ -1659,3 +1659,42 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
                           seeds=[{k: s[k] for k in ("entity_id", "label", "name", "score", "doc_title")}
                                  for s in seeds],
                           timings=timings)
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "id",
+             k: int = 60, top: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the other
+    standard hybrid-retrieval combiner beside the min-max blend
+    (hybrid_candidates): score(d) = sum over input rankings of
+    1/(k + rank_i(d)). Rank-based, so it needs no score normalization
+    and is immune to incomparable score scales between channels
+    (BM25 vs cosine) — the reason RRF wins when channels disagree on
+    calibration.
+
+    Each input frame must carry (id_col, rank) with rank 1-based and
+    dense per channel (the channels' own deterministic top-k orderings,
+    e.g. bm25_scores / brute_force_topk outputs windowed to rank).
+    Inputs are per-query candidate lists — BOUNDED by construction
+    (top-k each), so the union+aggregate is trivially small however big
+    the corpus; the expensive part already happened inside each
+    channel. Fused score is built from exact integer ranks and emitted
+    rounded (6dp) with id tie-break, the engine-parity convention.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = rankings[0].select(F.col(id_col).alias("id"),
+                           F.col("rank").cast("long").alias("rank"))
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(F.col(id_col).alias("id"),
+                                   F.col("rank").cast("long")
+                                   .alias("rank")))
+    fused = (u.groupBy("id")
+             .agg(F.round(F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))), 6)
+                  .alias("rrf_score"),
+                  F.count(F.lit(1)).alias("n_channels")))
+    out = fused.orderBy(F.col("rrf_score").desc(), "id")
+    if top is not None:
+        out = out.limit(top)
+    return out.select(F.col("id").alias(id_col), "rrf_score", "n_channels")
