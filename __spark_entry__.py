@@ -1468,6 +1468,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rrf_fuse(chans, id_col="vec_id", k=60, top=15)
     q["rrf_multiquery_fusion"] = rrf_multiquery_fusion
 
+    def negative_triples_branded(spark, sf):
+        """Deterministic filtered negative sampling for KG-embedding
+        training (operators/kgtrain.py): corrupt the branded-triple
+        objects with sha256-drawn brands, drop self-replacements and
+        true facts, keep the first 2 surviving attempts per triple.
+        The brand pool is densely indexed by row_number over the
+        distinct brands (25 — a window over a tiny frame)."""
+        from neo4j_document_pipeline_spark.operators.kgtrain import (
+            negative_triples)
+        from pyspark.sql import Window
+        p = _t(spark, sf, "part")
+        triples = p.select(
+            F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+            .alias("subject"),
+            F.lit("branded").alias("predicate"),
+            F.col("p_brand").alias("object"))
+        pool = (p.select(F.col("p_brand").alias("entity")).distinct()
+                .withColumn("idx", F.row_number().over(
+                    Window.orderBy("entity")) - 1))
+        n = pool.count()  # tiny frame; the operator itself never counts
+        return negative_triples(triples, pool, pool_size=n, n_neg=2,
+                                attempts=6)
+    q["negative_triples_branded"] = negative_triples_branded
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2731,6 +2755,29 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score, "
             "count(*)::BIGINT AS n_channels FROM ch GROUP BY vec_id "
             "ORDER BY rrf_score DESC, vec_id LIMIT 15",
+        "negative_triples_branded":
+            # identical sha256 index draw, dense row_number pool,
+            # self/true-fact filters, first-2-survivors ranking
+            "WITH tr AS (SELECT DISTINCT 'part:' || p_partkey AS s, "
+            "  'branded' AS p, p_brand AS o FROM part), "
+            "pool AS (SELECT entity, row_number() OVER (ORDER BY entity) "
+            "  - 1 AS idx FROM (SELECT DISTINCT p_brand AS entity "
+            "  FROM part)), "
+            "att AS (SELECT s, p, o, j AS attempt FROM tr, range(6) r(j)), "
+            "drawn AS (SELECT s, p, o, attempt, "
+            "  ('0x' || substr(sha256('v1:' || s || '|' || p || '|' || o "
+            "  || '|' || attempt), 1, 8))::UBIGINT "
+            "  % (SELECT count(*) FROM pool) AS idx FROM att), "
+            "cand AS (SELECT d.s, d.p, d.o, d.attempt, "
+            "  pool.entity AS neg_object FROM drawn d JOIN pool "
+            "  USING (idx)), "
+            "flt AS (SELECT * FROM cand WHERE neg_object <> o "
+            "  AND NOT EXISTS (SELECT 1 FROM tr t2 WHERE t2.s = cand.s "
+            "  AND t2.p = cand.p AND t2.o = cand.neg_object)), "
+            "rk AS (SELECT s, p, neg_object, attempt, row_number() OVER ("
+            "  PARTITION BY s, p, o ORDER BY attempt) AS rn FROM flt) "
+            "SELECT s AS subject, p AS predicate, neg_object, attempt "
+            "FROM rk WHERE rn <= 2",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "
