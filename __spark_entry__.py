@@ -1492,6 +1492,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 attempts=6)
     q["negative_triples_branded"] = negative_triples_branded
 
+    def orders_snapshot_diff(spark, sf):
+        """Snapshot change feed (operators/admin.py::table_diff): the
+        'old' snapshot drops keys %7==0 and doubles totalprice on
+        %5==0; the 'new' snapshot drops %11==0 — so the diff must
+        report exactly the adds, removes, and price changes, with the
+        changed column named."""
+        from neo4j_document_pipeline_spark.operators.admin import (
+            table_diff)
+        o = _t(spark, sf, "orders")
+        old = (o.filter(F.col("o_orderkey") % 7 != 0)
+               .withColumn("o_totalprice",
+                           F.when(F.col("o_orderkey") % 5 == 0,
+                                  F.col("o_totalprice") * 2)
+                           .otherwise(F.col("o_totalprice"))))
+        new = o.filter(F.col("o_orderkey") % 11 != 0)
+        return table_diff(old, new, ["o_orderkey"],
+                          ["o_totalprice", "o_orderstatus"])
+    q["orders_snapshot_diff"] = orders_snapshot_diff
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2778,6 +2797,26 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY s, p, o ORDER BY attempt) AS rn FROM flt) "
             "SELECT s AS subject, p AS predicate, neg_object, attempt "
             "FROM rk WHERE rn <= 2",
+        "orders_snapshot_diff":
+            "WITH old AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 "
+            "  THEN o_totalprice * 2 ELSE o_totalprice END AS tp, "
+            "  o_orderstatus AS st FROM orders WHERE o_orderkey % 7 <> 0), "
+            "nw AS (SELECT o_orderkey, o_totalprice AS tp, "
+            "  o_orderstatus AS st FROM orders WHERE o_orderkey % 11 <> 0) "
+            "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+            "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+            "  WHEN n.o_orderkey IS NULL THEN 'removed' "
+            "  ELSE 'changed' END AS change, "
+            "CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+            "  THEN []::VARCHAR[] ELSE list_filter(["
+            "  CASE WHEN o.tp IS DISTINCT FROM n.tp "
+            "    THEN 'o_totalprice' END, "
+            "  CASE WHEN o.st IS DISTINCT FROM n.st "
+            "    THEN 'o_orderstatus' END], x -> x IS NOT NULL) "
+            "END AS changed_cols "
+            "FROM old o FULL OUTER JOIN nw n USING (o_orderkey) "
+            "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+            "OR o.tp IS DISTINCT FROM n.tp OR o.st IS DISTINCT FROM n.st",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

@@ -301,3 +301,45 @@ def debug_search(store, question: str = "test", k: int = 5) -> dict:
         "keyword_hits": [r.asDict() for r in kw_hits],
         "hybrid_results_count": len(hybrid),
     }
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
+               compare_cols: list[str]) -> DataFrame:
+    """Change feed between two snapshots of a keyed table: one row per
+    key that was added, removed, or changed — the diff a KG store emits
+    between versions (sources/store.py keeps snapshot history; this is
+    the operator that answers "what changed between v3 and v7" without
+    shipping either snapshot).
+
+    One full-outer equi-join on the key (co-partitioned on both sides —
+    at scale, bucket both snapshots on the key and the join is
+    shuffle-free), null-safe per-column comparison (<=>), and a
+    ``changed_cols`` array listing exactly which compare columns
+    differ, in ``compare_cols`` order. Unchanged rows are dropped —
+    output size is the churn, not the table.
+    """
+    if not keys or not compare_cols:
+        raise ValueError("keys and compare_cols must be non-empty")
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}")
+                            for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}")
+                            for c in compare_cols])
+    # presence flags: an all-null compare row can't distinguish sides,
+    # so flag on a literal carried from each side
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    diffs = F.filter(
+        F.array(*[F.when(~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                         F.lit(c)) for c in compare_cols]),
+        lambda x: x.isNotNull())
+    change = (F.when(F.col("_in_old").isNull(), "added")
+              .when(F.col("_in_new").isNull(), "removed")
+              .otherwise("changed"))
+    return (j.withColumn("change", change)
+            .withColumn("changed_cols",
+                        F.when(F.col("change") == "changed", diffs)
+                        .otherwise(F.array().cast("array<string>")))
+            .filter((F.col("change") != "changed")
+                    | (F.size("changed_cols") > 0))
+            .select(*keys, "change", "changed_cols"))
