@@ -123,7 +123,8 @@ def main(argv=None):
         "attribution",
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
-        "walks", "mixture", "spans", "semdedup", "scc"])
+        "walks", "mixture", "spans", "semdedup", "scc",
+        "cardinality", "negatives", "bpe", "diff", "split"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -380,6 +381,17 @@ def main(argv=None):
                     help="similar: neighbor-set similarity metric "
                          "(overlap scores containment 1.0 — sub-entity "
                          "detection)")
+    ap.add_argument("--rounds", type=int, default=8,
+                    help="bpe: merge rounds to learn (default 8)")
+    ap.add_argument("--n-neg", type=int, default=2,
+                    help="negatives: corrupted triples per true edge "
+                         "(default 2)")
+    ap.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
+                    help="split: NAME=FRACTION[,...] summing to 1; "
+                         "insertion order defines the hash boundaries")
+    ap.add_argument("--cols", default=None,
+                    help="diff: comma-separated columns to compare "
+                         "(default: every shared non-key column)")
     ns, unknown = ap.parse_known_args(argv)
     # argparse won't interleave optionals with a greedy positional list;
     # treat leftover non-flag tokens (the question / search value) as args
@@ -717,6 +729,143 @@ def main(argv=None):
                                       "is a DAG at this store)"}))
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "cardinality":
+        # per-predicate structural census of the committed KG: which
+        # rel_types are functional / inverse-functional / N:M, with
+        # exact max fan-outs — the readout that decides property-column
+        # pivots and skew-salting targets
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.kgschema import (
+            predicate_cardinality)
+        e = store.read("edges").select(
+            F.col("src_id").alias("subject"),
+            F.col("rel_type").alias("predicate"),
+            F.col("dst_id").alias("object"))
+        out = (predicate_cardinality(e)
+               .orderBy(F.desc("n_triples"), "predicate").limit(ns.limit))
+        for r in out.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "negatives":
+        # KG-embedding training negatives over the committed edges:
+        # deterministic filtered corruption (operators/kgtrain.py);
+        # the entity pool is densely indexed by row_number (a single
+        # window — fine at CLI scale; use a distributed rank for
+        # billion-node pools)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.kgtrain import (
+            negative_triples)
+        e = store.read("edges").select(
+            F.col("src_id").alias("subject"),
+            F.col("rel_type").alias("predicate"),
+            F.col("dst_id").alias("object"))
+        pool = (store.read("nodes")
+                .select(F.col("entity_id").alias("entity")).distinct()
+                .withColumn("idx", F.row_number().over(
+                    Window.orderBy("entity")) - 1))
+        n = pool.count()
+        if n < 2:
+            sys.exit("negatives: need at least 2 entities in the store")
+        neg = negative_triples(e, pool, pool_size=n, n_neg=ns.n_neg,
+                               salt=ns.salt)
+        if ns.out:
+            neg.write.mode("overwrite").parquet(ns.out)
+            print(json.dumps({"out": ns.out, "rows": neg.count(),
+                              "n_neg": ns.n_neg, "pool_size": n}))
+        else:
+            for r in (neg.orderBy("subject", "predicate", "attempt")
+                      .limit(ns.limit).collect()):
+                print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "bpe":
+        # learn a BPE merge table from the committed corpus
+        # (operators/bpe.py): prints one JSON line per merge round;
+        # --out additionally writes the segmented word vocabulary
+        from neo4j_document_pipeline_spark.operators.bpe import bpe_learn
+        doc_table = ("documents_final"
+                     if store.exists("documents_final") else "documents")
+        merges, vocab = bpe_learn(store.read(doc_table), "text",
+                                  rounds=ns.rounds)
+        for r in merges.orderBy("round").collect():
+            print(json.dumps(r.asDict(), default=str))
+        if ns.out:
+            vocab.write.mode("overwrite").parquet(ns.out)
+            print(json.dumps({"out": ns.out, "words": vocab.count()}))
+    elif ns.command == "diff":
+        # change feed between two committed versions of a table:
+        # `diff <table> <old_version> <new_version>` — counts by change
+        # class plus a preview (operators/admin.py::table_diff)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.admin import (
+            table_diff)
+        if len(ns.args) != 3:
+            sys.exit("diff: usage — diff <table> <old_ver> <new_ver> "
+                     "[--keys k1,k2] [--cols c1,c2]")
+        table, v_old, v_new = ns.args
+        default_keys = {"nodes": "entity_id",
+                        "edges": "src_id,rel_type,dst_id",
+                        "documents": "doc_id",
+                        "documents_final": "doc_id"}
+        keys = (ns.keys if ns.keys != "event_id" or table not in
+                default_keys else default_keys[table]).split(",")
+        old = store.read_version(table, v_old)
+        new = store.read_version(table, v_new)
+        shared = [c for c in old.columns
+                  if c in new.columns and c not in keys]
+        cols = ns.cols.split(",") if ns.cols else shared
+        missing = [c for c in keys + cols
+                   if c not in old.columns or c not in new.columns]
+        if missing:
+            sys.exit(f"diff: columns absent from both versions: "
+                     f"{missing}; shared = {sorted(shared + keys)}")
+        d = table_diff(old, new, keys, cols).localCheckpoint(eager=False)
+        counts = {r["change"]: r["n"] for r in
+                  d.groupBy("change").agg(F.count("*").alias("n"))
+                  .collect()}
+        print(json.dumps({"table": table, "old": v_old, "new": v_new,
+                          "added": counts.get("added", 0),
+                          "removed": counts.get("removed", 0),
+                          "changed": counts.get("changed", 0)}))
+        for r in d.orderBy("change", *keys).limit(ns.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "split":
+        # leakage-safe train/val/test assignment over the committed
+        # corpus: near-dup clusters share one hash draw, so
+        # near-duplicates never straddle an eval boundary
+        # (operators/sampling.py::leakage_safe_split)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            leakage_safe_split)
+        fractions = {}
+        try:
+            for part in ns.fractions.split(","):
+                name, frac = part.split("=")
+                fractions[name.strip()] = float(frac)
+        except ValueError:
+            sys.exit("split: --fractions must be NAME=FRACTION[,...]")
+        doc_table = ("documents_final"
+                     if store.exists("documents_final") else "documents")
+        docs = store.read(doc_table)
+        assigned = leakage_safe_split(
+            docs, "doc_id", fractions, text_col="text",
+            jaccard_threshold=ns.near_dup_threshold, salt=ns.salt
+        ).localCheckpoint(eager=False)
+        summary = {r["split"]: r["n"] for r in
+                   assigned.groupBy("split").agg(F.count("*").alias("n"))
+                   .collect()}
+        clustered = (assigned
+                     .filter(F.col("split_key") != F.col("doc_id")
+                             .cast("string")).count())
+        print(json.dumps({"splits": summary,
+                          "cluster_keyed_docs": clustered,
+                          "salt": ns.salt}))
+        if ns.out:
+            (assigned.select("doc_id", "split_key", "split")
+             .write.mode("overwrite").parquet(ns.out))
+            print(json.dumps({"out": ns.out}))
     elif ns.command == "walks":
         # deterministic walk corpus (DeepWalk/node2vec input): with
         # --out, the full corpus lands as parquet; without, a preview
