@@ -562,3 +562,54 @@ def test_edit_distance_join_is_equi_join(spark):
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_round5_kg_tooling_plans(spark):
+    """The new KG-tooling operators' joins stay equi/bounded:
+    negative_triples (pool equi-join on the drawn index + anti-join vs
+    true triples), table_diff (one full-outer equi join), and
+    leakage_safe_split with a precomputed cluster map (one left equi
+    join) must never BNLJ/cartesian; hard_negatives' anchor join IS an
+    intended BroadcastNestedLoopJoin with the batch-sized anchor frame
+    as the BUILD side — assert it broadcasts and does not fall back to
+    a CartesianProduct (which would shuffle the corpus against itself)."""
+    from neo4j_document_pipeline_spark.operators.admin import table_diff
+    from neo4j_document_pipeline_spark.operators.kgtrain import (
+        negative_triples)
+    from neo4j_document_pipeline_spark.operators.sampling import (
+        leakage_safe_split)
+    from neo4j_document_pipeline_spark.operators.similarity import (
+        hard_negatives)
+
+    t = spark.createDataFrame(
+        [(f"s{i}", "r", f"e{i % 5}") for i in range(30)],
+        ["subject", "predicate", "object"])
+    pool = spark.createDataFrame(
+        [(i, f"e{i}") for i in range(5)], ["idx", "entity"])
+    docs = spark.createDataFrame([(f"d{i}",) for i in range(20)],
+                                 ["doc_id"])
+    cmap = spark.createDataFrame([("d1", "d0"), ("d0", "d0")],
+                                 ["doc_id", "keep_id"])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"c{i % 2}") for i in range(10)],
+        ["vec_id", "embedding", "label"])
+    anchors = emb.limit(2).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av"),
+        F.col("label").alias("al"))
+
+    equi_frames = {
+        "negative_triples": negative_triples(t, pool, pool_size=5),
+        "table_diff": table_diff(t, t.limit(10), ["subject"],
+                                 ["object"]),
+        "leakage_safe_split": leakage_safe_split(
+            docs, "doc_id", {"train": 0.9, "test": 0.1}, clusters=cmap),
+    }
+    for name, df in equi_frames.items():
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    hn = plan_of(hard_negatives(emb, anchors, "vec_id", "embedding",
+                                "label", "aid", "av", "al", k=2))
+    assert "BroadcastNestedLoopJoin" in hn
+    assert "CartesianProduct" not in hn
