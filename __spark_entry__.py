@@ -1511,6 +1511,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           ["o_totalprice", "o_orderstatus"])
     q["orders_snapshot_diff"] = orders_snapshot_diff
 
+    def power_law_parts(spark, sf):
+        """Degree-tail exponent of the co-purchase graph by discrete
+        MLE (operators/graphalgo.py::power_law_alpha) — the skew
+        number that decides whether hub caps and salting are
+        mandatory. One row; oracle replays the identical formula."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            power_law_alpha)
+        return power_law_alpha(_copurchase_edges(spark, sf), dmin=2)
+    q["power_law_parts"] = power_law_parts
+
+    def basket_rules_orders(spark, sf):
+        """Directed pairwise association rules over order baskets
+        (operators/assoc.py): support/confidence/lift from exact
+        counts, basket denominator folded in-plan, tail pruned at
+        pair_count >= 2 before the ratio math."""
+        from neo4j_document_pipeline_spark.operators.assoc import (
+            market_basket_rules)
+        li = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"))
+        return market_basket_rules(li, min_pair_count=2,
+                                   min_confidence=0.08)
+    q["basket_rules_orders"] = basket_rules_orders
+
     # ---- training-data export: quality-weighted draw (A-ES) ----
     def weighted_sample_docs(spark, sf):
         """Weighted sampling WITHOUT replacement: 64 documents drawn
@@ -2817,6 +2841,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM old o FULL OUTER JOIN nw n USING (o_orderkey) "
             "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
             "OR o.tp IS DISTINCT FROM n.tp OR o.st IS DISTINCT FROM n.st",
+        "power_law_parts":
+            # same string-canonical distinct edges, degrees >= dmin=2,
+            # CSN discrete MLE with the dmin-0.5 offset
+            "WITH ce AS (SELECT DISTINCT "
+            "  least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u, "
+            "  greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "  ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "  SELECT u AS id FROM ce UNION ALL SELECT v FROM ce) "
+            "  GROUP BY id HAVING count(*) >= 2) "
+            "SELECT count(*)::BIGINT AS n_tail, 2 AS dmin, "
+            "round(1.0 + count(*) / sum(ln(d / 1.5)), 6) AS alpha "
+            "FROM deg",
+        "basket_rules_orders":
+            "WITH b AS (SELECT DISTINCT l_orderkey AS bk, "
+            "  l_partkey AS it FROM lineitem), "
+            "n AS (SELECT count(DISTINCT bk) AS nb FROM b), "
+            "ic AS (SELECT it, count(*) AS c FROM b GROUP BY it), "
+            "pr AS (SELECT x.it AS antecedent, y.it AS consequent, "
+            "  count(*)::BIGINT AS pair_count "
+            "  FROM b x JOIN b y ON x.bk = y.bk AND x.it <> y.it "
+            "  GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT antecedent, consequent, pair_count, support, "
+            "confidence, lift FROM ("
+            "  SELECT pr.antecedent, pr.consequent, pr.pair_count, "
+            "  round(pr.pair_count / n.nb, 6) AS support, "
+            "  round(pr.pair_count / ca.c, 6) AS confidence, "
+            "  round((pr.pair_count / ca.c) / (cb.c / CAST(n.nb AS "
+            "  DOUBLE)), 6) AS lift "
+            "  FROM pr JOIN ic ca ON pr.antecedent = ca.it "
+            "  JOIN ic cb ON pr.consequent = cb.it, n) "
+            "WHERE confidence >= 0.08",
         "tfidf_name_links":
             "WITH sub AS (SELECT lpad(p_partkey::varchar, 9, '0') AS id, p_name "
             "  FROM part ORDER BY p_partkey LIMIT 300), "

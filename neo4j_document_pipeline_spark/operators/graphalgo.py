@@ -1589,3 +1589,33 @@ def feature_propagation(edges: DataFrame, features: DataFrame,
                  "(f + coalesce(_s, 0L)) DIV (1 + coalesce(_deg, 0L))")
                  .alias("f")))
     return f
+
+
+def power_law_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """Degree-tail exponent by discrete MLE (Clauset-Shalizi-Newman
+    2009): alpha = 1 + n / sum(ln(d / (dmin - 0.5))) over nodes with
+    degree >= dmin. THE skew number for capacity planning: alpha < 2.5
+    means hub degrees grow fast enough that every unbounded wedge/pair
+    operator needs its hub cap engaged (node_similarity /
+    link_prediction max_degree, npmi max_ctx), and shuffle salting is
+    mandatory on the head keys. Complements graph_summary's max/avg
+    degree with the actual tail shape.
+
+    One degree aggregation + one scalar aggregation; returns a single
+    row (n_tail, dmin, alpha). Undirected degrees over deduplicated
+    canonical edges, matching graph_summary's convention."""
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    e = (edges.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    deg = (e.select(F.col("u").alias("id"))
+           .union(e.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+           .filter(F.col("d") >= dmin))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(dmin).alias("dmin"),
+        F.round(1.0 + F.count(F.lit(1))
+                / F.sum(F.log(F.col("d") / (dmin - 0.5))), 6)
+        .alias("alpha"))
