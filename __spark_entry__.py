@@ -2346,6 +2346,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("event_type", "kind").agg(F.count("*").alias("n")))
     q["event_kind_dispatch"] = event_kind_dispatch
 
+    # ---- temporal KG: SCD2 entity-property history ----
+    def scd2_customer_status(spark, sf):
+        """SCD2 compaction (operators/temporalkg.py::scd2_history) of
+        per-customer order-status observations: each order is an
+        observation (entity='cust:<key>', property='status',
+        value=o_orderstatus, ts=o_orderdate); runs of equal values
+        collapse into validity intervals with version ordinals. The
+        oracle replays the same max-per-ts resolution + LAG change
+        filter + LEAD interval close in DuckDB windows."""
+        from neo4j_document_pipeline_spark.operators.temporalkg import (
+            scd2_history)
+        o = _t(spark, sf, "orders")
+        obs = o.select(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+            .alias("entity"),
+            F.lit("status").alias("property"),
+            F.col("o_orderstatus").alias("value"),
+            F.col("o_orderdate").alias("ts"))
+        return scd2_history(obs)
+    q["scd2_customer_status"] = scd2_customer_status
+
+    # ---- temporal KG: functional-predicate contradiction census ----
+    def fact_conflicts_orders(spark, sf):
+        """Conflict census (operators/temporalkg.py::fact_conflicts)
+        over a deliberately collapsed fact space: subject =
+        order:<o_orderkey % 97>, predicate='status' — the modulo makes
+        distinct orders collide so the same (subject, predicate) key
+        carries contradicting status values, exactly the shape a
+        re-crawled page set produces. Array column joined to a sorted
+        comma string for the driver's pandas canonicalizer."""
+        from neo4j_document_pipeline_spark.operators.temporalkg import (
+            fact_conflicts)
+        o = _t(spark, sf, "orders")
+        t = o.select(
+            F.concat(F.lit("order:"),
+                     (F.col("o_orderkey") % 97).cast("string"))
+            .alias("subject"),
+            F.lit("status").alias("predicate"),
+            F.col("o_orderstatus").alias("object"))
+        return (fact_conflicts(t)
+                .select("subject", "predicate", "n_objects",
+                        F.array_join("objects", ",").alias("objects"),
+                        "n_assertions"))
+    q["fact_conflicts_orders"] = fact_conflicts_orders
+
+    # ---- temporal KG: truth discovery (2-round exact-integer Sums) ----
+    def truth_discovery_orders(spark, sf):
+        """Fixed-round Sums voting (operators/temporalkg.py::
+        truth_discovery, Pasternack & Roth 2010) resolving the same
+        collapsed-order conflicts: source = u<o_custkey % 40> asserts
+        fact order:<o_orderkey % 150> has value o_orderstatus. Two
+        unnormalized rounds in exact int64 (bit-reproducible across
+        engines); the oracle unrolls belief -> trust -> belief as
+        CTEs with the identical distinct-claims edge set."""
+        from neo4j_document_pipeline_spark.operators.temporalkg import (
+            truth_discovery)
+        o = _t(spark, sf, "orders")
+        claims = o.select(
+            F.concat(F.lit("u"), (F.col("o_custkey") % 40).cast("string"))
+            .alias("source"),
+            F.concat(F.lit("order:"),
+                     (F.col("o_orderkey") % 150).cast("string")).alias("fact"),
+            F.col("o_orderstatus").alias("value"))
+        return truth_discovery(claims, rounds=2)
+    q["truth_discovery_orders"] = truth_discovery_orders
+
     return q
 
 
@@ -4716,4 +4782,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CASE WHEN value >= 100 THEN 'high' "
             "WHEN value >= 10 THEN 'mid' ELSE 'low' END AS kind, count(*) AS n "
             "FROM events GROUP BY 1, 2",
+        "scd2_customer_status":
+            # same max-per-ts resolution, LAG change filter, LEAD close
+            "WITH obs AS (SELECT 'cust:' || o_custkey AS entity, "
+            "  'status' AS property, o_orderdate AS ts, "
+            "  max(o_orderstatus) AS value FROM orders "
+            "  WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2, 3), "
+            "ch AS (SELECT entity, property, ts, value FROM ("
+            "  SELECT *, lag(value) OVER "
+            "    (PARTITION BY entity, property ORDER BY ts) AS prev "
+            "  FROM obs) WHERE prev IS NULL OR prev <> value) "
+            "SELECT entity, property, value, ts AS valid_from, "
+            "lead(ts) OVER (PARTITION BY entity, property ORDER BY ts) "
+            "  AS valid_to, "
+            "row_number() OVER (PARTITION BY entity, property ORDER BY ts) "
+            "  AS version, "
+            "lead(ts) OVER (PARTITION BY entity, property ORDER BY ts) "
+            "  IS NULL AS is_current "
+            "FROM ch",
+        "fact_conflicts_orders":
+            "SELECT subject, predicate, n_objects, objects, n_assertions "
+            "FROM (SELECT 'order:' || (o_orderkey % 97) AS subject, "
+            "  'status' AS predicate, "
+            "  len(list_sort(list(DISTINCT o_orderstatus))) AS n_objects, "
+            "  list_aggregate(list_sort(list(DISTINCT o_orderstatus)), "
+            "    'string_agg', ',') AS objects, "
+            "  count(*) AS n_assertions "
+            "  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2) "
+            "WHERE n_objects > 1",
+        "truth_discovery_orders":
+            # two unrolled unnormalized-Sums rounds in exact integers
+            "WITH e AS (SELECT DISTINCT 'u' || (o_custkey % 40) AS src, "
+            "  'order:' || (o_orderkey % 150) AS fact, "
+            "  o_orderstatus AS value FROM orders "
+            "  WHERE o_orderstatus IS NOT NULL), "
+            "b0 AS (SELECT fact, value, count(*)::BIGINT AS belief "
+            "  FROM e GROUP BY 1, 2), "
+            "t1 AS (SELECT src, sum(belief)::BIGINT AS trust FROM e "
+            "  JOIN b0 USING (fact, value) GROUP BY 1), "
+            "b1 AS (SELECT fact, value, sum(trust)::BIGINT AS belief "
+            "  FROM e JOIN t1 USING (src) GROUP BY 1, 2), "
+            "ns AS (SELECT fact, value, count(*)::BIGINT AS n_sources "
+            "  FROM e GROUP BY 1, 2) "
+            "SELECT fact, value, belief, n_sources, "
+            "row_number() OVER (PARTITION BY fact "
+            "  ORDER BY belief DESC, value) = 1 AS is_winner "
+            "FROM b1 JOIN ns USING (fact, value)",
     }
