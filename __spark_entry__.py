@@ -2412,6 +2412,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return truth_discovery(claims, rounds=2)
     q["truth_discovery_orders"] = truth_discovery_orders
 
+    # ---- Luby maximal independent set (deterministic waves) ----
+    def mis_parts(spark, sf):
+        """Deterministic Luby MIS (operators/graphalgo.py::
+        maximal_independent_set) over the bounded co-purchase graph.
+        Same honesty contract as k_core_parts: selection converges in
+        4/3/2 waves at sf 0.001/0.01/0.1; the operator runs
+        max_iters=5 (4 waves + the empty-active confirmation — RAISES
+        if a 5th wave is needed) and the oracle unrolls 4 waves then
+        returns ZERO rows (loud mismatch) unless the post-wave-4
+        active set is empty. Priorities are sha256('v1:'||id)||':'||id
+        — identical strings both engines, so the min-neighbor
+        comparisons replay bit-for-bit."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            maximal_independent_set)
+        edges = _copurchase_edges(spark, sf, max_orderkey=400)
+        return (maximal_independent_set(edges, salt="v1", max_iters=5)
+                .select(F.col("id").cast("bigint").alias("part_id"),
+                        F.col("round").cast("int").alias("wave")))
+    q["mis_parts"] = mis_parts
+
+    # ---- bipartite butterfly (4-cycle) census ----
+    def butterfly_orders(spark, sf):
+        """Butterfly census (operators/graphalgo.py::butterfly_count)
+        of the bounded part-order bipartite graph (left = part,
+        right = order, l_orderkey < 3000): one row of exact
+        combinatorial counts — wedge pairs from the right-anchored
+        self-join, butterflies = sum C(shared, 2). The oracle is the
+        identical wedge SQL."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            butterfly_count)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 3000)
+              .select(F.col("l_partkey").alias("l"),
+                      F.col("l_orderkey").alias("r")))
+        return butterfly_count(li)
+    q["butterfly_orders"] = butterfly_orders
+
     return q
 
 
@@ -2669,6 +2706,43 @@ def oracle_sql() -> dict[str, str]:
             f"e{r} AS (SELECT u, v FROM {p} "
             f"WHERE u NOT IN (SELECT id FROM low{r}) "
             f"AND v NOT IN (SELECT id FROM low{r}))")
+    # Luby MIS: 4 unrolled deterministic waves + a loud convergence
+    # guard (zero rows unless the post-wave-4 active set is empty);
+    # priorities sha256('v1:'||id)||':'||id match Spark's sha2 hex
+    mis_rounds = []
+    for r in range(4):
+        mis_rounds.append(
+            f"adj{r} AS MATERIALIZED (SELECT a.id AS id, b.p AS nbr_p, b.id AS nbr "
+            f"FROM me JOIN a{r} a ON me.u = a.id "
+            f"JOIN a{r} b ON me.v = b.id "
+            f"UNION ALL "
+            f"SELECT b.id, a.p, a.id "
+            f"FROM me JOIN a{r} a ON me.u = a.id "
+            f"JOIN a{r} b ON me.v = b.id), "
+            f"sel{r} AS MATERIALIZED (SELECT a.id FROM a{r} a LEFT JOIN "
+            f"(SELECT id, min(nbr_p) AS mp FROM adj{r} GROUP BY id) m "
+            f"USING (id) WHERE m.mp IS NULL OR a.p < m.mp), "
+            f"rem{r} AS MATERIALIZED (SELECT id FROM sel{r} UNION "
+            f"SELECT adj.nbr FROM adj{r} adj JOIN sel{r} s "
+            f"ON adj.id = s.id), "
+            f"a{r + 1} AS MATERIALIZED (SELECT id, p FROM a{r} "
+            f"WHERE id NOT IN (SELECT id FROM rem{r}))")
+    mis_sql = (
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_orderkey < 400), "
+        "me AS MATERIALIZED (SELECT DISTINCT a.l_partkey::VARCHAR AS u, "
+        "b.l_partkey::VARCHAR AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        "a0 AS MATERIALIZED (SELECT id, sha256('v1:' || id) || ':' || id AS p FROM ("
+        "SELECT DISTINCT u AS id FROM me "
+        "UNION SELECT v FROM me)), "
+        + ", ".join(mis_rounds) + " "
+        "SELECT id::BIGINT AS part_id, wave FROM ("
+        + " UNION ALL ".join(
+            f"SELECT id, {r} AS wave FROM sel{r}" for r in range(4))
+        + ") WHERE (SELECT count(*) FROM a4) = 0")
+
     # k-truss: 2 unrolled support-peel rounds + a loud convergence
     # guard (zero rows unless the post-round-2 low set is empty)
     truss_rounds = []
@@ -4828,4 +4902,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY fact "
             "  ORDER BY belief DESC, value) = 1 AS is_winner "
             "FROM b1 JOIN ns USING (fact, value)",
+        "mis_parts": mis_sql,
+        "butterfly_orders":
+            # identical right-anchored wedge combinatorics
+            "WITH e AS (SELECT DISTINCT l_partkey::VARCHAR AS l, "
+            "  l_orderkey::VARCHAR AS r FROM lineitem "
+            "  WHERE l_orderkey < 3000), "
+            "pc AS (SELECT a.l AS l1, b.l AS l2, count(*) AS c "
+            "  FROM e a JOIN e b ON a.r = b.r AND a.l < b.l "
+            "  GROUP BY 1, 2), "
+            "ws AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_wedge_pairs, "
+            "  coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n_butterflies "
+            "  FROM pc), "
+            "sz AS (SELECT count(DISTINCT l)::BIGINT AS n_left, "
+            "  count(DISTINCT r)::BIGINT AS n_right, "
+            "  count(*)::BIGINT AS n_edges FROM e) "
+            "SELECT n_left, n_right, n_edges, n_wedge_pairs, "
+            "n_butterflies FROM sz, ws",
     }

@@ -1619,3 +1619,120 @@ def power_law_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
         F.round(1.0 + F.count(F.lit(1))
                 / F.sum(F.log(F.col("d") / (dmin - 0.5))), 6)
         .alias("alpha"))
+
+
+def maximal_independent_set(edges: DataFrame, salt: str = "v1",
+                            max_iters: int = 20) -> DataFrame:
+    """Deterministic Luby maximal independent set -> (id string, round
+    int). No two output nodes are adjacent, and every non-output node
+    has an output neighbor — the classic conflict-free scheduling /
+    landmark-selection primitive (pick one representative per dense
+    neighborhood, e.g. one canonical page per mutually-near-duplicate
+    cluster when only the adjacency is materialized).
+
+    Luby's algorithm (Luby 1986) with the engine's deterministic draw
+    instead of RNG: each node's priority is sha256('<salt>:<id>')
+    suffixed with the id itself (globally unique, so comparisons are
+    total) — a pure function of the node set, identical across
+    partitionings, engines, and cluster sizes; change ``salt`` for an
+    independent run. Per round, every ACTIVE node whose priority is
+    smaller than all its active neighbors' joins the MIS; winners and
+    their neighbors leave the active set. Expected O(log n) rounds on
+    any graph (the public analysis); ``max_iters`` turns pathology
+    into a loud error, never a silent partial answer.
+
+    Scale: each round is one edge-to-priority equi-join + one min
+    aggregation + two anti-joins — O(m) shuffled rows, hash-partitioned
+    on node id, plan depth O(1) via localCheckpoint. ``round`` in the
+    output records when each node entered (round r selections are the
+    r-th independent "wave" — useful as a deterministic scheduling
+    order downstream)."""
+    und = _undirected(edges).localCheckpoint()
+    pri = (und.select(F.col("u").alias("id"))
+           .union(und.select(F.col("v").alias("id"))).distinct()
+           .select("id", F.concat(
+               F.sha2(F.concat(F.lit(f"{salt}:"), F.col("id")), 256),
+               F.lit(":"), F.col("id")).alias("p"))
+           .localCheckpoint())
+    active = pri
+    picked = []
+    for rnd in range(max_iters):
+        if active.isEmpty():
+            out = picked[0]
+            for df in picked[1:]:
+                out = out.union(df)
+            return out
+        act_ids = active.select("id")
+        # adjacency restricted to edges with BOTH endpoints active
+        adj = (und.select(F.col("u").alias("id"), F.col("v").alias("nbr"))
+               .union(und.select(F.col("v").alias("id"),
+                                 F.col("u").alias("nbr")))
+               .join(act_ids, "id")
+               .join(act_ids.withColumnRenamed("id", "nbr"), "nbr"))
+        min_nbr = (adj.join(active.select(F.col("id").alias("nbr"),
+                                          F.col("p").alias("nbr_p")), "nbr")
+                   .groupBy("id").agg(F.min("nbr_p").alias("min_nbr_p")))
+        sel = (active.join(min_nbr, "id", "left")
+               .filter(F.col("min_nbr_p").isNull()
+                       | (F.col("p") < F.col("min_nbr_p")))
+               .select("id").localCheckpoint())
+        picked.append(sel.select("id", F.lit(rnd).alias("round")))
+        removed = (sel.union(
+            adj.join(sel, "id").select(F.col("nbr").alias("id")))
+            .distinct())
+        active = active.join(removed, "id", "left_anti").localCheckpoint()
+    raise RuntimeError(
+        f"maximal_independent_set did not finish in {max_iters} rounds; "
+        "raise max_iters")
+
+
+def butterfly_count(edges: DataFrame, *, left_col: str = "l",
+                    right_col: str = "r",
+                    max_right_degree: int | None = None) -> DataFrame:
+    """Bipartite 4-cycle (butterfly) census -> ONE row (n_left,
+    n_right, n_edges, n_wedge_pairs, n_butterflies). The butterfly is
+    the bipartite clustering primitive (Wang et al., "Butterfly
+    Counting in Bipartite Networks"): two left nodes sharing two right
+    neighbors. In a page–entity KG a butterfly surplus means templated
+    co-mention structure (mirrors, boilerplate); in user–item data it
+    is the co-engagement density driving recommender confidence.
+
+    Exact combinatorics, no enumeration of 4-cycles: wedge pairs
+    (left pair sharing ONE right node) come from the right-anchored
+    self-join; per left pair with c shared rights, butterflies =
+    C(c, 2), summed. The self-join is the quadratic risk: its volume
+    is sum C(d_r, 2) over right degrees, so ``max_right_degree`` drops
+    right-side ultra-hubs first (same hub-cap contract as
+    node_similarity / link_prediction — a right node shared by
+    everything carries template noise, not signal; None = exact).
+    Wedges shuffle on the right id (one hash join), pair counts on the
+    left pair — both partial-aggregated map-side."""
+    e = (edges.select(F.col(left_col).cast("string").alias("l"),
+                      F.col(right_col).cast("string").alias("r"))
+         .filter(F.col("l").isNotNull() & F.col("r").isNotNull())
+         .distinct().localCheckpoint())
+    base = e
+    if max_right_degree is not None:
+        if max_right_degree < 2:
+            raise ValueError("max_right_degree must be >= 2")
+        keep = (e.groupBy("r").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") <= max_right_degree).select("r"))
+        base = e.join(keep, "r")
+    a, b = base.alias("a"), base.alias("b")
+    pair_counts = (a.join(b, (F.col("a.r") == F.col("b.r"))
+                          & (F.col("a.l") < F.col("b.l")))
+                   .groupBy(F.col("a.l").alias("l1"),
+                            F.col("b.l").alias("l2"))
+                   .agg(F.count(F.lit(1)).alias("c")))
+    wedge_stats = pair_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+        .alias("n_wedge_pairs"),
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2),
+                   F.lit(0)).cast("long").alias("n_butterflies"))
+    sizes = base.agg(
+        F.countDistinct("l").alias("n_left"),
+        F.countDistinct("r").alias("n_right"),
+        F.count(F.lit(1)).alias("n_edges"))
+    return (sizes.crossJoin(wedge_stats)
+            .select("n_left", "n_right", "n_edges", "n_wedge_pairs",
+                    "n_butterflies"))
