@@ -2449,6 +2449,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return butterfly_count(li)
     q["butterfly_orders"] = butterfly_orders
 
+    # ---- Fellegi–Sunter probabilistic record linkage ----
+    def fs_link_customers(spark, sf):
+        """Fellegi–Sunter pair scoring (operators/erlink.py) over
+        customers blocked on c_custkey % 31: three comparison fields
+        (nation, market segment, acctbal thousand-bucket), u
+        probabilities from the EXACT corpus value histogram, caller m
+        probabilities, log2 weights + Bayes posterior. The oracle
+        replays the identical histogram/agreement/weight arithmetic."""
+        from neo4j_document_pipeline_spark.operators.erlink import (
+            fellegi_sunter_scores)
+        c = _t(spark, sf, "customer")
+        rec = c.select(
+            "c_custkey",
+            F.col("c_nationkey").cast("string").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+            .cast("string").alias("bal"))
+        blk = rec.select(F.col("c_custkey"),
+                         (F.col("c_custkey") % 31).alias("_blk"))
+        pairs = (blk.select(F.col("c_custkey").alias("id1"), "_blk")
+                 .join(blk.select(F.col("c_custkey").alias("id2"), "_blk"),
+                       "_blk")
+                 .filter(F.col("id1") < F.col("id2"))
+                 .select("id1", "id2"))
+        return fellegi_sunter_scores(
+            rec, pairs, "c_custkey", ["nat", "seg", "bal"],
+            {"nat": 0.95, "seg": 0.9, "bal": 0.8}, prior=0.01)
+    q["fs_link_customers"] = fs_link_customers
+
+    # ---- semi-naive transitive closure (RDFS rdfs11) ----
+    def closure_parts(spark, sf):
+        """Transitive closure (operators/reasoning.py::
+        transitive_closure, datalog semi-naive evaluation) of the
+        binary-tree ancestor relation p_partkey -> p_partkey DIV 2
+        (2 <= key < 512): all (descendant, ancestor) pairs with the
+        minimal edge distance. Tree depth <= 8 at every shipped sf;
+        the operator runs max_iters=12 (raises if unconverged); the
+        oracle is DuckDB's native recursive CTE with min(dist)."""
+        from neo4j_document_pipeline_spark.operators.reasoning import (
+            transitive_closure)
+        p = _t(spark, sf, "part").filter(
+            (F.col("p_partkey") >= 2) & (F.col("p_partkey") < 512))
+        edges = p.select(F.col("p_partkey").alias("src"),
+                         F.shiftright(F.col("p_partkey"), 1).alias("dst"))
+        return (transitive_closure(edges, max_iters=12)
+                .select(F.col("src").cast("bigint").alias("src"),
+                        F.col("dst").cast("bigint").alias("dst"),
+                        F.col("dist").cast("int").alias("dist")))
+    q["closure_parts"] = closure_parts
+
+    # ---- RDFS rdfs9 type inference over the nation/region ontology ----
+    def type_inference_customers(spark, sf):
+        """Type propagation (operators/reasoning.py::infer_types):
+        customers asserted their nation as type; subclass edges
+        nation -> region -> 'world'. Every customer gains the two
+        inferred ancestor types (direct=false). The closure here is
+        provably depth 2, so the oracle unrolls it as
+        sub UNION sub∘sub."""
+        from neo4j_document_pipeline_spark.operators.reasoning import (
+            infer_types)
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        inst = (c.join(n, c.c_nationkey == n.n_nationkey)
+                .select(F.col("c_custkey").alias("entity"),
+                        F.col("n_name").alias("type")))
+        sub = (n.join(r, n.n_regionkey == r.r_regionkey)
+               .select(F.col("n_name").alias("src"),
+                       F.col("r_name").alias("dst")).distinct()
+               .union(r.select(F.col("r_name").alias("src"),
+                               F.lit("world").alias("dst")).distinct()))
+        return infer_types(inst, sub)
+    q["type_inference_customers"] = type_inference_customers
+
+    # ---- Z-order (Morton) clustering keys ----
+    def zorder_orders(spark, sf):
+        """Exact-integer Morton keys (operators/layout.py::zorder_key)
+        over (o_custkey, floor(o_totalprice)), 8 bits per column with
+        in-plan min/max scaling; the oracle replays the identical
+        integer bucket DIV + bit interleave."""
+        from neo4j_document_pipeline_spark.operators.layout import (
+            zorder_key)
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", F.col("o_custkey").alias("ck"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("pr"))
+        return zorder_key(o, ["ck", "pr"], bits=8).select(
+            "o_orderkey", "zkey")
+    q["zorder_orders"] = zorder_orders
+
+    # ---- Z-order skipping evidence: per-column bucket span ----
+    def zorder_span_stats(spark, sf):
+        """The evidence half (operators/layout.py::
+        zorder_partition_stats): bucket orders rows by the top 4 bits
+        of their Morton key (what a range partitioner on z cuts) and
+        report each column's mean per-bucket min/max span fraction —
+        the file-skipping number Z-order buys BOTH columns at once."""
+        from neo4j_document_pipeline_spark.operators.layout import (
+            zorder_partition_stats)
+        o = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("ck"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("pr"))
+        return zorder_partition_stats(o, ["ck", "pr"], bits=8,
+                                      prefix_bits=4)
+    q["zorder_span_stats"] = zorder_span_stats
+
+    # ---- first-order Markov transition census ----
+    def markov_event_transitions(spark, sf):
+        """Per-user event-sequence transition matrix (operators/
+        sequences.py::event_transitions): one LEAD window per user
+        ordered by (ts, event_id), exact pair counts, row-normalized
+        probabilities. The oracle replays the identical window."""
+        from neo4j_document_pipeline_spark.operators.sequences import (
+            event_transitions)
+        return event_transitions(_t(spark, sf, "events"))
+    q["markov_event_transitions"] = markov_event_transitions
+
     return q
 
 
@@ -2526,6 +2642,64 @@ def _pii_redaction_sql() -> str:
         "regexp_replace(regexp_replace(regexp_replace(t, "
         f"'{em}', '{em_r}', 'g'), '{ip}', '{ip_r}', 'g'), "
         f"'{ph}', '{ph_r}', 'g') AS redacted FROM s")
+
+
+def _fs_link_sql() -> str:
+    """fs_link_customers oracle: the identical exact-histogram u
+    probabilities, clamped log2 likelihood-ratio weights and Bayes
+    posterior over the same %31 blocking."""
+    fields = [("nat", 0.95), ("seg", 0.9), ("bal", 0.8)]
+    u_subs = []
+    for f, _ in fields:
+        u_subs.append(
+            f"greatest(least((SELECT coalesce(sum(c * (c - 1.0)), 0) FROM "
+            f"(SELECT count(*)::DOUBLE AS c FROM r WHERE {f} IS NOT NULL "
+            f"GROUP BY {f})) / (nn * (nn - 1)), 1 - 1e-9), 1e-9) AS u_{f}")
+    agree, weights = [], []
+    for f, m in fields:
+        agree.append(
+            f"CASE WHEN {f}1 IS NULL OR {f}2 IS NULL THEN -1 "
+            f"WHEN {f}1 = {f}2 THEN 1 ELSE 0 END AS agree_{f}")
+        weights.append(
+            f"CASE WHEN {f}1 IS NULL OR {f}2 IS NULL THEN 0.0 "
+            f"WHEN {f}1 = {f}2 THEN log2({m!r} / u_{f}) "
+            f"ELSE log2({1.0 - m!r} / (1 - u_{f})) END")
+    w = " + ".join(f"({x})" for x in weights)
+    return (
+        "WITH r AS (SELECT c_custkey AS id, c_nationkey::VARCHAR AS nat, "
+        "c_mktsegment AS seg, "
+        "(floor(c_acctbal / 1000)::BIGINT)::VARCHAR AS bal FROM customer), "
+        "n AS (SELECT count(*)::DOUBLE AS nn FROM r), "
+        "uu AS (SELECT " + ", ".join(u_subs) + " FROM n), "
+        "p AS (SELECT a.id AS id1, b.id AS id2, "
+        "a.nat AS nat1, b.nat AS nat2, a.seg AS seg1, b.seg AS seg2, "
+        "a.bal AS bal1, b.bal AS bal2 FROM r a JOIN r b "
+        "ON (a.id % 31) = (b.id % 31) AND a.id < b.id), "
+        "sc AS (SELECT id1, id2, " + ", ".join(agree) + ", "
+        f"({w}) AS match_weight FROM p, uu) "
+        "SELECT id1, id2, agree_nat, agree_seg, agree_bal, match_weight, "
+        "pow(2, match_weight + log2(0.01 / 0.99)) / "
+        "(pow(2, match_weight + log2(0.01 / 0.99)) + 1) "
+        "AS match_probability FROM sc")
+
+
+def _zorder_ctes() -> str:
+    """Shared zorder CTE chain: identical integer bucket DIV + Morton
+    bit interleave (8 bits x 2 cols) over orders."""
+    terms = []
+    for j in range(8):
+        terms.append(f"(((bck >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((bpr >> {j}) & 1) << {2 * j + 1})")
+    z = " | ".join(terms)
+    return (
+        "WITH o AS (SELECT o_orderkey, o_custkey AS ck, "
+        "floor(o_totalprice)::BIGINT AS pr FROM orders), "
+        "s AS (SELECT min(ck) AS mnck, max(ck) AS mxck, "
+        "min(pr) AS mnpr, max(pr) AS mxpr FROM o), "
+        "b AS (SELECT o_orderkey, ck, pr, "
+        "((ck - mnck) * 256) // (mxck - mnck + 1) AS bck, "
+        "((pr - mnpr) * 256) // (mxpr - mnpr + 1) AS bpr FROM o, s), "
+        f"z AS (SELECT o_orderkey, ck, pr, ({z})::BIGINT AS zkey FROM b)")
 
 
 # Deterministic-walk CTE chain shared by the walk oracles: the
@@ -4919,4 +5093,64 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_edges FROM e) "
             "SELECT n_left, n_right, n_edges, n_wedge_pairs, "
             "n_butterflies FROM sz, ws",
+        "fs_link_customers": _fs_link_sql(),
+        "closure_parts":
+            # DuckDB's NATIVE recursive CTE is the oracle for the
+            # semi-naive DataFrame loop; the relation is a tree so
+            # min(dist) is the unique path length
+            "WITH RECURSIVE base AS (SELECT p_partkey AS src, "
+            "  p_partkey // 2 AS dst FROM part "
+            "  WHERE p_partkey >= 2 AND p_partkey < 512), "
+            "tc AS (SELECT src, dst, 1 AS dist FROM base "
+            "  UNION ALL SELECT t.src, b.dst, t.dist + 1 "
+            "  FROM tc t JOIN base b ON t.dst = b.src) "
+            "SELECT src, dst, min(dist)::INT AS dist FROM tc GROUP BY 1, 2",
+        "type_inference_customers":
+            # depth-2 hierarchy (nation -> region -> 'world') proven
+            # by construction, so the closure unrolls as sub UNION
+            # sub∘sub
+            "WITH inst AS (SELECT DISTINCT c_custkey AS entity, "
+            "  n_name AS type FROM customer "
+            "  JOIN nation ON c_nationkey = n_nationkey), "
+            "sub AS (SELECT DISTINCT n_name AS src, r_name AS dst "
+            "  FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "  UNION SELECT DISTINCT r_name AS src, 'world' AS dst "
+            "  FROM region), "
+            "clos AS (SELECT src, dst FROM sub "
+            "  UNION SELECT a.src, b.dst FROM sub a "
+            "  JOIN sub b ON a.dst = b.src), "
+            "inf AS (SELECT DISTINCT i.entity, c.dst AS type "
+            "  FROM inst i JOIN clos c ON i.type = c.src) "
+            "SELECT entity, type, TRUE AS direct FROM inst "
+            "UNION ALL "
+            "SELECT i.entity, i.type, FALSE AS direct FROM inf i "
+            "ANTI JOIN inst USING (entity, type)",
+        "zorder_orders":
+            _zorder_ctes() + " SELECT o_orderkey, zkey FROM z",
+        "zorder_span_stats":
+            _zorder_ctes() + ", "
+            "pb AS (SELECT zkey >> 12 AS zb, count(*)::BIGINT AS rws, "
+            "  min(ck) AS bmnck, max(ck) AS bmxck, "
+            "  min(pr) AS bmnpr, max(pr) AS bmxpr FROM z GROUP BY 1), "
+            "g AS (SELECT min(ck) AS gmnck, max(ck) AS gmxck, "
+            "  min(pr) AS gmnpr, max(pr) AS gmxpr FROM o) "
+            "SELECT 'ck' AS col, count(*)::BIGINT AS n_buckets, "
+            "  sum(rws)::BIGINT AS n_rows, "
+            "  avg((bmxck - bmnck + 1)::DOUBLE / (gmxck - gmnck + 1)) "
+            "  AS mean_span_fraction FROM pb, g "
+            "UNION ALL SELECT 'pr', count(*)::BIGINT, sum(rws)::BIGINT, "
+            "  avg((bmxpr - bmnpr + 1)::DOUBLE / (gmxpr - gmnpr + 1)) "
+            "  FROM pb, g",
+        "markov_event_transitions":
+            "WITH f AS (SELECT user_id, event_type, ts, event_id "
+            "  FROM events WHERE user_id IS NOT NULL "
+            "  AND event_type IS NOT NULL AND ts IS NOT NULL), "
+            "p AS (SELECT event_type AS state, lead(event_type) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS next_state "
+            "  FROM f), "
+            "c AS (SELECT state, next_state, count(*)::BIGINT AS n "
+            "  FROM p WHERE next_state IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT state, sum(n)::BIGINT AS tot FROM c GROUP BY 1) "
+            "SELECT state, next_state, n, n::DOUBLE / tot AS p "
+            "FROM c JOIN t USING (state)",
     }

@@ -1,0 +1,133 @@
+"""Z-order layout keys + Markov transition census."""
+
+import pytest
+
+
+class TestZorderKey:
+    def test_known_interleave(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import zorder_key
+        # values 0..3 with bits=2: range+1 = 4, bucket == value.
+        # z = interleave(bits of a at even positions, b at odd)
+        rows = [(a, b) for a in range(4) for b in range(4)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = {(r["a"], r["b"]): r["zkey"]
+               for r in zorder_key(df, ["a", "b"], bits=2).collect()}
+
+        def morton(a, b):
+            z = 0
+            for j in range(2):
+                z |= ((a >> j) & 1) << (2 * j)
+                z |= ((b >> j) & 1) << (2 * j + 1)
+            return z
+
+        for a in range(4):
+            for b in range(4):
+                assert got[(a, b)] == morton(a, b), (a, b)
+
+    def test_scaling_to_buckets(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import zorder_key
+        # one column, bits=2: min->bucket 0, max->bucket 3 (never 4)
+        df = spark.createDataFrame([(100,), (150,), (199,)], ["x"])
+        got = {r["x"]: r["zkey"]
+               for r in zorder_key(df, ["x"], bits=2).collect()}
+        assert got[100] == 0
+        assert got[199] == 3
+        assert got[150] == (150 - 100) * 4 // 100
+
+    def test_null_maps_to_zero_bucket(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import zorder_key
+        df = spark.createDataFrame([(1, 10), (None, 20), (3, 30)],
+                                   "a bigint, b bigint")
+        got = {r["b"]: r["zkey"]
+               for r in zorder_key(df, ["a", "b"], bits=2).collect()}
+        # null a contributes no a-bits; b=20 buckets to (10*4)//21 = 1
+        assert got[20] == 0b10  # b bucket 1 -> bit 0 of b at position 1
+
+    def test_bit_budget_validation(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import zorder_key
+        df = spark.createDataFrame([(1, 2)], ["a", "b"])
+        with pytest.raises(ValueError, match="63-bit"):
+            zorder_key(df, ["a", "b"], bits=32)
+        with pytest.raises(ValueError, match="at least one"):
+            zorder_key(df, [], bits=8)
+
+    def test_exactness_guard_raises_in_plan(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import zorder_key
+        # range 2^40 with bits=16 breaches the 2^37 double-exactness
+        # envelope: the load-bearing guard must raise at execution
+        df = spark.createDataFrame([(0,), (1 << 40,)], "x bigint")
+        with pytest.raises(Exception, match="zorder_key"):
+            zorder_key(df, ["x"], bits=16).collect()
+
+    def test_locality_both_columns(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            zorder_partition_stats)
+        # a dense grid: under z-prefix bucketing BOTH columns' per-bucket
+        # span must shrink well below the full range (a linear sort
+        # would leave the trailing column at fraction ~1.0)
+        rows = [(a, b) for a in range(64) for b in range(64)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = {r["col"]: r.asDict()
+               for r in zorder_partition_stats(
+                   df, ["a", "b"], bits=6, prefix_bits=4).collect()}
+        assert got["a"]["n_buckets"] == 16
+        assert got["a"]["n_rows"] == 64 * 64
+        # prefix 4 bits over 2 cols -> each column keeps its top 2 bits
+        # -> span fraction 1/4 per column
+        assert got["a"]["mean_span_fraction"] == pytest.approx(0.25)
+        assert got["b"]["mean_span_fraction"] == pytest.approx(0.25)
+
+
+class TestEventTransitions:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp, "
+                  "event_id bigint")
+
+    def test_known_counts_and_probs(self, spark):
+        import datetime
+        from neo4j_document_pipeline_spark.operators.sequences import (
+            event_transitions)
+        t = lambda s: datetime.datetime(2023, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [
+            (1, "view", t(1), 1), (1, "click", t(2), 2),
+            (1, "view", t(3), 3), (1, "click", t(4), 4),
+            (2, "view", t(1), 5), (2, "buy", t(2), 6),
+            (3, "view", t(9), 7),  # single event: no pair
+        ]
+        got = {(r["state"], r["next_state"]): (r["n"], r["p"])
+               for r in event_transitions(self._events(spark, rows)).collect()}
+        assert got[("view", "click")] == (2, pytest.approx(2 / 3))
+        assert got[("view", "buy")] == (1, pytest.approx(1 / 3))
+        assert got[("click", "view")] == (1, pytest.approx(1.0))
+        assert ("buy", "view") not in got
+
+    def test_tiebreak_determinism(self, spark):
+        import datetime
+        from neo4j_document_pipeline_spark.operators.sequences import (
+            event_transitions)
+        t0 = datetime.datetime(2023, 1, 1)
+        # same timestamp: event_id orders a -> b -> c
+        rows = [(1, "a", t0, 10), (1, "b", t0, 11), (1, "c", t0, 12)]
+        got = {(r["state"], r["next_state"]): r["n"]
+               for r in event_transitions(self._events(spark, rows)).collect()}
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+    def test_include_end_rows_sum_to_one(self, spark):
+        import datetime
+        from neo4j_document_pipeline_spark.operators.sequences import (
+            event_transitions)
+        t = lambda s: datetime.datetime(2023, 1, 1, 0, 0, s)  # noqa: E731
+        rows = [(1, "view", t(1), 1), (1, "click", t(2), 2),
+                (2, "view", t(1), 3)]
+        out = event_transitions(self._events(spark, rows),
+                                include_end=True).collect()
+        by_state = {}
+        for r in out:
+            by_state.setdefault(r["state"], []).append(r)
+        # every state's outgoing probabilities sum to 1
+        for state, rs in by_state.items():
+            assert sum(r["p"] for r in rs) == pytest.approx(1.0), state
+        ends = {(r["state"], r["n"]) for r in out
+                if r["next_state"] == "∅"}
+        assert ends == {("click", 1), ("view", 1)}
