@@ -2565,6 +2565,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return event_transitions(_t(spark, sf, "events"))
     q["markov_event_transitions"] = markov_event_transitions
 
+    # ---- Brandes betweenness centrality (pivot-sampled) ----
+    def betweenness_parts(spark, sf):
+        """Brandes betweenness (operators/graphalgo.py::
+        betweenness_centrality) from 30 fixed pivot sources
+        (Brandes–Pich sampling — the 100-TB estimator shape) over the
+        modular co-purchase graph (l_partkey % 400, l_orderkey <
+        2000 — dense at every shipped sf; source eccentricity 2/3/3
+        at sf 0.001/0.01/0.1). Same honesty contract as mis/k_core:
+        the operator runs max_depth=5 (raises if a 6th BFS level is
+        needed) and the oracle unrolls 5 forward-σ levels + 5
+        backward-δ levels and returns ZERO rows unless level 6 is
+        empty."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            betweenness_centrality)
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_orderkey") < 2000)
+              .select("l_orderkey", (F.col("l_partkey") % 400).alias("p")))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.p") < F.col("b.p")))
+                 .select(F.col("a.p").cast("string").alias("u"),
+                         F.col("b.p").cast("string").alias("v")))
+        return (betweenness_centrality(
+            edges, [str(i) for i in range(30)], max_depth=5)
+            .select(F.col("id").cast("bigint").alias("part_id"),
+                    "betweenness"))
+    q["betweenness_parts"] = betweenness_parts
+
     return q
 
 
@@ -2681,6 +2709,59 @@ def _fs_link_sql() -> str:
         "pow(2, match_weight + log2(0.01 / 0.99)) / "
         "(pow(2, match_weight + log2(0.01 / 0.99)) + 1) "
         "AS match_probability FROM sc")
+
+
+def _betweenness_sql(depth: int = 5, n_seeds: int = 30) -> str:
+    """betweenness_parts oracle: ``depth`` unrolled forward BFS-σ
+    levels (exact int64 path counts, anti-joined against the settled
+    set) + ``depth`` unrolled backward Brandes-δ levels, then the
+    Brandes–Pich normalized estimator. Returns ZERO rows (loud
+    row-count mismatch) unless level depth+1 is empty."""
+    seeds = ", ".join(f"({i})" for i in range(n_seeds))
+    p = [
+        "WITH base AS (SELECT DISTINCT a.l_partkey % 400 AS u, "
+        "b.l_partkey % 400 AS v FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "AND (a.l_partkey % 400) < (b.l_partkey % 400) "
+        "WHERE a.l_orderkey < 2000 AND b.l_orderkey < 2000), "
+        "e AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base), "
+        f"seeds(s) AS (VALUES {seeds}), "
+        "l0 AS (SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS v, "
+        "1::BIGINT AS sigma FROM seeds), "
+        "t0 AS (SELECT s, v FROM l0), ",
+    ]
+    for k in range(1, depth + 2):
+        p.append(
+            f"l{k} AS (SELECT x.s, x.v, sum(x.sigma)::BIGINT AS sigma "
+            f"FROM (SELECT f.s, e.v AS v, f.sigma FROM l{k-1} f "
+            f"JOIN e ON e.u = f.v) x "
+            f"ANTI JOIN t{k-1} t ON x.s = t.s AND x.v = t.v "
+            f"GROUP BY 1, 2), ")
+        if k <= depth:
+            p.append(f"t{k} AS (SELECT s, v FROM t{k-1} "
+                     f"UNION ALL SELECT s, v FROM l{k}), ")
+    p.append(f"conv AS (SELECT count(*) = 0 AS ok FROM l{depth + 1}), ")
+    p.append(f"d{depth} AS (SELECT s, v, sigma, 0.0::DOUBLE AS delta "
+             f"FROM l{depth}), ")
+    for lev in range(depth - 1, 0, -1):
+        p.append(
+            f"d{lev} AS (SELECT c.s, c.v, c.sigma, coalesce(sum("
+            f"(c.sigma::DOUBLE / n.sigma) * (1.0 + n.delta)), 0.0) "
+            f"AS delta FROM l{lev} c LEFT JOIN "
+            f"(SELECT dn.s, e.u AS pv, dn.sigma, dn.delta "
+            f"FROM d{lev + 1} dn JOIN e ON e.v = dn.v) n "
+            f"ON n.s = c.s AND n.pv = c.v GROUP BY 1, 2, 3), ")
+    unions = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{k}" for k in range(1, depth + 1))
+    p.append(f"allv AS ({unions}), ")
+    p.append("nn AS (SELECT count(DISTINCT u)::BIGINT AS n FROM e), ")
+    p.append("kk AS (SELECT count(*)::BIGINT AS k FROM seeds "
+             "WHERE CAST(s AS BIGINT) IN (SELECT u FROM e)), ")
+    p.append("agg AS (SELECT v, sum(delta) AS sd FROM allv GROUP BY 1) ")
+    p.append("SELECT v AS part_id, "
+             "sd * n / (k * (n - 1.0) * (n - 2.0)) AS betweenness "
+             "FROM agg, nn, kk WHERE (SELECT ok FROM conv)")
+    return "".join(p)
 
 
 def _zorder_ctes() -> str:
@@ -5153,4 +5234,5 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT state, sum(n)::BIGINT AS tot FROM c GROUP BY 1) "
             "SELECT state, next_state, n, n::DOUBLE / tot AS p "
             "FROM c JOIN t USING (state)",
+        "betweenness_parts": _betweenness_sql(),
     }
