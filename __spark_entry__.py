@@ -2593,6 +2593,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "betweenness"))
     q["betweenness_parts"] = betweenness_parts
 
+    # ---- smoothed target encoding (encoder table) ----
+    def target_encode_priority(spark, sf):
+        """Smoothed target-mean encoder (operators/features.py::
+        target_encode, Micci-Barreca 2001): per order priority, the
+        rate of 'F' orders shrunk toward the global rate with
+        pseudo-count alpha=10. Binary integer target keeps every sum
+        exact int64 — bit-deterministic encoder."""
+        from neo4j_document_pipeline_spark.operators.features import (
+            target_encode)
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderpriority").alias("cat"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            .alias("t"))
+        return target_encode(o, "cat", "t", alpha=10.0)
+    q["target_encode_priority"] = target_encode_priority
+
+    # ---- z-score standardization with in-plan moments ----
+    def zscore_customers(spark, sf):
+        """standard_scale (operators/features.py): account-balance
+        z-scores with mean/stddev_pop folded into the plan as one
+        broadcast aggregate row."""
+        from neo4j_document_pipeline_spark.operators.features import (
+            standard_scale)
+        c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+        return standard_scale(c, ["c_acctbal"]).select(
+            "c_custkey", "c_acctbal_z")
+    q["zscore_customers"] = zscore_customers
+
+    # ---- calibration reliability bins ----
+    def calibration_orders(spark, sf):
+        """Reliability-diagram bins (operators/evaluation.py::
+        calibration_bins, Guo et al. 2017): a deterministic synthetic
+        score (o_orderkey % 1000 / 1000) against the 'F'-status label,
+        10 fixed-width bins with exact-integer accuracy."""
+        from neo4j_document_pipeline_spark.operators.evaluation import (
+            calibration_bins)
+        o = _t(spark, sf, "orders").select(
+            ((F.col("o_orderkey") % 1000).cast("double") / 1000)
+            .alias("score"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            .alias("label"))
+        return calibration_bins(o, n_bins=10)
+    q["calibration_orders"] = calibration_orders
+
+    # ---- KL-divergence novelty scores ----
+    def kl_novelty_docs(spark, sf):
+        """Per-document KL(doc || corpus) unigram novelty (operators/
+        corpus.py::kl_novelty_scores) over the documents table; the
+        oracle replays the identical factored sum with the engine's
+        tokenizer."""
+        from neo4j_document_pipeline_spark.operators.corpus import (
+            kl_novelty_scores)
+        d = _t(spark, sf, "documents")
+        return kl_novelty_scores(d, "doc_id", "text")
+    q["kl_novelty_docs"] = kl_novelty_docs
+
     return q
 
 
@@ -5235,4 +5291,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT state, next_state, n, n::DOUBLE / tot AS p "
             "FROM c JOIN t USING (state)",
         "betweenness_parts": _betweenness_sql(),
+        "target_encode_priority":
+            "WITH b AS (SELECT o_orderpriority AS category, "
+            "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t "
+            "  FROM orders), "
+            "g AS (SELECT sum(t)::DOUBLE / count(*) AS gm FROM b), "
+            "p AS (SELECT category, count(*)::BIGINT AS n, "
+            "  sum(t)::BIGINT AS s FROM b GROUP BY 1) "
+            "SELECT category, n, s::DOUBLE / n AS target_mean, "
+            "(s::DOUBLE + 10.0 * gm) / (n + 10.0) AS encoded FROM p, g",
+        "zscore_customers":
+            "WITH s AS (SELECT avg(c_acctbal) AS mu, "
+            "  stddev_pop(c_acctbal) AS sd FROM customer) "
+            "SELECT c_custkey, CASE WHEN sd > 0 THEN "
+            "(c_acctbal - mu) / sd END AS c_acctbal_z FROM customer, s",
+        "calibration_orders":
+            "WITH s AS (SELECT (o_orderkey % 1000)::DOUBLE / 1000 AS sc, "
+            "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y "
+            "  FROM orders), "
+            "f AS (SELECT least(floor(sc * 10)::INT, 9) AS bin, sc, y "
+            "  FROM s WHERE sc IS NOT NULL AND sc >= 0 AND sc <= 1) "
+            "SELECT bin, count(*)::BIGINT AS n, avg(sc) AS confidence, "
+            "sum(y)::DOUBLE / count(*) AS accuracy, "
+            "abs(avg(sc) - sum(y)::DOUBLE / count(*)) AS abs_gap "
+            "FROM f GROUP BY 1",
+        "kl_novelty_docs":
+            # identical factored KL sum over the engine-tokenizer terms
+            f"WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term "
+            "  FROM documents), "
+            "dt AS (SELECT doc_id, term, count(*)::BIGINT AS cdt "
+            "  FROM toks GROUP BY 1, 2), "
+            "nd AS (SELECT doc_id, sum(cdt)::BIGINT AS nd "
+            "  FROM dt GROUP BY 1), "
+            "cw AS (SELECT term, count(*)::BIGINT AS cw "
+            "  FROM toks GROUP BY 1), "
+            "ct AS (SELECT sum(cw)::DOUBLE AS ctotal FROM cw), "
+            "num AS (SELECT dt.doc_id, "
+            "  sum(cdt * (ln(cdt) - ln(cw / ctotal))) AS num "
+            "  FROM dt JOIN cw USING (term), ct GROUP BY 1) "
+            "SELECT doc_id, nd AS n_tok, num / nd - ln(nd) AS kl "
+            "FROM num JOIN nd USING (doc_id)",
     }

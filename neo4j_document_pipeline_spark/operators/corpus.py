@@ -727,3 +727,47 @@ def gopher_quality_filters(df: DataFrame, id_col: str, text_col: str, *,
                     "alpha_word_frac", "bullet_line_frac",
                     "ellipsis_line_frac", "n_stopwords",
                     keep.alias("keep"))
+
+
+def kl_novelty_scores(df: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Per-document novelty as KL(doc unigram || corpus unigram) ->
+    (id_col, n_tok, kl): how far each document's word distribution
+    sits from the corpus average, in nats. Boilerplate and template
+    text score near 0 (they ARE the corpus distribution); documents
+    about rare topics score high. The diversity-side complement of
+    ``unigram_logprob_scores`` (which ranks corpus-TYPICAL text high):
+    sampling by KL weight up-weights the long tail a proportional
+    sample would drown.
+
+    KL = Σ_w p_d(w) · ln(p_d(w) / p_c(w)) over the document's distinct
+    tokens, p_d = c_dw / n_d, p_c = C_w / N. Every doc token is in the
+    corpus vocabulary by construction, so the ratio is always finite
+    and KL >= 0 exactly (Gibbs). Documents with no tokens are absent
+    from the output (no distribution, no divergence).
+
+    Shape: one explode, one (id, term) aggregate (co-partitioned with
+    the per-doc total — same key prefix, one shuffle), one corpus term
+    aggregate joined back on the term string, total folded in-plan as
+    a broadcast row. No windows, no driver actions.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(col_tokens(F.col(text_col))).alias("term"))
+    dterm = toks.groupBy(id_col, "term").agg(F.count("*").alias("cdt"))
+    dtot = dterm.groupBy(id_col).agg(F.sum("cdt").alias("nd"))
+    cterm = toks.groupBy("term").agg(F.count("*").alias("cw"))
+    ctot = cterm.agg(F.sum("cw").cast("double").alias("ctotal"))
+    term_part = (dterm.join(cterm, "term")
+                 .join(F.broadcast(ctot), F.lit(True))
+                 .groupBy(id_col)
+                 .agg(F.sum(
+                     F.col("cdt") * (F.log(F.col("cdt"))
+                                     - F.log(F.col("cw") / F.col("ctotal"))))
+                     .alias("_num")))
+    # KL = (Σ c_dt·(ln c_dt − ln p_c)) / n_d − ln n_d, factored so the
+    # per-term pass never needs n_d (keeps the aggregate map-combinable)
+    return (term_part.join(dtot, id_col)
+            .select(F.col(id_col),
+                    F.col("nd").alias("n_tok"),
+                    (F.col("_num") / F.col("nd")
+                     - F.log(F.col("nd"))).alias("kl")))

@@ -121,3 +121,37 @@ def classification_report(pairs: DataFrame, *,
                 / (F.col("precision") + F.col("recall")))
                 .otherwise(F.lit(0.0)))
             .select("cls", "precision", "recall", "f1", "support"))
+
+
+def calibration_bins(scored: DataFrame, *,
+                     score_col: str = "score", label_col: str = "label",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability diagram bins for a probabilistic classifier ->
+    (bin, n, confidence, accuracy, abs_gap): fixed-width bins over
+    [0, 1] (score exactly 1.0 lands in the top bin), per-bin mean
+    predicted score (confidence) vs observed positive rate (accuracy).
+    The count-weighted mean of ``abs_gap`` is the Expected Calibration
+    Error (Guo et al. 2017); the per-bin rows are the diagram itself.
+
+    One map-combinable aggregation; counts and the label sum are exact
+    integers, so accuracy is bit-deterministic. Scores outside [0, 1]
+    or NULL raise no silent clamping — they are filtered out and would
+    distort calibration silently; callers feeding logits must
+    normalize first (documented contract).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = (scored.select(F.col(score_col).cast("double").alias("s"),
+                       F.col(label_col).cast("int").alias("y"))
+         .filter(F.col("s").isNotNull() & F.col("y").isNotNull()
+                 & (F.col("s") >= 0) & (F.col("s") <= 1)))
+    b = F.least(F.floor(F.col("s") * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    return (s.withColumn("bin", b)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("s").alias("confidence"),
+                 (F.sum("y").cast("double") / F.count(F.lit(1)))
+                 .alias("accuracy"))
+            .withColumn("abs_gap",
+                        F.abs(F.col("confidence") - F.col("accuracy"))))
