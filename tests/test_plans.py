@@ -613,3 +613,54 @@ def test_round5_kg_tooling_plans(spark):
                                 "label", "aid", "av", "al", k=2))
     assert "BroadcastNestedLoopJoin" in hn
     assert "CartesianProduct" not in hn
+
+
+def test_round5_linkage_layout_plans(spark):
+    """Session additions: every data-sized join stays an equi join —
+    the only BroadcastNestedLoopJoins allowed are the 1-row scalar
+    folds (u-probability pivot + N in the FS scorer, min/max stats in
+    zorder, the corpus-total in KL novelty, moments in
+    standard_scale), and nothing may fall back to CartesianProduct."""
+    from neo4j_document_pipeline_spark.operators.corpus import (
+        kl_novelty_scores)
+    from neo4j_document_pipeline_spark.operators.erlink import (
+        fellegi_sunter_scores)
+    from neo4j_document_pipeline_spark.operators.features import (
+        standard_scale, target_encode)
+    from neo4j_document_pipeline_spark.operators.layout import zorder_key
+    from neo4j_document_pipeline_spark.operators.sequences import (
+        event_transitions)
+
+    records = spark.createDataFrame(
+        [(i, str(i % 3), str(i % 2)) for i in range(20)],
+        ["id", "f1", "f2"])
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id1", "id2"])
+    nums = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                                 ["a", "b"])
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b c d")],
+                                 ["doc_id", "text"])
+    import datetime
+    ev = spark.createDataFrame(
+        [(1, "x", datetime.datetime(2023, 1, 1), 1)],
+        "user_id bigint, event_type string, ts timestamp, event_id bigint")
+
+    bounded = {
+        # frame -> max allowed 1-row nested-loop folds
+        # formatted explain prints each operator twice (tree + detail
+        # section), so ONE 1-row fold counts 2; fs has two folds (the
+        # N count and the u-probability pivot) — all builds are 1-row/
+        # |fields|-row, never data-sized
+        "fs": (fellegi_sunter_scores(records, pairs, "id",
+                                     ["f1", "f2"],
+                                     {"f1": 0.9, "f2": 0.8}), 4),
+        "zorder": (zorder_key(nums, ["a", "b"], bits=4), 2),
+        "kl": (kl_novelty_scores(docs, "doc_id", "text"), 2),
+        "scale": (standard_scale(nums, ["a"]), 2),
+        "encode": (target_encode(records, "f1", "id"), 2),
+        "markov": (event_transitions(ev), 0),
+    }
+    for name, (df, max_bnlj) in bounded.items():
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, name
+        assert p.count("BroadcastNestedLoopJoin") <= max_bnlj, (
+            name, p.count("BroadcastNestedLoopJoin"))
