@@ -2649,6 +2649,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kl_novelty_scores(d, "doc_id", "text")
     q["kl_novelty_docs"] = kl_novelty_docs
 
+    # ---- exact-arithmetic PCA power iteration ----
+    def pca_project_vecs(spark, sf):
+        """Top-principal-component projections (operators/
+        clustering.py::pca_project): 3 fixed power-iteration rounds
+        with integer-quantized vectors, n-scaled exact centering,
+        decimal(38,0) w sums and a deterministic sign convention —
+        bit-reproducible, so the oracle replays every round and the
+        proj integers hash-match exactly."""
+        from neo4j_document_pipeline_spark.operators.clustering import (
+            pca_project)
+        e = _t(spark, sf, "embeddings")
+        return pca_project(e, "vec_id", "embedding", rounds=3, dim=64)
+    q["pca_project_vecs"] = pca_project_vecs
+
     return q
 
 
@@ -2818,6 +2832,54 @@ def _betweenness_sql(depth: int = 5, n_seeds: int = 30) -> str:
              "sd * n / (k * (n - 1.0) * (n - 2.0)) AS betweenness "
              "FROM agg, nn, kk WHERE (SELECT ok FROM conv)")
     return "".join(p)
+
+
+def _pca_sql(rounds: int = 3, dim: int = 64) -> str:
+    """pca_project_vecs oracle: the identical quantize / n-scaled
+    centering / unrolled power-iteration rounds — int64 dot products,
+    HUGEINT w sums (== Spark's decimal(38,0)), the same double
+    renormalization and first-max sign convention."""
+    rng = f"range(1, {dim + 1})"
+    p = [
+        "WITH q AS (SELECT vec_id AS vid, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) "
+        "AS qv FROM embeddings WHERE embedding IS NOT NULL), "
+        "stn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q), "
+        "sts AS (SELECT list(sm ORDER BY d) AS S FROM ("
+        "SELECT r.d AS d, CAST(sum(qv[r.d]) AS BIGINT) AS sm "
+        f"FROM q, unnest({rng}) AS r(d) GROUP BY r.d)), "
+        f"pts AS (SELECT vid, list_transform({rng}, "
+        "d -> n * qv[d] - S[d]) AS y FROM q, stn, sts), "
+        f"v0 AS (SELECT list_transform({rng}, "
+        "d -> CAST(1 AS BIGINT)) AS v), ",
+    ]
+    for r in range(1, rounds + 1):
+        p.append(
+            f"t{r} AS (SELECT vid, y, list_reduce(list_transform({rng}, "
+            f"d -> y[d] * v[d]), (a, b) -> a + b) AS t "
+            f"FROM pts, v{r - 1}), ")
+        p.append(
+            f"w{r} AS (SELECT list(sm ORDER BY d) AS w FROM ("
+            "SELECT r.d AS d, sum(CAST(y[r.d] AS HUGEINT) "
+            "* CAST(t AS HUGEINT)) AS sm "
+            f"FROM t{r}, unnest({rng}) AS r(d) GROUP BY r.d)), ")
+        p.append(
+            f"v{r} AS (SELECT CASE WHEN m = 0 THEN "
+            "list_transform(w, x -> CAST(0 AS BIGINT)) "
+            "ELSE list_transform(w, x -> CAST(floor("
+            "CAST(x AS DOUBLE) * sgn / CAST(m AS DOUBLE) * 10000.0 "
+            "+ 0.5) AS BIGINT)) END AS v FROM ("
+            "SELECT w, list_aggregate(list_transform(w, "
+            "x -> abs(x)), 'max') AS m, "
+            "CASE WHEN list_filter(w, x -> abs(x) = "
+            "list_aggregate(list_transform(w, y2 -> abs(y2)), 'max')"
+            ")[1] < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+            f"FROM w{r})), ")
+    body = "".join(p).rstrip(", ") + " "
+    return (body
+            + f"SELECT vid AS vec_id, CAST(list_reduce(list_transform("
+            f"{rng}, d -> y[d] * v[d]), (a, b) -> a + b) AS BIGINT) "
+            f"AS proj FROM pts, v{rounds}")
 
 
 def _zorder_ctes() -> str:
@@ -5331,4 +5393,5 @@ def oracle_sql() -> dict[str, str]:
             "  FROM dt JOIN cw USING (term), ct GROUP BY 1) "
             "SELECT doc_id, nd AS n_tok, num / nd - ln(nd) AS kl "
             "FROM num JOIN nd USING (doc_id)",
+        "pca_project_vecs": _pca_sql(),
     }

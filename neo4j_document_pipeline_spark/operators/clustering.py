@@ -221,3 +221,95 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
         F.col("id").alias(id_col),
         F.col("component").alias("keep_id"),
         (F.col("id") == F.col("component")).alias("is_kept"))
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str, *,
+                rounds: int = 3, scale: int = 10_000,
+                vscale: int = 10_000, dim: int | None = None) -> DataFrame:
+    """Top-principal-component projections by FIXED-ROUND power
+    iteration in exact arithmetic -> (id_col, proj bigint): the
+    1-D PCA embedding (data-aware dimensionality reduction for
+    visualization buckets, coarse semantic sharding, drift probes)
+    with the same reproducibility contract as ``kmeans_assign`` —
+    every value is a pure function of the data, bit-identical across
+    engines and partitionings, replayable by a plain-SQL oracle.
+
+    Construction (all in-plan, zero driver actions):
+    - quantize: qv_d = floor(x_d * scale + 0.5) int64;
+    - center WITHOUT division: y_i = n * qv_i - S (S the exact per-dim
+      int64 sum; scaling by n leaves the principal direction
+      unchanged and keeps centering exact);
+    - power iteration with an INTEGER iterate v (v0 = all ones):
+        t_i = y_i . v                      (exact int64)
+        w_d = Σ_i y_id * t_i               (exact decimal(38,0))
+        v'  = floor(w * sgn / max|w| * vscale + 0.5)
+      where the renormalization runs in double AFTER the exact decimal
+      w is cast (correctly-rounded IEEE either engine, so still
+      bit-identical), and sgn flips w so the first dimension achieving
+      max|w| is positive — a deterministic sign convention (PCA is
+      sign-ambiguous; without this, engines could converge to opposite
+      signs);
+    - output proj_i = y_i . v_final, exact int64 (scaled projection —
+      callers wanting unit-norm scores divide by sqrt(Σ proj²), which
+      would reintroduce doubles, so the exact form is what ships).
+
+    Envelope: |y| <= 2 n scale max|x|; t <= dim * |y| * vscale must
+    stay inside int64 — n below ~10^8 rows at the defaults (dim 64,
+    |x| <= 1); w stays inside decimal(38,0) far beyond that. Power
+    iteration converges linearly in the eigengap; ``rounds`` is a
+    SPEC (fixed, replayable), not a convergence loop — bump it for
+    near-degenerate spectra.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if dim is None:
+        first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an all-null vector "
+                             "column; pass dim=")
+        dim = len(first[0])
+    q = quantize_embeddings(df, id_col, vec_col, scale=scale)
+    spark = df.sparkSession
+    stats = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(F.element_at("qv", d + 1)).alias(f"_s{d}")
+          for d in range(dim)])
+    stats = stats.select(
+        "n", F.array(*[F.col(f"_s{d}") for d in range(dim)]).alias("S"))
+    y = F.zip_with("qv", "S", lambda x, s: F.col("n") * x - s)
+    pts = (q.crossJoin(F.broadcast(stats))
+           .select("id", y.alias("y"))
+           .localCheckpoint(eager=False))  # scanned once per round
+
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(1).cast("bigint")] * dim).alias("v"))
+    dec = "decimal(20,0)"
+    for _ in range(rounds):
+        t = F.aggregate(F.zip_with("y", "v", lambda a, b: a * b),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = pts.crossJoin(F.broadcast(vdf)).select(
+            "id", "y", t.alias("t"))
+        wagg = scored.agg(
+            *[F.sum(F.element_at("y", d + 1).cast(dec)
+                    * F.col("t").cast(dec)).alias(f"_w{d}")
+              for d in range(dim)])
+        w = wagg.select(
+            F.array(*[F.col(f"_w{d}") for d in range(dim)]).alias("w"))
+        m = F.array_max(F.transform("w", lambda x: F.abs(x)))
+        first_max = F.element_at(
+            F.filter("w", lambda x: F.abs(x) == m), 1)
+        sgn = F.when(first_max < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        newv = F.when(
+            m == F.lit(0).cast(dec),
+            F.transform("w", lambda x: F.lit(0).cast("bigint"))
+        ).otherwise(F.transform(
+            "w",
+            lambda x: F.floor(x.cast("double") * sgn / m.cast("double")
+                              * F.lit(float(vscale)) + F.lit(0.5))
+            .cast("bigint")))
+        vdf = w.select(newv.alias("v"))
+
+    t_fin = F.aggregate(F.zip_with("y", "v", lambda a, b: a * b),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (pts.crossJoin(F.broadcast(vdf))
+            .select(F.col("id").alias(id_col), t_fin.alias("proj")))
