@@ -39,6 +39,9 @@ or plain python:
     python -m neo4j_document_pipeline_spark scc --store <dir>           # directed strongly connected components (bow-tie nuclei)
     python -m neo4j_document_pipeline_spark walks --store <dir> [--walk-len N --walks-per-node N --out <dir>]  # deterministic walk corpus (DeepWalk input)
     python -m neo4j_document_pipeline_spark mixture --store <dir> [--alpha 0.5 --train-budget N]  # per-domain pretraining mixture weights
+    python -m neo4j_document_pipeline_spark betweenness --store <dir> [--pivots 64 --max-depth 12]  # shortest-path broker entities (Brandes-Pich)
+    python -m neo4j_document_pipeline_spark closure --store <dir> [--rel TYPE]  # transitive reachability census (rdfs11-style)
+    python -m neo4j_document_pipeline_spark transitions --events <parquet-dir>  # first-order Markov event-transition census
 """
 
 from __future__ import annotations
@@ -124,7 +127,8 @@ def main(argv=None):
         "dedup-stream", "hygiene", "funnel", "retention",
         "clustering", "harmonic", "summary", "conductance", "truss",
         "walks", "mixture", "spans", "semdedup", "scc",
-        "cardinality", "negatives", "bpe", "diff", "split"])
+        "cardinality", "negatives", "bpe", "diff", "split",
+        "betweenness", "closure", "transitions"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -267,6 +271,16 @@ def main(argv=None):
     ap.add_argument("--salt", default="v1",
                     help="sample: change to draw an independent sample "
                          "(train vs holdout)")
+    ap.add_argument("--pivots", type=_int_or_none, default=64,
+                    help="betweenness: number of deterministic pivot "
+                         "sources (Brandes-Pich estimator); 'none' = "
+                         "exact all-sources (quadratic — small KGs only)")
+    ap.add_argument("--max-depth", type=int, default=12,
+                    help="betweenness: BFS level cap (raises loudly if "
+                         "the graph needs more)")
+    ap.add_argument("--rel", default=None,
+                    help="closure: restrict to one rel_type (default: "
+                         "all edges)")
     ap.add_argument("--budget", type=int, default=4096,
                     help="shards/prepare: target tokens per shard")
     ap.add_argument("--track-sketches", action="store_true",
@@ -729,6 +743,66 @@ def main(argv=None):
                                       "is a DAG at this store)"}))
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
+    elif ns.command == "betweenness":
+        # which entities broker the most shortest paths — the bridge/
+        # bottleneck readout (pagerank finds hubs; betweenness finds
+        # CONNECTORS between communities). Pivot sources are the
+        # --pivots smallest sha256('bc:'||id) node ids: deterministic,
+        # data-independent-looking, replayable
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            betweenness_centrality)
+        e = _kg_edges(store)
+        pivots = None
+        if ns.pivots is not None:
+            nodes = (e.select(F.col("u").alias("id"))
+                     .union(e.select(F.col("v").alias("id"))).distinct())
+            hk = F.sha2(F.concat(F.lit("bc:"), F.col("id")), 256)
+            pivots = [r["id"] for r in
+                      nodes.orderBy(hk, "id").limit(ns.pivots).collect()]
+            if not pivots:
+                sys.exit("betweenness: the store has no edges")
+        bc = betweenness_centrality(e, pivots, max_depth=ns.max_depth)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("id"), "name", "label")
+        out = (bc.join(names, "id", "left")
+               .orderBy(F.desc("betweenness"), "id").limit(ns.limit))
+        for r in out.collect():
+            d = r.asDict()
+            d["betweenness"] = round(d["betweenness"], 6)
+            print(json.dumps(d, default=str))
+    elif ns.command == "closure":
+        # transitive closure of the KG's (optionally one-rel_type)
+        # directed edges — the rdfs11-style reachability layer: how
+        # many derived pairs each hop level adds, with the deepest
+        # chains first (cycle-safe; raises loudly if >20 levels)
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.reasoning import (
+            transitive_closure)
+        e = store.read("edges")
+        if ns.rel:
+            e = e.filter(F.col("rel_type") == ns.rel)
+            if e.isEmpty():
+                sys.exit(f"closure: no edges with rel_type {ns.rel!r}")
+        tc = transitive_closure(
+            e.select(F.col("src_id").alias("src"),
+                     F.col("dst_id").alias("dst")))
+        by_depth = (tc.groupBy("dist").agg(F.count("*").alias("pairs"))
+                    .orderBy("dist").collect())
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("src"),
+            F.col("name").alias("src_name"))
+        deepest = (tc.orderBy(F.desc("dist"), "src", "dst")
+                   .limit(ns.limit).join(names, "src", "left").collect())
+        print(json.dumps({
+            "rel_type": ns.rel or "ALL",
+            "pairs_by_depth": {str(r["dist"]): r["pairs"]
+                               for r in by_depth},
+            "deepest": [{"src": r["src"], "src_name": r["src_name"],
+                         "dst": r["dst"], "dist": r["dist"]}
+                        for r in deepest]}, indent=1))
     elif ns.command == "cardinality":
         # per-predicate structural census of the committed KG: which
         # rel_types are functional / inverse-functional / N:M, with
@@ -1373,7 +1447,7 @@ def main(argv=None):
             for r in (out_df.orderBy("ts", *keys).limit(ns.limit)
                       .collect()):
                 print(json.dumps(r.asDict(), default=str))
-    elif ns.command in ("funnel", "retention"):
+    elif ns.command in ("funnel", "retention", "transitions"):
         # product-analytics reports over an events dir: funnel = the
         # monotone conversion curve (users reaching at least step k of
         # --steps, first-touch anchored, optional --within window);
@@ -1394,7 +1468,23 @@ def main(argv=None):
         if not need.issubset(events.columns):
             sys.exit(f"--events must carry columns {sorted(need)} "
                      f"(have {events.columns})")
-        if ns.command == "funnel":
+        if ns.command == "transitions":
+            # the first-order Markov census: what follows each event
+            # type, with exact counts and row-normalized probabilities
+            from pyspark.sql import functions as F
+
+            from neo4j_document_pipeline_spark.operators.sequences import (
+                event_transitions)
+            tiebreak = ("event_id" if "event_id" in events.columns
+                        else "ts")
+            out = (event_transitions(events, tiebreak_col=tiebreak)
+                   .orderBy(F.desc("n"), "state", "next_state")
+                   .limit(ns.limit).collect())
+            print(json.dumps({"transitions": [
+                {"state": r["state"], "next_state": r["next_state"],
+                 "n": r["n"], "p": round(r["p"], 6)} for r in out]},
+                indent=1))
+        elif ns.command == "funnel":
             steps = [s.strip() for s in ns.steps.split(",") if s.strip()]
             if not steps:
                 sys.exit("--steps must name at least one event type "
