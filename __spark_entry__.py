@@ -2663,6 +2663,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pca_project(e, "vec_id", "embedding", rounds=3, dim=64)
     q["pca_project_vecs"] = pca_project_vecs
 
+    # ---- domain-level hygiene (operators/domains.py) ----
+    def _synth_url(d):
+        # deterministic per-doc URL: sha256-drawn site id with half the
+        # mass folded onto 4 hot domains (head-domain skew), mixed-case
+        # scheme/host, userinfo, ports, two-level suffixes, and a
+        # hostless relative reference every 97th doc — every URL shape
+        # the host/domain extractor must normalize. The oracle builds
+        # the IDENTICAL string in SQL.
+        h8 = F.conv(F.substring(
+            F.sha2(F.concat(F.lit("dom:"),
+                            F.col("doc_id").cast("string")), 256),
+            1, 8), 16, 10).cast("long")
+        hraw = h8 % 64
+        hid = F.when(hraw < 32, hraw % 4).otherwise(hraw)
+        sub = (F.when(hid % 3 == 0, "https://WWW.")
+               .when(hid % 3 == 1, "http://user:pw@news.")
+               .otherwise("https://"))
+        sfx = (F.when(hid % 4 == 0, ".co.uk")
+               .when(hid % 4 == 1, ".com")
+               .when(hid % 4 == 2, ".org")
+               .otherwise(".com.au"))
+        port = F.when(hid % 5 == 0, ":8080").otherwise("")
+        url = F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("/relative/"), F.col("doc_id").cast("string"))
+        ).otherwise(F.concat(
+            sub, F.lit("site"), hid.cast("string"), sfx, port,
+            F.lit("/d/"), F.col("doc_id").cast("string")))
+        return d.withColumn("url", url)
+
+    def domain_census_docs(spark, sf):
+        """Registered-domain corpus census (operators/domains.py::
+        domain_census) over synthesized skewed URLs: docs, tokens and
+        corpus share per registrant — subdomains fold into their
+        registered domain, hostless urls group under NULL."""
+        from neo4j_document_pipeline_spark.operators.domains import (
+            domain_census)
+        d = _synth_url(_t(spark, sf, "documents"))
+        return domain_census(d, "url", "text")
+    q["domain_census_docs"] = domain_census_docs
+
+    def domain_cap_docs(spark, sf):
+        """Per-domain document cap (operators/domains.py::
+        domain_cap_sample, cap=5): the head-domain flattening pass —
+        keep the 5 smallest deterministic hash draws per registered
+        domain (two-phase skew-bounded selection; the oracle ranks the
+        identical key in one window)."""
+        from neo4j_document_pipeline_spark.operators.domains import (
+            domain_cap_sample)
+        d = _synth_url(_t(spark, sf, "documents"))
+        return (domain_cap_sample(d, "url", "doc_id", 5)
+                .select("doc_id", "domain"))
+    q["domain_cap_docs"] = domain_cap_docs
+
+    def domain_block_flags(spark, sf):
+        """Blocklist + corpus-share-ceiling keep flags (operators/
+        domains.py::domain_filter_flags): site0.co.uk and site2.org
+        blocklisted, any registrant above 10% of documents flagged
+        over_share (the synthesized hot domains trip it; cold ones
+        pass)."""
+        from neo4j_document_pipeline_spark.operators.domains import (
+            domain_filter_flags)
+        d = _synth_url(_t(spark, sf, "documents"))
+        return domain_filter_flags(
+            d, "url", "doc_id",
+            blocklist=["site0.co.uk", "site2.org"], max_share=0.10)
+    q["domain_block_flags"] = domain_block_flags
+
     return q
 
 
@@ -2939,6 +3007,46 @@ _SQL_WALK_CTES = (
     " UNION ALL SELECT start, rep, 2, cur FROM n2"
     " UNION ALL SELECT start, rep, 3, cur FROM n3)"
 )
+
+
+def _domain_sql_ctes() -> str:
+    """Shared CTE chain for the domain-hygiene oracles (no leading
+    WITH): the identical URL synthesis, then the identical host /
+    registered-domain extraction as functions/textstats.py
+    col_url_host + col_registered_domain — the two-level-suffix set is
+    read from the ENGINE so oracle and operator cannot drift."""
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        TWO_LEVEL_SUFFIXES)
+    sfx = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    last2 = r"regexp_extract(host, '([^.]+\.[^.]+)$', 1)"
+    last3 = r"regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)"
+    return (
+        "hsrc AS (SELECT doc_id, text, "
+        "  ('0x' || substr(sha256('dom:' || doc_id), 1, 8))::UBIGINT "
+        "  % 64 AS hraw FROM documents), "
+        "hh AS (SELECT doc_id, text, "
+        "  CASE WHEN hraw < 32 THEN hraw % 4 ELSE hraw END AS hid "
+        "  FROM hsrc), "
+        "urls AS (SELECT doc_id, text, "
+        "  CASE WHEN doc_id % 97 = 0 THEN '/relative/' || doc_id "
+        "  ELSE (CASE hid % 3 WHEN 0 THEN 'https://WWW.' "
+        "        WHEN 1 THEN 'http://user:pw@news.' "
+        "        ELSE 'https://' END) "
+        "    || 'site' || hid "
+        "    || (CASE hid % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' "
+        "        WHEN 2 THEN '.org' ELSE '.com.au' END) "
+        "    || (CASE WHEN hid % 5 = 0 THEN ':8080' ELSE '' END) "
+        "    || '/d/' || doc_id END AS url FROM hh), "
+        "hosts AS (SELECT doc_id, text, nullif(regexp_replace("
+        "  lower(regexp_replace(regexp_extract(url, "
+        "  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), "
+        "  '^[^/?#]*@', '')), ':[0-9]*$', ''), '') AS host FROM urls), "
+        "doms AS (SELECT doc_id, text, "
+        "  CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host "
+        f"  WHEN {last2} = '' THEN host "
+        f"  WHEN {last2} IN ({sfx}) AND {last3} <> '' THEN {last3} "
+        f"  ELSE {last2} END AS domain FROM hosts)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5394,4 +5502,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nd AS n_tok, num / nd - ln(nd) AS kl "
             "FROM num JOIN nd USING (doc_id)",
         "pca_project_vecs": _pca_sql(),
+        "domain_census_docs":
+            f"WITH {_domain_sql_ctes()} "
+            "SELECT domain, count(*) AS n_docs, "
+            # ::BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which the
+            # python client surfaces as float — match Spark's long
+            f"sum(len({_SQL_TOKENS}))::BIGINT AS n_tok, "
+            "count(*) / (SELECT count(*)::DOUBLE FROM documents) "
+            "AS doc_share FROM doms GROUP BY 1",
+        "domain_cap_docs":
+            # the two-phase cap is exactly the single-window rank over
+            # the identical (hash draw, id) key
+            f"WITH {_domain_sql_ctes()}, "
+            "keyed AS (SELECT doc_id, domain, "
+            "  ('0x' || substr(sha256('v1:' || doc_id), 1, 8))::UBIGINT "
+            "  / 4294967296.0 AS u FROM doms), "
+            "r AS (SELECT doc_id, domain, row_number() OVER ("
+            "  PARTITION BY domain ORDER BY u, doc_id) AS rn FROM keyed) "
+            "SELECT doc_id, domain FROM r WHERE rn <= 5",
+        "domain_block_flags":
+            f"WITH {_domain_sql_ctes()}, "
+            "shares AS (SELECT domain, count(*) / "
+            "  (SELECT count(*)::DOUBLE FROM documents) AS share "
+            "  FROM doms GROUP BY 1) "
+            "SELECT d.doc_id, d.domain, "
+            "coalesce(d.domain IN ('site0.co.uk', 'site2.org'), FALSE) "
+            "  AS blocked, "
+            "s.share > 0.10 AS over_share, "
+            "NOT coalesce(d.domain IN ('site0.co.uk', 'site2.org'), "
+            "  FALSE) AND NOT (s.share > 0.10) AS keep "
+            "FROM doms d JOIN shares s "
+            "ON d.domain IS NOT DISTINCT FROM s.domain",
     }

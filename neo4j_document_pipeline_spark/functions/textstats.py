@@ -300,3 +300,50 @@ def col_redact_pii(c: Column, kinds: list[str] | None = None) -> Column:
         pat, repl = PII_PATTERNS[k]
         out = F.regexp_replace(out, pat, repl.replace("$", r"\$"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL host / registered-domain extraction (domain-level hygiene)
+# ---------------------------------------------------------------------------
+# A conservative two-level public-suffix subset: enough that the common
+# country-code registries group correctly (bbc.co.uk and news.bbc.co.uk
+# are ONE registrant; bbc.co.uk and itv.co.uk are TWO). A full Public
+# Suffix List is a config swap — the grouping logic below only consults
+# this frozen set, and the set itself is replayed verbatim into the SQL
+# oracle, so widening it cannot drift the two engines apart.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn",
+    "com.mx", "co.in", "co.kr", "com.tr", "com.ar", "com.sg", "co.za",
+)
+
+
+def col_url_host(c: Column) -> Column:
+    """Lowercased host of an absolute URL, with userinfo and port
+    stripped — the same authority conventions as the CLI's mixture
+    report (scheme case-insensitive, authority stops at ``/?#`` so
+    query/fragment text can never leak into the host, credentials never
+    surface). URLs without a ``scheme://`` authority yield NULL (a
+    relative reference has no host to aggregate by)."""
+    host = F.lower(F.regexp_replace(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+        r"^[^/?#]*@", ""))
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def col_registered_domain(c: Column) -> Column:
+    """Registered domain of a HOST column (the unit a crawler's
+    politeness, spam and per-site caps operate on): the last two
+    labels, or the last three when the two-label tail is a known
+    two-level public suffix (``TWO_LEVEL_SUFFIXES``); IPv4 literals
+    and dot-less hosts group as themselves. Pure regex + CASE, so the
+    DuckDB oracle replays it byte-for-byte."""
+    last2 = F.regexp_extract(c, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(c, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    is_suffix2 = last2.isin(*TWO_LEVEL_SUFFIXES)
+    dom = (F.when(c.rlike(r"^[0-9.]+$"), c)
+           .when(last2 == "", c)
+           .when(is_suffix2 & (last3 != ""), last3)
+           .otherwise(last2))
+    return dom

@@ -664,3 +664,28 @@ def test_round5_linkage_layout_plans(spark):
         assert "CartesianProduct" not in p, name
         assert p.count("BroadcastNestedLoopJoin") <= max_bnlj, (
             name, p.count("BroadcastNestedLoopJoin"))
+
+
+def test_domain_hygiene_plans(spark):
+    """Domain-hygiene operators: the census share fold and the flags'
+    census join are BROADCAST (domain-cardinality-sized build sides),
+    and nothing falls back to a CartesianProduct; the cap's windows
+    introduce no join at all."""
+    from pyspark.sql import functions as F
+
+    from neo4j_document_pipeline_spark.operators.domains import (
+        domain_cap_sample, domain_census, domain_filter_flags)
+
+    docs = spark.createDataFrame(
+        [(i, f"https://s{i % 4}.example.com/{i}", "some text")
+         for i in range(40)], ["doc_id", "url", "text"])
+    census = plan_of(domain_census(docs, "url", "text"))
+    assert "CartesianProduct" not in census
+    assert "BroadcastHashJoin" in census or "BroadcastNestedLoopJoin" in census
+    flags = plan_of(domain_filter_flags(docs, "url", "doc_id",
+                                        blocklist=["example.com"],
+                                        max_share=0.5))
+    assert "CartesianProduct" not in flags
+    assert "BroadcastHashJoin" in flags
+    cap = plan_of(domain_cap_sample(docs, "url", "doc_id", 3))
+    assert "Join" not in cap and "CartesianProduct" not in cap
