@@ -2731,6 +2731,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             blocklist=["site0.co.uk", "site2.org"], max_share=0.10)
     q["domain_block_flags"] = domain_block_flags
 
+    # ---- DAG layering over the part ancestor graph ----
+    def dag_levels_parts(spark, sf):
+        """Longest-path topological levels (operators/reasoning.py::
+        topological_levels, level-synchronous Kahn peeling with loud
+        cycle detection): the part-key DAG with halving edges
+        p -> p DIV 2 AND skip edges p -> p DIV 4, so a node is
+        reachable by chains of different lengths and the level must be
+        the LONGEST one. The oracle enumerates all source-anchored
+        paths with a recursive CTE and takes max(depth)."""
+        from neo4j_document_pipeline_spark.operators.reasoning import (
+            topological_levels)
+        p = _t(spark, sf, "part")
+        half = (p.filter((F.col("p_partkey") >= 2)
+                         & (F.col("p_partkey") < 512))
+                .select(F.col("p_partkey").alias("src"),
+                        F.shiftright(F.col("p_partkey"), 1).alias("dst")))
+        skip = (p.filter((F.col("p_partkey") >= 4)
+                         & (F.col("p_partkey") < 512))
+                .select(F.col("p_partkey").alias("src"),
+                        F.shiftright(F.col("p_partkey"), 2).alias("dst")))
+        return (topological_levels(half.union(skip), max_iters=12)
+                .select(F.col("node").cast("bigint").alias("node"),
+                        F.col("level").cast("int").alias("level")))
+    q["dag_levels_parts"] = dag_levels_parts
+
     return q
 
 
@@ -5533,4 +5558,22 @@ def oracle_sql() -> dict[str, str]:
             "  FALSE) AND NOT (s.share > 0.10) AS keep "
             "FROM doms d JOIN shares s "
             "ON d.domain IS NOT DISTINCT FROM s.domain",
+        "dag_levels_parts":
+            # longest path from any source: enumerate every
+            # source-anchored path (the halving/skip DAG keeps path
+            # counts Fibonacci-bounded) and take max(depth)
+            "WITH RECURSIVE base AS ("
+            "  SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part "
+            "    WHERE p_partkey >= 2 AND p_partkey < 512 "
+            "  UNION "
+            "  SELECT p_partkey, p_partkey // 4 FROM part "
+            "    WHERE p_partkey >= 4 AND p_partkey < 512), "
+            "allnodes AS (SELECT src AS node FROM base "
+            "  UNION SELECT dst FROM base), "
+            "srcs AS (SELECT node FROM allnodes "
+            "  WHERE node NOT IN (SELECT DISTINCT dst FROM base)), "
+            "lv AS (SELECT node, 0 AS d FROM srcs "
+            "  UNION ALL SELECT b.dst, lv.d + 1 FROM lv "
+            "  JOIN base b ON b.src = lv.node) "
+            "SELECT node, max(d)::INT AS level FROM lv GROUP BY 1",
     }

@@ -203,3 +203,60 @@ class TestInferTypes:
         got = {(r["entity"], r["type"]): r["direct"]
                for r in infer_types(inst, sub).collect()}
         assert got == {("x", "sedan"): True, ("x", "car"): True}
+
+
+class TestTopologicalLevels:
+    def _lv(self, spark, pairs, **kw):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        from neo4j_document_pipeline_spark.operators.reasoning import (
+            topological_levels)
+        return {r["node"]: r["level"]
+                for r in topological_levels(e, **kw).collect()}
+
+    def test_diamond_longest_path(self, spark):
+        # a->b->d and a->d: d's level is the LONGEST chain (2), not 1
+        got = self._lv(spark, [("a", "b"), ("b", "d"), ("a", "d"),
+                               ("a", "c")])
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_multiple_sources_and_isolated_chain(self, spark):
+        got = self._lv(spark, [("s1", "x"), ("s2", "x"), ("p", "q")])
+        assert got == {"s1": 0, "s2": 0, "p": 0, "x": 1, "q": 1}
+
+    def test_cycle_raises_loudly(self, spark):
+        with pytest.raises(RuntimeError, match="cycle"):
+            self._lv(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                             ("s", "a")])
+
+    def test_max_iters_raises_on_deep_dag(self, spark):
+        chain = [(f"n{i}", f"n{i+1}") for i in range(10)]
+        with pytest.raises(RuntimeError, match="max_iters"):
+            self._lv(spark, chain, max_iters=5)
+        got = self._lv(spark, chain, max_iters=10)
+        assert got[f"n{10}"] == 10
+
+    def test_brute_parity_random_dag(self, spark):
+        import random
+        rng = random.Random(7)
+        n = 40
+        edges = []
+        for _ in range(120):
+            a, b = sorted(rng.sample(range(n), 2))
+            edges.append((f"v{a:02d}", f"v{b:02d}"))  # a<b => acyclic
+        got = self._lv(spark, edges)
+        # brute longest-path levels
+        from collections import defaultdict
+        preds = defaultdict(set)
+        nodes = set()
+        for s, d in edges:
+            preds[d].add(s)
+            nodes.update((s, d))
+        level = {}
+        while len(level) < len(nodes):
+            for v in nodes:
+                if v in level:
+                    continue
+                if all(p in level for p in preds[v]):
+                    level[v] = (1 + max((level[p] for p in preds[v]),
+                                        default=-1))
+        assert got == level
