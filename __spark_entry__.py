@@ -2756,6 +2756,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("level").cast("int").alias("level")))
     q["dag_levels_parts"] = dag_levels_parts
 
+    # ---- hashing-trick features over documents ----
+    def hashed_tf_docs(spark, sf):
+        """Signed feature hashing (operators/features.py::hashed_tf,
+        Weinberger et al. 2009): sparse (doc_id, bucket, weight) rows
+        at dim=64 — the no-vocabulary vectorizer; bucket and sign both
+        derive from one sha256 per token, so the oracle replays the
+        identical arithmetic."""
+        from neo4j_document_pipeline_spark.operators.features import (
+            hashed_tf)
+        d = _t(spark, sf, "documents")
+        return hashed_tf(d, "doc_id", "text", dim=64)
+    q["hashed_tf_docs"] = hashed_tf_docs
+
+    # ---- mutual-best entity alignment over embeddings ----
+    def rbm_alignment_vecs(spark, sf):
+        """Reciprocal best match (operators/similarity.py::
+        reciprocal_best_match): mutual top-1 cosine pairs between two
+        halves of the embeddings table (vec_id < 50 vs 50..149) — the
+        high-precision seed-pair extractor for cross-KG entity
+        alignment; ranking is rounded-4dp cosine with id tie-breaks,
+        exactly SQL-replayable."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            reciprocal_best_match)
+        e = _t(spark, sf, "embeddings")
+        left = (e.filter(F.col("vec_id") < 50)
+                .select(F.col("vec_id").alias("lid"),
+                        F.col("embedding").alias("lv")))
+        right = (e.filter((F.col("vec_id") >= 50)
+                          & (F.col("vec_id") < 150))
+                 .select(F.col("vec_id").alias("rid"),
+                         F.col("embedding").alias("rv")))
+        return reciprocal_best_match(left, right)
+    q["rbm_alignment_vecs"] = rbm_alignment_vecs
+
     return q
 
 
@@ -5576,4 +5610,32 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT b.dst, lv.d + 1 FROM lv "
             "  JOIN base b ON b.src = lv.node) "
             "SELECT node, max(d)::INT AS level FROM lv GROUP BY 1",
+        "hashed_tf_docs":
+            # the identical sha256 bucket/sign arithmetic: bucket =
+            # first 8 hex digits mod dim, sign = parity of the 9th
+            "WITH t AS (SELECT doc_id, unnest("
+            f"{_SQL_TOKENS}) AS term FROM documents), "
+            "hs AS (SELECT doc_id, sha256('ht:' || term) AS h FROM t), "
+            "e AS (SELECT doc_id, "
+            "  ('0x' || substr(h, 1, 8))::UBIGINT % 64 AS bucket, "
+            "  1 - 2 * (('0x' || substr(h, 9, 1))::UBIGINT % 2)::BIGINT "
+            "  AS s FROM hs) "
+            "SELECT doc_id, bucket, sum(s)::BIGINT AS weight FROM e "
+            "GROUP BY 1, 2 HAVING sum(s) <> 0",
+        "rbm_alignment_vecs":
+            # mutual top-1 at rounded-4dp cosine with id tie-breaks —
+            # two row_number windows over the same scored pairs
+            "WITH l AS (SELECT vec_id AS lid, embedding AS lv "
+            "  FROM embeddings WHERE vec_id < 50), "
+            "r AS (SELECT vec_id AS rid, embedding AS rv "
+            "  FROM embeddings WHERE vec_id >= 50 AND vec_id < 150), "
+            "s AS (SELECT lid, rid, "
+            "  round(list_cosine_similarity(lv, rv), 4) AS score "
+            "  FROM l CROSS JOIN r), "
+            "k AS (SELECT lid, rid, score, "
+            "  row_number() OVER (PARTITION BY lid "
+            "    ORDER BY score DESC, rid) AS rl, "
+            "  row_number() OVER (PARTITION BY rid "
+            "    ORDER BY score DESC, lid) AS rr FROM s) "
+            "SELECT lid, rid, score FROM k WHERE rl = 1 AND rr = 1",
     }

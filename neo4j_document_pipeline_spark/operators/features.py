@@ -75,3 +75,65 @@ def standard_scale(df: DataFrame, cols: list[str],
         out = out.withColumn(f"{c}{suffix}", z)
     return out.drop(*[f"_mu_{c}" for c in cols],
                     *[f"_sd_{c}" for c in cols])
+
+
+def hashed_tf(df: DataFrame, id_col: str, text_col: str, *,
+              dim: int = 1024, signed: bool = True,
+              salt: str = "ht") -> DataFrame:
+    """Hashing-trick term-frequency features (Weinberger et al., ICML
+    2009) -> SPARSE rows (id_col, bucket, weight): each token hashes to
+    a bucket in [0, dim) and, when ``signed``, contributes +1/-1 by a
+    second hash bit — the signed sum makes collisions cancel in
+    expectation instead of biasing upward. This is the vectorizer that
+    needs NO vocabulary pass: the feature space is fixed a priori, so
+    featurization is one narrow map + one aggregate at any corpus size
+    and two corpora hashed with the same (dim, salt) are directly
+    comparable (the property a streaming/incremental trainer needs).
+
+    Both hashes come from one sha256 of '<salt>:<token>' (bucket =
+    first 8 hex digits mod dim, sign = parity of the 9th) — a pure
+    function of the token, bit-replayable in any engine. Entries whose
+    signed sum cancels to exactly 0 are dropped (a zero entry is not
+    part of a sparse vector). ``hashed_tf_dense`` assembles the dense
+    array at the trainer boundary.
+
+    Scale: explode (narrow) + one (id, bucket) hash aggregate,
+    map-side combinable; output is bounded by tokens, never dim x docs.
+    """
+    if dim < 1:
+        raise ValueError(f"hashed_tf: dim must be >= 1, got {dim}")
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(F.col(text_col))).alias("term"))
+    h = F.sha2(F.concat(F.lit(f"{salt}:"), F.col("term")), 256)
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    sign = (F.lit(1) - 2 * (F.conv(F.substring(h, 9, 1), 16, 10)
+                            .cast("long") % 2)
+            if signed else F.lit(1))
+    return (toks.select(F.col(id_col), bucket.alias("bucket"),
+                        sign.cast("long").alias("_s"))
+            .groupBy(id_col, "bucket").agg(F.sum("_s").alias("weight"))
+            .filter(F.col("weight") != 0))
+
+
+def hashed_tf_dense(sparse: DataFrame, id_col: str, *,
+                    dim: int) -> DataFrame:
+    """Assemble ``hashed_tf`` sparse rows into dense double arrays ->
+    (id_col, features array<double>) — the trainer-boundary form.
+    One aggregate per id (collect the <= doc-length entries into a
+    map), then an in-plan sequence/transform fill; absent buckets are
+    0.0 by construction."""
+    return (sparse.groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bucket", "weight")))
+                .alias("_m"))
+            .select(F.col(id_col), F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i.cast("long")).cast("double"),
+                    F.lit(0.0))).alias("features")))
+
+
+def _tokens(c):
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_tokens)
+    return col_tokens(c)

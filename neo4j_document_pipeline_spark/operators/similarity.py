@@ -646,3 +646,60 @@ def ivfpq_topk(df: DataFrame, id_col: str, code_col: str,
     pruned = df.filter(F.col(cell_col).isin(probes))
     return pq_topk(pruned, id_col, code_col, codebooks, query, k,
                    candidates=candidates, vec_col=vec_col)
+
+
+def reciprocal_best_match(left: DataFrame, right: DataFrame, *,
+                          left_id: str = "lid", left_vec: str = "lv",
+                          right_id: str = "rid", right_vec: str = "rv",
+                          candidates: DataFrame | None = None,
+                          min_score: float | None = None) -> DataFrame:
+    """Mutual-nearest-neighbor alignment between two embedding sets ->
+    (left_id, right_id, score): keep a pair only when each side is the
+    other's single best cosine match — the standard high-precision
+    seed-pair extractor for entity alignment across two KGs /
+    languages / snapshots (one-sided best-match is noisy; mutuality is
+    the cheap filter that makes the pairs trustworthy enough to train
+    or merge on).
+
+    Ranking uses the ROUNDED (4dp) cosine with the partner id as the
+    tie-break — the same total-order convention as hard_negatives, so
+    the selection is deterministic and exactly SQL-replayable.
+    ``min_score`` drops weak pairs before ranking (a mutual-best pair
+    at cosine 0.02 is mutual noise).
+
+    Scale: by default the RIGHT side broadcasts against the left (use
+    it when one side is batch-sized — the common "align the new
+    snapshot's novel entities" shape). For big-x-big, pass
+    ``candidates`` (left_id, right_id) from a blocker (LSH bands /
+    IVF cells / shared tokens) and scoring becomes two equi-joins on
+    the candidate pairs; mutuality is then mutual-best WITHIN the
+    candidate set, exactly what an aligner wants from its blocker.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("_lid"),
+                    F.col(left_vec).alias("_lv"))
+    r = right.select(F.col(right_id).alias("_rid"),
+                     F.col(right_vec).alias("_rv"))
+    if candidates is not None:
+        pairs = (candidates.select(F.col(left_id).alias("_lid"),
+                                   F.col(right_id).alias("_rid"))
+                 .distinct()
+                 .join(l, "_lid").join(r, "_rid"))
+    else:
+        pairs = l.crossJoin(F.broadcast(r))
+    scored = pairs.select(
+        "_lid", "_rid",
+        F.round(pairwise_cosine(F.col("_lv"), F.col("_rv")), 4)
+        .alias("score"))
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= float(min_score))
+    wl = Window.partitionBy("_lid").orderBy(F.desc("score"),
+                                            F.asc("_rid"))
+    wr = Window.partitionBy("_rid").orderBy(F.desc("score"),
+                                            F.asc("_lid"))
+    best = (scored.withColumn("_rl", F.row_number().over(wl))
+            .withColumn("_rr", F.row_number().over(wr))
+            .filter((F.col("_rl") == 1) & (F.col("_rr") == 1)))
+    return best.select(F.col("_lid").alias(left_id),
+                       F.col("_rid").alias(right_id), "score")
