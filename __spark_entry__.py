@@ -2790,6 +2790,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reciprocal_best_match(left, right)
     q["rbm_alignment_vecs"] = rbm_alignment_vecs
 
+    # ---- CDC feed + apply over synthesized snapshot churn ----
+    def _orders_snapshots(spark, sf):
+        # deterministic churn on orders: every 13th key deleted, every
+        # 7th repriced, every 11th cloned as an insert at key + 10^9
+        old = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        survivors = old.filter(F.col("o_orderkey") % 13 != 0)
+        repriced = survivors.select(
+            "o_orderkey", "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+        inserts = old.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+            "o_orderstatus", "o_totalprice")
+        return old, repriced.unionByName(inserts)
+
+    def cdc_feed_orders(spark, sf):
+        """Value-carrying change feed (operators/admin.py::
+        table_changes) between two synthesized orders snapshots:
+        churn-sized upsert/delete rows with the NEW values; the oracle
+        is the full-outer null-safe compare in SQL."""
+        from neo4j_document_pipeline_spark.operators.admin import (
+            table_changes)
+        old, new = _orders_snapshots(spark, sf)
+        feed = table_changes(old, new, ["o_orderkey"],
+                             ["o_orderstatus", "o_totalprice"])
+        # presentation only: a NULL double fetched through pandas
+        # becomes NaN on the DuckDB side, which can never hash-match
+        # Spark's None — sentinel the delete rows' price in BOTH
+        # engines (the operator itself keeps real NULLs)
+        return feed.select("o_orderkey", "op", "o_orderstatus",
+                           F.coalesce(F.col("o_totalprice"),
+                                      F.lit(-1.0))
+                           .alias("o_totalprice"))
+    q["cdc_feed_orders"] = cdc_feed_orders
+
+    def cdc_roundtrip_orders(spark, sf):
+        """CDC sufficiency law (operators/admin.py::apply_changes):
+        applying the table_changes feed to the OLD snapshot must
+        reconstruct the NEW snapshot row for row — the oracle builds
+        the new snapshot directly from the churn rules, so the
+        feed+apply path is checked against an independent
+        construction."""
+        from neo4j_document_pipeline_spark.operators.admin import (
+            apply_changes, table_changes)
+        old, new = _orders_snapshots(spark, sf)
+        feed = table_changes(old, new, ["o_orderkey"],
+                             ["o_orderstatus", "o_totalprice"])
+        return apply_changes(old, feed, ["o_orderkey"],
+                             ["o_orderstatus", "o_totalprice"])
+    q["cdc_roundtrip_orders"] = cdc_roundtrip_orders
+
     return q
 
 
@@ -5638,4 +5691,36 @@ def oracle_sql() -> dict[str, str]:
             "  row_number() OVER (PARTITION BY rid "
             "    ORDER BY score DESC, lid) AS rr FROM s) "
             "SELECT lid, rid, score FROM k WHERE rl = 1 AND rr = 1",
+        "cdc_feed_orders":
+            # the identical churn rules, then the full-outer null-safe
+            # compare emitting NEW values for upserts, nulls for
+            # deletes, nothing for unchanged keys
+            "WITH old AS (SELECT o_orderkey, o_orderstatus, "
+            "  o_totalprice FROM orders), "
+            "new AS (SELECT o_orderkey, o_orderstatus, "
+            "  o_totalprice + CASE WHEN o_orderkey % 7 = 0 "
+            "    THEN 1.0 ELSE 0.0 END AS o_totalprice "
+            "  FROM orders WHERE o_orderkey % 13 <> 0 "
+            "  UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, "
+            "  o_totalprice FROM orders WHERE o_orderkey % 11 = 0) "
+            "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+            "CASE WHEN n.o_orderkey IS NULL THEN 'delete' "
+            "  ELSE 'upsert' END AS op, "
+            "n.o_orderstatus, coalesce(n.o_totalprice, -1.0) "
+            "  AS o_totalprice "
+            "FROM old o FULL OUTER JOIN new n "
+            "ON o.o_orderkey = n.o_orderkey "
+            "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+            "OR NOT (o.o_orderstatus IS NOT DISTINCT FROM "
+            "  n.o_orderstatus AND o.o_totalprice IS NOT DISTINCT FROM "
+            "  n.o_totalprice)",
+        "cdc_roundtrip_orders":
+            # the INDEPENDENT construction of the new snapshot — the
+            # Spark side must reconstruct it via feed + apply
+            "SELECT o_orderkey, o_orderstatus, "
+            "  o_totalprice + CASE WHEN o_orderkey % 7 = 0 "
+            "    THEN 1.0 ELSE 0.0 END AS o_totalprice "
+            "FROM orders WHERE o_orderkey % 13 <> 0 "
+            "UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, "
+            "o_totalprice FROM orders WHERE o_orderkey % 11 = 0",
     }

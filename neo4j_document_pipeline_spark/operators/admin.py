@@ -343,3 +343,59 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
             .filter((F.col("change") != "changed")
                     | (F.size("changed_cols") > 0))
             .select(*keys, "change", "changed_cols"))
+
+
+def table_changes(old: DataFrame, new: DataFrame, keys: list[str],
+                  value_cols: list[str]) -> DataFrame:
+    """Value-carrying CDC feed between two snapshots -> (keys, op,
+    value_cols): ``op = 'upsert'`` rows carry the NEW values for added
+    and changed keys, ``op = 'delete'`` rows carry null values for
+    removed keys, unchanged keys are absent — the churn-sized stream a
+    downstream consumer (a serving store, a replica, an index) needs to
+    catch up from one snapshot to the next without reading either.
+    ``apply_changes`` is the inverse: old + feed == new, row for row
+    (the sufficiency law the roundtrip oracle pins).
+
+    Same shape as ``table_diff``: ONE full-outer equi-join on the key
+    (bucket both snapshots and it is shuffle-free), null-safe value
+    comparison; output size is the churn.
+    """
+    if not keys or not value_cols:
+        raise ValueError("keys and value_cols must be non-empty")
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}")
+                            for c in value_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}")
+                            for c in value_cols])
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    same = None
+    for c in value_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    op = (F.when(F.col("_in_new").isNull(), "delete")
+          .otherwise(F.lit("upsert")))
+    return (j.filter(F.col("_in_old").isNull()
+                     | F.col("_in_new").isNull() | ~same)
+            .select(*keys, op.alias("op"),
+                    *[F.col(f"_n_{c}").alias(c) for c in value_cols]))
+
+
+def apply_changes(base: DataFrame, changes: DataFrame,
+                  keys: list[str], value_cols: list[str]) -> DataFrame:
+    """Apply a ``table_changes`` feed to the snapshot it was diffed
+    FROM -> the target snapshot (keys + value_cols, exactly): keys in
+    the feed replace (upsert) or drop (delete) the base row; untouched
+    base rows pass through. One anti-join + one union — the cheap
+    catch-up a replica runs per feed batch, and the MERGE INTO
+    analogue on plain DataFrames (sources/store.py's MERGE does this
+    against committed tables; this form works on any two frames).
+    """
+    if not keys or not value_cols:
+        raise ValueError("keys and value_cols must be non-empty")
+    touched = changes.select(*keys)
+    kept = (base.join(touched, keys, "left_anti")
+            .select(*keys, *value_cols))
+    ups = (changes.filter(F.col("op") == "upsert")
+           .select(*keys, *value_cols))
+    return kept.unionByName(ups)
