@@ -2843,6 +2843,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              ["o_orderstatus", "o_totalprice"])
     q["cdc_roundtrip_orders"] = cdc_roundtrip_orders
 
+    # ---- recrawl dedup: latest snapshot per normalized url ----
+    def latest_snapshot_urls(spark, sf):
+        """URL-level recrawl dedup (operators/dedup.py::
+        latest_snapshot_per_url): three messy variants of the same
+        canonical url (tracking param + upper-case scheme/host,
+        trailing-slash + fragment) collide under col_normalize_url and
+        the newest warc_ts survives. The oracle groups by the CLEAN
+        base url built directly, so a normalizer that failed to fold
+        any variant would change the group count and mismatch."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            latest_snapshot_per_url)
+        d = _t(spark, sf, "documents")
+        base = F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/p/"), (F.col("doc_id") % 111).cast("string"))
+        upper = F.concat(
+            F.lit("HTTPS://SITE"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".COM/p/"), (F.col("doc_id") % 111).cast("string"),
+            F.lit("?utm_source=x"))
+        slashfrag = F.concat(base, F.lit("/#frag"))
+        url = (F.when(F.col("doc_id") % 3 == 0, base)
+               .when(F.col("doc_id") % 3 == 1, upper)
+               .otherwise(slashfrag))
+        snap = d.select(
+            "doc_id", url.alias("url"),
+            F.timestamp_seconds(F.lit(1735689600)
+                                + F.col("doc_id")).alias("warc_ts"))
+        return (latest_snapshot_per_url(snap, "url", "warc_ts")
+                .select("url_norm", "doc_id", "warc_ts"))
+    q["latest_snapshot_urls"] = latest_snapshot_urls
+
     return q
 
 
@@ -5723,4 +5754,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_orderkey % 13 <> 0 "
             "UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, "
             "o_totalprice FROM orders WHERE o_orderkey % 11 = 0",
+        "latest_snapshot_urls":
+            # group by the clean base url the variants normalize to;
+            # newest ts per group (timestamps are distinct, so no
+            # tiebreak fires)
+            "WITH b AS (SELECT doc_id, "
+            "  'https://site' || (doc_id % 37) || '.com/p/' "
+            "    || (doc_id % 111) AS url_norm, "
+            "  to_timestamp(1735689600 + doc_id) AS warc_ts "
+            "  FROM documents) "
+            "SELECT url_norm, doc_id, warc_ts FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY url_norm "
+            "    ORDER BY warc_ts DESC, doc_id) AS rn FROM b) "
+            "WHERE rn = 1",
     }

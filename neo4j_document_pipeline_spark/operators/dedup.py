@@ -1124,3 +1124,41 @@ def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
     c2 = cand.select(F.col("id").alias("id2"), "tok")
     return (c1.join(c2, "tok").filter(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct().count())
+
+
+def latest_snapshot_per_url(df: DataFrame, url_col: str, ts_col: str, *,
+                            tiebreak_col: str | None = None) -> DataFrame:
+    """Recrawl dedup: keep ONE row per NORMALIZED url — the newest
+    snapshot. A Common-Crawl-style corpus carries the same page many
+    times (recrawls, tracking-parameter variants, fragment links,
+    scheme/host case); training on all of them is url-level duplication
+    that text dedup only partially catches because boilerplate shifts
+    between crawls. Output = the surviving input rows plus ``url_norm``
+    (the group key, from ``col_normalize_url`` — the engine's
+    SQL-replayable canonicalization).
+
+    Selection: max(struct(ts, tiebreak, row)) per url_norm — a
+    map-combinable argmax, so hot urls partial-aggregate instead of
+    serializing through a window sort (the same shape as the ingest
+    path's last-write-wins props). NULL timestamps lose to any real
+    timestamp. Ties on the timestamp break on ``tiebreak_col`` when
+    given, else on sha256 of the JSON of the whole row — an arbitrary
+    but TOTAL deterministic order, so two equal-ts snapshots pick the
+    same winner on any partitioning, cluster size, or engine.
+    """
+    from neo4j_document_pipeline_spark.functions.textstats import (
+        col_normalize_url)
+    cols = df.columns
+    if tiebreak_col is not None and tiebreak_col not in cols:
+        raise ValueError(
+            f"latest_snapshot_per_url: tiebreak_col {tiebreak_col!r} "
+            f"not in columns {cols}")
+    row = F.struct(*[F.col(c) for c in cols])
+    tb = (F.col(tiebreak_col) if tiebreak_col is not None
+          else F.sha2(F.to_json(row), 256))
+    return (df.select(
+        col_normalize_url(F.col(url_col)).alias("url_norm"),
+        F.struct(F.col(ts_col).alias("_ts"), tb.alias("_tb"),
+                 row.alias("_row")).alias("_k"))
+        .groupBy("url_norm").agg(F.max("_k").alias("_k"))
+        .select("url_norm", "_k._row.*"))

@@ -2030,3 +2030,60 @@ class TestPrefixFilterJaccard:
             prefix_filter_jaccard_pairs(df, "doc_id", "text", 0.0)
         with _pytest.raises(ValueError):
             prefix_filter_jaccard_pairs(df, "doc_id", "text", 1.5)
+
+
+class TestLatestSnapshotPerUrl:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string")
+
+    def test_variants_fold_and_latest_wins(self, spark):
+        import datetime as dt
+        t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            latest_snapshot_per_url)
+        df = self._df(spark, [
+            ("https://a.com/p", t(1), "old"),
+            ("HTTPS://A.COM/p?utm_source=x", t(5), "newest"),
+            ("https://a.com/p/#frag", t(3), "mid"),
+            ("https://b.com/q", t(2), "only"),
+        ])
+        got = {r["url_norm"]: r["text"]
+               for r in latest_snapshot_per_url(df, "url",
+                                                "warc_ts").collect()}
+        assert got == {"https://a.com/p": "newest",
+                       "https://b.com/q": "only"}
+
+    def test_null_ts_loses_and_tie_is_deterministic(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2025, 1, 1)
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            latest_snapshot_per_url)
+        df = self._df(spark, [
+            ("https://a.com/p", None, "undated"),
+            ("https://a.com/p", t0, "dated"),
+            # equal-ts pair: winner must be stable across partitionings
+            ("https://c.com/r", t0, "x"),
+            ("https://c.com/r", t0, "y"),
+        ])
+        out1 = {r["url_norm"]: r["text"] for r in
+                latest_snapshot_per_url(df, "url", "warc_ts").collect()}
+        out2 = {r["url_norm"]: r["text"] for r in
+                latest_snapshot_per_url(df.repartition(7), "url",
+                                        "warc_ts").collect()}
+        assert out1["https://a.com/p"] == "dated"
+        assert out1 == out2
+        # explicit tiebreak column overrides the JSON-hash order
+        out3 = {r["url_norm"]: r["text"] for r in
+                latest_snapshot_per_url(df, "url", "warc_ts",
+                                        tiebreak_col="text").collect()}
+        assert out3["https://c.com/r"] == "y"  # max(text)
+
+    def test_tiebreak_validation(self, spark):
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            latest_snapshot_per_url)
+        df = self._df(spark, [("https://a.com", None, "t")])
+        import pytest as _pt
+        with _pt.raises(ValueError, match="tiebreak_col"):
+            latest_snapshot_per_url(df, "url", "warc_ts",
+                                    tiebreak_col="nope")
