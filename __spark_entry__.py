@@ -1902,6 +1902,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(edges).withColumnRenamed("id", "node")
     q["connected_components_demo"] = connected_components_demo
 
+    def incremental_components_orders(spark, sf):
+        """O(delta) component maintenance (operators/components.py::
+        incremental_components): commit CC over the l_orderkey<40 edge
+        set, then merge the 40..59 batch incrementally. The oracle is
+        the FULL transitive closure over the union — so the quotient-
+        graph merge is proven bit-identical to a full recompute."""
+        from neo4j_document_pipeline_spark.operators.components import (
+            connected_components, incremental_components)
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 60)
+        edges = li.select(
+            F.concat(F.lit("o"), F.lpad(F.col("l_orderkey").cast("string"), 9, "0")).alias("u"),
+            F.concat(F.lit("p"), F.lpad(F.col("l_partkey").cast("string"), 9, "0")).alias("v"),
+            (F.col("l_orderkey") < 40).alias("_base"))
+        labels = connected_components(
+            edges.filter("_base").drop("_base")).localCheckpoint()
+        delta = edges.filter(~F.col("_base")).drop("_base")
+        return (incremental_components(labels, delta)
+                .withColumnRenamed("id", "node"))
+    q["incremental_components_orders"] = incremental_components_orders
+
     def pagerank_parts(spark, sf):
         """5-iteration PageRank over the part co-purchase graph (parts
         sharing an order). Ids are zero-padded so the operator's string
@@ -4835,6 +4855,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%ge%' "
             "ORDER BY p_partkey LIMIT 50",
         "connected_components_demo":
+            "WITH RECURSIVE base AS ("
+            "  SELECT DISTINCT 'o' || lpad(l_orderkey::varchar, 9, '0') AS u, "
+            "         'p' || lpad(l_partkey::varchar, 9, '0') AS v "
+            "  FROM lineitem WHERE l_orderkey < 60), "
+            "edges2 AS (SELECT u, v FROM base UNION SELECT v, u FROM base), "
+            "reach AS ("
+            "  SELECT u AS node, v AS r FROM edges2 "
+            "  UNION "
+            "  SELECT reach.node, e.v FROM reach JOIN edges2 e ON reach.r = e.u "
+            "  WHERE e.v <> reach.node) "
+            "SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node",
+        # the incremental merge must equal the full closure over the union
+        "incremental_components_orders":
             "WITH RECURSIVE base AS ("
             "  SELECT DISTINCT 'o' || lpad(l_orderkey::varchar, 9, '0') AS u, "
             "         'p' || lpad(l_partkey::varchar, 9, '0') AS v "

@@ -162,3 +162,80 @@ def resolve_pointer_chains(edges: DataFrame, src_col: str = "src",
         f"resolve_pointer_chains: {unresolved} chains unresolved after "
         f"{max_iter} doubling rounds (chain length > 2^{max_iter} or a "
         "redirect cycle); break cycles upstream or raise max_iter")
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           max_iter: int = 20,
+                           changed_only: bool = False) -> DataFrame:
+    """O(delta) maintenance of a committed connected-components
+    assignment — the canonicalization resume path: a new crawl batch
+    yields new entity-link edges; re-running ``connected_components``
+    over the WHOLE accumulated edge set per batch is an O(corpus)
+    fixpoint at every ingest, the classic incremental-pipeline
+    scale-killer. Merging into an existing assignment is O(delta):
+
+    1. restrict the committed ``labels(id, component)`` to the delta's
+       node set — the ONLY touch of the big table, a broadcast SEMI
+       join (labels streams once, narrow, no shuffle of labels);
+    2. project delta edges onto components (a node absent from labels
+       is its own fresh singleton component);
+    3. run the alternating-star fixpoint on the QUOTIENT graph — at
+       most 2·|delta| nodes, never the corpus;
+    4. broadcast the resulting rep->rep remap back over ``labels``
+       (again narrow) and attach the new nodes.
+
+    Correctness hinges on the representative invariant the base
+    operator guarantees: ``component`` is the MINIMUM id of its
+    cluster, so every member id >= its rep and the min over merged
+    reps (and fresh singleton ids, which enter the quotient as
+    themselves) IS the min over the merged clusters' members — the
+    incremental assignment is bit-identical to a full recompute over
+    base ∪ delta edges (parity-tested; the driver oracle recomputes
+    the full transitive closure).
+
+    ``changed_only=True`` returns just the rows a MERGE would write:
+    existing ids whose component changed plus the new ids. Delta
+    self-loops and edges internal to one committed component quotient
+    to nothing and produce zero changed rows.
+    """
+    e = (new_edges.select(F.col("u").cast("string"),
+                          F.col("v").cast("string"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    dnodes = (e.select(F.col("u").alias("id"))
+              .union(e.select(F.col("v").alias("id"))).distinct()
+              .localCheckpoint())
+    # the one pass over the big table: broadcast the delta node set
+    touched = (labels.join(F.broadcast(dnodes), "id", "left_semi")
+               .localCheckpoint())
+    cu = touched.select(F.col("id").alias("u"), F.col("component").alias("cu"))
+    cv = touched.select(F.col("id").alias("v"), F.col("component").alias("cv"))
+    quot_edges = (e.join(F.broadcast(cu), "u", "left")
+                  .join(F.broadcast(cv), "v", "left")
+                  .select(F.coalesce("cu", "u").alias("u"),
+                          F.coalesce("cv", "v").alias("v"))
+                  .filter(F.col("u") != F.col("v")))
+    if quot_edges.isEmpty():
+        if changed_only:
+            return labels.filter(F.lit(False))
+        return labels
+    # remap: old rep (or fresh singleton id) -> merged rep
+    remap = (connected_components(quot_edges, max_iter)
+             .select(F.col("id").alias("component"),
+                     F.col("component").alias("new_component"))
+             .localCheckpoint())
+    new_ids = dnodes.join(F.broadcast(touched.select("id")),
+                          "id", "left_anti")
+    fresh = (new_ids.join(F.broadcast(remap),
+                          new_ids["id"] == remap["component"], "left")
+             .select(new_ids["id"],
+                     F.coalesce("new_component", new_ids["id"])
+                     .alias("component")))
+    updated = (labels.join(F.broadcast(remap), "component", "left")
+               .select("id", F.coalesce("new_component", "component")
+                       .alias("component"),
+                       (F.col("new_component").isNotNull()
+                        & (F.col("new_component") != F.col("component")))
+                       .alias("_chg")))
+    if changed_only:
+        updated = updated.filter(F.col("_chg"))
+    return updated.drop("_chg").unionByName(fresh)

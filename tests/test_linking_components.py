@@ -149,3 +149,78 @@ def test_tfidf_linking_matches_exact_kernel(spark):
     assert lsh[("e1", "e2")] == 1.0 and lsh[("e5", "e6")] == 1.0
     assert ("e1", "e4") not in lsh  # cross-label never linked
     assert not any("e7" in k or "e8" in k for k in lsh)
+
+
+class TestIncrementalComponents:
+    """incremental_components == full recompute over base ∪ delta."""
+
+    def _cc(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "u string, v string")
+        return connected_components(df)
+
+    def _inc(self, spark, labels, delta, **kw):
+        from neo4j_document_pipeline_spark.operators.components import (
+            incremental_components)
+        d = spark.createDataFrame(delta, "u string, v string")
+        return incremental_components(labels, d, **kw)
+
+    def _as_dict(self, df):
+        return {r["id"]: r["component"] for r in df.collect()}
+
+    def test_parity_with_full_recompute_random(self, spark):
+        import random
+        rng = random.Random(42)
+        nodes = [f"n{i:03d}" for i in range(40)]
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+        edges = [(u, v) for u, v in edges if u != v]
+        for cut in (10, 30, 50):
+            base, delta = edges[:cut], edges[cut:]
+            if not base or not delta:
+                continue
+            labels = self._cc(spark, base)
+            got = self._as_dict(self._inc(spark, labels, delta))
+            want = self._as_dict(self._cc(spark, base + delta))
+            assert got == want, f"cut={cut}"
+
+    def test_bridge_merges_two_committed_clusters(self, spark):
+        labels = self._cc(spark, [("a", "b"), ("x", "y")])
+        got = self._as_dict(self._inc(spark, labels, [("b", "x")]))
+        assert got == {"a": "a", "b": "a", "x": "a", "y": "a"}
+
+    def test_new_node_with_smaller_id_becomes_rep(self, spark):
+        labels = self._cc(spark, [("m", "n")])
+        got = self._as_dict(self._inc(spark, labels, [("a", "n")]))
+        assert got == {"a": "a", "m": "a", "n": "a"}
+
+    def test_noop_delta_changes_nothing(self, spark):
+        labels = self._cc(spark, [("a", "b"), ("b", "c")])
+        # internal edge + self-loop: quotient is empty
+        out = self._inc(spark, labels, [("a", "c"), ("b", "b")],
+                        changed_only=True)
+        assert out.count() == 0
+        full = self._as_dict(self._inc(spark, labels, [("a", "c")]))
+        assert full == self._as_dict(labels)
+
+    def test_changed_only_is_exactly_the_merge_set(self, spark):
+        labels = self._cc(spark, [("a", "b"), ("x", "y"), ("p", "q")])
+        out = self._as_dict(self._inc(spark, labels, [("y", "z")],
+                                      changed_only=True))
+        # x,y keep component x (unchanged); z is new
+        assert out == {"z": "x"}
+
+    def test_labels_table_is_never_shuffled(self, spark):
+        # the committed assignment must stream through broadcast joins
+        # only — an Exchange over labels is the O(corpus) recompute this
+        # operator exists to avoid
+        from neo4j_document_pipeline_spark.operators.components import (
+            incremental_components)
+        labels = self._cc(spark, [("a", "b"), ("x", "y")]) \
+            .localCheckpoint()  # sever the base-CC plan; labels is "committed"
+        d = spark.createDataFrame([("b", "x")], "u string, v string")
+        plan = incremental_components(labels, d) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        import re
+        # every join the big side participates in is broadcast-built
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
