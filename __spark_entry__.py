@@ -1132,6 +1132,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 6).alias("jaccard"))
     q["prefix_jaccard_pairs"] = prefix_jaccard_pairs
 
+    def containment_doc_pairs(spark, sf):
+        """Asymmetric containment pairs (operators/dedup.py::
+        containment_pairs): every 7th document gains a derived 'quote'
+        doc (first 100 chars, id + 10^6) — a page quoting a snippet of
+        a bigger page, the relation Jaccard misses. Output = ordered
+        pairs with |A∩B|/|A| >= 0.8; the oracle is the exhaustive
+        shared-token join with the same containment arithmetic, so the
+        prefix filter's losslessness is what's being proven."""
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            containment_pairs)
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        quotes = (d.filter(F.col("doc_id") % 7 == 0)
+                  .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                          F.substring("text", 1, 100).alias("text")))
+        corpus = d.unionByName(quotes)
+        out = containment_pairs(corpus, "doc_id", "text", threshold=0.8)
+        return out.select("id_a", "id_b", "n_a", "n_b",
+                          F.round("containment", 6).alias("containment"))
+    q["containment_doc_pairs"] = containment_doc_pairs
+
     # ---- temporal: rolling z-score event-rate anomalies ----
     def event_rate_anomalies(spark, sf):
         """Per-type hourly event-rate anomaly scores
@@ -4271,6 +4291,28 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "containment_doc_pairs":
+            # exhaustive shared-token join + containment |A∩B|/|A|
+            # over the same derived corpus (quote docs = first 100
+            # chars of every 7th doc, id + 10^6)
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 1000000, substring(text, 1, 100) "
+            "  FROM documents WHERE doc_id % 7 = 0), "
+            f"d AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks "
+            "  FROM corpus), "
+            "e AS (SELECT doc_id, unnest(toks) AS tok FROM d), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM e a JOIN e b USING (tok) "
+            "  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2), "
+            "v AS (SELECT id_a, id_b, len(x.toks) AS n_a, "
+            "  len(y.toks) AS n_b, "
+            "  len(list_intersect(x.toks, y.toks))::DOUBLE "
+            "  / len(x.toks) AS c "
+            "  FROM p JOIN d x ON x.doc_id = p.id_a "
+            "  JOIN d y ON y.doc_id = p.id_b WHERE len(x.toks) > 0) "
+            "SELECT id_a, id_b, n_a, n_b, round(c, 6) AS containment "
+            "FROM v WHERE c >= 0.8",
         "event_rate_anomalies":
             # identical arithmetic: hourly counts, dense per-key grid,
             # trailing [24 PRECEDING, 1 PRECEDING] integer sums,

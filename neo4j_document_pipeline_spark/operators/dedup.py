@@ -1162,3 +1162,75 @@ def latest_snapshot_per_url(df: DataFrame, url_col: str, ts_col: str, *,
                  row.alias("_row")).alias("_k"))
         .groupBy("url_norm").agg(F.max("_k").alias("_k"))
         .select("url_norm", "_k._row.*"))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT pairs: ordered (a, b) with
+    |tokens(a) ∩ tokens(b)| / |tokens(a)| >= threshold — the near-dup
+    relation Jaccard structurally misses. A page quoting a paragraph,
+    a syndicated article re-wrapped in a bigger boilerplate shell, a
+    recrawl that appended a comment section: the small side is ~fully
+    inside the big side while Jaccard (which divides by the UNION)
+    drops below any usable threshold as the size ratio grows. Corpus
+    hygiene needs both relations: Jaccard for same-size near-dups,
+    containment for quote/wrapper/superset chains.
+
+    Candidate generation is the containment prefix filter (the
+    T-occurrence bound of SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006):
+    if |A∩B| >= ceil(t·|A|) then A misses at most |A| - ceil(t·|A|)
+    of its OWN tokens, so at least one of A's first
+    |A| - ceil(t·|A|) + 1 tokens (under any fixed order of A's set)
+    is in B — joining A's PREFIX against B's FULL postings is
+    lossless. The order is global frequency ascending (ties by token
+    text), so A's prefix holds its RAREST tokens and the B posting
+    lists it probes are the short ones; hot boilerplate tokens sit in
+    A-suffixes and are never join keys. The size filter
+    |B| >= ceil(t·|A|) prunes pairs the intersection bound already
+    forbids. Same 1-ulp guard as the Jaccard twin: ceil(round(t·n, 9)).
+
+    Returns (id_a, id_b, n_a, n_b, containment) for ordered pairs
+    id_a != id_b with containment >= threshold; empty-token docs never
+    qualify (their containment is undefined, not 1).
+    """
+    from neo4j_document_pipeline_spark.functions.textstats import col_tokens
+
+    t = float(threshold)
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(col_tokens(F.col(text_col))).alias("toks"))
+    posting = toks.select("id", F.explode("toks").alias("tok"))
+    freq = posting.groupBy("tok").agg(F.count("*").alias("tf"))
+    ordered = (posting.join(freq, "tok")
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("tf"), F.col("tok")))),
+                   lambda s: s["tok"]).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    need = F.ceil(F.round(F.lit(t) * n, 9)).cast("int")
+    pre = ordered.select(
+        "id", n.alias("n"),
+        F.slice("sorted_toks", 1, (n - need + 1)).alias("prefix"))
+    ca = pre.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                    F.explode("prefix").alias("tok"))
+    cb = posting.select(F.col("id").alias("id_b"), "tok")
+    pairs = (ca.join(cb, "tok")
+             .filter(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b", "n_a").distinct()
+             # size bound: |B| >= ceil(t*|A|)
+             .join(toks.select(F.col("id").alias("id_b"),
+                               F.size("toks").alias("n_b")), "id_b")
+             .filter(F.col("n_b") >= F.round(F.lit(t) * F.col("n_a"), 9)))
+    sa = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    sb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment",
+                        F.when(F.col("n_a") > 0, inter / F.col("n_a"))
+                        .otherwise(F.lit(0.0)))
+            .filter(F.col("containment") >= t)
+            .select("id_a", "id_b", "n_a", "n_b", "containment"))

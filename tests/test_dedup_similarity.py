@@ -2087,3 +2087,54 @@ class TestLatestSnapshotPerUrl:
         with _pt.raises(ValueError, match="tiebreak_col"):
             latest_snapshot_per_url(df, "url", "warc_ts",
                                     tiebreak_col="nope")
+
+
+class TestContainmentPairs:
+    def _pairs(self, spark, rows, t):
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            containment_pairs)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return containment_pairs(df, "doc_id", "text", threshold=t)
+
+    def test_quote_inside_wrapper_is_one_directional(self, spark):
+        quote = "alpha beta gamma delta"
+        wrapper = quote + " " + " ".join(f"w{i}" for i in range(20))
+        out = self._pairs(spark, [(1, quote), (2, wrapper)], 0.9)
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in out.collect()}
+        # the quote is fully contained in the wrapper; the wrapper's
+        # containment in the quote is 4/24 and must NOT appear
+        assert got == {(1, 2): 1.0}
+
+    def test_brute_parity_random(self, spark):
+        import random
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.sample(vocab, rng.randint(1, 12))))
+                for i in range(25)]
+        for t in (0.5, 0.8, 1.0):
+            got = {(r["id_a"], r["id_b"]): round(r["containment"], 9)
+                   for r in self._pairs(spark, rows, t).collect()}
+            sets = {i: set(s.split()) for i, s in rows}
+            want = {}
+            for a in sets:
+                for b in sets:
+                    if a == b or not sets[a]:
+                        continue
+                    c = len(sets[a] & sets[b]) / len(sets[a])
+                    if c >= t:
+                        want[(a, b)] = round(c, 9)
+            assert got == want, f"t={t}"
+
+    def test_empty_doc_never_qualifies(self, spark):
+        out = self._pairs(spark, [(1, ""), (2, "alpha beta")], 0.5)
+        assert out.count() == 0
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pt
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        from neo4j_document_pipeline_spark.operators.dedup import (
+            containment_pairs)
+        for bad in (0.0, -0.1, 1.5):
+            with _pt.raises(ValueError):
+                containment_pairs(df, "doc_id", "text", threshold=bad)
