@@ -1512,6 +1512,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 attempts=6)
     q["negative_triples_branded"] = negative_triples_branded
 
+    def neighborhood_samples_parts(spark, sf):
+        """Deterministic GraphSAGE neighbor sampling (operators/
+        kgtrain.py::sample_neighborhoods) over the part co-purchase
+        graph: seeds = parts with key <= 50, fanouts (3, 2). Every
+        sampled edge is the top-fanout of a sha256 rank, so the oracle
+        unrolls both hops with the IDENTICAL hash ordering — the whole
+        draw is bit-replayable."""
+        from neo4j_document_pipeline_spark.operators.kgtrain import (
+            sample_neighborhoods)
+        li = _t(spark, sf, "lineitem")
+        pairs = (li.alias("a").join(li.alias("b"),
+                                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("src"),
+                         F.col("b.l_partkey").cast("string").alias("dst"))
+                 .distinct())
+        seeds = (li.filter(F.col("l_partkey") <= 50)
+                 .select(F.col("l_partkey").cast("string").alias("id"))
+                 .distinct())
+        return sample_neighborhoods(pairs, seeds, [3, 2])
+    q["neighborhood_samples_parts"] = neighborhood_samples_parts
+
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
         'old' snapshot drops keys %7==0 and doubles totalprice on
@@ -4291,6 +4313,36 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "neighborhood_samples_parts":
+            # both hops unrolled with the identical sha256 rank:
+            # u = hex8(sha256('v1:<hop>:<root>:<src>:<dst>')) / 2^32,
+            # ties by dst string; fanouts 3 then 2
+            "WITH pairs AS ("
+            "  SELECT DISTINCT a.l_partkey::varchar AS u, "
+            "         b.l_partkey::varchar AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "  ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey), "
+            "e AS (SELECT u AS src, v AS dst FROM pairs "
+            "  UNION SELECT v, u FROM pairs), "
+            "seeds AS (SELECT DISTINCT l_partkey::varchar AS root "
+            "  FROM lineitem WHERE l_partkey <= 50), "
+            "h1 AS (SELECT root, 1 AS hop, e.src, e.dst, "
+            "  row_number() OVER (PARTITION BY root, e.src ORDER BY "
+            "  ('0x' || substr(sha256('v1:1:' || root || ':' || e.src "
+            "   || ':' || e.dst), 1, 8))::UBIGINT / 4294967296.0, "
+            "  e.dst) AS rn "
+            "  FROM seeds JOIN e ON e.src = seeds.root), "
+            "s1 AS (SELECT root, hop, src, dst FROM h1 WHERE rn <= 3), "
+            "f1 AS (SELECT DISTINCT root, dst AS node FROM s1), "
+            "h2 AS (SELECT root, 2 AS hop, e.src, e.dst, "
+            "  row_number() OVER (PARTITION BY root, e.src ORDER BY "
+            "  ('0x' || substr(sha256('v1:2:' || root || ':' || e.src "
+            "   || ':' || e.dst), 1, 8))::UBIGINT / 4294967296.0, "
+            "  e.dst) AS rn "
+            "  FROM f1 JOIN e ON e.src = f1.node) "
+            "SELECT root, hop, src, dst FROM s1 "
+            "UNION ALL SELECT root, hop, src, dst FROM h2 WHERE rn <= 2",
         "containment_doc_pairs":
             # exhaustive shared-token join + containment |A∩B|/|A|
             # over the same derived corpus (quote docs = first 100

@@ -92,3 +92,66 @@ def negative_triples(triples: DataFrame, pool: DataFrame,
             .select(F.col("s").alias(subj_col),
                     F.col("p").alias(pred_col),
                     "neg_object", "attempt"))
+
+
+def sample_neighborhoods(edges: DataFrame, seeds: DataFrame,
+                         fanouts: list[int] | tuple[int, ...], *,
+                         src_col: str = "src", dst_col: str = "dst",
+                         seed_col: str = "id", directed: bool = False,
+                         salt: str = "v1") -> DataFrame:
+    """Deterministic GraphSAGE-style neighbor sampling (Hamilton et
+    al., NeurIPS 2017): the k-hop sampled computation graphs GNN /
+    KG-embedding mini-batch training consumes. For each seed (root),
+    hop h samples at most ``fanouts[h-1]`` neighbors of every frontier
+    node; the output is the edge set of the sampled trees,
+    ``(root, hop, src, dst)``.
+
+    The draw is a pure function of the data: neighbors rank by the
+    uniform hash of ``salt:hop:root:src:dst`` (ties by dst string), so
+    the same (seeds, edges, salt) yields the SAME computation graphs on
+    any partitioning, cluster size, or engine — reproducible training
+    batches and an exactly-replayable DuckDB oracle, where
+    ``df.sample``/``rand()`` would be neither. Different roots draw
+    independently at a shared node (the hash includes root); a new salt
+    redraws the whole batch (epoch re-sampling).
+
+    Scale: hop volume is bounded by |seeds|·∏fanouts regardless of
+    degree skew — a hub neighbor list is ranked with ONE per-(root,src)
+    window over candidate edges (partial shuffle on the frontier keys),
+    never materialized whole per root. The frontier↔edges join is a
+    plain hash equi-join on src, the partitioning a trillion-edge table
+    is already bucketed by.
+    """
+    fanouts = list(fanouts)
+    if not fanouts or any((not isinstance(f, int)) or f < 1
+                          for f in fanouts):
+        raise ValueError(
+            f"fanouts must be a non-empty list of positive ints, "
+            f"got {fanouts!r}")
+    e = edges.select(F.col(src_col).cast("string").alias("src"),
+                     F.col(dst_col).cast("string").alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct()
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    frontier = seeds.select(
+        F.col(seed_col).cast("string").alias("root")).distinct() \
+        .withColumn("node", F.col("root"))
+    out = None
+    for hop, f in enumerate(fanouts, start=1):
+        cand = (frontier.join(e, frontier["node"] == e["src"])
+                .select("root", F.lit(hop).alias("hop"), "src", "dst"))
+        key = F.concat_ws(":", F.lit(str(hop)), F.col("root"),
+                          F.col("src"), F.col("dst"))
+        h = (F.conv(F.substring(F.sha2(
+            F.concat(F.lit(f"{salt}:"), key), 256), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
+        w = Window.partitionBy("root", "src").orderBy(h.asc(),
+                                                      F.col("dst").asc())
+        sampled = (cand.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= f).drop("_rn")
+                   .localCheckpoint())
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select("root",
+                                  F.col("dst").alias("node")).distinct()
+    return out

@@ -689,3 +689,26 @@ def test_domain_hygiene_plans(spark):
     assert "BroadcastHashJoin" in flags
     cap = plan_of(domain_cap_sample(docs, "url", "doc_id", 3))
     assert "Join" not in cap and "CartesianProduct" not in cap
+
+
+def test_session10_ops_are_equi_joins(spark):
+    """containment prefix filter + neighbor sampling: every join is a
+    hash EQUI join — a BNLJ/CartesianProduct here is the all-pairs
+    blow-up these operators exist to avoid."""
+    from neo4j_document_pipeline_spark.operators.dedup import (
+        containment_pairs)
+    from neo4j_document_pipeline_spark.operators.kgtrain import (
+        sample_neighborhoods)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared common words here") for i in range(30)],
+        "doc_id long, text string")
+    p = plan_of(containment_pairs(docs, "doc_id", "text", 0.8))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 20}") for i in range(40)],
+        "src string, dst string")
+    s = spark.createDataFrame([("n1",), ("n2",)], "id string")
+    p2 = plan_of(sample_neighborhoods(e, s, [2, 2]))
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
