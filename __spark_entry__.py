@@ -129,6 +129,49 @@ _SQL_TOKENS = (
 )
 
 
+def _sql_balpart_ctes() -> str:
+    """Unrolled 2-round Spinner-style balanced partitioning as DuckDB
+    CTE text (no leading WITH) over the bounded part co-purchase graph
+    (l_orderkey < 120, k=4) — the bit-exact replay of
+    operators/layout.py balanced_partitions: sha256 %k init, candidate
+    parts = neighbor parts + own, EXACT-integer score
+    S = c·n − k·load·deg, ties on the smaller part id. Final
+    assignment CTE is ``p2``; the canonical u<v edge set is ``pairs``."""
+    rounds = []
+    for r in range(2):
+        rounds.append(
+            f"l{r} AS (SELECT part, count(*) AS load FROM p{r} "
+            f"  GROUP BY part), "
+            f"c{r} AS (SELECT e2.u AS id, p.part, count(*) AS c "
+            f"  FROM e2 JOIN p{r} p ON e2.v = p.id GROUP BY 1, 2 "
+            f"  UNION ALL SELECT id, part, 0 FROM p{r}), "
+            f"cc{r} AS (SELECT id, part, max(c) AS c FROM c{r} "
+            f"  GROUP BY 1, 2), "
+            f"s{r} AS (SELECT cc{r}.id, cc{r}.part, "
+            f"  cc{r}.c * (SELECT n FROM nn) "
+            f"  - 4 * l{r}.load * deg.deg AS s "
+            f"  FROM cc{r} JOIN l{r} USING (part) "
+            f"  JOIN deg ON deg.id = cc{r}.id), "
+            f"p{r + 1} AS (SELECT id, part FROM ("
+            f"  SELECT id, part, row_number() OVER (PARTITION BY id "
+            f"  ORDER BY s DESC, part ASC) AS rn FROM s{r}) "
+            f"  WHERE rn = 1)")
+    return (
+        "pairs AS ("
+        "  SELECT DISTINCT a.l_partkey::varchar AS u, "
+        "         b.l_partkey::varchar AS v "
+        "  FROM lineitem a JOIN lineitem b "
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "  WHERE a.l_orderkey < 120 AND b.l_orderkey < 120), "
+        "e2 AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), "
+        "nodes AS (SELECT DISTINCT u AS id FROM e2), "
+        "nn AS (SELECT count(*) AS n FROM nodes), "
+        "deg AS (SELECT u AS id, count(*) AS deg FROM e2 GROUP BY u), "
+        "p0 AS (SELECT id, (('0x' || substr(sha256('part:' || id), 1, 8))"
+        "::UBIGINT % 4)::INT AS part FROM nodes), "
+        + ", ".join(rounds))
+
+
 def _sql_kmeans_ctes(id_expr: str, k: int = 8, dim: int = 64) -> str:
     """Unrolled 2-round deterministic k-means as DuckDB CTE text (no
     leading WITH) over the embeddings view — the bit-exact replay of
@@ -1533,6 +1576,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .distinct())
         return sample_neighborhoods(pairs, seeds, [3, 2])
     q["neighborhood_samples_parts"] = neighborhood_samples_parts
+
+    def _balpart_inputs(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 120)
+        edges = (li.alias("a").join(li.alias("b"),
+                                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").cast("string").alias("u"),
+                         F.col("b.l_partkey").cast("string").alias("v"))
+                 .distinct())
+        return edges
+
+    def balanced_partition_parts(spark, sf):
+        """Spinner-style balanced 4-way partitioning (operators/
+        layout.py::balanced_partitions), 2 rounds over the bounded part
+        co-purchase graph. Exact-integer scores make every round
+        bit-replayable — the oracle unrolls both rounds as CTEs."""
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        return balanced_partitions(_balpart_inputs(spark, sf), 4, iters=2)
+    q["balanced_partition_parts"] = balanced_partition_parts
+
+    def partition_cut_parts(spark, sf):
+        """Edge-cut census (operators/layout.py::edge_cut_stats) of the
+        committed 2-round assignment — the placement evidence a layout
+        decision records: cut fraction + load spread in one row."""
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions, edge_cut_stats)
+        edges = _balpart_inputs(spark, sf)
+        return edge_cut_stats(edges, balanced_partitions(edges, 4, iters=2))
+    q["partition_cut_parts"] = partition_cut_parts
 
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
@@ -4313,6 +4386,21 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "balanced_partition_parts":
+            f"WITH {_sql_balpart_ctes()} SELECT id, part FROM p2",
+        "partition_cut_parts":
+            f"WITH {_sql_balpart_ctes()}, "
+            "au AS (SELECT id AS u, part AS pu FROM p2), "
+            "av AS (SELECT id AS v, part AS pv FROM p2), "
+            "cut AS (SELECT sum(CASE WHEN pu <> pv THEN 1 ELSE 0 END)"
+            "::BIGINT AS cut_edges, count(*) AS total_edges "
+            "  FROM pairs JOIN au USING (u) JOIN av USING (v)), "
+            "loads AS (SELECT count(*)::INT AS n_parts, max(l) AS max_load, "
+            "  min(l) AS min_load FROM (SELECT part, count(*) AS l "
+            "  FROM p2 GROUP BY part)) "
+            "SELECT cut_edges, total_edges, "
+            "round(cut_edges::DOUBLE / total_edges, 6) AS cut_fraction, "
+            "n_parts, max_load, min_load FROM cut, loads",
         "neighborhood_samples_parts":
             # both hops unrolled with the identical sha256 rank:
             # u = hex8(sha256('v1:<hop>:<root>:<src>:<dst>')) / 2^32,

@@ -124,3 +124,103 @@ def zorder_partition_stats(df: DataFrame, cols: list[str], *,
             .agg(F.count(F.lit(1)).alias("n_buckets"),
                  F.sum("_rows").alias("n_rows"),
                  F.avg("_frac").alias("mean_span_fraction")))
+
+
+def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
+                        salt: str = "part") -> DataFrame:
+    """Deterministic balanced k-way graph partitioning — the LPA-with-
+    capacity scheme of Spinner (Martella et al., ICDE 2017), the move
+    that turns "hash-partition the edge list" into "co-locate
+    neighborhoods": initialize every node to a uniform sha256 bucket,
+    then for ``iters`` synchronous rounds move each node to the
+    candidate partition maximizing neighbor affinity MINUS a load
+    penalty. Downstream, graph algorithms (PageRank, BFS, LPA — one
+    shuffle per round on the edge partitioning) see most edges become
+    partition-local while the load bound keeps stragglers away.
+
+    The score is kept in EXACT integers so the argmax is bit-replayable
+    on any engine: Spinner's  c(v,p)/deg(v) − load(p)/(n/k)  is
+    multiplied through by the positive constant deg(v)·n giving
+    S(v,p) = c(v,p)·n − k·load(p)·deg(v); ties break on the smaller
+    partition id. Candidates per node are its NEIGHBOR partitions plus
+    its current one — bounded by degree, never the k cross product.
+
+    Scale: per round, one (src, part) count over edges joined to the
+    k-row load table and a 1-row n fold (both broadcast, in-plan —
+    zero driver actions per round), then a map-combinable
+    max(struct) argmax. No windows, no collect; ``localCheckpoint``
+    per round truncates lineage.
+
+    Returns (id string, part int). Singleton-free by construction
+    (nodes appear via edges); isolated vertices can hash anywhere
+    without affecting the cut.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = (edges.select(F.col("u").cast("string"),
+                      F.col("v").cast("string"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    und = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    nodes = und.select(F.col("u").alias("id")).distinct()
+    assign = nodes.select(
+        "id",
+        (F.conv(F.substring(F.sha2(F.concat(F.lit(f"{salt}:"),
+                                            F.col("id")), 256),
+                            1, 8), 16, 10).cast("long")
+         % F.lit(k)).cast("int").alias("part")).localCheckpoint()
+    deg = und.groupBy(F.col("u").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("deg"))
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(iters):
+        load = assign.groupBy("part").agg(F.count(F.lit(1)).alias("load"))
+        nbr = (und.join(assign.select(F.col("id").alias("v"),
+                                      F.col("part")), "v")
+               .groupBy(F.col("u").alias("id"), "part")
+               .agg(F.count(F.lit(1)).alias("c")))
+        own = assign.select("id", "part", F.lit(0).cast("long").alias("c"))
+        cand = (nbr.unionByName(own)
+                .groupBy("id", "part").agg(F.max("c").alias("c")))
+        scored = (cand.join(F.broadcast(load), "part", "left")
+                  .join(deg, "id")
+                  .crossJoin(F.broadcast(n1))
+                  .select("id", "part",
+                          (F.col("c") * F.col("n")
+                           - F.lit(k) * F.coalesce("load", F.lit(0))
+                           * F.col("deg")).alias("s")))
+        assign = (scored.groupBy("id")
+                  .agg(F.max(F.struct(F.col("s"), (-F.col("part"))
+                                      .alias("np"),
+                                      F.col("part").alias("p")))
+                       .alias("m"))
+                  .select("id", F.col("m.p").alias("part"))
+                  .localCheckpoint())
+    return assign
+
+
+def edge_cut_stats(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Partitioning-quality census for a node->part assignment: ONE
+    row (cut_edges, total_edges, cut_fraction, n_parts, max_load,
+    min_load) — the evidence a placement decision commits alongside
+    the layout (same role as ``zorder_partition_stats`` for sort
+    layouts). Undirected edges counted once (u < v canonical)."""
+    e = (edges.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    a_u = assign.select(F.col("id").alias("u"), F.col("part").alias("pu"))
+    a_v = assign.select(F.col("id").alias("v"), F.col("part").alias("pv"))
+    cut = (e.join(a_u, "u").join(a_v, "v")
+           .agg(F.sum((F.col("pu") != F.col("pv")).cast("long"))
+                .alias("cut_edges"),
+                F.count(F.lit(1)).alias("total_edges")))
+    loads = (assign.groupBy("part").agg(F.count(F.lit(1)).alias("l"))
+             .agg(F.count(F.lit(1)).cast("int").alias("n_parts"),
+                  F.max("l").alias("max_load"),
+                  F.min("l").alias("min_load")))
+    return (cut.crossJoin(F.broadcast(loads))
+            .select("cut_edges", "total_edges",
+                    F.round(F.col("cut_edges") / F.col("total_edges"), 6)
+                    .alias("cut_fraction"),
+                    "n_parts", "max_load", "min_load"))

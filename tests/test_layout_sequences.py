@@ -131,3 +131,109 @@ class TestEventTransitions:
         ends = {(r["state"], r["n"]) for r in out
                 if r["next_state"] == "∅"}
         assert ends == {("click", 1), ("view", 1)}
+
+
+class TestBalancedPartitions:
+    def _run(self, spark, edges, k, iters):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        e = spark.createDataFrame(edges, "u string, v string")
+        return {r["id"]: r["part"]
+                for r in balanced_partitions(e, k, iters=iters).collect()}
+
+    @staticmethod
+    def _brute(edges, k, iters, salt="part"):
+        import hashlib
+        adj = {}
+        pairs = set()
+        for u, v in edges:
+            if u == v:
+                continue
+            pairs.add((u, v)); pairs.add((v, u))
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+        nodes = sorted(adj)
+        n = len(nodes)
+
+        def h(x):
+            d = hashlib.sha256(f"{salt}:{x}".encode()).hexdigest()
+            return int(d[:8], 16) % k
+
+        part = {x: h(x) for x in nodes}
+        for _ in range(iters):
+            load = {}
+            for p in part.values():
+                load[p] = load.get(p, 0) + 1
+            nxt = {}
+            for x in nodes:
+                deg = len(adj[x])
+                cnt = {}
+                for y in adj[x]:
+                    cnt[part[y]] = cnt.get(part[y], 0) + 1
+                cnt.setdefault(part[x], 0)
+                best = max(cnt,
+                           key=lambda p: (cnt[p] * n
+                                          - k * load.get(p, 0) * deg, -p))
+                nxt[x] = best
+            part = nxt
+        return part
+
+    def test_brute_parity_random(self, spark):
+        import random
+        rng = random.Random(3)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(70)})
+        for iters in (0, 1, 2):
+            got = self._run(spark, edges, 4, iters)
+            want = self._brute(edges, 4, iters)
+            assert got == want, f"iters={iters}"
+
+    def test_two_cliques_cut_improves(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions, edge_cut_stats)
+        cl = lambda pre: [(f"{pre}{i}", f"{pre}{j}")
+                          for i in range(8) for j in range(i + 1, 8)]
+        edges = cl("a") + cl("b") + [("a0", "b0")]
+        e = spark.createDataFrame(edges, "u string, v string")
+        before = edge_cut_stats(
+            e, balanced_partitions(e, 2, iters=0)).first()
+        after = edge_cut_stats(
+            e, balanced_partitions(e, 2, iters=3)).first()
+        # a clustered graph must end with a smaller cut than random hash
+        assert after["cut_fraction"] < before["cut_fraction"]
+        assert after["total_edges"] == len(edges)
+
+    def test_partitioning_invariance(self, spark):
+        edges = [(f"x{i}", f"x{(i * 3) % 11}") for i in range(25)]
+        e1 = spark.createDataFrame(edges, "u string, v string")
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        a = {r["id"]: r["part"]
+             for r in balanced_partitions(e1, 3, iters=2).collect()}
+        b = {r["id"]: r["part"]
+             for r in balanced_partitions(e1.repartition(9), 3,
+                                          iters=2).collect()}
+        assert a == b
+
+    def test_edge_cut_stats_known_values(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            edge_cut_stats)
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "u string, v string")
+        a = spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 1), ("d", 1)], "id string, part int")
+        row = edge_cut_stats(e, a).first()
+        assert (row["cut_edges"], row["total_edges"]) == (1, 3)
+        assert row["cut_fraction"] == round(1 / 3, 6)
+        assert (row["n_parts"], row["max_load"], row["min_load"]) == (2, 2, 2)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        e = spark.createDataFrame([("a", "b")], "u string, v string")
+        with _pt.raises(ValueError):
+            balanced_partitions(e, 1)
+        with _pt.raises(ValueError):
+            balanced_partitions(e, 4, iters=-1)
