@@ -42,6 +42,8 @@ or plain python:
     python -m neo4j_document_pipeline_spark betweenness --store <dir> [--pivots 64 --max-depth 12]  # shortest-path broker entities (Brandes-Pich)
     python -m neo4j_document_pipeline_spark closure --store <dir> [--rel TYPE]  # transitive reachability census (rdfs11-style)
     python -m neo4j_document_pipeline_spark transitions --events <parquet-dir>  # first-order Markov event-transition census
+    python -m neo4j_document_pipeline_spark partition --store <dir> [--parts 8 --iters N]  # balanced k-way graph partitioning + edge-cut evidence
+    python -m neo4j_document_pipeline_spark neighborhoods --store <dir> --seeds "Name1,Name2" [--fanouts 5,5]  # deterministic GraphSAGE computation graphs
 """
 
 from __future__ import annotations
@@ -128,7 +130,8 @@ def main(argv=None):
         "clustering", "harmonic", "summary", "conductance", "truss",
         "walks", "mixture", "spans", "semdedup", "scc",
         "cardinality", "negatives", "bpe", "diff", "split",
-        "betweenness", "closure", "transitions"])
+        "betweenness", "closure", "transitions", "partition",
+        "neighborhoods"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -216,6 +219,12 @@ def main(argv=None):
                     help="pagerank/reach: comma-separated entity NAMES — "
                          "pagerank restricts teleport to them "
                          "(personalized); reach walks outward from them")
+    ap.add_argument("--parts", type=int, default=8,
+                    help="partition: number of balanced partitions "
+                         "(default 8)")
+    ap.add_argument("--fanouts", default="5,5",
+                    help="neighborhoods: comma-separated per-hop "
+                         "fanouts (default 5,5)")
     ap.add_argument("--min-sim", type=float, default=0.1,
                     help="similar: drop pairs below this Jaccard")
     ap.add_argument("--sim-topk", type=int, default=None,
@@ -1841,6 +1850,51 @@ def main(argv=None):
         out = {n: store.vacuum(n) for n in names}
         print(json.dumps({"vacuumed": {k: v for k, v in out.items() if v}
                           or "nothing to remove"}, indent=1))
+    elif ns.command == "partition":
+        # Spinner-style balanced k-way partitioning over the KG edges,
+        # reported as before/after edge-cut censuses — the placement
+        # decision (and its evidence) for co-locating neighborhoods
+        # ahead of iterative analytics at scale
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions, edge_cut_stats)
+        e = _kg_edges(store)
+        if e.isEmpty():
+            sys.exit("partition: the store has no edges")
+        hash_assign = balanced_partitions(e, ns.parts, iters=0)
+        refined = balanced_partitions(e, ns.parts, iters=ns.iters)
+        before = edge_cut_stats(e, hash_assign).first().asDict()
+        after = edge_cut_stats(e, refined).first().asDict()
+        print(json.dumps({"parts": ns.parts, "iters": ns.iters,
+                          "hash_cut": before, "refined_cut": after}))
+    elif ns.command == "neighborhoods":
+        # deterministic GraphSAGE computation graphs for the named seed
+        # entities — the mini-batch sampling a GNN trainer consumes,
+        # reproducible across runs/partitionings by construction
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.kgtrain import (
+            sample_neighborhoods)
+        if not ns.seeds:
+            sys.exit("neighborhoods: --seeds entity names are required")
+        seed_ids = _resolve_seed_ids(store, ns.seeds.split(","))
+        if not seed_ids:
+            sys.exit(f"--seeds: no entity named any of {ns.seeds!r}")
+        try:
+            fanouts = [int(x) for x in ns.fanouts.split(",")]
+        except ValueError:
+            sys.exit(f"--fanouts must be comma-separated ints, "
+                     f"got {ns.fanouts!r}")
+        spark = store.spark
+        seeds = spark.createDataFrame([(s,) for s in seed_ids],
+                                      "id string")
+        out = sample_neighborhoods(_kg_edges(store).withColumnRenamed(
+            "u", "src").withColumnRenamed("v", "dst"), seeds, fanouts)
+        names = store.read("nodes").select(
+            F.col("entity_id").alias("dst"), F.col("name").alias("dst_name"))
+        rows = (out.join(names, "dst", "left")
+                .orderBy("root", "hop", "src", "dst").collect())
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
     elif ns.command == "drop":
         from neo4j_document_pipeline_spark.operators.admin import drop_all
         print(json.dumps(drop_all(store)))

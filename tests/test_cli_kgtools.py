@@ -85,3 +85,46 @@ class TestCliKgTools:
         from neo4j_document_pipeline_spark.__main__ import main
         with pytest.raises(SystemExit):
             main(["split", "--store", kgstore, "--fractions", "oops"])
+
+
+class TestCliPartitionNeighborhoods:
+    def test_partition_reports_both_cuts(self, kgstore, capsys):
+        out = _run(capsys, "partition", "--store", kgstore,
+                   "--parts", "4", "--iters", "2")
+        rep = json.loads(out.strip())
+        assert rep["parts"] == 4 and rep["iters"] == 2
+        for side in ("hash_cut", "refined_cut"):
+            c = rep[side]
+            assert c["total_edges"] > 0
+            assert 0.0 <= c["cut_fraction"] <= 1.0
+            assert c["n_parts"] <= 4
+        # refinement never reports a cut over a DIFFERENT edge set
+        assert (rep["hash_cut"]["total_edges"]
+                == rep["refined_cut"]["total_edges"])
+
+    def test_neighborhoods_sampled_trees(self, kgstore, capsys):
+        out = _run(capsys, "neighborhoods", "--store", kgstore,
+                   "--seeds", "Al-Khwarizmi", "--fanouts", "3,2")
+        rows = [json.loads(x) for x in out.strip().splitlines()]
+        assert rows
+        roots = {r["root"] for r in rows}
+        assert len(roots) == 1
+        by_hop_src = {}
+        for r in rows:
+            assert r["hop"] in (1, 2)
+            by_hop_src.setdefault((r["hop"], r["root"], r["src"]),
+                                  []).append(r["dst"])
+        for (hop, _, _), dsts in by_hop_src.items():
+            assert len(dsts) <= (3 if hop == 1 else 2)
+        # deterministic rerun: byte-identical output
+        out2 = _run(capsys, "neighborhoods", "--store", kgstore,
+                    "--seeds", "Al-Khwarizmi", "--fanouts", "3,2")
+        assert out2 == out
+
+    def test_neighborhoods_validation(self, kgstore, capsys):
+        import pytest as _pt
+        with _pt.raises(SystemExit):
+            _run(capsys, "neighborhoods", "--store", kgstore)
+        with _pt.raises(SystemExit):
+            _run(capsys, "neighborhoods", "--store", kgstore,
+                 "--seeds", "Al-Khwarizmi", "--fanouts", "a,b")
