@@ -1607,6 +1607,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return edge_cut_stats(edges, balanced_partitions(edges, 4, iters=2))
     q["partition_cut_parts"] = partition_cut_parts
 
+    def sq8_topk_vecs(spark, sf):
+        """Asymmetric SQ8 search (operators/similarity.py::sq8_topk):
+        the corpus resides as 8-bit codes (4x smaller than float32 —
+        the faiss SQ8 memory rung below IVFPQ), the query stays float,
+        scores are cosine(query, decode(codes)). The oracle replays the
+        IDENTICAL min/max codebook, floor(t*255+0.5) encode, and decode
+        in SQL — the quantization arithmetic itself is what's proven,
+        not a rerank that hides it."""
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            sq8_topk)
+        e = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return sq8_topk(e, "vec_id", "embedding", qv, 10, round_scores=4)
+    q["sq8_topk_vecs"] = sq8_topk_vecs
+
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
         'old' snapshot drops keys %7==0 and doubles totalprice on
@@ -4386,6 +4402,28 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "sq8_topk_vecs":
+            # identical SQ8 arithmetic: per-dim double min/max codebook,
+            # floor(t*255+0.5) encode clamped to 0..255 (degenerate dim
+            # -> 0), decode mn + c/255*span, cosine vs the float query
+            "WITH s AS (SELECT vec_id, list_transform(embedding, "
+            "  x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "dims AS (SELECT r.d AS d, min(v[r.d]) AS mn, "
+            "  max(v[r.d]) AS mx "
+            "  FROM s, unnest(range(1, 65)) AS r(d) GROUP BY r.d), "
+            "st AS (SELECT list(mn ORDER BY d) AS mins, "
+            "  list(mx - mn ORDER BY d) AS spans FROM dims), "
+            "dec AS (SELECT vec_id, list_transform(range(1, 65), "
+            "  d -> CASE WHEN spans[d] > 0 THEN mins[d] + "
+            "  greatest(0, least(255, CAST(floor((v[d] - mins[d]) "
+            "  / spans[d] * 255.0 + 0.5) AS BIGINT))) / 255.0 * spans[d] "
+            "  ELSE mins[d] END) AS dv FROM s, st), "
+            "q AS (SELECT list_transform(embedding, "
+            "  x -> CAST(x AS DOUBLE)) AS qv FROM embeddings "
+            "  WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(dv, qv), 4) "
+            "AS score FROM dec, q "
+            "ORDER BY score DESC, vec_id LIMIT 10",
         "balanced_partition_parts":
             f"WITH {_sql_balpart_ctes()} SELECT id, part FROM p2",
         "partition_cut_parts":

@@ -703,3 +703,90 @@ def reciprocal_best_match(left: DataFrame, right: DataFrame, *,
             .filter((F.col("_rl") == 1) & (F.col("_rr") == 1)))
     return best.select(F.col("_lid").alias(left_id),
                        F.col("_rid").alias(right_id), "score")
+
+
+def sq8_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook.
+    ONE posexplode + hash agg (map-combinable) + a bounded collect into
+    a 1-row frame; at 10^9 vectors this is a single pass. Values are
+    widened float->double BEFORE aggregation (float32 is exactly
+    representable in double, so min/max are exact and engine-portable).
+
+    Returns one row (mins array<double>, maxs array<double>)."""
+    per_dim = (df.select(F.posexplode(vec_col).alias("d", "x"))
+               .select("d", F.col("x").cast("double").alias("x"))
+               .groupBy("d").agg(F.min("x").alias("mn"),
+                                 F.max("x").alias("mx")))
+    return per_dim.agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("d", "mn"))), lambda s: s["mn"]).alias("mins"),
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("d", "mx"))), lambda s: s["mx"]).alias("maxs"))
+
+
+def sq8_encode(df: DataFrame, id_col: str, vec_col: str,
+               stats: DataFrame | None = None) -> DataFrame:
+    """8-bit scalar quantization (faiss SQ8): each dimension maps
+    linearly onto 0..255 between its corpus (min, max) — 4x smaller
+    than float32 residency with none of PQ's codebook training, the
+    standard first memory rung before IVFPQ. The rounding is the
+    engine-portable floor(t*255 + 0.5) (double arithmetic end to end);
+    a degenerate dimension (max == min) encodes to 0.
+
+    Returns (id, codes array<int>). Pass a precomputed ``stats``
+    (from :func:`sq8_stats`) to encode a delta batch against the
+    COMMITTED codebook — the incremental path must not re-derive
+    per-dim ranges from the batch, or old and new codes stop being
+    comparable."""
+    stats = sq8_stats(df, vec_col) if stats is None else stats
+    enc = F.zip_with(
+        F.zip_with(F.col(vec_col),
+                   F.col("mins"),
+                   lambda x, mn: x.cast("double") - mn),
+        F.zip_with(F.col("maxs"), F.col("mins"), lambda a, b: a - b),
+        lambda t, s: F.when(
+            s > 0,
+            F.greatest(F.lit(0), F.least(F.lit(255), F.floor(
+                t / s * 255.0 + 0.5).cast("int"))))
+        .otherwise(F.lit(0)))
+    return (df.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), enc.alias("codes")))
+
+
+def sq8_topk(df: DataFrame, id_col: str, vec_col: str,
+             query: list[float], k: int = 10,
+             round_scores: int | None = None) -> DataFrame:
+    """Asymmetric SQ8 search: the corpus lives as 8-bit codes, the
+    query stays float, scores are cosine(query, decode(codes)) —
+    exactly what a code-resident index serves, so the scores (and any
+    quantization error) are the REAL ones, bit-replayable by the
+    oracle. decode(c) = min_d + c/255·(max_d − min_d), double
+    arithmetic. orderBy+limit compiles to TakeOrderedAndProject."""
+    stats = sq8_stats(df, vec_col)
+    codes = sq8_encode(df, id_col, vec_col, stats)
+    # decode needs all three arrays; nest (min, span) into one zip_with
+    dec = F.zip_with(
+        F.col("codes"),
+        F.zip_with(F.col("mins"), F.col("maxs"),
+                   lambda mn, mx: F.struct(mn.alias("mn"),
+                                           (mx - mn).alias("span"))),
+        lambda c, s: s["mn"] + c.cast("double") / 255.0 * s["span"])
+    qn = float(np.sqrt(sum(float(x) * float(x) for x in query))) or 1.0
+    q = [float(x) for x in query]
+    dot = F.aggregate(
+        F.zip_with(dec, F.array(*[F.lit(x) for x in q]),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = F.sqrt(F.aggregate(
+        F.zip_with(dec, dec, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v))
+    score = F.when(nrm > 0, dot / (nrm * F.lit(qn))).otherwise(F.lit(0.0))
+    if round_scores is not None:
+        # round BEFORE the sort: near-tie scores that agree at the
+        # serving precision then order by id on every engine — the
+        # boundary of the top-k stops depending on last-ulp fma noise
+        score = F.round(score, round_scores)
+    return (codes.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

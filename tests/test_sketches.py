@@ -575,3 +575,74 @@ def test_kmv_set_ops_validation(spark):
     a = _sketch_of(spark, range(5), 8)
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_set_ops(a, a, "g", 1)
+
+
+class TestSQ8:
+    def _embs(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_codes_bounded_and_degenerate_dim_zero(self, spark):
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            sq8_encode)
+        df = self._embs(spark, [[0.0, 5.0, 1.0], [1.0, 5.0, 3.0],
+                                [0.5, 5.0, 2.0]])
+        rows = {r["vec_id"]: r["codes"] for r in
+                sq8_encode(df, "vec_id", "embedding").collect()}
+        for codes in rows.values():
+            assert all(0 <= c <= 255 for c in codes)
+            assert codes[1] == 0  # constant dim encodes to 0
+        assert rows[0][0] == 0 and rows[1][0] == 255  # range endpoints
+        assert rows[2][0] == 128  # floor(0.5*255+0.5)
+
+    def test_brute_parity_numpy(self, spark):
+        import numpy as np
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            sq8_topk)
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(40, 8).astype("float32")
+        q = [float(x) for x in rng.randn(8)]
+        df = self._embs(spark, vecs.tolist())
+        got = [(r["vec_id"], round(r["score"], 6))
+               for r in sq8_topk(df, "vec_id", "embedding", q, 5).collect()]
+        v = vecs.astype("float64")
+        mn, mx = v.min(axis=0), v.max(axis=0)
+        span = mx - mn
+        t = np.where(span > 0, (v - mn) / np.where(span > 0, span, 1), 0)
+        codes = np.clip(np.floor(t * 255.0 + 0.5), 0, 255)
+        dec = mn + codes / 255.0 * span
+        qa = np.array(q)
+        sc = dec @ qa / (np.linalg.norm(dec, axis=1)
+                         * np.linalg.norm(qa))
+        order = sorted(range(40), key=lambda i: (-sc[i], i))[:5]
+        want = [(i, round(float(sc[i]), 6)) for i in order]
+        assert got == want
+
+    def test_quantization_error_is_small_but_real(self, spark):
+        import numpy as np
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            brute_force_topk, sq8_topk)
+        rng = np.random.RandomState(9)
+        vecs = rng.randn(100, 16).astype("float32")
+        q = [float(x) for x in vecs[0]]
+        df = self._embs(spark, vecs.tolist())
+        exact = [r["vec_id"]
+                 for r in brute_force_topk(df, "vec_id", "embedding",
+                                           q, 10).collect()]
+        sq = [r["vec_id"]
+              for r in sq8_topk(df, "vec_id", "embedding", q, 10).collect()]
+        # 8-bit decode keeps >= 8/10 of the exact top-10 on gaussian data
+        assert len(set(exact) & set(sq)) >= 8
+        assert sq[0] == 0  # the query's own vector still wins
+
+    def test_committed_codebook_for_delta_batches(self, spark):
+        from neo4j_document_pipeline_spark.operators.similarity import (
+            sq8_encode, sq8_stats)
+        base = self._embs(spark, [[0.0, 0.0], [4.0, 8.0]])
+        stats = sq8_stats(base, "embedding").localCheckpoint()
+        delta = self._embs(spark, [[2.0, 4.0], [9.0, -1.0]])
+        rows = {r["vec_id"]: r["codes"] for r in
+                sq8_encode(delta, "vec_id", "embedding", stats).collect()}
+        assert rows[0] == [128, 128]  # midpoint of the COMMITTED range
+        assert rows[1] == [255, 0]    # out-of-range delta values clamp
