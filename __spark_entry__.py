@@ -1623,6 +1623,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sq8_topk(e, "vec_id", "embedding", qv, 10, round_scores=4)
     q["sq8_topk_vecs"] = sq8_topk_vecs
 
+    def roc_auc_orders(spark, sf):
+        """Exact tie-aware ROC-AUC (operators/evaluation.py::roc_auc)
+        of o_totalprice as a score for urgent orders — the rank-sum
+        form with ties at half credit; the aggregate-then-order shape
+        keeps the global sort on |distinct scores| rows. Oracle runs
+        the identical per-score window arithmetic."""
+        from neo4j_document_pipeline_spark.operators.evaluation import (
+            roc_auc)
+        o = _t(spark, sf, "orders").select(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+            .alias("label"),
+            F.round("o_totalprice", -3).alias("score"))
+        out = roc_auc(o)
+        return out.select(F.round("auc", 6).alias("auc"),
+                          "positives", "negatives")
+    q["roc_auc_orders"] = roc_auc_orders
+
+    def chi2_lang_terms(spark, sf):
+        """Chi-squared term selection (operators/classify.py::
+        chi2_terms): top-5 class-discriminative terms per language over
+        the documents table, exact-integer contingency counts incl. the
+        absent-term grid (a=0 terms CAN top a class). Oracle replays
+        the full grid and the (chi2 DESC, term) window."""
+        from neo4j_document_pipeline_spark.operators.classify import (
+            chi2_terms)
+        out = chi2_terms(_t(spark, sf, "documents"), "doc_id", "text",
+                         "lang", top_k=5, min_doc_freq=2)
+        return out.select("label", "term",
+                          F.round("chi2", 6).alias("chi2"),
+                          "a", "df_t", "n_class")
+    q["chi2_lang_terms"] = chi2_lang_terms
+
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
         'old' snapshot drops keys %7==0 and doubles totalprice on
@@ -4402,6 +4434,55 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "roc_auc_orders":
+            # identical aggregated Mann-Whitney form: per-score (p, n),
+            # negatives strictly below via a running window, ties n/2
+            "WITH base AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' "
+            "  THEN 1 ELSE 0 END AS lab, round(o_totalprice, -3) AS s "
+            "  FROM orders), "
+            "per AS (SELECT s, sum(lab)::BIGINT AS p, "
+            "  sum(1 - lab)::BIGINT AS n FROM base GROUP BY s), "
+            "c AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY s "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "  AS nb FROM per) "
+            "SELECT round(sum(p::DOUBLE * (nb::DOUBLE + n::DOUBLE / 2.0)) "
+            "  / (sum(p) * sum(n))::DOUBLE, 6) AS auc, "
+            "sum(p)::BIGINT AS positives, sum(n)::BIGINT AS negatives "
+            "FROM c",
+        "chi2_lang_terms":
+            # identical full-grid contingency arithmetic in exact ints,
+            # chi2 = N*diff*diff/den as the same double expression
+            "WITH base AS (SELECT doc_id, lang, "
+            f"  list_distinct({_SQL_TOKENS}) AS toks FROM documents "
+            "  WHERE lang IS NOT NULL), "
+            "nn AS (SELECT count(*)::BIGINT AS n_total FROM base), "
+            "cls AS (SELECT lang AS label, count(*)::BIGINT AS n_class "
+            "  FROM base GROUP BY 1), "
+            "tl AS (SELECT tok AS term, lang AS label, "
+            "  count(*)::BIGINT AS a FROM ("
+            "  SELECT doc_id, lang, unnest(toks) AS tok FROM base) "
+            "  GROUP BY 1, 2), "
+            "dft AS (SELECT term, sum(a)::BIGINT AS df_t FROM tl "
+            "  GROUP BY term HAVING sum(a) >= 2), "
+            "grid AS (SELECT dft.term, cls.label, dft.df_t, "
+            "  cls.n_class, coalesce(tl.a, 0)::BIGINT AS a "
+            "  FROM dft CROSS JOIN cls LEFT JOIN tl "
+            "  ON tl.term = dft.term AND tl.label = cls.label), "
+            "sc AS (SELECT label, term, a, df_t, n_class, "
+            "  CASE WHEN (df_t) * (n_total - df_t) * (n_class) "
+            "    * (n_total - n_class) > 0 THEN "
+            "  n_total::DOUBLE "
+            "  * (a * (n_total - df_t - n_class + a) "
+            "     - (df_t - a) * (n_class - a))::DOUBLE "
+            "  * (a * (n_total - df_t - n_class + a) "
+            "     - (df_t - a) * (n_class - a))::DOUBLE "
+            "  / ((df_t) * (n_total - df_t) * (n_class) "
+            "     * (n_total - n_class))::DOUBLE ELSE 0.0 END AS chi2 "
+            "  FROM grid CROSS JOIN nn) "
+            "SELECT label, term, round(chi2, 6) AS chi2, a, df_t, "
+            "n_class FROM (SELECT *, row_number() OVER ("
+            "  PARTITION BY label ORDER BY chi2 DESC, term) AS rn "
+            "  FROM sc) WHERE rn <= 5",
         "sq8_topk_vecs":
             # identical SQ8 arithmetic: per-dim double min/max codebook,
             # floor(t*255+0.5) encode clamped to 0..255 (degenerate dim

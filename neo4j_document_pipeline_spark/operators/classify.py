@@ -19,7 +19,7 @@ the model table — no iteration, no driver actions, nothing quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from neo4j_document_pipeline_spark.functions.textstats import col_tokens
@@ -145,3 +145,62 @@ def nb_best_class(scores: DataFrame, id_col: str) -> DataFrame:
             .join(runner, id_col, "left")
             .select(id_col, "label", "n_hit", "score",
                     (F.col("score") - F.col("_second")).alias("margin")))
+
+
+def chi2_terms(docs: DataFrame, id_col: str, text_col: str,
+               label_col: str, *, top_k: int = 20,
+               min_doc_freq: int = 2) -> DataFrame:
+    """Chi-squared feature selection (one-vs-rest, document presence):
+    for every (term, class), the 2x2 contingency of "doc contains
+    term" x "doc is in class" scored as
+    chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the classic vocab
+    pruner before training a quality/language classifier (Yang &
+    Pedersen 1997), and a corpus-drift probe (which terms became
+    class-discriminative between snapshots). Everything up to the
+    final division is EXACT integer counting, so the ranking is
+    bit-replayable.
+
+    Scale: one explode + (term, label) count (map-combinable), per-term
+    and per-class marginals by re-aggregation (never a second corpus
+    scan), a broadcast of the class totals (|classes| rows), and a
+    per-class top-k window over the VOCAB-sized score table.
+    ``min_doc_freq`` drops hapax terms before scoring (a term in one
+    document always looks perfectly discriminative; it's noise).
+
+    Returns (label, term, chi2, a, df_t, n_class) — ``a`` docs of the
+    class containing the term, ``df_t`` total docs containing it —
+    top_k rows per class, ties chi2 DESC then term ASC."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(label_col).alias("label"),
+                       F.array_distinct(col_tokens(F.col(text_col)))
+                       .alias("toks")) \
+        .filter(F.col("label").isNotNull())
+    n1 = base.agg(F.count(F.lit(1)).alias("n_total"))
+    cls = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_class"))
+    tl = (base.select("label", F.explode("toks").alias("term"))
+          .groupBy("term", "label").agg(F.count(F.lit(1)).alias("a")))
+    df_t = (tl.groupBy("term").agg(F.sum("a").alias("df_t"))
+            .filter(F.col("df_t") >= min_doc_freq))
+    # full (term x class) grid: a term ABSENT from a class can still be
+    # that class's most discriminative signal (a=0, b=df_t); the
+    # observed (term, label) counts alone would silently skip it
+    scored = (df_t.crossJoin(F.broadcast(cls))
+              .join(tl, ["term", "label"], "left")
+              .withColumn("a", F.coalesce("a", F.lit(0)))
+              .crossJoin(F.broadcast(n1)))
+    a = F.col("a")
+    b = F.col("df_t") - a
+    c = F.col("n_class") - a
+    d = F.col("n_total") - F.col("df_t") - F.col("n_class") + a
+    diff = (a * d - b * c).cast("double")
+    num = F.col("n_total").cast("double") * diff * diff
+    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    scored = scored.select(
+        "label", "term",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("chi2"),
+        "a", "df_t", "n_class")
+    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k).drop("_rn"))

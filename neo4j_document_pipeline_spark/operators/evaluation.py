@@ -155,3 +155,46 @@ def calibration_bins(scored: DataFrame, *,
                  .alias("accuracy"))
             .withColumn("abs_gap",
                         F.abs(F.col("confidence") - F.col("accuracy"))))
+
+
+def roc_auc(scored: DataFrame, *, label_col: str = "label",
+            score_col: str = "score") -> DataFrame:
+    """EXACT ROC-AUC (the Mann-Whitney U form, ties at half credit):
+    AUC = Σ_s  p_s · (N_<s + n_s/2)  / (P·N)  where p_s/n_s are the
+    positive/negative counts AT score s and N_<s the negatives strictly
+    below — the probability a random positive outranks a random
+    negative. This is the classifier-quality number behind every
+    "quality filter at threshold θ" decision; ECE (calibration_bins)
+    says whether scores are honest, AUC says whether they ORDER.
+
+    Scale: one map-combinable (score -> p, n) aggregate first, THEN a
+    running window over the DISTINCT-score table — the global sort
+    touches |distinct scores| rows (thousands), never the corpus. An
+    exact AUC needs a total order over scores; aggregating before
+    ordering is what keeps that from being a corpus-wide
+    single-partition sort.
+
+    Returns ONE row (auc double, positives long, negatives long).
+    Raises if either class is absent — AUC is undefined, and a silent
+    0.5 would hide a broken upstream label join."""
+    per = (scored.groupBy(F.col(score_col).alias("s"))
+           .agg(F.sum(F.col(label_col).cast("long")).alias("p"),
+                F.sum(F.lit(1) - F.col(label_col).cast("long"))
+                .alias("n")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per.select(
+        "p", "n",
+        (F.col("p").cast("double")
+         * (F.coalesce(F.sum("n").over(w), F.lit(0)).cast("double")
+            + F.col("n").cast("double") / 2.0)).alias("c"))
+    out = contrib.agg(F.sum("p").alias("positives"),
+                      F.sum("n").alias("negatives"),
+                      F.sum("c").alias("num"))
+    return out.select(
+        F.when((F.col("positives") > 0) & (F.col("negatives") > 0),
+               F.col("num") / (F.col("positives")
+                               * F.col("negatives")).cast("double"))
+        .otherwise(F.raise_error(F.lit(
+            "roc_auc: need at least one positive and one negative "
+            "label"))).alias("auc"),
+        "positives", "negatives")

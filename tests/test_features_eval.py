@@ -153,3 +153,112 @@ class TestKlNovelty:
         got = {r["doc_id"] for r in
                kl_novelty_scores(df, "doc_id", "text").collect()}
         assert got == {1}
+
+
+class TestRocAuc:
+    def _auc(self, spark, rows):
+        from neo4j_document_pipeline_spark.operators.evaluation import (
+            roc_auc)
+        df = spark.createDataFrame(rows, "label int, score double")
+        return roc_auc(df).first()
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+        r = self._auc(spark, perfect)
+        assert r["auc"] == 1.0
+        assert (r["positives"], r["negatives"]) == (2, 2)
+        inverted = [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)]
+        assert self._auc(spark, inverted)["auc"] == 0.0
+
+    def test_ties_get_half_credit(self, spark):
+        # one positive and one negative at the SAME score: AUC 0.5
+        assert self._auc(spark, [(1, 0.5), (0, 0.5)])["auc"] == 0.5
+
+    def test_brute_parity_random(self, spark):
+        import random
+        rng = random.Random(13)
+        rows = [(rng.randint(0, 1), round(rng.random(), 2))
+                for _ in range(200)]
+        if not any(l for l, _ in rows):
+            rows[0] = (1, rows[0][1])
+        got = self._auc(spark, rows)["auc"]
+        pos = [s for l, s in rows if l == 1]
+        neg = [s for l, s in rows if l == 0]
+        u = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                for p in pos for n in neg)
+        assert abs(got - u / (len(pos) * len(neg))) < 1e-12
+
+    def test_single_class_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+        import pytest as _pt
+        with _pt.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                        match="roc_auc|raise_error|RAISE_ERROR|one positive"):
+            self._auc(spark, [(1, 0.5), (1, 0.7)])
+
+
+class TestChi2Terms:
+    def test_known_discriminative_terms(self, spark):
+        from neo4j_document_pipeline_spark.operators.classify import (
+            chi2_terms)
+        rows = []
+        for i in range(10):
+            rows.append((i, "paris baguette seine common", "fr"))
+        for i in range(10, 20):
+            rows.append((i, "london thames tube common", "en"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = chi2_terms(df, "doc_id", "text", "lang", top_k=6)
+        by_label = {}
+        for r in out.collect():
+            by_label.setdefault(r["label"], []).append(r)
+        markers = {"paris", "baguette", "seine", "london", "thames", "tube"}
+        # all six class markers are perfectly discriminative for BOTH
+        # classes (chi2 is symmetric in presence/absence): chi2 = N = 20,
+        # present ones with a=10, the other class's with a=0
+        for lab, terms in by_label.items():
+            assert len(terms) == 6
+            assert {t["term"] for t in terms} == markers
+            for t in terms:
+                assert t["chi2"] == 20.0 and t["df_t"] == 10
+                assert t["a"] in (0, 10)
+        # 'common' appears everywhere -> chi2 0, never in the top-6
+        assert all(r["term"] != "common"
+                   for rs in by_label.values() for r in rs)
+
+    def test_brute_parity_random(self, spark):
+        import random
+        rng = random.Random(21)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.sample(vocab, rng.randint(2, 6))),
+                 rng.choice(["a", "b"])) for i in range(40)]
+        from neo4j_document_pipeline_spark.operators.classify import (
+            chi2_terms)
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {(r["label"], r["term"]): round(r["chi2"], 9)
+               for r in chi2_terms(df, "doc_id", "text", "lang",
+                                   top_k=1000, min_doc_freq=1).collect()}
+        n = len(rows)
+        docs = [(set(t.split()), l) for _, t, l in rows]
+        labels = {l for _, l in docs}
+        terms = {w for s, _ in docs for w in s}
+        want = {}
+        for lab in labels:
+            n_c = sum(1 for _, l in docs if l == lab)
+            for t in terms:
+                df_t = sum(1 for s, _ in docs if t in s)
+                a = sum(1 for s, l in docs if t in s and l == lab)
+                b, c, d = df_t - a, n_c - a, n - df_t - n_c + a
+                den = (a + b) * (c + d) * (a + c) * (b + d)
+                chi = n * (a * d - b * c) ** 2 / den if den else 0.0
+                want[(lab, t)] = round(chi, 9)
+        assert got == want
+
+    def test_min_doc_freq_drops_hapax(self, spark):
+        from neo4j_document_pipeline_spark.operators.classify import (
+            chi2_terms)
+        df = spark.createDataFrame(
+            [(1, "unique shared", "a"), (2, "shared", "b")],
+            "doc_id long, text string, lang string")
+        out = chi2_terms(df, "doc_id", "text", "lang", top_k=10,
+                         min_doc_freq=2)
+        assert {r["term"] for r in out.collect()} == {"shared"}
