@@ -1655,6 +1655,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "a", "df_t", "n_class")
     q["chi2_lang_terms"] = chi2_lang_terms
 
+    def psi_lang_drift(spark, sf):
+        """PSI distribution drift (operators/profile.py::psi_drift) of
+        the language mix between the even- and odd-id document halves —
+        the per-batch monitoring census of a continuously-ingesting
+        corpus. Smoothed per-category (p-q)·ln(p/q) terms; the oracle
+        replays the identical null-safe union + smoothing arithmetic."""
+        from neo4j_document_pipeline_spark.operators.profile import (
+            psi_drift)
+        d = _t(spark, sf, "documents")
+        out = psi_drift(d.filter(F.col("doc_id") % 2 == 0),
+                        d.filter(F.col("doc_id") % 2 == 1), "lang")
+        return out.select("category", "n_base", "n_cur",
+                          F.round("p_base", 6).alias("p_base"),
+                          F.round("p_cur", 6).alias("p_cur"),
+                          F.round("psi_term", 6).alias("psi_term"))
+    q["psi_lang_drift"] = psi_lang_drift
+
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
         'old' snapshot drops keys %7==0 and doubles totalprice on
@@ -4434,6 +4451,27 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "psi_lang_drift":
+            # identical arithmetic: per-side category counts, null-safe
+            # full outer, Laplace 0.5 smoothing over the union size k
+            "WITH b AS (SELECT lang AS category, count(*)::BIGINT AS "
+            "  n_base FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "c AS (SELECT lang AS category, count(*)::BIGINT AS n_cur "
+            "  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), "
+            "j AS (SELECT coalesce(b.category, c.category) AS category, "
+            "  coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur "
+            "  FROM b FULL OUTER JOIN c "
+            "  ON b.category IS NOT DISTINCT FROM c.category), "
+            "t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc, "
+            "  count(*) AS k FROM j) "
+            "SELECT category, n_base, n_cur, "
+            "round((n_base + 0.5) / (tb + 0.5 * k), 6) AS p_base, "
+            "round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur, "
+            "round(((n_base + 0.5) / (tb + 0.5 * k) "
+            "  - (n_cur + 0.5) / (tc + 0.5 * k)) "
+            "  * ln(((n_base + 0.5) / (tb + 0.5 * k)) "
+            "  / ((n_cur + 0.5) / (tc + 0.5 * k))), 6) AS psi_term "
+            "FROM j, t",
         "roc_auc_orders":
             # identical aggregated Mann-Whitney form: per-score (p, n),
             # negatives strictly below via a running window, ties n/2

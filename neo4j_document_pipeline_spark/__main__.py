@@ -44,6 +44,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark transitions --events <parquet-dir>  # first-order Markov event-transition census
     python -m neo4j_document_pipeline_spark partition --store <dir> [--parts 8 --iters N]  # balanced k-way graph partitioning + edge-cut evidence
     python -m neo4j_document_pipeline_spark neighborhoods --store <dir> --seeds "Name1,Name2" [--fanouts 5,5]  # deterministic GraphSAGE computation graphs
+    python -m neo4j_document_pipeline_spark drift --store <dir> documents lang [v_old v_new]  # PSI distribution drift between snapshots
 """
 
 from __future__ import annotations
@@ -131,7 +132,7 @@ def main(argv=None):
         "walks", "mixture", "spans", "semdedup", "scc",
         "cardinality", "negatives", "bpe", "diff", "split",
         "betweenness", "closure", "transitions", "partition",
-        "neighborhoods"])
+        "neighborhoods", "drift"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--store", required=True)
     ap.add_argument("--pages", default=None,
@@ -1850,6 +1851,59 @@ def main(argv=None):
         out = {n: store.vacuum(n) for n in names}
         print(json.dumps({"vacuumed": {k: v for k, v in out.items() if v}
                           or "nothing to remove"}, indent=1))
+    elif ns.command == "drift":
+        # PSI distribution drift of a column between two committed
+        # snapshot versions: `drift <table> <col> <v_old> <v_new>`
+        # (or omit versions to compare the two newest retained) — the
+        # per-batch monitoring alarm for a continuously-ingesting store
+        from pyspark.sql import functions as F
+
+        from neo4j_document_pipeline_spark.operators.profile import (
+            psi_drift)
+        if len(ns.args) not in (2, 4):
+            sys.exit("drift: usage — drift <table> <col> "
+                     "[<old_ver> <new_ver>]")
+        table, col = ns.args[0], ns.args[1]
+        if len(ns.args) == 4:
+            v_old, v_new = ns.args[2], ns.args[3]
+        else:
+            hist = store.history(table)
+            cur = store.manifest(table)
+            vers = [h["version"] for h in hist]
+            if cur and cur["version"] not in vers:
+                vers.append(cur["version"])
+            # newest two RETAINED snapshots (history also lists expired)
+            readable = []
+            for v in reversed(vers):
+                try:
+                    store.read_version(table, v)
+                    readable.append(v)
+                except FileNotFoundError:
+                    continue
+                if len(readable) == 2:
+                    break
+            if len(readable) < 2:
+                sys.exit(f"drift: {table} has fewer than two retained "
+                         "snapshots; pass versions explicitly")
+            v_new, v_old = readable
+        old = store.read_version(table, v_old)
+        new = store.read_version(table, v_new)
+        if col not in old.columns or col not in new.columns:
+            sys.exit(f"drift: column {col!r} not in both snapshots")
+        terms = (psi_drift(old, new, col)
+                 .orderBy(F.desc(F.abs(F.col("psi_term"))), "category")
+                 .collect())
+        psi = sum(r["psi_term"] for r in terms)
+        verdict = ("stable" if psi < 0.1
+                   else "drifting" if psi < 0.25 else "broken")
+        print(json.dumps({
+            "table": table, "column": col, "v_old": v_old,
+            "v_new": v_new, "psi": round(psi, 6), "verdict": verdict,
+            "top_terms": [
+                {"category": r["category"], "n_base": r["n_base"],
+                 "n_cur": r["n_cur"],
+                 "psi_term": round(r["psi_term"], 6)}
+                for r in terms[:ns.limit]]}))
     elif ns.command == "partition":
         # Spinner-style balanced k-way partitioning over the KG edges,
         # reported as before/after edge-cut censuses — the placement

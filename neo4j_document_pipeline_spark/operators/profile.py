@@ -89,3 +89,53 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None, *,
                 "min_str", "max_str", "min_num", "max_num",
                 F.when(F.col("_dn") > 0,
                        F.col("_dsum") / F.col("_dn")).alias("mean_num")))
+
+
+def psi_drift(baseline: DataFrame, current: DataFrame, col: str, *,
+              smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between two snapshots of a
+    CATEGORICAL column — the drift alarm a continuously-ingesting
+    corpus runs per batch (language mix shifting, a domain suddenly
+    dominating, a quality-label distribution sliding): per category
+    (p - q)·ln(p/q), summed; the banking-scorecard convention reads
+    < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken.
+
+    Categories are the UNION of both sides; counts get ``smoothing``
+    added (Laplace) so a category present in exactly one side —
+    precisely the drift you most want to catch — contributes a finite
+    term instead of ±inf. Proportions use the smoothed totals, so each
+    side's p's still sum to 1 and the index stays exactly replayable:
+    two hash aggregates (map-combinable), a category-sized full-outer
+    join, one sum. NULL category is a real category (nulls appearing
+    IS drift).
+
+    Returns per-category rows (category, n_base, n_cur, p_base, p_cur,
+    psi_term) — sum psi_term for the index; keeping terms visible shows
+    WHICH categories moved, which is the actionable half."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    key = F.col(col).cast("string")
+    b = (baseline.groupBy(key.alias("category"))
+         .agg(F.count(F.lit(1)).alias("n_base")))
+    c = (current.groupBy(key.alias("category"))
+         .agg(F.count(F.lit(1)).alias("n_cur")))
+    # null-safe join: a NULL category is one category, not two
+    # unmatched rows (nulls APPEARING on one side is exactly the drift
+    # this exists to catch)
+    both = (b.join(c, b["category"].eqNullSafe(c["category"]),
+                   "full_outer")
+            .select(F.coalesce(b["category"], c["category"])
+                    .alias("category"),
+                    F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                    F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = both.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"))
+    s = F.lit(float(smoothing))
+    out = both.crossJoin(F.broadcast(tot))
+    p = (F.col("n_base") + s) / (F.col("tb") + s * F.col("k"))
+    q = (F.col("n_cur") + s) / (F.col("tc") + s * F.col("k"))
+    return out.select(
+        "category", "n_base", "n_cur",
+        p.alias("p_base"), q.alias("p_cur"),
+        ((p - q) * F.log(p / q)).alias("psi_term"))

@@ -128,3 +128,32 @@ class TestCliPartitionNeighborhoods:
         with _pt.raises(SystemExit):
             _run(capsys, "neighborhoods", "--store", kgstore,
                  "--seeds", "Al-Khwarizmi", "--fanouts", "a,b")
+
+
+class TestCliDrift:
+    def test_drift_between_snapshots(self, kgstore, capsys, spark):
+        # create a second snapshot of documents_final by re-ingesting
+        # incrementally with different synth pages
+        from neo4j_document_pipeline_spark.__main__ import main
+        main(["ingest", "--pages", "synth:60", "--incremental",
+              "--keep-versions", "3", "--store", kgstore])
+        capsys.readouterr()
+        out = _run(capsys, "drift", "--store", kgstore,
+                   "documents_final", "n_chunks")
+        rep = json.loads(out.strip())
+        assert rep["table"] == "documents_final" and rep["column"] == "n_chunks"
+        assert rep["verdict"] in ("stable", "drifting", "broken")
+        assert isinstance(rep["psi"], float)
+        assert rep["top_terms"]
+        # explicit-version form agrees with the implicit newest-two form
+        out2 = _run(capsys, "drift", "--store", kgstore,
+                    "documents_final", "n_chunks", rep["v_old"], rep["v_new"])
+        assert json.loads(out2.strip()) == rep
+
+    def test_drift_validation(self, kgstore, capsys):
+        import pytest as _pt
+        with _pt.raises(SystemExit):
+            _run(capsys, "drift", "--store", kgstore, "documents_final")
+        with _pt.raises(SystemExit):
+            _run(capsys, "drift", "--store", kgstore,
+                 "documents_final", "no_such_col")

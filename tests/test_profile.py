@@ -86,3 +86,49 @@ class TestProfileColumns:
             profile_columns(df, ["nope"])
         with pytest.raises(ValueError):
             profile_columns(df, [])
+
+
+class TestPsiDrift:
+    def _run(self, spark, base, cur, **kw):
+        from neo4j_document_pipeline_spark.operators.profile import (
+            psi_drift)
+        b = spark.createDataFrame([(x,) for x in base], "lang string")
+        c = spark.createDataFrame([(x,) for x in cur], "lang string")
+        return psi_drift(b, c, "lang", **kw)
+
+    def test_identical_distributions_are_zero(self, spark):
+        rows = ["en"] * 6 + ["de"] * 3 + ["zh"]
+        out = self._run(spark, rows, rows).collect()
+        assert all(abs(r["psi_term"]) < 1e-12 for r in out)
+
+    def test_brute_parity_and_new_category(self, spark):
+        import math
+        base = ["en"] * 8 + ["de"] * 2
+        cur = ["en"] * 5 + ["de"] * 2 + ["ru"] * 3  # ru is NEW
+        out = {r["category"]: r for r in
+               self._run(spark, base, cur, smoothing=0.5).collect()}
+        k, s = 3, 0.5
+        tb, tc = len(base), len(cur)
+        for cat in ("en", "de", "ru"):
+            nb = base.count(cat)
+            nc = cur.count(cat)
+            p = (nb + s) / (tb + s * k)
+            q = (nc + s) / (tc + s * k)
+            want = (p - q) * math.log(p / q)
+            assert abs(out[cat]["psi_term"] - want) < 1e-12, cat
+            assert (out[cat]["n_base"], out[cat]["n_cur"]) == (nb, nc)
+        # the vanished/new category carries the largest drift term
+        assert out["ru"]["psi_term"] == max(r["psi_term"]
+                                            for r in out.values())
+
+    def test_null_is_one_category(self, spark):
+        out = self._run(spark, ["en", None], ["en", None, None]).collect()
+        cats = [r["category"] for r in out]
+        assert cats.count(None) == 1
+        nullrow = next(r for r in out if r["category"] is None)
+        assert (nullrow["n_base"], nullrow["n_cur"]) == (1, 2)
+
+    def test_smoothing_validation(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._run(spark, ["a"], ["a"], smoothing=0.0)
