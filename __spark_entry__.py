@@ -129,6 +129,46 @@ _SQL_TOKENS = (
 )
 
 
+def _sql_matching_ctes(rounds: int = 4) -> str:
+    """Unrolled Luby maximal-matching rounds as DuckDB CTE text (no
+    leading WITH) over the bounded part co-purchase graph (l_orderkey
+    < 400) — the bit-exact replay of operators/graphalgo.py
+    maximal_matching: canonical edges, priority sha256('v1:u|v')||
+    ':u|v', an edge selected when its priority is the min at BOTH
+    endpoints, matched endpoints retire. Selections land in sel0..
+    sel{rounds-1}; ``pe{rounds}`` must be empty (the convergence
+    guard the consuming query asserts)."""
+    parts = [
+        "li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        "WHERE l_orderkey < 400), "
+        # STRING-canonical (least, greatest) like _undirected — the
+        # numeric a<b join order does not survive the varchar cast
+        "me AS MATERIALIZED (SELECT DISTINCT "
+        "least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u, "
+        "greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        "pe0 AS MATERIALIZED (SELECT u, v, "
+        "sha256('v1:' || u || '|' || v) || ':' || u || '|' || v AS p "
+        "FROM me)"]
+    for r in range(rounds):
+        parts.append(
+            f"mn{r} AS (SELECT id, min(p) AS mp FROM ("
+            f"SELECT u AS id, p FROM pe{r} "
+            f"UNION ALL SELECT v, p FROM pe{r}) GROUP BY id), "
+            f"sel{r} AS (SELECT e.u, e.v FROM pe{r} e "
+            f"JOIN mn{r} a ON a.id = e.u AND a.mp = e.p "
+            f"JOIN mn{r} b ON b.id = e.v AND b.mp = e.p), "
+            f"rm{r} AS (SELECT u AS id FROM sel{r} "
+            f"UNION SELECT v FROM sel{r}), "
+            f"pe{r + 1} AS MATERIALIZED (SELECT e.u, e.v, e.p "
+            f"FROM pe{r} e "
+            f"LEFT JOIN rm{r} x ON x.id = e.u "
+            f"LEFT JOIN rm{r} y ON y.id = e.v "
+            f"WHERE x.id IS NULL AND y.id IS NULL)")
+    return ", ".join(parts)
+
+
 def _sql_balpart_ctes() -> str:
     """Unrolled 2-round Spinner-style balanced partitioning as DuckDB
     CTE text (no leading WITH) over the bounded part co-purchase graph
@@ -1671,6 +1711,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("p_cur", 6).alias("p_cur"),
                           F.round("psi_term", 6).alias("psi_term"))
     q["psi_lang_drift"] = psi_lang_drift
+
+    def _matching_edges(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 400)
+        return (li.alias("a").join(li.alias("b"),
+                                   (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                .select(F.col("a.l_partkey").cast("string").alias("u"),
+                        F.col("b.l_partkey").cast("string").alias("v"))
+                .distinct())
+
+    def matching_parts(spark, sf):
+        """Deterministic Luby maximal matching (operators/graphalgo.py::
+        maximal_matching) over the bounded part co-purchase graph —
+        the pairing step of multilevel coarsening. The oracle unrolls
+        4 rounds with the identical edge-priority argmin and returns
+        ZERO rows unless the active set is empty after round 4 (loud
+        convergence guard, the k_core/k_truss honesty contract)."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            maximal_matching)
+        return maximal_matching(_matching_edges(spark, sf))
+    q["matching_parts"] = matching_parts
+
+    def coarsen_parts(spark, sf):
+        """One multilevel-coarsening contraction (operators/
+        graphalgo.py::coarsen_graph) over the same graph: matched pairs
+        collapse to their string-least endpoint, coarse edge weights
+        count the original canonical edges they aggregate."""
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            coarsen_graph)
+        coarse, _ = coarsen_graph(_matching_edges(spark, sf))
+        return coarse
+    q["coarsen_parts"] = coarsen_parts
 
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
@@ -4451,6 +4523,29 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN d y ON y.doc_id = p.id2) "
             "SELECT id1, id2, n1, n2, round(jac, 6) AS jaccard "
             "FROM v WHERE jac >= 0.9",
+        "matching_parts":
+            f"WITH {_sql_matching_ctes(6)} "
+            "SELECT u, v, round FROM ("
+            + " UNION ALL ".join(
+                f"SELECT u, v, {r} AS round FROM sel{r}"
+                for r in range(6))
+            + ") WHERE (SELECT count(*) FROM pe6) = 0",
+        "coarsen_parts":
+            f"WITH {_sql_matching_ctes(6)}, "
+            "m AS (SELECT u, v FROM ("
+            + " UNION ALL ".join(
+                f"SELECT u, v FROM sel{r}" for r in range(6))
+            + ") WHERE (SELECT count(*) FROM pe6) = 0), "
+            "pm AS (SELECT u AS id, least(u, v) AS s FROM m "
+            "  UNION ALL SELECT v, least(u, v) FROM m), "
+            "nodes AS (SELECT DISTINCT u AS id FROM me "
+            "  UNION SELECT v FROM me), "
+            "nm AS (SELECT nodes.id, coalesce(pm.s, nodes.id) AS s "
+            "  FROM nodes LEFT JOIN pm ON pm.id = nodes.id) "
+            "SELECT least(a.s, b.s) AS u, greatest(a.s, b.s) AS v, "
+            "count(*)::BIGINT AS weight FROM me "
+            "JOIN nm a ON a.id = me.u JOIN nm b ON b.id = me.v "
+            "WHERE a.s <> b.s GROUP BY 1, 2",
         "psi_lang_drift":
             # identical arithmetic: per-side category counts, null-safe
             # full outer, Laplace 0.5 smoothing over the union size k

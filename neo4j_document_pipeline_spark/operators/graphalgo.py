@@ -1840,3 +1840,103 @@ def betweenness_centrality(edges: DataFrame,
                     * (F.col("_n") - 2.0)))
     return out.select(F.col("v").alias("id"),
                       score.alias("betweenness"))
+
+
+def maximal_matching(edges: DataFrame, salt: str = "v1",
+                     max_iters: int = 20) -> DataFrame:
+    """Deterministic Luby-style MAXIMAL MATCHING -> (u, v, round): a
+    set of vertex-disjoint edges no further edge can join — the edge
+    twin of :func:`maximal_independent_set` and the pairing step of
+    multilevel graph coarsening (match -> contract -> partition the
+    small graph -> project back, the METIS scheme; see
+    :func:`coarsen_graph`). Also the conflict-free pairing primitive
+    (merge-candidate pairs where each record may merge at most once
+    per pass).
+
+    Each canonical edge gets the priority sha256('salt:u|v')||':u|v'
+    (globally unique -> total order, a pure function of the edge set);
+    per round, an edge whose priority beats every other ACTIVE edge at
+    BOTH endpoints is selected — equivalently p == min over u's edges
+    AND min over v's edges, since the order is total — and matched
+    endpoints retire. Expected O(log n) rounds (Luby's analysis);
+    ``max_iters`` raises loudly, never a silent partial matching.
+
+    Scale per round: one explode to per-endpoint rows, one
+    map-combinable min agg, one join back, two anti-joins — O(m)
+    shuffled rows on node keys, lineage truncated per round."""
+    und = _undirected(edges).localCheckpoint()
+    pe = und.select(
+        "u", "v",
+        F.concat(F.sha2(F.concat(F.lit(f"{salt}:"), F.col("u"),
+                                 F.lit("|"), F.col("v")), 256),
+                 F.lit(":"), F.col("u"), F.lit("|"), F.col("v"))
+        .alias("p")).localCheckpoint()
+    picked = []
+    for rnd in range(max_iters):
+        if pe.isEmpty():
+            if not picked:
+                return und.select(
+                    "u", "v", F.lit(0).alias("round")).filter(F.lit(False))
+            out = picked[0]
+            for df in picked[1:]:
+                out = out.union(df)
+            return out
+        mn = (pe.select(F.col("u").alias("id"), "p")
+              .union(pe.select(F.col("v").alias("id"), "p"))
+              .groupBy("id").agg(F.min("p").alias("mp")))
+        sel = (pe.join(mn.select(F.col("id").alias("u"),
+                                 F.col("mp").alias("mu")), "u")
+               .join(mn.select(F.col("id").alias("v"),
+                               F.col("mp").alias("mv")), "v")
+               .filter((F.col("p") == F.col("mu"))
+                       & (F.col("p") == F.col("mv")))
+               .select("u", "v").localCheckpoint())
+        picked.append(sel.select("u", "v", F.lit(rnd).alias("round")))
+        matched = (sel.select(F.col("u").alias("id"))
+                   .union(sel.select(F.col("v").alias("id")))).distinct()
+        pe = (pe.join(matched.select(F.col("id").alias("u")), "u",
+                      "left_anti")
+              .join(matched.select(F.col("id").alias("v")), "v",
+                    "left_anti").localCheckpoint())
+    raise RuntimeError(
+        f"maximal_matching did not retire all edges within {max_iters} "
+        "rounds; raise max_iters")
+
+
+def coarsen_graph(edges: DataFrame, matching: DataFrame | None = None,
+                  salt: str = "v1") -> tuple[DataFrame, DataFrame]:
+    """One multilevel-coarsening step: contract each matched pair into
+    a supernode (the STRING-least endpoint — zero-pad numeric ids
+    upstream if '10' < '9' matters) and return
+
+      (coarse_edges(u, v, weight), node_map(id, super))
+
+    where ``weight`` counts the distinct original canonical edges each
+    coarse edge aggregates (edge weights of the next level — exactly
+    what multilevel partitioners cut against) and ``node_map`` sends
+    EVERY original node to its supernode (unmatched nodes map to
+    themselves). Intra-pair edges vanish (they're the contraction).
+    Repeating match+contract log(n) times shrinks any graph to one a
+    single machine partitions exactly; projecting the small labels
+    back through the chained node_maps is one broadcast join per
+    level. Cost: the matching plus ONE groupBy over the edge set."""
+    und = _undirected(edges).localCheckpoint()
+    if matching is None:
+        matching = maximal_matching(und, salt=salt)
+    sup = F.least(F.col("u"), F.col("v"))
+    pair_map = (matching.select(F.col("u").alias("id"), sup.alias("super"))
+                .union(matching.select(F.col("v").alias("id"),
+                                       sup.alias("super"))))
+    nodes = (und.select(F.col("u").alias("id"))
+             .union(und.select(F.col("v").alias("id"))).distinct())
+    node_map = (nodes.join(pair_map, "id", "left")
+                .select("id", F.coalesce("super", F.col("id"))
+                        .alias("super")))
+    mu = node_map.select(F.col("id").alias("u"), F.col("super").alias("su"))
+    mv = node_map.select(F.col("id").alias("v"), F.col("super").alias("sv"))
+    coarse = (und.join(mu, "u").join(mv, "v")
+              .filter(F.col("su") != F.col("sv"))
+              .select(F.least("su", "sv").alias("u"),
+                      F.greatest("su", "sv").alias("v"))
+              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("weight")))
+    return coarse, node_map

@@ -165,3 +165,93 @@ class TestButterflyCount:
         row = butterfly_count(
             self._bip(spark, [("a", "x"), ("b", "y")])).collect()[0]
         assert tuple(row) == (2, 2, 2, 0, 0)
+
+
+class TestMaximalMatching:
+    def _m(self, spark, edges, **kw):
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            maximal_matching)
+        e = spark.createDataFrame(edges, "u string, v string")
+        return maximal_matching(e, **kw).collect()
+
+    def test_matching_is_vertex_disjoint_and_maximal(self, spark):
+        import random
+        rng = random.Random(17)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(80)})
+        rows = self._m(spark, edges)
+        used = []
+        for r in rows:
+            used.extend([r["u"], r["v"]])
+        assert len(used) == len(set(used))  # vertex-disjoint
+        # maximality: every remaining edge touches a matched vertex
+        canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        matched = set(used)
+        for u, v in canon:
+            if u not in matched and v not in matched:
+                raise AssertionError(f"unmatched addable edge {(u, v)}")
+
+    def test_brute_parity(self, spark):
+        import hashlib
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                 ("a", "c"), ("e", "f")]
+        got = {(r["u"], r["v"], r["round"]) for r in self._m(spark, edges)}
+        canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
+
+        def pri(u, v):
+            return (hashlib.sha256(f"v1:{u}|{v}".encode()).hexdigest()
+                    + f":{u}|{v}")
+        active = dict(((u, v), pri(u, v)) for u, v in canon)
+        want = set()
+        rnd = 0
+        while active:
+            mn = {}
+            for (u, v), p in active.items():
+                for x in (u, v):
+                    mn[x] = min(mn.get(x, p), p)
+            sel = [(u, v) for (u, v), p in active.items()
+                   if p == mn[u] and p == mn[v]]
+            gone = {x for u, v in sel for x in (u, v)}
+            want |= {(u, v, rnd) for u, v in sel}
+            active = {e: p for e, p in active.items()
+                      if e[0] not in gone and e[1] not in gone}
+            rnd += 1
+        assert got == want
+
+    def test_empty_graph(self, spark):
+        assert self._m(spark, [("a", "a")]) == []
+
+
+class TestCoarsenGraph:
+    def test_contraction_known_values(self, spark):
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            coarsen_graph)
+        # fixed matching: (a,b) and (c,d); e unmatched
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+            "u string, v string")
+        m = spark.createDataFrame([("a", "b"), ("c", "d")],
+                                  "u string, v string")
+        coarse, node_map = coarsen_graph(e, m)
+        nm = {r["id"]: r["super"] for r in node_map.collect()}
+        assert nm == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
+        cw = {(r["u"], r["v"]): r["weight"] for r in coarse.collect()}
+        # a-c and b-d both become (a,c): weight 2; d-e becomes (c,e)
+        assert cw == {("a", "c"): 2, ("c", "e"): 1}
+
+    def test_self_matching_round_trip(self, spark):
+        from neo4j_document_pipeline_spark.operators.graphalgo import (
+            coarsen_graph)
+        e = spark.createDataFrame(
+            [(f"x{i}", f"x{i+1}") for i in range(10)],
+            "u string, v string")
+        coarse, node_map = coarsen_graph(e)
+        n0 = 11
+        n1 = node_map.select("super").distinct().count()
+        assert n1 < n0  # the graph actually shrinks
+        # total edge multiplicity is preserved minus contracted edges
+        from pyspark.sql import functions as F
+        kept = coarse.agg(F.sum("weight")).first()[0]
+        matched = node_map.filter(F.col("id") != F.col("super")).count()
+        assert kept == 10 - matched
