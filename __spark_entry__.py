@@ -129,7 +129,7 @@ _SQL_TOKENS = (
 )
 
 
-def _sql_matching_ctes(rounds: int = 4) -> str:
+def _sql_matching_ctes(rounds: int = 4, salt: str = "v1") -> str:
     """Unrolled Luby maximal-matching rounds as DuckDB CTE text (no
     leading WITH) over the bounded part co-purchase graph (l_orderkey
     < 400) — the bit-exact replay of operators/graphalgo.py
@@ -149,7 +149,7 @@ def _sql_matching_ctes(rounds: int = 4) -> str:
         "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
         "AND a.l_partkey < b.l_partkey), "
         "pe0 AS MATERIALIZED (SELECT u, v, "
-        "sha256('v1:' || u || '|' || v) || ':' || u || '|' || v AS p "
+        f"sha256('{salt}:' || u || '|' || v) || ':' || u || '|' || v AS p "
         "FROM me)"]
     for r in range(rounds):
         parts.append(
@@ -167,6 +167,47 @@ def _sql_matching_ctes(rounds: int = 4) -> str:
             f"LEFT JOIN rm{r} y ON y.id = e.v "
             f"WHERE x.id IS NULL AND y.id IS NULL)")
     return ", ".join(parts)
+
+
+def _sql_balpart_rounds(pfx: str, edges_cte: str, k: int, rounds: int,
+                        p0_select: str) -> str:
+    """Generalized Spinner-round CTE text (no leading WITH) over an
+    arbitrary undirected edge CTE ``edges_cte`` holding (u, v) pairs:
+    defines {pfx}e2 / {pfx}nodes / {pfx}nn / {pfx}deg and assignment
+    CTEs {pfx}p0..{pfx}p{rounds}, replaying balanced_partitions'
+    exact-integer score S = c·n − k·load·deg with candidate parts =
+    neighbor parts + own and ties to the smaller part. ``p0_select``
+    is the full SELECT for the initial (id, part) assignment — the
+    sha256 %k hash for a fresh start, a projection join for multilevel
+    refinement."""
+    out = [
+        f"{pfx}e2 AS (SELECT u, v FROM {edges_cte} "
+        f"  UNION SELECT v, u FROM {edges_cte}), "
+        f"{pfx}nodes AS (SELECT DISTINCT u AS id FROM {pfx}e2), "
+        f"{pfx}nn AS (SELECT count(*) AS n FROM {pfx}nodes), "
+        f"{pfx}deg AS (SELECT u AS id, count(*) AS deg FROM {pfx}e2 "
+        f"  GROUP BY u), "
+        f"{pfx}p0 AS ({p0_select})"]
+    for r in range(rounds):
+        out.append(
+            f"{pfx}l{r} AS (SELECT part, count(*) AS load FROM {pfx}p{r} "
+            f"  GROUP BY part), "
+            f"{pfx}c{r} AS (SELECT {pfx}e2.u AS id, p.part, count(*) AS c "
+            f"  FROM {pfx}e2 JOIN {pfx}p{r} p ON {pfx}e2.v = p.id "
+            f"  GROUP BY 1, 2 "
+            f"  UNION ALL SELECT id, part, 0 FROM {pfx}p{r}), "
+            f"{pfx}cc{r} AS (SELECT id, part, max(c) AS c FROM {pfx}c{r} "
+            f"  GROUP BY 1, 2), "
+            f"{pfx}s{r} AS (SELECT {pfx}cc{r}.id, {pfx}cc{r}.part, "
+            f"  {pfx}cc{r}.c * (SELECT n FROM {pfx}nn) "
+            f"  - {k} * {pfx}l{r}.load * {pfx}deg.deg AS s "
+            f"  FROM {pfx}cc{r} JOIN {pfx}l{r} USING (part) "
+            f"  JOIN {pfx}deg ON {pfx}deg.id = {pfx}cc{r}.id), "
+            f"{pfx}p{r + 1} AS (SELECT id, part FROM ("
+            f"  SELECT id, part, row_number() OVER (PARTITION BY id "
+            f"  ORDER BY s DESC, part ASC) AS rn FROM {pfx}s{r}) "
+            f"  WHERE rn = 1)")
+    return ", ".join(out)
 
 
 def _sql_balpart_ctes() -> str:
@@ -1743,6 +1784,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         coarse, _ = coarsen_graph(_matching_edges(spark, sf))
         return coarse
     q["coarsen_parts"] = coarsen_parts
+
+    def multilevel_partition_parts(spark, sf):
+        """Multilevel balanced partitioning (operators/layout.py::
+        multilevel_partitions, the METIS scheme): one coarsen level
+        (matching salt 'part:m0'), 2 Spinner rounds on the coarse
+        graph, projection through the node map, 1 refinement round on
+        the full graph seeded by the projection. The oracle chains the
+        matching, contraction, coarse-round, projection, and
+        refine-round CTEs — the entire composition is bit-replayable."""
+        from neo4j_document_pipeline_spark.operators.layout import (
+            multilevel_partitions)
+        return multilevel_partitions(_matching_edges(spark, sf), 4,
+                                     levels=1, coarse_iters=2,
+                                     refine_iters=1)
+    q["multilevel_partition_parts"] = multilevel_partition_parts
 
     def orders_snapshot_diff(spark, sf):
         """Snapshot change feed (operators/admin.py::table_diff): the
@@ -4546,6 +4602,39 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS weight FROM me "
             "JOIN nm a ON a.id = me.u JOIN nm b ON b.id = me.v "
             "WHERE a.s <> b.s GROUP BY 1, 2",
+        "multilevel_partition_parts":
+            f"WITH {_sql_matching_ctes(6, 'part:m0')}, "
+            "m AS (SELECT u, v FROM ("
+            + " UNION ALL ".join(
+                f"SELECT u, v FROM sel{r}" for r in range(6))
+            + ") WHERE (SELECT count(*) FROM pe6) = 0), "
+            "pm AS (SELECT u AS id, least(u, v) AS s FROM m "
+            "  UNION ALL SELECT v, least(u, v) FROM m), "
+            "menodes AS (SELECT DISTINCT u AS id FROM me "
+            "  UNION SELECT v FROM me), "
+            "nm AS (SELECT menodes.id, coalesce(pm.s, menodes.id) AS s "
+            "  FROM menodes LEFT JOIN pm ON pm.id = menodes.id), "
+            "me2 AS (SELECT DISTINCT least(a.s, b.s) AS u, "
+            "  greatest(a.s, b.s) AS v FROM me "
+            "  JOIN nm a ON a.id = me.u JOIN nm b ON b.id = me.v "
+            "  WHERE a.s <> b.s), "
+            + _sql_balpart_rounds(
+                "cg", "me2", 4, 2,
+                "SELECT id, (('0x' || substr(sha256('part:' || id), 1, 8))"
+                "::UBIGINT % 4)::INT AS part FROM cgnodes") + ", "
+            "proj AS (SELECT nm.id, p.part FROM nm "
+            "  JOIN cgp2 p ON p.id = nm.s), "
+            + _sql_balpart_rounds(
+                "f", "me", 4, 1,
+                # init semantics: nodes absent from the projection (a
+                # contracted ISOLATED pair has no coarse edges, so its
+                # supernode never gets a coarse part) fall back to the
+                # hash bucket, exactly like balanced_partitions(init=)
+                "SELECT fnodes.id, coalesce(proj.part, "
+                "(('0x' || substr(sha256('part:' || fnodes.id), 1, 8))"
+                "::UBIGINT % 4)::INT) AS part "
+                "FROM fnodes LEFT JOIN proj ON proj.id = fnodes.id") + " "
+            "SELECT id, part FROM fp1",
         "psi_lang_drift":
             # identical arithmetic: per-side category counts, null-safe
             # full outer, Laplace 0.5 smoothing over the union size k

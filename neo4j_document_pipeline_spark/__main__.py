@@ -42,7 +42,7 @@ or plain python:
     python -m neo4j_document_pipeline_spark betweenness --store <dir> [--pivots 64 --max-depth 12]  # shortest-path broker entities (Brandes-Pich)
     python -m neo4j_document_pipeline_spark closure --store <dir> [--rel TYPE]  # transitive reachability census (rdfs11-style)
     python -m neo4j_document_pipeline_spark transitions --events <parquet-dir>  # first-order Markov event-transition census
-    python -m neo4j_document_pipeline_spark partition --store <dir> [--parts 8 --iters N]  # balanced k-way graph partitioning + edge-cut evidence
+    python -m neo4j_document_pipeline_spark partition --store <dir> [--parts 8 --iters N --levels L]  # balanced k-way graph partitioning (optionally multilevel) + edge-cut evidence
     python -m neo4j_document_pipeline_spark neighborhoods --store <dir> --seeds "Name1,Name2" [--fanouts 5,5]  # deterministic GraphSAGE computation graphs
     python -m neo4j_document_pipeline_spark drift --store <dir> documents lang [v_old v_new]  # PSI distribution drift between snapshots
 """
@@ -223,6 +223,11 @@ def main(argv=None):
     ap.add_argument("--parts", type=int, default=8,
                     help="partition: number of balanced partitions "
                          "(default 8)")
+    ap.add_argument("--levels", type=int, default=0,
+                    help="partition: multilevel coarsening levels "
+                         "(0 = flat Spinner rounds; N>0 = METIS-style "
+                         "match/contract N times, partition the coarse "
+                         "graph, project back and refine)")
     ap.add_argument("--fanouts", default="5,5",
                     help="neighborhoods: comma-separated per-hop "
                          "fanouts (default 5,5)")
@@ -1910,15 +1915,21 @@ def main(argv=None):
         # decision (and its evidence) for co-locating neighborhoods
         # ahead of iterative analytics at scale
         from neo4j_document_pipeline_spark.operators.layout import (
-            balanced_partitions, edge_cut_stats)
+            balanced_partitions, edge_cut_stats, multilevel_partitions)
         e = _kg_edges(store)
         if e.isEmpty():
             sys.exit("partition: the store has no edges")
         hash_assign = balanced_partitions(e, ns.parts, iters=0)
-        refined = balanced_partitions(e, ns.parts, iters=ns.iters)
+        if ns.levels > 0:
+            refined = multilevel_partitions(e, ns.parts,
+                                            levels=ns.levels,
+                                            refine_iters=ns.iters)
+        else:
+            refined = balanced_partitions(e, ns.parts, iters=ns.iters)
         before = edge_cut_stats(e, hash_assign).first().asDict()
         after = edge_cut_stats(e, refined).first().asDict()
         print(json.dumps({"parts": ns.parts, "iters": ns.iters,
+                          "levels": ns.levels,
                           "hash_cut": before, "refined_cut": after}))
     elif ns.command == "neighborhoods":
         # deterministic GraphSAGE computation graphs for the named seed

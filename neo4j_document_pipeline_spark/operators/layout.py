@@ -127,7 +127,8 @@ def zorder_partition_stats(df: DataFrame, cols: list[str], *,
 
 
 def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
-                        salt: str = "part") -> DataFrame:
+                        salt: str = "part",
+                        init: DataFrame | None = None) -> DataFrame:
     """Deterministic balanced k-way graph partitioning — the LPA-with-
     capacity scheme of Spinner (Martella et al., ICDE 2017), the move
     that turns "hash-partition the edge list" into "co-locate
@@ -154,6 +155,12 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
     Returns (id string, part int). Singleton-free by construction
     (nodes appear via edges); isolated vertices can hash anywhere
     without affecting the cut.
+
+    ``init``: optional starting assignment (id, part) — the projected
+    labels of a coarser level in multilevel refinement
+    (:func:`multilevel_partitions`); nodes absent from it fall back to
+    the hash bucket, out-of-range parts raise via the modulo bound
+    being applied only to the hash path (caller contract).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -165,12 +172,20 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
     und = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
            .distinct().localCheckpoint())
     nodes = und.select(F.col("u").alias("id")).distinct()
-    assign = nodes.select(
-        "id",
-        (F.conv(F.substring(F.sha2(F.concat(F.lit(f"{salt}:"),
-                                            F.col("id")), 256),
-                            1, 8), 16, 10).cast("long")
-         % F.lit(k)).cast("int").alias("part")).localCheckpoint()
+    hash_part = (F.conv(F.substring(F.sha2(F.concat(F.lit(f"{salt}:"),
+                                                    F.col("id")), 256),
+                                    1, 8), 16, 10).cast("long")
+                 % F.lit(k)).cast("int")
+    if init is None:
+        assign = nodes.select("id", hash_part.alias("part")) \
+            .localCheckpoint()
+    else:
+        assign = (nodes.join(init.select("id",
+                                         F.col("part").alias("_ip")),
+                             "id", "left")
+                  .select("id", F.coalesce(F.col("_ip").cast("int"),
+                                           hash_part).alias("part"))
+                  .localCheckpoint())
     deg = und.groupBy(F.col("u").alias("id")) \
         .agg(F.count(F.lit(1)).alias("deg"))
     n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -224,3 +239,67 @@ def edge_cut_stats(edges: DataFrame, assign: DataFrame) -> DataFrame:
                     F.round(F.col("cut_edges") / F.col("total_edges"), 6)
                     .alias("cut_fraction"),
                     "n_parts", "max_load", "min_load"))
+
+
+def multilevel_partitions(edges: DataFrame, k: int, *, levels: int = 1,
+                          coarse_iters: int = 4, refine_iters: int = 1,
+                          salt: str = "part") -> DataFrame:
+    """Multilevel balanced partitioning — the METIS scheme (Karypis &
+    Kumar 1998) composed from this module's deterministic pieces:
+
+      1. COARSEN ``levels`` times: :func:`maximal_matching` pairs
+         adjacent nodes, :func:`coarsen_graph` contracts them — each
+         level roughly halves the graph while coarse edge weights
+         remember how much original adjacency each coarse edge carries;
+      2. PARTITION the coarsest graph with
+         :func:`balanced_partitions` (``coarse_iters`` rounds — cheap,
+         the graph is 2^levels smaller);
+      3. UNCOARSEN: project each level's labels through its node_map
+         (one equi-join per level) and REFINE with
+         ``refine_iters`` rounds of the same label-propagation move on
+         the finer graph, seeded by the projection (``init=``).
+
+    Direct flat partitioning sees only immediate neighbors; the coarse
+    levels let cluster-scale structure move as a unit, which is why
+    multilevel cuts beat flat cuts on clustered graphs (asserted in
+    tests). Every stage is the module's exact-integer deterministic
+    arithmetic, so the whole composition is bit-replayable — the
+    driver oracle unrolls matching, contraction, coarse rounds,
+    projection, and refinement as one CTE chain.
+
+    Note: the coarse-level move currently scores UNWEIGHTED coarse
+    adjacency (each coarse edge counts once, supernodes count one unit
+    of load) — the standard first cut; weight-aware coarse scoring is
+    the known refinement and the refine pass on the finest graph
+    already corrects against true adjacency.
+
+    Returns (id string, part int) over the ORIGINAL nodes."""
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        coarsen_graph)
+
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    e = (edges.select(F.col("u").cast("string"),
+                      F.col("v").cast("string"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    maps = []
+    cur = e
+    for lv in range(levels):
+        coarse, node_map = coarsen_graph(cur, salt=f"{salt}:m{lv}")
+        maps.append(node_map.localCheckpoint())
+        cur = coarse.select("u", "v").localCheckpoint()
+    assign = balanced_partitions(cur, k, iters=coarse_iters, salt=salt)
+    # uncoarsen: project through each node_map; the label-propagation
+    # refinement runs on the FINEST (input) graph only — intermediate
+    # levels would need their coarse graphs re-materialized for no
+    # additional signal the final refine doesn't already see
+    for finer, node_map in reversed(list(enumerate(maps))):
+        projected = (node_map.join(
+            assign.select(F.col("id").alias("super"), "part"), "super")
+            .select("id", "part"))
+        if finer == 0:
+            assign = balanced_partitions(e, k, iters=refine_iters,
+                                         salt=salt, init=projected)
+        else:
+            assign = projected
+    return assign

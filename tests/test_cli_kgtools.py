@@ -157,3 +157,14 @@ class TestCliDrift:
         with _pt.raises(SystemExit):
             _run(capsys, "drift", "--store", kgstore,
                  "documents_final", "no_such_col")
+
+
+class TestCliMultilevelPartition:
+    def test_partition_multilevel(self, kgstore, capsys):
+        out = _run(capsys, "partition", "--store", kgstore,
+                   "--parts", "4", "--iters", "2", "--levels", "1")
+        rep = json.loads(out.strip())
+        assert rep["levels"] == 1
+        assert (rep["hash_cut"]["total_edges"]
+                == rep["refined_cut"]["total_edges"])
+        assert 0.0 <= rep["refined_cut"]["cut_fraction"] <= 1.0

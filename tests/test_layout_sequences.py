@@ -237,3 +237,67 @@ class TestBalancedPartitions:
             balanced_partitions(e, 1)
         with _pt.raises(ValueError):
             balanced_partitions(e, 4, iters=-1)
+
+
+class TestMultilevelPartitions:
+    def _edges(self, spark, edges):
+        return spark.createDataFrame(edges, "u string, v string")
+
+    @staticmethod
+    def _cliques():
+        cl = lambda pre, n: [(f"{pre}{i:02d}", f"{pre}{j:02d}")
+                             for i in range(n) for j in range(i + 1, n)]
+        return (cl("a", 8) + cl("b", 8) + cl("c", 8) + cl("d", 8)
+                + [("a00", "b00"), ("b00", "c00"), ("c00", "d00")])
+
+    def test_multilevel_beats_flat_hash_on_clustered_graph(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions, edge_cut_stats, multilevel_partitions)
+        e = self._edges(spark, self._cliques())
+        hash_cut = edge_cut_stats(
+            e, balanced_partitions(e, 4, iters=0)).first()["cut_fraction"]
+        ml = multilevel_partitions(e, 4, levels=2, coarse_iters=4,
+                                   refine_iters=2)
+        ml_cut = edge_cut_stats(e, ml).first()["cut_fraction"]
+        assert ml_cut < hash_cut
+        # every original node is assigned exactly once
+        n_nodes = 32
+        rows = ml.collect()
+        assert len(rows) == n_nodes
+        assert len({r["id"] for r in rows}) == n_nodes
+        assert all(0 <= r["part"] < 4 for r in rows)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            multilevel_partitions)
+        e = self._edges(spark, self._cliques())
+        a = {r["id"]: r["part"]
+             for r in multilevel_partitions(e, 3).collect()}
+        b = {r["id"]: r["part"]
+             for r in multilevel_partitions(e.repartition(7), 3).collect()}
+        assert a == b
+
+    def test_init_seeding_is_respected(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        e = self._edges(spark, [("a", "b"), ("c", "d")])
+        init = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 0), ("d", 0)], "id string, part int")
+        out = {r["id"]: r["part"]
+               for r in balanced_partitions(e, 2, iters=0,
+                                            init=init).collect()}
+        assert out == {"a": 1, "b": 1, "c": 0, "d": 0}
+        # a node missing from init falls back to its hash bucket
+        partial = spark.createDataFrame([("a", 1)], "id string, part int")
+        out2 = {r["id"]: r["part"]
+                for r in balanced_partitions(e, 2, iters=0,
+                                             init=partial).collect()}
+        assert out2["a"] == 1 and set(out2) == {"a", "b", "c", "d"}
+
+    def test_levels_validation(self, spark):
+        import pytest as _pt
+        from neo4j_document_pipeline_spark.operators.layout import (
+            multilevel_partitions)
+        e = self._edges(spark, [("a", "b")])
+        with _pt.raises(ValueError):
+            multilevel_partitions(e, 2, levels=0)
