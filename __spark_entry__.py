@@ -170,7 +170,8 @@ def _sql_matching_ctes(rounds: int = 4, salt: str = "v1") -> str:
 
 
 def _sql_balpart_rounds(pfx: str, edges_cte: str, k: int, rounds: int,
-                        p0_select: str) -> str:
+                        p0_select: str, weighted: bool = False,
+                        size_cte: str | None = None) -> str:
     """Generalized Spinner-round CTE text (no leading WITH) over an
     arbitrary undirected edge CTE ``edges_cte`` holding (u, v) pairs:
     defines {pfx}e2 / {pfx}nodes / {pfx}nn / {pfx}deg and assignment
@@ -179,23 +180,59 @@ def _sql_balpart_rounds(pfx: str, edges_cte: str, k: int, rounds: int,
     neighbor parts + own and ties to the smaller part. ``p0_select``
     is the full SELECT for the initial (id, part) assignment — the
     sha256 %k hash for a fresh start, a projection join for multilevel
-    refinement."""
-    out = [
-        f"{pfx}e2 AS (SELECT u, v FROM {edges_cte} "
-        f"  UNION SELECT v, u FROM {edges_cte}), "
-        f"{pfx}nodes AS (SELECT DISTINCT u AS id FROM {pfx}e2), "
-        f"{pfx}nn AS (SELECT count(*) AS n FROM {pfx}nodes), "
-        f"{pfx}deg AS (SELECT u AS id, count(*) AS deg FROM {pfx}e2 "
-        f"  GROUP BY u), "
-        f"{pfx}p0 AS ({p0_select})"]
+    refinement.
+
+    ``weighted=True``: ``edges_cte`` carries (u, v, weight) and
+    ``size_cte`` (id, size) node weights — affinity sums edge weights,
+    load sums node sizes, n becomes the total node weight: the
+    weight-aware score S = c_w·W − k·load_w·deg_w balanced_partitions
+    computes on coarse graphs."""
+    if weighted:
+        out = [
+            f"{pfx}e2 AS (SELECT u, v, weight AS w FROM {edges_cte} "
+            f"  UNION ALL SELECT v, u, weight FROM {edges_cte}), "
+            f"{pfx}nodes AS (SELECT DISTINCT u AS id FROM {pfx}e2), "
+            # W sums sizes of the GRAPH's nodes only — a supernode with
+            # no coarse edges (contracted isolated pair) is outside the
+            # assignment and must not inflate the load capacity
+            f"{pfx}nn AS (SELECT sum(s.size)::BIGINT AS n "
+            f"  FROM {size_cte} s JOIN {pfx}nodes nd ON nd.id = s.id), "
+            f"{pfx}deg AS (SELECT u AS id, sum(w)::BIGINT AS deg "
+            f"  FROM {pfx}e2 GROUP BY u), "
+            f"{pfx}p0 AS ({p0_select})"]
+    else:
+        out = [
+            f"{pfx}e2 AS (SELECT u, v FROM {edges_cte} "
+            f"  UNION SELECT v, u FROM {edges_cte}), "
+            f"{pfx}nodes AS (SELECT DISTINCT u AS id FROM {pfx}e2), "
+            f"{pfx}nn AS (SELECT count(*) AS n FROM {pfx}nodes), "
+            f"{pfx}deg AS (SELECT u AS id, count(*) AS deg FROM {pfx}e2 "
+            f"  GROUP BY u), "
+            f"{pfx}p0 AS ({p0_select})"]
     for r in range(rounds):
+        if weighted:
+            load_cte = (
+                f"{pfx}l{r} AS (SELECT part, sum(size)::BIGINT AS load "
+                f"  FROM {pfx}p{r} JOIN {size_cte} s "
+                f"  ON s.id = {pfx}p{r}.id GROUP BY part), ")
+            c_cte = (
+                f"{pfx}c{r} AS (SELECT {pfx}e2.u AS id, p.part, "
+                f"  sum({pfx}e2.w)::BIGINT AS c "
+                f"  FROM {pfx}e2 JOIN {pfx}p{r} p ON {pfx}e2.v = p.id "
+                f"  GROUP BY 1, 2 "
+                f"  UNION ALL SELECT id, part, 0 FROM {pfx}p{r}), ")
+        else:
+            load_cte = (
+                f"{pfx}l{r} AS (SELECT part, count(*) AS load "
+                f"  FROM {pfx}p{r} GROUP BY part), ")
+            c_cte = (
+                f"{pfx}c{r} AS (SELECT {pfx}e2.u AS id, p.part, "
+                f"  count(*) AS c "
+                f"  FROM {pfx}e2 JOIN {pfx}p{r} p ON {pfx}e2.v = p.id "
+                f"  GROUP BY 1, 2 "
+                f"  UNION ALL SELECT id, part, 0 FROM {pfx}p{r}), ")
         out.append(
-            f"{pfx}l{r} AS (SELECT part, count(*) AS load FROM {pfx}p{r} "
-            f"  GROUP BY part), "
-            f"{pfx}c{r} AS (SELECT {pfx}e2.u AS id, p.part, count(*) AS c "
-            f"  FROM {pfx}e2 JOIN {pfx}p{r} p ON {pfx}e2.v = p.id "
-            f"  GROUP BY 1, 2 "
-            f"  UNION ALL SELECT id, part, 0 FROM {pfx}p{r}), "
+            load_cte + c_cte +
             f"{pfx}cc{r} AS (SELECT id, part, max(c) AS c FROM {pfx}c{r} "
             f"  GROUP BY 1, 2), "
             f"{pfx}s{r} AS (SELECT {pfx}cc{r}.id, {pfx}cc{r}.part, "
@@ -4614,14 +4651,20 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT v FROM me), "
             "nm AS (SELECT menodes.id, coalesce(pm.s, menodes.id) AS s "
             "  FROM menodes LEFT JOIN pm ON pm.id = menodes.id), "
-            "me2 AS (SELECT DISTINCT least(a.s, b.s) AS u, "
-            "  greatest(a.s, b.s) AS v FROM me "
+            # coarse edges carry ORIGINAL adjacency counts; supernode
+            # sizes carry member counts — the weight-aware coarse score
+            "me2 AS (SELECT least(a.s, b.s) AS u, "
+            "  greatest(a.s, b.s) AS v, count(*)::BIGINT AS weight "
+            "  FROM me "
             "  JOIN nm a ON a.id = me.u JOIN nm b ON b.id = me.v "
-            "  WHERE a.s <> b.s), "
+            "  WHERE a.s <> b.s GROUP BY 1, 2), "
+            "szs AS (SELECT s AS id, count(*)::BIGINT AS size FROM nm "
+            "  GROUP BY s), "
             + _sql_balpart_rounds(
                 "cg", "me2", 4, 2,
                 "SELECT id, (('0x' || substr(sha256('part:' || id), 1, 8))"
-                "::UBIGINT % 4)::INT AS part FROM cgnodes") + ", "
+                "::UBIGINT % 4)::INT AS part FROM cgnodes",
+                weighted=True, size_cte="szs") + ", "
             "proj AS (SELECT nm.id, p.part FROM nm "
             "  JOIN cgp2 p ON p.id = nm.s), "
             + _sql_balpart_rounds(

@@ -128,7 +128,9 @@ def zorder_partition_stats(df: DataFrame, cols: list[str], *,
 
 def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
                         salt: str = "part",
-                        init: DataFrame | None = None) -> DataFrame:
+                        init: DataFrame | None = None,
+                        weight_col: str | None = None,
+                        node_weights: DataFrame | None = None) -> DataFrame:
     """Deterministic balanced k-way graph partitioning — the LPA-with-
     capacity scheme of Spinner (Martella et al., ICDE 2017), the move
     that turns "hash-partition the edge list" into "co-locate
@@ -161,17 +163,50 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
     (:func:`multilevel_partitions`); nodes absent from it fall back to
     the hash bucket, out-of-range parts raise via the modulo bound
     being applied only to the hash path (caller contract).
+
+    ``weight_col`` / ``node_weights``: integer edge weights (parallel
+    adjacency a coarse edge carries) and per-node sizes (id, size —
+    supernode member counts); the score generalizes to
+    S = c_w·W − k·load_w·deg_w with W the total node weight, every
+    term still an exact integer, and with all weights 1 it reduces to
+    the unweighted formula BIT-identically (the unweighted oracles
+    stay green through this extension). Nulled/non-positive edge
+    weights are dropped (a zero-weight edge is no edge); nodes absent
+    from ``node_weights`` weigh 1.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    e = (edges.select(F.col("u").cast("string"),
-                      F.col("v").cast("string"))
-         .filter(F.col("u") != F.col("v")).distinct())
-    und = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-           .distinct().localCheckpoint())
+    if weight_col is None:
+        # canonical distinct so inputs carrying both orientations
+        # collapse (the pre-weights union().distinct() semantics)
+        e = (edges.select(F.least(F.col("u").cast("string"),
+                                  F.col("v").cast("string")).alias("u"),
+                          F.greatest(F.col("u").cast("string"),
+                                     F.col("v").cast("string")).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .select("u", "v", F.lit(1).cast("long").alias("w")))
+    else:
+        e = (edges.select(F.least(F.col("u").cast("string"),
+                                  F.col("v").cast("string")).alias("u"),
+                          F.greatest(F.col("u").cast("string"),
+                                     F.col("v").cast("string")).alias("v"),
+                          F.col(weight_col).cast("long").alias("w"))
+             .filter((F.col("u") != F.col("v")) & (F.col("w") > 0))
+             .groupBy("u", "v").agg(F.sum("w").alias("w")))
+    und = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"),
+                            "w"))
+           .localCheckpoint())
     nodes = und.select(F.col("u").alias("id")).distinct()
+    if node_weights is None:
+        sz = nodes.select("id", F.lit(1).cast("long").alias("size"))
+    else:
+        sz = (nodes.join(node_weights.select("id", F.col("size")
+                                             .cast("long").alias("size")),
+                         "id", "left")
+              .select("id", F.coalesce("size", F.lit(1)).alias("size")))
+    sz = sz.localCheckpoint()
     hash_part = (F.conv(F.substring(F.sha2(F.concat(F.lit(f"{salt}:"),
                                                     F.col("id")), 256),
                                     1, 8), 16, 10).cast("long")
@@ -187,14 +222,15 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
                                            hash_part).alias("part"))
                   .localCheckpoint())
     deg = und.groupBy(F.col("u").alias("id")) \
-        .agg(F.count(F.lit(1)).alias("deg"))
-    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("w").alias("deg"))
+    n1 = sz.agg(F.sum("size").alias("n"))
     for _ in range(iters):
-        load = assign.groupBy("part").agg(F.count(F.lit(1)).alias("load"))
+        load = (assign.join(sz, "id")
+                .groupBy("part").agg(F.sum("size").alias("load")))
         nbr = (und.join(assign.select(F.col("id").alias("v"),
                                       F.col("part")), "v")
                .groupBy(F.col("u").alias("id"), "part")
-               .agg(F.count(F.lit(1)).alias("c")))
+               .agg(F.sum("w").alias("c")))
         own = assign.select("id", "part", F.lit(0).cast("long").alias("c"))
         cand = (nbr.unionByName(own)
                 .groupBy("id", "part").agg(F.max("c").alias("c")))
@@ -267,11 +303,12 @@ def multilevel_partitions(edges: DataFrame, k: int, *, levels: int = 1,
     driver oracle unrolls matching, contraction, coarse rounds,
     projection, and refinement as one CTE chain.
 
-    Note: the coarse-level move currently scores UNWEIGHTED coarse
-    adjacency (each coarse edge counts once, supernodes count one unit
-    of load) — the standard first cut; weight-aware coarse scoring is
-    the known refinement and the refine pass on the finest graph
-    already corrects against true adjacency.
+    The coarse-level move is WEIGHT-AWARE: coarse edge weights (how
+    much original adjacency a coarse edge carries) drive affinity and
+    supernode sizes (original-node member counts, accumulated through
+    levels) drive the load penalty — S = c_w·W − k·load_w·deg_w, still
+    exact integers, so partitioning the contracted graph optimizes the
+    ORIGINAL graph's cut and balance, not the contracted topology's.
 
     Returns (id string, part int) over the ORIGINAL nodes."""
     from neo4j_document_pipeline_spark.operators.graphalgo import (
@@ -283,12 +320,38 @@ def multilevel_partitions(edges: DataFrame, k: int, *, levels: int = 1,
                       F.col("v").cast("string"))
          .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
     maps = []
-    cur = e
+    cur = e.select("u", "v", F.lit(1).cast("long").alias("weight"))
+    sizes = None  # level-0 nodes weigh 1 (balanced_partitions default)
     for lv in range(levels):
-        coarse, node_map = coarsen_graph(cur, salt=f"{salt}:m{lv}")
-        maps.append(node_map.localCheckpoint())
-        cur = coarse.select("u", "v").localCheckpoint()
-    assign = balanced_partitions(cur, k, iters=coarse_iters, salt=salt)
+        coarse, node_map = coarsen_graph(cur.select("u", "v"),
+                                         salt=f"{salt}:m{lv}")
+        node_map = node_map.localCheckpoint()
+        maps.append(node_map)
+        # coarse weights must count ORIGINAL adjacency, not the
+        # previous level's edge count: re-aggregate the current
+        # weighted edges through the map
+        mu = node_map.select(F.col("id").alias("u"),
+                             F.col("super").alias("su"))
+        mv = node_map.select(F.col("id").alias("v"),
+                             F.col("super").alias("sv"))
+        cur = (cur.join(mu, "u").join(mv, "v")
+               .filter(F.col("su") != F.col("sv"))
+               .select(F.least("su", "sv").alias("u"),
+                       F.greatest("su", "sv").alias("v"), "weight")
+               .groupBy("u", "v").agg(F.sum("weight").alias("weight"))
+               .localCheckpoint())
+        # supernode sizes accumulate original member counts
+        if sizes is None:
+            sizes = (node_map.groupBy(F.col("super").alias("id"))
+                     .agg(F.count(F.lit(1)).alias("size")))
+        else:
+            sizes = (sizes.join(node_map, "id")
+                     .groupBy(F.col("super").alias("id"))
+                     .agg(F.sum("size").alias("size")))
+        sizes = sizes.localCheckpoint()
+    assign = balanced_partitions(cur, k, iters=coarse_iters, salt=salt,
+                                 weight_col="weight",
+                                 node_weights=sizes)
     # uncoarsen: project through each node_map; the label-propagation
     # refinement runs on the FINEST (input) graph only — intermediate
     # levels would need their coarse graphs re-materialized for no

@@ -301,3 +301,53 @@ class TestMultilevelPartitions:
         e = self._edges(spark, [("a", "b")])
         with _pt.raises(ValueError):
             multilevel_partitions(e, 2, levels=0)
+
+
+class TestWeightedBalancedPartitions:
+    def test_reduces_to_unweighted_with_unit_weights(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        edges = [(f"n{i}", f"n{(i * 5) % 13}") for i in range(20)]
+        e = spark.createDataFrame(edges, "u string, v string")
+        ew = spark.createDataFrame([(u, v, 1) for u, v in edges],
+                                   "u string, v string, w long")
+        a = {r["id"]: r["part"]
+             for r in balanced_partitions(e, 3, iters=2).collect()}
+        b = {r["id"]: r["part"]
+             for r in balanced_partitions(ew, 3, iters=2,
+                                          weight_col="w").collect()}
+        assert a == b
+
+    def test_heavy_edge_pulls_assignment(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        # x sits between two anchors; the heavier edge must win the move
+        rows = [("a", "x", 10), ("b", "x", 1), ("a", "a2", 1),
+                ("b", "b2", 1)]
+        e = spark.createDataFrame(rows, "u string, v string, w long")
+        init = spark.createDataFrame(
+            [("a", 0), ("a2", 0), ("b", 1), ("b2", 1), ("x", 1)],
+            "id string, part int")
+        out = {r["id"]: r["part"]
+               for r in balanced_partitions(e, 2, iters=1, init=init,
+                                            weight_col="w").collect()}
+        assert out["x"] == 0  # pulled to the weight-10 anchor
+
+    def test_node_weights_drive_load_penalty(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            balanced_partitions)
+        # two parts, node g is huge: the score S = c_w*W - k*load_w*deg_w
+        # must penalize joining g's part proportionally to its size
+        rows = [("g", "x", 1), ("h", "x", 1)]
+        e = spark.createDataFrame(rows, "u string, v string, w long")
+        sizes = spark.createDataFrame([("g", 100), ("h", 1), ("x", 1)],
+                                      "id string, size long")
+        init = spark.createDataFrame([("g", 0), ("h", 1), ("x", 0)],
+                                     "id string, part int")
+        out = {r["id"]: r["part"]
+               for r in balanced_partitions(e, 2, iters=1, init=init,
+                                            weight_col="w",
+                                            node_weights=sizes).collect()}
+        # x: part0 affinity c=1 (g) but load 101*deg2; part1 c=1 (h),
+        # load 1*deg2 -> x moves to the light part despite equal affinity
+        assert out["x"] == 1
