@@ -4784,6 +4784,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM p2 GROUP BY part)) "
             "SELECT cut_edges, total_edges, "
             "round(cut_edges::DOUBLE / total_edges, 6) AS cut_fraction, "
+            "0::BIGINT AS uncovered_edges, "
             "n_parts, max_load, min_load FROM cut, loads",
         "neighborhood_samples_parts":
             # both hops unrolled with the identical sha256 rank:

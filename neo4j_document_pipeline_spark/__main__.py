@@ -1899,8 +1899,10 @@ def main(argv=None):
                  .orderBy(F.desc(F.abs(F.col("psi_term"))), "category")
                  .collect())
         psi = sum(r["psi_term"] for r in terms)
+        # the convention psi_drift documents: < 0.1 stable,
+        # 0.1-0.25 drifting (inclusive), > 0.25 broken
         verdict = ("stable" if psi < 0.1
-                   else "drifting" if psi < 0.25 else "broken")
+                   else "drifting" if psi <= 0.25 else "broken")
         print(json.dumps({
             "table": table, "column": col, "v_old": v_old,
             "v_new": v_new, "psi": round(psi, 6), "verdict": verdict,
@@ -1949,6 +1951,8 @@ def main(argv=None):
         except ValueError:
             sys.exit(f"--fanouts must be comma-separated ints, "
                      f"got {ns.fanouts!r}")
+        if not fanouts or any(f < 1 for f in fanouts):
+            sys.exit(f"--fanouts must all be >= 1, got {ns.fanouts!r}")
         spark = store.spark
         seeds = spark.createDataFrame([(s,) for s in seed_ids],
                                       "id string")

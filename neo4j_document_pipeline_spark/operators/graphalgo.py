@@ -1898,13 +1898,23 @@ def maximal_matching(edges: DataFrame, salt: str = "v1",
                       "left_anti")
               .join(matched.select(F.col("id").alias("v")), "v",
                     "left_anti").localCheckpoint())
+    # the loop's emptiness check runs at round ENTRY: a matching that
+    # converges in exactly max_iters rounds exits the loop complete —
+    # check once more before declaring failure
+    if pe.isEmpty():
+        out = picked[0]
+        for df in picked[1:]:
+            out = out.union(df)
+        return out
     raise RuntimeError(
         f"maximal_matching did not retire all edges within {max_iters} "
         "rounds; raise max_iters")
 
 
 def coarsen_graph(edges: DataFrame, matching: DataFrame | None = None,
-                  salt: str = "v1") -> tuple[DataFrame, DataFrame]:
+                  salt: str = "v1",
+                  weight_col: str | None = None
+                  ) -> tuple[DataFrame, DataFrame]:
     """One multilevel-coarsening step: contract each matched pair into
     a supernode (the STRING-least endpoint — zero-pad numeric ids
     upstream if '10' < '9' matters) and return
@@ -1919,10 +1929,15 @@ def coarsen_graph(edges: DataFrame, matching: DataFrame | None = None,
     Repeating match+contract log(n) times shrinks any graph to one a
     single machine partitions exactly; projecting the small labels
     back through the chained node_maps is one broadcast join per
-    level. Cost: the matching plus ONE groupBy over the edge set."""
-    und = _undirected(edges).localCheckpoint()
+    level. Cost: the matching plus ONE groupBy over the edge set.
+
+    ``weight_col``: input edges already carry weights (a previous
+    coarsening level) — coarse weights SUM them instead of counting
+    edges, so original adjacency propagates through repeated
+    contractions (multilevel_partitions threads this)."""
+    und = _undirected(edges, weight_col).localCheckpoint()
     if matching is None:
-        matching = maximal_matching(und, salt=salt)
+        matching = maximal_matching(und.select("u", "v"), salt=salt)
     sup = F.least(F.col("u"), F.col("v"))
     pair_map = (matching.select(F.col("u").alias("id"), sup.alias("super"))
                 .union(matching.select(F.col("v").alias("id"),
@@ -1934,9 +1949,13 @@ def coarsen_graph(edges: DataFrame, matching: DataFrame | None = None,
                         .alias("super")))
     mu = node_map.select(F.col("id").alias("u"), F.col("super").alias("su"))
     mv = node_map.select(F.col("id").alias("v"), F.col("super").alias("sv"))
+    # _undirected normalizes the weight column name to "w"
+    keep = [] if weight_col is None else [F.col("w").alias("_w")]
+    wexpr = (F.count(F.lit(1)).alias("weight") if weight_col is None
+             else F.sum("_w").alias("weight"))
     coarse = (und.join(mu, "u").join(mv, "v")
               .filter(F.col("su") != F.col("sv"))
               .select(F.least("su", "sv").alias("u"),
-                      F.greatest("su", "sv").alias("v"))
-              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("weight")))
+                      F.greatest("su", "sv").alias("v"), *keep)
+              .groupBy("u", "v").agg(wexpr))
     return coarse, node_map

@@ -141,11 +141,11 @@ def sample_neighborhoods(edges: DataFrame, seeds: DataFrame,
     for hop, f in enumerate(fanouts, start=1):
         cand = (frontier.join(e, frontier["node"] == e["src"])
                 .select("root", F.lit(hop).alias("hop"), "src", "dst"))
+        from neo4j_document_pipeline_spark.operators.sampling import (
+            uniform_hash_col)
         key = F.concat_ws(":", F.lit(str(hop)), F.col("root"),
                           F.col("src"), F.col("dst"))
-        h = (F.conv(F.substring(F.sha2(
-            F.concat(F.lit(f"{salt}:"), key), 256), 1, 8), 16, 10)
-            .cast("double") / F.lit(float(1 << 32)))
+        h = uniform_hash_col(key, salt)
         w = Window.partitionBy("root", "src").orderBy(h.asc(),
                                                       F.col("dst").asc())
         sampled = (cand.withColumn("_rn", F.row_number().over(w))

@@ -253,8 +253,11 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
 
 def edge_cut_stats(edges: DataFrame, assign: DataFrame) -> DataFrame:
     """Partitioning-quality census for a node->part assignment: ONE
-    row (cut_edges, total_edges, cut_fraction, n_parts, max_load,
-    min_load) — the evidence a placement decision commits alongside
+    row (cut_edges, total_edges, cut_fraction, uncovered_edges,
+    n_parts, max_load, min_load) — uncovered_edges counts edges with
+    an endpoint MISSING from the assignment (nonzero means the census
+    and the assignment disagree about the graph; it is reported, never
+    silently dropped) — the evidence a placement decision commits alongside
     the layout (same role as ``zorder_partition_stats`` for sort
     layouts). Undirected edges counted once (u < v canonical)."""
     e = (edges.select(F.least("u", "v").alias("u"),
@@ -262,10 +265,15 @@ def edge_cut_stats(edges: DataFrame, assign: DataFrame) -> DataFrame:
          .filter(F.col("u") != F.col("v")).distinct())
     a_u = assign.select(F.col("id").alias("u"), F.col("part").alias("pu"))
     a_v = assign.select(F.col("id").alias("v"), F.col("part").alias("pv"))
-    cut = (e.join(a_u, "u").join(a_v, "v")
-           .agg(F.sum((F.col("pu") != F.col("pv")).cast("long"))
-                .alias("cut_edges"),
-                F.count(F.lit(1)).alias("total_edges")))
+    # LEFT joins: an edge whose endpoint the assignment misses must be
+    # COUNTED (uncovered_edges), not silently dropped — a census over a
+    # quietly smaller edge set is not evidence
+    covered = F.col("pu").isNotNull() & F.col("pv").isNotNull()
+    cut = (e.join(a_u, "u", "left").join(a_v, "v", "left")
+           .agg(F.sum((covered & (F.col("pu") != F.col("pv")))
+                      .cast("long")).alias("cut_edges"),
+                F.sum(covered.cast("long")).alias("total_edges"),
+                F.sum((~covered).cast("long")).alias("uncovered_edges")))
     loads = (assign.groupBy("part").agg(F.count(F.lit(1)).alias("l"))
              .agg(F.count(F.lit(1)).cast("int").alias("n_parts"),
                   F.max("l").alias("max_load"),
@@ -274,7 +282,8 @@ def edge_cut_stats(edges: DataFrame, assign: DataFrame) -> DataFrame:
             .select("cut_edges", "total_edges",
                     F.round(F.col("cut_edges") / F.col("total_edges"), 6)
                     .alias("cut_fraction"),
-                    "n_parts", "max_load", "min_load"))
+                    "uncovered_edges", "n_parts", "max_load",
+                    "min_load"))
 
 
 def multilevel_partitions(edges: DataFrame, k: int, *, levels: int = 1,
@@ -316,30 +325,25 @@ def multilevel_partitions(edges: DataFrame, k: int, *, levels: int = 1,
 
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
-    e = (edges.select(F.col("u").cast("string"),
-                      F.col("v").cast("string"))
+    # canonical distinct at entry: a directed input carrying both
+    # orientations of a link must weigh 1, not 2, exactly like the
+    # flat balanced_partitions path dedups orientations
+    e = (edges.select(F.least(F.col("u").cast("string"),
+                              F.col("v").cast("string")).alias("u"),
+                      F.greatest(F.col("u").cast("string"),
+                                 F.col("v").cast("string")).alias("v"))
          .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
     maps = []
     cur = e.select("u", "v", F.lit(1).cast("long").alias("weight"))
     sizes = None  # level-0 nodes weigh 1 (balanced_partitions default)
     for lv in range(levels):
-        coarse, node_map = coarsen_graph(cur.select("u", "v"),
-                                         salt=f"{salt}:m{lv}")
+        # coarse weights SUM the current level's weights, so original
+        # adjacency propagates through repeated contractions
+        coarse, node_map = coarsen_graph(cur, salt=f"{salt}:m{lv}",
+                                         weight_col="weight")
         node_map = node_map.localCheckpoint()
         maps.append(node_map)
-        # coarse weights must count ORIGINAL adjacency, not the
-        # previous level's edge count: re-aggregate the current
-        # weighted edges through the map
-        mu = node_map.select(F.col("id").alias("u"),
-                             F.col("super").alias("su"))
-        mv = node_map.select(F.col("id").alias("v"),
-                             F.col("super").alias("sv"))
-        cur = (cur.join(mu, "u").join(mv, "v")
-               .filter(F.col("su") != F.col("sv"))
-               .select(F.least("su", "sv").alias("u"),
-                       F.greatest("su", "sv").alias("v"), "weight")
-               .groupBy("u", "v").agg(F.sum("weight").alias("weight"))
-               .localCheckpoint())
+        cur = coarse.localCheckpoint()
         # supernode sizes accumulate original member counts
         if sizes is None:
             sizes = (node_map.groupBy(F.col("super").alias("id"))

@@ -34,9 +34,11 @@ def uniform_hash_col(id_col, salt: str):
     reproducible in any engine with sha256 (the DuckDB oracle computes
     the identical expression), independent of partitioning, cluster
     size, and row order. Change ``salt`` to draw an independent sample
-    from the same corpus (holdout vs train splits)."""
-    h = F.sha2(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")),
-               256)
+    from the same corpus (holdout vs train splits). ``id_col``: a
+    column name or any Column expression (composite keys concat their
+    parts upstream)."""
+    key = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.sha2(F.concat(F.lit(f"{salt}:"), key.cast("string")), 256)
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
             / F.lit(_HASH_DENOM))
 

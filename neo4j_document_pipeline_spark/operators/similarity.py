@@ -762,7 +762,10 @@ def sq8_topk(df: DataFrame, id_col: str, vec_col: str,
     quantization error) are the REAL ones, bit-replayable by the
     oracle. decode(c) = min_d + c/255·(max_d − min_d), double
     arithmetic. orderBy+limit compiles to TakeOrderedAndProject."""
-    stats = sq8_stats(df, vec_col)
+    # checkpoint the 1-row codebook: it feeds BOTH the encode join and
+    # the decode join — uncached, the full-corpus min/max scan would
+    # run twice
+    stats = sq8_stats(df, vec_col).localCheckpoint()
     codes = sq8_encode(df, id_col, vec_col, stats)
     # decode needs all three arrays; nest (min, span) into one zip_with
     dec = F.zip_with(

@@ -351,3 +351,33 @@ class TestWeightedBalancedPartitions:
         # x: part0 affinity c=1 (g) but load 101*deg2; part1 c=1 (h),
         # load 1*deg2 -> x moves to the light part despite equal affinity
         assert out["x"] == 1
+
+
+class TestReviewFixesSession10:
+    def test_edge_cut_stats_reports_uncovered_edges(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            edge_cut_stats)
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "zz")], "u string, v string")
+        partial = spark.createDataFrame(
+            [("a", 0), ("b", 0), ("c", 1)], "id string, part int")
+        row = edge_cut_stats(e, partial).first()
+        # (c, zz) has an unassigned endpoint: counted, not dropped
+        assert row["uncovered_edges"] == 1
+        assert row["total_edges"] == 2
+        assert row["cut_edges"] == 1  # (b, c) crosses 0|1
+
+    def test_multilevel_reciprocal_orientations_weigh_once(self, spark):
+        from neo4j_document_pipeline_spark.operators.layout import (
+            multilevel_partitions)
+        # both orientations present: must behave exactly like the
+        # canonical single-edge input
+        canon = [("a", "b"), ("b", "c"), ("c", "d")]
+        recip = canon + [(v, u) for u, v in canon]
+        e1 = spark.createDataFrame(canon, "u string, v string")
+        e2 = spark.createDataFrame(recip, "u string, v string")
+        p1 = {r["id"]: r["part"]
+              for r in multilevel_partitions(e1, 2).collect()}
+        p2 = {r["id"]: r["part"]
+              for r in multilevel_partitions(e2, 2).collect()}
+        assert p1 == p2

@@ -255,3 +255,34 @@ class TestCoarsenGraph:
         kept = coarse.agg(F.sum("weight")).first()[0]
         matched = node_map.filter(F.col("id") != F.col("super")).count()
         assert kept == 10 - matched
+
+
+def test_matching_converges_at_exactly_max_iters(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        maximal_matching)
+    # a path of 3 edges needs 2 Luby rounds under some priority order;
+    # find a max_iters equal to the natural round count and assert no
+    # spurious raise
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "u string, v string")
+    full = maximal_matching(e).collect()
+    rounds_needed = max(r["round"] for r in full) + 1
+    tight = maximal_matching(e, max_iters=rounds_needed).collect()
+    assert {(r["u"], r["v"]) for r in tight} \
+        == {(r["u"], r["v"]) for r in full}
+
+
+def test_coarsen_weight_col_sums_previous_level(spark):
+    from neo4j_document_pipeline_spark.operators.graphalgo import (
+        coarsen_graph)
+    from pyspark.sql import functions as F
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 2), ("b", "d", 5), ("c", "d", 1)],
+        "u string, v string, weight long")
+    m = spark.createDataFrame([("a", "b"), ("c", "d")],
+                              "u string, v string")
+    coarse, _ = coarsen_graph(e, m, weight_col="weight")
+    cw = {(r["u"], r["v"]): r["weight"] for r in coarse.collect()}
+    # a-c (2) and b-d (5) both map to (a, c): weights SUM to 7
+    assert cw == {("a", "c"): 7}
