@@ -79,8 +79,17 @@ class PipelineConfig:
     # bucket(N, tok) layout of the committed FTS postings (node_tokens):
     # all postings of a tok land in tok's bucket, which is what lets an
     # incremental batch MERGE its delta postings by rewriting only the
-    # touched bucket files (df recounts stay exact per bucket)
-    fts_index_buckets: int = 32
+    # touched bucket files (df recounts stay exact per bucket).
+    # 0 (default) derives the count from the indexed corpus at build
+    # time — ceil(rows / target), clamped (retrieval.resolve_index_
+    # buckets) — so bucket files stay in the sensible-size band at any
+    # scale instead of a fixed 32 (32 near-empty scan tasks per keyword
+    # query on a test corpus, GB-sized bucket rewrites at 100 TB). A
+    # positive value pins an explicit geometry; committed tables always
+    # keep their manifest's n_buckets regardless (merge compatibility).
+    # State tables with no cheap row estimate at build time (hygiene
+    # line/gram postings, doc signatures) use max(bucket floor, 8).
+    fts_index_buckets: int = 0
     ann_train_iters: int = 3
     # coarse-quantizer training sample (0 = fully-distributed training):
     # one pass collects a deterministic sample, Lloyd runs driver-side —

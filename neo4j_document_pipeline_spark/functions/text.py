@@ -140,6 +140,22 @@ def col_normalize_name_for_key(c: Column) -> Column:
     return F.when(F.trim(s) == "", F.lit("")).otherwise(out)
 
 
+def normalize_name_for_key_sql(col_sql: str) -> str:
+    """SQL-string twin of col_normalize_name_for_key, for read-path
+    callers that build plans per request: the Column-DSL version costs
+    ~40 py4j round trips to construct (NUM_WORDS map literals + lambda
+    plumbing), the string parses in one. Same expression tree, same
+    result — parity-tested against the DSL version."""
+    num_map = ", ".join(f"'{k}', '{v}'" for k, v in NUM_WORDS.items())
+    s = f"lower(coalesce({col_sql}, ''))"
+    cleaned = f"regexp_replace({s}, '[^a-z0-9 ]+', ' ')"
+    toks = f"split(trim(regexp_replace({cleaned}, ' +', ' ')), ' ')"
+    mapped = (f"transform({toks}, t -> "
+              f"coalesce(element_at(map({num_map}), t), t))")
+    return (f"CASE WHEN trim({cleaned}) = '' THEN '' "
+            f"ELSE array_join({mapped}, ' ') END")
+
+
 def col_entity_id(label: Column, name: Column) -> Column:
     return F.sha2(F.concat_ws(":", label, name), 256)
 

@@ -194,9 +194,14 @@ def chi2_terms(docs: DataFrame, id_col: str, text_col: str,
     b = F.col("df_t") - a
     c = F.col("n_class") - a
     d = F.col("n_total") - F.col("df_t") - F.col("n_class") + a
-    diff = (a * d - b * c).cast("double")
+    # marginals/cross-products as DOUBLE from the first factor: the
+    # all-long products overflow 2^63 around ~1e5 balanced labeled docs
+    # (ANSI ArithmeticException under Spark 4; silent wraparound under
+    # Spark 3 defaults). Below 2^53 every product is exact in double, so
+    # small-corpus results are bit-identical to the old long path.
+    diff = a.cast("double") * d - b.cast("double") * c
     num = F.col("n_total").cast("double") * diff * diff
-    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    den = (a + b).cast("double") * (c + d) * (a + c) * (b + d)
     scored = scored.select(
         "label", "term",
         F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("chi2"),

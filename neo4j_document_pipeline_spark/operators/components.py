@@ -198,11 +198,13 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
     self-loops and edges internal to one committed component quotient
     to nothing and produce zero changed rows.
     """
-    e = (new_edges.select(F.col("u").cast("string"),
-                          F.col("v").cast("string"))
-         .filter(F.col("u") != F.col("v")).distinct())
-    dnodes = (e.select(F.col("u").alias("id"))
-              .union(e.select(F.col("v").alias("id"))).distinct()
+    raw = new_edges.select(F.col("u").cast("string"),
+                           F.col("v").cast("string"))
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
+    # delta node set from the UNFILTERED edges: a brand-new node whose
+    # only delta evidence is a self-loop still needs a component row
+    dnodes = (raw.select(F.col("u").alias("id"))
+              .union(raw.select(F.col("v").alias("id"))).distinct()
               .localCheckpoint())
     # the one pass over the big table: broadcast the delta node set
     touched = (labels.join(F.broadcast(dnodes), "id", "left_semi")
@@ -215,9 +217,15 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                           F.coalesce("cv", "v").alias("v"))
                   .filter(F.col("u") != F.col("v")))
     if quot_edges.isEmpty():
+        # no merges — but fresh nodes (self-loop-only deltas) still get
+        # their singleton rows; silently returning labels unchanged
+        # would leave them with no component at all
+        fresh0 = (dnodes.join(F.broadcast(touched.select("id")),
+                              "id", "left_anti")
+                  .select("id", F.col("id").alias("component")))
         if changed_only:
-            return labels.filter(F.lit(False))
-        return labels
+            return fresh0
+        return labels.unionByName(fresh0)
     # remap: old rep (or fresh singleton id) -> merged rep
     remap = (connected_components(quot_edges, max_iter)
              .select(F.col("id").alias("component"),

@@ -1156,12 +1156,24 @@ def latest_snapshot_per_url(df: DataFrame, url_col: str, ts_col: str, *,
     row = F.struct(*[F.col(c) for c in cols])
     tb = (F.col(tiebreak_col) if tiebreak_col is not None
           else F.sha2(F.to_json(row), 256))
-    return (df.select(
-        col_normalize_url(F.col(url_col)).alias("url_norm"),
-        F.struct(F.col(ts_col).alias("_ts"), tb.alias("_tb"),
-                 row.alias("_row")).alias("_k"))
-        .groupBy("url_norm").agg(F.max("_k").alias("_k"))
-        .select("url_norm", "_k._row.*"))
+    # ordering key: (ts, tiebreak, sha-of-row-json) — the trailing row
+    # hash makes the key TOTAL and deterministic even when an explicit
+    # tiebreak_col ties across different rows, and max_by never orders
+    # the payload struct itself (a max(struct(..., row)) would fail to
+    # plan whenever any column is non-orderable, e.g. a map)
+    key = F.struct(F.col(ts_col).alias("_ts"), tb.alias("_tb"),
+                   F.sha2(F.to_json(row), 256).alias("_tb2"))
+    base = df.select(col_normalize_url(F.col(url_col)).alias("url_norm"),
+                     key.alias("_key"), row.alias("_row"))
+    kept = (base.filter(F.col("url_norm").isNotNull())
+            .groupBy("url_norm").agg(F.max_by("_row", "_key").alias("_row"))
+            .select("url_norm", "_row.*"))
+    # rows with no url pass through untouched: collapsing every
+    # NULL-url row into one "newest" survivor would silently discard
+    # unrelated documents that merely lack a url
+    null_rows = (base.filter(F.col("url_norm").isNull())
+                 .select("url_norm", "_row.*"))
+    return kept.unionByName(null_rows)
 
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,

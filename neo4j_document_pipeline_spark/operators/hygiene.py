@@ -183,7 +183,7 @@ def merge_line_postings(store, raw_documents: DataFrame, cfg: PipelineConfig,
                           extra_metrics=extra)
     else:
         store.write_bucketed(LINE_POSTINGS, delta, bucket_by="lkey",
-                             n_buckets=cfg.fts_index_buckets, stage=stage,
+                             n_buckets=cfg.fts_index_buckets or 8, stage=stage,
                              input_fingerprint=input_fingerprint,
                              extra_metrics=extra)
 
@@ -444,7 +444,7 @@ def merge_gram_postings(store, raw_documents: DataFrame,
                           extra_metrics=extra)
     else:
         store.write_bucketed(GRAM_POSTINGS, delta, bucket_by="gkey",
-                             n_buckets=cfg.fts_index_buckets, stage=stage,
+                             n_buckets=cfg.fts_index_buckets or 8, stage=stage,
                              input_fingerprint=input_fingerprint,
                              extra_metrics=extra)
 
@@ -562,5 +562,5 @@ def merge_doc_signatures(store, survivors: DataFrame, cfg: PipelineConfig,
                           stage=stage, input_fingerprint=input_fingerprint)
     else:
         store.write_bucketed(DOC_SIGNATURES, delta, bucket_by="bh",
-                             n_buckets=cfg.fts_index_buckets, stage=stage,
+                             n_buckets=cfg.fts_index_buckets or 8, stage=stage,
                              input_fingerprint=input_fingerprint)

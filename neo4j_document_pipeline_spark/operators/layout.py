@@ -99,6 +99,12 @@ def zorder_partition_stats(df: DataFrame, cols: list[str], *,
     ~2^-(prefix_bits / n_cols). Pure aggregation over the keyed frame.
     """
     n = len(cols)
+    if not 0 < prefix_bits <= n * bits:
+        # a larger prefix_bits makes shiftright use a negative shift
+        # count — meaningless buckets and garbage span stats, silently
+        raise ValueError(
+            f"prefix_bits must be in (0, n_cols*bits] = (0, {n * bits}], "
+            f"got {prefix_bits}")
     keyed = zorder_key(df, cols, bits=bits, out_col="_z")
     bucket = F.shiftright(F.col("_z"), n * bits - prefix_bits)
     per_bucket = (keyed.withColumn("_zb", bucket)
@@ -215,11 +221,15 @@ def balanced_partitions(edges: DataFrame, k: int, *, iters: int = 2,
         assign = nodes.select("id", hash_part.alias("part")) \
             .localCheckpoint()
     else:
+        # enforce the documented contract: an init part outside
+        # [0, k) falls back to the hash bucket instead of surviving
+        # refinement and yielding an assignment with > k partitions
+        ip = F.col("_ip").cast("int")
+        ip = F.when((ip >= 0) & (ip < k), ip)
         assign = (nodes.join(init.select("id",
                                          F.col("part").alias("_ip")),
                              "id", "left")
-                  .select("id", F.coalesce(F.col("_ip").cast("int"),
-                                           hash_part).alias("part"))
+                  .select("id", F.coalesce(ip, hash_part).alias("part"))
                   .localCheckpoint())
     deg = und.groupBy(F.col("u").alias("id")) \
         .agg(F.sum("w").alias("deg"))

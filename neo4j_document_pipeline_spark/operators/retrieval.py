@@ -93,17 +93,23 @@ def cosine_score_col(qvec: list[float]) -> F.Column:
     """JVM-side cosine(embedding, qvec): zip_with product + aggregate sum.
     Featurizer vectors are l2-normalized, but we divide by norms anyway to
     reproduce _cosine semantics incl. the zero-norm guard
-    (graphutil.py:173-183)."""
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x))
+    (graphutil.py:173-183).
+
+    Built as ONE parsed SQL expression: the equivalent Column-DSL chain
+    (zip_with/aggregate lambdas + a dim-element array) costs hundreds of
+    py4j round trips PER QUERY to construct (~170 ms/query measured at
+    dim=64) — serving-path plan-build time, not execution. ``repr`` of a
+    Python float is the shortest round-trip decimal, and Spark's ``D``
+    double literal parses it back to the identical IEEE double, so the
+    parsed tree and the old DSL tree are the same expression."""
+    vals = ", ".join(f"{float(x)!r}D" for x in qvec)
     nb = float(sum(x * x for x in qvec)) ** 0.5
-    return F.when((na == 0) | (F.lit(nb) == 0), F.lit(0.0)).otherwise(
-        dot / (na * F.lit(nb))
-    )
+    na_sql = "SQRT(aggregate(embedding, 0.0D, (acc, x) -> acc + x * x))"
+    dot_sql = (f"aggregate(zip_with(embedding, array({vals}), "
+               "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")
+    return F.expr(
+        f"CASE WHEN ({na_sql} = 0.0D) OR ({nb!r}D = 0.0D) THEN 0.0D "
+        f"ELSE {dot_sql} / ({na_sql} * {nb!r}D) END")
 
 
 def vector_channel(nodes: DataFrame, qvec: list[float],
@@ -235,6 +241,27 @@ def resolve_ann_cells(cfg: PipelineConfig, n_rows: int) -> int:
         return cfg.ann_cells
     return max(4, min(65_536,
                       -(-int(n_rows) // max(1, cfg.ann_target_cell_rows))))
+
+
+# ~2 postings per node and ~50 bytes per posting row -> ~10 MB bucket
+# files at this target, squarely in the sensible-file-size band
+_FTS_BUCKET_TARGET_ROWS = 100_000
+
+
+def resolve_index_buckets(cfg: PipelineConfig, n_rows: int | None) -> int:
+    """bucket(N, tok) count for the committed FTS postings, derived from
+    the indexed corpus size — the resolve_ann_cells rule applied to the
+    inverted index: ceil(rows / target), clamped. A fixed N is wrong at
+    both extremes: 32 buckets over a 2k-posting test corpus makes every
+    keyword query schedule 32 near-empty scan tasks, while 32 buckets
+    over 10^10 postings makes each bucket file enormous and every
+    incremental MERGE rewrite GBs per touched tok. cfg.fts_index_buckets
+    > 0 pins an explicit geometry (and existing tables always keep their
+    committed n_buckets — merges read it from the manifest)."""
+    if cfg.fts_index_buckets > 0:
+        return cfg.fts_index_buckets
+    return max(1, min(4096,
+                      -(-int(n_rows or 1) // _FTS_BUCKET_TARGET_ROWS)))
 
 
 def _train_per_label_quantizer(vecs: DataFrame, cfg: PipelineConfig,
@@ -845,10 +872,16 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
         F.lit(" "))
     parts = []
     if single:
-        terms_df = F.broadcast(
-            spark.createDataFrame([(t,) for t in single], "tok string"))
+        # the term set is a handful of deduped query tokens: a pushed-
+        # down `tok IN (...)` scan filter, NOT a join against a driver-
+        # built DataFrame — pyspark materializes a tiny createDataFrame
+        # as a defaultParallelism-partition RDD scan, which costs a full
+        # 32-task broadcast-build job per query before the real work
+        # starts (measured ~250 ms/query at local[32]); the IN filter
+        # also prunes bucketed postings files at the scan
+        term_filter = F.col("tok").isin(single)
         if use_index and labels:
-            matched0 = post.join(terms_df, "tok")
+            matched0 = post.filter(term_filter)
             # label-scoped df from the probed rows themselves: postings
             # are distinct (entity, tok) pairs, so a per-tok count over
             # the label-pruned matches IS the filtered-corpus document
@@ -862,17 +895,18 @@ def keyword_channel(nodes: DataFrame, question: str, k_kw: int,
             )
         elif use_index:
             matched = (
-                postings.join(terms_df, "tok")
+                postings.filter(term_filter)
                 .withColumn("idf", idf)
                 .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
             )
         else:
-            toks = _name_tokens(df)
+            toks = _name_tokens(df).filter(term_filter)
+            # df per matched tok only — identical counts (the filter is
+            # per-tok, so grouping after it changes nothing for kept toks)
             df_counts = toks.groupBy("tok").agg(
                 F.countDistinct("entity_id").alias("df"))
             matched = (
-                toks.join(terms_df, "tok")
-                .join(F.broadcast(df_counts.join(terms_df, "tok")), "tok")
+                toks.join(F.broadcast(df_counts), "tok")
                 .withColumn("idf", idf)
                 .groupBy("entity_id").agg(F.sum("idf").alias("kw_part"))
             )
@@ -1081,10 +1115,24 @@ def dedupe_seeds_one_per_doc(cands: list[dict]) -> list[dict]:
 # Traversal + formatting (distributed)
 # ---------------------------------------------------------------------------
 
+def _in_pred(col: str, values: list[str]) -> F.Column:
+    """`col IN (...)` as ONE parsed SQL expression. Column.isin() makes a
+    py4j round trip per element (a 2-hop frontier of a few hundred ids
+    costs ~1 ms each, per query, just to BUILD the filter); parsing one
+    string is a single call and yields the same In(...) predicate."""
+    if not values:
+        return F.lit(False)
+    quoted = ", ".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values)
+    return F.expr(f"`{col}` IN ({quoted})")
+
+
 def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
                        max_hops: int = 1, checkpoint: bool = True,
                        max_inline_frontier: int = 2048,
-                       materialize: bool | None = None) -> DataFrame:
+                       materialize: bool | None = None,
+                       shared_scan: DataFrame | None = None) -> DataFrame:
     """Undirected BFS, node-global uniqueness (graphutil.py:547-632,
     clamp at main.py:337). Returns the traversed edge set.
 
@@ -1111,15 +1159,46 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
         visited = frontier
         frontier_ids = None
     touched = None
-    # one slim scan of the edges table, reused by every hop
-    und = edges.select("src_id", "dst_id", "rel_type", "term",
-                       "source_text_full", "sources").persist()
+    # one slim scan of the edges table, reused by every hop. A caller-
+    # provided shared_scan (graphrag's per-snapshot persisted projection)
+    # outlives this call, so the returned lazy plan can reference the
+    # cache after we return — no per-call persist/unpersist cycle and no
+    # eager materialization needed for multi-hop plans.
+    own_scan = shared_scan is None
+    und = (edges.select("src_id", "dst_id", "rel_type", "term",
+                        "source_text_full", "sources").persist()
+           if own_scan else shared_scan)
+    if not own_scan and frontier_ids is not None:
+        # FULLY LAZY multi-hop against the shared persisted scan: no
+        # per-hop driver probe — hop h matches edges touching ANY
+        # endpoint reached so far (distance <= h-1), which is the same
+        # edge set as the frontier formulation (hop-k hits are subsets
+        # of later supersets; the final dedup collapses them), built as
+        # broadcast HASH equi-joins of the derived endpoint frame. The
+        # whole traversal folds into the consumer's single action —
+        # zero driver round trips per query instead of one per hop.
+        touched = und.filter(_in_pred("src_id", frontier_ids)
+                             | _in_pred("dst_id", frontier_ids))
+        for _ in range(1, hops):
+            nbrs = (touched.select(F.col("src_id").alias("id"))
+                    .union(touched.select(F.col("dst_id").alias("id")))
+                    .distinct())
+            hit_s = und.join(F.broadcast(nbrs),
+                             und.src_id == nbrs.id).drop("id")
+            hit_d = und.join(F.broadcast(nbrs),
+                             und.dst_id == nbrs.id).drop("id")
+            touched = hit_s.unionByName(hit_d)
+        out = touched.dropDuplicates(["src_id", "dst_id", "rel_type",
+                                      "term"])
+        if materialize:
+            out = out.localCheckpoint()
+        return out
     try:
         for h in range(hops):
             last_hop = h == hops - 1
             if frontier_ids is not None:
-                hit = und.filter(F.col("src_id").isin(frontier_ids)
-                                 | F.col("dst_id").isin(frontier_ids))
+                hit = und.filter(_in_pred("src_id", frontier_ids)
+                                 | _in_pred("dst_id", frontier_ids))
             else:
                 hit_s = und.join(F.broadcast(frontier),
                                  und.src_id == frontier.id).drop("id")
@@ -1171,12 +1250,17 @@ def traverse_neighbors(edges: DataFrame, seed_ids: list[str],
         # checkpointing here while `und` is still cached is the cheap
         # point. Callers that consume the result exactly once (the
         # default graphrag path) pass materialize=False and keep the
-        # single-action lazy plan. Default follows `checkpoint` (safe).
-        if materialize if materialize is not None else checkpoint:
+        # single-action lazy plan. Default follows `checkpoint` (safe);
+        # with a shared_scan that stays persisted past this call, the
+        # multi-hop recompute concern is gone and the default flips to
+        # lazy — one fewer eager job per query.
+        if (materialize if materialize is not None
+                else (checkpoint and own_scan)):
             out = out.localCheckpoint()
         return out
     finally:
-        und.unpersist()
+        if own_scan:
+            und.unpersist()
 
 
 def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
@@ -1196,8 +1280,12 @@ def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
     df = rels.join(s, "src_id").join(t, "dst_id")
 
     # normalized-key dedup, keep-first deterministically (graphutil.py:653-674)
-    df = df.withColumn("s_key", col_normalize_name_for_key(F.col("s_name"))) \
-           .withColumn("t_key", col_normalize_name_for_key(F.col("t_name"))) \
+    # — key exprs parsed from SQL strings (one py4j call each instead of
+    # ~40; same tree as col_normalize_name_for_key, parity-tested)
+    from neo4j_document_pipeline_spark.functions.text import (
+        normalize_name_for_key_sql)
+    df = df.withColumn("s_key", F.expr(normalize_name_for_key_sql("s_name"))) \
+           .withColumn("t_key", F.expr(normalize_name_for_key_sql("t_name"))) \
            .withColumn("r_key", F.lower(F.col("rel_type")))
     w = Window.partitionBy("s_key", "r_key", "t_key").orderBy("s_name", "t_name", "src_id", "dst_id")
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -1226,30 +1314,32 @@ def assemble_facts(rels: DataFrame, nodes: DataFrame, mentions: DataFrame,
         df = df.withColumn("s_title", F.lit(None).cast("string")) \
                .withColumn("t_title", F.lit(None).cast("string"))
 
-    snip = F.trim(F.regexp_replace(F.coalesce("source_text_full", F.lit("")), r"\n", " "))
+    # the fact line as ONE parsed SQL expression (the equivalent
+    # concat/when Column chain costs dozens of py4j round trips per
+    # request to build; the parsed tree is identical)
+    snip_sql = ("trim(regexp_replace(coalesce(source_text_full, ''), "
+                "'\\\\n', ' '))")
     if isinstance(snippet_chars, int) and snippet_chars > 0:
-        snip = F.when(F.length(snip) > snippet_chars,
-                      F.concat(F.rtrim(F.substring(snip, 1, snippet_chars)), F.lit("..."))
-                      ).otherwise(snip)
-    snip_str = F.when(snip != "", F.concat(F.lit(' [snippet: "'), snip, F.lit('"]'))).otherwise(F.lit(""))
-    src_str = F.lit("")
+        n = int(snippet_chars)
+        snip_sql = (f"CASE WHEN length({snip_sql}) > {n} "
+                    f"THEN concat(rtrim(substring({snip_sql}, 1, {n})), "
+                    f"'...') ELSE {snip_sql} END")
+    snip_str_sql = (f"CASE WHEN {snip_sql} != '' THEN "
+                    f"concat(' [snippet: \"', {snip_sql}, '\"]') "
+                    "ELSE '' END")
+    src_str_sql = "''"
     if include_source:
-        src_str = (
-            F.when(F.col("s_title").isNotNull() & F.col("t_title").isNotNull()
-                   & (F.col("s_title") != F.col("t_title")),
-                   F.concat(F.lit(' [source: "'), F.col("s_title"),
-                            F.lit('" | "'), F.col("t_title"), F.lit('"]')))
-            .when(F.coalesce("s_title", "t_title").isNotNull(),
-                  F.concat(F.lit(' [source: "'),
-                           F.coalesce("s_title", "t_title"), F.lit('"]')))
-            .otherwise(F.lit(""))
-        )
-    line = F.concat(
-        F.lit("- "), F.col("s_label"), F.lit('("'), F.col("s_name"), F.lit('")'),
-        F.lit(" -["), F.col("rel_type"), F.lit("]-> "),
-        F.col("t_label"), F.lit('("'), F.col("t_name"), F.lit('")'),
-        snip_str, src_str,
-    )
+        src_str_sql = (
+            "CASE WHEN s_title IS NOT NULL AND t_title IS NOT NULL "
+            "AND s_title != t_title THEN "
+            "concat(' [source: \"', s_title, '\" | \"', t_title, '\"]') "
+            "WHEN coalesce(s_title, t_title) IS NOT NULL THEN "
+            "concat(' [source: \"', coalesce(s_title, t_title), '\"]') "
+            "ELSE '' END")
+    line = F.expr(
+        "concat('- ', s_label, '(\"', s_name, '\")', ' -[', rel_type, "
+        "']-> ', t_label, '(\"', t_name, '\")', "
+        f"{snip_str_sql}, {src_str_sql})")
     return df.select(
         "src_id", "dst_id", "rel_type",
         "s_label", "s_name", "t_label", "t_name",
@@ -1370,13 +1460,15 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
     timings["canonical_graph"] = 1.0 if canon else 0.0
 
     # nodes is scanned by the vector channel, the phrase verify, and both
-    # endpoint lookups of the facts assembly — persist once per query.
-    # Reference-counted: concurrent graphrag calls share the store's
-    # cached DataFrame handle, so only the LAST in-flight query using it
-    # unpersists (a sibling's early exit must not evict the cache under
-    # queries still scanning it). The try starts IMMEDIATELY after the
-    # acquire so no failure path can leak the cache or the refcount.
-    nodes = _persist_acquire(store.read(f"nodes{suffix}"))
+    # endpoint lookups of the facts assembly — persist once per SNAPSHOT
+    # (sticky serving residency): the store hands out one DataFrame
+    # handle per snapshot, the first query materializes the cache, and
+    # every later query against the same snapshot reads memory instead
+    # of re-persisting and re-materializing per request. A commit that
+    # supersedes the snapshot evicts it (GraphStore -> evict_persisted).
+    # The try starts IMMEDIATELY after the acquire so no failure path
+    # can leak the refcount.
+    nodes = _persist_acquire(store.read(f"nodes{suffix}"), sticky=True)
     try:
         edges = store.read(f"edges{suffix}")
         mentions = store.read(f"mentions{suffix}")
@@ -1457,19 +1549,33 @@ def _graphrag_setup_and_run(spark, store, question, top_k, hops, labels,
 # cap block at entry, so active_requests can never exceed max_concurrent.
 # refcounted persist for DataFrame handles shared across concurrent
 # queries (store._df_cache returns the same object per snapshot):
-# unpersist fires only when the last acquirer releases. Keys are id(df);
-# safe because an entry exists only while an acquirer holds a reference.
+# unpersist fires only when the last acquirer releases — unless the
+# handle was acquired STICKY (serving residency): a sticky handle stays
+# cached between requests so sequential queries against the same
+# snapshot do not re-materialize the same table cache per request (the
+# reference keeps its serving indexes resident too). Eviction is by
+# snapshot identity: GraphStore calls evict_persisted() on every
+# superseded handle when a commit replaces a snapshot, so a sticky
+# cache can never serve stale data — it dies with its snapshot.
+# Memory: Spark storage memory evicts cached blocks LRU under pressure
+# and recomputes from parquet, so residency is best-effort, not a
+# pinned budget. Keys are id(df); safe because an entry exists only
+# while an acquirer holds a reference or the store's _df_cache holds
+# the snapshot handle.
 _persist_lock = threading.Lock()
 _persist_refs: dict[int, int] = {}
+_sticky_ids: set[int] = set()
 
 
-def _persist_acquire(df: DataFrame) -> DataFrame:
+def _persist_acquire(df: DataFrame, sticky: bool = False) -> DataFrame:
     # persist() INSIDE the lock: if it ran after release, a concurrent
     # releaser's pending unpersist() could evict the cache a fresh
     # acquirer just counted on (release/acquire interleave). persist/
     # unpersist are lazy metadata calls, so holding the lock is cheap.
     with _persist_lock:
         _persist_refs[id(df)] = _persist_refs.get(id(df), 0) + 1
+        if sticky:
+            _sticky_ids.add(id(df))
         df.persist()  # idempotent on an already-persisted frame
     return df
 
@@ -1481,7 +1587,44 @@ def _persist_release(df: DataFrame) -> None:
             _persist_refs[id(df)] = n
             return
         _persist_refs.pop(id(df), None)
+        if id(df) in _sticky_ids:
+            return  # serving residency: warm until the snapshot dies
         df.unpersist()
+
+
+def evict_persisted(df: DataFrame) -> None:
+    """Drop a handle's cache + bookkeeping — called by GraphStore when a
+    commit supersedes the snapshot this DataFrame reads. Safe while
+    in-flight queries still reference the frame (Spark recomputes)."""
+    with _persist_lock:
+        _persist_refs.pop(id(df), None)
+        _sticky_ids.discard(id(df))
+        und = _slim_edges_cache.pop(id(df), None)
+    try:
+        df.unpersist()
+    except Exception:  # session already stopped — nothing to evict
+        return
+    if und is not None:
+        und.unpersist()
+
+
+# per-snapshot slim traversal scan (src/dst/rel/term/text/sources
+# projection of the edges table), shared and kept persisted across
+# queries like the sticky table handles above: before this cache every
+# graphrag call persisted ITS OWN projection of the same edges handle
+# and rebuilt the cache per request. Keyed by id(edges handle); evicted
+# with the handle (evict_persisted).
+_slim_edges_cache: dict[int, DataFrame] = {}
+
+
+def _shared_traversal_scan(edges: DataFrame) -> DataFrame:
+    with _persist_lock:
+        und = _slim_edges_cache.get(id(edges))
+        if und is None:
+            und = edges.select("src_id", "dst_id", "rel_type", "term",
+                               "source_text_full", "sources").persist()
+            _slim_edges_cache[id(edges)] = und
+    return und
 
 
 MAX_CONCURRENT_QUERIES = 20
@@ -1559,10 +1702,13 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
     k = max(12, top_k)  # main.py:270-271
     t1 = _time.perf_counter()
     if fused:
-        # two channel jobs run concurrently (the Spark scheduler
-        # interleaves their stages); blend + rank over <= 2k rows happens
-        # driver-side, then ONE job fetches attrs + doc titles
-        from concurrent.futures import ThreadPoolExecutor
+        # BOTH channel top-k lists come back in ONE union-tagged job (the
+        # scheduler runs the two branch subtrees concurrently inside it);
+        # blend + rank over <= 2k rows happens driver-side, then ONE
+        # union-tagged job fetches attrs + doc titles (two independent
+        # branches again — the old titles-into-attrs join serialized a
+        # broadcast build between them). Actions per query: 2 here
+        # instead of 3, and no thread pool per request.
         vec_df = vector_channel(nodes, qvec, labels, k,
                                 index=vec_index, centroids=vec_centroids,
                                 nprobe=cfg.ann_nprobe,
@@ -1573,25 +1719,59 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
         kw_df = keyword_channel(nodes, question, k, labels, cfg,
                                 n_nodes=n_nodes,
                                 postings=postings)
-        with ThreadPoolExecutor(2) as ex:
-            fv = ex.submit(vec_df.collect)
-            fk = ex.submit(kw_df.collect)
-            vec_rows, kw_rows = fv.result(), fk.result()
+        ch_rows = (
+            vec_df.select("entity_id",
+                          F.col("vec").cast("double").alias("_score"),
+                          F.lit(0).alias("_ch"))
+            .unionByName(kw_df.select(
+                "entity_id", F.col("kw").cast("double").alias("_score"),
+                F.lit(1).alias("_ch")))
+            .collect())
+        vec_rows = [{"entity_id": r["entity_id"], "vec": r["_score"]}
+                    for r in ch_rows if r["_ch"] == 0]
+        kw_rows = [{"entity_id": r["entity_id"], "kw": r["_score"]}
+                   for r in ch_rows if r["_ch"] == 1]
         scored = _blend_candidates_py(vec_rows, kw_rows, alpha_vec, beta_kw)
         cands = []
         if scored:
-            ids_df = F.broadcast(spark.createDataFrame(
-                [(i,) for i, _ in scored], "entity_id string"))
-            titles = (
-                mentions.join(ids_df, "entity_id", "left_semi")
+            # candidate ids (<= k_vec + k_kw, bounded by construction) as
+            # a pushed-down IN filter on both branches — an inner join /
+            # left-semi join against a distinct id list is the same
+            # relation, without the per-query createDataFrame+broadcast
+            # jobs (see keyword_channel term_filter note). Very large
+            # explicit top_k still gets the broadcast-join shape.
+            id_list = [i for i, _ in scored]
+            if len(id_list) <= 2048:
+                nodes_cand = nodes.filter(_in_pred("entity_id", id_list))
+                ment_cand = mentions.filter(_in_pred("entity_id", id_list))
+            else:
+                ids_df = F.broadcast(spark.createDataFrame(
+                    [(i,) for i in id_list], "entity_id string"))
+                nodes_cand = nodes.join(ids_df, "entity_id")
+                ment_cand = mentions.join(ids_df, "entity_id", "left_semi")
+            attrs_part = (
+                nodes_cand.select("entity_id", "label", "name", "embedding")
+                .select("entity_id", "label", "name", "embedding",
+                        F.lit(None).cast("string").alias("doc_title"),
+                        F.lit(0).alias("_part")))
+            titles_part = (
+                ment_cand
                 .join(documents.select("doc_id", "title"), "doc_id")
                 .groupBy("entity_id").agg(F.min("title").alias("doc_title"))
-            )
-            attrs = {r["entity_id"]: r.asDict() for r in
-                     nodes.select("entity_id", "label", "name", "embedding")
-                     .join(ids_df, "entity_id")
-                     .join(titles, "entity_id", "left").collect()}
-            cands = [{**attrs[i], "score": s}
+                .select("entity_id",
+                        F.lit(None).cast("string").alias("label"),
+                        F.lit(None).cast("string").alias("name"),
+                        F.lit(None).cast("array<float>").alias("embedding"),
+                        "doc_title", F.lit(1).alias("_part")))
+            attrs, titles = {}, {}
+            for r in attrs_part.unionByName(titles_part).collect():
+                if r["_part"] == 0:
+                    attrs[r["entity_id"]] = {
+                        "entity_id": r["entity_id"], "label": r["label"],
+                        "name": r["name"], "embedding": r["embedding"]}
+                else:
+                    titles[r["entity_id"]] = r["doc_title"]
+            cands = [{**attrs[i], "doc_title": titles.get(i), "score": s}
                      for i, s in scored if i in attrs]
     else:
         cands_df = hybrid_candidates(nodes, question, qvec, labels,
@@ -1639,16 +1819,24 @@ def _graphrag_body(spark, store, question, nodes, edges, mentions,
     seeds = dedupe_seeds_one_per_doc(cands)
 
     t2 = _time.perf_counter()
-    # materialize when the traversal would otherwise recompute inside the
-    # facts action: include_source references it 3x, and each hop > 1
-    # adds another full edges-scan branch to the lazy union (the scan
-    # cache inside traverse_neighbors is gone by collect time)
+    # traversal runs against the per-snapshot shared persisted edge scan
+    # (still cached at collect time), so the lazy multi-hop plan folds
+    # into the facts action — one job instead of checkpoint + collect.
+    # materialize only when include_source references the result 3x.
     rels = traverse_neighbors(edges, [s["entity_id"] for s in seeds], hops,
-                              materialize=include_source or hops > 1)
+                              materialize=include_source,
+                              shared_scan=_shared_traversal_scan(edges))
     facts_df = assemble_facts(rels, nodes, mentions, documents,
                               include_source=include_source)
-    fact_lines = [r["fact"] for r in
-                  facts_df.orderBy("s_name", "rel_type", "t_name").collect()]
+    # final ordering driver-side over the bounded fact set (<= seed
+    # neighborhoods): an orderBy here adds a rangepartitioning exchange
+    # + sort stage to every query for rows the driver is about to hold
+    # anyway. (s_name, rel_type, t_name) is unique after the normalized-
+    # key dedup, and Python's code-point string order equals Spark's
+    # UTF8 binary order, so the sorted list is byte-identical.
+    frows = facts_df.select("s_name", "rel_type", "t_name", "fact").collect()
+    frows.sort(key=lambda r: (r[0], r[1], r[2]))
+    fact_lines = [r["fact"] for r in frows]
     timings["expand_format"] = _time.perf_counter() - t2
 
     if not fact_lines:

@@ -226,13 +226,18 @@ def _cell_col(vec_col: str, centroids: list[list[float]]):
     for c in centroids:
         n = float(np.sqrt(sum(x * x for x in c))) or 1.0
         normed.append([float(x) / n for x in c])
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in normed])
-    dots = F.transform(
-        cents,
-        lambda c: F.aggregate(F.zip_with(F.col(vec_col), c, lambda a, b: a * b),
-                              F.lit(0.0), lambda acc, x: acc + x))
+    # ONE parsed SQL expression: the Column-DSL equivalent costs
+    # n_cells*dim py4j round trips (F.lit per element) to construct per
+    # build; repr round-trips each double exactly, so the parsed tree
+    # computes the identical dots/argmax
+    cents_sql = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in normed)
+    dots = (f"transform(array({cents_sql}), "
+            f"c -> aggregate(zip_with(`{vec_col}`, c, (a, b) -> a * b), "
+            "0.0D, (acc, x) -> acc + x))")
     # array_position: 1-based, first occurrence -> deterministic tie-break
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return F.expr(
+        f"CAST(array_position({dots}, array_max({dots})) - 1 AS INT)")
 
 
 def _assign_cells_pandas(df: DataFrame, vec_col: str,
@@ -594,34 +599,28 @@ def pq_topk(df: DataFrame, id_col: str, code_col: str,
     normalized vectors). With ``vec_col`` present, the top ``candidates``
     (default 10*k) ADC hits are re-ranked by exact cosine — the standard
     two-stage PQ search."""
-    import pandas as pd
-
     m, k_eff, dsub = codebooks.shape
     q = np.asarray(query, dtype=float)
     qn = np.linalg.norm(q) or 1.0
     q = q / qn
     lut = np.stack([codebooks[s] @ q[s * dsub:(s + 1) * dsub]
                     for s in range(m)])          # (m, k_eff)
-    bc = df.sparkSession.sparkContext.broadcast(lut)
-    cols = [id_col, code_col] + ([vec_col] if vec_col else [])
-
-    def score(batches):
-        tbl = bc.value
-        rows_m = np.arange(m)
-        for pdf in batches:
-            keep = pdf[pdf[code_col].notna()]
-            if not len(keep):
-                continue
-            C = np.stack([np.asarray(c, dtype=np.int64)
-                          for c in keep[code_col]])
-            keep = keep.assign(adc=tbl[rows_m[None, :], C].sum(axis=1))
-            yield keep.drop(columns=[code_col])
-
-    schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}"
-         for f in df.select(*cols).schema.fields if f.name != code_col]
-        + ["adc double"])
-    scored = df.select(*cols).mapInPandas(score, schema=schema)
+    # ADC as a JVM expression over the flattened lookup table: each code
+    # scores as a sequential sum of m element_at lookups — no Python
+    # worker round trip, no per-query sc.broadcast (the old mapInPandas
+    # path shipped every probed code through Arrow per query; the m*k
+    # LUT is tiny and inlines as one parsed array literal). Null-code
+    # rows are dropped exactly like the old notna() filter.
+    flat = lut.ravel()
+    vals = ", ".join(f"{float(x)!r}D" for x in flat)
+    adc = F.expr(
+        f"aggregate(zip_with({code_col}, sequence(0, {m - 1}), "
+        f"(c, s) -> element_at(array({vals}), "
+        f"CAST(s * {k_eff} + c + 1 AS INT))), "
+        "0.0D, (acc, x) -> acc + x)")
+    out_cols = [id_col] + ([vec_col] if vec_col else [])
+    scored = (df.filter(F.col(code_col).isNotNull())
+              .select(*out_cols, adc.alias("adc")))
     n_cand = candidates or 10 * k
     top = scored.orderBy(F.col("adc").desc(), F.col(id_col)).limit(n_cand)
     if vec_col is None:

@@ -214,7 +214,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             LINE_POSTINGS, apply_line_dedup, line_postings_from_docs)
         postings = stage(
             LINE_POSTINGS, lambda: line_postings_from_docs(_raw_docs()), fp,
-            bucket_by="lkey", n_buckets=cfg.fts_index_buckets,
+            bucket_by="lkey", n_buckets=cfg.fts_index_buckets or 8,
             extra_metrics={"min_doc_freq": dedup_lines})
 
     def _line_gated_docs():
@@ -298,7 +298,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         stage(DOC_SIGNATURES,
               lambda: doc_signatures_from_docs(_gated_docs(), cfg,
                                                sigs=_memo.get("sigs")), fp,
-              bucket_by="bh", n_buckets=cfg.fts_index_buckets)
+              bucket_by="bh", n_buckets=cfg.fts_index_buckets or 8)
     if strip_spans:
         # two row kinds (see gram_postings_from_docs): kept=false RAW
         # evidence from the pre-cut frame, kept=true survivor postings
@@ -311,11 +311,22 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
                   _line_gated_docs(), k=span_k, kept=False).unionByName(
                   gram_postings_from_docs(
                       _gated_docs(), k=span_k, kept=True)), fp,
-              bucket_by="gkey", n_buckets=cfg.fts_index_buckets,
+              bucket_by="gkey", n_buckets=cfg.fts_index_buckets or 8,
               extra_metrics={"span_k": span_k,
                              "span_min_count": span_min_count})
 
-    chunks = stage("chunks", lambda: documents_to_chunks(documents, cfg), fp)
+    # REBALANCE before the snapshot writes (guide-standard file sizing):
+    # the chunker/extractor python stages run at 4x-core fan-out for
+    # straggler resistance, which without this writes one near-empty
+    # parquet file PER TASK (measured: 128 files / 1.2 MB chunks, 383
+    # files / 4.5 MB triples at sf0.1) — every downstream stage then
+    # pays per-file open cost on each of its scans. AQE sizes the
+    # shuffle to advisoryPartitionSizeInBytes, so files come out near
+    # the advisory size at any scale; the extra exchange moves only the
+    # final table rows.
+    chunks = stage("chunks",
+                   lambda: documents_to_chunks(documents, cfg)
+                   .hint("rebalance"), fp)
     trip_df, trip_obs = observed(
         chunks_to_triples(chunks, cfg), "triples_metrics",
         F.count(F.lit(1)).alias("rows"),
@@ -324,7 +335,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         F.sum(F.when(F.col("object_kind") == "distribution", 1).otherwise(0)).alias("distribution_rows"),
     )
     triples = stage(
-        "triples_raw", lambda: trip_df, fp,
+        "triples_raw",
+        # rebalance ON the hive partition column: each object_kind's
+        # rows land together (one right-sized file per kind dir instead
+        # of one per extractor task), skew-split by AQE if a kind
+        # outgrows the advisory size
+        lambda: trip_df.hint("rebalance", "object_kind"), fp,
         partition_by=["object_kind"],
     )
     if not manifests["triples_raw"].get("skipped"):
@@ -411,7 +427,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
     from neo4j_document_pipeline_spark.operators.retrieval import (
         QUANTIZER_SIDECAR, build_node_tokens, build_node_vectors,
         quantizer_manifest_metrics, quantizer_sidecar_bytes,
-        stamp_index_metrics)
+        resolve_index_buckets, stamp_index_metrics)
 
     def commit_read_indexes(suffix: str):
         src = f"nodes{suffix}"
@@ -429,11 +445,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
         idx_metrics = stamp_index_metrics(man)
         # bucket(N, tok): every tok's postings share a bucket file, so
         # incremental batches later MERGE their delta postings by
-        # rewriting only touched buckets (streaming.ingest)
+        # rewriting only touched buckets (streaming.ingest); the count
+        # derives from the indexed corpus size (resolve_index_buckets)
         stage(f"node_tokens{suffix}",
               lambda: build_node_tokens(store.read(src)),
               deps, extra_metrics=idx_metrics,
-              bucket_by="tok", n_buckets=cfg.fts_index_buckets)
+              bucket_by="tok",
+              n_buckets=resolve_index_buckets(cfg, man.get("rows")))
         vname = f"node_vectors{suffix}"
         t0 = _time.perf_counter()
         if resume and store.is_current(vname, deps):

@@ -89,10 +89,24 @@ class GraphStore:
             else:
                 df = self.spark.read.parquet(path)
             with self._df_cache_lock:
-                fresh = {k: v for k, v in self._df_cache.items()
-                         if k[0] != name}  # drop superseded snapshots
+                fresh = {}
+                superseded = []
+                for k, v in self._df_cache.items():
+                    if k[0] != name:
+                        fresh[k] = v
+                    else:  # drop superseded snapshots
+                        superseded.append(v)
                 fresh[key] = df
                 self._df_cache = fresh
+            # a superseded handle may carry the read path's sticky
+            # serving persist — evict it so the cache dies with its
+            # snapshot (lazy import: retrieval imports nothing from
+            # here, but keep the store importable standalone)
+            if superseded:
+                from neo4j_document_pipeline_spark.operators.retrieval import (
+                    evict_persisted)
+                for v in superseded:
+                    evict_persisted(v)
         return df
 
     def read_matching(self, name: str, keys_df: DataFrame,
@@ -1061,6 +1075,15 @@ class GraphStore:
         transaction memory; a snapshot store just drops the pointer)."""
         for m in self.history(name) + [self.manifest(name)]:
             self._drop_catalog_entry(m)
+        with self._df_cache_lock:
+            dropped = [v for k, v in self._df_cache.items() if k[0] == name]
+            self._df_cache = {k: v for k, v in self._df_cache.items()
+                              if k[0] != name}
+        if dropped:
+            from neo4j_document_pipeline_spark.operators.retrieval import (
+                evict_persisted)
+            for v in dropped:
+                evict_persisted(v)
         shutil.rmtree(self._tdir(name), ignore_errors=True)
 
     def drop_all(self):

@@ -77,7 +77,7 @@ def ingest_increment(store, batch_df: DataFrame,
         build_node_vectors, index_is_fresh, load_quantizers,
         node_tokens_merge_fn, node_vectors_merge_fn,
         quantizer_manifest_metrics, quantizer_sidecar_bytes,
-        resolve_ann_cells, stamp_index_metrics)
+        resolve_ann_cells, resolve_index_buckets, stamp_index_metrics)
 
     def inc_fp(table: str) -> str:
         # deterministic, job-free increment lineage: the parent snapshot
@@ -210,7 +210,9 @@ def ingest_increment(store, batch_df: DataFrame,
     else:
         store.write_bucketed(
             "node_tokens", build_node_tokens(store.read("nodes")),
-            bucket_by="tok", n_buckets=cfg.fts_index_buckets,
+            bucket_by="tok",
+            n_buckets=resolve_index_buckets(
+                cfg, (store.manifest("nodes") or {}).get("rows")),
             stage=stage, extra_metrics=idx_metrics,
             input_fingerprint=inc_fp("node_tokens"))
 

@@ -653,9 +653,11 @@ def test_corrupt_media_distinct_from_codec_gap(spark):
 
 
 def test_graphrag_many_refcounted_persist(spark, tmp_path):
-    """Concurrent graphrag calls share the cached nodes handle; the
-    refcounted persist must keep the frame cached until the LAST
-    in-flight query releases it (and fully unpersist afterwards)."""
+    """Concurrent graphrag calls share the cached nodes handle via the
+    refcounted persist. A non-sticky acquire still unpersists when the
+    last in-flight holder releases; a STICKY acquire (serving residency)
+    keeps the cache warm after release and is evicted when a commit
+    supersedes the snapshot (store.read swap -> evict_persisted)."""
     from neo4j_document_pipeline_spark.operators import retrieval as R
     from neo4j_document_pipeline_spark.plans.pipeline import run_pipeline
     from neo4j_document_pipeline_spark.sources.pages import synth_pages
@@ -671,7 +673,15 @@ def test_graphrag_many_refcounted_persist(spark, tmp_path):
     R._persist_release(a)
     assert nodes.storageLevel.useMemory  # still cached: b holds a ref
     R._persist_release(b)
-    assert not nodes.storageLevel.useMemory
+    assert not nodes.storageLevel.useMemory  # non-sticky: fully released
+    # sticky residency: survives release, dies with the snapshot
+    c = R._persist_acquire(store.read("nodes"), sticky=True)
+    R._persist_release(c)
+    assert c.storageLevel.useMemory  # warm between requests
+    store.write("nodes", c.limit(1), stage="supersede")
+    fresh = store.read("nodes")  # swap evicts the superseded handle
+    assert fresh is not c
+    assert not c.storageLevel.useMemory
     # end-to-end: a burst of concurrent queries all succeed
     res = R.graphrag_many(spark, store,
                           ["What did Al-Khwarizmi develop?"] * 4,
