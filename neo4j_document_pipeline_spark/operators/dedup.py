@@ -137,7 +137,14 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             cfg: PipelineConfig = DEFAULT_CONFIG,
                             jaccard_threshold: float = 0.8,
                             shingle_words: int = 3) -> DataFrame:
-    """Near-duplicate pairs (id1, id2, jaccard) with exact verification."""
+    """Near-duplicate pairs (id1, id2, jaccard) with exact verification.
+
+    The signature subplan appears under three consumers (LSH blocking +
+    both sides of the shingle join-back); runtime exchange reuse already
+    dedups the duplicated shuffles (A/B-measured neutral vs an explicit
+    localCheckpoint at sf0.1), so the operator stays fully lazy — gate
+    callers that reuse signatures across SEVERAL operators pass a
+    pre-checkpointed frame via near_duplicate_pairs_from_sigs."""
     sigs = doc_minhash_signatures(df, id_col, text_col, cfg, shingle_words)
     return near_duplicate_pairs_from_sigs(sigs, cfg, jaccard_threshold)
 

@@ -53,6 +53,32 @@ TRIPLES_SCHEMA = (
 )
 
 
+_PY_STAGE_TARGET_BYTES = 32 << 20   # ~32 MB of input text per python task
+
+
+def _python_stage_partitions(df: DataFrame) -> int:
+    """Partition count for an Arrow/python map stage, derived from the
+    input's estimated size: ceil(bytes / 32 MB), floored at the core
+    count and capped at 1000x cores. Replaces the old fixed 4x-cores
+    fan-out, which is wrong at both extremes — 128 near-empty python
+    tasks per stage on a test corpus (pure scheduling overhead; the
+    rule work is ~30 us/chunk), and far too FEW bytes-per-task at
+    100 TB (corpus/128 per task). Catalyst's size estimate is free (no
+    job — parquet-backed inputs report real file bytes); an unknown or
+    absurd estimate falls back to 4x cores, the old behavior."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = -1
+    if est <= 0 or est > (1 << 50):   # missing / default-huge estimate
+        return cores * 4
+    return max(cores, min(cores * 1000,
+                          -(-est // _PY_STAGE_TARGET_BYTES)))
+
+
 def _canonicalize_udf():
     # built lazily: pandas_udf needs an active SparkSession to parse the type
     @F.pandas_udf("string")
@@ -189,14 +215,13 @@ def documents_to_chunks(documents: DataFrame,
             )
 
     # Explicitly re-spread before the Python stage: AQE sizes partitions by
-    # JVM bytes, which underestimates Python-side cost per row by orders of
-    # magnitude — a coalesced 16-partition input would starve a 32-core
-    # executor pool on the chunker.
-    # 4x cores: fine-grained tasks so a straggler costs 1/32 of the stage,
-    # not 1/8 (python per-row cost varies with document size)
-    par = documents.sparkSession.sparkContext.defaultParallelism * 4
-    src = documents.select("doc_id", "text").repartition(par)
-    return src.mapInPandas(chunker, schema=CHUNKS_SCHEMA)
+    # JVM bytes, which underestimates Python-side cost per row — a
+    # coalesced 1-partition input would starve the executor pool on the
+    # chunker. Fan-out is derived from the input size (see
+    # _python_stage_partitions), not a fixed multiple of the core count.
+    src = documents.select("doc_id", "text")
+    return (src.repartition(_python_stage_partitions(src))
+            .mapInPandas(chunker, schema=CHUNKS_SCHEMA))
 
 
 def chunks_to_triples(chunks: DataFrame,
@@ -210,11 +235,11 @@ def chunks_to_triples(chunks: DataFrame,
         object_type, rel_type, object_kind, start, end, pillar, term,
         count, src_txt
     """
-    par = chunks.sparkSession.sparkContext.defaultParallelism * 4
     # dedup then re-spread: extraction cost per row dwarfs JVM bytes, so
-    # never let the dedup shuffle's partitioning throttle the Python stage
-    uniq = (chunks.select("chunk_id", "text")
-            .repartition(par, "chunk_id")
+    # never let the dedup shuffle's partitioning throttle the Python
+    # stage; fan-out derived from input size (_python_stage_partitions)
+    sel = chunks.select("chunk_id", "text")
+    uniq = (sel.repartition(_python_stage_partitions(sel), "chunk_id")
             .dropDuplicates(["chunk_id"]))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
