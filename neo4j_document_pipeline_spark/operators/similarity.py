@@ -173,19 +173,25 @@ class NoVectorsError(ValueError):
 def collect_train_sample(df: DataFrame, vec_col: str, n: int,
                          seed: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random training sample: one TakeOrdered pass
-    over sha2(vector, seed) — shared by the IVF and PQ trainers so an
-    IVFPQ index build collects the (identical) sample once, not twice."""
-    rows = (
+    over xxhash64(seed, vector) — shared by the IVF and PQ trainers so
+    an IVFPQ index build collects the (identical) sample once, not
+    twice. The key hashes the vector VALUE directly: the previous
+    sha2(cast(vector as string)) key spent ~90% of the index build
+    formatting every embedding as a string (measured 1.36 s vs 0.17 s
+    for the sample pass at 9.3k x 64 floats — the hash only orders the
+    sample, any deterministic pure function of the value serves).
+    Arrow transfer (toPandas) instead of row-based collect: values and
+    order are identical, the pickled-row path is just slower."""
+    pdf = (
         df.select(F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull() & (F.size("v") == dim))
-        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
-                                 F.lit(str(seed))), 256))
-        .limit(n).collect()
+        .orderBy(F.xxhash64(F.lit(str(seed)), F.col("v")))
+        .limit(n).toPandas()
     )
-    if not rows:
+    if not len(pdf):
         raise NoVectorsError(
             f"no non-null vectors of width {dim} in column {vec_col!r}")
-    return np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+    return np.stack([np.asarray(v, dtype=float) for v in pdf["v"]])
 
 
 def lloyd_kmeans(X: np.ndarray, n_cells: int, iters: int) -> list[list[float]]:
@@ -384,7 +390,7 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
 
     Default path — SAMPLED DRIVER-SIDE training: ONE Spark pass collects
     a deterministic pseudo-random sample of up to ``train_sample``
-    vectors (sha2 order, TakeOrdered heap — no full sort), then every
+    vectors (xxhash64 order, TakeOrdered heap — no full sort), then every
     Lloyd iteration is a local numpy matmul. This is how IVF quantizers
     are trained at billion scale in practice (a bounded sample
     characterizes the density; faiss does the same), and it replaces
@@ -420,10 +426,12 @@ def ivf_train(df: DataFrame, id_col: str, vec_col: str,
         X = _sample if _sample is not None else \
             collect_train_sample(df, vec_col, train_sample, seed, dim)
         return lloyd_kmeans(X, n_cells, iters)
+    # SAME ordering key as collect_train_sample, so the sampled path
+    # with sample >= table size seeds (and therefore trains) identically
+    # to the distributed path — the parity the tests pin
     init = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.sha2(F.concat(F.col("v").cast("string"),
-                                 F.lit(str(seed))), 256))
+        .orderBy(F.xxhash64(F.lit(str(seed)), F.col("v")))
         .limit(n_cells).collect()
     )
     centroids = [list(map(float, r["v"])) for r in init]
