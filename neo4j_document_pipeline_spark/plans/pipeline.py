@@ -356,14 +356,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             return {"bucket_by": key, "n_buckets": cfg.store_buckets}
         return {}
 
-    embeddings = stage(
-        "embeddings_cache",
-        lambda: store.merge_embeddings(build_embeddings_cache(triples, cfg)), fp,
-        **_bk("key"),
-    )
-    # the four output tables only depend on (triples, embeddings, chunks):
-    # build them CONCURRENTLY — the Spark scheduler interleaves their
-    # stages, hiding the per-stage barrier latency of a sequential chain
+    # the five output tables depend only on (triples, embeddings, chunks)
+    # — and mentions / documents_final do not even need embeddings: build
+    # everything CONCURRENTLY with nodes/edges gated on the embeddings
+    # future (the Spark scheduler interleaves their stages, hiding the
+    # per-stage barrier latency of a sequential chain; guide-standard
+    # overlap of independent jobs)
     n_chunks = chunks.groupBy("doc_id").agg(F.count("*").alias("_n"))
     docs_final = (
         documents.join(n_chunks, "doc_id", "left")
@@ -388,22 +386,32 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    tail = [
-        ("nodes", lambda: store.merge_nodes(build_nodes(triples, embeddings, cfg)),
-         _bk("entity_id")),
-        ("edges", lambda: store.merge_edges(
-            build_edges(triples, embeddings, cfg, chunks=chunks),
-            max_sources=cfg.max_sources_per_edge), _bk("src_id")),
-        ("mentions", lambda: store.merge_mentions(build_mentions(triples)),
-         _bk("entity_id")),
-        ("documents_final", lambda: store.merge_documents(docs_final),
-         {**_bk("doc_id"),
-          **({"extra_metrics": {"max_warc_ts": wm}} if wm else {})}),
-    ]
-    with ThreadPoolExecutor(4) as ex:
-        futs = {name: ex.submit(stage, name, build, fp, **kw)
-                for name, build, kw in tail}
-        for name, fut in futs.items():
+    with ThreadPoolExecutor(5) as ex:
+        emb_fut = ex.submit(
+            stage, "embeddings_cache",
+            lambda: store.merge_embeddings(
+                build_embeddings_cache(triples, cfg)), fp, **_bk("key"))
+        ment_fut = ex.submit(
+            stage, "mentions",
+            lambda: store.merge_mentions(build_mentions(triples)), fp,
+            **_bk("entity_id"))
+        docf_fut = ex.submit(
+            stage, "documents_final",
+            lambda: store.merge_documents(docs_final), fp,
+            **{**_bk("doc_id"),
+               **({"extra_metrics": {"max_warc_ts": wm}} if wm else {})})
+        embeddings = emb_fut.result()
+        nodes_fut = ex.submit(
+            stage, "nodes",
+            lambda: store.merge_nodes(
+                build_nodes(triples, embeddings, cfg)), fp,
+            **_bk("entity_id"))
+        edges_fut = ex.submit(
+            stage, "edges",
+            lambda: store.merge_edges(
+                build_edges(triples, embeddings, cfg, chunks=chunks),
+                max_sources=cfg.max_sources_per_edge), fp, **_bk("src_id"))
+        for fut in (ment_fut, docf_fut, nodes_fut, edges_fut):
             fut.result()
 
     # Read-side indexes, committed alongside the graph — the analogue of
@@ -443,42 +451,55 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, store_root: str,
             _time.perf_counter() - t0, 3)
         deps = f"{fp}:{src}={version}"
         idx_metrics = stamp_index_metrics(man)
+
         # bucket(N, tok): every tok's postings share a bucket file, so
         # incremental batches later MERGE their delta postings by
         # rewriting only touched buckets (streaming.ingest); the count
         # derives from the indexed corpus size (resolve_index_buckets)
-        stage(f"node_tokens{suffix}",
-              lambda: build_node_tokens(store.read(src)),
-              deps, extra_metrics=idx_metrics,
-              bucket_by="tok",
-              n_buckets=resolve_index_buckets(cfg, man.get("rows")))
-        vname = f"node_vectors{suffix}"
-        t0 = _time.perf_counter()
-        if resume and store.is_current(vname, deps):
-            manifests[vname] = {**store.manifest(vname), "skipped": True}
-        elif (man.get("rows") or 0) >= cfg.ann_min_rows:
-            from neo4j_document_pipeline_spark.operators.similarity import (
-                NoVectorsError)
-            try:
-                idx, centroids, books, ranges = build_node_vectors(
-                    store.read(src), cfg, n_rows=man.get("rows"))
-            except NoVectorsError:
-                # no embedded rows -> no index; reads brute-force. Real
-                # misconfigurations (e.g. ann_pq_m not dividing the dim)
-                # raise plain ValueError and propagate loudly.
-                pass
-            else:
-                payload = quantizer_sidecar_bytes(centroids, books)
-                manifests[vname] = store.write(
-                    vname, idx, input_fingerprint=deps, stage=vname,
-                    partition_by=["label", "cell"],
-                    extra_files={QUANTIZER_SIDECAR: payload},
-                    extra_metrics={**idx_metrics,
-                                   **quantizer_manifest_metrics(
-                                       payload, len(centroids),
-                                       cfg.ann_pq_m if books is not None
-                                       else 0, label_cells=ranges)})
-        stage_secs[vname] = round(_time.perf_counter() - t0, 3)
+        def _commit_tokens():
+            stage(f"node_tokens{suffix}",
+                  lambda: build_node_tokens(store.read(src)),
+                  deps, extra_metrics=idx_metrics,
+                  bucket_by="tok",
+                  n_buckets=resolve_index_buckets(cfg, man.get("rows")))
+
+        def _commit_vectors():
+            vname = f"node_vectors{suffix}"
+            t0 = _time.perf_counter()
+            if resume and store.is_current(vname, deps):
+                manifests[vname] = {**store.manifest(vname),
+                                    "skipped": True}
+            elif (man.get("rows") or 0) >= cfg.ann_min_rows:
+                from neo4j_document_pipeline_spark.operators.similarity import (
+                    NoVectorsError)
+                try:
+                    idx, centroids, books, ranges = build_node_vectors(
+                        store.read(src), cfg, n_rows=man.get("rows"))
+                except NoVectorsError:
+                    # no embedded rows -> no index; reads brute-force.
+                    # Real misconfigurations (e.g. ann_pq_m not dividing
+                    # the dim) raise plain ValueError and propagate.
+                    pass
+                else:
+                    payload = quantizer_sidecar_bytes(centroids, books)
+                    manifests[vname] = store.write(
+                        vname, idx, input_fingerprint=deps, stage=vname,
+                        partition_by=["label", "cell"],
+                        extra_files={QUANTIZER_SIDECAR: payload},
+                        extra_metrics={**idx_metrics,
+                                       **quantizer_manifest_metrics(
+                                           payload, len(centroids),
+                                           cfg.ann_pq_m if books is not None
+                                           else 0, label_cells=ranges)})
+            stage_secs[vname] = round(_time.perf_counter() - t0, 3)
+
+        # the two indexes depend only on the committed nodes snapshot,
+        # not on each other — overlap them (same rationale as the tail)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        with _TPE(2) as iex:
+            ft, fv = iex.submit(_commit_tokens), iex.submit(_commit_vectors)
+            ft.result()
+            fv.result()
 
     commit_read_indexes("")
 
